@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md). */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame   = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame     = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame   = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame   = load(spark, d, "region")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read as
+    * a timestamp. Read it as a long (nanos since epoch) and derive:
+    *   - `ts`: TimestampType truncated to micros (integer division — the raw
+    *     int64 exceeds 2^53, double arithmetic would corrupt it)
+    *   - `ts_ns`: the original nanos, kept for exact arithmetic.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
