@@ -113,7 +113,31 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("uniq_users"))
         .orderBy(col("event_type"))
     }),
+
+    // ==== LogsQL end-to-end (parser → compiler → Catalyst) ====
+    // ---- word filter + stats (§2.1 #1, §2.2 #32) ----
+    "q_lql_filter_stats" -> ((s, d) =>
+      lql(s, d, "event_type:purchase | stats by (event_type) count() hits")),
+    // ---- time bucketing via LogsQL (§2.3 grouping extras) ----
+    "q_lql_time_stats" -> ((s, d) =>
+      lql(s, d,
+        "* | stats by (_time:1d) count() hits | math _time as day_s | fields day_s, hits | sort by (day_s)")),
+    // ---- in() filter + sort/limit (§2.1 #7, §2.2 #31) ----
+    "q_lql_topk" -> ((s, d) =>
+      lql(s, d,
+        "event_type:in(purchase, refund) | sort by (value desc, event_id) limit 5 | fields event_id, event_type, value")),
+    // ---- math pipe + min/max stats (§2.2 #23) ----
+    "q_lql_math" -> ((s, d) =>
+      lql(s, d, "* | math value * 2 + 1 as y | stats max(y) mx, min(y) mn")),
+    // ---- range filter + count_uniq via LogsQL (§2.1 #12) ----
+    "q_lql_range_uniq" -> ((s, d) =>
+      lql(s, d,
+        "value:>100 | stats by (event_type) count() hits, count_uniq(user_id) uu | sort by (event_type)")),
   )
+
+  /** Run a LogsQL query against the events log view. */
+  private def lql(s: SparkSession, d: String, q: String): DataFrame =
+    graft.logql.Compiler.run(Tables.eventsLog(s, d), q)
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_stats" ->
@@ -157,5 +181,20 @@ object SparkEntry {
     "q_count_uniq" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_filter_stats" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_lql_time_stats" ->
+      """SELECT epoch(date_trunc('day', ts)) AS day_s, count(*) AS hits
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_topk" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IN ('purchase', 'refund')
+         ORDER BY value DESC, event_id LIMIT 5""",
+    "q_lql_math" ->
+      "SELECT max(value*2+1) AS mx, min(value*2+1) AS mn FROM events",
+    "q_lql_range_uniq" ->
+      """SELECT event_type, count(*) AS hits, count(DISTINCT user_id) AS uu
+         FROM events WHERE value > 100 GROUP BY 1 ORDER BY 1""",
   )
 }

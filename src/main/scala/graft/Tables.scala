@@ -30,4 +30,13 @@ object Tables {
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** `events` mapped into the engine's log-event shape (FIXTURES.md §1):
+    * `_time` + `_msg` + promoted typed field columns. LogsQL queries run
+    * directly against this view. */
+  def eventsLog(spark: SparkSession, d: String): DataFrame =
+    events(spark, d).select(
+      col("ts").as("_time"),
+      col("props").as("_msg"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
 }

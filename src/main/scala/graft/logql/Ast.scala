@@ -1,0 +1,201 @@
+package graft.logql
+
+/** LogsQL abstract syntax tree.
+  *
+  * Mirrors the reference grammar (lib/logstorage/parser.go:250-259:
+  * `Query{f filter, pipes []pipe}`): a query is a leaf filter expression
+  * followed by a chain of dataflow pipes. Semantics only — execution is
+  * compiled to Spark DataFrame transforms in [[Compiler]].
+  */
+final case class Query(filter: Filter, pipes: Seq[Pipe])
+
+// ---------------------------------------------------------------------------
+// Filters (reference: lib/logstorage/filter_*.go, SURVEY.md §2.1)
+// ---------------------------------------------------------------------------
+
+sealed trait Filter
+
+object Filter {
+  /** Implicit/explicit AND of space-separated filters (filter_and.go). */
+  final case class And(fs: Seq[Filter]) extends Filter
+  final case class Or(fs: Seq[Filter]) extends Filter
+  final case class Not(f: Filter) extends Filter
+  /** `*` — match-all (filter_noop.go). */
+  case object Noop extends Filter
+
+  /** `field:phrase` — tokenized word/phrase match (filter_phrase.go).
+    * Empty phrase matches rows where the field is empty/missing. */
+  final case class Phrase(field: String, phrase: String) extends Filter
+  /** `field:foo*` — word-prefix match (filter_prefix.go). Empty prefix
+    * (`field:*`) matches any non-empty value. */
+  final case class Prefix(field: String, prefix: String) extends Filter
+  /** `field:i(phrase)` (filter_any_case_phrase.go). */
+  final case class AnyCasePhrase(field: String, phrase: String) extends Filter
+  /** `field:i(prefix*)` (filter_any_case_prefix.go). */
+  final case class AnyCasePrefix(field: String, prefix: String) extends Filter
+  /** `field:=value` — whole-value equality (filter_exact.go). */
+  final case class Exact(field: String, value: String) extends Filter
+  /** `field:=value*` — whole-value prefix (filter_exact_prefix.go). */
+  final case class ExactPrefix(field: String, value: String) extends Filter
+  /** `field:in(v1, ..., vN)` (filter_in.go). */
+  final case class In(field: String, values: Seq[String]) extends Filter
+  /** `field:contains_all(w1, ...)` (filter_contains_all.go). */
+  final case class ContainsAll(field: String, values: Seq[String]) extends Filter
+  /** `field:contains_any(w1, ...)` (filter_contains_any.go). */
+  final case class ContainsAny(field: String, values: Seq[String]) extends Filter
+  /** `field:seq(w1, w2, ...)` — phrases in order (filter_sequence.go). */
+  final case class Sequence(field: String, phrases: Seq[String]) extends Filter
+  /** `field:~"re"` / `field:re("re")` (filter_regexp.go). */
+  final case class Regexp(field: String, re: String) extends Filter
+  /** `field:range(lo, hi)`, `field:>x` etc. (filter_range.go). */
+  final case class Range(field: String, lo: Double, hi: Double,
+                         inclLo: Boolean, inclHi: Boolean) extends Filter
+  /** `field:ipv4_range(lo, hi)` — bounds as uint32 (filter_ipv4_range.go). */
+  final case class Ipv4Range(field: String, lo: Long, hi: Long) extends Filter
+  /** `field:string_range(a, b)` — a <= v < b (filter_string_range.go). */
+  final case class StringRange(field: String, lo: String, hi: String) extends Filter
+  /** `field:len_range(lo, hi)` — value length inclusive (filter_len_range.go). */
+  final case class LenRange(field: String, lo: Long, hi: Long) extends Filter
+  /** `field:eq_field(other)` (filter_eq_field.go). */
+  final case class EqField(field: String, other: String) extends Filter
+  /** `field:le_field(other)` / `lt_field` (filter_le_field.go). */
+  final case class LeField(field: String, other: String) extends Filter
+  final case class LtField(field: String, other: String) extends Filter
+  /** `_time:[a, b)` resolved to epoch-nanos half-open range (filter_time.go). */
+  final case class TimeRange(loNs: Long, hiNs: Long) extends Filter
+  /** `_time:day_range[08:00, 18:00)` — minutes of day (filter_day_range.go). */
+  final case class DayRange(startMin: Int, endMin: Int,
+                            inclStart: Boolean, inclEnd: Boolean) extends Filter
+  /** `_time:week_range[Mon, Fri]` — day of week 0=Sun (filter_week_range.go). */
+  final case class WeekRange(startDay: Int, endDay: Int,
+                             inclStart: Boolean, inclEnd: Boolean) extends Filter
+  /** `{label=~"re", ...}` — stream label matchers, OR of AND-groups
+    * (filter_stream.go, stream_filter.go). */
+  final case class Stream(orGroups: Seq[Seq[StreamMatcher]]) extends Filter
+  /** `_stream_id:hex` (filter_stream_id.go). */
+  final case class StreamId(ids: Seq[String]) extends Filter
+}
+
+/** One `label op "value"` matcher inside `{...}`; op ∈ =, !=, =~, !~. */
+final case class StreamMatcher(label: String, op: String, value: String)
+
+// ---------------------------------------------------------------------------
+// Pipes (reference: lib/logstorage/pipe_*.go, SURVEY.md §2.2)
+// ---------------------------------------------------------------------------
+
+sealed trait Pipe
+
+object Pipe {
+  final case class Fields(fields: Seq[String]) extends Pipe
+  final case class Delete(fields: Seq[String]) extends Pipe
+  final case class Copy(pairs: Seq[(String, String)]) extends Pipe
+  final case class Rename(pairs: Seq[(String, String)]) extends Pipe
+  final case class Where(f: Filter) extends Pipe
+  final case class Limit(n: Long) extends Pipe
+  final case class Offset(n: Long) extends Pipe
+  /** keep each row with probability 1/n (pipe_sample.go). */
+  final case class Sample(n: Long) extends Pipe
+  final case class Sort(keys: Seq[SortKey], limit: Option[Long], offset: Long,
+                        rank: Option[String], partitionBy: Seq[String]) extends Pipe
+  final case class Stats(by: Seq[ByField], funcs: Seq[StatsFuncAs]) extends Pipe
+  final case class Top(n: Long, fields: Seq[String], hitsAs: String,
+                       rankAs: Option[String]) extends Pipe
+  final case class Uniq(fields: Seq[String], withHits: Boolean,
+                        limit: Option[Long]) extends Pipe
+  final case class FieldNames(out: String) extends Pipe
+  final case class FieldValues(field: String, limit: Option[Long]) extends Pipe
+  final case class Math(exprs: Seq[(MathExpr, String)]) extends Pipe
+  /** `format "tpl<fld>" as out` — template parts are Left(literal) or
+    * Right((transform, field)); transform "" = raw (pipe_format.go). */
+  final case class Format(parts: Seq[Either[String, (String, String)]],
+                          out: String) extends Pipe
+  /** `extract "prefix<f1>sep<f2>" from field` (pipe_extract.go/pattern.go). */
+  final case class Extract(steps: Seq[PatternStep], from: String,
+                           keepOriginal: Boolean, skipEmpty: Boolean) extends Pipe
+  final case class ExtractRegexp(re: String, from: String) extends Pipe
+  final case class Replace(oldS: String, newS: String, at: String,
+                           limit: Long) extends Pipe
+  final case class ReplaceRegexp(re: String, repl: String, at: String,
+                                 limit: Long) extends Pipe
+  final case class Len(field: String, out: String) extends Pipe
+  final case class Hash(field: String, out: String) extends Pipe
+  final case class JsonArrayLen(field: String, out: String) extends Pipe
+  final case class UnpackJson(from: String, fieldsList: Seq[String],
+                              prefix: String) extends Pipe
+  final case class UnpackLogfmt(from: String, fieldsList: Seq[String],
+                                prefix: String) extends Pipe
+  final case class UnpackSyslog(from: String, prefix: String) extends Pipe
+  final case class UnpackWords(from: String, out: String,
+                               limit: Long) extends Pipe
+  final case class Unroll(fields: Seq[String]) extends Pipe
+  final case class PackJson(out: String, fieldsList: Seq[String]) extends Pipe
+  final case class PackLogfmt(out: String, fieldsList: Seq[String]) extends Pipe
+  case object DropEmptyFields extends Pipe
+  final case class Decolorize(field: String) extends Pipe
+  final case class CollapseNums(field: String, prettify: Boolean) extends Pipe
+  final case class Join(by: Seq[String], sub: Query, inner: Boolean,
+                        prefix: Option[String]) extends Pipe
+  final case class Union(sub: Query) extends Pipe
+  final case class Facets(n: Long, maxValuesPerField: Long,
+                          maxValueLen: Long) extends Pipe
+}
+
+/** `sort by (f desc)` key. */
+final case class SortKey(field: String, desc: Boolean)
+
+/** `by (name:bucket offset o)` group key (pipe_stats.go:1495-1605).
+  * bucket examples: "1h" (duration), "10" (numeric), "1KiB" (size). */
+final case class ByField(name: String, bucket: Option[String],
+                         offset: Option[String])
+
+/** One step of an `extract` pattern: capture into `field` (None = literal
+  * only), then match literal `sep` (empty = capture to end). */
+final case class PatternStep(prefix: String, field: Option[String])
+
+// ---------------------------------------------------------------------------
+// Stats functions (reference: lib/logstorage/stats_*.go, SURVEY.md §2.3)
+// ---------------------------------------------------------------------------
+
+final case class StatsFuncAs(fn: StatsFunc, as: String, iff: Option[Filter])
+
+sealed trait StatsFunc
+
+object StatsFunc {
+  final case class Count(fields: Seq[String]) extends StatsFunc
+  final case class CountEmpty(fields: Seq[String]) extends StatsFunc
+  final case class CountUniq(fields: Seq[String], limit: Option[Long]) extends StatsFunc
+  final case class CountUniqHash(fields: Seq[String]) extends StatsFunc
+  final case class Sum(fields: Seq[String]) extends StatsFunc
+  final case class Avg(fields: Seq[String]) extends StatsFunc
+  final case class Min(fields: Seq[String]) extends StatsFunc
+  final case class Max(fields: Seq[String]) extends StatsFunc
+  final case class Median(fields: Seq[String]) extends StatsFunc
+  final case class Quantile(phi: Double, fields: Seq[String]) extends StatsFunc
+  final case class SumLen(fields: Seq[String]) extends StatsFunc
+  final case class Values(fields: Seq[String], limit: Option[Long]) extends StatsFunc
+  final case class UniqValues(fields: Seq[String], limit: Option[Long]) extends StatsFunc
+  final case class JsonValues(fields: Seq[String], limit: Option[Long]) extends StatsFunc
+  case object RowAny extends StatsFunc
+  final case class RowMax(field: String) extends StatsFunc
+  final case class RowMin(field: String) extends StatsFunc
+  final case class Rate() extends StatsFunc
+  final case class RateSum(field: String) extends StatsFunc
+  final case class Histogram(field: String) extends StatsFunc
+}
+
+// ---------------------------------------------------------------------------
+// Math pipe expression DSL (reference: lib/logstorage/pipe_math.go)
+// ---------------------------------------------------------------------------
+
+sealed trait MathExpr
+
+object MathExpr {
+  final case class Num(v: Double) extends MathExpr
+  final case class FieldRef(name: String) extends MathExpr
+  final case class Bin(op: String, l: MathExpr, r: MathExpr) extends MathExpr
+  final case class Neg(e: MathExpr) extends MathExpr
+  final case class Call(fn: String, args: Seq[MathExpr]) extends MathExpr
+}
+
+final case class ParseException(msg: String, pos: Int)
+    extends RuntimeException(s"$msg (at offset $pos)")

@@ -1,0 +1,780 @@
+package graft.logql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextMatch
+
+/** Compiles a LogsQL [[Query]] AST into Spark DataFrame transforms.
+  *
+  * Design (SURVEY.md §7): each filter becomes a `Column` predicate pushed
+  * into the scan by Catalyst; each pipe is a `DataFrame => DataFrame`.
+  * Field resolution is hybrid (SURVEY §1.4): a name resolves to a promoted
+  * top-level column when present, else to `fields[name]` when a `fields`
+  * map column exists, else to the empty string (LogsQL: missing ≡ "").
+  */
+object Compiler {
+
+  final case class Ctx(source: DataFrame, nowNs: Long,
+                       rangeSeconds: Option[Double])
+
+  def run(source: DataFrame, queryText: String,
+          nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
+    val q = Parser.parse(queryText, nowNs)
+    run(source, q, nowNs)
+  }
+
+  def run(source: DataFrame, q: Query, nowNs: Long): DataFrame = {
+    val ctx = Ctx(source, nowNs, timeSpanSeconds(q.filter))
+    val filtered =
+      if (q.filter == Filter.Noop) source
+      else source.filter(compileFilter(source, q.filter, ctx))
+    q.pipes.foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+  }
+
+  /** Span of the query's top-level `_time` filter — feeds `rate()`. */
+  private def timeSpanSeconds(f: Filter): Option[Double] = f match {
+    case Filter.TimeRange(lo, hi) if lo != Long.MinValue && hi != Long.MaxValue =>
+      Some((hi - lo) / 1e9)
+    case Filter.And(fs) => fs.flatMap(timeSpanSeconds).headOption
+    case _ => None
+  }
+
+  // --------------------------------------------------------- field access
+
+  private def quoteName(n: String): String = "`" + n.replace("`", "") + "`"
+
+  private def hasCol(df: DataFrame, name: String): Boolean =
+    df.columns.contains(name)
+
+  private def hasFieldsMap(df: DataFrame): Boolean =
+    df.schema.fields.exists(f => f.name == "fields" &&
+      f.dataType.isInstanceOf[MapType])
+
+  /** Native column / map entry / missing. */
+  def rawField(df: DataFrame, name: String): Option[Column] =
+    if (hasCol(df, name)) Some(col(quoteName(name)))
+    else if (hasFieldsMap(df)) Some(element_at(col("fields"), name))
+    else None
+
+  /** String view with LogsQL missing≡"" semantics. */
+  def strF(df: DataFrame, name: String): Column =
+    rawField(df, name) match {
+      case Some(c) => coalesce(c.cast(StringType), lit(""))
+      case None => lit("")
+    }
+
+  /** Native-typed view (for projections); missing → null string. */
+  def anyF(df: DataFrame, name: String): Column =
+    rawField(df, name).getOrElse(lit(null).cast(StringType))
+
+  /** Numeric view: native numerics pass through, strings try-parse. */
+  def numF(df: DataFrame, name: String): Column =
+    rawField(df, name) match {
+      case Some(c) =>
+        fieldType(df, name) match {
+          case Some(_: NumericType) => c.cast(DoubleType)
+          case Some(BooleanType) => c.cast(DoubleType)
+          case Some(TimestampType) => unix_micros(c).cast(DoubleType) / 1e6
+          case _ => c.cast(StringType).try_cast("double")
+        }
+      case None => lit(null).cast(DoubleType)
+    }
+
+  private def fieldType(df: DataFrame, name: String): Option[DataType] =
+    df.schema.fields.find(_.name == name).map(_.dataType)
+
+  private def isNativeOrderable(df: DataFrame, name: String): Boolean =
+    fieldType(df, name).exists {
+      case _: NumericType | TimestampType | DateType | BooleanType => true
+      case _ => false
+    }
+
+  private def nonEmpty(df: DataFrame, name: String): Column =
+    strF(df, name) =!= ""
+
+  /** The `_time` column as micros since epoch. */
+  private def timeMicros(df: DataFrame): Column = {
+    val name = if (hasCol(df, "_time")) "_time" else "ts"
+    fieldType(df, name) match {
+      case Some(TimestampType) => unix_micros(col(name))
+      case Some(LongType) => expr(s"$name div 1000") // ns column
+      case _ => unix_micros(strF(df, name).try_cast("timestamp"))
+    }
+  }
+
+  private def timeCol(df: DataFrame): Column = {
+    val name = if (hasCol(df, "_time")) "_time" else "ts"
+    fieldType(df, name) match {
+      case Some(TimestampType) => col(name)
+      case Some(LongType) => timestamp_micros(expr(s"$name div 1000"))
+      case _ => strF(df, name).try_cast("timestamp")
+    }
+  }
+
+  // -------------------------------------------------------------- filters
+
+  def compileFilter(df: DataFrame, f: Filter, ctx: Ctx): Column = f match {
+    case Filter.And(fs) => fs.map(compileFilter(df, _, ctx)).reduce(_ && _)
+    case Filter.Or(fs) => fs.map(compileFilter(df, _, ctx)).reduce(_ || _)
+    case Filter.Not(x) => !compileFilter(df, x, ctx)
+    case Filter.Noop => lit(true)
+
+    case Filter.Phrase(fld, p) => TextMatch.matchPhrase(strF(df, fld), p)
+    case Filter.Prefix(fld, p) => TextMatch.matchPrefix(strF(df, fld), p)
+    case Filter.AnyCasePhrase(fld, p) => TextMatch.matchAnyCasePhrase(strF(df, fld), p)
+    case Filter.AnyCasePrefix(fld, p) => TextMatch.matchAnyCasePrefix(strF(df, fld), p)
+    case Filter.Exact(fld, v) => strF(df, fld) === v
+    case Filter.ExactPrefix(fld, v) => strF(df, fld).startsWith(v)
+    case Filter.In(fld, vs) =>
+      // native comparison when the column is numeric and all values parse
+      (fieldType(df, fld), vs.flatMap(v => NumLit.parse(v))) match {
+        case (Some(_: NumericType), nums) if nums.size == vs.size =>
+          col(quoteName(fld)).isin(nums: _*)
+        case _ => strF(df, fld).isin(vs: _*)
+      }
+    case Filter.ContainsAll(fld, vs) =>
+      vs.map(v => TextMatch.matchPhrase(strF(df, fld), v))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case Filter.ContainsAny(fld, vs) =>
+      vs.map(v => TextMatch.matchPhrase(strF(df, fld), v))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    case Filter.Sequence(fld, ps) => TextMatch.matchSequence(strF(df, fld), ps)
+    case Filter.Regexp(fld, re) => strF(df, fld).rlike(re)
+
+    case Filter.Range(fld, lo, hi, inclLo, inclHi) =>
+      val n = numF(df, fld)
+      val loC =
+        if (lo.isNegInfinity) lit(true)
+        else if (inclLo) n >= lo else n > lo
+      val hiC =
+        if (hi.isPosInfinity) lit(true)
+        else if (inclHi) n <= hi else n < hi
+      n.isNotNull && loC && hiC
+
+    case Filter.Ipv4Range(fld, lo, hi) =>
+      val n = ipv4Num(strF(df, fld))
+      n.isNotNull && n >= lo && n <= hi
+    case Filter.StringRange(fld, lo, hi) =>
+      strF(df, fld) >= lo && strF(df, fld) < hi
+    case Filter.LenRange(fld, lo, hi) =>
+      octet_length(strF(df, fld)).between(lo, hi)
+    case Filter.EqField(fld, other) =>
+      strF(df, fld) === strF(df, other)
+    case Filter.LeField(fld, other) => cmpFields(df, fld, other, strict = false)
+    case Filter.LtField(fld, other) => cmpFields(df, fld, other, strict = true)
+
+    case Filter.TimeRange(lo, hi) =>
+      val t = timeMicros(df)
+      val conds = Seq(
+        if (lo == Long.MinValue) None else Some(t >= ceilDivNs(lo)),
+        if (hi == Long.MaxValue) None else Some(t < ceilDivNs(hi))).flatten
+      conds.reduceOption(_ && _).getOrElse(lit(true))
+
+    case Filter.DayRange(s, e, inclS, inclE) =>
+      val t = timeCol(df)
+      val m = hour(t) * 60 + minute(t)
+      (if (inclS) m >= s else m > s) && (if (inclE) m <= e else m < e)
+
+    case Filter.WeekRange(s, e, inclS, inclE) =>
+      val d = dayofweek(timeCol(df)) - 1 // 0 = Sunday
+      (if (inclS) d >= s else d > s) && (if (inclE) d <= e else d < e)
+
+    case Filter.Stream(groups) =>
+      val streamCol =
+        if (hasCol(df, "_stream") &&
+            fieldType(df, "_stream").exists(_.isInstanceOf[MapType]))
+          (l: String) => coalesce(element_at(col("_stream"), l).cast(StringType), lit(""))
+        else (l: String) => strF(df, l)
+      groups.map { ms =>
+        ms.map { m =>
+          val v = streamCol(m.label)
+          m.op match {
+            case "=" => v === m.value
+            case "!=" => v =!= m.value
+            case "=~" => v.rlike("^(?:" + m.value + ")$")
+            case "!~" => !v.rlike("^(?:" + m.value + ")$")
+          }
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(true))
+
+    case Filter.StreamId(ids) => strF(df, "_stream_id").isin(ids: _*)
+  }
+
+  /** Row timestamps are micros; a ns bound b covers micro t iff t*1000 >= b
+    * ⇔ t >= ceil(b/1000). */
+  private def ceilDivNs(ns: Long): Long =
+    Math.floorDiv(ns + 999L, 1000L)
+
+  /** Numeric-aware field comparison (reference sorts/compares values
+    * numerically when both sides parse — pipe_sort.go:683). */
+  private def cmpFields(df: DataFrame, a: String, b: String, strict: Boolean): Column = {
+    val (na, nb) = (numF(df, a), numF(df, b))
+    val (sa, sb) = (strF(df, a), strF(df, b))
+    when(na.isNotNull && nb.isNotNull, if (strict) na < nb else na <= nb)
+      .otherwise(if (strict) sa < sb else sa <= sb)
+  }
+
+  def ipv4Num(c: Column): Column = {
+    val p = split(c, "\\.")
+    when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
+      p.getItem(0).cast(LongType) * 16777216L +
+      p.getItem(1).cast(LongType) * 65536L +
+      p.getItem(2).cast(LongType) * 256L +
+      p.getItem(3).cast(LongType))
+  }
+
+  // ---------------------------------------------------------------- pipes
+
+  def applyPipe(df: DataFrame, p: Pipe, ctx: Ctx): DataFrame = p match {
+    case Pipe.Fields(fs) =>
+      val names = expandWildcards(df, fs)
+      df.select(names.map(n => anyF(df, n).as(n)): _*)
+
+    case Pipe.Delete(fs) =>
+      val names = expandWildcards(df, fs)
+      df.drop(names.filter(hasCol(df, _)): _*)
+
+    case Pipe.Copy(pairs) =>
+      pairs.foldLeft(df)((d, ab) => d.withColumn(ab._2, anyF(d, ab._1)))
+
+    case Pipe.Rename(pairs) =>
+      pairs.foldLeft(df) { (d, ab) =>
+        if (hasCol(d, ab._1)) d.withColumnRenamed(ab._1, ab._2)
+        else d.withColumn(ab._2, anyF(d, ab._1))
+      }
+
+    case Pipe.Where(f) => df.filter(compileFilter(df, f, ctx))
+    case Pipe.Limit(n) => df.limit(n.toInt)
+    case Pipe.Offset(n) => df.offset(n.toInt)
+    case Pipe.Sample(n) => df.filter(rand() < 1.0 / n)
+
+    case s: Pipe.Sort => applySort(df, s)
+
+    case st: Pipe.Stats => applyStats(df, st, ctx)
+
+    case Pipe.Top(n, fields, hitsAs, rankAs) =>
+      val keys = expandWildcards(df, fields)
+      val grouped = df.groupBy(keys.map(k => anyF(df, k).as(k)): _*)
+        .agg(count(lit(1)).as(hitsAs))
+        .orderBy(col(quoteName(hitsAs)).desc +: keys.map(k => col(quoteName(k)).asc): _*)
+        .limit(n.toInt)
+      rankAs match {
+        case Some(r) =>
+          grouped.withColumn(r, row_number().over(
+            Window.orderBy(col(quoteName(hitsAs)).desc +: keys.map(k => col(quoteName(k)).asc): _*)))
+        case None => grouped
+      }
+
+    case Pipe.Uniq(fields, withHits, limit) =>
+      val keys = expandWildcards(df, fields)
+      val base = df.groupBy(keys.map(k => anyF(df, k).as(k)): _*)
+      val out = if (withHits) base.agg(count(lit(1)).as("hits"))
+                else base.agg(lit(1).as("__one")).drop("__one")
+      limit.map(l => out.limit(l.toInt)).getOrElse(out)
+
+    case Pipe.FieldNames(out) =>
+      val counts = df.agg(
+        count(lit(1)).as("__total"),
+        df.columns.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
+        .drop("__total")
+      counts.unpivot(Array.empty[Column], out, "hits")
+        .filter(col("hits") > 0)
+
+    case Pipe.FieldValues(fld, limit) =>
+      val out = df.groupBy(strF(df, fld).as(fld))
+        .agg(count(lit(1)).as("hits"))
+        .orderBy(col(quoteName(fld)))
+      limit.map(l => out.limit(l.toInt)).getOrElse(out)
+
+    case Pipe.Math(exprs) =>
+      exprs.foldLeft(df)((d, ea) => d.withColumn(ea._2, mathCol(d, ea._1, ctx)))
+
+    case Pipe.Format(parts, out) =>
+      val cols = parts.map {
+        case Left(litS) => lit(litS)
+        case Right((tr, fld)) => formatTransform(tr, strF(df, fld))
+      }
+      df.withColumn(out, if (cols.isEmpty) lit("") else concat(cols: _*))
+
+    case e: Pipe.Extract => applyExtract(df, e)
+    case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e)
+
+    case Pipe.Replace(oldS, newS, at, _) =>
+      df.withColumn(at, call_function("replace", strF(df, at), lit(oldS), lit(newS)))
+
+    case Pipe.ReplaceRegexp(re, repl, at, _) =>
+      df.withColumn(at, regexp_replace(strF(df, at), re, repl))
+
+    case Pipe.Len(fld, out) =>
+      df.withColumn(out, octet_length(strF(df, fld)).cast(LongType))
+
+    case Pipe.Hash(fld, out) =>
+      df.withColumn(out, xxhash64(strF(df, fld)))
+
+    case Pipe.JsonArrayLen(fld, out) =>
+      df.withColumn(out, json_array_length(strF(df, fld)).cast(LongType))
+
+    case Pipe.UnpackJson(from, fieldsList, prefix) =>
+      if (fieldsList.nonEmpty)
+        fieldsList.foldLeft(df)((d, f) =>
+          d.withColumn(prefix + f,
+            coalesce(get_json_object(strF(d, from), "$." + f), lit(""))))
+      else {
+        val parsed = from_json(strF(df, from), MapType(StringType, StringType))
+        mergeIntoFields(df, parsed, prefix)
+      }
+
+    case Pipe.UnpackLogfmt(from, fieldsList, prefix) =>
+      val parsed = logfmtMap(strF(df, from))
+      if (fieldsList.nonEmpty)
+        fieldsList.foldLeft(df)((d, f) =>
+          d.withColumn(prefix + f,
+            coalesce(element_at(logfmtMap(strF(d, from)), f), lit(""))))
+      else mergeIntoFields(df, parsed, prefix)
+
+    case Pipe.UnpackSyslog(from, prefix) => applyUnpackSyslog(df, from, prefix)
+
+    case Pipe.UnpackWords(from, out, limitN) =>
+      val words = TextMatch.tokenize(strF(df, from))
+      val limited = if (limitN > 0) slice(words, 1, limitN.toInt) else words
+      df.withColumn(out, to_json(limited))
+
+    case Pipe.Unroll(fields) =>
+      fields.foldLeft(df)((d, f) =>
+        d.withColumn(f, explode_outer(
+          from_json(strF(d, f), ArrayType(StringType)))))
+
+    case Pipe.PackJson(out, fieldsList) =>
+      val names = if (fieldsList.nonEmpty) fieldsList
+                  else df.columns.toSeq
+      df.withColumn(out,
+        to_json(struct(names.map(n => anyF(df, n).as(n)): _*)))
+
+    case Pipe.PackLogfmt(out, fieldsList) =>
+      val names = if (fieldsList.nonEmpty) fieldsList else df.columns.toSeq
+      df.withColumn(out, concat_ws(" ",
+        names.map(n => concat(lit(n + "="), strF(df, n))): _*))
+
+    case Pipe.DropEmptyFields =>
+      if (hasFieldsMap(df))
+        df.withColumn("fields",
+          map_filter(col("fields"), (_, v) => v.isNotNull && v =!= ""))
+      else df
+
+    case Pipe.Decolorize(fld) =>
+      df.withColumn(fld,
+        regexp_replace(strF(df, fld), "\\[[0-9;]*m", ""))
+
+    case Pipe.CollapseNums(fld, prettify) =>
+      df.withColumn(fld, collapseNums(strF(df, fld), prettify))
+
+    case Pipe.Join(by, sub, inner, prefix) =>
+      val right0 = run(ctx.source, sub, ctx.nowNs)
+      val keys = by
+      val pfx = prefix.getOrElse("")
+      // prefix non-key columns; resolve collisions in favor of the subquery
+      // for matched rows (reference pipe_join.go merges subquery fields in)
+      val right = right0.columns.foldLeft(right0) { (d, c) =>
+        if (keys.contains(c)) d
+        else d.withColumnRenamed(c, pfx + c)
+      }
+      val joinType = if (inner) "inner" else "left"
+      val collisions = right.columns.filter(c => !keys.contains(c) && hasCol(df, c))
+      val renamedRight = collisions.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, "__r_" + c))
+      val joined = df.join(broadcast(renamedRight), keys, joinType)
+      collisions.foldLeft(joined) { (d, c) =>
+        d.withColumn(c, coalesce(col("__r_" + c).cast(StringType),
+                                 col(quoteName(c)).cast(StringType)))
+          .drop("__r_" + c)
+      }
+
+    case Pipe.Union(sub) =>
+      val other = run(ctx.source, sub, ctx.nowNs)
+      df.unionByName(other, allowMissingColumns = true)
+
+    case Pipe.Facets(n, maxPerField, maxValueLen) =>
+      val asStr = df.select(df.columns.map(c =>
+        strF(df, c).as(c)).toSeq: _*)
+      val long = asStr.unpivot(Array.empty[Column], "field_name", "field_value")
+        .filter(col("field_value") =!= "" &&
+                octet_length(col("field_value")) <= maxValueLen)
+      val counted = long.groupBy("field_name", "field_value")
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("field_name")
+        .orderBy(col("hits").desc, col("field_value").asc)
+      counted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= math.min(n, maxPerField))
+        .drop("__rn")
+        .orderBy("field_name", "field_value")
+  }
+
+  // ----------------------------------------------------------------- sort
+
+  private def sortExprs(df: DataFrame, k: SortKey): Seq[Column] = {
+    val cols: Seq[Column] =
+      if (isNativeOrderable(df, k.field)) Seq(col(quoteName(k.field)))
+      else {
+        val n = numF(df, k.field)
+        val s = strF(df, k.field)
+        // numeric-aware collation (pipe_sort.go:683 sortBlockLess): both
+        // parse → numeric compare; else natural string compare, which puts
+        // "" below numbers and letter-strings above them. Approximated with
+        // a 3-tier key: empty < numeric < other strings.
+        Seq(when(s === "", 0).when(n.isNotNull, 1).otherwise(2),
+            coalesce(n, lit(0d)), s)
+      }
+    if (k.desc) cols.map(_.desc) else cols.map(_.asc)
+  }
+
+  private def applySort(df: DataFrame, s: Pipe.Sort): DataFrame = {
+    val keys = if (s.keys.nonEmpty) s.keys
+               else df.columns.toSeq.map(SortKey(_, desc = false))
+    val exprs = keys.flatMap(sortExprs(df, _))
+    if (s.partitionBy.nonEmpty) {
+      val w = Window.partitionBy(s.partitionBy.map(quoteName).map(col): _*)
+        .orderBy(exprs: _*)
+      val rn = s.rank.getOrElse("__rank")
+      var out = df.withColumn(rn, row_number().over(w))
+      s.limit.foreach(l => out = out.filter(col(rn) <= s.offset + l))
+      if (s.offset > 0) out = out.filter(col(rn) > s.offset)
+      if (s.rank.isEmpty) out = out.drop(rn)
+      out
+    } else {
+      var out = df.orderBy(exprs: _*)
+      (s.limit, s.rank) match {
+        case (lim, Some(r)) =>
+          out = out.withColumn(r, row_number().over(Window.orderBy(exprs: _*)))
+          if (s.offset > 0) out = out.filter(col(r) > s.offset)
+          lim.foreach(l => out = out.filter(col(r) <= s.offset + l))
+        case (Some(l), None) =>
+          if (s.offset > 0) out = out.offset(s.offset.toInt)
+          out = out.limit(l.toInt)
+        case (None, None) =>
+          if (s.offset > 0) out = out.offset(s.offset.toInt)
+      }
+      out
+    }
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  private def applyStats(df: DataFrame, st: Pipe.Stats, ctx: Ctx): DataFrame = {
+    val groupCols = st.by.map(b => byExpr(df, b, ctx).as(b.name))
+    val aggCols = st.funcs.map(fa => statsAgg(df, fa, ctx).as(fa.as))
+    if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Group-key expression incl. bucketing (pipe_stats.go:1495-1605). */
+  private def byExpr(df: DataFrame, b: ByField, ctx: Ctx): Column = b.bucket match {
+    case None => anyF(df, b.name)
+    case Some(bk) =>
+      if (b.name == "_time" || fieldType(df, b.name).contains(TimestampType)) {
+        val stepUs = NumLit.durationNanos(bk)
+          .map(_ / 1000L)
+          .orElse(NumLit.parse(bk).map(s => (s * 1e6).toLong))
+          .getOrElse(throw ParseException(s"bad time bucket '$bk'", 0))
+        val offUs = b.offset.flatMap(NumLit.durationNanos).map(_ / 1000L).getOrElse(0L)
+        val t = if (b.name == "_time") timeMicros(df) else unix_micros(col(quoteName(b.name)))
+        timestamp_micros(((t - offUs).cast(LongType) / stepUs).cast(LongType) * stepUs + offUs)
+      } else {
+        val w = NumLit.parse(bk)
+          .getOrElse(throw ParseException(s"bad bucket '$bk'", 0))
+        val off = b.offset.flatMap(NumLit.parse).getOrElse(0d)
+        val n = numF(df, b.name)
+        floor((n - off) / w) * w + off
+      }
+  }
+
+  private def statsAgg(df: DataFrame, fa: StatsFuncAs, ctx: Ctx): Column = {
+    import StatsFunc._
+    val cond: Option[Column] = fa.iff.map(compileFilter(df, _, ctx))
+    def iff(c: Column): Column = cond match {
+      case Some(p) => when(p, c)
+      case None => c
+    }
+    def anyNonEmpty(fields: Seq[String]): Column =
+      fields.map(nonEmpty(df, _)).reduce(_ || _)
+
+    fa.fn match {
+      case Count(fields) =>
+        if (fields.isEmpty) count(iff(lit(1)))
+        else count(iff(when(anyNonEmpty(fields), lit(1))))
+      case CountEmpty(fields) =>
+        count(iff(when(!anyNonEmpty(fields), lit(1))))
+      case CountUniq(fields, _) =>
+        val cs = fields.map(f => iff(nullIfEmpty(df, f)))
+        count_distinct(cs.head, cs.tail: _*)
+      case CountUniqHash(fields) =>
+        val cs = fields.map(f => iff(nullIfEmpty(df, f)))
+        count_distinct(xxhash64(cs: _*))
+      case Sum(fields) => nAgg(fields, f => sum(iff(numF(df, f))))
+      case Avg(fields) =>
+        if (fields.size == 1) avg(iff(numF(df, fields.head)))
+        else nAgg(fields, f => sum(iff(numF(df, f)))) /
+             nAgg(fields, f => count(iff(numF(df, f))))
+      case Min(fields) => nAgg(fields, f => min(iff(minMaxKey(df, f)))) // numeric-aware for strings
+      case Max(fields) => nAgg(fields, f => max(iff(minMaxKey(df, f))))
+      case Median(fields) =>
+        call_function("percentile", iff(numF(df, fields.head)), lit(0.5))
+      case Quantile(phi, fields) =>
+        call_function("percentile", iff(numF(df, fields.head)), lit(phi))
+      case SumLen(fields) =>
+        nAgg(fields, f => sum(iff(octet_length(strF(df, f)).cast(LongType))))
+      case Values(fields, limitN) =>
+        limited(collect_list(iff(strF(df, fields.head))), limitN)
+      case UniqValues(fields, limitN) =>
+        limited(array_sort(collect_set(iff(nullIfEmpty(df, fields.head)))), limitN)
+      case JsonValues(fields, limitN) =>
+        val s = struct(fields.map(f => strF(df, f).as(f)): _*)
+        limited(collect_list(iff(to_json(s))), limitN)
+      case RowAny =>
+        any_value(iff(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))), lit(true))
+      case RowMax(f) =>
+        max_by(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)),
+               iff(numF(df, f)))
+      case RowMin(f) =>
+        min_by(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)),
+               iff(numF(df, f)))
+      case Rate() =>
+        count(iff(lit(1))).cast(DoubleType) / lit(ctx.rangeSeconds.getOrElse(1d))
+      case RateSum(f) =>
+        sum(iff(numF(df, f))) / lit(ctx.rangeSeconds.getOrElse(1d))
+      case Histogram(_) =>
+        throw new UnsupportedOperationException(
+          "histogram() pending custom Aggregator (M4)")
+    }
+  }
+
+  private def nAgg(fields: Seq[String], one: String => Column): Column =
+    if (fields.size == 1) one(fields.head)
+    else fields.map(f => coalesce(one(f).cast(DoubleType), lit(0d))).reduce(_ + _)
+
+  private def limited(c: Column, limitN: Option[Long]): Column =
+    limitN.map(l => slice(c, 1, l.toInt)).getOrElse(c)
+
+  private def nullIfEmpty(df: DataFrame, f: String): Column = {
+    val s = strF(df, f)
+    when(s =!= "", s)
+  }
+
+  /** min/max over numerics uses the native column; strings stay lexicographic
+    * (numeric-aware string collation is a documented deviation for now). */
+  private def minMaxKey(df: DataFrame, f: String): Column =
+    if (isNativeOrderable(df, f)) col(quoteName(f)) else strF(df, f)
+
+  // ----------------------------------------------------------------- math
+
+  private def mathCol(df: DataFrame, e: MathExpr, ctx: Ctx): Column = e match {
+    case MathExpr.Num(v) => lit(v)
+    case MathExpr.FieldRef(n) => numF(df, n)
+    case MathExpr.Neg(x) => -mathCol(df, x, ctx)
+    case MathExpr.Bin(op, l, r) =>
+      val (a, b) = (mathCol(df, l, ctx), mathCol(df, r, ctx))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "^" => pow(a, b)
+        case "&" => (a.cast(LongType) bitwiseAND b.cast(LongType)).cast(DoubleType)
+        case "|" => (a.cast(LongType) bitwiseOR b.cast(LongType)).cast(DoubleType)
+        case "xor" => (a.cast(LongType) bitwiseXOR b.cast(LongType)).cast(DoubleType)
+        case "default" => coalesce(a, b)
+      }
+    case MathExpr.Call(fn, args) =>
+      val as = args.map(mathCol(df, _, ctx))
+      fn match {
+        case "abs" => abs(as.head)
+        case "exp" => exp(as.head)
+        case "ln" => log(as.head)
+        case "max" => greatest(as: _*)
+        case "min" => least(as: _*)
+        case "ceil" => ceil(as.head).cast(DoubleType)
+        case "floor" => floor(as.head).cast(DoubleType)
+        case "round" =>
+          if (as.size <= 1) round(as.head, 0).cast(DoubleType)
+          else (round(as.head / as(1), 0) * as(1)).cast(DoubleType)
+        case "now" => lit(ctx.nowNs / 1e9)
+        case "rand" => rand()
+        case other =>
+          throw new UnsupportedOperationException(s"math function '$other'")
+      }
+  }
+
+  // --------------------------------------------------------------- format
+
+  private def formatTransform(tr: String, c: Column): Column = tr match {
+    case "" => c
+    case "uc" => upper(c)
+    case "lc" => lower(c)
+    case "base64encode" => base64(c.cast(BinaryType))
+    case "base64decode" => unbase64(c).cast(StringType)
+    case "hexencode" => hex(c.cast(BinaryType))
+    case "hexdecode" => unhex(c).cast(StringType)
+    case "hexnumencode" => hex(c.try_cast("long"))
+    case "hexnumdecode" => conv(c, 16, 10)
+    case "urlencode" => call_function("url_encode", c)
+    case "urldecode" => call_function("url_decode", c)
+    case "q" => to_json(struct(c.as("v"))).substr(lit(6), octet_length(to_json(struct(c.as("v")))) - 6)
+    case "ipv4" => // uint32 → dotted quad
+      val n = c.try_cast("long")
+      concat_ws(".", (n / 16777216 % 256).cast(LongType).cast(StringType),
+        (n / 65536 % 256).cast(LongType).cast(StringType),
+        (n / 256 % 256).cast(LongType).cast(StringType),
+        (n % 256).cast(LongType).cast(StringType))
+    case "time" => date_format(timestamp_seconds(c.try_cast("double")),
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    case "duration" | "duration_seconds" => c // TODO(M4): humanized durations
+    case other => c
+  }
+
+  // -------------------------------------------------------------- extract
+
+  private def applyExtract(df: DataFrame, e: Pipe.Extract): DataFrame = {
+    // steps → one regex; each <field> becomes a capture group. Non-greedy
+    // before a literal separator, greedy at the end (pattern.go semantics).
+    val sb = new StringBuilder("(?s)")
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    e.steps.zipWithIndex.foreach { case (st, i) =>
+      sb.append(java.util.regex.Pattern.quote(st.prefix))
+      st.field.foreach { f =>
+        names += f
+        val isLast = i == e.steps.size - 1 ||
+          e.steps.drop(i + 1).forall(s2 => s2.prefix.isEmpty && s2.field.isDefined)
+        sb.append(if (isLast) "(.*)" else "(.*?)")
+      }
+    }
+    val re = sb.result()
+    val src = strF(df, e.from)
+    names.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      if (f == "_") d
+      else {
+        val v = regexp_extract(src, re, i + 1)
+        val v2 =
+          if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v)
+          else if (e.skipEmpty) when(v =!= "", v).otherwise(strF(d, f))
+          else v
+        d.withColumn(f, v2)
+      }
+    }
+  }
+
+  private def applyExtractRegexp(df: DataFrame, e: Pipe.ExtractRegexp): DataFrame = {
+    val re = e.re.replace("(?P<", "(?<")
+    // capture-group names with their group indexes
+    val names = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var idx = 0
+    var i = 0
+    while (i < re.length) {
+      if (re(i) == '(' && (i == 0 || re(i - 1) != '\\')) {
+        if (i + 1 < re.length && re(i + 1) == '?') {
+          if (i + 2 < re.length && re(i + 2) == '<' &&
+              i + 3 < re.length && re(i + 3) != '=' && re(i + 3) != '!') {
+            idx += 1
+            val end = re.indexOf('>', i)
+            names += ((re.substring(i + 3, end), idx))
+          }
+        } else idx += 1
+      }
+      i += 1
+    }
+    val src = strF(df, e.from)
+    names.foldLeft(df) { case (d, (f, gi)) =>
+      d.withColumn(f, regexp_extract(src, re, gi))
+    }
+  }
+
+  // --------------------------------------------------------------- unpack
+
+  /** logfmt `k=v k2="quoted v"` → map (logfmt_parser.go). Handles quoted
+    * values via a regex scan. */
+  private def logfmtMap(c: Column): Column = {
+    val pairRe = """([\p{L}\p{N}_.\-]+)=("(?:[^"\\]|\\.)*"|\S*)"""
+    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
+    map_from_entries(transform(pairs, p => {
+      val k = regexp_extract(p, "^([^=]+)=", 1)
+      val raw = regexp_replace(p, "^[^=]+=", "")
+      val unq = when(raw.startsWith("\"") && raw.endsWith("\"") && octet_length(raw) >= 2,
+        regexp_replace(raw.substr(lit(2), octet_length(raw) - 2), """\\(.)""", "$1"))
+        .otherwise(raw)
+      struct(k.as("key"), unq.as("value"))
+    }))
+  }
+
+  private def mergeIntoFields(df: DataFrame, parsed: Column, prefix: String): DataFrame = {
+    val prefixed =
+      if (prefix.isEmpty) parsed
+      else map_from_entries(transform(map_entries(parsed),
+        e => struct(concat(lit(prefix), e.getField("key")).as("key"),
+                    e.getField("value").as("value"))))
+    if (hasFieldsMap(df))
+      df.withColumn("fields", map_concat(
+        map_filter(col("fields"), (k, _) => !array_contains(map_keys(coalesce(prefixed, map())), k)),
+        coalesce(prefixed, map())))
+    else df.withColumn("fields", coalesce(prefixed, map()))
+  }
+
+  private def applyUnpackSyslog(df: DataFrame, from: String, prefix: String): DataFrame = {
+    val src = strF(df, from)
+    // RFC5424: <pri>VER TS HOST APP PROCID MSGID [SD] MSG (syslog_parser.go)
+    val rfc5424 = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\])|-) ?(.*)$"
+    // RFC3164: <pri>MMM dd HH:mm:ss HOST TAG[PID]: MSG
+    val rfc3164 = "^<(\\d+)>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?:? ?(.*)$"
+    val is5424 = src.rlike("^<\\d+>\\d+ ")
+    def f(name: String, c: Column): (String, Column) = (prefix + name, c)
+    val pri = when(is5424, regexp_extract(src, rfc5424, 1))
+      .otherwise(regexp_extract(src, rfc3164, 1)).try_cast("long")
+    val cols = Seq(
+      f("priority", pri.cast(StringType)),
+      f("facility", (pri / 8).cast(LongType).cast(StringType)),
+      f("severity", (pri % 8).cast(LongType).cast(StringType)),
+      f("timestamp", when(is5424, regexp_extract(src, rfc5424, 3))
+        .otherwise(regexp_extract(src, rfc3164, 2))),
+      f("hostname", when(is5424, regexp_extract(src, rfc5424, 4))
+        .otherwise(regexp_extract(src, rfc3164, 3))),
+      f("app_name", when(is5424, regexp_extract(src, rfc5424, 5))
+        .otherwise(regexp_extract(src, rfc3164, 4))),
+      f("proc_id", when(is5424, regexp_extract(src, rfc5424, 6))
+        .otherwise(regexp_extract(src, rfc3164, 5))),
+      f("msg_id", when(is5424, regexp_extract(src, rfc5424, 7)).otherwise(lit(""))),
+      f("message", when(is5424, regexp_extract(src, rfc5424, 9))
+        .otherwise(regexp_extract(src, rfc3164, 6))))
+    cols.foldLeft(df)((d, nc) => d.withColumn(nc._1, nc._2))
+  }
+
+  // -------------------------------------------------------- collapse_nums
+
+  private def collapseNums(c: Column, prettify: Boolean): Column = {
+    val uuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val hexRe = "\\b0[xX][0-9a-fA-F]+\\b|\\b[0-9a-fA-F]{16,}\\b"
+    val numRe = "\\b\\d+(?:\\.\\d+)?\\b"
+    if (prettify) {
+      val c1 = regexp_replace(c, uuidRe, "<uuid>")
+      val c2 = regexp_replace(c1, ipRe, "<ip4>")
+      val c3 = regexp_replace(c2, hexRe, "<hex>")
+      regexp_replace(c3, numRe, "<N>")
+    } else {
+      val c1 = regexp_replace(c, uuidRe, "<N>-<N>-<N>-<N>-<N>")
+      val c2 = regexp_replace(c1, hexRe, "<N>")
+      regexp_replace(c2, numRe, "<N>")
+    }
+  }
+
+  // ------------------------------------------------------------ wildcards
+
+  /** `f*` wildcards in field lists (lib/prefixfilter). */
+  private def expandWildcards(df: DataFrame, fs: Seq[String]): Seq[String] =
+    fs.flatMap { f =>
+      if (f.endsWith("*")) {
+        val p = f.dropRight(1)
+        df.columns.filter(_.startsWith(p)).toSeq
+      } else Seq(f)
+    }.distinct
+}

@@ -1,0 +1,354 @@
+package graft.logql
+
+import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Golden row-set tests per operator, in the style of the reference's
+  * table-driven pipe tests (lib/logstorage/pipe_*_test.go). */
+class CompilerSpec extends SparkSuite {
+
+  private val NOW = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  lazy val logs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_msg", StringType),
+      StructField("level", StringType),
+      StructField("host", StringType),
+      StructField("v", StringType),
+      StructField("ip", StringType)))
+    val rows = Seq(
+      Row(ts("2023-12-31T10:00:01Z"), "connection error from db", "error", "h1", "10", "10.0.0.1"),
+      Row(ts("2023-12-31T11:30:02Z"), "user login ok", "info", "h1", "2.5", "10.0.0.2"),
+      Row(ts("2023-12-31T12:00:03Z"), "disk error: no space", "error", "h2", "7", "192.168.1.5"),
+      Row(ts("2023-12-31T13:45:04Z"), "errors piling up", "warn", "h2", "n/a", "10.0.1.200"),
+      Row(ts("2023-12-31T18:00:05Z"), "shutdown complete", "info", "h3", "", "8.8.8.8"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private def run(q: String, df: DataFrame = logs): DataFrame =
+    Compiler.run(df, q, NOW)
+
+  private def msgs(q: String): Seq[String] =
+    run(q).select("_msg").collect().map(_.getString(0)).toSeq.sorted
+
+  // ------------------------------------------------------------- filters
+
+  test("phrase filter matches words, not substrings") {
+    assert(msgs("error") == Seq("connection error from db", "disk error: no space"))
+    // "errors" is a different word than "error"
+    assert(msgs("errors") == Seq("errors piling up"))
+  }
+
+  test("prefix filter matches word prefixes") {
+    assert(msgs("error*") ==
+      Seq("connection error from db", "disk error: no space", "errors piling up"))
+  }
+
+  test("field phrase, exact, exact-prefix") {
+    assert(msgs("level:error").size == 2)
+    assert(msgs("level:=info").size == 2)
+    assert(msgs("level:=inf*").size == 2)
+    assert(msgs("level:=inf").isEmpty)
+  }
+
+  test("any-case") {
+    assert(msgs("level:i(ERROR)").size == 2)
+    assert(msgs("level:i(ERR*)").size == 2)
+  }
+
+  test("in / contains_any / contains_all / seq") {
+    assert(msgs("level:in(error, warn)").size == 3)
+    assert(msgs("_msg:contains_any(login, shutdown)").size == 2)
+    assert(msgs("_msg:contains_all(disk, space)").size == 1)
+    assert(msgs("_msg:seq(connection, db)").size == 1)
+    assert(msgs("_msg:seq(db, connection)").isEmpty)
+  }
+
+  test("regexp") {
+    assert(msgs("""_msg:~"err.*db"""") == Seq("connection error from db"))
+  }
+
+  test("numeric range on string field") {
+    assert(msgs("v:>5").toSet ==
+      Set("connection error from db", "disk error: no space"))
+    assert(msgs("v:range[2.5, 7]").size == 2)
+    assert(msgs("v:<3").size == 1) // "n/a" and "" don't parse
+  }
+
+  test("len_range / string_range") {
+    assert(msgs("v:len_range(1, 2)").size == 2) // "10", "7" (and not "", "n/a", "2.5")
+    assert(msgs("level:string_range(e, f)").size == 2) // error < f
+  }
+
+  test("ipv4_range incl cidr") {
+    assert(msgs("ip:ipv4_range(10.0.0.0, 10.0.0.255)").size == 2)
+    assert(msgs("ip:ipv4_range(\"10.0.0.0/16\")").size == 3)
+  }
+
+  test("eq_field / lt_field numeric-aware") {
+    assert(msgs("v:eq_field(v)").size == 5)
+    // v < len? compare v and ip as numbers/strings: just smoke lt_field
+    assert(run("v:lt_field(ip)").count() >= 0)
+  }
+
+  test("time range filter") {
+    assert(msgs("_time:[2023-12-31T11:00:00, 2023-12-31T14:00:00)").size == 3)
+    assert(msgs("_time:2023-12-31").size == 5)
+    assert(msgs("_time:day_range[11:00, 14:00)").size == 3)
+    assert(msgs("_time:week_range[Sun, Sun]").size == 5) // 2023-12-31 is a Sunday
+  }
+
+  test("boolean combinators") {
+    assert(msgs("level:error host:h1") == Seq("connection error from db"))
+    assert(msgs("level:error or level:warn").size == 3)
+    assert(msgs("not level:error").size == 3)
+    assert(msgs("!level:error").size == 3)
+  }
+
+  test("field:* matches non-empty") {
+    assert(msgs("v:*").size == 4)
+  }
+
+  // --------------------------------------------------------------- pipes
+
+  test("fields / delete / copy / rename") {
+    val df = run("* | fields _msg, level")
+    assert(df.columns.toSeq == Seq("_msg", "level"))
+    assert(run("* | delete ip, v").columns.toSeq ==
+      Seq("_time", "_msg", "level", "host"))
+    val c = run("* | copy level as lvl")
+    assert(c.columns.contains("lvl"))
+    val r = run("* | rename level as lvl")
+    assert(r.columns.contains("lvl") && !r.columns.contains("level"))
+  }
+
+  test("where pipe") {
+    assert(run("* | where level:error").count() == 2)
+  }
+
+  test("limit / offset after sort") {
+    val out = run("* | sort by (v) desc limit 2").select("_msg").collect().map(_.getString(0))
+    // collation desc: non-numeric strings > numbers > "" (sortBlockLess
+    // falls back to natural string compare for non-numeric values)
+    assert(out.toSeq == Seq("errors piling up", "connection error from db"))
+    assert(run("* | sort by (_time) | offset 3").count() == 2)
+  }
+
+  test("sort with rank and partition by") {
+    val df = run("* | sort by (v desc) partition by (level) limit 1 rank as r")
+    assert(df.filter("level = 'error'").count() == 1)
+    assert(df.columns.contains("r"))
+  }
+
+  test("stats count/sum/avg with group") {
+    val df = run("* | stats by (level) count() hits, sum(v) s | sort by (level)")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(rows == Seq(
+      ("error", 2L, Some(17.0)),
+      ("info", 2L, Some(2.5)),
+      ("warn", 1L, None))) // "n/a" doesn't parse
+  }
+
+  test("stats time bucket") {
+    val df = run("* | stats by (_time:1h) count() hits | sort by (_time)")
+    assert(df.count() == 5) // all rows in distinct hours
+  }
+
+  test("stats numeric bucket") {
+    val df = run("* | stats by (v:5) count() hits | sort by (v)")
+    // buckets: 10→10, 2.5→0, 7→5, n/a→null, ""→null
+    assert(df.count() == 4)
+  }
+
+  test("stats if filter") {
+    val df = run("* | stats count() total, count() if (level:error) errs")
+    val r = df.collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2)
+  }
+
+  test("count_uniq / count_empty / sum_len / min / max") {
+    val df = run("* | stats count_uniq(level) cu, count_empty(v) ce, sum_len(level) sl")
+    val r = df.collect().head
+    assert(r.getLong(0) == 3)
+    assert(r.getLong(1) == 1)
+    assert(r.getLong(2) == 22L) // error+info+error+warn+info = 5+4+5+4+4
+  }
+
+  test("median / quantile") {
+    val r = run("* | stats median(v) m, quantile(1.0, v) q").collect().head
+    assert(r.getDouble(0) == 7.0)
+    assert(r.getDouble(1) == 10.0)
+  }
+
+  test("values / uniq_values") {
+    val r = run("* | stats uniq_values(level) uv").collect().head
+    assert(r.getSeq[String](0) == Seq("error", "info", "warn"))
+  }
+
+  test("row_max") {
+    val r = run("* | stats row_max(v) rm").collect().head
+    assert(r.getString(0).contains("connection error"))
+  }
+
+  test("top pipe") {
+    val rows = run("* | top 2 by (level)").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSet == Set("error", "info"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2, 2))
+  }
+
+  test("uniq pipe") {
+    assert(run("* | uniq by (level)").count() == 3)
+    assert(run("* | uniq by (level) with hits").columns.contains("hits"))
+  }
+
+  test("field_values / field_names") {
+    val fv = run("* | field_values level").collect()
+    assert(fv.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("error", 2L), ("info", 2L), ("warn", 1L)))
+    val fn = run("* | field_names").collect()
+    assert(fn.map(_.getString(0)).toSet.contains("level"))
+    // v has one empty value → hits 4
+    assert(fn.find(_.getString(0) == "v").get.getLong(1) == 4)
+  }
+
+  test("math pipe") {
+    val df = run("level:error | math v * 2 + 1 as y | fields _msg, y")
+    assert(df.collect().map(_.getDouble(1)).sorted.toSeq == Seq(15.0, 21.0))
+    val d = run("* | math v default 0 as y | stats sum(y) s").collect().head
+    assert(d.getDouble(0) == 19.5)
+  }
+
+  test("format pipe") {
+    val df = run("""level:warn | format "lvl=<uc:level> host=<host>" as out""")
+    assert(df.collect().head.getAs[String]("out") == "lvl=WARN host=h2")
+  }
+
+  test("extract pipe") {
+    val df = run("""level:error | extract "disk <what>: no <what2>" from _msg""")
+    val r = df.filter("_msg like 'disk%'").collect().head
+    assert(r.getAs[String]("what") == "error")
+    assert(r.getAs[String]("what2") == "space")
+  }
+
+  test("extract_regexp pipe") {
+    val df = run("""* | extract_regexp "from (?P<src>\\w+)" from _msg""")
+    assert(df.filter("src = 'db'").count() == 1)
+  }
+
+  test("replace / replace_regexp") {
+    val df = run("""level:warn | replace ("piling", "stacking") at _msg""")
+    assert(df.collect().head.getAs[String]("_msg") == "errors stacking up")
+    val df2 = run("""level:warn | replace_regexp ("p\\w+g", "X") at _msg""")
+    assert(df2.collect().head.getAs[String]("_msg") == "errors X up")
+  }
+
+  test("len / hash / json_array_len") {
+    val df = run("level:warn | len(_msg) as l | hash(_msg) as h")
+    val r = df.collect().head
+    assert(r.getAs[Long]("l") == 16L)
+    assert(r.getAs[Long]("h") != 0L)
+  }
+
+  test("unpack_json") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("""{"a":"1","b":"x y"}"""))), schema)
+    val out = Compiler.run(df, "* | unpack_json from _msg fields (a, b)", NOW)
+    val r = out.collect().head
+    assert(r.getAs[String]("a") == "1" && r.getAs[String]("b") == "x y")
+    // map-merge path
+    val out2 = Compiler.run(df, "* | unpack_json from _msg | where a:1", NOW)
+    assert(out2.count() == 1)
+  }
+
+  test("unpack_logfmt") {
+    val schema = StructType(Seq(StructField("kv", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("""k1=v1 k2="a b" k3="""))), schema)
+    val out = Compiler.run(df, "* | unpack_logfmt from kv fields (k1, k2, k3)", NOW)
+    val r = out.collect().head
+    assert(r.getAs[String]("k1") == "v1")
+    assert(r.getAs[String]("k2") == "a b")
+    assert(r.getAs[String]("k3") == "")
+  }
+
+  test("unpack_syslog rfc3164 and rfc5424") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed"),
+      Row("<165>1 2023-08-24T05:14:15.000003Z host.example app 1234 ID47 - An app event"))),
+      schema)
+    val out = Compiler.run(df, "* | unpack_syslog from _msg", NOW).collect()
+    val r3164 = out.find(_.getAs[String]("app_name") == "su").get
+    assert(r3164.getAs[String]("priority") == "34")
+    assert(r3164.getAs[String]("severity") == "2")
+    assert(r3164.getAs[String]("hostname") == "mymachine")
+    assert(r3164.getAs[String]("message") == "'su root' failed")
+    val r5424 = out.find(_.getAs[String]("app_name") == "app").get
+    assert(r5424.getAs[String]("hostname") == "host.example")
+    assert(r5424.getAs[String]("proc_id") == "1234")
+    assert(r5424.getAs[String]("message") == "An app event")
+  }
+
+  test("unpack_words / unroll") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a b a"))), schema)
+    val out = Compiler.run(df, "* | unpack_words from _msg as w", NOW)
+    assert(out.collect().head.getAs[String]("w") == """["a","b","a"]""")
+    val unrolled = Compiler.run(df, "* | unpack_words from _msg as w | unroll by (w)", NOW)
+    assert(unrolled.count() == 3)
+  }
+
+  test("pack_json / pack_logfmt") {
+    val df = run("level:warn | fields level, host | pack_json as j")
+    assert(df.collect().head.getAs[String]("j") == """{"level":"warn","host":"h2"}""")
+    val df2 = run("level:warn | fields level, host | pack_logfmt as l")
+    assert(df2.collect().head.getAs[String]("l") == "level=warn host=h2")
+  }
+
+  test("decolorize / collapse_nums") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("[31mred[0m text"), Row("req 123 took 4.5ms from 1.2.3.4"))), schema)
+    val out = Compiler.run(df, "* | decolorize", NOW).collect().map(_.getString(0))
+    assert(out.contains("red text"))
+    val cn = Compiler.run(df, "* | collapse_nums prettify", NOW).collect().map(_.getString(0))
+    // digit runs attached to token chars stay literal (pipe_collapse_nums.go:
+    // appendCollapseNums keeps "5ms"), so 4.5ms → <N>.5ms
+    assert(cn.contains("req <N> took <N>.5ms from <ip4>"))
+  }
+
+  test("join pipe") {
+    val df = run("* | join by (host) (level:error | stats by (host) count() errs)")
+    val r = df.filter("host = 'h1'").collect()
+    assert(r.forall(_.getAs[Long]("errs") == 1L))
+    val inner = run("* | join by (host) (level:error | stats by (host) count() errs) inner")
+    assert(inner.count() == 4) // h3 rows dropped
+  }
+
+  test("union pipe") {
+    assert(run("level:error | union (level:warn)").count() == 3)
+  }
+
+  test("facets pipe") {
+    val df = run("* | facets 2")
+    assert(df.filter("field_name = 'level'").count() == 2)
+  }
+
+  test("sample pipe returns subset") {
+    val n = run("* | sample 2").count()
+    assert(n <= 5)
+  }
+
+  test("stats rate with time filter") {
+    val r = run("_time:[2023-12-31, 2024-01-01) | stats rate() r").collect().head
+    assert(math.abs(r.getDouble(0) - 5.0 / 86400) < 1e-12)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.logql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParserSpec extends AnyFunSuite {
+  import Filter._
+
+  private val NOW = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  private def parse(s: String): Query = Parser.parse(s, NOW)
+
+  test("bare word is a _msg phrase filter") {
+    assert(parse("error").filter == Phrase("_msg", "error"))
+  }
+
+  test("quoted phrase") {
+    assert(parse("\"foo bar\"").filter == Phrase("_msg", "foo bar"))
+  }
+
+  test("field phrase / prefix / exact / exact-prefix") {
+    assert(parse("level:error").filter == Phrase("level", "error"))
+    assert(parse("level:err*").filter == Prefix("level", "err"))
+    assert(parse("level:=error").filter == Exact("level", "error"))
+    assert(parse("level:=err*").filter == ExactPrefix("level", "err"))
+    assert(parse("level:*").filter == Prefix("level", ""))
+  }
+
+  test("implicit and, or, not, parens") {
+    val q = parse("error (host:h1 or host:h2) !level:debug")
+    q.filter match {
+      case And(Seq(Phrase("_msg", "error"), Or(Seq(Phrase("host", "h1"), Phrase("host", "h2"))),
+                   Not(Phrase("level", "debug")))) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("function filters") {
+    assert(parse("level:in(a, b, \"c d\")").filter == In("level", Seq("a", "b", "c d")))
+    assert(parse("x:contains_all(a, b)").filter == ContainsAll("x", Seq("a", "b")))
+    assert(parse("x:contains_any(a, b)").filter == ContainsAny("x", Seq("a", "b")))
+    assert(parse("x:seq(a, b)").filter == Sequence("x", Seq("a", "b")))
+    assert(parse("x:re(\"a.*b\")").filter == Regexp("x", "a.*b"))
+    assert(parse("x:~\"a.*b\"").filter == Regexp("x", "a.*b"))
+    assert(parse("x:i(err)").filter == AnyCasePhrase("x", "err"))
+    assert(parse("x:i(err*)").filter == AnyCasePrefix("x", "err"))
+    assert(parse("x:string_range(a, b)").filter == StringRange("x", "a", "b"))
+    assert(parse("x:len_range(2, 10)").filter == LenRange("x", 2, 10))
+    assert(parse("x:eq_field(y)").filter == EqField("x", "y"))
+    assert(parse("x:lt_field(y)").filter == LtField("x", "y"))
+  }
+
+  test("range filters") {
+    assert(parse("v:>10").filter == Range("v", 10, Double.PositiveInfinity, inclLo = false, inclHi = true))
+    assert(parse("v:<=5.5").filter == Range("v", Double.NegativeInfinity, 5.5, inclLo = true, inclHi = true))
+    assert(parse("v:range(1, 10)").filter == Range("v", 1, 10, inclLo = false, inclHi = false))
+    assert(parse("v:range[1, 10)").filter == Range("v", 1, 10, inclLo = true, inclHi = false))
+    assert(parse("v:range[1KiB, 2KiB]").filter == Range("v", 1024, 2048, inclLo = true, inclHi = true))
+  }
+
+  test("ipv4_range") {
+    assert(parse("ip:ipv4_range(1.2.3.0, 1.2.3.255)").filter ==
+      Ipv4Range("ip", 16909056L, 16909311L))
+    assert(parse("ip:ipv4_range(1.2.3.4)").filter == Ipv4Range("ip", 16909060L, 16909060L))
+  }
+
+  test("time range absolute") {
+    val f = parse("_time:[2024-01-01, 2024-01-02)").filter.asInstanceOf[TimeRange]
+    assert(f.loNs == 1704067200L * 1000000000L)
+    assert(f.hiNs == 1704153600L * 1000000000L)
+  }
+
+  test("time range day precision inclusive") {
+    val f = parse("_time:2024-01-01").filter.asInstanceOf[TimeRange]
+    assert(f.loNs == 1704067200L * 1000000000L)
+    assert(f.hiNs == 1704153600L * 1000000000L)
+  }
+
+  test("time relative window") {
+    val f = parse("_time:5m").filter.asInstanceOf[TimeRange]
+    assert(f.loNs == NOW - 300L * 1000000000L)
+  }
+
+  test("day_range and week_range") {
+    assert(parse("_time:day_range[08:00, 18:00)").filter ==
+      DayRange(480, 1080, inclStart = true, inclEnd = false))
+    assert(parse("_time:week_range[Mon, Fri]").filter ==
+      WeekRange(1, 5, inclStart = true, inclEnd = true))
+  }
+
+  test("stream filter") {
+    parse("""{app="nginx", env=~"prod.*"}""").filter match {
+      case Stream(Seq(Seq(StreamMatcher("app", "=", "nginx"),
+                          StreamMatcher("env", "=~", "prod.*")))) => ()
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("pipes chain") {
+    val q = parse("error | fields a, b | where v:>5 | sort by (a desc) limit 10 | limit 5 | offset 2")
+    assert(q.pipes.size == 5)
+    assert(q.pipes(0) == Pipe.Fields(Seq("a", "b")))
+    assert(q.pipes(2) == Pipe.Sort(Seq(SortKey("a", desc = true)), Some(10), 0, None, Nil))
+    assert(q.pipes(3) == Pipe.Limit(5))
+    assert(q.pipes(4) == Pipe.Offset(2))
+  }
+
+  test("stats pipe with buckets and aliases") {
+    val q = parse("* | stats by (level, _time:5m) count() hits, sum(v) as s, count_uniq(u) cu")
+    val st = q.pipes.head.asInstanceOf[Pipe.Stats]
+    assert(st.by == Seq(ByField("level", None, None), ByField("_time", Some("5m"), None)))
+    assert(st.funcs(0) == StatsFuncAs(StatsFunc.Count(Nil), "hits", None))
+    assert(st.funcs(1) == StatsFuncAs(StatsFunc.Sum(Seq("v")), "s", None))
+    assert(st.funcs(2) == StatsFuncAs(StatsFunc.CountUniq(Seq("u"), None), "cu", None))
+  }
+
+  test("stats with if filter") {
+    val q = parse("* | stats count() if (level:error) errs")
+    val st = q.pipes.head.asInstanceOf[Pipe.Stats]
+    assert(st.funcs.head.iff.contains(Phrase("level", "error")))
+    assert(st.funcs.head.as == "errs")
+  }
+
+  test("top / uniq") {
+    assert(parse("* | top 5 by (a, b)").pipes.head == Pipe.Top(5, Seq("a", "b"), "hits", None))
+    assert(parse("* | uniq by (a) with hits limit 3").pipes.head ==
+      Pipe.Uniq(Seq("a"), withHits = true, Some(3)))
+  }
+
+  test("math pipe precedence") {
+    val q = parse("* | math a + b * 2 as x")
+    val m = q.pipes.head.asInstanceOf[Pipe.Math]
+    import MathExpr._
+    assert(m.exprs.head._1 == Bin("+", FieldRef("a"), Bin("*", FieldRef("b"), Num(2))))
+  }
+
+  test("format template parses") {
+    val q = parse("""* | format "a=<a>, up=<uc:b>!" as out""")
+    val f = q.pipes.head.asInstanceOf[Pipe.Format]
+    assert(f.parts == Seq(Left("a="), Right(("", "a")), Left(", up="),
+      Right(("uc", "b")), Left("!")))
+    assert(f.out == "out")
+  }
+
+  test("extract pattern steps") {
+    val q = parse("""* | extract "ip=<ip> code=<code>" from _msg""")
+    val e = q.pipes.head.asInstanceOf[Pipe.Extract]
+    assert(e.steps == Seq(PatternStep("ip=", Some("ip")), PatternStep(" code=", Some("code"))))
+  }
+
+  test("join and union parse") {
+    val q = parse("error | join by (user) (level:info | fields user, name) inner")
+    val j = q.pipes.head.asInstanceOf[Pipe.Join]
+    assert(j.by == Seq("user") && j.inner)
+    assert(j.sub.pipes.size == 1)
+    val u = parse("a | union (b)").pipes.head.asInstanceOf[Pipe.Union]
+    assert(u.sub.filter == Phrase("_msg", "b"))
+  }
+
+  test("first/last desugar to sort") {
+    assert(parse("* | first 3 by (x)").pipes.head ==
+      Pipe.Sort(Seq(SortKey("x", desc = false)), Some(3), 0, None, Nil))
+    assert(parse("* | last 3 by (x)").pipes.head ==
+      Pipe.Sort(Seq(SortKey("x", desc = true)), Some(3), 0, None, Nil))
+  }
+
+  test("unpack pipes parse") {
+    assert(parse("* | unpack_json from f fields (a, b) result_prefix p_").pipes.head ==
+      Pipe.UnpackJson("f", Seq("a", "b"), "p_"))
+    assert(parse("* | unpack_logfmt from kv").pipes.head == Pipe.UnpackLogfmt("kv", Nil, ""))
+    assert(parse("* | unroll by (arr)").pipes.head == Pipe.Unroll(Seq("arr")))
+  }
+
+  test("quantile") {
+    val q = parse("* | stats quantile(0.95, v) p95")
+    assert(q.pipes.head.asInstanceOf[Pipe.Stats].funcs.head.fn ==
+      StatsFunc.Quantile(0.95, Seq("v")))
+  }
+
+  test("unknown pipe errors") {
+    assertThrows[ParseException](parse("* | bogus_pipe x"))
+  }
+
+  test("number literals") {
+    assert(NumLit.parse("5KiB").contains(5 * 1024d))
+    assert(NumLit.parse("1h30m").contains(5400d))
+    assert(NumLit.parse("-2.5").contains(-2.5))
+    assert(NumLit.parse("0x10").contains(16d))
+    assert(NumLit.parse("1_000").contains(1000d))
+  }
+}
