@@ -133,11 +133,147 @@ object SparkEntry {
     "q_lql_range_uniq" -> ((s, d) =>
       lql(s, d,
         "value:>100 | stats by (event_type) count() hits, count_uniq(user_id) uu | sort by (event_type)")),
+
+    // ---- exact / exact-prefix / any-case / not / or (§2.1 #3-#6, #24) ----
+    "q_lql_exact" -> ((s, d) =>
+      lql(s, d,
+        """(event_type:=purchase or event_type:=pur* or event_type:i(REFUND)) -event_type:refund
+           | stats by (event_type) count() hits | sort by (event_type)""")),
+    // ---- word prefix / contains_all / contains_any / seq / regexp on text (§2.1 #1, #2, #8-#11) ----
+    "q_lql_text_filters" -> ((s, d) =>
+      lqld(s, d,
+        """* | stats count() if (sp*) pre, count() if (_msg:contains_all(spark, join)) call,
+           count() if (_msg:contains_any(spark, vector)) cany,
+           count() if (_msg:seq(data, row)) cseq, count() if (_msg:~"spark \w+ join") cre""")),
+    // ---- string_range / len_range (§2.1 #14, #15) ----
+    "q_lql_ranges" -> ((s, d) =>
+      lqld(s, d,
+        "* | stats count() if (lang:string_range(d, f)) sr, count() if (_msg:len_range(100, 300)) lr")),
+    // ---- ipv4_range over derived dotted-quads (§2.1 #13) ----
+    "q_lql_ipv4" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat_ws, lit => l}
+      val df = Tables.eventsLog(s, d).withColumn("ip",
+        concat_ws(".", l(10), col("user_id") % 200, col("event_id") % 256, col("event_id") % 100))
+      graft.logql.Compiler.run(df, "ip:ipv4_range(10.5.0.0, 10.20.255.255) | stats count() hits")
+    }),
+    // ---- eq_field / lt_field (§2.1 #17, #18) ----
+    "q_lql_field_cmp" -> ((s, d) =>
+      lql(s, d,
+        "* | stats count() if (value:lt_field(user_id)) lt, count() if (event_type:eq_field(event_type)) eq")),
+    // ---- explicit _time range + rate (§2.1 #19, §2.3 rate) ----
+    "q_lql_time_rate" -> ((s, d) =>
+      lql(s, d, "_time:[2024-01-05, 2024-01-10) | stats count() hits, rate() r")),
+    // ---- day_range / week_range (§2.1 #20, #21) ----
+    "q_lql_dayweek" -> ((s, d) =>
+      lql(s, d,
+        """_time:week_range[Mon, Fri] _time:day_range[09:00, 17:00)
+           | stats by (event_type) count() hits | sort by (event_type)""")),
+    // ---- copy/rename/delete/where/sum_len transforms (§2.2 #4, #6, #27) ----
+    "q_lql_transform" -> ((s, d) =>
+      lql(s, d,
+        """* | copy value as v2 | rename event_type as et | delete _msg
+           | where et:purchase | stats by (et) count() hits, sum_len(et) sl""")),
+    // ---- offset pipe (§2.2 #24) ----
+    "q_lql_offset" -> ((s, d) =>
+      lql(s, d, "* | sort by (event_id) | offset 10 | limit 5 | fields event_id, event_type")),
+    // ---- last N (sort desc + limit sugar) (§2.2 #20) ----
+    "q_lql_last" -> ((s, d) =>
+      lql(s, d, "* | last 3 by (value, event_id) | fields event_id, value")),
+    // ---- top pipe (§2.2 #34) ----
+    "q_lql_top" -> ((s, d) =>
+      lql(s, d, "* | top 3 by (event_type)")),
+    // ---- uniq pipe (§2.2 #36) ----
+    "q_lql_uniq" -> ((s, d) =>
+      lql(s, d,
+        "event_type:in(error, signup) | uniq by (event_type, user_id) with hits | sort by (event_type, user_id)")),
+    // ---- field_names / field_values (§2.2 #11, #12) ----
+    "q_lql_field_names" -> ((s, d) =>
+      lql(s, d, "* | field_names | sort by (name)")),
+    "q_lql_field_values" -> ((s, d) =>
+      lql(s, d, "* | field_values event_type")),
+    // ---- format + len pipes (§2.2 #16, #21) ----
+    "q_lql_format_len" -> ((s, d) =>
+      lql(s, d,
+        """* | format "type=<event_type> u=<user_id>" as s | len(s) as l
+           | stats by (event_type) max(l) ml | sort by (event_type)""")),
+    // ---- extract pipe + numeric stats on extracted field (§2.2 #8) ----
+    "q_lql_extract" -> ((s, d) =>
+      lql(s, d,
+        """* | extract '{"k": <kval>}' from _msg | stats sum(kval) sk, count() if (kval:*) ck""")),
+    // ---- extract_regexp (§2.2 #9) ----
+    "q_lql_extract_re" -> ((s, d) =>
+      lql(s, d,
+        """* | extract_regexp "\\{\"k\": (?P<kv>\\d+)\\}" from _msg | stats sum(kv) sk""")),
+    // ---- unpack_json (§2.2 #37) ----
+    "q_lql_unpack_json" -> ((s, d) =>
+      lql(s, d,
+        "* | unpack_json from _msg fields (k) | stats by (event_type) sum(k) sk | sort by (event_type)")),
+    // ---- json_array_len + pack_json (§2.2 #19, #25) ----
+    "q_lql_pack" -> ((s, d) =>
+      lql(s, d,
+        """event_type:signup | fields event_id, event_type | pack_json as j | len(j) as l
+           | stats count() hits, min(l) mn""")),
+    // ---- replace / replace_regexp (§2.2 #28, #29) ----
+    "q_lql_replace" -> ((s, d) =>
+      lqld(s, d,
+        """* | replace ("spark", "sparkle") at _msg | replace_regexp ("jo\\w+n", "J") at _msg
+           | stats sum_len(_msg) sl""")),
+    // ---- collapse_nums + uniq (§2.2 #3) ----
+    "q_lql_collapse" -> ((s, d) =>
+      lql(s, d, "* | collapse_nums at _msg | uniq by (_msg) with hits")),
+    // ---- unroll + unpack_words over documents (§2.2 #40, #41) ----
+    "q_lql_words" -> ((s, d) =>
+      lqld(s, d,
+        """doc_id:<20 | unpack_words from _msg as w | unroll by (w)
+           | stats by (w) count() hits | sort by (hits desc, w) limit 10""")),
+    // ---- join pipe (§2.2 #18) ----
+    "q_lql_join" -> ((s, d) =>
+      lql(s, d,
+        """* | join by (user_id) (event_type:refund | stats by (user_id) count() refunds)
+           | stats by (event_type) count() hits, sum(refunds) sr | sort by (event_type)""")),
+    // ---- union pipe (§2.2 #35) ----
+    "q_lql_union" -> ((s, d) =>
+      lql(s, d,
+        """event_type:purchase | union (event_type:refund)
+           | stats by (event_type) count() hits | sort by (event_type)""")),
+    // ---- facets pipe (§2.2 #10) ----
+    "q_lql_facets" -> ((s, d) =>
+      lql(s, d, "* | fields event_type, user_id | facets 3")),
+    // ---- count_empty / count over unpacked missing field (§2.3) ----
+    "q_lql_count_empty" -> ((s, d) =>
+      lql(s, d,
+        "* | unpack_json from _msg fields (zzz) | stats count_empty(zzz) ce, count(zzz) cz, count() total")),
+    // ---- count_uniq_hash (§2.3) ----
+    "q_lql_uniq_hash" -> ((s, d) =>
+      lql(s, d, "* | stats count_uniq_hash(user_id) cuh")),
+    // ---- uniq_values joined to scalar (§2.3) ----
+    "q_lql_uniq_values" -> ((s, d) =>
+      lql(s, d, "* | stats uniq_values(event_type) uv")
+        .select(concat_ws(",", col("uv")).as("uv"))),
+    // ---- row_max (argmax) via max_by (§2.3) ----
+    "q_row_max" -> ((s, d) =>
+      events(s, d).agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id"))).as("best_event"),
+        max(col("value")).as("mx"))),
+    // ---- median / avg via LogsQL (§2.3) ----
+    "q_lql_median" -> ((s, d) =>
+      lql(s, d,
+        "* | stats by (event_type) median(value) med, quantile(0.9, value) p90 | sort by (event_type)")),
+    // ---- sample pipe — rows-only check (§2.2 #30) ----
+    "q_lql_sample" -> ((s, d) =>
+      lql(s, d, "* | sample 7 | stats count() c")),
+    // ---- hash pipe — rows-only (engine-specific 64-bit hash) (§2.2 #17) ----
+    "q_lql_hash" -> ((s, d) =>
+      lql(s, d, "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")),
   )
 
   /** Run a LogsQL query against the events log view. */
   private def lql(s: SparkSession, d: String, q: String): DataFrame =
     graft.logql.Compiler.run(Tables.eventsLog(s, d), q)
+
+  /** Run a LogsQL query against the documents log view. */
+  private def lqld(s: SparkSession, d: String, q: String): DataFrame =
+    graft.logql.Compiler.run(Tables.docsLog(s, d), q)
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_stats" ->
@@ -196,5 +332,120 @@ object SparkEntry {
     "q_lql_range_uniq" ->
       """SELECT event_type, count(*) AS hits, count(DISTINCT user_id) AS uu
          FROM events WHERE value > 100 GROUP BY 1 ORDER BY 1""",
+    "q_lql_exact" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
+    "q_lql_text_filters" ->
+      """SELECT
+         count(*) FILTER (WHERE regexp_matches(text, '\bsp')) AS pre,
+         count(*) FILTER (WHERE regexp_matches(text, '\bspark\b') AND regexp_matches(text, '\bjoin\b')) AS call,
+         count(*) FILTER (WHERE regexp_matches(text, '\bspark\b') OR regexp_matches(text, '\bvector\b')) AS cany,
+         count(*) FILTER (WHERE regexp_matches(text, '\bdata\b[\s\S]*?\brow\b')) AS cseq,
+         count(*) FILTER (WHERE regexp_matches(text, 'spark \w+ join')) AS cre
+         FROM documents""",
+    "q_lql_ranges" ->
+      """SELECT count(*) FILTER (WHERE lang >= 'd' AND lang < 'f') AS sr,
+         count(*) FILTER (WHERE length(text) BETWEEN 100 AND 300) AS lr
+         FROM documents""",
+    "q_lql_ipv4" ->
+      "SELECT count(*) AS hits FROM events WHERE (user_id % 200) BETWEEN 5 AND 20",
+    "q_lql_field_cmp" ->
+      """SELECT count(*) FILTER (WHERE value < user_id) AS lt, count(*) AS eq
+         FROM events""",
+    "q_lql_time_rate" ->
+      """SELECT count(*) AS hits, count(*) / 432000.0 AS r FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'""",
+    "q_lql_dayweek" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE extract(dow FROM ts) BETWEEN 1 AND 5
+           AND (extract(hour FROM ts)*60 + extract(minute FROM ts)) >= 540
+           AND (extract(hour FROM ts)*60 + extract(minute FROM ts)) < 1020
+         GROUP BY 1 ORDER BY 1""",
+    "q_lql_transform" ->
+      """SELECT event_type AS et, count(*) AS hits,
+         CAST(sum(length(event_type)) AS BIGINT) AS sl
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_lql_offset" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 5 OFFSET 10",
+    "q_lql_last" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id DESC LIMIT 3",
+    "q_lql_top" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         GROUP BY 1 ORDER BY hits DESC, event_type LIMIT 3""",
+    "q_lql_uniq" ->
+      """SELECT event_type, user_id, count(*) AS hits FROM events
+         WHERE event_type IN ('error', 'signup') GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_lql_field_names" ->
+      """SELECT * FROM (
+           SELECT '_msg' AS name, count(*) AS hits FROM events
+           UNION ALL SELECT '_time', count(*) FROM events
+           UNION ALL SELECT 'event_id', count(*) FROM events
+           UNION ALL SELECT 'event_type', count(*) FROM events
+           UNION ALL SELECT 'user_id', count(*) FROM events
+           UNION ALL SELECT 'value', count(*) FROM events
+         ) ORDER BY name""",
+    "q_lql_field_values" ->
+      "SELECT event_type, count(*) AS hits FROM events GROUP BY 1 ORDER BY 1",
+    "q_lql_format_len" ->
+      """SELECT event_type,
+         CAST(max(length('type=' || event_type || ' u=' || CAST(user_id AS VARCHAR))) AS BIGINT) AS ml
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_extract" ->
+      """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk,
+         count(*) AS ck FROM events""",
+    "q_lql_extract_re" ->
+      """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk
+         FROM events""",
+    "q_lql_unpack_json" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_pack" ->
+      """SELECT count(*) AS hits,
+         CAST(min(length('{"event_id":' || event_id || ',"event_type":"signup"}')) AS BIGINT) AS mn
+         FROM events WHERE event_type = 'signup'""",
+    "q_lql_replace" ->
+      """SELECT CAST(sum(length(regexp_replace(replace(text, 'spark', 'sparkle'), 'jo\w+n', 'J', 'g'))) AS BIGINT) AS sl
+         FROM documents""",
+    "q_lql_collapse" ->
+      """SELECT regexp_replace(props, '[0-9]+', '<N>', 'g') AS _msg, count(*) AS hits
+         FROM events GROUP BY 1""",
+    "q_lql_words" ->
+      """SELECT w, count(*) AS hits FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 20
+         ) GROUP BY 1 ORDER BY hits DESC, w LIMIT 10""",
+    "q_lql_join" ->
+      """SELECT e.event_type, count(*) AS hits, CAST(sum(r.refunds) AS DOUBLE) AS sr
+         FROM events e LEFT JOIN (
+           SELECT user_id, count(*) AS refunds FROM events
+           WHERE event_type = 'refund' GROUP BY 1
+         ) r USING (user_id) GROUP BY 1 ORDER BY 1""",
+    "q_lql_union" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE event_type IN ('purchase', 'refund') GROUP BY 1 ORDER BY 1""",
+    "q_lql_facets" ->
+      """SELECT field_name, field_value, hits FROM (
+           SELECT field_name, field_value, hits,
+                  row_number() OVER (PARTITION BY field_name ORDER BY hits DESC, field_value ASC) AS rn
+           FROM (
+             SELECT 'event_type' AS field_name, event_type AS field_value, count(*) AS hits
+             FROM events GROUP BY 2
+             UNION ALL
+             SELECT 'user_id', CAST(user_id AS VARCHAR), count(*) FROM events GROUP BY 2
+           )
+         ) WHERE rn <= 3 ORDER BY field_name, field_value""",
+    "q_lql_count_empty" ->
+      "SELECT count(*) AS ce, CAST(0 AS BIGINT) AS cz, count(*) AS total FROM events",
+    "q_lql_uniq_hash" ->
+      "SELECT count(DISTINCT user_id) AS cuh FROM events",
+    "q_lql_uniq_values" ->
+      """SELECT string_agg(event_type, ',' ORDER BY event_type) AS uv
+         FROM (SELECT DISTINCT event_type FROM events)""",
+    "q_row_max" ->
+      """SELECT (SELECT max(event_id) FROM events WHERE value = (SELECT max(value) FROM events)) AS best_event,
+         max(value) AS mx FROM events""",
+    "q_lql_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

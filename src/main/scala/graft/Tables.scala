@@ -39,4 +39,10 @@ object Tables {
       col("ts").as("_time"),
       col("props").as("_msg"),
       col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** `documents` as a log view: `_msg` = text. */
+  def docsLog(spark: SparkSession, d: String): DataFrame =
+    documents(spark, d).select(
+      col("text").as("_msg"),
+      col("doc_id"), col("lang"), col("source"), col("n_chars"))
 }
