@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure Column expressions (codegen'd, no UDFs, no shuffles) — each
+  * scales linearly with a parquet scan at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace-ish word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}_]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: words + punctuation runs + digits
+    * (a cheap, deterministic proxy for tokenizer budget accounting). */
+  def bpeTokenCountEstimate(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long") +
+      octet_length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("long")
+
+  // ----------------------------------------------------------- language id
+
+  private val enStop = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val esStop = Seq("el", "la", "de", "los", "que", "y", "en")
+  private val deStop = Seq("der", "die", "und", "das", "ist", "nicht")
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** N-gram/stopword heuristic language ID. Deterministic tie order:
+    * zh (CJK chars) > en >= es >= de > und. */
+  def langId(text: Column): Column = {
+    val en = stopHits(text, enStop)
+    val es = stopHits(text, esStop)
+    val de = stopHits(text, deStop)
+    when(text.rlike("[\\p{IsHan}]"), "zh")
+      .when(en >= es && en >= de && en > 0, "en")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  // --------------------------------------------------------- quality score
+
+  def punctRatio(text: Column): Column =
+    octet_length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") /
+      greatest(octet_length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    stopHits(text, enStop).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  def meanWordLength(text: Column): Column =
+    octet_length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Composite heuristic quality score in [0,1] (length, punctuation,
+    * stopword presence — the usual pre-training quality gates). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(octet_length(text).cast("double") / 500d, lit(1d))
+    val punctOk = lit(1d) - least(punctRatio(text) * 5d, lit(1d))
+    val stopOk = least(stopwordRatio(text) * 10d, lit(1d))
+    round((lenScore + punctOk + stopOk) / 3d, 6)
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("punct_ratio", round(punctRatio(col(textCol)), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(col(textCol)), 6))
+      .withColumn("quality", qualityScore(col(textCol)))
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** Order-insensitive document fingerprint: hash of the sorted distinct
+    * token set (catches shuffled/duplicated-content docs). */
+  def setFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling content fingerprint: min-hash over token 4-grams — stable
+    * under small edits (winnowing-style document signature). */
+  def rollingFingerprint(text: Column, window: Int = 4): Column = {
+    val ts = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(ts) - window, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(window)))))
+    array_min(grams)
+  }
+}
