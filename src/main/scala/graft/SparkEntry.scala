@@ -156,10 +156,10 @@ object SparkEntry {
         concat_ws(".", l(10), col("user_id") % 200, col("event_id") % 256, col("event_id") % 100))
       graft.logql.Compiler.run(df, "ip:ipv4_range(10.5.0.0, 10.20.255.255) | stats count() hits")
     }),
-    // ---- eq_field / lt_field (§2.1 #17, #18) ----
+    // ---- eq_field / lt_field over two distinct columns (§2.1 #17, #18) ----
     "q_lql_field_cmp" -> ((s, d) =>
       lql(s, d,
-        "* | stats count() if (value:lt_field(user_id)) lt, count() if (event_type:eq_field(event_type)) eq")),
+        "* | stats count() if (value:lt_field(user_id)) lt, count() if (value:eq_field(user_id)) eq")),
     // ---- explicit _time range + rate (§2.1 #19, §2.3 rate) ----
     "q_lql_time_rate" -> ((s, d) =>
       lql(s, d, "_time:[2024-01-05, 2024-01-10) | stats count() hits, rate() r")),
@@ -350,7 +350,8 @@ object SparkEntry {
     "q_lql_ipv4" ->
       "SELECT count(*) AS hits FROM events WHERE (user_id % 200) BETWEEN 5 AND 20",
     "q_lql_field_cmp" ->
-      """SELECT count(*) FILTER (WHERE value < user_id) AS lt, count(*) AS eq
+      """SELECT count(*) FILTER (WHERE value < user_id) AS lt,
+         count(*) FILTER (WHERE value = user_id) AS eq
          FROM events""",
     "q_lql_time_rate" ->
       """SELECT count(*) AS hits, count(*) / 432000.0 AS r FROM events

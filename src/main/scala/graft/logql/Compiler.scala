@@ -126,7 +126,15 @@ object Compiler {
     case Filter.Prefix(fld, p) => TextMatch.matchPrefix(strF(df, fld), p)
     case Filter.AnyCasePhrase(fld, p) => TextMatch.matchAnyCasePhrase(strF(df, fld), p)
     case Filter.AnyCasePrefix(fld, p) => TextMatch.matchAnyCasePrefix(strF(df, fld), p)
-    case Filter.Exact(fld, v) => strF(df, fld) === v
+    case Filter.Exact(fld, v) =>
+      // numeric coercion on promoted typed columns: `value:=100` must match
+      // a DoubleType column (string rendering would be "100.0"), mirroring
+      // the In/range filters (filter_exact.go matches the storage rendering;
+      // on typed columns numeric equality is the faithful analogue)
+      (fieldType(df, fld), NumLit.parse(v)) match {
+        case (Some(_: NumericType), Some(n)) => col(quoteName(fld)) === n
+        case _ => strF(df, fld) === v
+      }
     case Filter.ExactPrefix(fld, v) => strF(df, fld).startsWith(v)
     case Filter.In(fld, vs) =>
       // native comparison when the column is numeric and all values parse
@@ -162,7 +170,11 @@ object Compiler {
     case Filter.LenRange(fld, lo, hi) =>
       octet_length(strF(df, fld)).between(lo, hi)
     case Filter.EqField(fld, other) =>
-      strF(df, fld) === strF(df, other)
+      // numeric-aware like le/lt_field: both sides parse → numeric equality
+      // (promoted-typed-column analogue of filter_eq_field.go)
+      val (na, nb) = (numF(df, fld), numF(df, other))
+      when(na.isNotNull && nb.isNotNull, na === nb)
+        .otherwise(strF(df, fld) === strF(df, other))
     case Filter.LeField(fld, other) => cmpFields(df, fld, other, strict = false)
     case Filter.LtField(fld, other) => cmpFields(df, fld, other, strict = true)
 
@@ -302,11 +314,30 @@ object Compiler {
     case e: Pipe.Extract => applyExtract(df, e)
     case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e)
 
-    case Pipe.Replace(oldS, newS, at, _) =>
-      df.withColumn(at, call_function("replace", strF(df, at), lit(oldS), lit(newS)))
+    case Pipe.Replace(oldS, newS, at, limitN) =>
+      // `limit N` caps replacements per row (pipe_replace.go:176): split on
+      // the literal with limit N+1 parts — first N separators only — and
+      // re-join with the replacement.
+      val src = strF(df, at)
+      val out =
+        if (limitN <= 0) call_function("replace", src, lit(oldS), lit(newS))
+        else array_join(
+          split(src, java.util.regex.Pattern.quote(oldS), limitN.toInt + 1),
+          newS)
+      df.withColumn(at, out)
 
-    case Pipe.ReplaceRegexp(re, repl, at, _) =>
-      df.withColumn(at, regexp_replace(strF(df, at), re, repl))
+    case Pipe.ReplaceRegexp(re, repl, at, limitN) =>
+      val src = strF(df, at)
+      val out =
+        if (limitN <= 0) regexp_replace(src, re, repl)
+        else if (!repl.contains("$"))
+          array_join(split(src, re, limitN.toInt + 1), repl)
+        else
+          // capture refs need the matched text, which split drops — fail
+          // loudly rather than silently replacing all occurrences
+          throw new UnsupportedOperationException(
+            "replace_regexp with both `limit` and capture refs in the replacement")
+      df.withColumn(at, out)
 
     case Pipe.Len(fld, out) =>
       df.withColumn(out, octet_length(strF(df, fld)).cast(LongType))
@@ -385,7 +416,14 @@ object Compiler {
       val collisions = right.columns.filter(c => !keys.contains(c) && hasCol(df, c))
       val renamedRight = collisions.foldLeft(right)((d, c) =>
         d.withColumnRenamed(c, "__r_" + c))
-      val joined = df.join(broadcast(renamedRight), keys, joinType)
+      // size-gate the broadcast (pipe_join.go:17-32 enforces a memory
+      // budget): probe the subquery with an early-exit limit; a big right
+      // side falls back to a shuffle join instead of OOMing every executor
+      val gate = 1000000L
+      val small = renamedRight.limit(gate.toInt + 1).count() <= gate
+      val joined =
+        if (small) df.join(broadcast(renamedRight), keys, joinType)
+        else df.join(renamedRight, keys, joinType)
       collisions.foldLeft(joined) { (d, c) =>
         d.withColumn(c, coalesce(col("__r_" + c).cast(StringType),
                                  col(quoteName(c)).cast(StringType)))
@@ -438,7 +476,7 @@ object Compiler {
       val w = Window.partitionBy(s.partitionBy.map(quoteName).map(col): _*)
         .orderBy(exprs: _*)
       val rn = s.rank.getOrElse("__rank")
-      var out = df.withColumn(rn, row_number().over(w))
+      var out = df.withColumn(rn, row_number().over(w).cast(LongType))
       s.limit.foreach(l => out = out.filter(col(rn) <= s.offset + l))
       if (s.offset > 0) out = out.filter(col(rn) > s.offset)
       if (s.rank.isEmpty) out = out.drop(rn)
@@ -446,10 +484,19 @@ object Compiler {
     } else {
       var out = df.orderBy(exprs: _*)
       (s.limit, s.rank) match {
-        case (lim, Some(r)) =>
-          out = out.withColumn(r, row_number().over(Window.orderBy(exprs: _*)))
-          if (s.offset > 0) out = out.filter(col(r) > s.offset)
-          lim.foreach(l => out = out.filter(col(r) <= s.offset + l))
+        case (Some(l), Some(r)) =>
+          // bounded rank: top-(offset+limit) first (TakeOrderedAndProject),
+          // then rank the small in-memory result — the single-partition
+          // window only ever sees offset+limit rows
+          out = out.limit((s.offset + l).toInt)
+          out = out.withColumn(r,
+            row_number().over(Window.orderBy(exprs: _*)).cast(LongType))
+          if (s.offset > 0) out = out.filter(col(quoteName(r)) > s.offset)
+        case (None, Some(r)) =>
+          // unbounded global rank: zipWithIndex over the sorted partitions —
+          // no single-partition window exchange at any scale
+          out = zipWithRank(out, r)
+          if (s.offset > 0) out = out.filter(col(quoteName(r)) > s.offset)
         case (Some(l), None) =>
           if (s.offset > 0) out = out.offset(s.offset.toInt)
           out = out.limit(l.toInt)
@@ -458,6 +505,17 @@ object Compiler {
       }
       out
     }
+  }
+
+  /** 1-based global rank over an already-sorted DataFrame via RDD
+    * zipWithIndex (per-partition counts + one tiny driver pass) — the
+    * scalable alternative to a partition-less row_number window. */
+  private def zipWithRank(sorted: DataFrame, rankCol: String): DataFrame = {
+    val schema2 = sorted.schema.add(rankCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema2)
   }
 
   // ---------------------------------------------------------------- stats
@@ -506,9 +564,12 @@ object Compiler {
         else count(iff(when(anyNonEmpty(fields), lit(1))))
       case CountEmpty(fields) =>
         count(iff(when(!anyNonEmpty(fields), lit(1))))
-      case CountUniq(fields, _) =>
+      case CountUniq(fields, limitN) =>
+        // `limit N` caps the reported count (stats_count_uniq.go:77-270
+        // stops counting at the cap; the capped *result* is identical)
         val cs = fields.map(f => iff(nullIfEmpty(df, f)))
-        count_distinct(cs.head, cs.tail: _*)
+        val cd = count_distinct(cs.head, cs.tail: _*)
+        limitN.map(l => least(cd, lit(l))).getOrElse(cd)
       case CountUniqHash(fields) =>
         val cs = fields.map(f => iff(nullIfEmpty(df, f)))
         count_distinct(xxhash64(cs: _*))
@@ -630,8 +691,58 @@ object Compiler {
         (n % 256).cast(LongType).cast(StringType))
     case "time" => date_format(timestamp_seconds(c.try_cast("double")),
       "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-    case "duration" | "duration_seconds" => c // TODO(M4): humanized durations
+    case "duration" => durationCol(c)
+    case "duration_seconds" =>
+      // duration string ("1h30m") → float seconds (pipe_format.go:199-204)
+      val ns = durationNanosCol(c)
+      when(ns.isNull, c).otherwise(
+        stripDot0((ns.cast(DoubleType) / 1e9).cast(StringType)))
     case other => c
+  }
+
+  private def stripDot0(c: Column): Column = regexp_replace(c, "\\.0$", "")
+
+  /** int64 nanoseconds → humanized duration "1w2d3h4m5.5s"
+    * (marshalDurationString, values_encoder.go:1064-1128). Seconds render as
+    * shortest-float when the total is >= 1s; sub-second remainders render as
+    * integer ms/µs/ns components. Unparseable values pass through. */
+  private def durationCol(v: Column): Column = {
+    val ns0 = v.try_cast("long")
+    val n = abs(ns0)
+    val W = 604800000000000L; val D = 86400000000000L; val H = 3600000000000L
+    val M = 60000000000L; val S = 1000000000L; val MS = 1000000L; val US = 1000L
+    val weeks = (n / W).cast(LongType); val rW = n % W
+    val days = (rW / D).cast(LongType); val rD = rW % D
+    val hours = (rD / H).cast(LongType); val rH = rD % H
+    val mins = (rH / M).cast(LongType); val rM = rH % M
+    val secsStr = stripDot0((rM.cast(DoubleType) / 1e9).cast(StringType))
+    val ms = (rM / MS).cast(LongType); val rMs = rM % MS
+    val us = (rMs / US).cast(LongType); val rUs = rMs % US
+    def part(cnt: Column, unit: String): Column =
+      when(cnt > 0, concat(cnt.cast(StringType), lit(unit))).otherwise(lit(""))
+    val subSecond = concat(part(ms, "ms"), part(us, "µs"), part(rUs, "ns"))
+    val body = concat(
+      part(weeks, "w"), part(days, "d"), part(hours, "h"), part(mins, "m"),
+      when(n >= S && rM >= S, concat(secsStr, lit("s"))).otherwise(subSecond))
+    when(ns0.isNull, v)
+      .when(ns0 === 0, lit("0"))
+      .otherwise(concat(when(ns0 < 0, lit("-")).otherwise(lit("")), body))
+  }
+
+  /** duration string ("1h30m", "5s") → nanoseconds; null if unparseable. */
+  private def durationNanosCol(c: Column): Column = {
+    val pairRe = "(\\d+(?:\\.\\d+)?)(w|d|h|m(?!s)|s|ms|µs|us|ns)"
+    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
+    val total = aggregate(pairs, lit(0d), (acc, p) => {
+      val num = regexp_extract(p, "^(\\d+(?:\\.\\d+)?)", 1).cast(DoubleType)
+      val unit = regexp_replace(p, "^\\d+(?:\\.\\d+)?", "")
+      acc + num * when(unit === "w", 604800e9).when(unit === "d", 86400e9)
+        .when(unit === "h", 3600e9).when(unit === "m", 60e9)
+        .when(unit === "s", 1e9).when(unit === "ms", 1e6)
+        .when(unit === "µs" || unit === "us", 1e3).otherwise(1d)
+    })
+    when(c.rlike("^-?(\\d+(?:\\.\\d+)?(w|d|h|m|s|ms|µs|us|ns))+$"),
+      when(c.startsWith("-"), -total).otherwise(total).cast(LongType))
   }
 
   // -------------------------------------------------------------- extract

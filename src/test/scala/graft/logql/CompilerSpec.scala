@@ -351,4 +351,64 @@ class CompilerSpec extends SparkSuite {
     val r = run("_time:[2023-12-31, 2024-01-01) | stats rate() r").collect().head
     assert(math.abs(r.getDouble(0) - 5.0 / 86400) < 1e-12)
   }
+
+  test("replace / replace_regexp honor limit N") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a.b.c.d"), Row("x"))), schema)
+    def one(q: String): Seq[String] =
+      Compiler.run(df, q, NOW).collect().map(_.getString(0)).toSeq.sorted
+    assert(one("""* | replace (".", "-") at _msg limit 2""") == Seq("a-b-c.d", "x"))
+    assert(one("""* | replace (".", "-") at _msg""") == Seq("a-b-c-d", "x"))
+    assert(one("""* | replace_regexp ("\\.", "-") at _msg limit 1""") == Seq("a-b.c.d", "x"))
+  }
+
+  test("exact filter coerces numerics on typed columns") {
+    val schema = StructType(Seq(StructField("val", DoubleType), StructField("_msg", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(100d, "a"), Row(100.5, "b"))), schema)
+    assert(Compiler.run(df, "val:=100", NOW).count() == 1)
+    assert(Compiler.run(df, "val:=100.5", NOW).count() == 1)
+  }
+
+  test("eq_field is numeric-aware") {
+    val schema = StructType(Seq(
+      StructField("a", DoubleType), StructField("b", LongType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(100d, 100L), Row(2.5, 2L))), schema)
+    assert(Compiler.run(df, "a:eq_field(b)", NOW).count() == 1)
+  }
+
+  test("count_uniq honors limit cap") {
+    val r = run("* | stats count_uniq(host) limit 2 c").collect().head
+    assert(r.getLong(0) == 2L) // 3 hosts capped at 2
+  }
+
+  test("sort rank without limit uses distributed zip rank") {
+    val df = run("* | sort by (level, _msg) rank as r | fields level, r")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // plan must not contain a partition-less Window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
+  test("sort rank with limit is bounded then ranked") {
+    val df = run("* | sort by (_msg) limit 2 rank as r | fields _msg, r")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(rows.length == 2 && rows.head._2 == 1L)
+  }
+
+  test("format duration humanizes nanoseconds") {
+    val schema = StructType(Seq(StructField("ns", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("90500000000"), Row("0"), Row("1234567"), Row("3600000000000"), Row("oops"))), schema)
+    val out = Compiler.run(df, """* | format "<duration:ns>" as d""", NOW)
+      .collect().map(_.getAs[String]("d")).toSeq.sorted
+    assert(out.contains("1m30.5s"))
+    assert(out.contains("0"))
+    assert(out.contains("1ms234µs567ns"))
+    assert(out.contains("1h"))
+    assert(out.contains("oops"))
+  }
 }
