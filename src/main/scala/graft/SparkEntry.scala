@@ -265,6 +265,132 @@ object SparkEntry {
     // ---- hash pipe — rows-only (engine-specific 64-bit hash) (§2.2 #17) ----
     "q_lql_hash" -> ((s, d) =>
       lql(s, d, "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")),
+
+    // ==== training-data pipeline ops (ops/Dedup, Similarity, TextAnalysis,
+    // Multimodal) — planted-duplicate corpora make LSH recall deterministic
+    // and oracle-checkable ====
+    // ---- exact dedup: keep first row per text (ops/Dedup.exact) ----
+    "q_dedup_keep_first" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.union(
+        docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exact(corpus, Seq("text"), "doc_id")
+        .agg(count(lit(1)).as("kept"),
+             sum(col("doc_id")).cast(LongType).as("id_sum"))
+    }),
+    // ---- MinHash+LSH near-dup: every planted near-dup pair must surface ----
+    "q_dedup_minhash" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra tail words")).as("text")))
+      Dedup.minhashLSH(corpus, "text", "doc_id", threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 10000)
+        .select(col("id_a")).orderBy("id_a")
+    }),
+    // ---- SimHash banded candidates over the same planted corpus ----
+    "q_dedup_simhash" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra tail words")).as("text")))
+      Dedup.simhashCandidates(corpus, "text", "doc_id", bands = 16)
+        .filter(col("id_b") === col("id_a") + 10000)
+        .select(col("id_a")).orderBy("id_a")
+    }),
+    // ---- exact n-gram Jaccard via inverted shingle index ----
+    "q_dedup_ngram" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.union(docs.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text")))
+      Dedup.ngramJaccard(corpus, "text", "doc_id", n = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- embedding near-dup: planted exact copies land in the same LSH
+    // bucket with cosine 1.0 — 100% deterministic recall ----
+    "q_embed_neardup" -> ((s, d) => {
+      import graft.ops.Dedup
+      val emb = embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.union(emb.select(
+        (col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(corpus, "embedding", "vec_id",
+          threshold = 0.9999, dim = 64)
+        .filter(col("id_b") === col("id_a") + 10000)
+        .select(col("id_a")).orderBy("id_a")
+    }),
+    // ---- brute-force cosine top-k vs DuckDB list_cosine_similarity ----
+    "q_sim_topk" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    // ---- LSH ANN recall vs brute force, pinned at >= 60% ----
+    "q_sim_lsh_recall" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.lshTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10,
+        bits = 3, dim = 64, probes = 4)
+        .select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= 30).cast(LongType).as("recall_ok"))
+    }),
+    // ---- language id + token counting grouped by detected lang ----
+    "q_text_stats" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      documents(s, d)
+        .groupBy(TextAnalysis.langId(col("text")).as("lang"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(TextAnalysis.tokenCount(col("text"))).cast(LongType).as("toks"))
+        .orderBy("lang")
+    }),
+    // ---- set fingerprint ≡ distinct sorted token set (collision-free at
+    // this scale) ----
+    "q_text_fingerprint" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      documents(s, d).agg(
+        countDistinct(TextAnalysis.setFingerprint(col("text"))).as("fps"),
+        countDistinct(col("text")).as("txts"))
+    }),
+    // ---- multimodal plumbing: feature extraction shape + counts ----
+    "q_multimodal_features" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val media = Multimodal.fakeMediaFromText(
+        documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.extractFeatures(media, "content", dim = 16)
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("cnt"),
+             min(size(col("features"))).as("mind"),
+             max(size(col("features"))).as("maxd"))
+        .orderBy("media_type")
+    }),
+    // ---- video frame sampling ----
+    "q_multimodal_frames" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val media = Multimodal.fakeMediaFromText(
+        documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.sampleFrames(media, n = 4)
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("media_id")).as("vids"),
+             min(col("frame_idx")).as("mn"), max(col("frame_idx")).as("mx"))
+    }),
   )
 
   /** Run a LogsQL query against the events log view. */
@@ -448,5 +574,77 @@ object SparkEntry {
     "q_lql_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_dedup_keep_first" ->
+      """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+           SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 10000, text FROM documents
+           ) GROUP BY text)""",
+    "q_dedup_minhash" ->
+      "SELECT doc_id AS id_a FROM documents WHERE doc_id < 200 ORDER BY 1",
+    "q_dedup_simhash" ->
+      "SELECT doc_id AS id_a FROM documents WHERE doc_id < 200 ORDER BY 1",
+    "q_dedup_ngram" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id + 10000, text || ' zz zz' FROM documents WHERE doc_id < 50
+         ), toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w FROM corpus
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM toks
+         ), cnt AS (
+           SELECT doc_id, count(*) AS c FROM sh GROUP BY 1
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, common * 1.0 / (ca.c + cb.c - common) AS jaccard
+         FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         WHERE common * 1.0 / (ca.c + cb.c - common) >= 0.3
+         ORDER BY 1, 2""",
+    "q_embed_neardup" ->
+      "SELECT vec_id AS id_a FROM embeddings WHERE vec_id < 100 ORDER BY 1",
+    "q_sim_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+         ) WHERE rank <= 5 ORDER BY 1, 3""",
+    "q_sim_lsh_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q_text_stats" ->
+      """WITH t AS (
+           SELECT list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w FROM documents
+         ), s AS (
+           SELECT len(w) AS n_tokens,
+             len(list_filter(w, x -> x IN ('the','a','of','and','is','to','in'))) AS en,
+             len(list_filter(w, x -> x IN ('el','la','de','los','que','y','en'))) AS es,
+             len(list_filter(w, x -> x IN ('der','die','und','das','ist','nicht'))) AS de
+           FROM t
+         )
+         SELECT CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                     WHEN es >= de AND es > 0 THEN 'es'
+                     WHEN de > 0 THEN 'de' ELSE 'und' END AS lang,
+           count(*) AS cnt, CAST(sum(n_tokens) AS BIGINT) AS toks
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q_text_fingerprint" ->
+      """SELECT count(DISTINCT list_sort(list_distinct(
+           list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')))) AS fps,
+         count(DISTINCT text) AS txts FROM documents""",
+    "q_multimodal_features" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         count(*) AS cnt, CAST(16 AS INTEGER) AS mind, CAST(16 AS INTEGER) AS maxd
+         FROM documents WHERE doc_id < 100 GROUP BY 1 ORDER BY 1""",
+    "q_multimodal_frames" ->
+      """SELECT count(*) * 4 AS cnt, count(*) AS vids,
+         CAST(0 AS INTEGER) AS mn, CAST(3 AS INTEGER) AS mx
+         FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2""",
   )
 }

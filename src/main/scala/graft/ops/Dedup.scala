@@ -48,25 +48,40 @@ object Dedup {
     */
   def minhashLSH(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7,
+                 maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // signatures computed once, cached — both the band explode and the
+    // per-side re-attach below read them (id + numHashes longs per row)
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the band join carries IDS ONLY — not the full signature on both sides
+    // of an exploded 32× join (that would shuffle sig arrays 64×)
+    val bandRows = sigs
       .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
           xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
-    // pairs sharing any band bucket
-    val l = sigs.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = sigs.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+    // cap pathological buckets (identical-doc clusters make one bucket
+    // quadratic): drop buckets above maxBucketSize — their members are
+    // still paired via exact dedup / their other, smaller bands
+    val sized = bandRows
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = sized.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val r = sized.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // re-attach signatures only for the (small) candidate set
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         signatureJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -110,11 +125,22 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
     * via an inverted shingle index (shingle → docs) — the scalable exact
     * counterpart to MinHash verification. */
+  /** Shingles above `maxDocFreq` document frequency (stop-phrases) are
+    * removed from the index AND from the per-doc counts, so the reported
+    * value is the exact Jaccard over the remaining discriminative shingles
+    * — without the cutoff, one frequent shingle joins every doc pair and
+    * the self-join explodes quadratically. */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("sh_count", size(col("sh")))
-    val inverted = docs.select(col("id"), col("sh_count"), explode(col("sh")).as("g"))
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Int = 10000): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+    val rare = exploded
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val counts = rare.groupBy("id").agg(count(lit(1)).as("sh_count"))
+    val inverted = rare.join(counts, "id")
     val pairs = inverted.as("a").join(inverted.as("b"), Seq("g"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -126,15 +152,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicates above `threshold` (delegates to the
-    * similarity module's LSH-bucketed join for scale). */
+  /** Embedding-cosine near-duplicate candidates above `threshold`, bucketed
+    * by [[Similarity.lshBucket]]: only vectors sharing a hyperplane-sign
+    * bucket are compared — a bucket-key equi-join, never an all-pairs
+    * product. Approximate by construction: a pair split across buckets by
+    * every probe is missed; raise `probes` / lower `bits` for recall.
+    * High-cosine near-dups agree on most hyperplane signs, so recall at
+    * dedup-grade thresholds (>= 0.9) is high. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
+                       threshold: Double, dim: Int,
+                       bits: Int = 8, probes: Int = 4): DataFrame = {
+    val bucket = Similarity.lshBucket(col(vecCol), bits, dim)
+    val probeCols = bucket +: (0 until math.min(math.max(probes - 1, 0), bits))
+      .map(i => bucket.bitwiseXOR(1L << i))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      explode(array(probeCols: _*)).as("bucket"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      bucket.as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b")
+      .agg(first("cos").as("cos"))
   }
 }

@@ -52,7 +52,7 @@ object Multimodal {
   def extractFeatures(df: DataFrame, contentCol: String,
                       dim: Int = 16): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
-    val enc: ExpressionEncoder[Row] = RowEncoder.encoderFor(outSchema).asInstanceOf[ExpressionEncoder[Row]]
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { rows =>
       rows.map { r =>

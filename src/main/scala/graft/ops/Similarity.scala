@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
   *   set against the corpus scan; one shuffle for the per-query top-k.
   * - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign bits;
-  *   queries probe only their bucket(s). The scale path: bucket count grows
-  *   with corpus size, probe cost stays ~corpus/2^bits per query.
+  *   queries probe their own bucket plus `probes-1` Hamming-1 neighbors.
+  *   The scale path: bucket count grows with corpus size, probe cost stays
+  *   ~probes × corpus/2^bits per query.
   */
 object Similarity {
 
@@ -40,34 +41,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random unit hyperplanes: components derived from
-    * xxhash of (plane, dim) — no RNG state, reproducible across executors. */
-  private def hyperplaneBit(v: Column, plane: Int, dim: Int): Column = {
-    // h(plane, j) in [-1, 1): hash-driven constant per (plane, dim-index)
-    val comps = transform(sequence(lit(0), lit(dim - 1)),
-      j => (pmod(xxhash64(lit(plane), j), lit(2000001L)).cast("double") / 1000000d) - 1d)
-    when(dot(v, comps) >= 0, 1L).otherwise(0L)
+  /** Deterministic random hyperplanes, baked into the plan as literal
+    * arrays — each row pays `bits` dot products, not a per-row
+    * (bits × dim) array construction. */
+  private def planes(bits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(0x6C5A11L)
+    Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
   /** Sign-bit bucket id from `bits` random hyperplanes. */
   def lshBucket(v: Column, bits: Int, dim: Int): Column =
-    (0 until bits).map(p => hyperplaneBit(v, p, dim) * (1L << p))
-      .reduce((a, b) => a + b)
+    planes(bits, dim).zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      when(dot(v, planeLit) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: join queries to corpus within the same hyperplane
     * bucket, then exact cosine top-k inside the bucket. Recall is tuned by
-    * `bits` (fewer bits → bigger buckets → higher recall, more compute). */
+    * `bits` (fewer bits → bigger buckets → higher recall, more compute) and
+    * `probes` (each extra probe also searches a Hamming-1 neighbor bucket,
+    * recovering pairs split by a single hyperplane). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, queryVec: String,
               corpusId: String, corpusVec: String,
-              k: Int, bits: Int, dim: Int): DataFrame = {
+              k: Int, bits: Int, dim: Int, probes: Int = 1): DataFrame = {
+    val bucket = (v: Column) => lshBucket(v, bits, dim)
+    val probeBuckets = (v: Column) => {
+      val b = bucket(v)
+      val all = b +: (0 until math.min(math.max(probes - 1, 0), bits))
+        .map(i => b.bitwiseXOR(1L << i))
+      explode(array(all: _*))
+    }
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"),
-      lshBucket(col(queryVec), bits, dim).as("bucket"))
+      probeBuckets(col(queryVec)).as("bucket"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
-      lshBucket(col(corpusVec), bits, dim).as("bucket"))
+      bucket(col(corpusVec)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("cos").as("cos")) // a pair may match via several probes
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

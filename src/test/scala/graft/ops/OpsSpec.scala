@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tests for the training-data pipeline ops: dedup, similarity, text
+  * analysis, multimodal plumbing. Includes planted-duplicate recall and
+  * plan-shape assertions (no cartesian products). */
+class OpsSpec extends SparkSuite {
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+  }
+
+  private val loremWords =
+    ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+     "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+
+  /** Deterministic ~40-word doc per id. */
+  private def synthDoc(id: Long): String = {
+    val rnd = new scala.util.Random(id * 7919)
+    (0 until 40).map(_ => loremWords(rnd.nextInt(loremWords.length))).mkString(" ")
+  }
+
+  private lazy val corpus: DataFrame = {
+    val base = (0L until 50L).map(i => (i, synthDoc(i)))
+    // planted near-dups: ids 1000+i are copies of doc i with a short suffix
+    val nearDups = (0L until 10L).map(i => (1000L + i, synthDoc(i) + " extra tail"))
+    docsDF(base ++ nearDups)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("exact dedup keeps first row per key") {
+    val df = docsDF(Seq((3L, "same"), (1L, "same"), (2L, "other")))
+    val out = Dedup.exact(df, Seq("text"), "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhashLSH finds planted near-dups, no cartesian in plan") {
+    val out = Dedup.minhashLSH(corpus, "text", "doc_id", threshold = 0.5)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, 1000L + i)), s"missing planted pair $i")
+    }
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhashCandidates finds planted near-dups") {
+    val out = Dedup.simhashCandidates(corpus, "text", "doc_id")
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(i => pairs.contains((i, 1000L + i)))
+    assert(found >= 8, s"simhash recall too low: $found/10")
+    assert(!planOf(out).contains("CartesianProduct"))
+  }
+
+  test("ngramJaccard computes exact jaccard over shingles") {
+    // "a b c d" 2-grams: {a b, b c, c d}; "a b c e": {a b, b c, c e}
+    // common=2, union=4 → jaccard 0.5
+    val df = docsDF(Seq((1L, "a b c d"), (2L, "a b c e")))
+    val out = Dedup.ngramJaccard(df, "text", "doc_id", n = 2, threshold = 0.4)
+      .collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("ngramJaccard doc-frequency cutoff drops stop-shingles") {
+    // shingle "x y" appears in all 3 docs → dropped at maxDocFreq=2;
+    // docs 1,2 still share "p q" → jaccard over remaining shingles
+    val df = docsDF(Seq((1L, "x y p q"), (2L, "x y p q"), (3L, "x y z w")))
+    val out = Dedup.ngramJaccard(df, "text", "doc_id", n = 2,
+      threshold = 0.9, maxDocFreq = 2)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embeddingNearDup is LSH-bucketed, finds planted near-identical vectors") {
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val rows = (0 until 30).map { i => Row(i.toLong, vec(i)) } ++
+      (0 until 5).map { i =>
+        Row(500L + i, vec(i).map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+      }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Dedup.embeddingNearDup(df, "v", "id", threshold = 0.99, dim = dim)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 5).count(i => pairs.contains((i.toLong, 500L + i)))
+    assert(found >= 4, s"embedding near-dup recall too low: $found/5")
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lshTopK approximates bruteForceTopK with good recall") {
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed * 131)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 200).map(i => Row(i.toLong, vec(i))), 2), schema)
+    val queries = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1000 until 1005).map(i => Row(i.toLong, vec(i))), 1), schema)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "id", "v", "id", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, corpus, "id", "v", "id", "v",
+      10, bits = 4, dim = dim, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("text analysis: token counts, quality, langid") {
+    val df = docsDF(Seq(
+      (1L, "the cat is on the mat and a dog"),
+      (2L, "el perro y la casa de los gatos en madrid"),
+      (3L, "!!! ??? ###")))
+    val out = TextAnalysis.withQuality(df, "text")
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 9)
+    assert(out(1L).getAs[String]("lang") == "en")
+    assert(out(2L).getAs[String]("lang") == "es")
+    assert(out(3L).getAs[String]("lang") == "und")
+    assert(out(3L).getAs[Double]("punct_ratio") > 0.5)
+  }
+
+  test("fingerprints are stable and order-insensitive for set variant") {
+    val df = docsDF(Seq((1L, "b a c"), (2L, "a b c"), (3L, "a b d")))
+    val fps = df.select(TextAnalysis.setFingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal: extractFeatures is deterministic, sampleFrames explodes videos") {
+    val media = Multimodal.fakeMediaFromText(
+      docsDF(Seq((0L, "aaa"), (1L, "bbb"), (2L, "ccc"), (3L, "ddd"))),
+      "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, "content", dim = 4)
+    val rows = feats.collect()
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("features").size == 4))
+    val again = Multimodal.extractFeatures(media, "content", dim = 4).collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ==
+           again.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq)
+    val frames = Multimodal.sampleFrames(media, n = 3)
+    // doc_id % 3 == 2 → video → exactly one video row → 3 frames
+    assert(frames.count() == 3)
+  }
+}
