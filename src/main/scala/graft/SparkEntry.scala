@@ -381,6 +381,23 @@ object SparkEntry {
              max(size(col("features"))).as("maxd"))
         .orderBy("media_type")
     }),
+    // ==== M0 log-store layout: tenant/day partitions + _stream_id ====
+    // ---- stream filter + _time range over the written store; the plan
+    // prunes _day partitions (PartitionFilters) and pushes the stream
+    // label predicate into the parquet scan ----
+    "q_store_prune" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val logs = graft.store.LogStore.read(s, dir)
+      graft.logql.Compiler.run(logs,
+        """{event_type="purchase"} _time:[2024-01-05, 2024-01-20) | stats by (event_type) count() hits""")
+    }),
+    // ---- stream_context pipe over the store (§2.2 #33) ----
+    "q_stream_context" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val logs = graft.store.LogStore.read(s, dir)
+      graft.logql.Compiler.run(logs,
+        "value:>300 | stream_context before 2 after 1 time_window 4w | stats count() nrows, sum(event_id) ids")
+    }),
     // ---- video frame sampling ----
     "q_multimodal_frames" -> ((s, d) => {
       import graft.ops.Multimodal
@@ -646,5 +663,25 @@ object SparkEntry {
       """SELECT count(*) * 4 AS cnt, count(*) AS vids,
          CAST(0 AS INTEGER) AS mn, CAST(3 AS INTEGER) AS mx
          FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2""",
+    "q_store_prune" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE event_type = 'purchase'
+           AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+         GROUP BY 1""",
+    "q_stream_context" ->
+      """WITH m AS (
+           SELECT event_type, event_id, epoch_us(ts) AS tsu,
+             CASE WHEN value > 300 THEN 1 ELSE 0 END AS m FROM events
+         ), w AS (
+           SELECT event_id, tsu,
+             min(CASE WHEN m = 1 THEN tsu END) OVER (PARTITION BY event_type ORDER BY tsu
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS amin,
+             max(CASE WHEN m = 1 THEN tsu END) OVER (PARTITION BY event_type ORDER BY tsu
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS bmax
+           FROM m
+         )
+         SELECT count(*) AS nrows, CAST(sum(event_id) AS DOUBLE) AS ids FROM w
+         WHERE (amin IS NOT NULL AND amin - tsu <= 2419200000000)
+            OR (bmax IS NOT NULL AND tsu - bmax <= 2419200000000)""",
   )
 }

@@ -135,6 +135,11 @@ object Pipe {
   final case class CollapseNums(field: String, prettify: Boolean) extends Pipe
   final case class Join(by: Seq[String], sub: Query, inner: Boolean,
                         prefix: Option[String]) extends Pipe
+  /** `stream_context before N after M [time_window d]` — surrounding rows
+    * from the same stream (pipe_stream_context.go:27-40, default window
+    * 1h at :22). */
+  final case class StreamContext(before: Int, after: Int,
+                                 timeWindowNs: Long) extends Pipe
   final case class Union(sub: Query) extends Pipe
   final case class Facets(n: Long, maxValuesPerField: Long,
                           maxValueLen: Long) extends Pipe

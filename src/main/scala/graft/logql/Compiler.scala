@@ -183,7 +183,18 @@ object Compiler {
       val conds = Seq(
         if (lo == Long.MinValue) None else Some(t >= ceilDivNs(lo)),
         if (hi == Long.MaxValue) None else Some(t < ceilDivNs(hi))).flatten
-      conds.reduceOption(_ && _).getOrElse(lit(true))
+      val base = conds.reduceOption(_ && _).getOrElse(lit(true))
+      // day-partition pruning (storage_search.go:1070-1081): when the
+      // relation carries the log-store `_day` partition column, conjoin a
+      // predicate on it so the scan prunes whole day directories
+      if (hasCol(df, "_day")) {
+        val dayConds = Seq(
+          if (lo == Long.MinValue) None
+          else Some(col("_day") >= to_date(lit(dayOfNs(lo)))),
+          if (hi == Long.MaxValue) None
+          else Some(col("_day") <= to_date(lit(dayOfNs(hi - 1))))).flatten
+        (base +: dayConds).reduce(_ && _)
+      } else base
 
     case Filter.DayRange(s, e, inclS, inclE) =>
       val t = timeCol(df)
@@ -195,11 +206,17 @@ object Compiler {
       (if (inclS) d >= s else d > s) && (if (inclE) d <= e else d < e)
 
     case Filter.Stream(groups) =>
+      // prefer the promoted label column: a plain-column predicate reaches
+      // the parquet scan (PushedFilters + row-group min/max, and the store
+      // sorts by _stream_id so label-correlated groups cluster); the
+      // `_stream` map access is the fallback and never pushes down
       val streamCol =
-        if (hasCol(df, "_stream") &&
-            fieldType(df, "_stream").exists(_.isInstanceOf[MapType]))
-          (l: String) => coalesce(element_at(col("_stream"), l).cast(StringType), lit(""))
-        else (l: String) => strF(df, l)
+        (l: String) =>
+          if (hasCol(df, l)) strF(df, l)
+          else if (hasCol(df, "_stream") &&
+                   fieldType(df, "_stream").exists(_.isInstanceOf[MapType]))
+            coalesce(element_at(col("_stream"), l).cast(StringType), lit(""))
+          else strF(df, l)
       groups.map { ms =>
         ms.map { m =>
           val v = streamCol(m.label)
@@ -219,6 +236,11 @@ object Compiler {
     * ⇔ t >= ceil(b/1000). */
   private def ceilDivNs(ns: Long): Long =
     Math.floorDiv(ns + 999L, 1000L)
+
+  private def dayOfNs(ns: Long): String =
+    java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(ns, 1000000000L)),
+      java.time.ZoneOffset.UTC).toString
 
   /** Numeric-aware field comparison (reference sorts/compares values
     * numerically when both sides parse — pipe_sort.go:683). */
@@ -433,6 +455,37 @@ object Compiler {
     case Pipe.Union(sub) =>
       val other = run(ctx.source, sub, ctx.nowNs)
       df.unionByName(other, allowMissingColumns = true)
+
+    case Pipe.StreamContext(before, after, twNs) =>
+      // context rows come from the SOURCE relation, not the filtered rows:
+      // mark selected rows via an equi-join on (_stream_id, _time), then a
+      // per-stream positional window decides membership — the Spark-native
+      // equivalent of pipe_stream_context.go's per-stream re-query.
+      val src = ctx.source
+      val sel = df
+        .select(strF(df, "_stream_id").as("__sid"), timeMicros(df).as("__st"))
+        .distinct()
+      val marked = src
+        .join(sel, strF(src, "_stream_id") === col("__sid") &&
+                   timeMicros(src) === col("__st"), "left")
+        .withColumn("__m", col("__sid").isNotNull)
+        .drop("__sid", "__st")
+      val t = timeMicros(marked)
+      val win = Window.partitionBy(strF(marked, "_stream_id"))
+        .orderBy(t, monotonically_increasing_id())
+      val mT = when(col("__m"), t)
+      // a row is context iff a matched row sits within `before` following
+      // positions (we precede it) or `after` preceding positions (we follow
+      // it), inside the time window
+      val twUs = twNs / 1000L
+      val aheadMin = min(mT).over(win.rowsBetween(0, before.toLong))
+      val behindMax = max(mT).over(win.rowsBetween(-after.toLong, 0))
+      marked
+        .withColumn("__keep",
+          (aheadMin.isNotNull && aheadMin - t <= twUs) ||
+          (behindMax.isNotNull && t - behindMax <= twUs))
+        .filter(col("__keep"))
+        .drop("__m", "__keep")
 
     case Pipe.Facets(n, maxPerField, maxValueLen) =>
       val asStr = df.select(df.columns.map(c =>

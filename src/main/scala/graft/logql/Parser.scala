@@ -662,6 +662,22 @@ final class Parser(input: String, now: Long) {
         val sub = parseQuery()
         expect(')')
         Pipe.Union(sub)
+      case "stream_context" =>
+        var before = 0L
+        var after = 0L
+        var tw = 3600L * 1000000000L // pipeStreamContextDefaultTimeWindow (1h)
+        var more = true
+        while (more) {
+          if (consumeKeyword("before")) before = readLong()
+          else if (consumeKeyword("after")) after = readLong()
+          else if (consumeKeyword("time_window")) {
+            val w = readToken()
+            tw = NumLit.durationNanos(w)
+              .getOrElse(err(s"bad time_window '$w'"))
+          }
+          else more = false
+        }
+        Pipe.StreamContext(before.toInt, after.toInt, tw)
       case "facets" =>
         skipWs()
         val n = if (peekCh.isDigit) readLong() else 10L

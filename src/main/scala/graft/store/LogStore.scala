@@ -1,0 +1,90 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M0 log-store layout (SURVEY.md §1.4, §7): the Spark-native analogue of
+  * the reference's day-partitioned LSM storage + stream index.
+  *
+  * Layout on disk:
+  * {{{
+  *   <dir>/logs/tenant=<t>/_day=<yyyy-MM-dd>/part-*.parquet
+  *   <dir>/streams/part-*.parquet      // _stream_id → label map (indexdb analogue)
+  * }}}
+  *
+  * - Partitioning by (tenant, day(_time)) mirrors partition.go's per-day
+  *   partitions (storage_search.go:1070-1081 prunes by day) — `_time:`
+  *   filters compile to `_day` partition predicates (Compiler.TimeRange).
+  * - `_stream_id` = xxhash64 hex of the canonical sorted label string
+  *   (stream_id.go:11 uses a 128-bit hash of canonicalized stream tags;
+  *   64-bit is a documented deviation, collision-safe at per-tenant stream
+  *   cardinalities).
+  * - Rows are sorted by (_stream_id, _time) within each file so parquet
+  *   row-group min/max stats prune stream- and time-scoped scans inside a
+  *   day (block_header.go's per-block ranges).
+  * - The `streams` table replaces indexdb (indexdb.go:182 searchStreamIDs):
+  *   metadata queries and stream-filter semi-joins read it instead of the
+  *   log data.
+  */
+object LogStore {
+
+  /** Canonical "k1=v1,k2=v2" (keys sorted) — stream_tags.go canonical form. */
+  def canonicalStream(streamFields: Seq[String]): Column =
+    concat_ws(",", streamFields.sorted.map(f =>
+      concat(lit(f + "="), coalesce(col(f).cast(StringType), lit("")))): _*)
+
+  def streamIdCol(streamFields: Seq[String]): Column =
+    lower(hex(xxhash64(canonicalStream(streamFields))))
+
+  /** Batch-ingest `df` (must carry `_time` TimestampType + the stream label
+    * columns) into the layout. `filesPerDay` spreads each day partition
+    * over multiple writer tasks — one file per day would serialize the
+    * write path at scale. */
+  def ingest(df: DataFrame, dir: String, streamFields: Seq[String],
+             tenant: String = "0:0", filesPerDay: Int = 4): Unit = {
+    val sorted = streamFields.sorted
+    val withMeta = df
+      .withColumn("_stream", map(sorted.flatMap(f =>
+        Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
+      .withColumn("_stream_id", streamIdCol(sorted))
+      .withColumn("tenant", lit(tenant))
+      .withColumn("_day", to_date(col("_time")))
+    withMeta
+      .repartition(col("tenant"), col("_day"),
+        pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
+      .sortWithinPartitions(col("_stream_id"), col("_time"))
+      .write.mode("overwrite")
+      .partitionBy("tenant", "_day")
+      .parquet(s"$dir/logs")
+    withMeta.select(col("_stream_id"), col("_stream"))
+      .dropDuplicates("_stream_id")
+      .write.mode("overwrite").parquet(s"$dir/streams")
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/logs")
+
+  def streams(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/streams")
+
+  // ---------------------------------------------------------- dev helpers
+
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  /** Idempotently materialize the driver `events` table as a log store
+    * (streams keyed by event_type). Shared by CORRECTNESS entries and
+    * tests; one write per (sfDir, JVM). */
+  def ensureFromEvents(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = new java.io.File(sfDir).getName
+    // bump the version segment whenever the layout changes — stale stores
+    // from previous builds must not satisfy the marker check
+    val dir = s"/root/repo/target/graft_store/v1/$name"
+    val marker = new java.io.File(s"$dir/logs/_SUCCESS")
+    if (!built.contains(dir) && !marker.exists()) {
+      ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
+    }
+    built += dir
+    dir
+  }
+}

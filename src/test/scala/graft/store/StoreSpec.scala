@@ -1,0 +1,87 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.logql.Compiler
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** M0 log-store layout + stream_context tests: partition pruning must show
+  * up in the physical plan, results must match the flat-table computation. */
+class StoreSpec extends SparkSuite {
+
+  private val SF = "/root/testdata/sf0.001"
+  private lazy val storeDir = LogStore.ensureFromEvents(spark, SF)
+
+  test("store layout: tenant/day partitions, _stream_id, streams table") {
+    val logs = LogStore.read(spark, storeDir)
+    assert(logs.columns.contains("_stream_id"))
+    assert(logs.columns.contains("_day"))
+    assert(logs.columns.contains("tenant"))
+    assert(logs.count() ==
+      graft.Tables.events(spark, SF).count())
+    val streams = LogStore.streams(spark, storeDir)
+    val tags = streams.collect().map(r =>
+      r.getAs[scala.collection.Map[String, String]]("_stream"))
+    assert(streams.count() == 5) // one stream per event_type
+    assert(tags.forall(_.keySet == Set("event_type")))
+  }
+
+  test("_time filter prunes _day partitions; stream filter pushes down") {
+    val logs = LogStore.read(spark, storeDir)
+    val out = Compiler.run(logs,
+      """{event_type="purchase"} _time:[2024-01-05, 2024-01-07) | stats count() hits""")
+    val plan = out.queryExecution.executedPlan.toString
+    // non-empty PartitionFilters over _day
+    assert("PartitionFilters: \\[[^\\]]*_day".r.findFirstIn(plan).isDefined, plan)
+    // stream label predicate reaches the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"), plan)
+    val expect = graft.Tables.events(spark, SF)
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-05").cast(TimestampType) &&
+        col("ts") < lit("2024-01-07").cast(TimestampType)).count()
+    assert(out.collect().head.getLong(0) == expect)
+  }
+
+  test("stream_context returns surrounding rows per stream") {
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_stream_id", StringType),
+      StructField("_msg", StringType)))
+    val rows = Seq(
+      Row(t("2024-01-01T00:00:01Z"), "s1", "a"),
+      Row(t("2024-01-01T00:00:02Z"), "s1", "b"),
+      Row(t("2024-01-01T00:00:03Z"), "s1", "MATCH"),
+      Row(t("2024-01-01T00:00:04Z"), "s1", "c"),
+      Row(t("2024-01-01T00:00:05Z"), "s1", "d"),
+      Row(t("2024-01-01T00:00:03Z"), "s2", "other"),
+      Row(t("2024-01-01T05:00:00Z"), "s1", "far"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Compiler.run(df, "MATCH | stream_context before 1 after 1")
+      .select("_msg").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("MATCH", "b", "c"))
+    // no context beyond the time window
+    val far = Compiler.run(df, "far | stream_context before 1 after 1")
+      .select("_msg").collect().map(_.getString(0)).sorted
+    assert(far.toSeq == Seq("far")) // "d" is 5h earlier, outside 1h window
+  }
+
+  test("stream_context with after reaches forward only") {
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_stream_id", StringType),
+      StructField("_msg", StringType)))
+    val rows = Seq(
+      Row(t("2024-01-01T00:00:01Z"), "s1", "a"),
+      Row(t("2024-01-01T00:00:02Z"), "s1", "MATCH"),
+      Row(t("2024-01-01T00:00:03Z"), "s1", "b"),
+      Row(t("2024-01-01T00:00:04Z"), "s1", "c"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Compiler.run(df, "MATCH | stream_context after 2")
+      .select("_msg").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("MATCH", "b", "c"))
+  }
+}
