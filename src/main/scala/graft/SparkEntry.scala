@@ -266,6 +266,20 @@ object SparkEntry {
     "q_lql_hash" -> ((s, d) =>
       lql(s, d, "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")),
 
+    // ---- histogram() stats fn: VM vmrange buckets (§2.3) ----
+    "q_lql_histogram" -> ((s, d) =>
+      lql(s, d, "* | stats by (event_type) histogram(value) h | sort by (event_type)")),
+    // ---- in(subquery) filter (§2.1 #7) ----
+    "q_lql_in_subquery" -> ((s, d) =>
+      lql(s, d,
+        "user_id:in(event_type:error | fields user_id) | stats by (event_type) count() hits | sort by (event_type)")),
+    // ---- values/uniq_values with accumulation caps (§2.3) ----
+    "q_lql_values_limit" -> ((s, d) =>
+      lql(s, d,
+        "user_id:<20 | stats uniq_values(event_type) limit 100 uv, values(event_type) limit 100000 vs")
+        .select(concat_ws(",", col("uv")).as("uv"),
+                concat_ws(",", array_sort(col("vs"))).as("vs"))),
+
     // ==== training-data pipeline ops (ops/Dedup, Similarity, TextAnalysis,
     // Multimodal) — planted-duplicate corpora make LSH recall deterministic
     // and oracle-checkable ====
@@ -591,6 +605,43 @@ object SparkEntry {
     "q_lql_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_histogram" ->
+      """WITH v AS (
+           SELECT event_type, (log10(value) + 9) * 18 AS ir FROM events
+           WHERE value IS NOT NULL AND value >= 0 AND NOT isnan(value)
+         ), idx AS (
+           SELECT event_type,
+             CASE WHEN ir < 0 THEN -1
+                  WHEN ir >= 486 THEN 486
+                  WHEN floor(ir) = ir AND ir > 0 THEN CAST(ir AS BIGINT) - 1
+                  ELSE CAST(floor(ir) AS BIGINT) END AS i
+           FROM v
+         ), b AS (
+           SELECT event_type,
+             CASE WHEN i = -1 THEN '0...1.000e-09'
+                  WHEN i = 486 THEN '1.000e+18...+Inf'
+                  ELSE printf('%.3e', pow(10, -9 + i/18.0)) || '...' || printf('%.3e', pow(10, -9 + (i+1)/18.0))
+             END AS vmrange, count(*) AS hits
+           FROM idx GROUP BY 1, 2
+         ), k AS (
+           SELECT event_type, vmrange, hits,
+             CASE WHEN vmrange LIKE '0...%' THEN 0 ELSE CAST(substr(vmrange,1,1) AS INT) END AS k1,
+             CASE WHEN vmrange LIKE '0...%' THEN -1 ELSE CAST(substr(vmrange,3,3) AS INT) END AS k2,
+             CASE WHEN vmrange LIKE '0...%' THEN '' ELSE substr(vmrange,7,1) END AS k3,
+             CASE WHEN vmrange LIKE '0...%' THEN -1 ELSE CAST(substr(vmrange,8,2) AS INT) END AS k4
+           FROM b
+         )
+         SELECT event_type,
+           '[' || string_agg('{"vmrange":"' || vmrange || '","hits":' || hits || '}', ',' ORDER BY k1, k2, k3, k4) || ']' AS h
+         FROM k GROUP BY 1 ORDER BY 1""",
+    "q_lql_in_subquery" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+         GROUP BY 1 ORDER BY 1""",
+    "q_lql_values_limit" ->
+      """SELECT
+         (SELECT string_agg(DISTINCT event_type, ',' ORDER BY event_type) FROM events WHERE user_id < 20) AS uv,
+         (SELECT string_agg(event_type, ',' ORDER BY event_type) FROM events WHERE user_id < 20) AS vs""",
     "q_dedup_keep_first" ->
       """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
            SELECT min(doc_id) AS doc_id FROM (

@@ -39,6 +39,9 @@ object Filter {
   final case class ExactPrefix(field: String, value: String) extends Filter
   /** `field:in(v1, ..., vN)` (filter_in.go). */
   final case class In(field: String, values: Seq[String]) extends Filter
+  /** `field:in(subquery)` — values materialized from a nested query
+    * (filter_in.go + initFilterInValues storage_search.go:582). */
+  final case class InQuery(field: String, sub: Query) extends Filter
   /** `field:contains_all(w1, ...)` (filter_contains_all.go). */
   final case class ContainsAll(field: String, values: Seq[String]) extends Filter
   /** `field:contains_any(w1, ...)` (filter_contains_any.go). */

@@ -137,12 +137,25 @@ object Compiler {
       }
     case Filter.ExactPrefix(fld, v) => strF(df, fld).startsWith(v)
     case Filter.In(fld, vs) =>
-      // native comparison when the column is numeric and all values parse
+      // native comparison when the column is numeric and all values parse;
+      // large (materialized-subquery) sets become one literal-array
+      // membership test instead of a 100k-branch isin plan
       (fieldType(df, fld), vs.flatMap(v => NumLit.parse(v))) match {
         case (Some(_: NumericType), nums) if nums.size == vs.size =>
-          col(quoteName(fld)).isin(nums: _*)
-        case _ => strF(df, fld).isin(vs: _*)
+          if (vs.size <= 1000) col(quoteName(fld)).isin(nums: _*)
+          else array_contains(typedLit(nums), col(quoteName(fld)).cast(DoubleType))
+        case _ =>
+          if (vs.size <= 1000) strF(df, fld).isin(vs: _*)
+          else array_contains(typedLit(vs), strF(df, fld))
       }
+    case Filter.InQuery(fld, sub) =>
+      // materialize the subquery's (single) result column at plan-build
+      // time, then compile as a literal in() — mirrors the reference, which
+      // pre-executes in(subquery) and shares the value set
+      // (initFilterInValues storage_search.go:582). Bounded by a cap; a
+      // larger set should use the join pipe instead.
+      compileFilter(df, Filter.In(fld, materializeInValues(ctx, sub)), ctx)
+
     case Filter.ContainsAll(fld, vs) =>
       vs.map(v => TextMatch.matchPhrase(strF(df, fld), v))
         .reduceOption(_ && _).getOrElse(lit(true))
@@ -230,6 +243,21 @@ object Compiler {
       }.reduceOption(_ || _).getOrElse(lit(true))
 
     case Filter.StreamId(ids) => strF(df, "_stream_id").isin(ids: _*)
+  }
+
+  private val inSubqueryCap = 100000
+
+  private def materializeInValues(ctx: Ctx, sub: Query): Seq[String] = {
+    val res = run(ctx.source, sub, ctx.nowNs)
+    if (res.columns.length != 1)
+      throw new IllegalArgumentException(
+        s"in(subquery) needs exactly one result column, got ${res.columns.mkString(", ")}")
+    val rows = res.select(col("`" + res.columns.head.replace("`", "") + "`")
+        .cast(StringType)).distinct().limit(inSubqueryCap + 1).collect()
+    if (rows.length > inSubqueryCap)
+      throw new UnsupportedOperationException(
+        s"in(subquery) produced more than $inSubqueryCap values; use the join pipe")
+    rows.iterator.map(r => Option(r.getString(0)).getOrElse("")).toSeq
   }
 
   /** Row timestamps are micros; a ns bound b covers micro t iff t*1000 >= b
@@ -640,12 +668,26 @@ object Compiler {
       case SumLen(fields) =>
         nAgg(fields, f => sum(iff(octet_length(strF(df, f)).cast(LongType))))
       case Values(fields, limitN) =>
-        limited(collect_list(iff(strF(df, fields.head))), limitN)
+        // with a limit, accumulation is capped (bounded state per group —
+        // stats_values.go); without one, the codegen'd builtin collects all
+        limitN match {
+          case Some(l) =>
+            graft.functions.CappedCollect.cappedList(iff(strF(df, fields.head)), l.toInt)
+          case None => collect_list(iff(strF(df, fields.head)))
+        }
       case UniqValues(fields, limitN) =>
-        limited(array_sort(collect_set(iff(nullIfEmpty(df, fields.head)))), limitN)
+        limitN match {
+          case Some(l) =>
+            graft.functions.CappedCollect.cappedSet(iff(nullIfEmpty(df, fields.head)), l.toInt)
+          case None => array_sort(collect_set(iff(nullIfEmpty(df, fields.head))))
+        }
       case JsonValues(fields, limitN) =>
         val s = struct(fields.map(f => strF(df, f).as(f)): _*)
-        limited(collect_list(iff(to_json(s))), limitN)
+        limitN match {
+          case Some(l) =>
+            graft.functions.CappedCollect.cappedList(iff(to_json(s)), l.toInt)
+          case None => collect_list(iff(to_json(s)))
+        }
       case RowAny =>
         any_value(iff(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))), lit(true))
       case RowMax(f) =>
@@ -658,9 +700,8 @@ object Compiler {
         count(iff(lit(1))).cast(DoubleType) / lit(ctx.rangeSeconds.getOrElse(1d))
       case RateSum(f) =>
         sum(iff(numF(df, f))) / lit(ctx.rangeSeconds.getOrElse(1d))
-      case Histogram(_) =>
-        throw new UnsupportedOperationException(
-          "histogram() pending custom Aggregator (M4)")
+      case Histogram(f) =>
+        graft.functions.VmHistogram.column(iff(numF(df, f)))
     }
   }
 

@@ -256,9 +256,41 @@ final class Parser(input: String, now: Long) {
     }
   }
 
+  /** Looks ahead for a top-level '|' inside the upcoming (...) group. */
+  private def peeksLikeSubquery(): Boolean = {
+    skipWs()
+    if (peekCh != '(') return false
+    var i = pos + 1
+    var depth = 1
+    var quote = ' '
+    while (i < input.length && depth > 0) {
+      val c = input(i)
+      if (quote != ' ') {
+        if (c == quote && input(i - 1) != '\\') quote = ' '
+      } else c match {
+        case '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 1 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Function-style filters: in(...), seq(...), range(...), etc. */
   private def parseFuncFilter(field: String, fn: String): Filter = fn match {
-    case "in" => Filter.In(field, parseArgList())
+    case "in" =>
+      // `in(subquery)` vs `in(v1, ..., vN)`: a '|' at paren depth 1 means a
+      // piped subquery (reference distinguishes the same way — a query
+      // producing one result column via `| fields f`)
+      if (peeksLikeSubquery()) {
+        expect('(')
+        val sub = parseQuery()
+        expect(')')
+        Filter.InQuery(field, sub)
+      } else Filter.In(field, parseArgList())
     case "contains_all" => Filter.ContainsAll(field, parseArgList())
     case "contains_any" => Filter.ContainsAny(field, parseArgList())
     case "seq" => Filter.Sequence(field, parseArgList())

@@ -399,6 +399,59 @@ class CompilerSpec extends SparkSuite {
     assert(rows.length == 2 && rows.head._2 == 1L)
   }
 
+  test("histogram vmrange bucket strings match the reference format") {
+    import graft.functions.VmHistogram
+    assert(VmHistogram.lowerBucketRange == "0...1.000e-09")
+    assert(VmHistogram.upperBucketRange == "1.000e+18...+Inf")
+    assert(VmHistogram.bucketRanges(0) == "1.000e-09...1.136e-09")
+    // 10^n edge values go to the bucket ENDING at 10^n
+    assert(VmHistogram.bucketRanges(VmHistogram.slotOf(1.0) - 1).endsWith("...1.000e+00"))
+    assert(VmHistogram.slotOf(0.0) == 0)     // lower
+    assert(VmHistogram.slotOf(1e19) == 487)  // upper
+    assert(VmHistogram.slotOf(-1.0) == -1)   // skipped
+  }
+
+  test("histogram aggregates per group and renders JSON") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", "1"), Row("a", "1"), Row("a", "150"), Row("b", "nope")), 2), schema)
+    val out = Compiler.run(df, "* | stats by (g) histogram(v) h | sort by (g)", NOW)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val aH = out.find(_._1 == "a").get._2
+    assert(aH.contains("\"hits\":2")) // two 1s in one bucket
+    assert(aH.startsWith("[{\"vmrange\":\""))
+    // group with no parseable values renders the reference's empty form
+    assert(out.find(_._1 == "b").get._2 == "]")
+  }
+
+  test("lessNatural orders digit runs numerically") {
+    import graft.functions.VmHistogram.lessNatural
+    assert(lessNatural("2", "10"))
+    assert(lessNatural("1.000e+00...", "9.095e-13..."))
+    assert(!lessNatural("10", "9"))
+    assert(lessNatural("abc", "abd"))
+  }
+
+  test("values/uniq_values with limit cap accumulation") {
+    val uv = run("* | stats uniq_values(level) limit 10 u").collect().head
+      .getAs[scala.collection.Seq[String]](0)
+    assert(uv.toSeq == Seq("error", "info", "warn")) // sorted, under cap
+    val uv2 = run("* | stats uniq_values(level) limit 2 u").collect().head
+      .getAs[scala.collection.Seq[String]](0)
+    assert(uv2.size == 2)
+    val vs = run("* | stats values(level) limit 3 v").collect().head
+      .getAs[scala.collection.Seq[String]](0)
+    assert(vs.size == 3)
+  }
+
+  test("in(subquery) materializes values") {
+    // hosts that have an error → h1, h2 → 4 rows total
+    assert(run("host:in(level:error | fields host)").count() == 4)
+    // numeric column through subquery
+    assert(run("v:in(level:error | fields v)").count() == 2)
+  }
+
   test("format duration humanizes nanoseconds") {
     val schema = StructType(Seq(StructField("ns", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
