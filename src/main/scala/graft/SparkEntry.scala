@@ -159,7 +159,7 @@ object SparkEntry {
     // ---- eq_field / lt_field over two distinct columns (§2.1 #17, #18) ----
     "q_lql_field_cmp" -> ((s, d) =>
       lql(s, d,
-        "* | stats count() if (value:lt_field(user_id)) lt, count() if (value:eq_field(user_id)) eq")),
+        "* | stats count() if (value:lt_field(user_id)) lt, count() if (value:le_field(user_id)) le, count() if (value:eq_field(user_id)) eq")),
     // ---- explicit _time range + rate (§2.1 #19, §2.3 rate) ----
     "q_lql_time_rate" -> ((s, d) =>
       lql(s, d, "_time:[2024-01-05, 2024-01-10) | stats count() hits, rate() r")),
@@ -266,6 +266,63 @@ object SparkEntry {
     "q_lql_hash" -> ((s, d) =>
       lql(s, d, "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")),
 
+    // ---- first N (sort asc + limit sugar) (§2.2 #15) ----
+    "q_lql_first" -> ((s, d) =>
+      lql(s, d, "* | first 3 by (event_id) | fields event_id, event_type")),
+    // ---- json_array_len over unpack_words output (§2.2 #19, #40) ----
+    "q_lql_json_len" -> ((s, d) =>
+      lqld(s, d,
+        "doc_id:<10 | unpack_words from _msg as w | json_array_len(w) as n | stats sum(n) sn, max(n) mxn")),
+    // ---- pack_logfmt (§2.2 #26) ----
+    "q_lql_pack_logfmt" -> ((s, d) =>
+      lql(s, d,
+        """event_type:signup | fields event_id, event_type | pack_logfmt as l | len(l) as n
+           | stats count() c, min(n) mn, max(n) mxn""")),
+    // ---- unpack_logfmt into the fields map (§2.2 #38) ----
+    "q_lql_unpack_logfmt" -> ((s, d) =>
+      lql(s, d,
+        """* | format "a=<event_id> b=<event_type>" as kv | unpack_logfmt from kv
+           | stats count() if (b:purchase) cp, sum(a) sa""")),
+    // ---- unpack_syslog RFC5424 (§2.2 #39) ----
+    "q_lql_unpack_syslog" -> ((s, d) =>
+      lql(s, d,
+        """* | format "&lt;134&gt;1 2024-01-05T10:00:00Z host1 app<event_id> 77 MID - hello" as sl
+           | unpack_syslog from sl
+           | stats count_uniq(app_name) ua, count() if (severity:=6) c6, count() if (facility:=16) cf""")),
+    // ---- decolorize strips ANSI color sequences (§2.2 #5) ----
+    "q_lql_decolorize" -> ((s, d) =>
+      lql(s, d,
+        """* | format "\x1b[31m<event_type>\x1b[0m x" as c | decolorize c | uniq by (c) | sort by (c)""")),
+    // ---- drop_empty_fields: empty map entries vanish from pack_json (§2.2 #7) ----
+    "q_lql_drop_empty" -> ((s, d) =>
+      lql(s, d,
+        """* | format "a=<event_type> b=" as kv | unpack_logfmt from kv | drop_empty_fields
+           | pack_json as j fields (a, b) | uniq by (j) | sort by (j)""")),
+    // ---- any-case prefix i(PUR*) (§2.1 #4) ----
+    "q_lql_anycase_prefix" -> ((s, d) =>
+      lql(s, d, "event_type:i(PUR*) | stats count() c")),
+    // ---- values / json_values without caps (§2.3) ----
+    "q_lql_values" -> ((s, d) =>
+      lql(s, d, "user_id:<10 | stats values(event_type) vs, json_values(event_type) jv")
+        .select(concat_ws(",", array_sort(col("vs"))).as("vs"),
+                concat_ws(",", array_sort(col("jv"))).as("jv"))),
+    // ---- rate_sum over an explicit time range (§2.3) ----
+    "q_lql_rate_sum" -> ((s, d) =>
+      lql(s, d, "_time:[2024-01-05, 2024-01-10) | stats rate_sum(user_id) rs")),
+    // ---- row_any on a deterministic projection (§2.3) ----
+    "q_lql_row_any" -> ((s, d) =>
+      lql(s, d, "* | fields event_type | stats by (event_type) row_any() ra | sort by (event_type)")),
+    // ---- row_min argmin via min_by (§2.3) ----
+    "q_lql_row_min" -> ((s, d) =>
+      lql(s, d, "* | fields event_id, value | stats row_min(event_id) rm")),
+    // ---- global sort rank (distributed zipWithIndex path) (§2.2 #31) ----
+    "q_lql_sort_rank" -> ((s, d) =>
+      lql(s, d, "* | sort by (event_id) rank as r | where r:<=5 | fields event_id, r")),
+    // ---- partitioned sort rank (§2.2 #31) ----
+    "q_lql_sort_prank" -> ((s, d) =>
+      lql(s, d,
+        """* | sort by (value desc, event_id) partition by (event_type) rank as r
+           | where r:<=2 | fields event_type, event_id, r | sort by (event_type, r)""")),
     // ---- histogram() stats fn: VM vmrange buckets (§2.3) ----
     "q_lql_histogram" -> ((s, d) =>
       lql(s, d, "* | stats by (event_type) histogram(value) h | sort by (event_type)")),
@@ -508,6 +565,7 @@ object SparkEntry {
       "SELECT count(*) AS hits FROM events WHERE (user_id % 200) BETWEEN 5 AND 20",
     "q_lql_field_cmp" ->
       """SELECT count(*) FILTER (WHERE value < user_id) AS lt,
+         count(*) FILTER (WHERE value <= user_id) AS le,
          count(*) FILTER (WHERE value = user_id) AS eq
          FROM events""",
     "q_lql_time_rate" ->
@@ -605,6 +663,53 @@ object SparkEntry {
     "q_lql_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_first" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 3",
+    "q_lql_json_len" ->
+      """SELECT CAST(sum(n) AS DOUBLE) AS sn,
+         CAST(max(n) AS BIGINT) AS mxn FROM (
+           SELECT len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')) AS n
+           FROM documents WHERE doc_id < 10)""",
+    "q_lql_pack_logfmt" ->
+      """SELECT count(*) AS c,
+         CAST(min(length('event_id=' || event_id || ' event_type=signup')) AS BIGINT) AS mn,
+         CAST(max(length('event_id=' || event_id || ' event_type=signup')) AS BIGINT) AS mxn
+         FROM events WHERE event_type = 'signup'""",
+    "q_lql_unpack_logfmt" ->
+      """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
+         CAST(sum(event_id) AS DOUBLE) AS sa FROM events""",
+    "q_lql_unpack_syslog" ->
+      """SELECT count(DISTINCT event_id) AS ua, count(*) AS c6, count(*) AS cf
+         FROM events""",
+    "q_lql_decolorize" ->
+      "SELECT DISTINCT event_type || ' x' AS c FROM events ORDER BY 1",
+    "q_lql_drop_empty" ->
+      """SELECT DISTINCT '{"a":"' || event_type || '"}' AS j FROM events ORDER BY 1""",
+    "q_lql_anycase_prefix" ->
+      "SELECT count(*) AS c FROM events WHERE lower(event_type) LIKE 'pur%'",
+    "q_lql_values" ->
+      """SELECT
+         (SELECT string_agg(event_type, ',' ORDER BY event_type) FROM events WHERE user_id < 10) AS vs,
+         (SELECT string_agg('{"event_type":"' || event_type || '"}', ',' ORDER BY event_type) FROM events WHERE user_id < 10) AS jv""",
+    "q_lql_rate_sum" ->
+      """SELECT CAST(sum(user_id) AS DOUBLE) / 432000.0 AS rs FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'""",
+    "q_lql_row_any" ->
+      """SELECT event_type, '{"event_type":"' || event_type || '"}' AS ra
+         FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1""",
+    "q_lql_row_min" ->
+      """SELECT '{"event_id":' || event_id || ',"value":' || value || '}' AS rm
+         FROM events WHERE event_id = (SELECT min(event_id) FROM events)""",
+    "q_lql_sort_rank" ->
+      """SELECT event_id, r FROM (
+           SELECT event_id, row_number() OVER (ORDER BY event_id) AS r FROM events
+         ) WHERE r <= 5""",
+    "q_lql_sort_prank" ->
+      """SELECT event_type, event_id, r FROM (
+           SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS r
+           FROM events
+         ) WHERE r <= 2 ORDER BY event_type, r""",
     "q_lql_histogram" ->
       """WITH v AS (
            SELECT event_type, (log10(value) + 9) * 18 AS ir FROM events

@@ -447,7 +447,7 @@ object Compiler {
 
     case Pipe.Decolorize(fld) =>
       df.withColumn(fld,
-        regexp_replace(strF(df, fld), "\\[[0-9;]*m", ""))
+        regexp_replace(strF(df, fld), "\u001b\\[[0-9;]*m", ""))
 
     case Pipe.CollapseNums(fld, prettify) =>
       df.withColumn(fld, collapseNums(strF(df, fld), prettify))

@@ -71,6 +71,10 @@ final class Parser(input: String, now: Long) {
           case 'u' if pos + 5 < input.length =>
             sb += Integer.parseInt(input.substring(pos + 2, pos + 6), 16).toChar
             pos += 6
+          case 'x' if pos + 3 < input.length =>
+            // Go-style hex byte escape (LogsQL.md:4132: `\x8c` etc.)
+            sb += Integer.parseInt(input.substring(pos + 2, pos + 4), 16).toChar
+            pos += 4
           case other => // unknown escape: keep the backslash (regex \w, \d …)
             sb += '\\'; sb += other; pos += 2
         }
@@ -1089,6 +1093,15 @@ object Parser {
     "ipv4_range", "string_range", "len_range", "eq_field", "le_field",
     "lt_field", "value_type")
 
+  /** Literal `<`/`>`/`&` in format/extract templates are html-escaped
+    * (LogsQL.md:1849-1854: `&lt;` matches a literal `<`). Returns the
+    * decoded char + consumed length, or None. */
+  private def htmlEntityAt(s: String, i: Int): Option[(Char, Int)] =
+    if (s.startsWith("&lt;", i)) Some(('<', 4))
+    else if (s.startsWith("&gt;", i)) Some(('>', 4))
+    else if (s.startsWith("&amp;", i)) Some(('&', 5))
+    else None
+
   /** `"text<fld>text<uc:fld2>"` → Left(literal) / Right((transform, field)). */
   def parseFormatTemplate(tpl: String): Seq[Either[String, (String, String)]] = {
     val parts = ArrayBuffer.empty[Either[String, (String, String)]]
@@ -1096,6 +1109,9 @@ object Parser {
     val lit = new StringBuilder
     while (i < tpl.length) {
       val c = tpl(i)
+      htmlEntityAt(tpl, i) match {
+        case Some((ch, n)) => lit += ch; i += n
+        case None =>
       if (c == '<') {
         val end = tpl.indexOf('>', i)
         if (end < 0) { lit += c; i += 1 }
@@ -1113,6 +1129,7 @@ object Parser {
           i = end + 1
         }
       } else { lit += c; i += 1 }
+      }
     }
     if (lit.nonEmpty) parts += Left(lit.result())
     parts.toSeq
@@ -1129,6 +1146,9 @@ object Parser {
     var i = 0
     val lit = new StringBuilder
     while (i < pat.length) {
+      htmlEntityAt(pat, i) match {
+        case Some((ch, n)) => lit += ch; i += n
+        case None =>
       if (pat(i) == '<') {
         val end = pat.indexOf('>', i)
         if (end < 0) { lit += pat(i); i += 1 }
@@ -1139,6 +1159,7 @@ object Parser {
           i = end + 1
         }
       } else { lit += pat(i); i += 1 }
+      }
     }
     if (lit.nonEmpty) steps += PatternStep(lit.result(), None)
     steps.toSeq

@@ -316,7 +316,7 @@ class CompilerSpec extends SparkSuite {
   test("decolorize / collapse_nums") {
     val schema = StructType(Seq(StructField("_msg", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
-      Row("[31mred[0m text"), Row("req 123 took 4.5ms from 1.2.3.4"))), schema)
+      Row("\u001b[31mred\u001b[0m text"), Row("req 123 took 4.5ms from 1.2.3.4"))), schema)
     val out = Compiler.run(df, "* | decolorize", NOW).collect().map(_.getString(0))
     assert(out.contains("red text"))
     val cn = Compiler.run(df, "* | collapse_nums prettify", NOW).collect().map(_.getString(0))
