@@ -1,0 +1,288 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.logql._
+
+/** HTTP query API (SURVEY §2.4; reference app/vlselect/logsql/logsql.go):
+  *
+  *   - `/select/logsql/query`             → NDJSON rows           (logsql.go:901)
+  *   - `/select/logsql/hits`              → count-by-time series  (logsql.go:116)
+  *   - `/select/logsql/facets`            → per-field top values  (logsql.go:34)
+  *   - `/select/logsql/stats_query`       → Prometheus vector     (logsql.go:828)
+  *   - `/select/logsql/stats_query_range` → Prometheus matrix     (logsql.go:694)
+  *   - `/select/logsql/field_names`       → names + hits          (logsql.go:291)
+  *   - `/select/logsql/field_values`      → values + hits         (logsql.go:330)
+  *   - `/select/logsql/tail`              → NDJSON poll loop      (logsql.go:497)
+  *
+  * Each endpoint is a LogsQL rewrite compiled through the same
+  * [[Compiler]]; results stream to the client via `toLocalIterator` (one
+  * partition in memory at a time, never a full collect of raw rows).
+  */
+final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var stopped = false
+
+  def start(): Int = {
+    server.createContext("/select/logsql/query", handler(handleQuery))
+    server.createContext("/select/logsql/hits", handler(handleHits))
+    server.createContext("/select/logsql/facets", handler(handleFacets))
+    server.createContext("/select/logsql/stats_query_range", handler(handleStatsQueryRange))
+    server.createContext("/select/logsql/stats_query", handler(handleStatsQuery))
+    server.createContext("/select/logsql/field_names", handler(handleFieldNames))
+    server.createContext("/select/logsql/field_values", handler(handleFieldValues))
+    server.createContext("/select/logsql/tail", handler(handleTail))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = { stopped = true; server.stop(0) }
+
+  // ------------------------------------------------------------- plumbing
+
+  private def handler(f: (HttpExchange, Map[String, Seq[String]]) => Unit): HttpHandler =
+    (ex: HttpExchange) => {
+      try f(ex, params(ex))
+      catch {
+        case e: Throwable =>
+          val msg = jsonStr(Option(e.getMessage).getOrElse(e.toString))
+          respond(ex, 400, s"""{"error":$msg}""")
+      } finally ex.close()
+    }
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] = {
+    val fromUrl = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else ""
+    (fromUrl + "&" + fromBody).split("&").toSeq.filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  private def one(ps: Map[String, Seq[String]], k: String): Option[String] =
+    ps.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def nowNs: Long = System.currentTimeMillis() * 1000000L
+
+  /** Parse `start`/`end` args (epoch seconds or ISO8601) to epoch nanos. */
+  private def parseTime(s: String): Long =
+    if (s.matches("-?\\d+(\\.\\d+)?")) (s.toDouble * 1e9).toLong
+    else if (s.length == 10) // yyyy-MM-dd
+      java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
+    else java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z").toEpochMilli * 1000000L
+
+  /** Parse query + optional [start, end) range into an AST. */
+  private def parseQ(ps: Map[String, Seq[String]]): Query = {
+    val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
+    val q = Parser.parse(text, nowNs)
+    (one(ps, "start"), one(ps, "end")) match {
+      case (None, None) => q
+      case (lo, hi) =>
+        val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
+                                  hi.map(parseTime).getOrElse(Long.MaxValue))
+        q.copy(filter = Filter.And(Seq(tr, q.filter)))
+    }
+  }
+
+  private def runQ(q: Query): DataFrame = Compiler.run(source, q, nowNs)
+
+  /** Render a value like the reference's NDJSON writer: strings as-is,
+    * integral doubles without the trailing ".0". */
+  private def render(v: Any): String = v match {
+    case null => ""
+    case d: java.lang.Double if d == d.longValue().toDouble => d.longValue().toString
+    case other => other.toString
+  }
+
+  // ------------------------------------------------------------ endpoints
+
+  private def handleQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    var df = runQ(parseQ(ps))
+    one(ps, "limit").foreach(l => df = df.limit(l.toInt))
+    val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
+    ex.getResponseHeaders.set("Content-Type", "application/stream+json")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    val it = json.toLocalIterator()
+    while (it.hasNext) {
+      out.write(it.next().getString(0).getBytes(UTF_8))
+      out.write('\n')
+    }
+  }
+
+  /** `| stats by (_time:step [, fields]) count() hits`, grouped to series
+    * (AddCountByTimePipe, parser.go:408-446; pipes are dropped first). */
+  private def handleHits(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val step = one(ps, "step").getOrElse("1d")
+    val off = one(ps, "offset")
+    val fields = ps.getOrElse("field", Nil)
+    val base = parseQ(ps)
+    val stats = Pipe.Stats(
+      ByField("_time", Some(step), off) +: fields.map(f => ByField(f, None, None)),
+      Seq(StatsFuncAs(StatsFunc.Count(Nil), "hits", None)))
+    val rows = runQ(Query(base.filter, Seq(stats))).collect()
+    val tIdx = 0
+    val series = rows.groupBy(r => fields.indices.map(i => r.get(i + 1)).toSeq)
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
+    val body = series.map { case (labels, rs) =>
+      val fieldsJson = fields.zip(labels)
+        .map { case (f, v) => jsonStr(f) + ":" + jsonStr(render(v)) }
+        .mkString("{", ",", "}")
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp](tIdx).getTime)
+      val ts = sorted.map(r => jsonStr(r.getAs[java.sql.Timestamp](tIdx).toInstant.toString)).mkString(",")
+      val vs = sorted.map(_.getAs[Long]("hits").toString).mkString(",")
+      val total = rs.map(_.getAs[Long]("hits")).sum
+      s"""{"fields":$fieldsJson,"timestamps":[$ts],"values":[$vs],"total":$total}"""
+    }.mkString("""{"hits":[""", ",", "]}")
+    respond(ex, 200, body)
+  }
+
+  private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
+    val base = parseQ(ps)
+    val rows = runQ(Query(base.filter, base.pipes :+ Pipe.Facets(n, n, 128L)))
+      .collect()
+    val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val body = byField.map { case (fname, rs) =>
+      val vals = rs.map(r =>
+        s"""{"field_value":${jsonStr(r.getString(1))},"hits":${r.getLong(2)}}""").mkString(",")
+      s"""{"field_name":${jsonStr(fname)},"values":[$vals]}"""
+    }.mkString("""{"facets":[""", ",", "]}")
+    respond(ex, 200, body)
+  }
+
+  /** Query must end in `| stats ...`; emits a Prometheus instant vector. */
+  private def handleStatsQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val q = parseQ(ps)
+    val (byFields, statCols) = lastStatsInfo(q)
+    val t = one(ps, "time").map(parseTime).getOrElse(nowNs) / 1e9
+    val rows = runQ(q).collect()
+    val items = rows.flatMap { r =>
+      statCols.map { sc =>
+        val labels = byFields.map(b =>
+          "," + jsonStr(b) + ":" + jsonStr(render(r.getAs[Any](b)))).mkString
+        s"""{"metric":{"__name__":${jsonStr(sc)}$labels},"value":[$t,${jsonStr(render(r.getAs[Any](sc)))}]}"""
+      }
+    }
+    respond(ex, 200,
+      s"""{"status":"success","data":{"resultType":"vector","result":[${items.mkString(",")}]}}""")
+  }
+
+  /** Injects `_time:step` into the final stats `by(...)` clause
+    * (GetStatsByFieldsAddGroupingByTime, parser.go:748). */
+  private def handleStatsQueryRange(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val step = one(ps, "step").getOrElse("1d")
+    val q0 = parseQ(ps)
+    val (byFields, statCols) = lastStatsInfo(q0)
+    val pipes = q0.pipes.zipWithIndex.map {
+      case (st: Pipe.Stats, i) if i == q0.pipes.length - 1 =>
+        st.copy(by = st.by :+ ByField("_time", Some(step), None))
+      case (p, _) => p
+    }
+    val rows = runQ(Query(q0.filter, pipes)).collect()
+    val series = rows.flatMap { r =>
+      val t = r.getAs[java.sql.Timestamp]("_time").getTime / 1000.0
+      statCols.map { sc =>
+        val key = byFields.map(b => String.valueOf(r.getAs[Any](b)))
+        ((sc, key), (t, render(r.getAs[Any](sc))))
+      }
+    }.groupBy(_._1).toSeq.sortBy(x => (x._1._1, x._1._2.mkString(",")))
+    val items = series.map { case ((sc, key), pts) =>
+      val labels = byFields.zip(key).map { case (b, v) =>
+        "," + jsonStr(b) + ":" + jsonStr(v)
+      }.mkString
+      val vals = pts.map(_._2).sortBy(_._1)
+        .map { case (t, v) => s"[$t,${jsonStr(v)}]" }.mkString(",")
+      s"""{"metric":{"__name__":${jsonStr(sc)}$labels},"values":[$vals]}"""
+    }
+    respond(ex, 200,
+      s"""{"status":"success","data":{"resultType":"matrix","result":[${items.mkString(",")}]}}""")
+  }
+
+  private def lastStatsInfo(q: Query): (Seq[String], Seq[String]) =
+    q.pipes.lastOption match {
+      case Some(st: Pipe.Stats) => (st.by.map(_.name), st.funcs.map(_.as))
+      case _ => throw new IllegalArgumentException("query must end with '| stats ...'")
+    }
+
+  private def valuesWithHits(df: DataFrame, valueIdx: Int, hitsIdx: Int): String = {
+    val items = df.collect().map(r =>
+      s"""{"value":${jsonStr(String.valueOf(r.get(valueIdx)))},"hits":${r.getLong(hitsIdx)}}""")
+    s"""{"values":[${items.mkString(",")}]}"""
+  }
+
+  private def handleFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val q = parseQ(ps)
+    respond(ex, 200,
+      valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldNames("name"))), 0, 1))
+  }
+
+  private def handleFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
+    val lim = one(ps, "limit").map(_.toLong)
+    val q = parseQ(ps)
+    respond(ex, 200,
+      valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
+  }
+
+  /** Live tail (logsql.go:497-660): poll loop re-running the query over
+    * `(lastSeen, now]`, streaming new rows as NDJSON. `max_polls` bounds
+    * the loop (tests); production clients just hang up. */
+  private def handleTail(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    val q = parseQ(ps)
+    val refreshMs = one(ps, "refresh_interval").map(_.toLong).getOrElse(1000L)
+    val maxPolls = one(ps, "max_polls").map(_.toInt).getOrElse(Int.MaxValue)
+    ex.getResponseHeaders.set("Content-Type", "application/stream+json")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    var lastSeenNs = 0L
+    var polls = 0
+    try {
+      while (!stopped && polls < maxPolls) {
+        val windowed = q.copy(filter =
+          Filter.And(Seq(Filter.TimeRange(lastSeenNs + 1, Long.MaxValue), q.filter)))
+        val df = runQ(windowed)
+        val withT = df.withColumn("__tus",
+          unix_micros(col("_time")))
+        val rows = withT.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
+          .collect()
+        rows.sortBy(_.getLong(1)).foreach { r =>
+          out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+          lastSeenNs = math.max(lastSeenNs, r.getLong(1) * 1000L)
+        }
+        out.flush()
+        polls += 1
+        if (polls < maxPolls) Thread.sleep(refreshMs)
+      }
+    } catch { case _: java.io.IOException => /* client hung up */ }
+  }
+}

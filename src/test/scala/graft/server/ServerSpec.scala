@@ -1,0 +1,95 @@
+package graft.server
+
+import graft.SparkSuite
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Black-box HTTP API tests (apptest-style: real server, real requests —
+  * reference apptest/tests/key_concepts_test.go). */
+class ServerSpec extends SparkSuite {
+
+  private lazy val (server, port) = {
+    val src = graft.Tables.eventsLog(spark, "/root/testdata/sf0.001")
+    val s = new QueryServer(spark, src)
+    (s, s.start())
+  }
+
+  private def get(pathAndQuery: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8)
+
+  test("query endpoint streams NDJSON rows") {
+    val (code, body) = get(s"/select/logsql/query?query=${enc("event_type:purchase | fields event_id, event_type")}&limit=5")
+    assert(code == 200)
+    val lines = body.trim.split("\n")
+    assert(lines.length == 5)
+    assert(lines.forall(l => l.startsWith("{") && l.contains("\"event_type\":\"purchase\"")))
+  }
+
+  test("hits endpoint returns count-by-time series") {
+    val (code, body) = get(s"/select/logsql/hits?query=${enc("*")}&step=1d&field=event_type")
+    assert(code == 200)
+    assert(body.startsWith("""{"hits":["""))
+    assert(body.contains(""""fields":{"event_type":"purchase"}"""))
+    assert(body.contains(""""timestamps":["""))
+    assert(body.contains(""""total":"""))
+  }
+
+  test("facets endpoint returns per-field top values") {
+    val (code, body) = get(s"/select/logsql/facets?query=${enc("* | fields event_type")}&limit=3")
+    assert(code == 200)
+    assert(body.contains(""""field_name":"event_type""""))
+    assert(body.contains(""""hits":"""))
+  }
+
+  test("stats_query returns a Prometheus vector") {
+    val (code, body) = get(
+      s"/select/logsql/stats_query?query=${enc("* | stats by (event_type) count() hits")}&time=2024-02-01")
+    assert(code == 200)
+    assert(body.contains(""""resultType":"vector""""))
+    assert(body.contains(""""__name__":"hits""""))
+    assert(body.contains(""""event_type":"purchase""""))
+  }
+
+  test("stats_query_range groups by time step") {
+    val (code, body) = get(
+      s"/select/logsql/stats_query_range?query=${enc("* | stats count() hits")}&step=7d")
+    assert(code == 200)
+    assert(body.contains(""""resultType":"matrix""""))
+    assert(body.contains(""""values":[["""))
+  }
+
+  test("field_names and field_values endpoints") {
+    val (c1, names) = get(s"/select/logsql/field_names?query=${enc("*")}")
+    assert(c1 == 200)
+    assert(names.contains(""""value":"event_type""""))
+    val (c2, values) = get(s"/select/logsql/field_values?query=${enc("*")}&field=event_type&limit=10")
+    assert(c2 == 200)
+    assert(values.contains(""""value":"purchase""""))
+  }
+
+  test("tail endpoint streams and terminates at max_polls") {
+    val (code, body) = get(
+      s"/select/logsql/tail?query=${enc("event_type:signup")}&refresh_interval=50&max_polls=2")
+    assert(code == 200)
+    val lines = body.trim.split("\n").filter(_.nonEmpty)
+    assert(lines.nonEmpty && lines.forall(_.contains("signup")))
+  }
+
+  test("bad query returns a JSON error") {
+    val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
+    assert(code == 400)
+    assert(body.contains("error"))
+  }
+}
