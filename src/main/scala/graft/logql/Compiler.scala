@@ -925,7 +925,7 @@ object Compiler {
     else df.withColumn("fields", coalesce(prefixed, map()))
   }
 
-  private def applyUnpackSyslog(df: DataFrame, from: String, prefix: String): DataFrame = {
+  private[graft] def applyUnpackSyslog(df: DataFrame, from: String, prefix: String): DataFrame = {
     val src = strF(df, from)
     // RFC5424: <pri>VER TS HOST APP PROCID MSGID [SD] MSG (syslog_parser.go)
     val rfc5424 = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\])|-) ?(.*)$"
