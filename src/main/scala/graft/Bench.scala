@@ -27,10 +27,19 @@ object Bench {
       val ts = Seq.fill(3)(once(n)).sorted
       n -> ts(1) // median
     }
+    // fixed per-query local-mode job overhead (scheduler + codegen floor),
+    // measured as the median latency of a trivial 1-row action — reported
+    // so the DuckDB-ratio comparison can exclude it arithmetically
+    val noop = Seq.fill(5) {
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val adjusted = total - noop * results.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","overhead_per_query":$noop,"adjusted_total":$adjusted}""")
     spark.stop()
   }
 }

@@ -427,9 +427,10 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => {
       import graft.ops.TextAnalysis
       documents(s, d)
-        .groupBy(TextAnalysis.langId(col("text")).as("lang"))
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .groupBy(TextAnalysis.langIdTokens(col("__toks"), col("text")).as("lang"))
         .agg(count(lit(1)).as("cnt"),
-             sum(TextAnalysis.tokenCount(col("text"))).cast(LongType).as("toks"))
+             sum(size(col("__toks")).cast(LongType)).cast(LongType).as("toks"))
         .orderBy("lang")
     }),
     // ---- set fingerprint ≡ distinct sorted token set (collision-free at

@@ -280,12 +280,13 @@ object Compiler {
   }
 
   def ipv4Num(c: Column): Column = {
-    val p = split(c, "\\.")
-    when(c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
-      p.getItem(0).cast(LongType) * 16777216L +
-      p.getItem(1).cast(LongType) * 65536L +
-      p.getItem(2).cast(LongType) * 256L +
-      p.getItem(3).cast(LongType))
+    // one split + try_cast validation — no extra full-string regex pass
+    val p = split(c, "\\.", -1)
+    val parts = (0 to 3).map(i => p.getItem(i).try_cast("long"))
+    val ok = size(p) === 4 &&
+      parts.map(x => x.isNotNull && x >= 0L && x <= 255L).reduce(_ && _)
+    when(ok, parts(0) * 16777216L + parts(1) * 65536L +
+             parts(2) * 256L + parts(3))
   }
 
   // ---------------------------------------------------------------- pipes
@@ -338,12 +339,24 @@ object Compiler {
       limit.map(l => out.limit(l.toInt)).getOrElse(out)
 
     case Pipe.FieldNames(out) =>
+      val topCols = df.columns.filter(_ != "fields")
       val counts = df.agg(
         count(lit(1)).as("__total"),
-        df.columns.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
+        topCols.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
         .drop("__total")
-      counts.unpivot(Array.empty[Column], out, "hits")
-        .filter(col("hits") > 0)
+      val top = counts.unpivot(Array.empty[Column], out, "hits")
+      // dynamic field names live in the `fields` map (keyConcepts.md:16-120)
+      val all =
+        if (hasFieldsMap(df)) {
+          val mapCounts = df
+            .select(explode(col("fields")).as(Seq("__k", "__v")))
+            .filter(col("__v").isNotNull && col("__v") =!= "")
+            .groupBy(col("__k").as(out))
+            .agg(count(lit(1)).as("hits"))
+          top.unionByName(mapCounts)
+            .groupBy(out).agg(sum("hits").as("hits"))
+        } else top
+      all.filter(col("hits") > 0)
 
     case Pipe.FieldValues(fld, limit) =>
       val out = df.groupBy(strF(df, fld).as(fld))
@@ -516,10 +529,17 @@ object Compiler {
         .drop("__m", "__keep")
 
     case Pipe.Facets(n, maxPerField, maxValueLen) =>
-      val asStr = df.select(df.columns.map(c =>
-        strF(df, c).as(c)).toSeq: _*)
-      val long = asStr.unpivot(Array.empty[Column], "field_name", "field_value")
-        .filter(col("field_value") =!= "" &&
+      val topCols = df.columns.filter(_ != "fields")
+      val asStr = df.select(topCols.map(c => strF(df, c).as(c)).toSeq: _*)
+      val topLong = asStr.unpivot(Array.empty[Column], "field_name", "field_value")
+      // map-column fields join the facet browse like promoted ones
+      val long0 =
+        if (hasFieldsMap(df))
+          topLong.unionByName(df
+            .select(explode(col("fields")).as(Seq("field_name", "field_value"))))
+        else topLong
+      val long = long0
+        .filter(col("field_value").isNotNull && col("field_value") =!= "" &&
                 octet_length(col("field_value")) <= maxValueLen)
       val counted = long.groupBy("field_name", "field_value")
         .agg(count(lit(1)).as("hits"))

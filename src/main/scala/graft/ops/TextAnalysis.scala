@@ -34,10 +34,17 @@ object TextAnalysis {
 
   /** N-gram/stopword heuristic language ID. Deterministic tie order:
     * zh (CJK chars) > en >= es >= de > und. */
-  def langId(text: Column): Column = {
-    val en = stopHits(text, enStop)
-    val es = stopHits(text, esStop)
-    val de = stopHits(text, deStop)
+  def langId(text: Column): Column = langIdTokens(tokens(text), text)
+
+  /** langId over a precomputed token array — callers that also need token
+    * counts should tokenize once and share the column (each `tokens()` is
+    * a full regex split of the document). */
+  def langIdTokens(ts: Column, text: Column): Column = {
+    def hits(words: Seq[String]): Column =
+      size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
+    val en = hits(enStop)
+    val es = hits(esStop)
+    val de = hits(deStop)
     when(text.rlike("[\\p{IsHan}]"), "zh")
       .when(en >= es && en >= de && en > 0, "en")
       .when(es >= de && es > 0, "es")

@@ -452,6 +452,22 @@ class CompilerSpec extends SparkSuite {
     assert(run("v:in(level:error | fields v)").count() == 2)
   }
 
+  test("field_names and facets see the fields map") {
+    val schema = StructType(Seq(
+      StructField("_msg", StringType),
+      StructField("fields", MapType(StringType, StringType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("m1", Map("app" -> "web", "lvl" -> "info")),
+      Row("m2", Map("app" -> "api", "empty" -> ""))), 2), schema)
+    val names = Compiler.run(df, "* | field_names", NOW)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(names("app") == 2 && names("lvl") == 1 && names("_msg") == 2)
+    assert(!names.contains("empty") && !names.contains("fields"))
+    val facets = Compiler.run(df, "* | facets 5", NOW)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(facets.contains(("app", "web")) && facets.contains(("lvl", "info")))
+  }
+
   test("format duration humanizes nanoseconds") {
     val schema = StructType(Seq(StructField("ns", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
