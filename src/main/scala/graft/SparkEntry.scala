@@ -323,6 +323,25 @@ object SparkEntry {
       lql(s, d,
         """* | sort by (value desc, event_id) partition by (event_type) rank as r
            | where r:<=2 | fields event_type, event_id, r | sort by (event_type, r)""")),
+    // ---- value_type filter (§2.1 #16) ----
+    "q_lql_value_type" -> ((s, d) =>
+      lql(s, d,
+        """value:value_type(float64) user_id:value_type(int64)
+           | stats count() c, count() if (event_type:value_type(float64)) c0""")),
+    // ---- blocks_count pipe (§2.2 #2; file ≈ block) ----
+    "q_lql_blocks" -> ((s, d) =>
+      lql(s, d, "* | blocks_count as bc")),
+    // ---- if (...) options on format / extract (§2.1 #26) ----
+    "q_lql_if_options" -> ((s, d) =>
+      lql(s, d,
+        """* | format if (event_type:purchase) "P" as tag
+           | extract if (event_type:signup) '{"k": <kv>}' from _msg
+           | stats count() if (tag:=P) cp, sum(kv) sk""")),
+    // ---- if (...) on unroll (§2.2 #41) ----
+    "q_lql_unroll_if" -> ((s, d) =>
+      lqld(s, d,
+        """doc_id:<5 | unpack_words from _msg as w limit 3
+           | unroll if (doc_id:<2) by (w) | stats count() c""")),
     // ---- histogram() stats fn: VM vmrange buckets (§2.3) ----
     "q_lql_histogram" -> ((s, d) =>
       lql(s, d, "* | stats by (event_type) histogram(value) h | sort by (event_type)")),
@@ -711,6 +730,20 @@ object SparkEntry {
              row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS r
            FROM events
          ) WHERE r <= 2 ORDER BY event_type, r""",
+    "q_lql_value_type" ->
+      "SELECT count(*) AS c, CAST(0 AS BIGINT) AS c0 FROM events",
+    "q_lql_blocks" ->
+      "SELECT CAST(1 AS BIGINT) AS bc",
+    "q_lql_if_options" ->
+      """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+              FILTER (WHERE event_type = 'signup') AS DOUBLE) AS sk
+         FROM events""",
+    "q_lql_unroll_if" ->
+      """SELECT CAST(sum(CASE WHEN doc_id < 2 THEN least(3, len(w)) ELSE 1 END) AS BIGINT) AS c
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+               FROM documents WHERE doc_id < 5)""",
     "q_lql_histogram" ->
       """WITH v AS (
            SELECT event_type, (log10(value) + 9) * 18 AS ir FROM events

@@ -59,6 +59,10 @@ object Filter {
   final case class StringRange(field: String, lo: String, hi: String) extends Filter
   /** `field:len_range(lo, hi)` — value length inclusive (filter_len_range.go). */
   final case class LenRange(field: String, lo: Long, hi: Long) extends Filter
+  /** `field:value_type(t)` — rows whose storage type is t
+    * (filter_value_type.go:67). In the Spark layout the physical type is
+    * per-column (per-relation), not per-block. */
+  final case class ValueType(field: String, t: String) extends Filter
   /** `field:eq_field(other)` (filter_eq_field.go). */
   final case class EqField(field: String, other: String) extends Filter
   /** `field:le_field(other)` / `lt_field` (filter_le_field.go). */
@@ -111,11 +115,13 @@ object Pipe {
   /** `format "tpl<fld>" as out` — template parts are Left(literal) or
     * Right((transform, field)); transform "" = raw (pipe_format.go). */
   final case class Format(parts: Seq[Either[String, (String, String)]],
-                          out: String) extends Pipe
+                          out: String, iff: Option[Filter] = None) extends Pipe
   /** `extract "prefix<f1>sep<f2>" from field` (pipe_extract.go/pattern.go). */
   final case class Extract(steps: Seq[PatternStep], from: String,
-                           keepOriginal: Boolean, skipEmpty: Boolean) extends Pipe
-  final case class ExtractRegexp(re: String, from: String) extends Pipe
+                           keepOriginal: Boolean, skipEmpty: Boolean,
+                           iff: Option[Filter] = None) extends Pipe
+  final case class ExtractRegexp(re: String, from: String,
+                                 iff: Option[Filter] = None) extends Pipe
   final case class Replace(oldS: String, newS: String, at: String,
                            limit: Long) extends Pipe
   final case class ReplaceRegexp(re: String, repl: String, at: String,
@@ -130,7 +136,14 @@ object Pipe {
   final case class UnpackSyslog(from: String, prefix: String) extends Pipe
   final case class UnpackWords(from: String, out: String,
                                limit: Long) extends Pipe
-  final case class Unroll(fields: Seq[String]) extends Pipe
+  final case class Unroll(fields: Seq[String],
+                          iff: Option[Filter] = None) extends Pipe
+  /** `blocks_count` — scanned-block count; Spark analogue: distinct input
+    * files (pipe_blocks_count.go; file ≈ part/block). */
+  final case class BlocksCount(out: String) extends Pipe
+  /** `block_stats` — per-block storage stats; Spark analogue: per input
+    * file (pipe_block_stats.go). */
+  case object BlockStats extends Pipe
   final case class PackJson(out: String, fieldsList: Seq[String]) extends Pipe
   final case class PackLogfmt(out: String, fieldsList: Seq[String]) extends Pipe
   case object DropEmptyFields extends Pipe

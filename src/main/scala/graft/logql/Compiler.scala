@@ -182,6 +182,11 @@ object Compiler {
       strF(df, fld) >= lo && strF(df, fld) < hi
     case Filter.LenRange(fld, lo, hi) =>
       octet_length(strF(df, fld)).between(lo, hi)
+    case Filter.ValueType(fld, t) =>
+      // per-relation physical type (the Spark analogue of the per-block
+      // valueType — filter_value_type.go:67): constant true/false predicate
+      lit(valueTypeOf(df, fld) == t)
+
     case Filter.EqField(fld, other) =>
       // numeric-aware like le/lt_field: both sides parse → numeric equality
       // (promoted-typed-column analogue of filter_eq_field.go)
@@ -245,6 +250,18 @@ object Compiler {
     case Filter.StreamId(ids) => strF(df, "_stream_id").isin(ids: _*)
   }
 
+  /** Storage-type name of a column (values_encoder.go:19-59 valueType
+    * names, mapped from the promoted Spark types). */
+  private def valueTypeOf(df: DataFrame, fld: String): String =
+    fieldType(df, fld) match {
+      case Some(TimestampType) => if (fld == "_time") "time" else "iso8601"
+      case Some(DateType) => "iso8601"
+      case Some(LongType | IntegerType | ShortType | ByteType) => "int64"
+      case Some(DoubleType | FloatType) => "float64"
+      case Some(_) => "string"
+      case None => if (hasFieldsMap(df)) "string" else "" // missing: no match
+    }
+
   private val inSubqueryCap = 100000
 
   private def materializeInValues(ctx: Ctx, sub: Query): Seq[String] = {
@@ -280,13 +297,14 @@ object Compiler {
   }
 
   def ipv4Num(c: Column): Column = {
-    // one split + try_cast validation — no extra full-string regex pass
-    val p = split(c, "\\.", -1)
-    val parts = (0 to 3).map(i => p.getItem(i).try_cast("long"))
-    val ok = size(p) === 4 &&
-      parts.map(x => x.isNotNull && x >= 0L && x <= 255L).reduce(_ && _)
-    when(ok, parts(0) * 16777216L + parts(1) * 65536L +
-             parts(2) * 256L + parts(3))
+    // one anchored regex for shape, then substring_index part extraction —
+    // cheap codegen'd string scans instead of per-reference array splits
+    def part(i: Int) =
+      substring_index(substring_index(c, ".", i), ".", -1).cast(LongType)
+    val ok = c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$") &&
+      (1 to 4).map(i => part(i) <= 255L).reduce(_ && _)
+    when(ok, part(1) * 16777216L + part(2) * 65536L +
+             part(3) * 256L + part(4))
   }
 
   // ---------------------------------------------------------------- pipes
@@ -367,12 +385,18 @@ object Compiler {
     case Pipe.Math(exprs) =>
       exprs.foldLeft(df)((d, ea) => d.withColumn(ea._2, mathCol(d, ea._1, ctx)))
 
-    case Pipe.Format(parts, out) =>
+    case Pipe.Format(parts, out, iff) =>
       val cols = parts.map {
         case Left(litS) => lit(litS)
         case Right((tr, fld)) => formatTransform(tr, strF(df, fld))
       }
-      df.withColumn(out, if (cols.isEmpty) lit("") else concat(cols: _*))
+      val formatted = if (cols.isEmpty) lit("") else concat(cols: _*)
+      val v = iff match {
+        case Some(f) =>
+          when(compileFilter(df, f, ctx), formatted).otherwise(strF(df, out))
+        case None => formatted
+      }
+      df.withColumn(out, v)
 
     case e: Pipe.Extract => applyExtract(df, e)
     case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e)
@@ -436,10 +460,24 @@ object Compiler {
       val limited = if (limitN > 0) slice(words, 1, limitN.toInt) else words
       df.withColumn(out, to_json(limited))
 
-    case Pipe.Unroll(fields) =>
-      fields.foldLeft(df)((d, f) =>
-        d.withColumn(f, explode_outer(
-          from_json(strF(d, f), ArrayType(StringType)))))
+    case Pipe.Unroll(fields, iff) =>
+      // rows failing the `if` keep their original (un-unrolled) value
+      val cond = iff.map(f => compileFilter(df, f, ctx))
+      fields.foldLeft(df) { (d, f) =>
+        val parsed = from_json(strF(d, f), ArrayType(StringType))
+        val arr = cond match {
+          case Some(c) => when(c, parsed).otherwise(array(strF(d, f)))
+          case None => parsed
+        }
+        d.withColumn(f, explode_outer(arr))
+      }
+
+    case Pipe.BlocksCount(out) =>
+      df.agg(count_distinct(input_file_name()).as(out))
+
+    case Pipe.BlockStats =>
+      df.groupBy(input_file_name().as("part_path"))
+        .agg(count(lit(1)).as("rows"))
 
     case Pipe.PackJson(out, fieldsList) =>
       val names = if (fieldsList.nonEmpty) fieldsList
@@ -877,6 +915,7 @@ object Compiler {
     }
     val re = sb.result()
     val src = strF(df, e.from)
+    val cond = e.iff.map(f => compileFilter(df, f, Ctx(df, 0L, None)))
     names.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       if (f == "_") d
       else {
@@ -885,7 +924,11 @@ object Compiler {
           if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v)
           else if (e.skipEmpty) when(v =!= "", v).otherwise(strF(d, f))
           else v
-        d.withColumn(f, v2)
+        val v3 = cond match {
+          case Some(c) => when(c, v2).otherwise(strF(d, f))
+          case None => v2
+        }
+        d.withColumn(f, v3)
       }
     }
   }
@@ -910,8 +953,14 @@ object Compiler {
       i += 1
     }
     val src = strF(df, e.from)
+    val cond = e.iff.map(f => compileFilter(df, f, Ctx(df, 0L, None)))
     names.foldLeft(df) { case (d, (f, gi)) =>
-      d.withColumn(f, regexp_extract(src, re, gi))
+      val v = regexp_extract(src, re, gi)
+      val v2 = cond match {
+        case Some(c) => when(c, v).otherwise(strF(d, f))
+        case None => v
+      }
+      d.withColumn(f, v2)
     }
   }
 

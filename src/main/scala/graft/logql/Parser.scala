@@ -260,6 +260,15 @@ final class Parser(input: String, now: Long) {
     }
   }
 
+  /** Optional `if (<filters>)` clause on a pipe (if_filter.go:55). */
+  private def parseOptIf(): Option[Filter] =
+    if (consumeKeyword("if")) {
+      expect('(')
+      val f = parseOr("_msg")
+      expect(')')
+      Some(f)
+    } else None
+
   /** Looks ahead for a top-level '|' inside the upcoming (...) group. */
   private def peeksLikeSubquery(): Boolean = {
     skipWs()
@@ -344,6 +353,7 @@ final class Parser(input: String, now: Long) {
       if (args.size != 2) err("len_range expects 2 args")
       Filter.LenRange(field, parseNumberLiteral(args(0)).toLong,
                       parseNumberLiteral(args(1)).toLong)
+    case "value_type" => Filter.ValueType(field, parseArgList().head)
     case "eq_field" => Filter.EqField(field, parseArgList().head)
     case "le_field" => Filter.LeField(field, parseArgList().head)
     case "lt_field" => Filter.LtField(field, parseArgList().head)
@@ -629,9 +639,10 @@ final class Parser(input: String, now: Long) {
       case "format" => parseFormatPipe()
       case "extract" => parseExtractPipe()
       case "extract_regexp" =>
+        val iff = parseOptIf()
         val re = readToken()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
-        Pipe.ExtractRegexp(re, from)
+        Pipe.ExtractRegexp(re, from, iff)
       case "replace" =>
         val (a, b) = parsePairArgs()
         val at = if (consumeKeyword("at")) readToken() else "_msg"
@@ -665,8 +676,13 @@ final class Parser(input: String, now: Long) {
         val lim = if (consumeKeyword("limit")) readLong() else 0L
         Pipe.UnpackWords(from, out, lim)
       case "unroll" =>
+        val iff = parseOptIf()
         consumeKeyword("by")
-        Pipe.Unroll(parseFieldList(parens = true))
+        Pipe.Unroll(parseFieldList(parens = true), iff)
+      case "blocks_count" =>
+        val out = if (consumeKeyword("as")) readToken() else "blocks_count"
+        Pipe.BlocksCount(out)
+      case "block_stats" => Pipe.BlockStats
       case "pack_json" =>
         val out = if (consumeKeyword("as")) readToken() else "_msg"
         val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
@@ -1063,12 +1079,14 @@ final class Parser(input: String, now: Long) {
   // ----------------------------------------------------------- format pipe
 
   private def parseFormatPipe(): Pipe = {
+    val iff = parseOptIf()
     val tpl = readToken()
     val out = if (consumeKeyword("as")) readToken() else "_msg"
-    Pipe.Format(Parser.parseFormatTemplate(tpl), out)
+    Pipe.Format(Parser.parseFormatTemplate(tpl), out, iff)
   }
 
   private def parseExtractPipe(): Pipe = {
+    val iff = parseOptIf()
     val pat = readToken()
     val from = if (consumeKeyword("from")) readToken() else "_msg"
     var keepOrig = false
@@ -1079,7 +1097,7 @@ final class Parser(input: String, now: Long) {
       else if (consumeKeyword("skip_empty_results")) skipEmpty = true
       else more = false
     }
-    Pipe.Extract(Parser.parsePatternSteps(pat), from, keepOrig, skipEmpty)
+    Pipe.Extract(Parser.parsePatternSteps(pat), from, keepOrig, skipEmpty, iff)
   }
 }
 

@@ -37,6 +37,10 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     server.createContext("/select/logsql/field_names", handler(handleFieldNames))
     server.createContext("/select/logsql/field_values", handler(handleFieldValues))
     server.createContext("/select/logsql/tail", handler(handleTail))
+    server.createContext("/select/logsql/streams", handler(handleStreams))
+    server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
+    server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
+    server.createContext("/select/logsql/stream_field_values", handler(handleStreamFieldValues))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server.getAddress.getPort
@@ -253,6 +257,55 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     respond(ex, 200,
       valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
   }
+
+  // stream metadata discovery (Storage.GetStreams / GetStreamFieldNames /
+  // GetStreamFieldValues, storage_search.go:188-489) — served from the
+  // `_stream` label map of the matching rows
+
+  private def requireStream(): Unit =
+    if (!source.columns.contains("_stream"))
+      throw new IllegalArgumentException("source has no _stream column (not a log-store view)")
+
+  private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val df = runQ(parseQ(ps))
+    val canon = concat(lit("{"), concat_ws(",",
+      transform(array_sort(map_entries(col("_stream"))),
+        e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))), lit("}"))
+    val out = df.groupBy(canon.as("v")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("v"))
+    respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
+  }
+
+  private def handleStreamIds(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val df = runQ(parseQ(ps))
+    val out = df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("v"))
+    respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
+  }
+
+  private def handleStreamFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val df = runQ(parseQ(ps))
+    val out = df.select(explode(map_keys(col("_stream"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
+    respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
+  }
+
+  private def handleStreamFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
+    val df = runQ(parseQ(ps))
+    val out = df.select(element_at(col("_stream"), fld).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("v"))
+    respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
+  }
+
+  private def limited(df: DataFrame, ps: Map[String, Seq[String]]): DataFrame =
+    one(ps, "limit").map(l => df.limit(l.toInt)).getOrElse(df)
 
   /** Live tail (logsql.go:497-660): poll loop re-running the query over
     * `(lastSeen, now]`, streaming new rows as NDJSON. `max_polls` bounds

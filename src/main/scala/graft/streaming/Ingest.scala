@@ -51,6 +51,113 @@ object Ingest {
         lit("facility"), col("facility")).as("fields"))
   }
 
+  /** Elasticsearch bulk payload (app/vlinsert/elasticsearch/
+    * elasticsearch.go): action metadata lines are dropped, document lines
+    * parse like jsonline with `@timestamp`/`message` as the specials. */
+  def parseElasticsearchBulk(lines: DataFrame): DataFrame = {
+    val isAction = col("value").rlike(
+      """^\s*\{\s*"(index|create|update|delete)"\s*:""")
+    parseJsonline(lines.filter(!isAction), "@timestamp", "message")
+  }
+
+  /** Loki push JSON payload (app/vlinsert/loki/loki.go):
+    * `{"streams":[{"stream":{labels},"values":[["<ns>","line"],...]}]}` —
+    * one input row per POST body, exploded to one row per log line. */
+  def parseLokiJson(payloads: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("streams", ArrayType(StructType(Seq(
+      StructField("stream", MapType(StringType, StringType)),
+      StructField("values", ArrayType(ArrayType(StringType)))))))))
+    payloads
+      .select(explode(from_json(col("value"), schema).getField("streams")).as("s"))
+      .select(col("s.stream").as("fields"), explode(col("s.values")).as("v"))
+      .select(
+        timestamp_micros((col("v").getItem(0).cast(LongType) / 1000L).cast(LongType)).as("_time"),
+        col("v").getItem(1).as("_msg"),
+        col("fields"))
+  }
+
+  /** OpenTelemetry logs JSON payload (app/vlinsert/opentelemetry/
+    * opentelemetry.go): resourceLogs → scopeLogs → logRecords. */
+  def parseOtlpJson(payloads: DataFrame): DataFrame = {
+    val attr = StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", StructType(Seq(StructField("stringValue", StringType))))))
+    val schema = StructType(Seq(StructField("resourceLogs", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(StructField("attributes", ArrayType(attr))))),
+      StructField("scopeLogs", ArrayType(StructType(Seq(
+        StructField("logRecords", ArrayType(StructType(Seq(
+          StructField("timeUnixNano", StringType),
+          StructField("severityText", StringType),
+          StructField("body", StructType(Seq(StructField("stringValue", StringType)))),
+          StructField("attributes", ArrayType(attr))))))))))))))))
+    payloads
+      .select(explode(from_json(col("value"), schema).getField("resourceLogs")).as("rl"))
+      .select(col("rl.resource.attributes").as("res_attrs"),
+        explode(col("rl.scopeLogs")).as("sl"))
+      .select(col("res_attrs"), explode(col("sl.logRecords")).as("r"))
+      .select(
+        timestamp_micros((col("r.timeUnixNano").cast(LongType) / 1000L).cast(LongType)).as("_time"),
+        coalesce(col("r.body.stringValue"), lit("")).as("_msg"),
+        map_concat(
+          attrsToMap(col("res_attrs")),
+          attrsToMap(col("r.attributes")),
+          when(col("r.severityText").isNotNull,
+            map(lit("severity"), col("r.severityText")))
+            .otherwise(map().cast(MapType(StringType, StringType)))).as("fields"))
+  }
+
+  private def attrsToMap(attrs: org.apache.spark.sql.Column) =
+    coalesce(
+      map_from_entries(transform(attrs, a =>
+        struct(a.getField("key").as("key"),
+               coalesce(a.getField("value").getField("stringValue"), lit("")).as("value")))),
+      map().cast(MapType(StringType, StringType)))
+
+  /** DataDog logs JSON payload (app/vlinsert/datadog/datadog.go): an array
+    * of `{message, ddtags, hostname, service, ...}` objects. */
+  def parseDatadogJson(payloads: DataFrame): DataFrame = {
+    val item = StructType(Seq(
+      StructField("message", StringType),
+      StructField("ddtags", StringType),
+      StructField("hostname", StringType),
+      StructField("service", StringType),
+      StructField("timestamp", StringType)))
+    payloads
+      .select(explode(from_json(col("value"), ArrayType(item))).as("r"))
+      .select(
+        coalesce(col("r.timestamp").try_cast("timestamp"),
+          current_timestamp()).as("_time"),
+        coalesce(col("r.message"), lit("")).as("_msg"),
+        map_concat(
+          map(lit("hostname"), coalesce(col("r.hostname"), lit("")),
+              lit("service"), coalesce(col("r.service"), lit(""))),
+          // ddtags "k:v,k2:v2" → map entries (tag name prefixed like the
+          // reference's tag fields)
+          coalesce(
+            map_from_entries(transform(
+              filter(split(coalesce(col("r.ddtags"), lit("")), ","), t => t.contains(":")),
+              t => struct(substring_index(t, ":", 1).as("key"),
+                          substring_index(t, ":", -1).as("value")))),
+            map().cast(MapType(StringType, StringType)))).as("fields"))
+  }
+
+  /** journald export format (app/vlinsert/journald/journald.go): entries
+    * are blank-line-separated `FIELD=value` blocks; `value` carries one
+    * block per row (pre-split by the transport). */
+  def parseJournaldExport(blocks: DataFrame): DataFrame = {
+    val pairs = filter(split(col("value"), "\n"), l => l.contains("="))
+    val m = map_from_entries(transform(pairs, l =>
+      struct(substring_index(l, "=", 1).as("key"),
+             regexp_replace(l, "^[^=]*=", "").as("value"))))
+    blocks.select(
+      coalesce(
+        timestamp_micros(element_at(m, "__REALTIME_TIMESTAMP").try_cast("long")),
+        current_timestamp()).as("_time"),
+      coalesce(element_at(m, "MESSAGE"), lit("")).as("_msg"),
+      map_filter(m, (k, _) =>
+        k =!= "MESSAGE" && k =!= "__REALTIME_TIMESTAMP").as("fields"))
+  }
+
   /** Promote stream label fields out of the `fields` map so LogStore can
     * derive `_stream_id` from them. */
   private def promote(df: DataFrame, streamFields: Seq[String]): DataFrame =
@@ -87,6 +194,11 @@ object Ingest {
     val parser: DataFrame => DataFrame = format match {
       case "jsonline" => parseJsonline(_)
       case "syslog" => parseSyslog(_)
+      case "elasticsearch" => parseElasticsearchBulk
+      case "loki" => parseLokiJson
+      case "otlp" => parseOtlpJson
+      case "datadog" => parseDatadogJson
+      case "journald" => parseJournaldExport
       case other => throw new IllegalArgumentException(s"unknown format '$other'")
     }
     spark.readStream.text(srcDir)

@@ -87,6 +87,28 @@ class ServerSpec extends SparkSuite {
     assert(lines.nonEmpty && lines.forall(_.contains("signup")))
   }
 
+  test("streams metadata endpoints over a store-backed server") {
+    val dir = graft.store.LogStore.ensureFromEvents(spark, "/root/testdata/sf0.001")
+    val s2 = new QueryServer(spark, graft.store.LogStore.read(spark, dir))
+    val p2 = s2.start()
+    def get2(pq: String): String = {
+      val conn = new URI(s"http://127.0.0.1:$p2$pq").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      conn.disconnect(); body
+    }
+    try {
+      val streams = get2(s"/select/logsql/streams?query=${enc("*")}")
+      assert(streams.contains("""{event_type=\"purchase\"}"""))
+      val ids = get2(s"/select/logsql/stream_ids?query=${enc("*")}")
+      assert(ids.contains(""""hits":"""))
+      val names = get2(s"/select/logsql/stream_field_names?query=${enc("*")}")
+      assert(names.contains(""""value":"event_type""""))
+      val vals = get2(s"/select/logsql/stream_field_values?query=${enc("*")}&field=event_type")
+      assert(vals.contains(""""value":"signup""""))
+    } finally s2.stop()
+  }
+
   test("bad query returns a JSON error") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
     assert(code == 400)

@@ -42,6 +42,69 @@ class IngestSpec extends SparkSuite {
     assert(m("scheduled run")("hostname") == "host2")
   }
 
+  test("elasticsearch bulk parser drops action lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"index":{"_index":"logs"}}""",
+      """{"@timestamp":"2024-01-05T10:00:00Z","message":"doc one","level":"info"}""",
+      """{"create":{}}""",
+      """{"message":"doc two","app":"x"}""").toDF("value")
+    val out = Ingest.parseElasticsearchBulk(lines).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("_msg")).toSet == Set("doc one", "doc two"))
+  }
+
+  test("loki push JSON explodes streams and values") {
+    import spark.implicits._
+    val payload =
+      """{"streams":[{"stream":{"app":"web","env":"prod"},
+         "values":[["1704449000000000000","line a"],["1704449001000000000","line b"]]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out = Ingest.parseLokiJson(Seq(payload).toDF("value")).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Map[String, String]]("fields")("app") == "web"))
+    assert(out.map(_.getAs[String]("_msg")).toSet == Set("line a", "line b"))
+    assert(out.head.getAs[java.sql.Timestamp]("_time").toInstant.toString
+      == "2024-01-05T10:03:20Z")
+  }
+
+  test("OTLP logs JSON flattens resource and record attributes") {
+    import spark.implicits._
+    val payload =
+      """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"cart"}}]},
+         "scopeLogs":[{"logRecords":[
+           {"timeUnixNano":"1704449000000000000","severityText":"INFO",
+            "body":{"stringValue":"added item"},
+            "attributes":[{"key":"user","value":{"stringValue":"u1"}}]}]}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out = Ingest.parseOtlpJson(Seq(payload).toDF("value")).collect()
+    assert(out.length == 1)
+    val f = out.head.getAs[Map[String, String]]("fields")
+    assert(f("service.name") == "cart" && f("user") == "u1" && f("severity") == "INFO")
+    assert(out.head.getAs[String]("_msg") == "added item")
+  }
+
+  test("datadog JSON array parses tags") {
+    import spark.implicits._
+    val payload =
+      """[{"message":"dd msg","ddtags":"env:prod,team:core","hostname":"h9","service":"api"}]"""
+    val out = Ingest.parseDatadogJson(Seq(payload).toDF("value")).collect()
+    assert(out.length == 1)
+    val f = out.head.getAs[Map[String, String]]("fields")
+    assert(f("env") == "prod" && f("team") == "core" && f("hostname") == "h9")
+  }
+
+  test("journald export blocks parse FIELD=value pairs") {
+    import spark.implicits._
+    val block = "MESSAGE=unit started\n__REALTIME_TIMESTAMP=1704449000000000\nPRIORITY=6\n_SYSTEMD_UNIT=web.service"
+    val out = Ingest.parseJournaldExport(Seq(block).toDF("value")).collect()
+    assert(out.head.getAs[String]("_msg") == "unit started")
+    val f = out.head.getAs[Map[String, String]]("fields")
+    assert(f("PRIORITY") == "6" && f("_SYSTEMD_UNIT") == "web.service")
+    assert(out.head.getAs[java.sql.Timestamp]("_time").toInstant.toString
+      == "2024-01-05T10:03:20Z")
+  }
+
   test("file stream ingest: jsonline files → store → LogsQL query") {
     val src = tmp("src")
     val store = tmp("store")
