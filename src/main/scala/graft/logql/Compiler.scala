@@ -297,14 +297,17 @@ object Compiler {
   }
 
   def ipv4Num(c: Column): Column = {
-    // one anchored regex for shape, then substring_index part extraction —
-    // cheap codegen'd string scans instead of per-reference array splits
-    def part(i: Int) =
-      substring_index(substring_index(c, ".", i), ".", -1).cast(LongType)
-    val ok = c.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$") &&
-      (1 to 4).map(i => part(i) <= 255L).reduce(_ && _)
-    when(ok, part(1) * 16777216L + part(2) * 65536L +
-             part(3) * 256L + part(4))
+    // one anchored octet-validating regex (0-255 enforced in the pattern),
+    // then a single split for the arithmetic — benchmarked faster than
+    // per-part try_cast/range-check variants (each extra part reference
+    // re-evaluates its extraction; no common-subexpression sharing)
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    val p = split(c, "\\.")
+    when(c.rlike(s"^$octet\\.$octet\\.$octet\\.$octet$$"),
+      p.getItem(0).cast(LongType) * 16777216L +
+      p.getItem(1).cast(LongType) * 65536L +
+      p.getItem(2).cast(LongType) * 256L +
+      p.getItem(3).cast(LongType))
   }
 
   // ---------------------------------------------------------------- pipes
@@ -717,8 +720,8 @@ object Compiler {
         if (fields.size == 1) avg(iff(numF(df, fields.head)))
         else nAgg(fields, f => sum(iff(numF(df, f)))) /
              nAgg(fields, f => count(iff(numF(df, f))))
-      case Min(fields) => nAgg(fields, f => min(iff(minMaxKey(df, f)))) // numeric-aware for strings
-      case Max(fields) => nAgg(fields, f => max(iff(minMaxKey(df, f))))
+      case Min(fields) => minMaxAgg(df, fields, iff, isMin = true)
+      case Max(fields) => minMaxAgg(df, fields, iff, isMin = false)
       case Median(fields) =>
         call_function("percentile", iff(numF(df, fields.head)), lit(0.5))
       case Quantile(phi, fields) =>
@@ -775,10 +778,31 @@ object Compiler {
     when(s =!= "", s)
   }
 
-  /** min/max over numerics uses the native column; strings stay lexicographic
-    * (numeric-aware string collation is a documented deviation for now). */
-  private def minMaxKey(df: DataFrame, f: String): Column =
-    if (isNativeOrderable(df, f)) col(quoteName(f)) else strF(df, f)
+  /** min/max with numeric-aware collation (stats_min.go/stats_max.go use
+    * the same value ordering as sort — numbers compare numerically): all-
+    * native fields keep the typed column (typed output); string fields
+    * order by a (tier, number, string) struct key and return the original
+    * value. Multi-field variants take the per-row min/max ACROSS fields
+    * first (least/greatest), then aggregate. */
+  private def minMaxAgg(df: DataFrame, fields: Seq[String],
+                        iff: Column => Column, isMin: Boolean): Column = {
+    def pick(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else if (isMin) least(cs: _*) else greatest(cs: _*)
+    if (fields.forall(isNativeOrderable(df, _))) {
+      val c = iff(pick(fields.map(f => col(quoteName(f)))))
+      if (isMin) min(c) else max(c)
+    } else {
+      def key(f: String): Column = {
+        val s = strF(df, f)
+        val n = s.try_cast("double")
+        struct(when(s === "", 0).when(n.isNotNull, 1).otherwise(2).as("t"),
+               coalesce(n, lit(0d)).as("n"), s.as("s"))
+      }
+      val c = iff(pick(fields.map(key)))
+      (if (isMin) min(c) else max(c)).getField("s")
+    }
+  }
 
   // ----------------------------------------------------------------- math
 

@@ -190,6 +190,15 @@ class CompilerSpec extends SparkSuite {
     assert(r.getSeq[String](0) == Seq("error", "info", "warn"))
   }
 
+  test("min/max numeric-aware string collation") {
+    // v: "10", "2.5", "7", "n/a", "" → empty < numbers(2.5 < 7 < 10) < other
+    val r = run("* | stats min(v) mn, max(v) mx").collect().head
+    assert(r.getString(0) == "")
+    assert(r.getString(1) == "n/a")
+    val r2 = run("""v:* -v:="n/a" | stats min(v) mn, max(v) mx""").collect().head
+    assert(r2.getString(0) == "2.5" && r2.getString(1) == "10")
+  }
+
   test("row_max") {
     val r = run("* | stats row_max(v) rm").collect().head
     assert(r.getString(0).contains("connection error"))
