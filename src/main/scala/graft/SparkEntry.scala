@@ -482,6 +482,12 @@ object SparkEntry {
       graft.logql.Compiler.run(logs,
         """{event_type="purchase"} _time:[2024-01-05, 2024-01-20) | stats by (event_type) count() hits""")
     }),
+    // ---- token-bloom file pruning for full-text search (SURVEY §7 M7) ----
+    "q_store_bloom" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      graft.store.MsgBloom.ensure(s, dir)
+      graft.store.MsgBloom.query(s, dir, "\"89\" | stats count() hits")
+    }),
     // ---- stream_context pipe over the store (§2.2 #33) ----
     "q_stream_context" -> ((s, d) => {
       val dir = graft.store.LogStore.ensureFromEvents(s, d)
@@ -858,6 +864,9 @@ object SparkEntry {
          WHERE event_type = 'purchase'
            AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
          GROUP BY 1""",
+    "q_store_bloom" ->
+      """SELECT count(*) AS hits FROM events
+         WHERE regexp_matches(props, '\b89\b')""",
     "q_stream_context" ->
       """WITH m AS (
            SELECT event_type, event_id, epoch_us(ts) AS tsu,

@@ -1,0 +1,147 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextMatch
+
+/** M7 token-bloom sidecar: per-file bloom filters over `_msg` word tokens,
+  * the Spark-layout analogue of the reference's per-block bloom pruning
+  * (bloomfilter.go:22-110, matchBloomFilterAllTokens filter_phrase.go:122).
+  *
+  * Build: one pass over the store computes a bitmap per parquet file from
+  * the xxhash64 of each distinct `_msg` token (double-hashing, k probes).
+  * Query: phrase/word filters check the (tiny) sidecar table first and
+  * scan only files whose bloom contains EVERY required token — full-text
+  * needle queries skip the bulk of a 100 TB table without reading it.
+  */
+object MsgBloom {
+
+  val DefaultBits: Int = 1 << 20 // 128 KiB per file
+  val NumHashes: Int = 4
+
+  private def probes(hash: Long, mBits: Int): Seq[Int] = {
+    val h1 = hash
+    val h2 = (hash >>> 32) | (hash << 32)
+    (0 until NumHashes).map { i =>
+      (((h1 + i * h2) % mBits + mBits) % mBits).toInt
+    }
+  }
+
+  private class BloomAgg(mBits: Int)
+      extends Aggregator[Long, Array[Long], Array[Byte]] {
+    def zero: Array[Long] = new Array[Long](mBits / 64)
+    def reduce(buf: Array[Long], hash: Long): Array[Long] = {
+      probes(hash, mBits).foreach(p => buf(p >>> 6) |= (1L << (p & 63)))
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Byte] = {
+      // little-endian so byte (p>>>3) bit (p&7) addresses bit p directly
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def mightContain(bloom: Array[Byte], tokenHash: Long): Boolean = {
+    val mBits = bloom.length * 8
+    probes(tokenHash, mBits).forall { p =>
+      val byte = bloom(p >>> 3)
+      (byte & (1 << (p & 7))) != 0
+    }
+  }
+
+  /** xxhash64 of a token, computed through Spark so the build and probe
+    * sides share one implementation. */
+  def tokenHashes(spark: SparkSession, tokens: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    if (tokens.isEmpty) Map.empty
+    else tokens.toDF("t").select(col("t"), xxhash64(col("t")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  /** Idempotently build the sidecar once per (dir, JVM). */
+  def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(dir) &&
+        !new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists())
+      build(spark, dir)
+    built += dir
+  }
+
+  /** Build the sidecar: `<dir>/msg_bloom` with (file, bloom) per data file. */
+  def build(spark: SparkSession, dir: String, mBits: Int = DefaultBits): Unit = {
+    val logs = LogStore.read(spark, dir)
+    val agg = udaf(new BloomAgg(mBits), Encoders.scalaLong)
+    logs
+      .select(input_file_name().as("file"),
+        explode(array_distinct(TextMatch.tokenize(col("_msg")))).as("tok"))
+      .groupBy("file")
+      .agg(agg(xxhash64(col("tok"))).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/msg_bloom")
+  }
+
+  /** Files of `dir` whose bloom may contain ALL `tokens`; None when no
+    * sidecar exists (scan everything). */
+  def candidateFiles(spark: SparkSession, dir: String,
+                     tokens: Seq[String]): Option[Seq[String]] = {
+    if (tokens.isEmpty) return None
+    if (!new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists()) return None
+    val hashes = tokenHashes(spark, tokens).values.toSeq
+    val blooms = spark.read.parquet(s"$dir/msg_bloom")
+      .collect().map(r => (r.getAs[String]("file"), r.getAs[Array[Byte]]("bloom")))
+    Some(blooms.collect {
+      // input_file_name() yields a percent-encoded URI; decode back to the
+      // on-disk path before handing it to spark.read
+      case (f, b) if hashes.forall(mightContain(b, _)) =>
+        new java.net.URI(f).getPath
+    }.toSeq)
+  }
+
+  /** The store's log relation restricted to files that may match all
+    * `tokens` (basePath keeps the partition columns). An empty candidate
+    * list yields an empty relation with the full schema. */
+  def prunedLogs(spark: SparkSession, dir: String,
+                 tokens: Seq[String]): DataFrame =
+    candidateFiles(spark, dir, tokens) match {
+      case None => LogStore.read(spark, dir)
+      case Some(Nil) => LogStore.read(spark, dir).where(lit(false))
+      case Some(files) =>
+        spark.read.option("basePath", s"$dir/logs").parquet(files: _*)
+    }
+
+  /** Word/phrase tokens that every matching row must contain, from the
+    * query's top-level AND filters on `_msg` (the same tokens the
+    * reference feeds its bloom check — filter_phrase.go:61-122). */
+  def requiredMsgTokens(f: graft.logql.Filter): Seq[String] = {
+    import graft.logql.Filter._
+    f match {
+      case And(fs) => fs.flatMap(requiredMsgTokens)
+      case Phrase("_msg", p) => TextMatch.tokenizeString(p)
+      case Sequence("_msg", ps) => ps.flatMap(TextMatch.tokenizeString)
+      case ContainsAll("_msg", vs) => vs.flatMap(TextMatch.tokenizeString)
+      case Exact("_msg", v) => TextMatch.tokenizeString(v)
+      case _ => Nil
+    }
+  }
+
+  /** Run a LogsQL query over the store with bloom-assisted file pruning. */
+  def query(spark: SparkSession, dir: String, queryText: String): DataFrame = {
+    val q = graft.logql.Parser.parse(queryText,
+      System.currentTimeMillis() * 1000000L)
+    val tokens = requiredMsgTokens(q.filter).distinct
+    val logs = prunedLogs(spark, dir, tokens)
+    graft.logql.Compiler.run(logs, q, System.currentTimeMillis() * 1000000L)
+  }
+}

@@ -44,6 +44,27 @@ class StoreSpec extends SparkSuite {
     assert(out.collect().head.getLong(0) == expect)
   }
 
+  test("msg bloom sidecar prunes files and preserves results") {
+    MsgBloom.ensure(spark, storeDir)
+    // nonsense token → zero candidate files → empty result, no scan
+    assert(MsgBloom.candidateFiles(spark, storeDir, Seq("qqqmissingtoken")).get.isEmpty)
+    assert(MsgBloom.query(spark, storeDir,
+      "qqqmissingtoken | stats count() c").collect().head.getLong(0) == 0)
+    // pick a real token from the data; pruned result == full-scan result
+    val logs = LogStore.read(spark, storeDir)
+    val tok = graft.functions.TextMatch.tokenizeString(
+      logs.select("_msg").head().getString(0)).last
+    val pruned = MsgBloom.query(spark, storeDir,
+      "\"" + tok + "\" | stats count() c").collect().head.getLong(0)
+    val full = Compiler.run(logs, "\"" + tok + "\" | stats count() c")
+      .collect().head.getLong(0)
+    assert(pruned == full && full > 0)
+    // candidate list for the real token is a subset of all files
+    val total = spark.read.parquet(s"$storeDir/msg_bloom").count()
+    val cand = MsgBloom.candidateFiles(spark, storeDir, Seq(tok)).get.size
+    assert(cand <= total)
+  }
+
   test("stream_context returns surrounding rows per stream") {
     def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
     val schema = StructType(Seq(
