@@ -68,6 +68,39 @@ object LogStore {
   def streams(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/streams")
 
+  /** Days present in the store, newest first. */
+  def listDays(dir: String): Seq[String] = {
+    val root = new java.io.File(s"$dir/logs")
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty).toSeq)
+      .map(_.getName).filter(_.startsWith("_day="))
+      .map(_.stripPrefix("_day=")).distinct.sorted.reverse
+  }
+
+  /** Newest-first last-N descent (CanReturnLastNResults parser.go:470 +
+    * getLastNQueryResults logsql.go:1005-1074): for "latest N matching
+    * rows" queries, scan the newest day partitions first and widen
+    * (doubling) until N rows are found — a needle query over years of
+    * retention touches days, not the table. Returns the rows plus the
+    * number of days actually scanned. */
+  def lastN(spark: SparkSession, dir: String, filterText: String,
+            n: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val days = listDays(dir)
+    val logs = read(spark, dir)
+    var take = 1
+    while (take < days.length) {
+      val window = days.take(take)
+      val sub = logs.filter(col("_day").isin(window: _*))
+      val res = graft.logql.Compiler.run(sub, filterText)
+        .orderBy(col("_time").desc).limit(n)
+      if (res.count() >= n) return (res, take)
+      take = math.min(take * 2, days.length)
+    }
+    (graft.logql.Compiler.run(logs, filterText)
+      .orderBy(col("_time").desc).limit(n), days.length)
+  }
+
   // ---------------------------------------------------------- dev helpers
 
   private val built = scala.collection.mutable.Set.empty[String]

@@ -180,6 +180,48 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseException](parse("* | bogus_pipe x"))
   }
 
+  test("stream_context parses before/after/time_window") {
+    assert(parse("* | stream_context before 3 after 1").pipes.head ==
+      Pipe.StreamContext(3, 1, 3600L * 1000000000L))
+    assert(parse("* | stream_context after 2 time_window 5m").pipes.head ==
+      Pipe.StreamContext(0, 2, 300L * 1000000000L))
+  }
+
+  test("in(subquery) vs in(values)") {
+    assert(parse("f:in(a, b)").filter == Filter.In("f", Seq("a", "b")))
+    parse("f:in(x:y | fields f)").filter match {
+      case Filter.InQuery("f", sub) =>
+        assert(sub.pipes == Seq(Pipe.Fields(Seq("f"))))
+      case other => fail(s"expected InQuery, got $other")
+    }
+  }
+
+  test("value_type / blocks_count / block_stats parse") {
+    assert(parse("f:value_type(int64)").filter == Filter.ValueType("f", "int64"))
+    assert(parse("* | blocks_count as bc").pipes.head == Pipe.BlocksCount("bc"))
+    assert(parse("* | block_stats").pipes.head == Pipe.BlockStats)
+  }
+
+  test("if (...) options on format/extract/unroll") {
+    parse("""* | format if (a:b) "x" as out""").pipes.head match {
+      case f: Pipe.Format => assert(f.iff.isDefined && f.out == "out")
+      case other => fail(other.toString)
+    }
+    parse("""* | extract if (a:b) "p<f>" from m""").pipes.head match {
+      case e: Pipe.Extract => assert(e.iff.isDefined)
+      case other => fail(other.toString)
+    }
+    parse("* | unroll if (a:b) by (arr)").pipes.head match {
+      case u: Pipe.Unroll => assert(u.iff.isDefined && u.fields == Seq("arr"))
+      case other => fail(other.toString)
+    }
+  }
+
+  test("html entities decode in format templates") {
+    assert(Parser.parseFormatTemplate("&lt;134&gt;1 <f>") ==
+      Seq(Left("<134>1 "), Right(("", "f"))))
+  }
+
   test("number literals") {
     assert(NumLit.parse("5KiB").contains(5 * 1024d))
     assert(NumLit.parse("1h30m").contains(5400d))

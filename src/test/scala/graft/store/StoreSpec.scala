@@ -65,6 +65,22 @@ class StoreSpec extends SparkSuite {
     assert(cand <= total)
   }
 
+  test("lastN descends newest day partitions first") {
+    val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
+    val rows = res.collect()
+    assert(rows.length == 5)
+    // matches a full-table sort
+    val logs = LogStore.read(spark, storeDir)
+    val expect = logs.orderBy(col("_time").desc).limit(5)
+      .select("_time").collect().map(_.getTimestamp(0)).toSeq
+    assert(rows.map(_.getAs[java.sql.Timestamp]("_time")).toSeq == expect)
+    // and did NOT scan the whole retention window
+    assert(daysScanned < LogStore.listDays(storeDir).length)
+    // rare filter widens but still terminates correctly
+    val (res2, _) = LogStore.lastN(spark, storeDir, "event_type:error", 3)
+    assert(res2.count() == 3)
+  }
+
   test("stream_context returns surrounding rows per stream") {
     def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
     val schema = StructType(Seq(
