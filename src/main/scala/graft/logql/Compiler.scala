@@ -262,6 +262,21 @@ object Compiler {
       case None => if (hasFieldsMap(df)) "string" else "" // missing: no match
     }
 
+  /** rate()/rate_sum() divisor: the query's explicit `_time:` span, else
+    * the source's actual min/max `_time` span (the reference divides by
+    * the storage time span when the query has no range — stats_rate.go;
+    * one tiny agg job, only when a rate func is actually used). */
+  private def rateSpanSeconds(ctx: Ctx): Double =
+    ctx.rangeSeconds.getOrElse {
+      val src = ctx.source
+      if (hasCol(src, "_time") || hasCol(src, "ts")) {
+        val t = timeMicros(src)
+        val r = src.agg(min(t), max(t)).collect().head
+        if (r.isNullAt(0)) 1d
+        else math.max((r.getLong(1) - r.getLong(0)) / 1e6, 1d)
+      } else 1d
+    }
+
   private val inSubqueryCap = 100000
 
   private def materializeInValues(ctx: Ctx, sub: Query): Seq[String] = {
@@ -758,9 +773,9 @@ object Compiler {
         min_by(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)),
                iff(numF(df, f)))
       case Rate() =>
-        count(iff(lit(1))).cast(DoubleType) / lit(ctx.rangeSeconds.getOrElse(1d))
+        count(iff(lit(1))).cast(DoubleType) / lit(rateSpanSeconds(ctx))
       case RateSum(f) =>
-        sum(iff(numF(df, f))) / lit(ctx.rangeSeconds.getOrElse(1d))
+        sum(iff(numF(df, f))) / lit(rateSpanSeconds(ctx))
       case Histogram(f) =>
         graft.functions.VmHistogram.column(iff(numF(df, f)))
     }

@@ -47,21 +47,26 @@ object Multimodal {
   }
 
   /** Batched feature extraction: binary column → `Array[Float]` embedding.
-    * Runs per-partition (one JVM call per batch of rows, like mapInPandas
-    * batches), preserving partitioning — no shuffle. */
+    * Runs per-partition in fixed-size batches (the Scala analogue of
+    * mapInPandas batch shape — a real codec amortizes JNI/model-call
+    * overhead across each batch), preserving partitioning — no shuffle. */
   def extractFeatures(df: DataFrame, contentCol: String,
-                      dim: Int = 16): DataFrame = {
+                      dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(idx) match {
-          case b: Array[Byte] => b
-          case null => Array.emptyByteArray
-          case other => other.toString.getBytes("UTF-8")
+      rows.grouped(batchSize).flatMap { batch =>
+        // one codec invocation per batch; the stub decodes item-wise
+        val feats = batch.map { r =>
+          val bytes = r.get(idx) match {
+            case b: Array[Byte] => b
+            case null => Array.emptyByteArray
+            case other => other.toString.getBytes("UTF-8")
+          }
+          decodeStub(bytes, dim)
         }
-        Row.fromSeq(r.toSeq :+ decodeStub(bytes, dim).toSeq)
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
       }
     }(enc)
   }
