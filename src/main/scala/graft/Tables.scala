@@ -5,8 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
+  // memoized per (session, path): reusing one DataFrame instance lets
+  // Spark reuse its InMemoryFileIndex + schema across queries instead of
+  // re-listing and re-reading footers per query (metastore-like behavior)
+  private val cache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    synchronized {
+      cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+        spark.read.parquet(s"$sfDir/$name.parquet"))
+    }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame   = load(spark, d, "orders")
