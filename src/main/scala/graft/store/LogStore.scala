@@ -60,13 +60,30 @@ object LogStore {
     withMeta.select(col("_stream_id"), col("_stream"))
       .dropDuplicates("_stream_id")
       .write.mode("overwrite").parquet(s"$dir/streams")
+    invalidate(dir)
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/logs")
+  // memoized per (session, dir) so queries reuse the partition-discovery
+  // file index; invalidated on every write into the dir
+  private val readCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  def streams(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/streams")
+  private def invalidate(dir: String): Unit = synchronized {
+    readCache.filterInPlace { case ((_, d), _) => !d.startsWith(dir) }
+  }
+
+  /** Drop cached relations under `dir` after an external write. */
+  def invalidateCaches(dir: String): Unit = invalidate(dir)
+
+  def read(spark: SparkSession, dir: String): DataFrame = synchronized {
+    readCache.getOrElseUpdate((spark, s"$dir/logs"),
+      spark.read.parquet(s"$dir/logs"))
+  }
+
+  def streams(spark: SparkSession, dir: String): DataFrame = synchronized {
+    readCache.getOrElseUpdate((spark, s"$dir/streams"),
+      spark.read.parquet(s"$dir/streams"))
+  }
 
   /** Days present in the store, newest first. */
   def listDays(dir: String): Seq[String] = {

@@ -184,6 +184,7 @@ object Ingest {
       .parquet(s"$dir/logs")
     withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
       .write.mode("append").parquet(s"$dir/streams")
+    LogStore.invalidateCaches(dir)
   }
 
   /** File-source streaming ingest: text lines under `srcDir` → parser →
