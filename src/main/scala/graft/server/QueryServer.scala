@@ -104,17 +104,25 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
       java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
     else java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z").toEpochMilli * 1000000L
 
-  /** Parse query + optional [start, end) range into an AST. */
-  private def parseQ(ps: Map[String, Seq[String]]): Query = {
+  /** Parse query + optional [start, end) range into an AST; requests with
+    * AccountID/ProjectID headers are scoped to their tenant partition
+    * (tenant_id.go:15-21 — default 0:0). */
+  private def parseQ(ex: HttpExchange, ps: Map[String, Seq[String]]): Query = {
     val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
-    val q = Parser.parse(text, nowNs)
-    (one(ps, "start"), one(ps, "end")) match {
-      case (None, None) => q
+    val q0 = Parser.parse(text, nowNs)
+    val q = (one(ps, "start"), one(ps, "end")) match {
+      case (None, None) => q0
       case (lo, hi) =>
         val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
                                   hi.map(parseTime).getOrElse(Long.MaxValue))
-        q.copy(filter = Filter.And(Seq(tr, q.filter)))
+        q0.copy(filter = Filter.And(Seq(tr, q0.filter)))
     }
+    val acct = Option(ex.getRequestHeaders.getFirst("AccountID"))
+    val proj = Option(ex.getRequestHeaders.getFirst("ProjectID"))
+    if ((acct.isDefined || proj.isDefined) && source.columns.contains("tenant")) {
+      val t = s"${acct.getOrElse("0")}:${proj.getOrElse("0")}"
+      q.copy(filter = Filter.And(Seq(Filter.Exact("tenant", t), q.filter)))
+    } else q
   }
 
   private def runQ(q: Query): DataFrame = Compiler.run(source, q, nowNs)
@@ -130,7 +138,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   // ------------------------------------------------------------ endpoints
 
   private def handleQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    var df = runQ(parseQ(ps))
+    var df = runQ(parseQ(ex, ps))
     one(ps, "limit").foreach(l => df = df.limit(l.toInt))
     val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
@@ -149,7 +157,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     val step = one(ps, "step").getOrElse("1d")
     val off = one(ps, "offset")
     val fields = ps.getOrElse("field", Nil)
-    val base = parseQ(ps)
+    val base = parseQ(ex, ps)
     val stats = Pipe.Stats(
       ByField("_time", Some(step), off) +: fields.map(f => ByField(f, None, None)),
       Seq(StatsFuncAs(StatsFunc.Count(Nil), "hits", None)))
@@ -172,7 +180,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
-    val base = parseQ(ps)
+    val base = parseQ(ex, ps)
     val rows = runQ(Query(base.filter, base.pipes :+ Pipe.Facets(n, n, 128L)))
       .collect()
     val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
@@ -186,7 +194,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   /** Query must end in `| stats ...`; emits a Prometheus instant vector. */
   private def handleStatsQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val q = parseQ(ps)
+    val q = parseQ(ex, ps)
     val (byFields, statCols) = lastStatsInfo(q)
     val t = one(ps, "time").map(parseTime).getOrElse(nowNs) / 1e9
     val rows = runQ(q).collect()
@@ -205,7 +213,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     * (GetStatsByFieldsAddGroupingByTime, parser.go:748). */
   private def handleStatsQueryRange(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val step = one(ps, "step").getOrElse("1d")
-    val q0 = parseQ(ps)
+    val q0 = parseQ(ex, ps)
     val (byFields, statCols) = lastStatsInfo(q0)
     val pipes = q0.pipes.zipWithIndex.map {
       case (st: Pipe.Stats, i) if i == q0.pipes.length - 1 =>
@@ -245,7 +253,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   }
 
   private def handleFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val q = parseQ(ps)
+    val q = parseQ(ex, ps)
     respond(ex, 200,
       valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldNames("name"))), 0, 1))
   }
@@ -253,7 +261,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   private def handleFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
     val lim = one(ps, "limit").map(_.toLong)
-    val q = parseQ(ps)
+    val q = parseQ(ex, ps)
     respond(ex, 200,
       valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
   }
@@ -268,7 +276,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ps))
+    val df = runQ(parseQ(ex, ps))
     val canon = concat(lit("{"), concat_ws(",",
       transform(array_sort(map_entries(col("_stream"))),
         e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))), lit("}"))
@@ -279,7 +287,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreamIds(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ps))
+    val df = runQ(parseQ(ex, ps))
     val out = df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("v"))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -287,7 +295,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreamFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ps))
+    val df = runQ(parseQ(ex, ps))
     val out = df.select(explode(map_keys(col("_stream"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -296,7 +304,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   private def handleStreamFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
-    val df = runQ(parseQ(ps))
+    val df = runQ(parseQ(ex, ps))
     val out = df.select(element_at(col("_stream"), fld).as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("hits"))
@@ -311,7 +319,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     * `(lastSeen, now]`, streaming new rows as NDJSON. `max_polls` bounds
     * the loop (tests); production clients just hang up. */
   private def handleTail(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val q = parseQ(ps)
+    val q = parseQ(ex, ps)
     val refreshMs = one(ps, "refresh_interval").map(_.toLong).getOrElse(1000L)
     val maxPolls = one(ps, "max_polls").map(_.toInt).getOrElse(Int.MaxValue)
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")

@@ -109,6 +109,26 @@ class ServerSpec extends SparkSuite {
     } finally s2.stop()
   }
 
+  test("tenant headers scope queries to their partition") {
+    val dir = graft.store.LogStore.ensureFromEvents(spark, "/root/testdata/sf0.001")
+    val s2 = new QueryServer(spark, graft.store.LogStore.read(spark, dir))
+    val p2 = s2.start()
+    def getT(pq: String, acct: Option[String]): String = {
+      val conn = new URI(s"http://127.0.0.1:$p2$pq").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      acct.foreach(a => conn.setRequestProperty("AccountID", a))
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      conn.disconnect(); body
+    }
+    try {
+      val q = s"/select/logsql/query?query=${enc("* | stats count() c")}"
+      // default tenant 0:0 holds the data; a foreign tenant sees nothing
+      assert(getT(q, None).contains("\"c\":1000"))
+      assert(getT(q, Some("5")).contains("\"c\":0"))
+      assert(getT(q, Some("0")).contains("\"c\":1000"))
+    } finally s2.stop()
+  }
+
   test("bad query returns a JSON error") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
     assert(code == 400)
