@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential fold dot product (deterministic order, codegen'd). */
+  /** Sequential float dot product — a custom codegen'd Catalyst
+    * expression (graft.functions.DotProduct); deterministic order. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
