@@ -73,21 +73,92 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Fused single-pass cosine similarity: one loop accumulates the dot
+  * product and both squared norms (three separate array passes otherwise —
+  * per candidate pair, the dominant ANN cost at scale). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotProduct(left, right).checkInputDataTypes()
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${get(a, isFloat(left))};
+         |  double $yv = ${get(b, isFloat(right))};
+         |  $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
 object DotProduct {
   @volatile private var registered = Set.empty[SparkSession]
 
-  /** Column API: registers the expression builder once per session and
-    * calls it by name (the stable route to a custom Expression without
-    * relying on private Column internals). */
-  def dot(a: Column, b: Column): Column = {
+  private def ensureRegistered(): SparkSession = {
     val spark = SparkSession.active
     if (!registered.contains(spark)) synchronized {
       if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        val reg = spark.sessionState.functionRegistry
+        reg.createOrReplaceTempFunction(
           "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+        reg.createOrReplaceTempFunction(
+          "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
         registered += spark
       }
     }
+    spark
+  }
+
+  /** Column API: registers the expression builders once per session and
+    * calls them by name (the stable route to a custom Expression without
+    * relying on private Column internals). */
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered()
     call_function("graft_dot", a, b)
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("graft_cosine", a, b)
   }
 }

@@ -23,7 +23,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (custom codegen'd expression). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.DotProduct.cosine(a, b)
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus`. Queries are broadcast (must be small); corpus streams. */
