@@ -158,7 +158,8 @@ object Pipe {
                                  timeWindowNs: Long) extends Pipe
   final case class Union(sub: Query) extends Pipe
   final case class Facets(n: Long, maxValuesPerField: Long,
-                          maxValueLen: Long) extends Pipe
+                          maxValueLen: Long,
+                          keepConstFields: Boolean = false) extends Pipe
 }
 
 /** `sort by (f desc)` key. */

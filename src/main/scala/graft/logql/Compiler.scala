@@ -584,7 +584,7 @@ object Compiler {
         .filter(col("__keep"))
         .drop("__m", "__keep")
 
-    case Pipe.Facets(n, maxPerField, maxValueLen) =>
+    case Pipe.Facets(n, maxPerField, maxValueLen, keepConst) =>
       val topCols = df.columns.filter(_ != "fields")
       val asStr = df.select(topCols.map(c => strF(df, c).as(c)).toSeq: _*)
       val topLong = asStr.unpivot(Array.empty[Column], "field_name", "field_value")
@@ -601,10 +601,28 @@ object Compiler {
         .agg(count(lit(1)).as("hits"))
       val w = Window.partitionBy("field_name")
         .orderBy(col("hits").desc, col("field_value").asc)
-      counted.withColumn("__rn", row_number().over(w))
+      val ranked = counted.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= math.min(n, maxPerField))
         .drop("__rn")
-        .orderBy("field_name", "field_value")
+      // default: drop fields constant across every row — one distinct
+      // value covering as many rows as the most-populated field
+      // (pipe_facets.go keep_const_fields option)
+      val out =
+        if (keepConst) ranked
+        else {
+          val wf = Window.partitionBy("field_name")
+          val wAll = Window.partitionBy()
+          counted
+            .withColumn("__nvals", count(lit(1)).over(wf))
+            .withColumn("__fieldhits", sum("hits").over(wf))
+            .withColumn("__nrows", max(col("__fieldhits")).over(wAll))
+            .filter(!(col("__nvals") === 1 && col("__fieldhits") === col("__nrows")))
+            .drop("__nvals", "__fieldhits", "__nrows")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= math.min(n, maxPerField))
+            .drop("__rn")
+        }
+      out.orderBy("field_name", "field_value")
   }
 
   // ----------------------------------------------------------------- sort

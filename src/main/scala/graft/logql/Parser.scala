@@ -735,14 +735,15 @@ final class Parser(input: String, now: Long) {
         val n = if (peekCh.isDigit) readLong() else 10L
         var maxPerField = n
         var maxLen = 128L
+        var keepConst = false
         var more = true
         while (more) {
           if (consumeKeyword("max_values_per_field")) maxPerField = readLong()
           else if (consumeKeyword("max_value_len")) maxLen = readLong()
-          else if (consumeKeyword("keep_const_fields")) ()
+          else if (consumeKeyword("keep_const_fields")) keepConst = true
           else more = false
         }
-        Pipe.Facets(n, maxPerField, maxLen)
+        Pipe.Facets(n, maxPerField, maxLen, keepConst)
       case other => err(s"unknown pipe '$other'")
     }
   }

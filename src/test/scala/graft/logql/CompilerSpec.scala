@@ -351,6 +351,19 @@ class CompilerSpec extends SparkSuite {
     assert(df.filter("field_name = 'level'").count() == 2)
   }
 
+  test("facets drops constant fields unless keep_const_fields") {
+    val schema = StructType(Seq(
+      StructField("_msg", StringType), StructField("env", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", "prod"), Row("b", "prod"), Row("c", "prod")), 2), schema)
+    val names = Compiler.run(df, "* | facets 5", NOW)
+      .select("field_name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("_msg")) // env is constant → dropped
+    val kept = Compiler.run(df, "* | facets 5 keep_const_fields", NOW)
+      .select("field_name").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == Set("_msg", "env"))
+  }
+
   test("sample pipe returns subset") {
     val n = run("* | sample 2").count()
     assert(n <= 5)
