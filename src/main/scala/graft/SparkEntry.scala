@@ -442,6 +442,20 @@ object SparkEntry {
       exact.join(approx, Seq("query_id", "neighbor_id"))
         .agg((count(lit(1)) >= 30).cast(LongType).as("recall_ok"))
     }),
+    // ---- IVF ANN recall vs brute force, pinned at >= 70% ----
+    "q_sim_ivf_recall" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10, nlist = 8, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
+    }),
     // ---- language id + token counting grouped by detected lang ----
     "q_text_stats" -> ((s, d) => {
       import graft.ops.TextAnalysis
@@ -830,6 +844,8 @@ object SparkEntry {
            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
          ) WHERE rank <= 5 ORDER BY 1, 3""",
     "q_sim_lsh_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q_sim_ivf_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_text_stats" ->
       """WITH t AS (

@@ -58,6 +58,45 @@ object Similarity {
       when(dot(v, planeLit) >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * `nlist` cells (one pass, Spark ML KMeans); each query probes its
+    * `nprobe` nearest cells and runs exact cosine top-k inside them. The
+    * centroid set is tiny and broadcast-able; per-query cost is
+    * ~nprobe/nlist of the corpus. Complements [[lshTopK]] — IVF adapts to
+    * clustered data, hyperplane LSH needs no training pass. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, queryVec: String,
+              corpusId: String, corpusVec: String,
+              k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("cv"),
+      array_to_vector(col(corpusVec).cast("array<double>")).as("__vec"))
+    val model = new KMeans().setK(nlist).setSeed(7)
+      .setFeaturesCol("__vec").setPredictionCol("cell").fit(c0)
+    val cells = model.transform(c0).select(col("neighbor_id"), col("cv"), col("cell"))
+    // nprobe nearest cells per query, ranked by L2 distance to centroids:
+    // ||q-c||^2 = ||q||^2 - 2 q·c + ||c||^2; ||q||^2 is constant per query
+    val centroids = model.clusterCenters.map(_.toArray)
+    val cellDist = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot(col("qv"), array(c.map(lit(_)): _*)) * 2d).as("d"),
+             lit(i).as("cell"))
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(array(cellDist: _*)), 1, nprobe),
+          s => s.getField("cell"))))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: join queries to corpus within the same hyperplane
     * bucket, then exact cosine top-k inside the bucket. Recall is tuned by
     * `bits` (fewer bits → bigger buckets → higher recall, more compute) and

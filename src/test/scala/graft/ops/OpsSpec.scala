@@ -125,6 +125,27 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("ivfTopK probes nearest cells with good recall") {
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed * 131)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 200).map(i => Row(i.toLong, vec(i))), 2), schema)
+    val queries = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1000 until 1005).map(i => Row(i.toLong, vec(i))), 1), schema)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "id", "v", "id", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "id", "v", "id", "v",
+      10, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@10 = $recall")
+  }
+
   test("text analysis: token counts, quality, langid") {
     val df = docsDF(Seq(
       (1L, "the cat is on the mat and a dog"),
