@@ -73,7 +73,9 @@ object Similarity {
     val c0 = corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).as("cv"),
       array_to_vector(col(corpusVec).cast("array<double>")).as("__vec"))
-    val model = new KMeans().setK(nlist).setSeed(7)
+    // coarse cells only need rough centroids: few iterations, cheap init
+    val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("__vec").setPredictionCol("cell").fit(c0)
     val cells = model.transform(c0).select(col("neighbor_id"), col("cv"), col("cell"))
     // nprobe nearest cells per query, ranked by L2 distance to centroids:
