@@ -331,6 +331,31 @@ object SparkEntry {
     // ---- blocks_count pipe (§2.2 #2; file ≈ block) ----
     "q_lql_blocks" -> ((s, d) =>
       lql(s, d, "* | blocks_count as bc")),
+    // ---- block_stats pipe (§2.2 #1; file ≈ block), aggregated so the
+    // engine-specific part path stays out of the compared columns ----
+    "q_lql_block_stats" -> ((s, d) =>
+      lql(s, d, "* | block_stats | stats sum(rows) total_rows, count() nblocks")),
+    // ---- math operand auto-parse: duration / hex / byte-size strings
+    // (parseMathNumber, pipe_math.go:1066) ----
+    "q_lql_math_units" -> ((s, d) => {
+      val df = Tables.eventsLog(s, d)
+        .withColumn("dur", concat((col("user_id") % 5).cast("string"), lit("h"),
+                                  (col("event_id") % 60).cast("string"), lit("m")))
+        .withColumn("hexv", concat(lit("0x"), hex(col("user_id"))))
+        .withColumn("sz", concat((col("user_id") % 7).cast("string"), lit("KiB")))
+      graft.logql.Compiler.run(df,
+        """* | math dur / 60000000000 as mins, hexv + 0 as hv, sz / 1024 as kb
+           | stats sum(mins) sm, sum(hv) sh, sum(kb) sk""")
+    }),
+    // ---- _stream_id: filter over the store (§2.1 #23) ----
+    "q_lql_stream_id" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val sid = graft.store.LogStore.streams(s, dir)
+        .filter(element_at(col("_stream"), "event_type") === "purchase")
+        .select("_stream_id").collect().head.getString(0)
+      graft.logql.Compiler.run(graft.store.LogStore.read(s, dir),
+        s"_stream_id:$sid | stats count() hits")
+    }),
     // ---- if (...) options on format / extract (§2.1 #26) ----
     "q_lql_if_options" -> ((s, d) =>
       lql(s, d,
@@ -754,6 +779,16 @@ object SparkEntry {
       "SELECT count(*) AS c, CAST(0 AS BIGINT) AS c0 FROM events",
     "q_lql_blocks" ->
       "SELECT CAST(1 AS BIGINT) AS bc",
+    "q_lql_block_stats" ->
+      """SELECT CAST(count(*) AS DOUBLE) AS total_rows, CAST(1 AS BIGINT) AS nblocks
+         FROM events""",
+    "q_lql_math_units" ->
+      """SELECT CAST(sum((user_id % 5) * 60 + (event_id % 60)) AS DOUBLE) AS sm,
+         CAST(sum(user_id) AS DOUBLE) AS sh,
+         CAST(sum(user_id % 7) AS DOUBLE) AS sk
+         FROM events""",
+    "q_lql_stream_id" ->
+      "SELECT count(*) AS hits FROM events WHERE event_type = 'purchase'",
     "q_lql_if_options" ->
       """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE))

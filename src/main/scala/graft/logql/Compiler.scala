@@ -311,19 +311,11 @@ object Compiler {
       .otherwise(if (strict) sa < sb else sa <= sb)
   }
 
-  def ipv4Num(c: Column): Column = {
-    // one anchored octet-validating regex (0-255 enforced in the pattern),
-    // then a single split for the arithmetic — benchmarked faster than
-    // per-part try_cast/range-check variants (each extra part reference
-    // re-evaluates its extraction; no common-subexpression sharing)
-    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-    val p = split(c, "\\.")
-    when(c.rlike(s"^$octet\\.$octet\\.$octet\\.$octet$$"),
-      p.getItem(0).cast(LongType) * 16777216L +
-      p.getItem(1).cast(LongType) * 65536L +
-      p.getItem(2).cast(LongType) * 256L +
-      p.getItem(3).cast(LongType))
-  }
+  def ipv4Num(c: Column): Column =
+    // codegen'd single-pass byte parse (functions/Ipv4Parse.scala) — the
+    // previous anchored-octet regex + split + 4-casts tower was the
+    // slowest expression in the bench
+    graft.functions.Ipv4Parse.ipv4ToLong(c)
 
   // ---------------------------------------------------------------- pipes
 
@@ -416,8 +408,8 @@ object Compiler {
       }
       df.withColumn(out, v)
 
-    case e: Pipe.Extract => applyExtract(df, e)
-    case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e)
+    case e: Pipe.Extract => applyExtract(df, e, ctx)
+    case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e, ctx)
 
     case Pipe.Replace(oldS, newS, at, limitN) =>
       // `limit N` caps replacements per row (pipe_replace.go:176): split on
@@ -491,7 +483,11 @@ object Compiler {
       }
 
     case Pipe.BlocksCount(out) =>
-      df.agg(count_distinct(input_file_name()).as(out))
+      // project the file name BEFORE aggregating: count_distinct over the
+      // nondeterministic input_file_name() directly throws
+      // AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION in Spark 4
+      df.select(input_file_name().as("__f"))
+        .agg(count_distinct(col("__f")).as(out))
 
     case Pipe.BlockStats =>
       df.groupBy(input_file_name().as("part_path"))
@@ -536,10 +532,11 @@ object Compiler {
       val renamedRight = collisions.foldLeft(right)((d, c) =>
         d.withColumnRenamed(c, "__r_" + c))
       // size-gate the broadcast (pipe_join.go:17-32 enforces a memory
-      // budget): probe the subquery with an early-exit limit; a big right
-      // side falls back to a shuffle join instead of OOMing every executor
-      val gate = 1000000L
-      val small = renamedRight.limit(gate.toInt + 1).count() <= gate
+      // budget) on Catalyst's plan statistics — no extra job, no double
+      // evaluation of the subquery; a big right side falls back to a
+      // shuffle join instead of OOMing every executor
+      val gate = BigInt(256L << 20)
+      val small = renamedRight.queryExecution.optimizedPlan.stats.sizeInBytes <= gate
       val joined =
         if (small) df.join(broadcast(renamedRight), keys, joinType)
         else df.join(renamedRight, keys, joinType)
@@ -559,6 +556,13 @@ object Compiler {
       // per-stream positional window decides membership — the Spark-native
       // equivalent of pipe_stream_context.go's per-stream re-query.
       val src = ctx.source
+      // guard: without a real _stream_id the per-stream window degenerates
+      // to ONE partition holding the whole relation — refuse loudly instead
+      // (the store always carries _stream_id; direct views must add one)
+      if (rawField(src, "_stream_id").isEmpty)
+        throw new IllegalArgumentException(
+          "stream_context requires a _stream_id column on the source " +
+          "relation (use the log store, or add a _stream_id column)")
       val sel = df
         .select(strF(df, "_stream_id").as("__sid"), timeMicros(df).as("__st"))
         .distinct()
@@ -610,17 +614,17 @@ object Compiler {
       val out =
         if (keepConst) ranked
         else {
-          val wf = Window.partitionBy("field_name")
-          val wAll = Window.partitionBy()
-          counted
-            .withColumn("__nvals", count(lit(1)).over(wf))
-            .withColumn("__fieldhits", sum("hits").over(wf))
-            .withColumn("__nrows", max(col("__fieldhits")).over(wAll))
-            .filter(!(col("__nvals") === 1 && col("__fieldhits") === col("__nrows")))
-            .drop("__nvals", "__fieldhits", "__nrows")
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= math.min(n, maxPerField))
-            .drop("__rn")
+          // per-field rollup is tiny (one row per field name) — identify the
+          // constant fields there and anti-join them away broadcast-style;
+          // no partition-less window funnels the full counted relation
+          val perField = counted.groupBy("field_name")
+            .agg(count(lit(1)).as("__nvals"), sum("hits").as("__fieldhits"))
+          val nrows = perField.agg(max("__fieldhits").as("__nrows"))
+          val constFields = perField
+            .join(broadcast(nrows), perField("__fieldhits") === nrows("__nrows"))
+            .filter(col("__nvals") === 1)
+            .select("field_name")
+          ranked.join(broadcast(constFields), Seq("field_name"), "left_anti")
         }
       out.orderBy("field_name", "field_value")
   }
@@ -839,9 +843,61 @@ object Compiler {
 
   // ----------------------------------------------------------------- math
 
+  /** Extended operand parse for the math pipe (parseMathNumber,
+    * pipe_math.go:1066-1080 → tryParseNumber block_result.go:2710-2737):
+    * plain float, duration "1h30m" → nanoseconds, byte size "10MiB" →
+    * bytes, hex "0xff", RFC3339 timestamp → nanoseconds, IPv4 → uint32.
+    * Typed columns keep the plain numF view. */
+  private def mathNumF(df: DataFrame, name: String): Column =
+    fieldType(df, name) match {
+      case Some(t) if !t.isInstanceOf[StringType] => numF(df, name)
+      case _ =>
+        rawField(df, name) match {
+          case None => lit(null).cast(DoubleType)
+          case Some(c0) =>
+            val s = c0.cast(StringType)
+            coalesce(
+              s.try_cast("double"),
+              durationNanosCol(s).cast(DoubleType),
+              bytesCol(s),
+              when(s.rlike("^-?0[xX][0-9a-fA-F]+$"),
+                when(s.startsWith("-"),
+                  -conv(regexp_extract(s, "0[xX]([0-9a-fA-F]+)", 1), 16, 10)
+                    .cast(DoubleType))
+                .otherwise(
+                  conv(regexp_extract(s, "0[xX]([0-9a-fA-F]+)", 1), 16, 10)
+                    .cast(DoubleType))),
+              when(s.rlike("^\\d{4}-\\d{2}-\\d{2}T"),
+                unix_micros(s.try_cast("timestamp")).cast(DoubleType) * 1e3),
+              ipv4Num(s).cast(DoubleType))
+        }
+    }
+
+  /** Byte-size string ("10MiB", "1.5KB") → bytes; null if unparseable
+    * (tryParseBytes, values_encoder.go:855-940). */
+  private def bytesCol(c: Column): Column = {
+    val unitRe = "(?:[KMGT]i?B|[KMGT]i|B)"
+    val pairRe = s"(\\d+(?:\\.\\d+)?)($unitRe)"
+    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
+    val total = aggregate(pairs, lit(0d), (acc, p) => {
+      val num = regexp_extract(p, "^(\\d+(?:\\.\\d+)?)", 1).cast(DoubleType)
+      val unit = regexp_replace(p, "^\\d+(?:\\.\\d+)?", "")
+      val mult = when(unit.isin("KiB", "Ki"), 1024d)
+        .when(unit.isin("MiB", "Mi"), 1048576d)
+        .when(unit.isin("GiB", "Gi"), 1073741824d)
+        .when(unit.isin("TiB", "Ti"), 1099511627776d)
+        .when(unit === "KB", 1e3).when(unit === "MB", 1e6)
+        .when(unit === "GB", 1e9).when(unit === "TB", 1e12)
+        .otherwise(1d)
+      acc + num * mult
+    })
+    when(c.rlike(s"^-?(?:\\d+(?:\\.\\d+)?$unitRe)+$$"),
+      when(c.startsWith("-"), -total).otherwise(total))
+  }
+
   private def mathCol(df: DataFrame, e: MathExpr, ctx: Ctx): Column = e match {
     case MathExpr.Num(v) => lit(v)
-    case MathExpr.FieldRef(n) => numF(df, n)
+    case MathExpr.FieldRef(n) => mathNumF(df, n)
     case MathExpr.Neg(x) => -mathCol(df, x, ctx)
     case MathExpr.Bin(op, l, r) =>
       val (a, b) = (mathCol(df, l, ctx), mathCol(df, r, ctx))
@@ -956,7 +1012,7 @@ object Compiler {
 
   // -------------------------------------------------------------- extract
 
-  private def applyExtract(df: DataFrame, e: Pipe.Extract): DataFrame = {
+  private def applyExtract(df: DataFrame, e: Pipe.Extract, ctx: Ctx): DataFrame = {
     // steps → one regex; each <field> becomes a capture group. Non-greedy
     // before a literal separator, greedy at the end (pattern.go semantics).
     val sb = new StringBuilder("(?s)")
@@ -972,7 +1028,7 @@ object Compiler {
     }
     val re = sb.result()
     val src = strF(df, e.from)
-    val cond = e.iff.map(f => compileFilter(df, f, Ctx(df, 0L, None)))
+    val cond = e.iff.map(f => compileFilter(df, f, ctx.copy(source = df)))
     names.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
       if (f == "_") d
       else {
@@ -990,7 +1046,7 @@ object Compiler {
     }
   }
 
-  private def applyExtractRegexp(df: DataFrame, e: Pipe.ExtractRegexp): DataFrame = {
+  private def applyExtractRegexp(df: DataFrame, e: Pipe.ExtractRegexp, ctx: Ctx): DataFrame = {
     val re = e.re.replace("(?P<", "(?<")
     // capture-group names with their group indexes
     val names = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
@@ -1010,7 +1066,7 @@ object Compiler {
       i += 1
     }
     val src = strF(df, e.from)
-    val cond = e.iff.map(f => compileFilter(df, f, Ctx(df, 0L, None)))
+    val cond = e.iff.map(f => compileFilter(df, f, ctx.copy(source = df)))
     names.foldLeft(df) { case (d, (f, gi)) =>
       val v = regexp_extract(src, re, gi)
       val v2 = cond match {

@@ -275,11 +275,11 @@ final class Parser(input: String, now: Long) {
     if (peekCh != '(') return false
     var i = pos + 1
     var depth = 1
-    var quote = ' '
+    var quote = '\u0000'
     while (i < input.length && depth > 0) {
       val c = input(i)
-      if (quote != ' ') {
-        if (c == quote && input(i - 1) != '\\') quote = ' '
+      if (quote != '\u0000') {
+        if (c == quote && input(i - 1) != '\\') quote = '\u0000'
       } else c match {
         case '"' | '\'' => quote = c
         case '(' => depth += 1

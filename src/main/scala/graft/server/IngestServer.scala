@@ -1,0 +1,172 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.streaming.Ingest
+
+/** HTTP ingestion service (SURVEY §2.4; reference app/vlinsert/main.go:49-85):
+  *
+  *   - `/insert/jsonline`                  (jsonline/jsonline.go)
+  *   - `/insert/elasticsearch/_bulk`       (elasticsearch/elasticsearch.go)
+  *   - `/insert/loki/api/v1/push`          (loki/loki.go, JSON)
+  *   - `/insert/opentelemetry/v1/logs`     (opentelemetry/opentelemetry.go, JSON)
+  *   - `/insert/datadog/api/v2/logs`       (datadog/datadog.go)
+  *   - `/insert/journald/upload`           (journald/journald.go)
+  *   - `/insert/ready`                     (health probe)
+  *   - syslog TCP listener                 (syslog/syslog.go:38-60)
+  *
+  * Each route feeds the request body through the same protocol parser the
+  * streaming file source uses ([[graft.streaming.Ingest]]) and appends the
+  * parsed rows into the LogStore layout. Honors the
+  * `_stream_fields`/`_msg_field`/`_time_field` args (or `VL-*-Field`
+  * headers — insertutil/common_params.go:53-61) and scopes writes to the
+  * AccountID/ProjectID tenant (tenant_id.go:15-21, default 0:0).
+  */
+final class IngestServer(spark: SparkSession, storeDir: String,
+                         defaultStreamFields: Seq[String] = Nil,
+                         port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var syslogSock: Option[java.net.ServerSocket] = None
+
+  def start(): Int = {
+    route("/insert/jsonline") { (ex, ps, body) =>
+      append(ex, ps, Ingest.parseJsonline(linesDF(body),
+        arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time"),
+        arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")))
+      respond(ex, 200, """{"status":"ok"}""")
+    }
+    route("/insert/elasticsearch/_bulk") { (ex, ps, body) =>
+      append(ex, ps, Ingest.parseElasticsearchBulk(linesDF(body)))
+      // minimal bulk-API response the clients check (elasticsearch.go)
+      respond(ex, 200, """{"took":0,"errors":false}""")
+    }
+    route("/insert/loki/api/v1/push") { (ex, ps, body) =>
+      append(ex, ps, Ingest.parseLokiJson(oneRowDF(body)))
+      respondEmpty(ex, 204)
+    }
+    route("/insert/opentelemetry/v1/logs") { (ex, ps, body) =>
+      append(ex, ps, Ingest.parseOtlpJson(oneRowDF(body)))
+      respond(ex, 200, "{}")
+    }
+    route("/insert/datadog/api/v2/logs") { (ex, ps, body) =>
+      append(ex, ps, Ingest.parseDatadogJson(oneRowDF(body)))
+      respond(ex, 202, "{}")
+    }
+    route("/insert/journald/upload") { (ex, ps, body) =>
+      // entries are blank-line-separated FIELD=value blocks (journald.go)
+      val blocks = body.split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      append(ex, ps, Ingest.parseJournaldExport(seqDF(blocks)))
+      respondEmpty(ex, 200)
+    }
+    route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    server.getAddress.getPort
+  }
+
+  /** Start the syslog TCP listener: each connection's lines parse as
+    * RFC3164/5424 and append on EOF (syslog/syslog.go:38-60 per-conn
+    * scanner). Returns the bound port. */
+  def startSyslogTcp(streamFields: Seq[String] = Seq("hostname"),
+                     port: Int = 0): Int = {
+    val sock = new java.net.ServerSocket(port, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    syslogSock = Some(sock)
+    val t = new Thread(() => {
+      while (!sock.isClosed) {
+        try {
+          val conn = sock.accept()
+          new Thread(() => {
+            try {
+              val lines = scala.io.Source.fromInputStream(
+                conn.getInputStream, "UTF-8").getLines().toSeq
+                .filter(_.nonEmpty)
+              if (lines.nonEmpty)
+                Ingest.appendBatch(Ingest.parseSyslog(seqDF(lines)),
+                  storeDir, streamFields)
+            } finally conn.close()
+          }, "graft-syslog-conn").start()
+        } catch { case _: java.net.SocketException => /* closed */ }
+      }
+    }, "graft-syslog-accept")
+    t.setDaemon(true)
+    t.start()
+    sock.getLocalPort
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    syslogSock.foreach(_.close())
+  }
+
+  // ------------------------------------------------------------- plumbing
+
+  private def route(path: String)(
+      f: (HttpExchange, Map[String, Seq[String]], String) => Unit): Unit =
+    server.createContext(path, new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        try {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          f(ex, params(ex), body)
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.toString)
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+            respond(ex, 400, s"""{"error":"$msg"}""")
+        } finally ex.close()
+      }
+    })
+
+  private def params(ex: HttpExchange): Map[String, Seq[String]] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").toSeq.filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+
+  private def arg(ex: HttpExchange, ps: Map[String, Seq[String]],
+                  param: String, header: String): Option[String] =
+    ps.get(param).flatMap(_.headOption).filter(_.nonEmpty)
+      .orElse(Option(ex.getRequestHeaders.getFirst(header)).filter(_.nonEmpty))
+
+  private def tenantOf(ex: HttpExchange): String = {
+    val acct = Option(ex.getRequestHeaders.getFirst("AccountID")).getOrElse("0")
+    val proj = Option(ex.getRequestHeaders.getFirst("ProjectID")).getOrElse("0")
+    s"$acct:$proj"
+  }
+
+  private def append(ex: HttpExchange, ps: Map[String, Seq[String]],
+                     parsed: DataFrame): Unit = {
+    val streamFields = arg(ex, ps, "_stream_fields", "VL-Stream-Fields")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultStreamFields)
+    Ingest.appendBatch(parsed, storeDir, streamFields, tenantOf(ex))
+  }
+
+  private def seqDF(rows: Seq[String]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("value")
+  }
+
+  private def linesDF(body: String): DataFrame =
+    seqDF(body.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty))
+
+  private def oneRowDF(body: String): DataFrame = seqDF(Seq(body))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def respondEmpty(ex: HttpExchange, code: Int): Unit =
+    ex.sendResponseHeaders(code, -1)
+}

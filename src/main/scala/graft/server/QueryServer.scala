@@ -41,7 +41,10 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
     server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
     server.createContext("/select/logsql/stream_field_values", handler(handleStreamFieldValues))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // cached pool: long-lived tail connections must not starve the other
+    // endpoints the way a fixed 4-thread pool would (each tail handler
+    // blocks in its poll-sleep loop for the lifetime of the client)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server.getAddress.getPort
   }
@@ -104,28 +107,39 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
       java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
     else java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z").toEpochMilli * 1000000L
 
-  /** Parse query + optional [start, end) range into an AST; requests with
-    * AccountID/ProjectID headers are scoped to their tenant partition
-    * (tenant_id.go:15-21 — default 0:0). */
+  /** Parse query + optional [start, end) range into an AST. */
   private def parseQ(ex: HttpExchange, ps: Map[String, Seq[String]]): Query = {
     val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
     val q0 = Parser.parse(text, nowNs)
-    val q = (one(ps, "start"), one(ps, "end")) match {
+    (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
       case (lo, hi) =>
         val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
                                   hi.map(parseTime).getOrElse(Long.MaxValue))
         q0.copy(filter = Filter.And(Seq(tr, q0.filter)))
     }
-    val acct = Option(ex.getRequestHeaders.getFirst("AccountID"))
-    val proj = Option(ex.getRequestHeaders.getFirst("ProjectID"))
-    if ((acct.isDefined || proj.isDefined) && source.columns.contains("tenant")) {
-      val t = s"${acct.getOrElse("0")}:${proj.getOrElse("0")}"
-      q.copy(filter = Filter.And(Seq(Filter.Exact("tenant", t), q.filter)))
-    } else q
   }
 
-  private def runQ(q: Query): DataFrame = Compiler.run(source, q, nowNs)
+  /** Request tenant (tenant_id.go:15-21): missing headers default to 0:0 —
+    * a headerless request must NOT see every tenant's rows. */
+  def tenantOf(ex: HttpExchange): String = {
+    val acct = Option(ex.getRequestHeaders.getFirst("AccountID")).getOrElse("0")
+    val proj = Option(ex.getRequestHeaders.getFirst("ProjectID")).getOrElse("0")
+    s"$acct:$proj"
+  }
+
+  /** Tenant scoping happens on the SOURCE relation, before Compiler.run:
+    * subqueries (join / union / in(subquery) pipes) execute against
+    * ctx.source, so an AST-level filter on the outer query would leak
+    * other tenants' rows through them. A plain-column equality on the
+    * `tenant` partition column also prunes whole tenant directories. */
+  private def scopedSource(ex: HttpExchange): DataFrame =
+    if (source.columns.contains("tenant"))
+      source.filter(col("tenant") === tenantOf(ex))
+    else source
+
+  private def runQ(ex: HttpExchange, q: Query): DataFrame =
+    Compiler.run(scopedSource(ex), q, nowNs)
 
   /** Render a value like the reference's NDJSON writer: strings as-is,
     * integral doubles without the trailing ".0". */
@@ -138,7 +152,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   // ------------------------------------------------------------ endpoints
 
   private def handleQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    var df = runQ(parseQ(ex, ps))
+    var df = runQ(ex, parseQ(ex, ps))
     one(ps, "limit").foreach(l => df = df.limit(l.toInt))
     val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
@@ -161,7 +175,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     val stats = Pipe.Stats(
       ByField("_time", Some(step), off) +: fields.map(f => ByField(f, None, None)),
       Seq(StatsFuncAs(StatsFunc.Count(Nil), "hits", None)))
-    val rows = runQ(Query(base.filter, Seq(stats))).collect()
+    val rows = runQ(ex, Query(base.filter, Seq(stats))).collect()
     val tIdx = 0
     val series = rows.groupBy(r => fields.indices.map(i => r.get(i + 1)).toSeq)
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
@@ -181,7 +195,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
     val base = parseQ(ex, ps)
-    val rows = runQ(Query(base.filter, base.pipes :+ Pipe.Facets(n, n, 128L)))
+    val rows = runQ(ex, Query(base.filter, base.pipes :+ Pipe.Facets(n, n, 128L)))
       .collect()
     val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val body = byField.map { case (fname, rs) =>
@@ -197,7 +211,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     val q = parseQ(ex, ps)
     val (byFields, statCols) = lastStatsInfo(q)
     val t = one(ps, "time").map(parseTime).getOrElse(nowNs) / 1e9
-    val rows = runQ(q).collect()
+    val rows = runQ(ex, q).collect()
     val items = rows.flatMap { r =>
       statCols.map { sc =>
         val labels = byFields.map(b =>
@@ -220,7 +234,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
         st.copy(by = st.by :+ ByField("_time", Some(step), None))
       case (p, _) => p
     }
-    val rows = runQ(Query(q0.filter, pipes)).collect()
+    val rows = runQ(ex, Query(q0.filter, pipes)).collect()
     val series = rows.flatMap { r =>
       val t = r.getAs[java.sql.Timestamp]("_time").getTime / 1000.0
       statCols.map { sc =>
@@ -255,7 +269,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   private def handleFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val q = parseQ(ex, ps)
     respond(ex, 200,
-      valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldNames("name"))), 0, 1))
+      valuesWithHits(runQ(ex, Query(q.filter, q.pipes :+ Pipe.FieldNames("name"))), 0, 1))
   }
 
   private def handleFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
@@ -263,7 +277,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     val lim = one(ps, "limit").map(_.toLong)
     val q = parseQ(ex, ps)
     respond(ex, 200,
-      valuesWithHits(runQ(Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
+      valuesWithHits(runQ(ex, Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
   }
 
   // stream metadata discovery (Storage.GetStreams / GetStreamFieldNames /
@@ -276,7 +290,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ex, ps))
+    val df = runQ(ex, parseQ(ex, ps))
     val canon = concat(lit("{"), concat_ws(",",
       transform(array_sort(map_entries(col("_stream"))),
         e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))), lit("}"))
@@ -287,7 +301,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreamIds(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ex, ps))
+    val df = runQ(ex, parseQ(ex, ps))
     val out = df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("v"))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -295,7 +309,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
 
   private def handleStreamFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(parseQ(ex, ps))
+    val df = runQ(ex, parseQ(ex, ps))
     val out = df.select(explode(map_keys(col("_stream"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -304,7 +318,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
   private def handleStreamFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
-    val df = runQ(parseQ(ex, ps))
+    val df = runQ(ex, parseQ(ex, ps))
     val out = df.select(element_at(col("_stream"), fld).as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("hits"))
@@ -325,21 +339,38 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
     ex.sendResponseHeaders(200, 0)
     val out = ex.getResponseBody
-    var lastSeenNs = 0L
+    // rows sharing the max timestamp can arrive across polls: window from
+    // lastSeen INCLUSIVE and dedup boundary rows by identity hash — the
+    // reference dedups re-delivered rows by timestamp+fields the same way
+    // (logsql.go:497-660)
+    var lastSeenUs = Long.MinValue
+    var seenAtLast = Set.empty[Int]
     var polls = 0
     try {
       while (!stopped && polls < maxPolls) {
-        val windowed = q.copy(filter =
-          Filter.And(Seq(Filter.TimeRange(lastSeenNs + 1, Long.MaxValue), q.filter)))
-        val df = runQ(windowed)
+        val windowed =
+          if (lastSeenUs == Long.MinValue) q
+          else q.copy(filter = Filter.And(Seq(
+            Filter.TimeRange(lastSeenUs * 1000L, Long.MaxValue), q.filter)))
+        val df = runQ(ex, windowed)
         val withT = df.withColumn("__tus",
           unix_micros(col("_time")))
         val rows = withT.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
           .collect()
+        var maxUs = lastSeenUs
+        var atMax = if (rows.exists(_.getLong(1) > lastSeenUs)) Set.empty[Int] else seenAtLast
         rows.sortBy(_.getLong(1)).foreach { r =>
-          out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
-          lastSeenNs = math.max(lastSeenNs, r.getLong(1) * 1000L)
+          val tus = r.getLong(1)
+          val h = scala.util.hashing.MurmurHash3.stringHash(r.getString(0))
+          val dup = tus == lastSeenUs && seenAtLast.contains(h)
+          if (!dup) {
+            out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+          }
+          if (tus > maxUs) { maxUs = tus; atMax = Set(h) }
+          else if (tus == maxUs) atMax += h
         }
+        lastSeenUs = maxUs
+        seenAtLast = atMax
         out.flush()
         polls += 1
         if (polls < maxPolls) Thread.sleep(refreshMs)

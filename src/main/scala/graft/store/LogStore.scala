@@ -101,10 +101,34 @@ object LogStore {
     * (doubling) until N rows are found — a needle query over years of
     * retention touches days, not the table. Returns the rows plus the
     * number of days actually scanned. */
+  /** CanReturnLastNResults gate (parser.go:470-500): pipes that aggregate,
+    * reorder, or change cardinality make an early return over a partial
+    * newest-days window silently WRONG — those queries must full-scan. */
+  private def lastNSafe(p: graft.logql.Pipe): Boolean = {
+    import graft.logql.Pipe._
+    def matchesTime(fs: Seq[String]): Boolean =
+      fs.exists(f => f == "_time" ||
+        (f.endsWith("*") && "_time".startsWith(f.dropRight(1))))
+    p match {
+      case BlockStats | _: BlocksCount | _: Facets | _: FieldNames |
+           _: FieldValues | _: Join | _: Limit | _: Offset | _: Top |
+           _: Sample | _: Sort | _: Stats | _: Union | _: Uniq |
+           _: StreamContext => false
+      case Fields(fs) => matchesTime(fs)
+      case Delete(fs) => !matchesTime(fs)
+      case _ => true
+    }
+  }
+
   def lastN(spark: SparkSession, dir: String, filterText: String,
             n: Int): (org.apache.spark.sql.DataFrame, Int) = {
     val days = listDays(dir)
     val logs = read(spark, dir)
+    val q = graft.logql.Parser.parse(filterText,
+      System.currentTimeMillis() * 1000000L)
+    if (!q.pipes.forall(lastNSafe))
+      return (graft.logql.Compiler.run(logs, filterText)
+        .orderBy(col("_time").desc).limit(n), days.length)
     var take = 1
     while (take < days.length) {
       val window = days.take(take)

@@ -93,20 +93,48 @@ object MsgBloom {
   }
 
   /** Files of `dir` whose bloom may contain ALL `tokens`; None when no
-    * sidecar exists (scan everything). */
+    * sidecar exists (scan everything).
+    *
+    * The probe runs in the EXECUTORS: the handful of token hashes ships in
+    * the UDF closure and the sidecar relation is filtered there — only
+    * (path, matched) pairs ever reach the driver, never the 128 KiB
+    * bitmaps (at 100 TB / ~100k files a full-bloom collect would be
+    * ~12 GiB of driver memory per query).
+    *
+    * The sidecar may be stale after appends: files absent from it are
+    * always-scan candidates (a stale sidecar must only ADD scans, never
+    * drop rows), and files deleted since the build drop out via the
+    * reconciliation against the store's current file list. `optimize`
+    * rebuilds the sidecar to restore pruning power for appended files. */
   def candidateFiles(spark: SparkSession, dir: String,
                      tokens: Seq[String]): Option[Seq[String]] = {
     if (tokens.isEmpty) return None
     if (!new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists()) return None
     val hashes = tokenHashes(spark, tokens).values.toSeq
-    val blooms = spark.read.parquet(s"$dir/msg_bloom")
-      .collect().map(r => (r.getAs[String]("file"), r.getAs[Array[Byte]]("bloom")))
-    Some(blooms.collect {
-      // input_file_name() yields a percent-encoded URI; decode back to the
-      // on-disk path before handing it to spark.read
-      case (f, b) if hashes.forall(mightContain(b, _)) =>
-        new java.net.URI(f).getPath
-    }.toSeq)
+    val probe = udf((bloom: Array[Byte]) => hashes.forall(mightContain(bloom, _)))
+    // both input_file_name() (sidecar build) and DataFrame.inputFiles yield
+    // the same double-escaped URI form; one URI decode recovers the on-disk
+    // path, which is also what spark.read needs
+    def onDisk(uri: String): String = new java.net.URI(uri).getPath
+    val sidecar = spark.read.parquet(s"$dir/msg_bloom")
+      .select(col("file"), probe(col("bloom")).as("m"))
+      .collect()
+      .map(r => onDisk(r.getString(0)) -> r.getBoolean(1)).toMap
+    val out = LogStore.read(spark, dir).inputFiles.toSeq.flatMap { uri =>
+      val p = onDisk(uri)
+      sidecar.get(p) match {
+        case Some(matched) => if (matched) Some(p) else None
+        case None => Some(p) // written after the sidecar build: must scan
+      }
+    }
+    Some(out)
+  }
+
+  /** Drop the sidecar (called by the store's optimize job before rebuild). */
+  def invalidate(dir: String): Unit = synchronized {
+    val marker = new java.io.File(s"$dir/msg_bloom/_SUCCESS")
+    if (marker.exists()) marker.delete()
+    built -= dir
   }
 
   /** The store's log relation restricted to files that may match all
