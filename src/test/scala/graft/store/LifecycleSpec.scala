@@ -1,0 +1,86 @@
+package graft.store
+
+import graft.SparkSuite
+import graft.logql.Compiler
+import graft.streaming.Ingest
+import java.nio.file.{Files, Paths}
+
+/** Store lifecycle tests: compaction merges micro-batch files and dedups
+  * streams without changing query results; retention drops whole expired
+  * day partitions; a stale bloom sidecar never hides appended rows. */
+class LifecycleSpec extends SparkSuite {
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/lifecycle_test/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def appendLines(dir: String, day: String, n: Int,
+                          msg: Int => String = i => s"event number $i"): Unit = {
+    import spark.implicits._
+    val lines = (1 to n).map(i =>
+      s"""{"_time":"${day}T10:${"%02d".format(i % 60)}:00Z","_msg":"${msg(i)}","app":"web"}""")
+      .toDF("value")
+    Ingest.appendBatch(Ingest.parseJsonline(lines), dir, Seq("app"))
+  }
+
+  private def dataFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$dir/logs"))
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+  }
+
+  test("optimize merges small files and dedups streams; results unchanged") {
+    val dir = tmp("compact")
+    (1 to 4).foreach(_ => appendLines(dir, "2024-01-01", 20))
+    (1 to 3).foreach(_ => appendLines(dir, "2024-01-02", 10))
+    val q = "* | stats count() c, sum_len(_msg) sl, count_uniq(_stream_id) cs"
+    val before = Compiler.run(LogStore.read(spark, dir), q).collect().head
+    val filesBefore = dataFileCount(dir)
+    assert(filesBefore >= 7) // one file per appendBatch per day at least
+    // appendBatch dedups streams only within its own batch → 7 dup rows
+    assert(spark.read.parquet(s"$dir/streams").count() == 7)
+
+    Compaction.optimize(spark, dir)
+
+    val filesAfter = dataFileCount(dir)
+    assert(filesAfter < filesBefore && filesAfter >= 2, s"$filesBefore -> $filesAfter")
+    val after = Compiler.run(LogStore.read(spark, dir), q).collect().head
+    assert(before == after)
+    val streams = spark.read.parquet(s"$dir/streams").collect()
+    assert(streams.length == 1) // one unique stream (app=web)
+  }
+
+  test("enforceRetention drops whole expired day partitions") {
+    val dir = tmp("retention")
+    appendLines(dir, "2024-01-01", 5)
+    appendLines(dir, "2024-01-20", 7)
+    val dropped = Compaction.enforceRetention(spark, dir, retentionDays = 30,
+      today = java.time.LocalDate.parse("2024-02-05"))
+    assert(dropped == Seq("2024-01-01"))
+    val logs = LogStore.read(spark, dir)
+    assert(logs.count() == 7)
+    assert(LogStore.listDays(dir) == Seq("2024-01-20"))
+    // idempotent: nothing left to drop
+    assert(Compaction.enforceRetention(spark, dir, 30,
+      java.time.LocalDate.parse("2024-02-05")).isEmpty)
+  }
+
+  test("stale bloom sidecar never hides appended rows") {
+    val dir = tmp("bloomstale")
+    appendLines(dir, "2024-01-01", 10)
+    MsgBloom.build(spark, dir)
+    // sidecar built; now append rows with a token the sidecar never saw
+    appendLines(dir, "2024-01-02", 3, i => s"zzzneedle row $i")
+    val c = MsgBloom.query(spark, dir, "zzzneedle | stats count() c")
+      .collect().head.getLong(0)
+    assert(c == 3) // absent-from-sidecar files are always-scan candidates
+    // and pruning still works for tokens the sidecar does know
+    val c2 = MsgBloom.query(spark, dir, "qqqmissing | stats count() c")
+      .collect().head.getLong(0)
+    assert(c2 == 0)
+  }
+}
