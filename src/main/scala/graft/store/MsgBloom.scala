@@ -60,13 +60,17 @@ object MsgBloom {
     }
   }
 
-  /** xxhash64 of a token, computed through Spark so the build and probe
-    * sides share one implementation. */
+  /** xxhash64 of a token via direct Catalyst expression eval — the exact
+    * implementation the build side's `xxhash64(...)` column uses, without
+    * paying a Spark job per probe (the handful of tokens evaluate on the
+    * driver in microseconds). */
   def tokenHashes(spark: SparkSession, tokens: Seq[String]): Map[String, Long] = {
-    import spark.implicits._
-    if (tokens.isEmpty) Map.empty
-    else tokens.toDF("t").select(col("t"), xxhash64(col("t")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    tokens.map { t =>
+      t -> XxHash64(Seq(Literal.create(t, org.apache.spark.sql.types.StringType)),
+          42L) // the same default seed the xxhash64 SQL function uses
+        .eval(null).asInstanceOf[Long]
+    }.toMap
   }
 
   private val built = scala.collection.mutable.Set.empty[String]
@@ -135,7 +139,14 @@ object MsgBloom {
     val marker = new java.io.File(s"$dir/msg_bloom/_SUCCESS")
     if (marker.exists()) marker.delete()
     built -= dir
+    relCache.filterInPlace { case ((_, d, _), _) => d != dir }
   }
+
+  // relation per (session, dir, candidate file set): repeated probes with
+  // the same candidates reuse the file index + parquet footers instead of
+  // rebuilding a reader per query
+  private val relCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
 
   /** The store's log relation restricted to files that may match all
     * `tokens` (basePath keeps the partition columns). An empty candidate
@@ -146,7 +157,11 @@ object MsgBloom {
       case None => LogStore.read(spark, dir)
       case Some(Nil) => LogStore.read(spark, dir).where(lit(false))
       case Some(files) =>
-        spark.read.option("basePath", s"$dir/logs").parquet(files: _*)
+        val sorted = files.sorted
+        synchronized {
+          relCache.getOrElseUpdate((spark, dir, sorted.hashCode),
+            spark.read.option("basePath", s"$dir/logs").parquet(sorted: _*))
+        }
     }
 
   /** Word/phrase tokens that every matching row must contain, from the
