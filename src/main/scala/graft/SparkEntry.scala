@@ -511,6 +511,29 @@ object SparkEntry {
              max(size(col("features"))).as("maxd"))
         .orderBy("media_type")
     }),
+    // ---- REAL image decode: solid-color PNGs → RGB channel features →
+    // dominant-channel classification (ImageIO path, no stub) ----
+    "q_multimodal_decode" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val imgs = (0 until 30).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        (i.toLong, "image", Multimodal.testPng(4, 4, rgb))
+      }
+      val df = imgs.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .orderBy("ch")
+    }),
     // ==== M0 log-store layout: tenant/day partitions + _stream_id ====
     // ---- stream filter + _time range over the written store; the plan
     // prunes _day partitions (PartitionFilters) and pushes the stream
@@ -789,6 +812,9 @@ object SparkEntry {
          FROM events""",
     "q_lql_stream_id" ->
       "SELECT count(*) AS hits FROM events WHERE event_type = 'purchase'",
+    "q_multimodal_decode" ->
+      """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),
+         ('r', CAST(10 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
     "q_lql_if_options" ->
       """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE))

@@ -563,9 +563,17 @@ object Compiler {
         throw new IllegalArgumentException(
           "stream_context requires a _stream_id column on the source " +
           "relation (use the log store, or add a _stream_id column)")
-      val sel = df
+      val sel0 = df
         .select(strF(df, "_stream_id").as("__sid"), timeMicros(df).as("__st"))
         .distinct()
+      // the matched-row marker set is normally tiny (it IS the needle the
+      // query selected) — broadcast it when plan statistics agree, so the
+      // source relation is not shuffled for the join (the per-stream window
+      // below still shuffles once by _stream_id; that one is inherent)
+      val sel =
+        if (sel0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
+          broadcast(sel0)
+        else sel0
       val marked = src
         .join(sel, strF(src, "_stream_id") === col("__sid") &&
                    timeMicros(src) === col("__st"), "left")

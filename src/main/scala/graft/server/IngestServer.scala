@@ -31,6 +31,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var syslogSock: Option[java.net.ServerSocket] = None
+  @volatile private var udpSock: Option[java.net.DatagramSocket] = None
 
   def start(): Int = {
     route("/insert/jsonline") { (ex, ps, body) =>
@@ -98,9 +99,49 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     sock.getLocalPort
   }
 
+  /** Start the syslog UDP listener (syslog/syslog.go also serves UDP):
+    * datagrams buffer briefly and append in small batches — one write per
+    * packet would produce a parquet file per message. Returns the port. */
+  def startSyslogUdp(streamFields: Seq[String] = Seq("hostname"),
+                     port: Int = 0, flushMs: Long = 200L): Int = {
+    val sock = new java.net.DatagramSocket(
+      new InetSocketAddress("127.0.0.1", port))
+    udpSock = Some(sock)
+    val t = new Thread(() => {
+      val buf = new Array[Byte](65535)
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      var lastFlush = System.nanoTime()
+      sock.setSoTimeout(flushMs.toInt)
+      while (!sock.isClosed) {
+        try {
+          val pkt = new java.net.DatagramPacket(buf, buf.length)
+          sock.receive(pkt)
+          new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+            .split("\n").foreach(l => if (l.nonEmpty) pending += l)
+        } catch {
+          case _: java.net.SocketTimeoutException => // flush tick
+          case _: java.net.SocketException => // closed
+        }
+        val now = System.nanoTime()
+        if (pending.nonEmpty &&
+            (now - lastFlush >= flushMs * 1000000L || pending.size >= 10000)) {
+          val batch = pending.toSeq
+          pending.clear()
+          lastFlush = now
+          Ingest.appendBatch(Ingest.parseSyslog(seqDF(batch)),
+            storeDir, streamFields)
+        }
+      }
+    }, "graft-syslog-udp")
+    t.setDaemon(true)
+    t.start()
+    sock.getLocalPort
+  }
+
   def stop(): Unit = {
     server.stop(0)
     syslogSock.foreach(_.close())
+    udpSock.foreach(_.close())
   }
 
   // ------------------------------------------------------------- plumbing

@@ -182,4 +182,40 @@ class OpsSpec extends SparkSuite {
     // doc_id % 3 == 2 → video → exactly one video row → 3 frames
     assert(frames.count() == 3)
   }
+
+  test("multimodal: real PNG decode yields pixel features and real resize") {
+    import spark.implicits._
+    val red = Multimodal.testPng(4, 4, 0xFF0000)
+    val blue = Multimodal.testPng(8, 2, 0x0000FF)
+    val df = Seq((1L, "image", red), (2L, "image", blue),
+        (3L, "audio", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val feats = Multimodal.extractFeatures(df, "content", dim = 6)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    // solid red: R mean == 1, G == B == 0; solid blue: B mean == 1
+    assert(math.abs(feats(1L)(0) - 1f) < 1e-6 && feats(1L)(1) == 0f && feats(1L)(2) == 0f)
+    assert(feats(2L)(2) == 1f && feats(2L)(0) == 0f)
+    // non-image bytes fall back to the deterministic stub, same dim
+    assert(feats(3L).size == 6)
+
+    val withMeta = df.withColumn("meta",
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(0).as("width"),
+        org.apache.spark.sql.functions.lit(0).as("height"),
+        org.apache.spark.sql.functions.lit(0L).as("duration_ms"),
+        org.apache.spark.sql.functions.lit("png").as("format")))
+    val resized = Multimodal.resizeImages(withMeta, 2, 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val outBytes = resized(1L).getAs[Array[Byte]]("content")
+    val decoded = Multimodal.decodeImage(outBytes).get
+    assert(decoded.getWidth == 2 && decoded.getHeight == 2)
+    // a resized solid red image stays solid red
+    assert((decoded.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert(resized(1L).getStruct(3).getString(3) == "image/png")
+    // non-image rows keep their bytes, only metadata records the target
+    assert(resized(3L).getAs[Array[Byte]]("content").sameElements(
+      "not an image".getBytes("UTF-8")))
+    assert(resized(3L).getStruct(3).getInt(0) == 2)
+  }
 }

@@ -150,6 +150,32 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("syslog UDP listener ingests datagrams") {
+    val dir = tmp("syslogudp")
+    val srv = new IngestServer(spark, dir)
+    srv.start()
+    val udpPort = srv.startSyslogUdp(flushMs = 100L)
+    try {
+      val sock = new java.net.DatagramSocket()
+      def send(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        sock.send(new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getByName("127.0.0.1"), udpPort))
+      }
+      send("<34>1 2024-01-05T10:11:12Z host1 myapp 77 ID1 - udp syslog one")
+      send("<13>Jan  5 10:11:12 host2 cron[123]: udp syslog two")
+      sock.close()
+      var tries = 0
+      var c = 0L
+      while (c < 2 && tries < 50) {
+        Thread.sleep(200)
+        c = try count(dir, "udp | stats count() c") catch { case _: Exception => 0L }
+        tries += 1
+      }
+      assert(c == 2)
+    } finally srv.stop()
+  }
+
   test("tail delivers same-timestamp rows exactly once across polls") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
