@@ -34,32 +34,44 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   @volatile private var udpSock: Option[java.net.DatagramSocket] = None
 
   def start(): Int = {
-    route("/insert/jsonline") { (ex, ps, body) =>
+    route("/insert/jsonline") { (ex, ps, bytes) =>
+      val body = new String(bytes, UTF_8)
       append(ex, ps, Ingest.parseJsonline(linesDF(body),
         arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time"),
         arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")))
       respond(ex, 200, """{"status":"ok"}""")
     }
-    route("/insert/elasticsearch/_bulk") { (ex, ps, body) =>
-      append(ex, ps, Ingest.parseElasticsearchBulk(linesDF(body)))
+    route("/insert/elasticsearch/_bulk") { (ex, ps, bytes) =>
+      append(ex, ps, Ingest.parseElasticsearchBulk(linesDF(new String(bytes, UTF_8))))
       // minimal bulk-API response the clients check (elasticsearch.go)
       respond(ex, 200, """{"took":0,"errors":false}""")
     }
-    route("/insert/loki/api/v1/push") { (ex, ps, body) =>
-      append(ex, ps, Ingest.parseLokiJson(oneRowDF(body)))
+    route("/insert/loki/api/v1/push") { (ex, ps, bytes) =>
+      // protobuf+snappy is Loki's default transport; JSON is selected by
+      // Content-Type (loki.go routes the same way) or, for header-less
+      // clients, by the payload's leading '{'
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val looksJson = bytes.dropWhile(b => b == ' ' || b == '\n' || b == '\r' || b == '\t')
+        .headOption.contains('{'.toByte)
+      val parsed =
+        if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
+          Ingest.parseLokiJson(oneRowDF(new String(bytes, UTF_8)))
+        else lokiProtoDF(bytes)
+      append(ex, ps, parsed)
       respondEmpty(ex, 204)
     }
-    route("/insert/opentelemetry/v1/logs") { (ex, ps, body) =>
-      append(ex, ps, Ingest.parseOtlpJson(oneRowDF(body)))
+    route("/insert/opentelemetry/v1/logs") { (ex, ps, bytes) =>
+      append(ex, ps, Ingest.parseOtlpJson(oneRowDF(new String(bytes, UTF_8))))
       respond(ex, 200, "{}")
     }
-    route("/insert/datadog/api/v2/logs") { (ex, ps, body) =>
-      append(ex, ps, Ingest.parseDatadogJson(oneRowDF(body)))
+    route("/insert/datadog/api/v2/logs") { (ex, ps, bytes) =>
+      append(ex, ps, Ingest.parseDatadogJson(oneRowDF(new String(bytes, UTF_8))))
       respond(ex, 202, "{}")
     }
-    route("/insert/journald/upload") { (ex, ps, body) =>
+    route("/insert/journald/upload") { (ex, ps, bytes) =>
       // entries are blank-line-separated FIELD=value blocks (journald.go)
-      val blocks = body.split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val blocks = new String(bytes, UTF_8)
+        .split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
       append(ex, ps, Ingest.parseJournaldExport(seqDF(blocks)))
       respondEmpty(ex, 200)
     }
@@ -147,11 +159,11 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   // ------------------------------------------------------------- plumbing
 
   private def route(path: String)(
-      f: (HttpExchange, Map[String, Seq[String]], String) => Unit): Unit =
+      f: (HttpExchange, Map[String, Seq[String]], Array[Byte]) => Unit): Unit =
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         try {
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val body = ex.getRequestBody.readAllBytes()
           f(ex, params(ex), body)
         } catch {
           case e: Throwable =>
@@ -183,12 +195,55 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     s"$acct:$proj"
   }
 
+  /** Loki protobuf PushRequest → parsed rows (driver-side decode; push
+    * bodies are bounded, and the reference decodes them in the ingest
+    * handler the same way). */
+  private def lokiProtoDF(bytes: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    graft.streaming.LokiProto.parsePushRequest(bytes).map { e =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(e.tsNanos, 1000000000L),
+        Math.floorMod(e.tsNanos, 1000000000L))),
+       e.line, e.labels)
+    }.toDF("_time", "_msg", "fields")
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
   private def append(ex: HttpExchange, ps: Map[String, Seq[String]],
                      parsed: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
     val streamFields = arg(ex, ps, "_stream_fields", "VL-Stream-Fields")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(defaultStreamFields)
-    Ingest.appendBatch(parsed, storeDir, streamFields, tenantOf(ex))
+      .map(csv).getOrElse(defaultStreamFields)
+    // remaining common params (insertutil/common_params.go:62-84):
+    // drop fields, add constant fields, strip ANSI from chosen fields
+    var df = parsed
+    arg(ex, ps, "_ignore_fields", "VL-Ignore-Fields").map(csv).foreach { ig =>
+      df = df.withColumn("fields",
+        map_filter(col("fields"), (k, _) => !k.isin(ig: _*)))
+    }
+    arg(ex, ps, "_extra_fields", "VL-Extra-Fields").map(csv).foreach { pairs =>
+      val kvs = pairs.flatMap { p =>
+        p.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }
+      if (kvs.nonEmpty) {
+        val extras = map(kvs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        df = df.withColumn("fields", map_concat(
+          map_filter(col("fields"), (k, _) => !k.isin(kvs.map(_._1): _*)), extras))
+      }
+    }
+    arg(ex, ps, "_decolorize_fields", "VL-Decolorize-Fields").map(csv).foreach { dc =>
+      val ansi = "\u001b\\[[0-9;]*m"
+      if (dc.contains("_msg"))
+        df = df.withColumn("_msg", regexp_replace(col("_msg"), ansi, ""))
+      val mapFields = dc.filter(_ != "_msg")
+      if (mapFields.nonEmpty)
+        df = df.withColumn("fields", transform_values(col("fields"),
+          (k, v) => when(k.isin(mapFields: _*), regexp_replace(v, ansi, ""))
+            .otherwise(v)))
+    }
+    Ingest.appendBatch(df, storeDir, streamFields, tenantOf(ex))
   }
 
   private def seqDF(rows: Seq[String]): DataFrame = {

@@ -95,6 +95,53 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("loki protobuf+snappy push round-trips") {
+    import graft.streaming.LokiProto
+    val dir = tmp("lokiproto")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val body = LokiProto.encodePushRequest(Seq(
+        LokiProto.Entry(1704451200123456789L, "proto line one",
+          Map("app" -> "web", "env" -> "prod")),
+        LokiProto.Entry(1704451201000000000L, "proto line two",
+          Map("app" -> "web", "env" -> "prod"))))
+      val conn = new URI(s"http://127.0.0.1:$port/insert/loki/api/v1/push")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.getOutputStream.write(body)
+      assert(conn.getResponseCode == 204)
+      conn.disconnect()
+      assert(count(dir, "proto | stats count() c") == 2)
+      val fields = Compiler.run(LogStore.read(spark, dir),
+        "\"proto line one\" | fields _time")
+        .collect().head.getTimestamp(0).toInstant
+      // nanosecond input survives at micro precision
+      assert(fields.toString == "2024-01-05T10:40:00.123456Z")
+      assert(count(dir, "env:prod | stats count() c") == 2)
+    } finally srv.stop()
+  }
+
+  test("ignore/extra/decolorize ingestion params apply") {
+    val dir = tmp("commonparams")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val esc = "\\u001b" // JSON escape for ESC, decoded by the JSON parser
+      post(port,
+        "/insert/jsonline?_ignore_fields=secret&_extra_fields=dc=us1&_decolorize_fields=_msg",
+        s"""{"_msg":"colored $esc[31mred$esc[0m text","secret":"x","keep":"y"}""")
+      val row = Compiler.run(LogStore.read(spark, dir), "* | fields _msg, fields")
+        .collect().head
+      assert(row.getString(0) == "colored red text")
+      val fields = row.getAs[Map[String, String]](1)
+      assert(!fields.contains("secret"))
+      assert(fields("dc") == "us1" && fields("keep") == "y")
+    } finally srv.stop()
+  }
+
   test("multi-tenant ingest: tenant headers isolate writes and reads") {
     val dir = tmp("tenants")
     val srv = new IngestServer(spark, dir)
