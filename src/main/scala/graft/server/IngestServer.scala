@@ -61,7 +61,15 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       respondEmpty(ex, 204)
     }
     route("/insert/opentelemetry/v1/logs") { (ex, ps, bytes) =>
-      append(ex, ps, Ingest.parseOtlpJson(oneRowDF(new String(bytes, UTF_8))))
+      // collectors send protobuf by default; JSON by Content-Type or sniff
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val looksJson = bytes.dropWhile(b => b == ' ' || b == '\n' || b == '\r' || b == '\t')
+        .headOption.contains('{'.toByte)
+      val parsed =
+        if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
+          Ingest.parseOtlpJson(oneRowDF(new String(bytes, UTF_8)))
+        else otlpProtoDF(bytes)
+      append(ex, ps, parsed)
       respond(ex, 200, "{}")
     }
     route("/insert/datadog/api/v2/logs") { (ex, ps, bytes) =>
@@ -163,7 +171,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         try {
-          val body = ex.getRequestBody.readAllBytes()
+          val body = decompress(ex, ex.getRequestBody.readAllBytes())
           f(ex, params(ex), body)
         } catch {
           case e: Throwable =>
@@ -193,6 +201,42 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     val acct = Option(ex.getRequestHeaders.getFirst("AccountID")).getOrElse("0")
     val proj = Option(ex.getRequestHeaders.getFirst("ProjectID")).getOrElse("0")
     s"$acct:$proj"
+  }
+
+  /** Transparent request-body decompression by Content-Encoding, matching
+    * the reference's protocol readers (gzip / deflate / zstd / snappy). */
+  private def decompress(ex: HttpExchange, body: Array[Byte]): Array[Byte] = {
+    val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .getOrElse("").toLowerCase
+    def readAll(is: java.io.InputStream): Array[Byte] =
+      try is.readAllBytes() finally is.close()
+    enc match {
+      case e if e.contains("gzip") =>
+        readAll(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body)))
+      case e if e.contains("deflate") =>
+        readAll(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(body)))
+      case e if e.contains("zstd") =>
+        readAll(new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(body)))
+      case e if e.contains("snappy") =>
+        org.xerial.snappy.Snappy.uncompress(body)
+      case _ => body
+    }
+  }
+
+  /** OTLP protobuf ExportLogsServiceRequest → parsed rows. */
+  private def otlpProtoDF(bytes: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    graft.streaming.OtlpProto.parseExportLogs(bytes).map { r =>
+      val fields = r.resAttrs ++ r.attrs ++
+        (if (r.severityText.nonEmpty) Map("severity" -> r.severityText) else Map.empty)
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(r.tsNanos, 1000000000L),
+        Math.floorMod(r.tsNanos, 1000000000L))),
+       r.body, fields)
+    }.toDF("_time", "_msg", "fields")
   }
 
   /** Loki protobuf PushRequest → parsed rows (driver-side decode; push

@@ -20,44 +20,7 @@ object LokiProto {
   final case class Entry(tsNanos: Long, line: String,
                          labels: Map[String, String])
 
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
-    def hasMore: Boolean = pos < end
-    def readVarint(): Long = {
-      var shift = 0
-      var res = 0L
-      while (true) {
-        val b = buf(pos); pos += 1
-        res |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return res
-        shift += 7
-      }
-      res
-    }
-    def readTag(): (Int, Int) = {
-      val v = readVarint()
-      ((v >>> 3).toInt, (v & 7).toInt)
-    }
-    def skip(wireType: Int): Unit = wireType match {
-      case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
-      case other => throw new IllegalArgumentException(s"bad wire type $other")
-    }
-    /** Length-delimited payload → sub-reader over the same buffer. */
-    def sub(): Reader = {
-      val n = readVarint().toInt
-      val r = new Reader(buf, pos, pos + n)
-      pos += n
-      r
-    }
-    def readString(): String = {
-      val n = readVarint().toInt
-      val s = new String(buf, pos, n, java.nio.charset.StandardCharsets.UTF_8)
-      pos += n
-      s
-    }
-  }
+  import ProtoWire.Reader
 
   /** `{app="web",env="prod"}` → label map (Prometheus label-set rendering,
     * same form the JSON path's `stream` object carries). */
@@ -115,18 +78,7 @@ object LokiProto {
 
   // ------------------------------------------------------- writer (client)
 
-  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    bos.write(v.toInt)
-  }
-
-  private def writeField(bos: java.io.ByteArrayOutputStream, field: Int,
-                         payload: Array[Byte]): Unit = {
-    writeVarint(bos, (field.toLong << 3) | 2)
-    writeVarint(bos, payload.length.toLong)
-    bos.write(payload)
-  }
+  import ProtoWire.{writeVarint, writeField}
 
   /** Encode + snappy-compress a PushRequest (test/dev client side). */
   def encodePushRequest(entries: Seq[Entry]): Array[Byte] = {

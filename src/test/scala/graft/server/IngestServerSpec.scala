@@ -124,6 +124,40 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("otlp protobuf push round-trips, gzip content-encoding accepted") {
+    import graft.streaming.OtlpProto
+    val dir = tmp("otlpproto")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val body = OtlpProto.encodeExportLogs(Seq(
+        OtlpProto.Record(1704451200123456789L, "WARN", "otlp proto line",
+          Map("service" -> "api"), Map("k" -> "v")),
+        OtlpProto.Record(1704451201000000000L, "", "second otlp line",
+          Map("service" -> "api"), Map.empty)))
+      // gzip the protobuf body and declare it via Content-Encoding
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(body); gz.close()
+      val conn = new URI(s"http://127.0.0.1:$port/insert/opentelemetry/v1/logs")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.setRequestProperty("Content-Encoding", "gzip")
+      conn.getOutputStream.write(bos.toByteArray)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      assert(count(dir, "\"otlp proto line\" | stats count() c") == 1)
+      assert(count(dir, "service:api | stats count() c") == 2)
+      assert(count(dir, "severity:WARN k:v | stats count() c") == 1)
+      val t = Compiler.run(LogStore.read(spark, dir),
+        "\"otlp proto line\" | fields _time")
+        .collect().head.getTimestamp(0).toInstant
+      assert(t.toString == "2024-01-05T10:40:00.123456Z")
+    } finally srv.stop()
+  }
+
   test("ignore/extra/decolorize ingestion params apply") {
     val dir = tmp("commonparams")
     val srv = new IngestServer(spark, dir)
