@@ -107,17 +107,57 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
       java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000000L
     else java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z").toEpochMilli * 1000000L
 
-  /** Parse query + optional [start, end) range into an AST. */
+  /** Parse query + optional [start, end) range + extra filters into an AST. */
   private def parseQ(ex: HttpExchange, ps: Map[String, Seq[String]]): Query = {
     val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
     val q0 = Parser.parse(text, nowNs)
-    (one(ps, "start"), one(ps, "end")) match {
+    val q1 = (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
       case (lo, hi) =>
         val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
                                   hi.map(parseTime).getOrElse(Long.MaxValue))
         q0.copy(filter = Filter.And(Seq(tr, q0.filter)))
     }
+    val extras =
+      ps.getOrElse("extra_filters", Nil).filter(_.nonEmpty)
+        .map(extraFilter(_, stream = false)) ++
+      ps.getOrElse("extra_stream_filters", Nil).filter(_.nonEmpty)
+        .map(extraFilter(_, stream = true))
+    extras.foldLeft(q1)((q, f) => q.copy(filter = Filter.And(Seq(f, q.filter))))
+  }
+
+  /** `extra_filters` / `extra_stream_filters` args (logsql.go:1191-1283):
+    * either a raw LogsQL filter string, or `{"field":"v"|["v1","v2"]}`
+    * JSON shorthand — exact/in() filters for the plain variant, stream
+    * label matchers for the stream variant. Every query the UI issues
+    * carries its selected-filter state this way. */
+  private def extraFilter(s: String, stream: Boolean): Filter = {
+    val trimmed = s.trim
+    def quote(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val text =
+      if (!trimmed.startsWith("{\"")) trimmed
+      else {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(trimmed)
+        val kvs = node.fields().asScala.toSeq.map { e =>
+          val vals =
+            if (e.getValue.isArray) e.getValue.elements().asScala.map(_.asText()).toSeq
+            else Seq(e.getValue.asText())
+          e.getKey -> vals
+        }
+        if (stream)
+          kvs.map { case (k, vals) =>
+            if (vals.size == 1) s"${quote(k)}=${quote(vals.head)}"
+            else s"${quote(k)}=~${quote(vals.map(java.util.regex.Pattern.quote).mkString("|"))}"
+          }.mkString("{", ",", "}")
+        else
+          kvs.map { case (k, vals) =>
+            if (vals.size == 1) s"${quote(k)}:=${quote(vals.head)}"
+            else s"${quote(k)}:in(${vals.map(quote).mkString(",")})"
+          }.mkString(" ")
+      }
+    Parser.parse(text, nowNs).filter
   }
 
   /** Request tenant (tenant_id.go:15-21): missing headers default to 0:0 —

@@ -165,11 +165,17 @@ object Ingest {
       d.withColumn(f, coalesce(element_at(col("fields"), f), lit(""))))
 
   /** Append one parsed micro-batch into the store layout (the streaming
-    * counterpart of LogStore.ingest, mode=append). */
+    * counterpart of LogStore.ingest, mode=append). Rows beyond
+    * `maxFutureDays` are dropped (storage.go's maxAllowedDay bound): a
+    * corrupt client timestamp must not create stray far-future day
+    * partitions that retention would keep alive for years. */
   def appendBatch(parsed: DataFrame, dir: String, streamFields: Seq[String],
-                  tenant: String = "0:0", filesPerDay: Int = 4): Unit = {
+                  tenant: String = "0:0", filesPerDay: Int = 4,
+                  maxFutureDays: Int = 2): Unit = {
     val sorted = streamFields.sorted
-    val withMeta = promote(parsed, sorted)
+    val bounded = parsed.filter(
+      col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
+    val withMeta = promote(bounded, sorted)
       .withColumn("_stream", map(sorted.flatMap(f =>
         Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
       .withColumn("_stream_id", LogStore.streamIdCol(sorted))

@@ -176,6 +176,55 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("far-future timestamps are dropped at ingest") {
+    val dir = tmp("future")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val future = java.time.Instant.now().plus(java.time.Duration.ofDays(30))
+      post(port, "/insert/jsonline",
+        s"""{"_time":"2024-01-05T10:00:00Z","_msg":"sane row"}
+           |{"_time":"$future","_msg":"future row"}""".stripMargin)
+      assert(count(dir, "* | stats count() c") == 1)
+      assert(count(dir, "sane | stats count() c") == 1)
+    } finally srv.stop()
+  }
+
+  test("extra_filters and extra_stream_filters scope query API requests") {
+    val dir = tmp("extraf")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      post(port, "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"row one","app":"web","lvl":"info"}
+          |{"_time":"2024-01-05T10:01:00Z","_msg":"row two","app":"web","lvl":"error"}
+          |{"_time":"2024-01-05T10:02:00Z","_msg":"row three","app":"api","lvl":"error"}""".stripMargin)
+      val qs = new QueryServer(spark, LogStore.read(spark, dir))
+      val qp = qs.start()
+      def getQ(args: String): String = {
+        val conn = new URI(s"http://127.0.0.1:$qp/select/logsql/query?query=" +
+          java.net.URLEncoder.encode("* | stats count() c", UTF_8) + args).toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+        conn.disconnect(); body
+      }
+      def enc(s: String) = java.net.URLEncoder.encode(s, UTF_8)
+      try {
+        // JSON shorthand → exact filter on a fields-map entry
+        assert(getQ("&extra_filters=" + enc("""{"lvl":"error"}"""))
+          .contains("\"c\":2"))
+        // multi-value shorthand → in()
+        assert(getQ("&extra_filters=" + enc("""{"lvl":["info","error"]}"""))
+          .contains("\"c\":3"))
+        // raw LogsQL filter string
+        assert(getQ("&extra_filters=" + enc("lvl:=info")).contains("\"c\":1"))
+        // stream shorthand scopes by stream label
+        assert(getQ("&extra_stream_filters=" + enc("""{"app":"api"}"""))
+          .contains("\"c\":1"))
+      } finally qs.stop()
+    } finally srv.stop()
+  }
+
   test("multi-tenant ingest: tenant headers isolate writes and reads") {
     val dir = tmp("tenants")
     val srv = new IngestServer(spark, dir)
