@@ -193,6 +193,22 @@ object Ingest {
     LogStore.invalidateCaches(dir)
   }
 
+  /** Structured-Streaming live tail over the store layout: a streaming
+    * parquet source on `<dir>/logs` (new files appear as micro-batch rows)
+    * filtered through the same LogsQL compiler the batch path uses — the
+    * Spark-native counterpart of the HTTP poll tail (logsql.go:497).
+    * Filter-shaped queries run in append mode; aggregating pipes need the
+    * caller to pick an output mode that supports them. */
+  def tailStream(spark: SparkSession, dir: String,
+                 filterText: String): DataFrame = {
+    val schema = graft.store.LogStore.read(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("basePath", s"$dir/logs")
+      .parquet(s"$dir/logs")
+    graft.logql.Compiler.run(stream, filterText)
+  }
+
   /** File-source streaming ingest: text lines under `srcDir` → parser →
     * store layout. `format` ∈ jsonline | syslog. */
   def fileStream(spark: SparkSession, srcDir: String, storeDir: String,

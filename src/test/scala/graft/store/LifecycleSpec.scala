@@ -69,6 +69,25 @@ class LifecycleSpec extends SparkSuite {
       java.time.LocalDate.parse("2024-02-05")).isEmpty)
   }
 
+  test("tailStream surfaces appended rows through the LogsQL filter") {
+    val dir = tmp("tailstream")
+    appendLines(dir, "2024-01-01", 5)
+    val q = Ingest.tailStream(spark, dir, "needle")
+      .writeStream.format("memory").queryName("tailq")
+      .option("checkpointLocation", s"$dir/.tail_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tailq").count() == 0) // no needles yet
+      appendLines(dir, "2024-01-02", 3, i => s"needle row $i")
+      appendLines(dir, "2024-01-02", 4) // noise the filter must drop
+      q.processAllAvailable()
+      assert(spark.table("tailq").count() == 3)
+      assert(spark.table("tailq").select("_msg").collect()
+        .forall(_.getString(0).startsWith("needle")))
+    } finally q.stop()
+  }
+
   test("stale bloom sidecar never hides appended rows") {
     val dir = tmp("bloomstale")
     appendLines(dir, "2024-01-01", 10)
