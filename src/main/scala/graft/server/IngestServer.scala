@@ -29,11 +29,29 @@ final class IngestServer(spark: SparkSession, storeDir: String,
                          defaultStreamFields: Seq[String] = Nil,
                          port: Int = 0) {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  @volatile private var serverOpt: Option[HttpServer] = None
   @volatile private var syslogSock: Option[java.net.ServerSocket] = None
   @volatile private var udpSock: Option[java.net.DatagramSocket] = None
 
-  def start(): Int = {
+  /** Mount the insert routes on an externally-owned HttpServer (the
+    * unified single-port binary registers ingest + query on one server). */
+  def attach(server: HttpServer): Unit = {
+    def route(path: String)(
+        f: (HttpExchange, Map[String, Seq[String]], Array[Byte]) => Unit): Unit =
+      server.createContext(path, new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          try {
+            val body = decompress(ex, ex.getRequestBody.readAllBytes())
+            f(ex, params(ex), body)
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.toString)
+                .replace("\\", "\\\\").replace("\"", "\\\"")
+                .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+              respond(ex, 400, s"""{"error":"$msg"}""")
+          } finally ex.close()
+        }
+      })
     route("/insert/jsonline") { (ex, ps, bytes) =>
       val body = new String(bytes, UTF_8)
       append(ex, ps, Ingest.parseJsonline(linesDF(body),
@@ -84,6 +102,12 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       respondEmpty(ex, 200)
     }
     route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }
+  }
+
+  def start(): Int = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    serverOpt = Some(server)
+    attach(server)
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server.getAddress.getPort
@@ -159,29 +183,12 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   }
 
   def stop(): Unit = {
-    server.stop(0)
+    serverOpt.foreach(_.stop(0))
     syslogSock.foreach(_.close())
     udpSock.foreach(_.close())
   }
 
   // ------------------------------------------------------------- plumbing
-
-  private def route(path: String)(
-      f: (HttpExchange, Map[String, Seq[String]], Array[Byte]) => Unit): Unit =
-    server.createContext(path, new HttpHandler {
-      def handle(ex: HttpExchange): Unit = {
-        try {
-          val body = decompress(ex, ex.getRequestBody.readAllBytes())
-          f(ex, params(ex), body)
-        } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.toString)
-              .replace("\\", "\\\\").replace("\"", "\\\"")
-              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-            respond(ex, 400, s"""{"error":"$msg"}""")
-        } finally ex.close()
-      }
-    })
 
   private def params(ex: HttpExchange): Map[String, Seq[String]] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")

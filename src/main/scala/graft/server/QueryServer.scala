@@ -23,12 +23,25 @@ import graft.logql._
   * [[Compiler]]; results stream to the client via `toLocalIterator` (one
   * partition in memory at a time, never a full collect of raw rows).
   */
-final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
+final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
+                        port: Int) {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  /** Fixed-relation convenience constructor (tests, ad-hoc views). A
+    * log-store caller should pass `() => LogStore.read(spark, dir)` so
+    * appends (which invalidate the memoized relation) become visible to
+    * queries without a restart. */
+  def this(spark: SparkSession, source: DataFrame, port: Int = 0) =
+    this(spark, () => source, port)
+
+  private def source: DataFrame = sourceProvider()
+
+  @volatile private var serverOpt: Option[HttpServer] = None
   @volatile private var stopped = false
 
-  def start(): Int = {
+  /** Mount the select routes on an externally-owned HttpServer (the
+    * unified single-port binary registers ingest + query on one server,
+    * like the reference's port 9428). */
+  def attach(server: HttpServer): Unit = {
     server.createContext("/select/logsql/query", handler(handleQuery))
     server.createContext("/select/logsql/hits", handler(handleHits))
     server.createContext("/select/logsql/facets", handler(handleFacets))
@@ -41,6 +54,12 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
     server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
     server.createContext("/select/logsql/stream_field_values", handler(handleStreamFieldValues))
+  }
+
+  def start(): Int = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    serverOpt = Some(server)
+    attach(server)
     // cached pool: long-lived tail connections must not starve the other
     // endpoints the way a fixed 4-thread pool would (each tail handler
     // blocks in its poll-sleep loop for the lifetime of the client)
@@ -49,7 +68,7 @@ final class QueryServer(spark: SparkSession, source: DataFrame, port: Int = 0) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = { stopped = true; server.stop(0) }
+  def stop(): Unit = { stopped = true; serverOpt.foreach(_.stop(0)) }
 
   // ------------------------------------------------------------- plumbing
 

@@ -256,6 +256,27 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("unified server: ingest then query on one port, fresh data visible") {
+    val dir = tmp("unified")
+    val (http, port) = graft.Server.start(spark, dir)
+    try {
+      post(port, "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"unified row","app":"web"}""")
+      def getQ(q: String): String = {
+        val conn = new URI(s"http://127.0.0.1:$port/select/logsql/query?query=" +
+          java.net.URLEncoder.encode(q, UTF_8)).toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+        conn.disconnect(); body
+      }
+      assert(getQ("unified | stats count() c").contains("\"c\":1"))
+      // second ingest on the SAME server is visible without a restart
+      post(port, "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T11:00:00Z","_msg":"unified again","app":"web"}""")
+      assert(getQ("unified | stats count() c").contains("\"c\":2"))
+    } finally http.stop(0)
+  }
+
   test("syslog TCP listener ingests lines") {
     val dir = tmp("syslog")
     val srv = new IngestServer(spark, dir)
