@@ -1087,20 +1087,11 @@ object Compiler {
 
   // --------------------------------------------------------------- unpack
 
-  /** logfmt `k=v k2="quoted v"` → map (logfmt_parser.go). Handles quoted
-    * values via a regex scan. */
-  private def logfmtMap(c: Column): Column = {
-    val pairRe = """([\p{L}\p{N}_.\-]+)=("(?:[^"\\]|\\.)*"|\S*)"""
-    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
-    map_from_entries(transform(pairs, p => {
-      val k = regexp_extract(p, "^([^=]+)=", 1)
-      val raw = regexp_replace(p, "^[^=]+=", "")
-      val unq = when(raw.startsWith("\"") && raw.endsWith("\"") && octet_length(raw) >= 2,
-        regexp_replace(raw.substr(lit(2), octet_length(raw) - 2), """\\(.)""", "$1"))
-        .otherwise(raw)
-      struct(k.as("key"), unq.as("value"))
-    }))
-  }
+  /** logfmt `k=v k2="quoted v"` → map via a single-pass custom expression
+    * (functions/LogfmtParse.scala) — the previous three-regex Column tower
+    * re-scanned every row once per regex. */
+  private def logfmtMap(c: Column): Column =
+    graft.functions.LogfmtParse.logfmtToMap(c)
 
   private def mergeIntoFields(df: DataFrame, parsed: Column, prefix: String): DataFrame = {
     val prefixed =
