@@ -133,7 +133,8 @@ object Pipe {
                               prefix: String) extends Pipe
   final case class UnpackLogfmt(from: String, fieldsList: Seq[String],
                                 prefix: String) extends Pipe
-  final case class UnpackSyslog(from: String, prefix: String) extends Pipe
+  final case class UnpackSyslog(from: String, prefix: String,
+      offsetNs: Long = 0L) extends Pipe
   final case class UnpackWords(from: String, out: String,
                                limit: Long) extends Pipe
   final case class Unroll(fields: Seq[String],

@@ -463,7 +463,7 @@ object Compiler {
             coalesce(element_at(logfmtMap(strF(d, from)), f), lit(""))))
       else mergeIntoFields(df, parsed, prefix)
 
-    case Pipe.UnpackSyslog(from, prefix) => applyUnpackSyslog(df, from, prefix)
+    case Pipe.UnpackSyslog(from, prefix, off) => applyUnpackSyslog(df, from, prefix, off)
 
     case Pipe.UnpackWords(from, out, limitN) =>
       val words = TextMatch.tokenize(strF(df, from))
@@ -1106,7 +1106,8 @@ object Compiler {
     else df.withColumn("fields", coalesce(prefixed, map()))
   }
 
-  private[graft] def applyUnpackSyslog(df: DataFrame, from: String, prefix: String): DataFrame = {
+  private[graft] def applyUnpackSyslog(df: DataFrame, from: String,
+      prefix: String, offsetNs: Long = 0L): DataFrame = {
     val src = strF(df, from)
     // RFC5424: <pri>VER TS HOST APP PROCID MSGID [SD] MSG (syslog_parser.go)
     val rfc5424 = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\])|-) ?(.*)$"
@@ -1116,12 +1117,30 @@ object Compiler {
     def f(name: String, c: Column): (String, Column) = (prefix + name, c)
     val pri = when(is5424, regexp_extract(src, rfc5424, 1))
       .otherwise(regexp_extract(src, rfc3164, 1)).try_cast("long")
+    // RFC3164 timestamps carry no zone: with `offset <dur>` they render as
+    // RFC3339 wall time in that fixed zone, current year injected
+    // (pipe_unpack_syslog.go:140-156 + GetSyslogParser); without it the
+    // raw string passes through (documented default)
+    val raw3164 = regexp_extract(src, rfc3164, 2)
+    val ts3164 =
+      if (offsetNs == 0L) raw3164
+      else {
+        val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
+        val norm = regexp_replace(raw3164, "\\s+", " ")
+        val wall = to_timestamp(concat(lit(s"$year "), norm), "yyyy MMM d HH:mm:ss")
+        val totalMin = (offsetNs / 60000000000L).toInt
+        val sign = if (totalMin < 0) "-" else "+"
+        val suffix = f"$sign${math.abs(totalMin) / 60}%02d:${math.abs(totalMin) % 60}%02d"
+        when(wall.isNotNull,
+          concat(date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), lit(suffix)))
+          .otherwise(raw3164)
+      }
     val cols = Seq(
       f("priority", pri.cast(StringType)),
       f("facility", (pri / 8).cast(LongType).cast(StringType)),
       f("severity", (pri % 8).cast(LongType).cast(StringType)),
       f("timestamp", when(is5424, regexp_extract(src, rfc5424, 3))
-        .otherwise(regexp_extract(src, rfc3164, 2))),
+        .otherwise(ts3164)),
       f("hostname", when(is5424, regexp_extract(src, rfc5424, 4))
         .otherwise(regexp_extract(src, rfc3164, 3))),
       f("app_name", when(is5424, regexp_extract(src, rfc5424, 5))

@@ -668,8 +668,15 @@ final class Parser(input: String, now: Long) {
         Pipe.UnpackLogfmt(from, fl, p)
       case "unpack_syslog" =>
         val from = if (consumeKeyword("from")) readToken() else "_msg"
+        // `offset <duration>` interprets zone-less RFC3164 timestamps in a
+        // fixed zone (pipe_unpack_syslog.go:140-156)
+        val off = if (consumeKeyword("offset")) {
+          val tok = readToken()
+          NumLit.durationNanos(tok)
+            .getOrElse(throw ParseException(s"cannot parse offset '$tok'", pos))
+        } else 0L
         val p = if (consumeKeyword("result_prefix")) readToken() else ""
-        Pipe.UnpackSyslog(from, p)
+        Pipe.UnpackSyslog(from, p, off)
       case "unpack_words" =>
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         val out = if (consumeKeyword("as")) readToken() else from

@@ -504,6 +504,20 @@ class CompilerSpec extends SparkSuite {
     assert(out.contains("oops"))
   }
 
+  test("unpack_syslog offset renders RFC3164 timestamps in the fixed zone") {
+    val schema = StructType(Seq(StructField("_msg", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("<13>Jan  5 10:11:12 host2 cron[123]: scheduled run"))), schema)
+    val out = Compiler.run(df, "* | unpack_syslog offset 5h30m", NOW)
+      .select("timestamp").collect().head.getString(0)
+    val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
+    assert(out == s"$year-01-05T10:11:12+05:30")
+    // without offset the raw string passes through unchanged
+    val raw = Compiler.run(df, "* | unpack_syslog", NOW)
+      .select("timestamp").collect().head.getString(0)
+    assert(raw == "Jan  5 10:11:12")
+  }
+
   test("math operands auto-parse durations, hex, byte sizes, ipv4") {
     val schema = StructType(Seq(
       StructField("dur", StringType), StructField("hexv", StringType),
