@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** Differential property tests: the custom single-pass expressions must
+  * agree with the regex Column formulations they replaced, across
+  * generated inputs (including adversarial quoting/escaping shapes). */
+class ExprPropertySpec extends SparkSuite {
+
+  // the previous regex implementations, kept here as the semantic spec
+
+  private def regexIpv4(c: Column): Column = {
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    val p = split(c, "\\.")
+    when(c.rlike(s"^$octet\\.$octet\\.$octet\\.$octet$$"),
+      p.getItem(0).cast(LongType) * 16777216L +
+      p.getItem(1).cast(LongType) * 65536L +
+      p.getItem(2).cast(LongType) * 256L +
+      p.getItem(3).cast(LongType))
+  }
+
+  private def regexLogfmt(c: Column): Column = {
+    val pairRe = """([\p{L}\p{N}_.\-]+)=("(?:[^"\\]|\\.)*"|\S*)"""
+    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
+    map_from_entries(transform(pairs, p => {
+      val k = regexp_extract(p, "^([^=]+)=", 1)
+      val raw = regexp_replace(p, "^[^=]+=", "")
+      val unq = when(raw.startsWith("\"") && raw.endsWith("\"") && octet_length(raw) >= 2,
+        regexp_replace(raw.substr(lit(2), octet_length(raw) - 2), """\\(.)""", "$1"))
+        .otherwise(raw)
+      struct(k.as("key"), unq.as("value"))
+    }))
+  }
+
+  private def evalBatch(inputs: Seq[String], expr: Column => Column): Seq[Any] = {
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(Row(_)), 2), schema)
+    df.select(expr(col("s")).as("v")).collect().map(_.get(0)).toSeq
+  }
+
+  private val ipv4Gen: Gen[String] = Gen.oneOf(
+    // valid quads
+    Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString(".")),
+    // near-valid mutations
+    Gen.listOfN(4, Gen.choose(0, 300)).map(_.mkString(".")),
+    Gen.listOfN(3, Gen.choose(0, 255)).map(_.mkString(".")),
+    Gen.listOfN(5, Gen.choose(0, 255)).map(_.mkString(".")),
+    Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString(".") + "."),
+    Gen.listOfN(4, Gen.oneOf("0", "00", "01", "255", "256", "a", ""))
+      .map(_.mkString(".")),
+    Gen.alphaNumStr.map(_.take(20)))
+
+  test("Ipv4ToLong agrees with the regex spec on generated inputs") {
+    val inputs = Gen.listOfN(300, ipv4Gen).sample.get
+    val got = evalBatch(inputs, c => Ipv4Parse.ipv4ToLong(c))
+    val want = evalBatch(inputs, regexIpv4)
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"ipv4 mismatch for '$in': got $g want $w")
+    }
+  }
+
+  private val logfmtGen: Gen[String] = {
+    val key = Gen.oneOf("a", "key", "k_1", "x.y", "with-dash", "K9")
+    val bare = Gen.oneOf("v", "12", "a=b", "", "x,y", "[1]")
+    val quoted = Gen.oneOf("\"v 1\"", "\"\"", "\"es\\\"c\"", "\"a\\\\b\"", "\"unterminated")
+    val pair = for {
+      k <- key
+      v <- Gen.oneOf(bare, quoted)
+    } yield s"$k=$v"
+    val junk = Gen.oneOf("plain", "=", "==", "trailing ", "  ", "\"q\"")
+    Gen.listOfN(5, Gen.oneOf(pair, junk)).map(_.mkString(" "))
+  }
+
+  test("LogfmtToMap agrees with the regex spec on generated inputs") {
+    // the regex form throws on duplicate keys (Spark map policy); keep
+    // generated keys per-line distinct by deduping inputs that would clash
+    val inputs = Gen.listOfN(200, logfmtGen).sample.get.distinct
+      .filter { s =>
+        val ks = """([\p{L}\p{N}_.\-]+)=""".r.findAllMatchIn(s).map(_.group(1)).toSeq
+        ks.distinct.size == ks.size
+      }
+    assert(inputs.size > 50)
+    val got = evalBatch(inputs, c => LogfmtParse.logfmtToMap(c))
+      .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
+    val want = evalBatch(inputs, regexLogfmt)
+      .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"logfmt mismatch for '$in': got $g want $w")
+    }
+  }
+}
