@@ -69,6 +69,24 @@ class LifecycleSpec extends SparkSuite {
       java.time.LocalDate.parse("2024-02-05")).isEmpty)
   }
 
+  test("optimize invalidates the bloom sidecar; queries stay correct and rebuild works") {
+    val dir = tmp("compactbloom")
+    (1 to 3).foreach(_ => appendLines(dir, "2024-01-01", 10, i => s"bloomword row $i"))
+    MsgBloom.build(spark, dir)
+    assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
+      .collect().head.getLong(0) == 30)
+    Compaction.optimize(spark, dir)
+    // sidecar dropped (it referenced replaced files) → full-scan fallback
+    assert(!new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists())
+    assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
+      .collect().head.getLong(0) == 30)
+    // rebuild over the compacted layout restores pruning
+    MsgBloom.ensure(spark, dir)
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
+    assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
+      .collect().head.getLong(0) == 30)
+  }
+
   test("tailStream surfaces appended rows through the LogsQL filter") {
     val dir = tmp("tailstream")
     appendLines(dir, "2024-01-01", 5)
