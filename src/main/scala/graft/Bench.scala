@@ -23,18 +23,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(once) // warmup
+    // fixed per-query local-mode job overhead (scheduler + codegen floor),
+    // measured as the median latency of a trivial 1-row action — reported
+    // so the DuckDB-ratio comparison can exclude it arithmetically.
+    // Sampled BOTH before and after the timed section (the floor drifts
+    // with JIT/GC state, and it multiplies by the query count in
+    // adjusted_total, so a single-sided estimate swings the headline).
+    def noopSamples(k: Int): Seq[Double] = Seq.fill(k) {
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val noopBefore = noopSamples(7)
     val results = names.map { n =>
       val ts = Seq.fill(3)(once(n)).sorted
       n -> ts(1) // median
     }
-    // fixed per-query local-mode job overhead (scheduler + codegen floor),
-    // measured as the median latency of a trivial 1-row action — reported
-    // so the DuckDB-ratio comparison can exclude it arithmetically
-    val noop = Seq.fill(5) {
-      val t0 = System.nanoTime()
-      spark.range(1).count()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted.apply(2)
+    val noopAll = (noopBefore ++ noopSamples(7)).sorted
+    val noop = noopAll(noopAll.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
