@@ -236,25 +236,43 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       Seq(StatsFuncAs(StatsFunc.Count(Nil), "hits", None)))
     val rows = runQ(ex, Query(base.filter, Seq(stats))).collect()
     val tIdx = 0
-    val series = rows.groupBy(r => fields.indices.map(i => r.get(i + 1)).toSeq)
+    val series0 = rows.groupBy(r => fields.indices.map(i => r.get(i + 1)).toSeq)
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
-    val body = series.map { case (labels, rs) =>
-      val fieldsJson = fields.zip(labels)
-        .map { case (f, v) => jsonStr(f) + ":" + jsonStr(render(v)) }
-        .mkString("{", ",", "}")
-      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp](tIdx).getTime)
-      val ts = sorted.map(r => jsonStr(r.getAs[java.sql.Timestamp](tIdx).toInstant.toString)).mkString(",")
-      val vs = sorted.map(_.getAs[Long]("hits").toString).mkString(",")
-      val total = rs.map(_.getAs[Long]("hits")).sum
-      s"""{"fields":$fieldsJson,"timestamps":[$ts],"values":[$vs],"total":$total}"""
+      .map { case (labels, rs) =>
+        val sorted = rs.sortBy(_.getAs[java.sql.Timestamp](tIdx).getTime)
+        val pts = sorted.map(r =>
+          (r.getAs[java.sql.Timestamp](tIdx).toInstant.toString, r.getAs[Long]("hits"))).toSeq
+        val fieldsJson = fields.zip(labels)
+          .map { case (f, v) => jsonStr(f) + ":" + jsonStr(render(v)) }
+          .mkString("{", ",", "}")
+        (fieldsJson, pts)
+      }
+    // fields_limit: keep the top-N series by total hits, fold the rest into
+    // one empty-fields "other" series (getTopHitsSeries, logsql.go:224-262)
+    val fieldsLimit = one(ps, "fields_limit").map(_.toInt).getOrElse(0)
+    val series =
+      if (fieldsLimit <= 0 || series0.size <= fieldsLimit) series0
+      else {
+        val ranked = series0.sortBy(-_._2.map(_._2).sum)
+        val other = ranked.drop(fieldsLimit).flatMap(_._2)
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        ranked.take(fieldsLimit) :+ ("{}", other)
+      }
+    val body = series.map { case (fieldsJson, pts) =>
+      val ts = pts.map(p => jsonStr(p._1)).mkString(",")
+      val vs = pts.map(_._2.toString).mkString(",")
+      s"""{"fields":$fieldsJson,"timestamps":[$ts],"values":[$vs],"total":${pts.map(_._2).sum}}"""
     }.mkString("""{"hits":[""", ",", "]}")
     respond(ex, 200, body)
   }
 
   private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
+    val maxPerField = one(ps, "max_values_per_field").map(_.toLong).getOrElse(n)
+    val maxLen = one(ps, "max_value_len").map(_.toLong).getOrElse(128L)
     val base = parseQ(ex, ps)
-    val rows = runQ(ex, Query(base.filter, base.pipes :+ Pipe.Facets(n, n, 128L)))
+    val rows = runQ(ex, Query(base.filter, base.pipes :+ Pipe.Facets(n, maxPerField, maxLen)))
       .collect()
     val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val body = byField.map { case (fname, rs) =>
@@ -402,15 +420,25 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     // lastSeen INCLUSIVE and dedup boundary rows by identity hash — the
     // reference dedups re-delivered rows by timestamp+fields the same way
     // (logsql.go:497-660)
-    var lastSeenUs = Long.MinValue
+    // start_offset: how far back the first poll reaches (reference default
+    // 5s; here the default tails from the beginning — friendlier for a
+    // batch store and for tests — and the arg opts into reference
+    // behavior). offset: stay this far behind realtime so slow writers'
+    // rows land before their window is polled (logsql.go:512-526).
+    val startOffsetMs = one(ps, "start_offset").map(_.toLong)
+    val offsetMs = one(ps, "offset").map(_.toLong).getOrElse(1000L)
+    var lastSeenUs = startOffsetMs
+      .map(so => (System.currentTimeMillis() - so) * 1000L)
+      .getOrElse(Long.MinValue)
     var seenAtLast = Set.empty[Int]
     var polls = 0
     try {
       while (!stopped && polls < maxPolls) {
-        val windowed =
-          if (lastSeenUs == Long.MinValue) q
-          else q.copy(filter = Filter.And(Seq(
-            Filter.TimeRange(lastSeenUs * 1000L, Long.MaxValue), q.filter)))
+        val hiNs = (System.currentTimeMillis() - offsetMs) * 1000000L
+        val loNs = if (lastSeenUs == Long.MinValue) Long.MinValue
+                   else lastSeenUs * 1000L
+        val windowed = q.copy(filter = Filter.And(Seq(
+          Filter.TimeRange(loNs, hiNs), q.filter)))
         val df = runQ(ex, windowed)
         val withT = df.withColumn("__tus",
           unix_micros(col("_time")))

@@ -37,6 +37,19 @@ class ServerSpec extends SparkSuite {
     assert(lines.forall(l => l.startsWith("{") && l.contains("\"event_type\":\"purchase\"")))
   }
 
+  test("hits fields_limit folds the tail series into an other bucket") {
+    val (code, body) = get(
+      s"/select/logsql/hits?query=${enc("*")}&step=1d&field=event_type&fields_limit=2")
+    assert(code == 200)
+    // 5 event types → 2 named series + the folded {} series
+    val fieldObjs = """"fields":(\{[^}]*\})""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(fieldObjs.length == 3, body.take(300))
+    assert(fieldObjs.count(_ == "{}") == 1)
+    // grand total preserved across the fold
+    val totals = """"total":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    assert(totals.sum == 1000)
+  }
+
   test("hits endpoint returns count-by-time series") {
     val (code, body) = get(s"/select/logsql/hits?query=${enc("*")}&step=1d&field=event_type")
     assert(code == 200)
