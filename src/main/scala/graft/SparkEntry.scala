@@ -259,10 +259,10 @@ object SparkEntry {
     "q_lql_median" -> ((s, d) =>
       lql(s, d,
         "* | stats by (event_type) median(value) med, quantile(0.9, value) p90 | sort by (event_type)")),
-    // ---- sample pipe — rows-only check (§2.2 #30) ----
+    // ---- sample pipe — deterministic content-hash 1-in-n, count pinned (§2.2 #30) ----
     "q_lql_sample" -> ((s, d) =>
       lql(s, d, "* | sample 7 | stats count() c")),
-    // ---- hash pipe — rows-only (engine-specific 64-bit hash) (§2.2 #17) ----
+    // ---- hash pipe — deterministic xxhash64, values pinned via VALUES oracle (§2.2 #17) ----
     "q_lql_hash" -> ((s, d) =>
       lql(s, d, "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")),
 
@@ -815,6 +815,21 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),
          ('r', CAST(10 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // hash pipe emits the engine's xxhash64 — deterministic, so the five
+    // (event_type, h) pairs are pinned as constants (same trick as
+    // q_multimodal_decode: a VALUES oracle for engine-internal values)
+    "q_lql_hash" ->
+      """SELECT * FROM (VALUES
+         ('click',    CAST(7851395633440214954 AS BIGINT)),
+         ('error',    CAST(6881330540950751673 AS BIGINT)),
+         ('purchase', CAST(7798363455734685992 AS BIGINT)),
+         ('signup',   CAST(-317780457380059067 AS BIGINT)),
+         ('view',     CAST(4012769036056163235 AS BIGINT))
+         ) AS t(event_type, h) ORDER BY event_type""",
+    // sample is deterministic content-hash 1-in-n (Compiler.Sample), so the
+    // surviving-row count at sf0.01 is a pinned constant
+    "q_lql_sample" ->
+      "SELECT CAST(1432 AS BIGINT) AS c",
     "q_lql_if_options" ->
       """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE))

@@ -19,7 +19,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full stack to stderr AND an on-disk marker, so a throwing query
+        // is diagnosable from the driver artifacts alone (the CompilerSpec
+        // all-queries smoke test catches these first in `sbt test`)
+        System.err.println(s"[verify] $name failed:")
+        e.printStackTrace()
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        Files.writeString(Paths.get(s"$outDir/$name.error"), sw.toString)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

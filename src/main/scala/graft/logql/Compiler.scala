@@ -340,7 +340,19 @@ object Compiler {
     case Pipe.Where(f) => df.filter(compileFilter(df, f, ctx))
     case Pipe.Limit(n) => df.limit(n.toInt)
     case Pipe.Offset(n) => df.offset(n.toInt)
-    case Pipe.Sample(n) => df.filter(rand() < 1.0 / n)
+    // deterministic 1-in-n sampling: keep rows whose row-content hash lands
+    // in bucket 0 (pipe_sample.go keeps each row with probability 1/n via a
+    // PRNG; a content hash gives the same ~1/n expectation while staying
+    // reproducible across runs, partitionings, and cluster sizes — the
+    // property a verifiable data pipeline actually needs). Map-typed
+    // columns hash via their JSON rendering (Spark's hash() rejects maps).
+    case Pipe.Sample(n) =>
+      val hashable = df.schema.fields.toSeq.map { f =>
+        if (f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          to_json(col("`" + f.name + "`"))
+        else col("`" + f.name + "`")
+      }
+      df.filter(pmod(xxhash64(hashable: _*), lit(n)) === 0)
 
     case s: Pipe.Sort => applySort(df, s)
 

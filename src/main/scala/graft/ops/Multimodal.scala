@@ -137,7 +137,9 @@ object Multimodal {
           case _ => Array.emptyByteArray
         }
         val vals = r.toSeq.toArray
-        val meta = r.getStruct(mIdx)
+        // rows without metadata must pass through, not NPE in the executor
+        val meta = if (r.isNullAt(mIdx)) null else r.getStruct(mIdx)
+        def metaAt(i: Int): Any = if (meta == null) null else meta.get(i)
         decodeImage(bytes) match {
           case Some(img) =>
             val out = new java.awt.image.BufferedImage(
@@ -150,9 +152,9 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             vals(cIdx) = bos.toByteArray
-            vals(mIdx) = Row(w, h, meta.get(2), "image/png")
+            vals(mIdx) = Row(w, h, metaAt(2), "image/png")
           case None =>
-            vals(mIdx) = Row(w, h, meta.get(2), meta.get(3))
+            vals(mIdx) = Row(w, h, metaAt(2), metaAt(3))
         }
         Row.fromSeq(vals.toSeq)
       }

@@ -69,30 +69,44 @@ object Similarity {
     * the broadcast-able centroid set and the materialized cell table. This
     * is the production shape — an ANN index is precomputed state, not
     * something a query rebuilds (re-fitting inside every invocation was
-    * the single slowest bench entry). Keyed by the canonicalized plan hash
-    * so a changed corpus gets a fresh index. */
-  private val ivfCache = scala.collection.mutable.Map
-    .empty[(Int, String, Int), (Array[Array[Double]], DataFrame)]
+    * the single slowest bench entry). Keyed by the CANONICALIZED PLAN
+    * ITSELF (structural equality), not its 32-bit hash — a hash collision
+    * would silently serve an index built over a different corpus. Bounded:
+    * evicted entries unpersist their cell tables so a long-lived server
+    * doesn't pin stale corpora in executor memory. */
+  private val ivfCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
+           (Array[Array[Double]], DataFrame)]
+  private val MaxIvfEntries = 8
 
   def ivfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                nlist: Int): (Array[Array[Double]], DataFrame) = synchronized {
-    val key = (corpus.queryExecution.optimizedPlan.semanticHash(),
+    val key = (corpus.queryExecution.optimizedPlan.canonicalized,
       s"$corpusId/$corpusVec", nlist)
-    ivfCache.getOrElseUpdate(key, {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val c0 = corpus.select(col(corpusId).as("neighbor_id"),
-        col(corpusVec).as("cv"),
-        array_to_vector(col(corpusVec).cast("array<double>")).as("__vec"))
-      // coarse cells only need rough centroids: few iterations, cheap init
-      val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(5)
-        .setInitMode("random")
-        .setFeaturesCol("__vec").setPredictionCol("cell").fit(c0)
-      val cells = model.transform(c0)
-        .select(col("neighbor_id"), col("cv"), col("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (model.clusterCenters.map(_.toArray), cells)
-    })
+    ivfCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val c0 = corpus.select(col(corpusId).as("neighbor_id"),
+          col(corpusVec).as("cv"),
+          array_to_vector(col(corpusVec).cast("array<double>")).as("__vec"))
+        // coarse cells only need rough centroids: few iterations, cheap init
+        val model = new KMeans().setK(nlist).setSeed(7).setMaxIter(5)
+          .setInitMode("random")
+          .setFeaturesCol("__vec").setPredictionCol("cell").fit(c0)
+        val cells = model.transform(c0)
+          .select(col("neighbor_id"), col("cv"), col("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val entry = (model.clusterCenters.map(_.toArray), cells)
+        ivfCache.put(key, entry)
+        while (ivfCache.size > MaxIvfEntries) {
+          val (oldKey, (_, oldCells)) = ivfCache.head
+          oldCells.unpersist()
+          ivfCache.remove(oldKey)
+        }
+        entry
+    }
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,

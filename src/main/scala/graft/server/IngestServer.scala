@@ -113,27 +113,60 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     server.getAddress.getPort
   }
 
-  /** Start the syslog TCP listener: each connection's lines parse as
-    * RFC3164/5424 and append on EOF (syslog/syslog.go:38-60 per-conn
-    * scanner). Returns the bound port. */
+  /** Start the syslog TCP listener: lines parse as RFC3164/5424 and append
+    * incrementally on a time/size cadence (syslog/syslog.go:38-60 processes
+    * lines as the per-conn scanner yields them). Real senders (rsyslog,
+    * syslog-ng) hold connections open indefinitely, so waiting for EOF
+    * would both delay queryability forever and buffer without bound —
+    * connection readers push lines into a shared queue that a flusher
+    * drains every `flushMs` (or as soon as `maxPending` lines accumulate),
+    * exactly like the UDP path. Returns the bound port. */
   def startSyslogTcp(streamFields: Seq[String] = Seq("hostname"),
-                     port: Int = 0): Int = {
+                     port: Int = 0, flushMs: Long = 200L,
+                     maxPending: Int = 10000): Int = {
     val sock = new java.net.ServerSocket(port, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     syslogSock = Some(sock)
+    val pending = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val flushLock = new Object
+    def flush(): Unit = flushLock.synchronized {
+      val batch = new java.util.ArrayList[String]()
+      pending.drainTo(batch)
+      if (!batch.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        Ingest.appendBatch(Ingest.parseSyslog(seqDF(batch.asScala.toSeq)),
+          storeDir, streamFields)
+      }
+    }
+    val flusher = new Thread(() => {
+      while (!sock.isClosed) {
+        try Thread.sleep(flushMs) catch { case _: InterruptedException => }
+        try flush()
+        catch { case e: Throwable =>
+          System.err.println(s"[syslog-tcp] flush failed: ${e.getMessage}") }
+      }
+      try flush() catch { case _: Throwable => } // drain after close
+    }, "graft-syslog-flush")
+    flusher.setDaemon(true)
+    flusher.start()
     val t = new Thread(() => {
       while (!sock.isClosed) {
         try {
           val conn = sock.accept()
           new Thread(() => {
             try {
-              val lines = scala.io.Source.fromInputStream(
-                conn.getInputStream, "UTF-8").getLines().toSeq
-                .filter(_.nonEmpty)
-              if (lines.nonEmpty)
-                Ingest.appendBatch(Ingest.parseSyslog(seqDF(lines)),
-                  storeDir, streamFields)
-            } finally conn.close()
+              val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+                conn.getInputStream, UTF_8))
+              var line = rd.readLine()
+              while (line != null) {
+                if (line.nonEmpty) {
+                  pending.put(line)
+                  if (pending.size >= maxPending) flush()
+                }
+                line = rd.readLine()
+              }
+            } catch { case _: java.io.IOException => /* sender hung up */ }
+            finally conn.close()
           }, "graft-syslog-conn").start()
         } catch { case _: java.net.SocketException => /* closed */ }
       }

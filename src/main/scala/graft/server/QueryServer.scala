@@ -24,14 +24,19 @@ import graft.logql._
   * partition in memory at a time, never a full collect of raw rows).
   */
 final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
-                        port: Int) {
+                        port: Int,
+                        maxConcurrentQueries: Int = 16,
+                        queueTimeoutMs: Long = 10000L,
+                        maxSeriesPoints: Int = 200000) {
 
   /** Fixed-relation convenience constructor (tests, ad-hoc views). A
     * log-store caller should pass `() => LogStore.read(spark, dir)` so
     * appends (which invalidate the memoized relation) become visible to
     * queries without a restart. */
-  def this(spark: SparkSession, source: DataFrame, port: Int = 0) =
+  def this(spark: SparkSession, source: DataFrame, port: Int) =
     this(spark, () => source, port)
+
+  def this(spark: SparkSession, source: DataFrame) = this(spark, source, 0)
 
   private def source: DataFrame = sourceProvider()
 
@@ -49,7 +54,10 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     server.createContext("/select/logsql/stats_query", handler(handleStatsQuery))
     server.createContext("/select/logsql/field_names", handler(handleFieldNames))
     server.createContext("/select/logsql/field_values", handler(handleFieldValues))
-    server.createContext("/select/logsql/tail", handler(handleTail))
+    // tail is NOT admission-gated: a long-lived poll loop would pin a
+    // query slot for its whole client lifetime; it is lifetime-capped
+    // instead (handleTail), matching the reference's separate treatment
+    server.createContext("/select/logsql/tail", handler(handleTail, gated = false))
     server.createContext("/select/logsql/streams", handler(handleStreams))
     server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
     server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
@@ -72,10 +80,27 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   // ------------------------------------------------------------- plumbing
 
-  private def handler(f: (HttpExchange, Map[String, Seq[String]]) => Unit): HttpHandler =
+  /** Query admission control (reference app/vlselect/main.go:23-50,
+    * 172-197): at most `maxConcurrentQueries` requests execute at once;
+    * excess requests queue up to `queueTimeoutMs` and are rejected with
+    * 429 on overflow — N concurrent heavy queries must not thrash the one
+    * Spark scheduler behind the server. */
+  private val querySem =
+    new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
+
+  private def handler(f: (HttpExchange, Map[String, Seq[String]]) => Unit,
+                      gated: Boolean = true): HttpHandler =
     (ex: HttpExchange) => {
-      try f(ex, params(ex))
-      catch {
+      try {
+        if (gated && !querySem.tryAcquire(queueTimeoutMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          respond(ex, 429,
+            s"""{"error":"too many concurrent queries (limit $maxConcurrentQueries); retry later"}""")
+        } else {
+          try f(ex, params(ex))
+          finally { if (gated) querySem.release() }
+        }
+      } catch {
         case e: Throwable =>
           val msg = jsonStr(Option(e.getMessage).getOrElse(e.toString))
           respond(ex, 400, s"""{"error":$msg}""")
@@ -234,7 +259,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     val stats = Pipe.Stats(
       ByField("_time", Some(step), off) +: fields.map(f => ByField(f, None, None)),
       Seq(StatsFuncAs(StatsFunc.Count(Nil), "hits", None)))
-    val rows = runQ(ex, Query(base.filter, Seq(stats))).collect()
+    val rows = collectBounded(runQ(ex, Query(base.filter, Seq(stats))), "hits")
     val tIdx = 0
     val series0 = rows.groupBy(r => fields.indices.map(i => r.get(i + 1)).toSeq)
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
@@ -271,8 +296,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
     val maxPerField = one(ps, "max_values_per_field").map(_.toLong).getOrElse(n)
     val maxLen = one(ps, "max_value_len").map(_.toLong).getOrElse(128L)
+    // keep_const_fields=1 keeps fields whose value is constant across all
+    // matching rows (dropped by default as non-discriminating; logsql.go:56)
+    val keepConst = one(ps, "keep_const_fields")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val base = parseQ(ex, ps)
-    val rows = runQ(ex, Query(base.filter, base.pipes :+ Pipe.Facets(n, maxPerField, maxLen)))
+    val rows = runQ(ex, Query(base.filter,
+      base.pipes :+ Pipe.Facets(n, maxPerField, maxLen, keepConst)))
       .collect()
     val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val body = byField.map { case (fname, rs) =>
@@ -311,7 +341,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         st.copy(by = st.by :+ ByField("_time", Some(step), None))
       case (p, _) => p
     }
-    val rows = runQ(ex, Query(q0.filter, pipes)).collect()
+    val rows = collectBounded(runQ(ex, Query(q0.filter, pipes)), "stats_query_range")
     val series = rows.flatMap { r =>
       val t = r.getAs[java.sql.Timestamp]("_time").getTime / 1000.0
       statCols.map { sc =>
@@ -329,6 +359,19 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     }
     respond(ex, 200,
       s"""{"status":"success","data":{"resultType":"matrix","result":[${items.mkString(",")}]}}""")
+  }
+
+  /** Bounded driver materialization for the series-pivot endpoints: a
+    * step=1s range over a year of a high-cardinality field would otherwise
+    * collect millions of points onto the driver. The limit rides in the
+    * plan (`limit maxSeriesPoints+1`), so the executors stop early too. */
+  private def collectBounded(df: DataFrame,
+                             what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxSeriesPoints + 1).collect()
+    if (rows.length > maxSeriesPoints)
+      throw new IllegalArgumentException(
+        s"$what result exceeds $maxSeriesPoints points; increase 'step', narrow the time range, or reduce grouping cardinality")
+    rows
   }
 
   private def lastStatsInfo(q: Query): (Seq[String], Seq[String]) =
@@ -413,6 +456,10 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     val q = parseQ(ex, ps)
     val refreshMs = one(ps, "refresh_interval").map(_.toLong).getOrElse(1000L)
     val maxPolls = one(ps, "max_polls").map(_.toInt).getOrElse(Int.MaxValue)
+    // default lifetime cap: tails are not admission-gated, so an abandoned
+    // client must not poll the store forever (clients reconnect to resume)
+    val maxDurationSecs = one(ps, "max_duration_secs").map(_.toLong).getOrElse(3600L)
+    val deadlineNs = System.nanoTime() + maxDurationSecs * 1000000000L
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
     ex.sendResponseHeaders(200, 0)
     val out = ex.getResponseBody
@@ -433,7 +480,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     var seenAtLast = Set.empty[Int]
     var polls = 0
     try {
-      while (!stopped && polls < maxPolls) {
+      while (!stopped && polls < maxPolls && System.nanoTime() < deadlineNs) {
         val hiNs = (System.currentTimeMillis() - offsetMs) * 1000000L
         val loNs = if (lastSeenUs == Long.MinValue) Long.MinValue
                    else lastSeenUs * 1000L

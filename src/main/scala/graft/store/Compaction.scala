@@ -1,9 +1,8 @@
 package graft.store
 
-import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Store lifecycle jobs — the Spark-layout analogue of the reference's
   * background mergers and retention enforcement (datadb.go:210-259 merges
@@ -21,7 +20,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *     directories churn, so each run reads a few GiB, not the table.
   *   - [[enforceRetention]] removes whole `_day=` directories older than
   *     the retention window — a pure directory delete, no data rewrite,
-  *     exactly like the reference's per-day partition drops.
+  *     exactly like the reference's per-day partition drops — and then
+  *     prunes `streams` rows whose stream no longer exists anywhere in the
+  *     store (the reference drops indexdb alongside its partition,
+  *     storage.go:42-52; without this, ids of wholly-expired streams live
+  *     in the stream index forever).
+  *
+  * All directory walking / renaming / deleting goes through the Hadoop
+  * FileSystem API ([[Fs]]), so these jobs run against `hdfs://` and
+  * `s3a://` stores, not just local disk.
   *
   * Crash-safety note: new files land (with globally unique part names)
   * before the old ones are deleted, so a crash mid-swap leaves duplicate
@@ -39,7 +46,8 @@ object Compaction {
                minFilesToCompact: Int = 2): Unit = {
     partitionDirs(dir).foreach { pdir =>
       val files = dataFiles(pdir)
-      if (files.length >= minFilesToCompact) compactPartition(spark, pdir, files, targetFileBytes)
+      if (files.length >= minFilesToCompact)
+        compactPartition(spark, pdir, files, targetFileBytes)
     }
     dedupStreams(spark, dir)
     // the bloom sidecar now references replaced files; drop it so the next
@@ -49,7 +57,8 @@ object Compaction {
   }
 
   /** Drop `_day=` partitions strictly older than `retentionDays` (whole-day
-    * granularity, storage.go:42-52). `today` is overridable for tests. */
+    * granularity, storage.go:42-52), then prune dead ids out of `streams`.
+    * `today` is overridable for tests. */
   def enforceRetention(spark: SparkSession, dir: String, retentionDays: Int,
                        today: java.time.LocalDate =
                          java.time.LocalDate.now(java.time.ZoneOffset.UTC)): Seq[String] = {
@@ -58,12 +67,16 @@ object Compaction {
       val day = pdir.getName.stripPrefix("_day=")
       val d = try java.time.LocalDate.parse(day) catch { case _: Exception => null }
       if (d != null && d.isBefore(cutoff)) {
-        deleteRecursively(pdir)
+        Fs.delete(pdir.toString)
         Some(day)
       } else None
     }.distinct.sorted
     if (dropped.nonEmpty) {
       MsgBloom.invalidate(dir)
+      // invalidate BEFORE the streams prune: the memoized logs relation
+      // still indexes the files just deleted
+      LogStore.invalidateCaches(dir)
+      pruneStreams(spark, dir)
       LogStore.invalidateCaches(dir)
     }
     dropped
@@ -72,63 +85,88 @@ object Compaction {
   // ------------------------------------------------------------ internals
 
   /** All `_day=` leaf partition dirs under `<dir>/logs/tenant=<t>/`. */
-  private def partitionDirs(dir: String): Seq[File] = {
-    val root = new File(s"$dir/logs")
-    Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(t => t.isDirectory && t.getName.startsWith("tenant="))
-      .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty).toSeq)
-      .filter(d => d.isDirectory && d.getName.startsWith("_day="))
-  }
+  private def partitionDirs(dir: String): Seq[Path] =
+    Fs.list(s"$dir/logs")
+      .filter(t => t.isDirectory && t.getPath.getName.startsWith("tenant="))
+      .flatMap(t => Fs.list(t.getPath.toString))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("_day="))
+      .map(_.getPath)
 
-  private def dataFiles(pdir: File): Array[File] =
-    Option(pdir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+  private def dataFiles(pdir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    Fs.list(pdir.toString).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    }
 
   /** Rewrite one partition's files as ~targetFileBytes-sized sorted files.
     * The partition columns live in the directory name, not the rows, so
     * reading the bare files and writing back into the same directory keeps
     * the layout intact. */
-  private def compactPartition(spark: SparkSession, pdir: File,
-                               files: Array[File], targetFileBytes: Long): Unit = {
-    val bytes = files.map(_.length).sum
+  private def compactPartition(spark: SparkSession, pdir: Path,
+                               files: Seq[org.apache.hadoop.fs.FileStatus],
+                               targetFileBytes: Long): Unit = {
+    val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new File(pdir, s".compact_tmp_${java.util.UUID.randomUUID()}")
-    spark.read.parquet(files.map(_.getPath).toSeq: _*)
+    val tmp = new Path(pdir, s".compact_tmp_${java.util.UUID.randomUUID()}")
+    spark.read.parquet(files.map(_.getPath.toString): _*)
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
-      .write.parquet(tmp.getPath)
+      .write.parquet(tmp.toString)
     val newFiles = dataFiles(tmp)
     // unique part names: move-in before delete-old, so a crash leaves
     // duplicates (re-converged by the next run), never data loss
     newFiles.foreach { f =>
-      Files.move(f.toPath, Paths.get(pdir.getPath, f.getName),
-        StandardCopyOption.ATOMIC_MOVE)
+      Fs.rename(f.getPath.toString,
+        new Path(pdir, f.getPath.getName).toString)
     }
-    files.foreach(_.delete())
-    deleteRecursively(tmp)
+    files.foreach(f => Fs.delete(f.getPath.toString))
+    Fs.delete(tmp.toString)
+  }
+
+  /** Output file count for a streams rewrite, sized from the input bytes —
+    * a fixed coalesce(1) would funnel a tens-of-millions-of-streams table
+    * through one writer task. */
+  private def streamsOutFiles(dir: String, targetFileBytes: Long = 64L << 20): Int = {
+    val bytes = Fs.list(s"$dir/streams")
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
   }
 
   /** Rewrite `<dir>/streams` with one row per `_stream_id` (appendBatch
     * dedups only within its own batch — Ingest.scala — so the table
-    * accumulates duplicates across batches, one indexdb entry per stream
+    * accumulates duplicates across batches; one indexdb entry per stream
     * is the invariant: indexdb.go:182). */
   private def dedupStreams(spark: SparkSession, dir: String): Unit = {
-    val cur = new File(s"$dir/streams")
-    if (!cur.exists()) return
-    val tmp = new File(s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}")
-    spark.read.parquet(cur.getPath)
-      .dropDuplicates("_stream_id")
-      .coalesce(1)
-      .write.parquet(tmp.getPath)
-    val old = new File(s"$dir/.streams_old_${java.util.UUID.randomUUID()}")
-    Files.move(cur.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp.toPath, cur.toPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    if (!Fs.exists(s"$dir/streams")) return
+    swapStreams(spark, dir,
+      spark.read.parquet(s"$dir/streams").dropDuplicates("_stream_id"))
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  /** Drop `streams` rows whose `_stream_id` no longer appears anywhere in
+    * the remaining log data. Runs after retention deletes day partitions;
+    * the semi-join scans only the `_stream_id` column of the surviving
+    * days (a cheap columnar read, and retention runs rarely). */
+  private def pruneStreams(spark: SparkSession, dir: String): Unit = {
+    if (!Fs.exists(s"$dir/streams")) return
+    val cur = spark.read.parquet(s"$dir/streams")
+    val pruned =
+      if (partitionDirs(dir).isEmpty) cur.limit(0) // whole store expired
+      else cur.join(
+        LogStore.read(spark, dir).select("_stream_id").distinct(),
+        Seq("_stream_id"), "left_semi")
+    swapStreams(spark, dir, pruned)
+  }
+
+  /** tmp-write → atomic-swap rewrite of `<dir>/streams`. */
+  private def swapStreams(spark: SparkSession, dir: String,
+                          df: org.apache.spark.sql.DataFrame): Unit = {
+    val cur = s"$dir/streams"
+    val tmp = s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}"
+    df.coalesce(streamsOutFiles(dir)).write.parquet(tmp)
+    val old = s"$dir/.streams_old_${java.util.UUID.randomUUID()}"
+    Fs.rename(cur, old)
+    Fs.rename(tmp, cur)
+    Fs.delete(old)
   }
 }

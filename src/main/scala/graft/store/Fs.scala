@@ -1,0 +1,45 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Hadoop-FileSystem access for the store lifecycle jobs. Everything that
+  * walks, renames, or deletes store files goes through this layer, so
+  * optimize / retention / lastN day-listing / bloom sidecars run unchanged
+  * against `file://`, `hdfs://` and `s3a://` stores — `java.io.File` walks
+  * would silently restrict the whole lifecycle to local disk, which is not
+  * where a 100 TB store lives.
+  *
+  * Uses the active session's Hadoop conf when one exists (so `s3a://`
+  * credentials / endpoint settings configured on the SparkSession apply),
+  * falling back to a plain Configuration for session-less callers.
+  */
+private[store] object Fs {
+
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def of(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  /** Children of `p`, empty when `p` doesn't exist. */
+  def list(p: String): Seq[FileStatus] = {
+    val fs = of(p)
+    val path = new Path(p)
+    if (!fs.exists(path)) Nil else fs.listStatus(path).toSeq
+  }
+
+  def exists(p: String): Boolean = of(p).exists(new Path(p))
+
+  /** Recursive delete; false when `p` didn't exist. */
+  def delete(p: String): Boolean = {
+    val fs = of(p)
+    val path = new Path(p)
+    fs.exists(path) && fs.delete(path, true)
+  }
+
+  /** Rename within one filesystem (atomic on HDFS/local; S3A emulates). */
+  def rename(src: String, dst: String): Boolean =
+    of(src).rename(new Path(src), new Path(dst))
+}

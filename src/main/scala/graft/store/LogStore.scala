@@ -85,13 +85,13 @@ object LogStore {
       spark.read.parquet(s"$dir/streams"))
   }
 
-  /** Days present in the store, newest first. */
+  /** Days present in the store, newest first (Hadoop FS walk — works on
+    * hdfs:// and s3a:// stores, not just local disk). */
   def listDays(dir: String): Seq[String] = {
-    val root = new java.io.File(s"$dir/logs")
-    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+    Fs.list(s"$dir/logs")
       .filter(_.isDirectory)
-      .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty).toSeq)
-      .map(_.getName).filter(_.startsWith("_day="))
+      .flatMap(t => Fs.list(t.getPath.toString))
+      .map(_.getPath.getName).filter(_.startsWith("_day="))
       .map(_.stripPrefix("_day=")).distinct.sorted.reverse
   }
 
@@ -126,20 +126,33 @@ object LogStore {
     val logs = read(spark, dir)
     val q = graft.logql.Parser.parse(filterText,
       System.currentTimeMillis() * 1000000L)
-    if (!q.pipes.forall(lastNSafe))
-      return (graft.logql.Compiler.run(logs, filterText)
-        .orderBy(col("_time").desc).limit(n), days.length)
+    // pipes routed to the full-scan path (stats, facets, fields without
+    // _time, …) usually DROP _time — only order by it when it survived
+    // the compile (the reference skips getLastNQueryResults entirely when
+    // CanReturnLastNResults is false)
+    def fullScan(): org.apache.spark.sql.DataFrame = {
+      val res = graft.logql.Compiler.run(logs, filterText)
+      if (res.columns.contains("_time"))
+        res.orderBy(col("_time").desc).limit(n)
+      else res.limit(n)
+    }
+    if (!q.pipes.forall(lastNSafe)) return (fullScan(), days.length)
     var take = 1
     while (take < days.length) {
       val window = days.take(take)
       val sub = logs.filter(col("_day").isin(window: _*))
       val res = graft.logql.Compiler.run(sub, filterText)
         .orderBy(col("_time").desc).limit(n)
-      if (res.count() >= n) return (res, take)
+      // one execution per descent step: the window is already limited to
+      // ≤n rows, so materialize it once and hand back a local relation
+      // instead of returning the plan for the caller to re-execute
+      val rows = res.collect()
+      if (rows.length >= n)
+        return (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), res.schema), take)
       take = math.min(take * 2, days.length)
     }
-    (graft.logql.Compiler.run(logs, filterText)
-      .orderBy(col("_time").desc).limit(n), days.length)
+    (fullScan(), days.length)
   }
 
   // ---------------------------------------------------------- dev helpers
@@ -150,12 +163,11 @@ object LogStore {
     * (streams keyed by event_type). Shared by CORRECTNESS entries and
     * tests; one write per (sfDir, JVM). */
   def ensureFromEvents(spark: SparkSession, sfDir: String): String = synchronized {
-    val name = new java.io.File(sfDir).getName
+    val name = new org.apache.hadoop.fs.Path(sfDir).getName
     // bump the version segment whenever the layout changes — stale stores
     // from previous builds must not satisfy the marker check
     val dir = s"/root/repo/target/graft_store/v1/$name"
-    val marker = new java.io.File(s"$dir/logs/_SUCCESS")
-    if (!built.contains(dir) && !marker.exists()) {
+    if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
     }
     built += dir

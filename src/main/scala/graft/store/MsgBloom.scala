@@ -77,8 +77,7 @@ object MsgBloom {
 
   /** Idempotently build the sidecar once per (dir, JVM). */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!built.contains(dir) &&
-        !new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists())
+    if (!built.contains(dir) && !Fs.exists(s"$dir/msg_bloom/_SUCCESS"))
       build(spark, dir)
     built += dir
   }
@@ -113,13 +112,20 @@ object MsgBloom {
   def candidateFiles(spark: SparkSession, dir: String,
                      tokens: Seq[String]): Option[Seq[String]] = {
     if (tokens.isEmpty) return None
-    if (!new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists()) return None
+    if (!Fs.exists(s"$dir/msg_bloom/_SUCCESS")) return None
     val hashes = tokenHashes(spark, tokens).values.toSeq
     val probe = udf((bloom: Array[Byte]) => hashes.forall(mightContain(bloom, _)))
     // both input_file_name() (sidecar build) and DataFrame.inputFiles yield
-    // the same double-escaped URI form; one URI decode recovers the on-disk
-    // path, which is also what spark.read needs
-    def onDisk(uri: String): String = new java.net.URI(uri).getPath
+    // the same double-escaped URI form; one URI decode recovers the path
+    // spark.read needs. Scheme + authority are PRESERVED (hdfs://nn/…,
+    // s3a://bucket/…) — stripping to the bare path would break re-reading
+    // candidates on any non-default filesystem.
+    def onDisk(uri: String): String = {
+      val u = new java.net.URI(uri)
+      if (u.getScheme == null || u.getScheme == "file") u.getPath
+      else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
+        null, null).toString
+    }
     val sidecar = spark.read.parquet(s"$dir/msg_bloom")
       .select(col("file"), probe(col("bloom")).as("m"))
       .collect()
@@ -136,17 +142,20 @@ object MsgBloom {
 
   /** Drop the sidecar (called by the store's optimize job before rebuild). */
   def invalidate(dir: String): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/msg_bloom/_SUCCESS")
-    if (marker.exists()) marker.delete()
+    Fs.delete(s"$dir/msg_bloom/_SUCCESS")
     built -= dir
     relCache.filterInPlace { case ((_, d, _), _) => d != dir }
   }
 
   // relation per (session, dir, candidate file set): repeated probes with
   // the same candidates reuse the file index + parquet footers instead of
-  // rebuilding a reader per query
-  private val relCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
+  // rebuilding a reader per query. Keyed by the file list itself — a
+  // 32-bit hash key could collide two different candidate sets and serve
+  // a relation over the WRONG files. Insertion-order-bounded so a
+  // long-lived server with many distinct token sets can't grow it forever.
+  private val relCache = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, String, Seq[String]), DataFrame]
+  private val MaxRelCacheEntries = 32
 
   /** The store's log relation restricted to files that may match all
     * `tokens` (basePath keeps the partition columns). An empty candidate
@@ -158,9 +167,18 @@ object MsgBloom {
       case Some(Nil) => LogStore.read(spark, dir).where(lit(false))
       case Some(files) =>
         val sorted = files.sorted
+        val key = (spark, dir, sorted)
         synchronized {
-          relCache.getOrElseUpdate((spark, dir, sorted.hashCode),
-            spark.read.option("basePath", s"$dir/logs").parquet(sorted: _*))
+          relCache.get(key) match {
+            case Some(df) => df
+            case None =>
+              val df = spark.read.option("basePath", s"$dir/logs")
+                .parquet(sorted: _*)
+              relCache.put(key, df)
+              while (relCache.size > MaxRelCacheEntries)
+                relCache.remove(relCache.head._1)
+              df
+          }
         }
     }
 

@@ -173,8 +173,13 @@ object Ingest {
                   tenant: String = "0:0", filesPerDay: Int = 4,
                   maxFutureDays: Int = 2): Unit = {
     val sorted = streamFields.sorted
-    val bounded = parsed.filter(
-      col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
+    // null _time (missing/unparseable client timestamps — Loki JSON, OTLP
+    // JSON) defaults to now, like the reference substitutes the current
+    // time for zero timestamps; without the coalesce the bound predicate
+    // evaluates to null and silently DROPS those rows
+    val bounded = parsed
+      .withColumn("_time", coalesce(col("_time"), current_timestamp()))
+      .filter(col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
     val withMeta = promote(bounded, sorted)
       .withColumn("_stream", map(sorted.flatMap(f =>
         Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))

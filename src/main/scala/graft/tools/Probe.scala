@@ -12,9 +12,17 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, truncate = false)
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val hash = graft.logql.Compiler.run(graft.Tables.eventsLog(spark, d),
+      "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")
+    println("== q_lql_hash ==")
+    hash.printSchema()
+    hash.show(20, truncate = false)
+    val samp = graft.logql.Compiler.run(graft.Tables.eventsLog(spark, d),
+      "* | sample 7 | stats count() c")
+    println("== q_lql_sample ==")
+    samp.printSchema()
+    samp.show(5, truncate = false)
     spark.stop()
   }
 }
