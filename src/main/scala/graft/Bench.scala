@@ -45,7 +45,55 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val adjusted = total - noop * results.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","overhead_per_query":$noop,"adjusted_total":$adjusted}""")
+    val (ingestRows, ingestSec, ingestPosts, ingestFlushes) = ingestBench()
+    val ingestRps = if (ingestSec > 0) ingestRows / ingestSec else 0d
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","overhead_per_query":$noop,"adjusted_total":$adjusted,"ingest_rows_per_sec":$ingestRps,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes}""")
     spark.stop()
+  }
+
+  /** Ingest throughput: concurrent jsonline POSTs against the HTTP ingest
+    * service (group-commit path), reported as sustained rows/s — the
+    * reference's headline number (app/vlogsgenerator). Returns
+    * (rows, seconds, posts, write-jobs). */
+  private def ingestBench(threads: Int = 16, posts: Int = 48,
+                          linesPerPost: Int = 2000): (Long, Double, Long, Long) = {
+    val spark = SparkSession.active
+    val dir = s"/root/repo/target/bench_ingest-${System.nanoTime()}"
+    val srv = new graft.server.IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      def post(body: Array[Byte]): Int = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port/insert/jsonline?_stream_fields=app")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body)
+        val code = conn.getResponseCode
+        conn.getInputStream.readAllBytes(); conn.disconnect()
+        code
+      }
+      def body(i: Int): Array[Byte] = (0 until linesPerPost).map { j =>
+        s"""{"_time":"2024-01-05T10:${f"${j % 60}%02d"}:00Z","_msg":"bench ingest row $i $j from generator","app":"app${i % 8}"}"""
+      }.mkString("\n").getBytes("UTF-8")
+      post(body(-1)) // warmup: first append pays parquet/committer init
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val futs = (0 until posts).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = post(body(i)) })
+      }
+      val ok = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS)).count(_ == 200)
+      val sec = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      (ok.toLong * linesPerPost, sec, srv.committer.enqueued, srv.committer.flushes)
+    } finally {
+      srv.stop()
+      // best-effort scratch cleanup
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => }
+    }
   }
 }

@@ -534,6 +534,27 @@ object SparkEntry {
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
         .orderBy("ch")
     }),
+    // ---- REAL audio decode: WAV sine tones through javax.sound.sampled →
+    // waveform + Goertzel spectral-band features; each tone must land in
+    // its own band with the analytically-known rms/zero-crossing rate ----
+    "q_multimodal_audio" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val clips = (0 until 24).map { i =>
+        val freq = Seq(200.0, 800.0, 3200.0)(i % 3)
+        (i.toLong, "audio", Multimodal.testWav(freq))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 8)
+      f.select(
+          concat(lit("b"),
+            (expr("array_position(slice(features, 4, 5), array_max(slice(features, 4, 5)))") - 1)
+              .cast("string")).as("band"),
+          round(element_at(col("features"), 1).cast("double"), 2).as("rms"),
+          round(element_at(col("features"), 3).cast("double"), 2).as("zcr"))
+        .groupBy("band", "rms", "zcr").agg(count(lit(1)).as("cnt"))
+        .orderBy("band")
+    }),
     // ==== M0 log-store layout: tenant/day partitions + _stream_id ====
     // ---- stream filter + _time range over the written store; the plan
     // prunes _day partitions (PartitionFilters) and pushes the stream
@@ -815,6 +836,14 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),
          ('r', CAST(10 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // audio decode is deterministic (generated sine WAVs → known rms 0.5/√2,
+    // zero-crossing rate 2f/sr, dominant Goertzel band): pinned VALUES
+    "q_multimodal_audio" ->
+      """SELECT * FROM (VALUES
+         ('b0', CAST(0.35 AS DOUBLE), CAST(0.05 AS DOUBLE), CAST(8 AS BIGINT)),
+         ('b2', CAST(0.35 AS DOUBLE), CAST(0.2  AS DOUBLE), CAST(8 AS BIGINT)),
+         ('b4', CAST(0.35 AS DOUBLE), CAST(0.8  AS DOUBLE), CAST(8 AS BIGINT))
+         ) AS t(band, rms, zcr, cnt) ORDER BY band""",
     // hash pipe emits the engine's xxhash64 — deterministic, so the five
     // (event_type, h) pairs are pinned as constants (same trick as
     // q_multimodal_decode: a VALUES oracle for engine-internal values)

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE codec path is REAL: PNG/JPEG/BMP/GIF decode, pixel-level
   * feature extraction, and resize run through the JDK's ImageIO /
-  * BufferedImage (no external dependency). Audio/video decode is STUBBED —
-  * the container has no media codecs — with a clearly-marked deterministic
-  * fake, so the Spark-side plumbing (schema, batching, partitioning,
-  * output shape) stays real and tested for every media type.
+  * BufferedImage (no external dependency). The AUDIO codec path is REAL:
+  * WAV/AIFF/AU decode through javax.sound.sampled with waveform +
+  * spectral-band features. Only VIDEO decode is STUBBED — the container
+  * has no video codecs — with a clearly-marked deterministic fake, so the
+  * Spark-side plumbing (schema, batching, partitioning, output shape)
+  * stays real and tested for every media type.
   */
 object Multimodal {
 
@@ -73,13 +75,100 @@ object Multimodal {
     out
   }
 
-  /** STUB decoder for non-image media. Real deployments replace this with
-    * an actual audio/video codec (JNI/javacv) — everything around it
-    * (batching, schema, nullability) stays identical. Deterministic:
-    * features derive from the byte content so tests can assert exact
-    * values. */
+  // ------------------------------------------------------------ audio codec
+
+  /** Decoded PCM audio: mono-mixed samples in [-1, 1]. */
+  final case class AudioClip(samples: Array[Double], sampleRate: Float,
+                             channels: Int)
+
+  /** Real audio decode via the JDK sampled-sound stack (WAV/AIFF/AU —
+    * javax.sound.sampled ships with the JRE, no external codec needed).
+    * Any encoding the JDK can convert (PCM, ULAW, ALAW) is normalized to
+    * 16-bit signed PCM and mono-mixed. None when the bytes are not a
+    * decodable audio container. */
+  def decodeAudio(content: Array[Byte]): Option[AudioClip] =
+    if (content == null || content.length == 0) None
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val f0 = src.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+        f0.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, src)
+      val bytes = try pcm.readAllBytes() finally { pcm.close(); src.close() }
+      val ch = f0.getChannels
+      val frames = bytes.length / (2 * ch)
+      val out = new Array[Double](frames)
+      var i = 0
+      while (i < frames) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val idx = (i * ch + c) * 2
+          s += (((bytes(idx + 1) << 8) | (bytes(idx) & 0xff)).toShort) / 32768.0
+          c += 1
+        }
+        out(i) = s / ch
+        i += 1
+      }
+      Some(AudioClip(out, f0.getSampleRate, ch))
+    } catch { case _: Exception => None }
+
+  /** Real waveform features for decoded audio: [rms, peak, zero-crossing
+    * rate] followed by `dim - 3` spectral-band amplitudes (Goertzel
+    * single-bin DFT at octave-spaced frequencies 200·2^b Hz, so a pure
+    * tone lights up exactly one band). Deterministic and
+    * duration-independent (all terms normalize by the frame count). */
+  private def audioFeatures(clip: AudioClip, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val s = clip.samples
+    val n = s.length
+    if (n == 0) return out
+    var (sumSq, peak) = (0.0, 0.0)
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = s(i)
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    if (dim > 0) out(0) = math.sqrt(sumSq / n).toFloat
+    if (dim > 1) out(1) = peak.toFloat
+    if (dim > 2) out(2) = (zc.toDouble / n).toFloat
+    val bands = dim - 3
+    var b = 0
+    while (b < bands) {
+      val freq = 200.0 * (1 << b)
+      if (freq < clip.sampleRate / 2) {
+        // Goertzel recurrence: power of the single DFT bin nearest freq
+        val w = 2.0 * math.Pi * freq / clip.sampleRate
+        val coeff = 2.0 * math.cos(w)
+        var (s0, s1, s2) = (0.0, 0.0, 0.0)
+        var j = 0
+        while (j < n) {
+          s0 = s(j) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        // normalize so a unit sine at the bin frequency reads ~0.5
+        out(3 + b) = (math.sqrt(math.max(power, 0.0)) / n).toFloat
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** STUB decoder for video media. Real deployments replace this with an
+    * actual video codec (JNI/javacv) — everything around it (batching,
+    * schema, nullability) stays identical. Deterministic: features derive
+    * from the byte content so tests can assert exact values. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real audio/video codec goes here; deterministic fake below
+    // ??? <- real video codec goes here; deterministic fake below
     val out = new Array[Float](dim)
     var h = 1125899906842597L // FNV-ish rolling hash over the bytes
     var i = 0
@@ -114,7 +203,10 @@ object Multimodal {
           }
           decodeImage(bytes) match {
             case Some(img) => imageFeatures(img, dim)
-            case None => decodeStub(bytes, dim)
+            case None => decodeAudio(bytes) match {
+              case Some(clip) => audioFeatures(clip, dim)
+              case None => decodeStub(bytes, dim)
+            }
           }
         }
         batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
@@ -197,6 +289,29 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a mono 16-bit PCM WAV sine tone in memory (test/dev helper for
+    * driving the real audio path without fixture files). */
+  def testWav(freqHz: Double, sampleRate: Int = 8000, millis: Int = 1000,
+              amplitude: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val frames = sampleRate * millis / 1000
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (amplitude * math.sin(2.0 * math.Pi * freqHz * i / sampleRate) *
+        32767.0).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 }

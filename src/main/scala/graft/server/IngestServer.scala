@@ -33,6 +33,13 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   @volatile private var syslogSock: Option[java.net.ServerSocket] = None
   @volatile private var udpSock: Option[java.net.DatagramSocket] = None
 
+  /** Group-commit batcher shared by every HTTP route: concurrent POSTs
+    * coalesce into one Spark write job per (streamFields, tenant) group
+    * instead of one job each (see [[GroupCommitter]]; reference
+    * storage.go:525 shared in-memory part). Handlers still block until
+    * their rows are committed, so 200 = queryable. */
+  val committer = new GroupCommitter(storeDir)
+
   /** Mount the insert routes on an externally-owned HttpServer (the
     * unified single-port binary registers ingest + query on one server). */
   def attach(server: HttpServer): Unit = {
@@ -219,6 +226,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     serverOpt.foreach(_.stop(0))
     syslogSock.foreach(_.close())
     udpSock.foreach(_.close())
+    committer.close()
   }
 
   // ------------------------------------------------------------- plumbing
@@ -327,7 +335,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
           (k, v) => when(k.isin(mapFields: _*), regexp_replace(v, ansi, ""))
             .otherwise(v)))
     }
-    Ingest.appendBatch(df, storeDir, streamFields, tenantOf(ex))
+    committer.append(df, streamFields, tenantOf(ex))
   }
 
   private def seqDF(rows: Seq[String]): DataFrame = {

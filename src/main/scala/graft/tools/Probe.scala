@@ -23,6 +23,10 @@ object Probe {
     println("== q_lql_sample ==")
     samp.printSchema()
     samp.show(5, truncate = false)
+    val audio = graft.SparkEntry.queries("q_multimodal_audio")(spark, d)
+    println("== q_multimodal_audio ==")
+    audio.printSchema()
+    audio.show(10, truncate = false)
     spark.stop()
   }
 }

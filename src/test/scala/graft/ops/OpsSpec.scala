@@ -218,4 +218,35 @@ class OpsSpec extends SparkSuite {
       "not an image".getBytes("UTF-8")))
     assert(resized(3L).getStruct(3).getInt(0) == 2)
   }
+
+  test("multimodal: real WAV decode yields waveform + spectral features") {
+    // pure 440 Hz sine, amp 0.5, 1s at 8 kHz
+    val wav = Multimodal.testWav(440.0, 8000, 1000, 0.5)
+    val clip = Multimodal.decodeAudio(wav).get
+    assert(clip.sampleRate == 8000f && clip.channels == 1)
+    assert(clip.samples.length == 8000)
+    val rms = math.sqrt(clip.samples.map(v => v * v).sum / clip.samples.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2.0)) < 1e-3)
+
+    import spark.implicits._
+    val df = Seq(
+      (1L, "audio", Multimodal.testWav(200.0)),   // band 0 (200 Hz)
+      (2L, "audio", Multimodal.testWav(1600.0)),  // band 3 (1600 Hz)
+      (3L, "audio", "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val feats = Multimodal.extractFeatures(df, "content", dim = 8)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    def dominantBand(f: scala.collection.Seq[Float]): Int =
+      (3 until 8).maxBy(f(_)) - 3
+    assert(dominantBand(feats(1L)) == 0)
+    assert(dominantBand(feats(2L)) == 3)
+    // zero-crossing rate of a pure tone is 2f/sr
+    assert(math.abs(feats(1L)(2) - 0.05f) < 1e-3)
+    assert(math.abs(feats(2L)(2) - 0.4f) < 1e-3)
+    // dominant-band amplitude reads ~amp/2, off-bands near zero
+    assert(feats(1L)(3) > 0.2f && feats(1L)(5) < 0.01f)
+    // non-audio bytes still fall back to the deterministic stub
+    assert(feats(3L).size == 8)
+  }
 }

@@ -351,4 +351,34 @@ class IngestServerSpec extends SparkSuite {
       assert(lines.toSet.size == 3)
     } finally qs.stop()
   }
+
+  test("concurrent POSTs group-commit into fewer write jobs than requests") {
+    val dir = tmp("groupcommit")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val nPosts = 24
+      val linesPerPost = 50
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      val codes = (0 until nPosts).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            val body = (0 until linesPerPost).map { j =>
+              s"""{"_time":"2024-01-05T10:00:${f"${j % 60}%02d"}Z","_msg":"gc line $i-$j","app":"web"}"""
+            }.mkString("\n")
+            post(port, "/insert/jsonline?_stream_fields=app", body)._1
+          }
+        })
+      }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(codes.forall(_ == 200))
+      // every row committed before its 200 (read-your-writes preserved)
+      assert(count(dir, "gc | stats count() c") == nPosts.toLong * linesPerPost)
+      // ...but the writes were coalesced: strictly fewer Spark write jobs
+      // than POSTs (the whole point of the group commit)
+      assert(srv.committer.enqueued == nPosts)
+      assert(srv.committer.flushes < nPosts,
+        s"expected coalesced flushes, got ${srv.committer.flushes} for $nPosts posts")
+    } finally srv.stop()
+  }
 }
