@@ -56,7 +56,7 @@ object Bench {
     * reference's headline number (app/vlogsgenerator). Returns
     * (rows, seconds, posts, write-jobs). */
   private def ingestBench(threads: Int = 16, posts: Int = 48,
-                          linesPerPost: Int = 2000): (Long, Double, Long, Long) = {
+                          linesPerPost: Int = 5000): (Long, Double, Long, Long) = {
     val spark = SparkSession.active
     val dir = s"/root/repo/target/bench_ingest-${System.nanoTime()}"
     val srv = new graft.server.IngestServer(spark, dir)

@@ -1,6 +1,6 @@
 package graft.server
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
 
 import graft.streaming.Ingest
@@ -10,25 +10,42 @@ import graft.streaming.Ingest
   * The reference ingests by parsing request bodies into a shared in-memory
   * part that a background job persists (lib/logstorage/storage.go:525,
   * datadb.go in-memory parts) — one storage write covers many concurrent
-  * requests. The Spark analogue: one parquet write JOB covers many
-  * concurrent POSTs. Handlers enqueue their parsed (lazy) DataFrame and
-  * block on a future; a single flusher thread drains everything queued,
-  * unions per (streamFields, tenant) group, and runs ONE
-  * [[Ingest.appendBatch]] per group. While that write job runs, newly
-  * arriving requests accumulate into the next batch — so batch size adapts
-  * to load with no fixed-timer latency: an idle server commits a lone
-  * request immediately; a loaded server amortizes the ~100ms Spark job
+  * requests. The Spark analogue: handlers enqueue their RAW payload lines
+  * keyed by (protocol, parse params, stream fields, tenant) and block on a
+  * future; a single flusher thread drains everything queued, concatenates
+  * each group's lines into ONE parallelized DataFrame, parses once, and
+  * runs ONE [[Ingest.appendBatch]] per group. While that write job runs,
+  * newly arriving requests accumulate into the next batch — batch size
+  * adapts to load with no fixed-timer latency: an idle server commits a
+  * lone request immediately; a loaded server amortizes the Spark job
   * across every request that arrived during the previous write.
+  *
+  * Buffering lines (not per-request DataFrames) matters twice over: the
+  * flush plan has a CONSTANT shape (one source, one parser) so whole-stage
+  * codegen caches across flushes instead of recompiling an N-way union,
+  * and the parse runs across executor threads instead of inside a
+  * single-partition LocalTableScan.
   *
   * Completing the future only after the append keeps read-your-writes: a
   * 200 response still means the rows are queryable, exactly like the
   * previous one-job-per-POST behavior that capped sustained ingest at
   * ~10 req/s.
   */
-final class GroupCommitter(storeDir: String, maxBatchEntries: Int = 4096) {
+final class GroupCommitter(spark: SparkSession, storeDir: String,
+                           maxBatchEntries: Int = 4096) {
 
-  private final case class Entry(df: DataFrame, streamFields: Seq[String],
-                                 tenant: String, done: CompletableFuture[Unit])
+  /** Raw request payload: protocol lines (jsonline/bulk lines, or whole
+    * JSON bodies for the explode-style parsers), or rows already decoded
+    * driver-side (the protobuf transports). */
+  sealed trait Payload
+  final case class Lines(lines: Seq[String]) extends Payload
+  final case class Rows(
+    rows: Seq[(java.sql.Timestamp, String, Map[String, String])]) extends Payload
+
+  private final case class Entry(payload: Payload, key: String,
+                                 build: DataFrame => DataFrame,
+                                 streamFields: Seq[String], tenant: String,
+                                 done: CompletableFuture[Unit])
 
   private val queue = new LinkedBlockingQueue[Entry]()
   @volatile private var closed = false
@@ -38,6 +55,38 @@ final class GroupCommitter(storeDir: String, maxBatchEntries: Int = 4096) {
   private val flushCount = new java.util.concurrent.atomic.AtomicLong
   def enqueued: Long = enqueuedCount.get
   def flushes: Long = flushCount.get
+
+  private def linesDF(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // parallelize so the parse fans out instead of running in one
+    // LocalTableScan task; slice size keeps tiny batches single-task
+    val slices = math.min(32, math.max(1, lines.size / 2048))
+    spark.createDataset(spark.sparkContext.parallelize(lines, slices)).toDF("value")
+  }
+
+  private def rowsDF(
+      rows: Seq[(java.sql.Timestamp, String, Map[String, String])]): DataFrame = {
+    import spark.implicits._
+    val slices = math.min(32, math.max(1, rows.size / 2048))
+    spark.createDataset(spark.sparkContext.parallelize(rows, slices))
+      .toDF("_time", "_msg", "fields")
+  }
+
+  private def toDF(p: Payload): DataFrame = p match {
+    case Lines(ls) => linesDF(ls)
+    case Rows(rs) => rowsDF(rs)
+  }
+
+  private def merged(ps: Seq[Payload]): DataFrame = ps match {
+    case Seq(one) => toDF(one)
+    case many if many.forall(_.isInstanceOf[Lines]) =>
+      linesDF(many.flatMap(_.asInstanceOf[Lines].lines))
+    case many if many.forall(_.isInstanceOf[Rows]) =>
+      rowsDF(many.flatMap(_.asInstanceOf[Rows].rows))
+    case many => // mixed kinds under one key can't happen from IngestServer,
+      // but merge defensively via union of built frames
+      many.map(toDF).reduce(_.unionByName(_))
+  }
 
   private val flusher = new Thread(() => {
     while (!closed || !queue.isEmpty) {
@@ -50,20 +99,23 @@ final class GroupCommitter(storeDir: String, maxBatchEntries: Int = 4096) {
         queue.drainTo(batch, maxBatchEntries - 1)
         import scala.jdk.CollectionConverters._
         val entries = batch.asScala.toSeq
-        entries.groupBy(e => (e.streamFields, e.tenant)).foreach {
-          case ((fields, tenant), group) =>
+        entries.groupBy(e => (e.key, e.streamFields, e.tenant)).foreach {
+          case ((_, fields, tenant), group) =>
             try {
-              val union = group.map(_.df).reduce(_.unionByName(_))
-              Ingest.appendBatch(union, storeDir, fields, tenant)
+              // identical key ⇒ identical build fn; parse the concatenated
+              // payload once through the first entry's builder
+              Ingest.appendBatch(group.head.build(merged(group.map(_.payload))),
+                storeDir, fields, tenant)
               flushCount.incrementAndGet()
               group.foreach(_.done.complete(()))
             } catch {
               case _: Throwable if group.size > 1 =>
-                // one bad plan must not fail the whole group: fall back to
-                // per-entry appends so only the offender 400s
+                // one bad payload must not fail the whole group: fall back
+                // to per-entry appends so only the offender 400s
                 group.foreach { e =>
                   try {
-                    Ingest.appendBatch(e.df, storeDir, fields, tenant)
+                    Ingest.appendBatch(e.build(toDF(e.payload)), storeDir,
+                      fields, tenant)
                     flushCount.incrementAndGet()
                     e.done.complete(())
                   } catch {
@@ -79,14 +131,18 @@ final class GroupCommitter(storeDir: String, maxBatchEntries: Int = 4096) {
   flusher.setDaemon(true)
   flusher.start()
 
-  /** Enqueue a parsed batch and wait until the write that includes it has
-    * committed. Throws what the append threw (so the HTTP handler can 400). */
-  def append(parsed: DataFrame, streamFields: Seq[String], tenant: String,
+  /** Enqueue a payload and wait until the write that includes it has
+    * committed. `key` must uniquely determine `build`'s behavior (route +
+    * every parse/transform param) — payloads with equal keys are
+    * concatenated and parsed through one builder. Throws what the append
+    * threw (so the HTTP handler can 400). */
+  def append(payload: Payload, key: String, build: DataFrame => DataFrame,
+             streamFields: Seq[String], tenant: String,
              timeoutMs: Long = 120000L): Unit = {
     if (closed) throw new IllegalStateException("committer closed")
     val f = new CompletableFuture[Unit]()
     enqueuedCount.incrementAndGet()
-    queue.put(Entry(parsed, streamFields, tenant, f))
+    queue.put(Entry(payload, key, build, streamFields, tenant, f))
     try f.get(timeoutMs, TimeUnit.MILLISECONDS)
     catch {
       case e: java.util.concurrent.ExecutionException =>

@@ -34,11 +34,12 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   @volatile private var udpSock: Option[java.net.DatagramSocket] = None
 
   /** Group-commit batcher shared by every HTTP route: concurrent POSTs
-    * coalesce into one Spark write job per (streamFields, tenant) group
-    * instead of one job each (see [[GroupCommitter]]; reference
-    * storage.go:525 shared in-memory part). Handlers still block until
-    * their rows are committed, so 200 = queryable. */
-  val committer = new GroupCommitter(storeDir)
+    * buffer raw payload lines and coalesce into one parse + one Spark
+    * write job per (protocol, params, tenant) group instead of one job
+    * each (see [[GroupCommitter]]; reference storage.go:525 shared
+    * in-memory part). Handlers still block until their rows are
+    * committed, so 200 = queryable. */
+  val committer = new GroupCommitter(spark, storeDir)
 
   /** Mount the insert routes on an externally-owned HttpServer (the
     * unified single-port binary registers ingest + query on one server). */
@@ -60,14 +61,17 @@ final class IngestServer(spark: SparkSession, storeDir: String,
         }
       })
     route("/insert/jsonline") { (ex, ps, bytes) =>
-      val body = new String(bytes, UTF_8)
-      append(ex, ps, Ingest.parseJsonline(linesDF(body),
-        arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time"),
-        arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")))
+      val tf = arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time")
+      val mf = arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")
+      append(ex, ps, s"jsonline|$tf|$mf",
+        committer.Lines(splitLines(new String(bytes, UTF_8))),
+        Ingest.parseJsonline(_, tf, mf))
       respond(ex, 200, """{"status":"ok"}""")
     }
     route("/insert/elasticsearch/_bulk") { (ex, ps, bytes) =>
-      append(ex, ps, Ingest.parseElasticsearchBulk(linesDF(new String(bytes, UTF_8))))
+      append(ex, ps, "esbulk",
+        committer.Lines(splitLines(new String(bytes, UTF_8))),
+        Ingest.parseElasticsearchBulk)
       // minimal bulk-API response the clients check (elasticsearch.go)
       respond(ex, 200, """{"took":0,"errors":false}""")
     }
@@ -78,11 +82,12 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
       val looksJson = bytes.dropWhile(b => b == ' ' || b == '\n' || b == '\r' || b == '\t')
         .headOption.contains('{'.toByte)
-      val parsed =
-        if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
-          Ingest.parseLokiJson(oneRowDF(new String(bytes, UTF_8)))
-        else lokiProtoDF(bytes)
-      append(ex, ps, parsed)
+      if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
+        // whole bodies batch as one "line" each — the parser explodes them
+        append(ex, ps, "lokijson",
+          committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseLokiJson)
+      else
+        append(ex, ps, "proto", committer.Rows(lokiProtoRows(bytes)), identity)
       respondEmpty(ex, 204)
     }
     route("/insert/opentelemetry/v1/logs") { (ex, ps, bytes) =>
@@ -90,22 +95,24 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
       val looksJson = bytes.dropWhile(b => b == ' ' || b == '\n' || b == '\r' || b == '\t')
         .headOption.contains('{'.toByte)
-      val parsed =
-        if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
-          Ingest.parseOtlpJson(oneRowDF(new String(bytes, UTF_8)))
-        else otlpProtoDF(bytes)
-      append(ex, ps, parsed)
+      if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
+        append(ex, ps, "otlpjson",
+          committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseOtlpJson)
+      else
+        append(ex, ps, "proto", committer.Rows(otlpProtoRows(bytes)), identity)
       respond(ex, 200, "{}")
     }
     route("/insert/datadog/api/v2/logs") { (ex, ps, bytes) =>
-      append(ex, ps, Ingest.parseDatadogJson(oneRowDF(new String(bytes, UTF_8))))
+      append(ex, ps, "datadog",
+        committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseDatadogJson)
       respond(ex, 202, "{}")
     }
     route("/insert/journald/upload") { (ex, ps, bytes) =>
       // entries are blank-line-separated FIELD=value blocks (journald.go)
       val blocks = new String(bytes, UTF_8)
         .split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      append(ex, ps, Ingest.parseJournaldExport(seqDF(blocks)))
+      append(ex, ps, "journald", committer.Lines(blocks),
+        Ingest.parseJournaldExport)
       respondEmpty(ex, 200)
     }
     route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }
@@ -274,9 +281,9 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     }
   }
 
-  /** OTLP protobuf ExportLogsServiceRequest → parsed rows. */
-  private def otlpProtoDF(bytes: Array[Byte]): DataFrame = {
-    import spark.implicits._
+  /** OTLP protobuf ExportLogsServiceRequest → decoded rows. */
+  private def otlpProtoRows(
+      bytes: Array[Byte]): Seq[(java.sql.Timestamp, String, Map[String, String])] =
     graft.streaming.OtlpProto.parseExportLogs(bytes).map { r =>
       val fields = r.resAttrs ++ r.attrs ++
         (if (r.severityText.nonEmpty) Map("severity" -> r.severityText) else Map.empty)
@@ -284,48 +291,65 @@ final class IngestServer(spark: SparkSession, storeDir: String,
         Math.floorDiv(r.tsNanos, 1000000000L),
         Math.floorMod(r.tsNanos, 1000000000L))),
        r.body, fields)
-    }.toDF("_time", "_msg", "fields")
-  }
+    }
 
-  /** Loki protobuf PushRequest → parsed rows (driver-side decode; push
+  /** Loki protobuf PushRequest → decoded rows (driver-side decode; push
     * bodies are bounded, and the reference decodes them in the ingest
     * handler the same way). */
-  private def lokiProtoDF(bytes: Array[Byte]): DataFrame = {
-    import spark.implicits._
+  private def lokiProtoRows(
+      bytes: Array[Byte]): Seq[(java.sql.Timestamp, String, Map[String, String])] =
     graft.streaming.LokiProto.parsePushRequest(bytes).map { e =>
       (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(e.tsNanos, 1000000000L),
         Math.floorMod(e.tsNanos, 1000000000L))),
        e.line, e.labels)
-    }.toDF("_time", "_msg", "fields")
-  }
+    }
 
   private def csv(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
 
+  /** Enqueue a payload for group commit. `routeKey` names the protocol
+    * parser (+ its params); the remaining common params
+    * (insertutil/common_params.go:62-84 — drop fields, add constant
+    * fields, strip ANSI from chosen fields) are resolved here and folded
+    * into both the batch key and the builder, so payloads merge only when
+    * every parse/transform knob matches. */
   private def append(ex: HttpExchange, ps: Map[String, Seq[String]],
-                     parsed: DataFrame): Unit = {
+                     routeKey: String, payload: committer.Payload,
+                     parse: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val streamFields = arg(ex, ps, "_stream_fields", "VL-Stream-Fields")
       .map(csv).getOrElse(defaultStreamFields)
-    // remaining common params (insertutil/common_params.go:62-84):
-    // drop fields, add constant fields, strip ANSI from chosen fields
-    var df = parsed
-    arg(ex, ps, "_ignore_fields", "VL-Ignore-Fields").map(csv).foreach { ig =>
-      df = df.withColumn("fields",
-        map_filter(col("fields"), (k, _) => !k.isin(ig: _*)))
-    }
-    arg(ex, ps, "_extra_fields", "VL-Extra-Fields").map(csv).foreach { pairs =>
-      val kvs = pairs.flatMap { p =>
+    val ig = arg(ex, ps, "_ignore_fields", "VL-Ignore-Fields").map(csv)
+      .getOrElse(Nil)
+    val extras = arg(ex, ps, "_extra_fields", "VL-Extra-Fields").map(csv)
+      .getOrElse(Nil).flatMap { p =>
         p.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
       }
-      if (kvs.nonEmpty) {
-        val extras = map(kvs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dc = arg(ex, ps, "_decolorize_fields", "VL-Decolorize-Fields").map(csv)
+      .getOrElse(Nil)
+    val key = s"$routeKey|ig=${ig.mkString(",")}|xf=${
+      extras.map { case (k, v) => s"$k=$v" }.mkString(",")}|dc=${dc.mkString(",")}"
+    val build: DataFrame => DataFrame = { in =>
+      var df = parse(in)
+      if (ig.nonEmpty)
+        df = df.withColumn("fields",
+          map_filter(col("fields"), (k, _) => !k.isin(ig: _*)))
+      if (extras.nonEmpty) {
+        val extraMap = map(extras.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
         df = df.withColumn("fields", map_concat(
-          map_filter(col("fields"), (k, _) => !k.isin(kvs.map(_._1): _*)), extras))
+          map_filter(col("fields"), (k, _) => !k.isin(extras.map(_._1): _*)),
+          extraMap))
       }
+      applyDecolorize(df, dc)
     }
-    arg(ex, ps, "_decolorize_fields", "VL-Decolorize-Fields").map(csv).foreach { dc =>
+    committer.append(payload, key, build, streamFields, tenantOf(ex))
+  }
+
+  private def applyDecolorize(parsed: DataFrame, dc: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var df = parsed
+    if (dc.nonEmpty) {
       val ansi = "\u001b\\[[0-9;]*m"
       if (dc.contains("_msg"))
         df = df.withColumn("_msg", regexp_replace(col("_msg"), ansi, ""))
@@ -335,7 +359,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
           (k, v) => when(k.isin(mapFields: _*), regexp_replace(v, ansi, ""))
             .otherwise(v)))
     }
-    committer.append(df, streamFields, tenantOf(ex))
+    df
   }
 
   private def seqDF(rows: Seq[String]): DataFrame = {
@@ -343,10 +367,8 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     rows.toDF("value")
   }
 
-  private def linesDF(body: String): DataFrame =
-    seqDF(body.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty))
-
-  private def oneRowDF(body: String): DataFrame = seqDF(Seq(body))
+  private def splitLines(body: String): Seq[String] =
+    body.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)

@@ -186,15 +186,20 @@ object Ingest {
       .withColumn("_stream_id", LogStore.streamIdCol(sorted))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))
-    withMeta
-      .repartition(col("tenant"), col("_day"),
-        pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
-      .sortWithinPartitions(col("_stream_id"), col("_time"))
-      .write.mode("append")
-      .partitionBy("tenant", "_day")
-      .parquet(s"$dir/logs")
-    withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
-      .write.mode("append").parquet(s"$dir/streams")
+      // two actions follow (logs write + streams write); without the cache
+      // the second re-executes the whole parse lineage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withMeta
+        .repartition(col("tenant"), col("_day"),
+          pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
+        .sortWithinPartitions(col("_stream_id"), col("_time"))
+        .write.mode("append")
+        .partitionBy("tenant", "_day")
+        .parquet(s"$dir/logs")
+      withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
+        .write.mode("append").parquet(s"$dir/streams")
+    } finally withMeta.unpersist(blocking = false)
     LogStore.invalidateCaches(dir)
   }
 
