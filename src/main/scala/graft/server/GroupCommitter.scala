@@ -107,6 +107,7 @@ final class GroupCommitter(spark: SparkSession, storeDir: String,
               Ingest.appendBatch(group.head.build(merged(group.map(_.payload))),
                 storeDir, fields, tenant)
               flushCount.incrementAndGet()
+              Metrics.ingestCommits.incrementAndGet()
               group.foreach(_.done.complete(()))
             } catch {
               case _: Throwable if group.size > 1 =>
@@ -117,6 +118,7 @@ final class GroupCommitter(spark: SparkSession, storeDir: String,
                     Ingest.appendBatch(e.build(toDF(e.payload)), storeDir,
                       fields, tenant)
                     flushCount.incrementAndGet()
+                    Metrics.ingestCommits.incrementAndGet()
                     e.done.complete(())
                   } catch {
                     case t: Throwable => e.done.completeExceptionally(t)

@@ -49,6 +49,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       server.createContext(path, new HttpHandler {
         def handle(ex: HttpExchange): Unit = {
           try {
+            Metrics.ingestRequests.incrementAndGet()
             val body = decompress(ex, ex.getRequestBody.readAllBytes())
             f(ex, params(ex), body)
           } catch {

@@ -1,0 +1,41 @@
+package graft.server
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Process-wide engine counters, exposed in Prometheus text format at
+  * `/metrics` like the reference binary (VictoriaMetrics/metrics is wired
+  * into every vlinsert/vlselect handler; e.g. app/vlinsert/main.go request
+  * counters, vlselect concurrency gauges). Counters are plain atomics —
+  * scraping must never contend with the hot path.
+  */
+object Metrics {
+  val rowsIngested = new AtomicLong     // rows committed through appendBatch
+  val ingestRequests = new AtomicLong   // HTTP /insert/* requests accepted
+  val ingestCommits = new AtomicLong    // group-commit write jobs
+  val selectRequests = new AtomicLong   // HTTP /select/* requests served
+  val selectRejected = new AtomicLong   // 429s from admission control
+  /** live gauge suppliers registered by the servers (concurrency etc.) */
+  private val gauges =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+
+  def registerGauge(name: String, value: () => Long): Unit =
+    gauges.put(name, value)
+
+  def render(): String = {
+    val sb = new StringBuilder
+    def c(name: String, v: Long): Unit = {
+      sb.append("# TYPE ").append(name).append(" counter\n")
+      sb.append(name).append(' ').append(v).append('\n')
+    }
+    c("graft_rows_ingested_total", rowsIngested.get)
+    c("graft_ingest_requests_total", ingestRequests.get)
+    c("graft_ingest_commits_total", ingestCommits.get)
+    c("graft_select_requests_total", selectRequests.get)
+    c("graft_select_rejected_total", selectRejected.get)
+    gauges.forEach { (name, v) =>
+      sb.append("# TYPE ").append(name).append(" gauge\n")
+      sb.append(name).append(' ').append(v()).append('\n')
+    }
+    sb.toString
+  }
+}

@@ -62,6 +62,18 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
     server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
     server.createContext("/select/logsql/stream_field_values", handler(handleStreamFieldValues))
+    // Prometheus text exposition, like the reference binary's /metrics
+    Metrics.registerGauge("graft_select_concurrent",
+      () => (maxConcurrentQueries - querySem.availablePermits).toLong)
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      try {
+        val bytes = Metrics.render().getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
   }
 
   def start(): Int = {
@@ -92,8 +104,10 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
                       gated: Boolean = true): HttpHandler =
     (ex: HttpExchange) => {
       try {
+        Metrics.selectRequests.incrementAndGet()
         if (gated && !querySem.tryAcquire(queueTimeoutMs,
             java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          Metrics.selectRejected.incrementAndGet()
           respond(ex, 429,
             s"""{"error":"too many concurrent queries (limit $maxConcurrentQueries); retry later"}""")
         } else {

@@ -190,6 +190,9 @@ object Ingest {
       // the second re-executes the whole parse lineage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materializes the cache (so both writes read it) and feeds the
+      // /metrics ingested-rows counter
+      graft.server.Metrics.rowsIngested.addAndGet(withMeta.count())
       withMeta
         .repartition(col("tenant"), col("_day"),
           pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))

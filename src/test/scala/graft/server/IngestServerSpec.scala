@@ -274,6 +274,20 @@ class IngestServerSpec extends SparkSuite {
       post(port, "/insert/jsonline?_stream_fields=app",
         """{"_time":"2024-01-05T11:00:00Z","_msg":"unified again","app":"web"}""")
       assert(getQ("unified | stats count() c").contains("\"c\":2"))
+      // /metrics exposes Prometheus text with the ingest/select counters
+      val conn = new URI(s"http://127.0.0.1:$port/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val metrics = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      conn.disconnect()
+      def counter(name: String): Long =
+        metrics.linesIterator.find(_.startsWith(name + " "))
+          .map(_.split(" ")(1).toLong).getOrElse(-1L)
+      assert(counter("graft_rows_ingested_total") >= 2)
+      assert(counter("graft_ingest_requests_total") >= 2)
+      assert(counter("graft_ingest_commits_total") >= 1)
+      assert(counter("graft_select_requests_total") >= 2)
+      assert(counter("graft_select_rejected_total") >= 0)
+      assert(metrics.contains("graft_select_concurrent"))
     } finally http.stop(0)
   }
 
