@@ -39,6 +39,13 @@ object Server {
     val tcpPort = args.lift(2).map(_.toInt).map(p => ingest.startSyslogTcp(port = p))
     val udpPort = args.lift(3).map(_.toInt).map(p => ingest.startSyslogUdp(port = p))
 
+    // background merge + retention, like the reference's bgMergers /
+    // retention watcher; interval and retention are env-tunable
+    graft.store.Compaction.startBackground(spark, storeDir,
+      intervalMs = sys.env.get("SPARK_GRAFT_COMPACT_INTERVAL_MS")
+        .map(_.toLong).getOrElse(60000L),
+      retentionDays = sys.env.get("SPARK_GRAFT_RETENTION_DAYS").map(_.toInt))
+
     System.err.println(s"graft log service on http://127.0.0.1:$boundPort " +
       s"(/insert/*, /select/logsql/*)" +
       tcpPort.map(p => s", syslog tcp :$p").getOrElse("") +

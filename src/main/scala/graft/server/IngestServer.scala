@@ -329,6 +329,18 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       }
     val dc = arg(ex, ps, "_decolorize_fields", "VL-Decolorize-Fields").map(csv)
       .getOrElse(Nil)
+    // debug=1 is a dry run: entries are logged and DROPPED, not stored
+    // (insertutil/common_params.go:245-248)
+    if (arg(ex, ps, "debug", "VL-Debug")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      val shown: Seq[String] = payload match {
+        case committer.Lines(ls) => ls
+        case committer.Rows(rs) => rs.map { case (t, m, f) => s"$t $m $f" }
+      }
+      shown.foreach(l => System.err.println(
+        s"[ingest-debug] ignoring log entry because of `debug` arg: $l"))
+      return
+    }
     val key = s"$routeKey|ig=${ig.mkString(",")}|xf=${
       extras.map { case (k, v) => s"$k=$v" }.mkString(",")}|dc=${dc.mkString(",")}"
     val build: DataFrame => DataFrame = { in =>

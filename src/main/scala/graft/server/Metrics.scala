@@ -14,6 +14,8 @@ object Metrics {
   val ingestCommits = new AtomicLong    // group-commit write jobs
   val selectRequests = new AtomicLong   // HTTP /select/* requests served
   val selectRejected = new AtomicLong   // 429s from admission control
+  val compactions = new AtomicLong      // partitions merged by lifecycle
+  val retentionDaysDropped = new AtomicLong // _day partitions expired
   /** live gauge suppliers registered by the servers (concurrency etc.) */
   private val gauges =
     new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
@@ -32,6 +34,8 @@ object Metrics {
     c("graft_ingest_commits_total", ingestCommits.get)
     c("graft_select_requests_total", selectRequests.get)
     c("graft_select_rejected_total", selectRejected.get)
+    c("graft_compacted_partitions_total", compactions.get)
+    c("graft_retention_days_dropped_total", retentionDaysDropped.get)
     gauges.forEach { (name, v) =>
       sb.append("# TYPE ").append(name).append(" gauge\n")
       sb.append(name).append(' ').append(v()).append('\n')

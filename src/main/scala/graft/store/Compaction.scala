@@ -56,6 +56,68 @@ object Compaction {
     LogStore.invalidateCaches(dir)
   }
 
+  /** Background store maintenance, mirroring the reference's continuously
+    * running merge workers + per-partition retention watcher
+    * (lib/logstorage/datadb.go bgMergers; storage.go:42-52 retention).
+    * Every `intervalMs` a daemon thread compacts any (tenant,_day)
+    * partition that accumulated `minFilesToCompact`+ small files (ingest
+    * micro-batches create many), consolidates the append-mode `streams`
+    * table once it fragments past `maxStreamsFiles`, and — when
+    * `retentionDays` is set — drops expired days. Errors are logged and
+    * the loop keeps running; close() stops it. */
+  def startBackground(spark: SparkSession, dir: String,
+                      intervalMs: Long = 60000L,
+                      retentionDays: Option[Int] = None,
+                      targetFileBytes: Long = 256L << 20,
+                      minFilesToCompact: Int = 8,
+                      maxStreamsFiles: Int = 16): AutoCloseable = {
+    @volatile var closed = false
+    def tick(): Unit = {
+      val compacted = partitionDirs(dir).count { pdir =>
+        val files = dataFiles(pdir)
+        val doIt = files.length >= minFilesToCompact
+        if (doIt) {
+          compactPartition(spark, pdir, files, targetFileBytes)
+          // shrink the stale-relation window: a query planned against the
+          // pre-swap file list and executed after it fails with
+          // FILE_NOT_EXIST and must retry (the reference refcounts parts
+          // instead; Spark's immutable-file model makes retry the contract)
+          LogStore.invalidateCaches(dir)
+        }
+        doIt
+      }
+      val streamsFrag =
+        try Fs.list(s"$dir/streams").count(_.getPath.getName.endsWith(".parquet"))
+        catch { case _: Exception => 0 }
+      if (compacted > 0) {
+        graft.server.Metrics.compactions.addAndGet(compacted.toLong)
+        dedupStreams(spark, dir)
+        MsgBloom.invalidate(dir)
+        LogStore.invalidateCaches(dir)
+      } else if (streamsFrag > maxStreamsFiles) {
+        dedupStreams(spark, dir)
+        LogStore.invalidateCaches(dir)
+      }
+      retentionDays.foreach { d =>
+        val dropped = enforceRetention(spark, dir, d)
+        graft.server.Metrics.retentionDaysDropped.addAndGet(dropped.size.toLong)
+      }
+    }
+    val t = new Thread(() => {
+      while (!closed) {
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => }
+        if (!closed) {
+          try tick()
+          catch { case e: Throwable =>
+            System.err.println(s"[lifecycle] tick failed: ${e.getMessage}") }
+        }
+      }
+    }, "graft-lifecycle")
+    t.setDaemon(true)
+    t.start()
+    () => { closed = true; t.interrupt() }
+  }
+
   /** Drop `_day=` partitions strictly older than `retentionDays` (whole-day
     * granularity, storage.go:42-52), then prune dead ids out of `streams`.
     * `today` is overridable for tests. */

@@ -366,6 +366,22 @@ class IngestServerSpec extends SparkSuite {
     } finally qs.stop()
   }
 
+  test("debug=1 ingestion is a dry run: accepted but not stored") {
+    val dir = tmp("debug")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      val (c, _) = post(port, "/insert/jsonline?_stream_fields=app&debug=1",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"dry run row","app":"web"}""")
+      assert(c == 200)
+      assert(!Files.exists(Paths.get(s"$dir/logs")))
+      // without debug the same payload lands
+      post(port, "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"wet run row","app":"web"}""")
+      assert(count(dir, "* | stats count() c") == 1)
+    } finally srv.stop()
+  }
+
   test("concurrent POSTs group-commit into fewer write jobs than requests") {
     val dir = tmp("groupcommit")
     val srv = new IngestServer(spark, dir)

@@ -120,4 +120,43 @@ class LifecycleSpec extends SparkSuite {
       .collect().head.getLong(0)
     assert(c2 == 0)
   }
+
+  test("background lifecycle compacts fragmented partitions on its own") {
+    val dir = tmp("background")
+    (1 to 10).foreach(_ => appendLines(dir, "2024-01-01", 5))
+    val filesBefore = dataFileCount(dir)
+    assert(filesBefore >= 10)
+    val q = "* | stats count() c, count_uniq(_stream_id) cs"
+    val before = Compiler.run(LogStore.read(spark, dir), q).collect().head
+
+    val handle = Compaction.startBackground(spark, dir, intervalMs = 250L,
+      minFilesToCompact = 8)
+    try {
+      var tries = 0
+      while (dataFileCount(dir) >= filesBefore && tries < 80) {
+        Thread.sleep(250); tries += 1
+      }
+      assert(dataFileCount(dir) < filesBefore,
+        s"background compaction never ran ($filesBefore files still)")
+      // a query racing the swap can observe FILE_NOT_EXIST once and must
+      // retry on a fresh relation — that's the live-compactor contract
+      val after =
+        try Compiler.run(LogStore.read(spark, dir), q).collect().head
+        catch { case _: org.apache.spark.SparkException =>
+          LogStore.invalidateCaches(dir)
+          Compiler.run(LogStore.read(spark, dir), q).collect().head
+        }
+      assert(before == after)
+      // streams consolidated too (compaction tick dedups); reads can race
+      // the swap exactly like log reads, so poll with retry
+      def streamsCount(): Long =
+        try spark.read.parquet(s"$dir/streams").count()
+        catch { case _: org.apache.spark.SparkException => -1L }
+      var tries2 = 0
+      while (streamsCount() != 1 && tries2 < 40) {
+        Thread.sleep(250); tries2 += 1
+      }
+      assert(streamsCount() == 1)
+    } finally handle.close()
+  }
 }
