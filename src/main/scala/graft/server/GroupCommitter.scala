@@ -31,9 +31,7 @@ import graft.streaming.Ingest
   * previous one-job-per-POST behavior that capped sustained ingest at
   * ~10 req/s.
   */
-final class GroupCommitter(spark: SparkSession, storeDir: String,
-                           maxBatchEntries: Int = 4096) {
-
+object GroupCommitter {
   /** Raw request payload: protocol lines (jsonline/bulk lines, or whole
     * JSON bodies for the explode-style parsers), or rows already decoded
     * driver-side (the protobuf transports). */
@@ -46,6 +44,11 @@ final class GroupCommitter(spark: SparkSession, storeDir: String,
                                  build: DataFrame => DataFrame,
                                  streamFields: Seq[String], tenant: String,
                                  done: CompletableFuture[Unit])
+}
+
+final class GroupCommitter(spark: SparkSession, storeDir: String,
+                           maxBatchEntries: Int = 4096) {
+  import GroupCommitter.{Entry, Lines, Payload, Rows}
 
   private val queue = new LinkedBlockingQueue[Entry]()
   @volatile private var closed = false

@@ -65,13 +65,13 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       val tf = arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time")
       val mf = arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")
       append(ex, ps, s"jsonline|$tf|$mf",
-        committer.Lines(splitLines(new String(bytes, UTF_8))),
+        GroupCommitter.Lines(splitLines(new String(bytes, UTF_8))),
         Ingest.parseJsonline(_, tf, mf))
       respond(ex, 200, """{"status":"ok"}""")
     }
     route("/insert/elasticsearch/_bulk") { (ex, ps, bytes) =>
       append(ex, ps, "esbulk",
-        committer.Lines(splitLines(new String(bytes, UTF_8))),
+        GroupCommitter.Lines(splitLines(new String(bytes, UTF_8))),
         Ingest.parseElasticsearchBulk)
       // minimal bulk-API response the clients check (elasticsearch.go)
       respond(ex, 200, """{"took":0,"errors":false}""")
@@ -86,9 +86,9 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
         // whole bodies batch as one "line" each — the parser explodes them
         append(ex, ps, "lokijson",
-          committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseLokiJson)
+          GroupCommitter.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseLokiJson)
       else
-        append(ex, ps, "proto", committer.Rows(lokiProtoRows(bytes)), identity)
+        append(ex, ps, "proto", GroupCommitter.Rows(lokiProtoRows(bytes)), identity)
       respondEmpty(ex, 204)
     }
     route("/insert/opentelemetry/v1/logs") { (ex, ps, bytes) =>
@@ -98,21 +98,21 @@ final class IngestServer(spark: SparkSession, storeDir: String,
         .headOption.contains('{'.toByte)
       if (ctype.contains("json") || (!ctype.contains("protobuf") && looksJson))
         append(ex, ps, "otlpjson",
-          committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseOtlpJson)
+          GroupCommitter.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseOtlpJson)
       else
-        append(ex, ps, "proto", committer.Rows(otlpProtoRows(bytes)), identity)
+        append(ex, ps, "proto", GroupCommitter.Rows(otlpProtoRows(bytes)), identity)
       respond(ex, 200, "{}")
     }
     route("/insert/datadog/api/v2/logs") { (ex, ps, bytes) =>
       append(ex, ps, "datadog",
-        committer.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseDatadogJson)
+        GroupCommitter.Lines(Seq(new String(bytes, UTF_8))), Ingest.parseDatadogJson)
       respond(ex, 202, "{}")
     }
     route("/insert/journald/upload") { (ex, ps, bytes) =>
       // entries are blank-line-separated FIELD=value blocks (journald.go)
       val blocks = new String(bytes, UTF_8)
         .split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      append(ex, ps, "journald", committer.Lines(blocks),
+      append(ex, ps, "journald", GroupCommitter.Lines(blocks),
         Ingest.parseJournaldExport)
       respondEmpty(ex, 200)
     }
@@ -316,7 +316,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     * into both the batch key and the builder, so payloads merge only when
     * every parse/transform knob matches. */
   private def append(ex: HttpExchange, ps: Map[String, Seq[String]],
-                     routeKey: String, payload: committer.Payload,
+                     routeKey: String, payload: GroupCommitter.Payload,
                      parse: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val streamFields = arg(ex, ps, "_stream_fields", "VL-Stream-Fields")
@@ -334,8 +334,8 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     if (arg(ex, ps, "debug", "VL-Debug")
         .exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       val shown: Seq[String] = payload match {
-        case committer.Lines(ls) => ls
-        case committer.Rows(rs) => rs.map { case (t, m, f) => s"$t $m $f" }
+        case GroupCommitter.Lines(ls) => ls
+        case GroupCommitter.Rows(rs) => rs.map { case (t, m, f) => s"$t $m $f" }
       }
       shown.foreach(l => System.err.println(
         s"[ingest-debug] ignoring log entry because of `debug` arg: $l"))
