@@ -222,6 +222,29 @@ object Ingest {
     graft.logql.Compiler.run(stream, filterText)
   }
 
+  /** Streaming windowed stats over the store: the Structured-Streaming
+    * counterpart of `| stats by (_time:step, groupFields...) count()`.
+    * New files stream in as micro-batches, pass the LogsQL FILTER, and
+    * aggregate into event-time tumbling windows with a watermark bounding
+    * state — the piece the reference lacks entirely (its "streaming" is a
+    * poll loop re-running the query; logsql.go:497). Aggregating pipes
+    * can't stream in append mode, so `filterText` must be filter-shaped;
+    * the stats shape is declared here instead.
+    *
+    * Output schema: (window struct, groupFields..., hits). Run with
+    * `.outputMode("update")` (or "append" after the watermark closes a
+    * window). */
+  def windowedStatsStream(spark: SparkSession, dir: String,
+                          filterText: String, step: String,
+                          groupFields: Seq[String] = Nil,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    tailStream(spark, dir, filterText)
+      .withWatermark("_time", watermarkDelay)
+      .groupBy(window(col("_time"), step).as("window") +:
+        groupFields.map(col): _*)
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** File-source streaming ingest: text lines under `srcDir` → parser →
     * store layout. `format` ∈ jsonline | syslog. */
   def fileStream(spark: SparkSession, srcDir: String, storeDir: String,

@@ -132,4 +132,43 @@ class IngestSpec extends SparkSuite {
     val expect = clean.count(l => l.contains("\"web\"") && l.contains("2024-01-01"))
     assert(res.collect().head.getLong(0) == expect)
   }
+
+  test("windowed stats stream: event-time windows with watermark over appends") {
+    import org.apache.spark.sql.functions.col
+    val store = tmp("winstream")
+    def append(day: String, hour: Int, n: Int, msg: String): Unit = {
+      import spark.implicits._
+      val lines = (1 to n).map(i =>
+        s"""{"_time":"${day}T${"%02d".format(hour)}:0${i % 6}:00Z","_msg":"$msg $i","app":"web"}""")
+        .toDF("value")
+      Ingest.appendBatch(Ingest.parseJsonline(lines), store, Seq("app"))
+    }
+    append("2024-01-01", 10, 4, "needle early")
+    val stats = Ingest.windowedStatsStream(spark, store,
+      "needle", step = "1 hour", groupFields = Seq("app"))
+    val q = stats.writeStream.format("memory").queryName("winq")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$store/.win_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // 4 needles in the 10:00 window
+      val r1 = spark.table("winq").collect()
+      assert(r1.length == 1 && r1.head.getAs[Long]("hits") == 4)
+      // a later micro-batch adds a new window and grows nothing else
+      append("2024-01-01", 11, 2, "needle late")
+      append("2024-01-01", 11, 3, "noise dropped by filter")
+      q.processAllAvailable()
+      val r2 = spark.table("winq").collect()
+        .map(r => r.getStruct(0).getTimestamp(0).toString -> r.getAs[Long]("hits"))
+        .toMap
+      assert(r2.size == 2)
+      assert(r2("2024-01-01 10:00:00.0") == 4)
+      assert(r2("2024-01-01 11:00:00.0") == 2)
+      val schema = spark.table("winq").schema.fieldNames.toSeq
+      assert(schema == Seq("window", "app", "hits"))
+      assert(spark.table("winq").select(col("app")).collect()
+        .forall(_.getString(0) == "web"))
+    } finally q.stop()
+  }
 }
