@@ -220,15 +220,20 @@ object Compaction {
     swapStreams(spark, dir, pruned)
   }
 
-  /** tmp-write → atomic-swap rewrite of `<dir>/streams`. */
+  /** tmp-write → atomic-swap rewrite of `<dir>/streams`. Holds the store's
+    * streams lock across the snapshot read AND the swap: the input `df`
+    * scans the current directory lazily (during the tmp write), and a
+    * concurrent ingest append landing after that snapshot would be wiped
+    * by the rename without the lock. */
   private def swapStreams(spark: SparkSession, dir: String,
-                          df: org.apache.spark.sql.DataFrame): Unit = {
-    val cur = s"$dir/streams"
-    val tmp = s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}"
-    df.coalesce(streamsOutFiles(dir)).write.parquet(tmp)
-    val old = s"$dir/.streams_old_${java.util.UUID.randomUUID()}"
-    Fs.rename(cur, old)
-    Fs.rename(tmp, cur)
-    Fs.delete(old)
-  }
+                          df: org.apache.spark.sql.DataFrame): Unit =
+    StoreLocks.streams(dir).synchronized {
+      val cur = s"$dir/streams"
+      val tmp = s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}"
+      df.coalesce(streamsOutFiles(dir)).write.parquet(tmp)
+      val old = s"$dir/.streams_old_${java.util.UUID.randomUUID()}"
+      Fs.rename(cur, old)
+      Fs.rename(tmp, cur)
+      Fs.delete(old)
+    }
 }

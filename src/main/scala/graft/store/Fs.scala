@@ -43,3 +43,18 @@ private[store] object Fs {
   def rename(src: String, dst: String): Boolean =
     of(src).rename(new Path(src), new Path(dst))
 }
+
+/** Per-store coordination locks. All writes flow through the one driver
+  * JVM (the reference is likewise a single-writer storage), so a JVM lock
+  * is the correct scope; a multi-driver deployment would need an external
+  * coordinator. The `streams` table is the only shared-REWRITE point:
+  * ingest appends rows to it while lifecycle dedup/prune snapshot-read and
+  * swap the whole directory — unserialized, an append landing between the
+  * snapshot and the swap is silently deleted (and the two writers clash on
+  * the directory's _temporary). Log data files never need this: appends
+  * only create new files and compaction only touches files it listed. */
+object StoreLocks {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def streams(dir: String): Object =
+    locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
+}

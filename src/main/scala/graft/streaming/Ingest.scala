@@ -200,8 +200,13 @@ object Ingest {
         .write.mode("append")
         .partitionBy("tenant", "_day")
         .parquet(s"$dir/logs")
-      withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
-        .write.mode("append").parquet(s"$dir/streams")
+      // serialized against lifecycle dedup/prune swaps of the same dir
+      // (see StoreLocks.streams) — an unlocked append can be wiped by a
+      // concurrent snapshot-and-swap rewrite
+      graft.store.StoreLocks.streams(dir).synchronized {
+        withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
+          .write.mode("append").parquet(s"$dir/streams")
+      }
     } finally withMeta.unpersist(blocking = false)
     LogStore.invalidateCaches(dir)
   }

@@ -121,6 +121,33 @@ class LifecycleSpec extends SparkSuite {
     assert(c2 == 0)
   }
 
+  test("concurrent ingest and background compaction lose nothing") {
+    val dir = tmp("race")
+    // seed so the compactor has something to chew on immediately
+    (1 to 8).foreach(_ => appendLines(dir, "2024-01-01", 5))
+    val handle = Compaction.startBackground(spark, dir, intervalMs = 150L,
+      minFilesToCompact = 4)
+    try {
+      // keep appending while ticks fire (each append = one micro-batch file)
+      (1 to 12).foreach { i =>
+        appendLines(dir, "2024-01-01", 5, j => s"racing row $i-$j")
+        Thread.sleep(60)
+      }
+      // let a final tick settle, then verify nothing vanished
+      Thread.sleep(600)
+      def total(): Long =
+        try Compiler.run(LogStore.read(spark, dir), "* | stats count() c")
+          .collect().head.getLong(0)
+        catch { case _: org.apache.spark.SparkException =>
+          LogStore.invalidateCaches(dir); -1L }
+      var tries = 0
+      while (total() != 100L && tries < 30) { Thread.sleep(200); tries += 1 }
+      assert(total() == 100L) // 8*5 seed + 12*5 raced
+      assert(Compiler.run(LogStore.read(spark, dir),
+        "racing | stats count() c").collect().head.getLong(0) == 60L)
+    } finally handle.close()
+  }
+
   test("background lifecycle compacts fragmented partitions on its own") {
     val dir = tmp("background")
     (1 to 10).foreach(_ => appendLines(dir, "2024-01-01", 5))
