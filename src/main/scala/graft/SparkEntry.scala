@@ -499,6 +499,45 @@ object SparkEntry {
         countDistinct(TextAnalysis.setFingerprint(col("text"))).as("fps"),
         countDistinct(col("text")).as("txts"))
     }),
+    // ---- PII redaction: emails/IPv4s/SSNs planted per doc, scrubbed to
+    // typed placeholders; full redacted text value-compared row by row ----
+    "q_text_redact" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val synth = documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com from "),
+            lit("10.1."), (col("doc_id") % 256).cast(StringType), lit("."),
+            ((col("doc_id") * 7) % 256).cast(StringType),
+            lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")).as("text"))
+      synth.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"),
+          TextAnalysis.piiCounts(col("text")).as("pii"))
+        .select(col("doc_id"), col("redacted"),
+          col("pii.emails").as("emails"), col("pii.ips").as("ips"),
+          col("pii.ssns").as("ssns"))
+        .orderBy("doc_id")
+    }),
+    // ---- benchmark decontamination: docs sharing an 8-gram with the
+    // held-out set (doc_id % 7 == 0) are flagged with their overlap ----
+    "q_decontaminate" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).filter(col("doc_id") < 80)
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 7 === 0).select(col("text"))
+      Dedup.contaminated(docs, "text", "doc_id", bench, "text", n = 8)
+        .orderBy("id")
+    }),
+    // ---- deterministic stratified sample: 5 docs per lang by md5 order ----
+    "q_sample_stratified" -> ((s, d) => {
+      import graft.ops.Sampling
+      Sampling.stratified(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("lang"), k = 5, md5(col("doc_id").cast(StringType)))
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
     // ---- multimodal plumbing: feature extraction shape + counts ----
     "q_multimodal_features" -> ((s, d) => {
       import graft.ops.Multimodal
@@ -971,6 +1010,44 @@ object SparkEntry {
       """SELECT count(DISTINCT list_sort(list_distinct(
            list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')))) AS fps,
          count(DISTINCT text) AS txts FROM documents""",
+    "q_text_redact" ->
+      """WITH synth AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from 10.1.' ||
+               (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+               ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS emails,
+           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS ips,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS ssns
+         FROM synth ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+           FROM documents WHERE doc_id < 80
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w)-7, 1)),
+               i -> array_to_string(w[i:i+7], ' '))) AS g
+           FROM toks
+         ), bsh AS (
+           SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0
+         )
+         SELECT sh.doc_id AS id, count(*) AS shared
+         FROM sh JOIN bsh USING (g)
+         GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""",
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+           FROM documents)
+         WHERE rn <= 5 ORDER BY lang, doc_id""",
     "q_multimodal_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

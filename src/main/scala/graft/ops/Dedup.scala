@@ -152,6 +152,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least `minShared`
+    * distinct word `n`-grams with ANY benchmark text are flagged (the
+    * standard pre-training hygiene pass — eval sets must not leak into
+    * training data). Returns (id, shared) for contaminated docs.
+    *
+    * Scale shape: the benchmark shingle set is distinct-deduped and tiny
+    * next to the corpus, so Catalyst broadcasts it into the corpus-side
+    * scan — one pass over the corpus, no corpus-side shuffle beyond the
+    * final per-doc count. Long n (default 8) makes stop-phrase collisions
+    * statistically negligible. */
+  def contaminated(docs: DataFrame, textCol: String, idCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int = 8, minShared: Int = 1): DataFrame = {
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    val benchSh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("g")).distinct()
+    docSh.join(benchSh, "g")
+      .groupBy("id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate candidates above `threshold`, bucketed
     * by [[Similarity.lshBucket]]: only vectors sharing a hyperplane-sign
     * bucket are compared — a bucket-key equi-join, never an all-pairs

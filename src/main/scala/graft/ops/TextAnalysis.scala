@@ -97,4 +97,30 @@ object TextAnalysis {
       i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(window)))))
     array_min(grams)
   }
+
+  // ---------------------------------------------------------- PII redaction
+
+  /** PII patterns kept to the portable regex core (no lookaround, ASCII
+    * classes) so the DuckDB oracle evaluates the identical expressions.
+    * All-Column implementation → codegen'd, no UDF in the scan stage. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact emails / IPv4s / SSN-shaped ids to typed placeholder tokens —
+    * the standard scrub stage before training-data release. Email first:
+    * an address like user@10.0.0.1 must become one <EMAIL>, not an
+    * <EMAIL>-around-an-<IP>. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      ssnRe, "<SSN>")
+
+  /** Pre-redaction PII hit counts per kind (audit/reporting side output). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).as("emails"),
+    regexp_count(text, lit(ipv4Re)).as("ips"),
+    regexp_count(text, lit(ssnRe)).as("ssns"))
 }

@@ -219,6 +219,60 @@ class OpsSpec extends SparkSuite {
     assert(resized(3L).getStruct(3).getInt(0) == 2)
   }
 
+  test("PII redaction scrubs emails/IPs/SSNs and counts hits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or ssh 192.168.1.42 ok"),
+      (2L, "ssn 078-05-1120 leaked twice: 078-05-1120"),
+      (3L, "nothing sensitive here")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "write to <EMAIL> or ssh <IP> ok")
+    assert(out(2L).getString(1) == "ssn <SSN> leaked twice: <SSN>")
+    assert(out(3L).getString(1) == "nothing sensitive here")
+    assert(out(1L).getStruct(2).getInt(0) == 1) // one email
+    assert(out(1L).getStruct(2).getInt(1) == 1) // one ip
+    assert(out(2L).getStruct(2).getInt(2) == 2) // two ssns
+  }
+
+  test("decontamination flags docs overlapping the benchmark set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words with no overlap at all whatsoever here"),
+      (3L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val flagged = Dedup.contaminated(docs, "text", "doc_id", bench, "text",
+      n = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains the benchmark 8-gram (3 positions incl. it), doc 3
+    // contains it mid-string; doc 2 shares nothing
+    assert(flagged.contains(1L) && flagged.contains(3L))
+    assert(!flagged.contains(2L))
+  }
+
+  test("stratified sample is deterministic and capped per stratum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val df = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Sampling.stratified(df, Seq("grp"), 4,
+      md5(col("id").cast("string"))).collect()
+    val s2 = Sampling.stratified(df, Seq("grp"), 4,
+      md5(col("id").cast("string"))).collect()
+    assert(s1.length == 8)
+    assert(s1.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+           s2.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    // deterministic downsample keeps a stable subset
+    val d1 = Sampling.downsample(df, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val d2 = Sampling.downsample(df, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    assert(d1 == d2 && d1.nonEmpty && d1.size < 100)
+  }
+
   test("multimodal: real WAV decode yields waveform + spectral features") {
     // pure 440 Hz sine, amp 0.5, 1s at 8 kHz
     val wav = Multimodal.testWav(440.0, 8000, 1000, 0.5)
