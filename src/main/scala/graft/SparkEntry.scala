@@ -538,6 +538,20 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
+    // ---- repetition signals (Gopher/C4 filters): micro-unit integers so
+    // the comparison is exact, no float-rounding surface ----
+    "q_text_repetition" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          floor(TextAnalysis.dupNgramFraction(col("text"), 2) * 1000000)
+            .cast(LongType).as("dup2_micro"),
+          floor(TextAnalysis.dupNgramFraction(col("text"), 3) * 1000000)
+            .cast(LongType).as("dup3_micro"),
+          floor(TextAnalysis.topTokenRatio(col("text")) * 1000000)
+            .cast(LongType).as("toptok_micro"))
+        .orderBy("doc_id")
+    }),
     // ---- multimodal plumbing: feature extraction shape + counts ----
     "q_multimodal_features" -> ((s, d) => {
       import graft.ops.Multimodal
@@ -1048,6 +1062,27 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
            FROM documents)
          WHERE rn <= 5 ORDER BY lang, doc_id""",
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+           FROM documents WHERE doc_id < 100
+         ), grams AS (
+           SELECT doc_id, w,
+             list_transform(generate_series(1, greatest(len(w)-1, 1)), i -> array_to_string(w[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, greatest(len(w)-2, 1)), i -> array_to_string(w[i:i+2], ' ')) AS g3
+           FROM toks)
+         SELECT doc_id,
+           CAST(floor(CASE WHEN len(w) >= 2
+             THEN (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)) * 1000000
+             ELSE 0 END) AS BIGINT) AS dup2_micro,
+           CAST(floor(CASE WHEN len(w) >= 3
+             THEN (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)) * 1000000
+             ELSE 0 END) AS BIGINT) AS dup3_micro,
+           CAST(floor(CASE WHEN len(w) > 0
+             THEN CAST(list_max(list_transform(list_distinct(w),
+               t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w) * 1000000
+             ELSE 0 END) AS BIGINT) AS toptok_micro
+         FROM grams ORDER BY doc_id""",
     "q_multimodal_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -98,6 +98,33 @@ object TextAnalysis {
     array_min(grams)
   }
 
+  // ---------------------------------------------------------- repetition
+
+  /** Fraction of word `n`-grams that are repeats (1 − distinct/total) —
+    * the Gopher/C4-style repetition signal for filtering boilerplate and
+    * degenerate generations. 0 for texts shorter than `n` tokens. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(ts) - n, lit(0))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    when(size(ts) >= n,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of the text taken by its single most frequent token — high
+    * values flag keyword-stuffed / repeated-token documents. Quadratic in
+    * DISTINCT tokens per doc (bounded by doc length), all inside one
+    * codegen'd projection — no shuffle, no UDF. */
+  def topTokenRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      array_max(transform(array_distinct(ts),
+        t => size(filter(ts, x => x === t)))).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** PII patterns kept to the portable regex core (no lookaround, ASCII

@@ -238,6 +238,24 @@ class OpsSpec extends SparkSuite {
     assert(out(2L).getStruct(2).getInt(2) == 2) // two ssns
   }
 
+  test("repetition signals: dup n-gram fraction and top-token ratio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // 3 bigrams, all "spam spam"
+      (2L, "all words here are different"), // no repeats
+      (3L, "ab")                            // shorter than n
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.dupNgramFraction(col("text"), 2).as("dup2"),
+        TextAnalysis.topTokenRatio(col("text")).as("tt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1L)._1 - 2.0 / 3.0) < 1e-9) // 3 grams, 1 distinct
+    assert(out(1L)._2 == 1.0)                        // all tokens identical
+    assert(out(2L)._1 == 0.0 && math.abs(out(2L)._2 - 0.2) < 1e-9)
+    assert(out(3L)._1 == 0.0 && out(3L)._2 == 1.0)
+  }
+
   test("decontamination flags docs overlapping the benchmark set") {
     import spark.implicits._
     val docs = Seq(
