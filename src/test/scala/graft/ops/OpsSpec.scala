@@ -265,12 +265,17 @@ class OpsSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val bench = Seq("alpha beta gamma delta epsilon zeta eta theta")
       .toDF("text")
-    val flagged = Dedup.contaminated(docs, "text", "doc_id", bench, "text",
-      n = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Dedup.contaminated(docs, "text", "doc_id", bench, "text", n = 8)
+    val flagged = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // doc 1 contains the benchmark 8-gram (3 positions incl. it), doc 3
     // contains it mid-string; doc 2 shares nothing
     assert(flagged.contains(1L) && flagged.contains(3L))
     assert(!flagged.contains(2L))
+    // the benchmark shingle set must broadcast into the corpus scan — a
+    // shuffle join here would reshuffle the whole corpus at 100 TB
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
   }
 
   test("stratified sample is deterministic and capped per stratum") {
