@@ -552,6 +552,38 @@ object SparkEntry {
             .cast(LongType).as("toptok_micro"))
         .orderBy("doc_id")
     }),
+    // ---- near-dup clusters: planted 3-chains (base, +tail, +longer tail)
+    // → LSH pairs → connected components (large-star/small-star); every
+    // cluster must collapse to component=base with exactly 3 members ----
+    "q_dedup_cluster" -> ((s, d) => {
+      import graft.ops.Dedup
+      val docs = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .union(docs.select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" tail alpha beta")).as("text")))
+        .union(docs.select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" tail alpha beta gamma delta")).as("text")))
+      val pairs = Dedup.minhashLSH(corpus, "text", "doc_id", threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"), max("id").as("max_id"))
+        .orderBy("component")
+    }),
+    // ---- corpus-frequent line removal: two boilerplate lines planted in
+    // all docs + one unique line per doc; only the unique line survives ----
+    "q_text_boilerplate" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val corpus = documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit("\nJOIN OUR FREE NEWSLETTER TODAY"),
+            lit("\nunique line "), col("doc_id").cast(StringType),
+            lit("\nCOPYRIGHT 2024 EXAMPLE CORP")).as("text"))
+      TextAnalysis.stripBoilerplate(corpus, "text", "doc_id", minDocFreq = 30L)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // ---- multimodal plumbing: feature extraction shape + counts ----
     "q_multimodal_features" -> ((s, d) => {
       import graft.ops.Multimodal
@@ -1083,6 +1115,14 @@ object SparkEntry {
                t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w) * 1000000
              ELSE 0 END) AS BIGINT) AS toptok_micro
          FROM grams ORDER BY doc_id""",
+    "q_dedup_cluster" ->
+      """SELECT doc_id AS component, CAST(3 AS BIGINT) AS sz,
+         doc_id + 20000 AS max_id
+         FROM documents WHERE doc_id < 60 ORDER BY 1""",
+    "q_text_boilerplate" ->
+      """SELECT doc_id,
+         text || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
+         FROM documents WHERE doc_id < 40 ORDER BY 1""",
     "q_multimodal_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -174,6 +174,95 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Connected components over an undirected edge list — the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Turns pairwise near-dup candidates
+    * (e.g. [[minhashLSH]] output) into cluster ids so a whole duplicate
+    * CLUSTER collapses to one representative — pairwise keep-first alone
+    * can't do that when dups form chains (a~b, b~c, a!~c).
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = min node id of the connected component.
+    *
+    * Scale shape: each round is two shuffles (a groupBy-min and a re-join),
+    * no collect_list of neighborhoods (high-degree nodes never materialize
+    * their adjacency in one task), and the edge set provably converges to
+    * component stars in O(log n) rounds. Lineage is truncated per round via
+    * localCheckpoint so the plan doesn't grow with iteration count (on a
+    * real cluster with an HA requirement, swap in reliable checkpointing).
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    // canonical big→small orientation, no self-loops / nulls
+    var e = pairs
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
+        col(idACol) =!= col(idBCol))
+      .select(greatest(col(idACol), col(idBCol)).as("a"),
+        least(col(idACol), col(idBCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    def largeStar(edges: DataFrame): DataFrame = {
+      val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = und.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      und.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    }
+    // small-star: edges oriented u > v; ∀u, m = min(N⁻(u));
+    // emit (v, m) for v ∈ N⁻(u) ∪ {u}
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("a").agg(min("b").as("mn"))
+      val leaves = edges.join(mins, "a")
+        .select(col("b").as("a"), col("mn").as("b"))
+      val centers = mins.select(col("a"), col("mn").as("b"))
+      leaves.union(centers).filter(col("a") =!= col("b")).distinct()
+    }
+
+    // order-insensitive set fingerprint; the hash sum is decimal(38,0) so
+    // it cannot overflow (ANSI mode makes a long sum of 64-bit hashes throw)
+    def fingerprint(edges: DataFrame): (Long, String) = {
+      val r = edges.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    var prev = fingerprint(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = fingerprint(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixed point = stars: every edge is (node, componentMin); roots (the
+    // component minima) appear only on the b side — map them to themselves
+    e.select(col("a").as("id"), col("b").as("component"))
+      .union(e.select(col("b").as("id"), col("b").as("component")))
+      .distinct()
+  }
+
+  /** Cluster-level near-dup removal: LSH candidate pairs → connected
+    * components → keep the min-id row of each cluster (plus every row that
+    * was never a candidate). Returns `df` columns + `component`. */
+  def dedupClusters(df: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 128,
+                    bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLSH(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold)
+    val cc = connectedComponents(pairs)
+    df.join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .filter(col(idCol) === col("component"))
+  }
+
   /** Embedding-cosine near-duplicate candidates above `threshold`, bucketed
     * by [[Similarity.lshBucket]]: only vectors sharing a hyperplane-sign
     * bucket are compared — a bucket-key equi-join, never an all-pairs

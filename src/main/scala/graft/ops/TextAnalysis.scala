@@ -150,4 +150,41 @@ object TextAnalysis {
     regexp_count(text, lit(emailRe)).as("emails"),
     regexp_count(text, lit(ipv4Re)).as("ips"),
     regexp_count(text, lit(ssnRe)).as("ssns"))
+
+  /** Lines occurring in at least `minDocFreq` distinct documents —
+    * corpus-level boilerplate (nav bars, cookie banners, footers). One
+    * explode + one groupBy; the count is per-document (a line repeated
+    * inside one doc counts once). */
+  def frequentLines(df: DataFrame, textCol: String, idCol: String,
+                    minDocFreq: Long): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq && col("line") =!= "")
+
+  /** Strip corpus-frequent lines from every document (C4-style boilerplate
+    * removal, but corpus-driven rather than rule-driven). Returns the input
+    * columns with `textCol` rewritten; a document whose every line was
+    * boilerplate keeps an empty string.
+    *
+    * Scale shape: the line table is an explode of the corpus (same order of
+    * magnitude as the input — fine, it's one shuffle to count and one
+    * anti-join to filter); the rebuild groups by doc id only over surviving
+    * lines. The boilerplate set is NOT collected to the driver — it can be
+    * arbitrarily large and stays a distributed anti-join side (Catalyst
+    * broadcasts it when it is small). */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       minDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "line")))
+    val bl = frequentLines(df, textCol, idCol, minDocFreq).select("line")
+    val rebuilt = lines.join(bl, Seq("line"), "left_anti")
+      .groupBy("__id")
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("line")))),
+        s => s.getField("line"))).as("__clean"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__id", "__clean")
+  }
 }

@@ -54,6 +54,53 @@ class OpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("connectedComponents: chains, stars, and long paths converge to minima") {
+    import spark.implicits._
+    val edges =
+      Seq((2L, 1L), (2L, 3L), (4L, 3L),        // chain 1-2-3-4
+          (11L, 10L),                           // pair
+          (20L, 21L), (20L, 22L)) ++            // star centered on 20
+        (100L until 110L).map(i => (i, i + 1))  // 11-node path, forces >1 round
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert((100L to 110L).forall(cc(_) == 100L))
+    assert(cc.size == 4 + 2 + 3 + 11)
+  }
+
+  test("dedupClusters collapses a planted 3-chain to one representative") {
+    val base = (0L until 8L).map(i => (i, synthDoc(i)))
+    val v2 = base.map { case (i, t) => (i + 100, t + " tail alpha beta") }
+    val v3 = base.map { case (i, t) => (i + 200, t + " tail alpha beta gamma delta") }
+    val kept = Dedup.dedupClusters(docsDF(base ++ v2 ++ v3), "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (0L until 8L).toSeq)
+  }
+
+  test("stripBoilerplate removes corpus-frequent lines, keeps order") {
+    val docs = docsDF(Seq(
+      (1L, "intro one\nSUBSCRIBE NOW\nbody line a\nCOPYRIGHT FOOTER"),
+      (2L, "SUBSCRIBE NOW\nintro two\nCOPYRIGHT FOOTER"),
+      (3L, "COPYRIGHT FOOTER\nSUBSCRIBE NOW\nintro three"),
+      // repeated inside ONE doc: counts once, stays under the threshold
+      (4L, "solo line\nsolo line\nSUBSCRIBE NOW\nCOPYRIGHT FOOTER"),
+      // every line is boilerplate → empty text survives
+      (5L, "SUBSCRIBE NOW\nCOPYRIGHT FOOTER")))
+    val bl = TextAnalysis.frequentLines(docs, "text", "doc_id", 3L)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bl == Seq("COPYRIGHT FOOTER", "SUBSCRIBE NOW"))
+    val out = TextAnalysis.stripBoilerplate(docs, "text", "doc_id", 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "intro one\nbody line a")
+    assert(out(2L) == "intro two")
+    assert(out(3L) == "intro three")
+    assert(out(4L) == "solo line\nsolo line")
+    assert(out(5L) == "")
+  }
+
   test("simhashCandidates finds planted near-dups") {
     val out = Dedup.simhashCandidates(corpus, "text", "doc_id")
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
