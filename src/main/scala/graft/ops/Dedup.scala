@@ -203,13 +203,14 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    // large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // No distinct here — small-star's final distinct dedups the round.
     def largeStar(edges: DataFrame): DataFrame = {
       val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       val mins = und.groupBy("a").agg(min("b").as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
       und.join(mins, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")).distinct()
+        .select(col("b").as("a"), col("m").as("b"))
     }
     // small-star: edges oriented u > v; ∀u, m = min(N⁻(u));
     // emit (v, m) for v ∈ N⁻(u) ∪ {u}
@@ -221,25 +222,26 @@ object Dedup {
       leaves.union(centers).filter(col("a") =!= col("b")).distinct()
     }
 
-    // order-insensitive set fingerprint; the hash sum is decimal(38,0) so
-    // it cannot overflow (ANSI mode makes a long sum of 64-bit hashes throw)
-    def fingerprint(edges: DataFrame): (Long, String) = {
-      val r = edges.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), String.valueOf(r.get(1)))
-    }
+    // fixed point ⇔ the edge set is a star forest rooted at component
+    // minima (canonical big→small orientation makes roots the minima), i.e.
+    // no node appears as both a parent (b side) and a child (a side).
+    // Checking this directly detects convergence one full round earlier
+    // than comparing consecutive edge-set fingerprints.
+    def isStarForest(edges: DataFrame): Boolean =
+      edges.alias("x").join(edges.alias("y"),
+        col("x.b") === col("y.a"), "left_semi").isEmpty
 
-    var prev = fingerprint(e)
+    // no upfront check: a round applied to an already-converged star forest
+    // is the identity, so always running round 1 is safe and saves a job
+    // on the (typical) non-converged input
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint()
-      val cur = fingerprint(e)
-      converged = cur == prev
-      prev = cur
+      converged = isStarForest(e)
       iter += 1
     }
-    if (!converged && iter >= maxIter)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     // fixed point = stars: every edge is (node, componentMin); roots (the
