@@ -190,16 +190,22 @@ object Ingest {
       // the second re-executes the whole parse lineage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // materializes the cache (so both writes read it) and feeds the
-      // /metrics ingested-rows counter
-      graft.server.Metrics.rowsIngested.addAndGet(withMeta.count())
+      // the logs write materializes the cache (the streams write below
+      // re-reads it); the /metrics ingested-rows count rides along as an
+      // observed metric instead of costing a separate count() job
+      val obs = org.apache.spark.sql.Observation()
       withMeta
+        .observe(obs, count(lit(1)).as("rows"))
         .repartition(col("tenant"), col("_day"),
           pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
         .sortWithinPartitions(col("_stream_id"), col("_time"))
         .write.mode("append")
         .partitionBy("tenant", "_day")
         .parquet(s"$dir/logs")
+      // only read after a successful write — get blocks until the
+      // observed action completes
+      graft.server.Metrics.rowsIngested.addAndGet(
+        obs.get("rows").asInstanceOf[Long])
       // serialized against lifecycle dedup/prune swaps of the same dir
       // (see StoreLocks.streams) — an unlocked append can be wiped by a
       // concurrent snapshot-and-swap rewrite
