@@ -663,6 +663,49 @@ object SparkEntry {
       graft.logql.Compiler.run(logs,
         "value:>300 | stream_context before 2 after 1 time_window 4w | stats count() nrows, sum(event_id) ids")
     }),
+    // ---- REAL video decode: MJPEG-AVI containers (RIFF walk + per-frame
+    // JPEG via ImageIO) → mean per-frame channel features → dominant-channel
+    // classification, like q_multimodal_decode but through the video path ----
+    "q_multimodal_video" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val clips = (0 until 18).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        (i.toLong, "video", Multimodal.testAvi(Seq.fill(4)(rgb)))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .orderBy("ch")
+    }),
+    // ---- REAL frame sampling: 2 of 4 frames from a red,red,green,green
+    // AVI must surface container frames 0 and 2 with container timestamps,
+    // and the sampled JPEG bytes must re-decode to the right color ----
+    "q_multimodal_vframes" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val avi = Multimodal.testAvi(
+        Seq(0xFF0000, 0xFF0000, 0x00FF00, 0x00FF00), usPerFrame = 40000L)
+      val df = Seq((1L, "video", avi)).toDF("media_id", "media_type", "content")
+      val sampled = Multimodal.sampleFrames(df, n = 2)
+        .select(col("frame_idx"), col("frame_ts_ms"), col("frame").as("content"))
+      val f = Multimodal.extractFeatures(sampled, "content", dim = 6)
+      f.select(col("frame_idx"), col("frame_ts_ms"),
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b").as("ch"))
+        .orderBy("frame_idx")
+    }),
     // ---- video frame sampling ----
     "q_multimodal_frames" -> ((s, d) => {
       import graft.ops.Multimodal
@@ -921,6 +964,18 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),
          ('r', CAST(10 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // video decode is deterministic (solid-color MJPEG frames keep their
+    // dominant channel through JPEG loss): pinned VALUES
+    "q_multimodal_video" ->
+      """SELECT * FROM (VALUES ('b', CAST(6 AS BIGINT)), ('g', CAST(6 AS BIGINT)),
+         ('r', CAST(6 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // sampling 2 of 4 frames picks container frames 0 and 2 → timestamps
+    // 0ms and 80ms at 40000us per frame, colors red then green
+    "q_multimodal_vframes" ->
+      """SELECT * FROM (VALUES
+         (CAST(0 AS INTEGER), CAST(0 AS BIGINT), 'r'),
+         (CAST(1 AS INTEGER), CAST(80 AS BIGINT), 'g')
+         ) AS t(frame_idx, frame_ts_ms, ch) ORDER BY frame_idx""",
     // audio decode is deterministic (generated sine WAVs → known rms 0.5/√2,
     // zero-crossing rate 2f/sr, dominant Goertzel band): pinned VALUES
     "q_multimodal_audio" ->

@@ -31,7 +31,27 @@ object Compiler {
     val filtered =
       if (q.filter == Filter.Noop) source
       else source.filter(compileFilter(source, q.filter, ctx))
-    q.pipes.foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+    fuseSortRankBound(q.pipes.toList)
+      .foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+  }
+
+  /** Peephole: `sort … rank as r | where r:<=k` is a top-k query written in
+    * two pipes — fuse the bound into the sort so it compiles to the bounded
+    * rank path (TakeOrderedAndProject over k rows) instead of a global
+    * zipWithIndex pass over the whole sorted relation. The `where` stays in
+    * place (it still enforces any lower bound); only the sort's limit
+    * changes, which is semantics-preserving because every row the where
+    * keeps has rank ≤ k. */
+  private def fuseSortRankBound(pipes: List[Pipe]): List[Pipe] = pipes match {
+    case (s: Pipe.Sort) :: (w @ Pipe.Where(Filter.Range(f, _, hi, _, inclHi)))
+        :: rest
+        if s.limit.isEmpty && s.rank.contains(f) && s.partitionBy.isEmpty &&
+           !hi.isInfinite && !hi.isNaN =>
+      val bound = if (inclHi) math.floor(hi).toLong else math.ceil(hi).toLong - 1L
+      val l = math.max(bound - s.offset, 0L)
+      s.copy(limit = Some(l)) :: w :: fuseSortRankBound(rest)
+    case p :: rest => p :: fuseSortRankBound(rest)
+    case Nil => Nil
   }
 
   /** Span of the query's top-level `_time` filter — feeds `rate()`. */
@@ -586,9 +606,21 @@ object Compiler {
         if (sel0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
           broadcast(sel0)
         else sel0
-      val marked = src
-        .join(sel, strF(src, "_stream_id") === col("__sid") &&
-                   timeMicros(src) === col("__st"), "left")
+      // context rows can only come from streams that contain a matched row
+      // — semi-join the source down to those streams BEFORE the window, so
+      // the per-stream shuffle+sort moves only the needle's streams, not
+      // the whole relation (pipe_stream_context.go likewise re-queries the
+      // store per matched stream, never scanning unmatched ones)
+      val sids = sel0.select(col("__sid")).distinct()
+      val sidsB =
+        if (sids.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
+          broadcast(sids)
+        else sids
+      val srcPruned = src.join(sidsB,
+        strF(src, "_stream_id") === col("__sid"), "left_semi")
+      val marked = srcPruned
+        .join(sel, strF(srcPruned, "_stream_id") === col("__sid") &&
+                   timeMicros(srcPruned) === col("__st"), "left")
         .withColumn("__m", col("__sid").isNotNull)
         .drop("__sid", "__st")
       val t = timeMicros(marked)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * feature extraction, and resize run through the JDK's ImageIO /
   * BufferedImage (no external dependency). The AUDIO codec path is REAL:
   * WAV/AIFF/AU decode through javax.sound.sampled with waveform +
-  * spectral-band features. Only VIDEO decode is STUBBED — the container
-  * has no video codecs — with a clearly-marked deterministic fake, so the
-  * Spark-side plumbing (schema, batching, partitioning, output shape)
-  * stays real and tested for every media type.
+  * spectral-band features. The VIDEO path is REAL for MJPEG-in-AVI
+  * (RIFF container walk + per-frame JPEG decode, both public formats the
+  * JDK handles); inter-frame codecs (H.264 etc.) fall back to a
+  * clearly-marked deterministic stub, so the Spark-side plumbing (schema,
+  * batching, partitioning, output shape) stays real and tested for every
+  * media type regardless of codec availability.
   */
 object Multimodal {
 
@@ -163,6 +165,76 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------------------ video codec
+
+  /** Decoded video container: per-frame ENCODED images (JPEG for MJPG) plus
+    * container timing. Frames stay encoded until a consumer needs pixels —
+    * sampling k of n frames never decodes the other n-k. */
+  final case class VideoClip(frames: IndexedSeq[Array[Byte]],
+                             usPerFrame: Long, width: Int, height: Int)
+
+  /** REAL video container decode for MJPEG-in-AVI. The RIFF/AVI chunk
+    * layout and the MJPG fourcc are public formats, and every frame payload
+    * is a standalone JPEG the JDK's ImageIO already decodes — so unlike
+    * inter-frame codecs this path needs no external library. Walks the
+    * RIFF tree, collects `##dc`/`##db` stream-data chunks as frames, and
+    * reads timing + dimensions from the `avih` main header. None when the
+    * bytes are not a RIFF AVI container. */
+  def decodeAvi(content: Array[Byte]): Option[VideoClip] = {
+    def u32(o: Int): Long =
+      (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+      ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (content == null || content.length < 12 || fourcc(0) != "RIFF" ||
+        fourcc(8) != "AVI ") return None
+    try {
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var usPerFrame = 0L; var w = 0; var h = 0
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(o)
+          val sz = u32(o + 4).toInt
+          val body = o + 8
+          if (body + sz > to) return // truncated chunk: keep what we have
+          id match {
+            case "LIST" => walk(body + 4, body + sz) // skip the list type
+            case "avih" if sz >= 40 =>
+              usPerFrame = u32(body)
+              w = u32(body + 32).toInt; h = u32(body + 36).toInt
+            case _ if sz > 0 && id.length == 4 && id.charAt(2) == 'd' &&
+                      (id.charAt(3) == 'c' || id.charAt(3) == 'b') =>
+              frames += java.util.Arrays.copyOfRange(content, body, body + sz)
+            case _ => ()
+          }
+          o = body + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, math.min(content.length, 8 + u32(4).toInt))
+      Some(VideoClip(frames.result(), usPerFrame, w, h))
+    } catch { case _: Exception => None }
+  }
+
+  /** Real video features: the element-wise mean of the per-frame image
+    * features over every decodable frame — deterministic, frame-count
+    * independent. Falls back to None when no frame decodes (the caller
+    * then uses the stub, keeping the column shape). */
+  private def videoFeatures(clip: VideoClip, dim: Int): Option[Array[Float]] = {
+    val acc = new Array[Double](dim)
+    var n = 0
+    clip.frames.foreach { f =>
+      decodeImage(f).foreach { img =>
+        val feat = imageFeatures(img, dim)
+        var i = 0
+        while (i < dim) { acc(i) += feat(i); i += 1 }
+        n += 1
+      }
+    }
+    if (n == 0) None
+    else Some(acc.map(v => (v / n).toFloat))
+  }
+
   /** STUB decoder for video media. Real deployments replace this with an
     * actual video codec (JNI/javacv) — everything around it (batching,
     * schema, nullability) stays identical. Deterministic: features derive
@@ -183,8 +255,9 @@ object Multimodal {
   }
 
   /** Batched feature extraction: binary column → `Array[Float]` embedding.
-    * Image bytes take the real ImageIO path; anything else falls to the
-    * deterministic stub. Runs per-partition in fixed-size batches (the
+    * Images (ImageIO), audio (javax.sound) and MJPEG-AVI video all take
+    * real decode paths; anything else falls to the deterministic stub.
+    * Runs per-partition in fixed-size batches (the
     * Scala analogue of the mapInPandas batch shape — a real model call
     * amortizes per-batch overhead), preserving partitioning — no shuffle. */
   def extractFeatures(df: DataFrame, contentCol: String,
@@ -205,7 +278,9 @@ object Multimodal {
             case Some(img) => imageFeatures(img, dim)
             case None => decodeAudio(bytes) match {
               case Some(clip) => audioFeatures(clip, dim)
-              case None => decodeStub(bytes, dim)
+              case None => decodeAvi(bytes)
+                .flatMap(videoFeatures(_, dim))
+                .getOrElse(decodeStub(bytes, dim))
             }
           }
         }
@@ -254,13 +329,55 @@ object Multimodal {
     resized
   }
 
-  /** Frame sampling for video rows: explode into `n` frame rows with
-    * frame index + timestamp metadata (frame decode stubbed). */
-  def sampleFrames(df: DataFrame, n: Int): DataFrame =
-    df.filter(col("media_type") === "video")
-      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
-      .withColumn("frame_ts_ms",
-        (col("meta.duration_ms") * col("frame_idx") / n).cast(LongType))
+  /** Frame sampling for video rows: each video explodes into `n` sample
+    * rows carrying the sample index, its timestamp, and — when the content
+    * is a decodable MJPEG-AVI — the REAL encoded frame bytes (`frame`),
+    * picked evenly across the container without decoding unsampled frames.
+    * Undecodable video content keeps the previous shape (null `frame`,
+    * timestamps interpolated from metadata duration). Runs per-partition,
+    * preserving partitioning — no shuffle. */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    val vids = df.filter(col("media_type") === "video")
+    val outSchema = vids.schema
+      .add(StructField("frame_idx", IntegerType, nullable = false))
+      .add(StructField("frame_ts_ms", LongType))
+      .add(StructField("frame", BinaryType))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val cIdx = vids.schema.fieldIndex("content")
+    val mIdx = vids.schema.fieldNames.indexOf("meta")
+    val durField =
+      if (mIdx >= 0)
+        vids.schema(mIdx).dataType.asInstanceOf[StructType]
+          .fieldNames.indexOf("duration_ms")
+      else -1
+    vids.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.get(cIdx) match {
+          case b: Array[Byte] => b
+          case _ => Array.emptyByteArray
+        }
+        val clip = decodeAvi(bytes).filter(_.frames.nonEmpty)
+        val metaDur: Any =
+          if (mIdx < 0 || durField < 0 || r.isNullAt(mIdx)) null
+          else r.getStruct(mIdx).get(durField)
+        (0 until n).iterator.map { j =>
+          clip match {
+            case Some(c) =>
+              val src = (j.toLong * c.frames.length / n).toInt
+              Row.fromSeq(r.toSeq :+ j :+ (src * c.usPerFrame / 1000L)
+                :+ c.frames(src))
+            case None =>
+              val ts: Any = metaDur match {
+                case d: Long => d * j / n
+                case d: Int => d.toLong * j / n
+                case _ => null
+              }
+              Row.fromSeq(r.toSeq :+ j :+ ts :+ null)
+          }
+        }
+      }
+    }(enc)
+  }
 
   /** Build a media table from text rows (dev helper — treats UTF-8 bytes as
     * the opaque payload so the pipeline is drivable without codecs). */
@@ -289,6 +406,83 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a solid-color w×h JPEG in memory (frame payload for testAvi —
+    * JPEG is lossy, but a solid primary color keeps its dominant channel). */
+  def testJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Assemble a minimal-but-spec-correct MJPEG AVI in memory: RIFF('AVI '
+    * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00dc' × frames)).
+    * One solid-color JPEG frame per entry of `frameRgbs`. Drives the real
+    * video decode path in tests without any fixture files. */
+  def testAvi(frameRgbs: Seq[Int], w: Int = 8, h: Int = 8,
+              usPerFrame: Long = 40000L): Array[Byte] = {
+    val frames = frameRgbs.map(testJpeg(w, h, _))
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def build(f: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); f(b); b.toByteArray
+    }
+    def bu32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+      b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+    }
+    val avih = build { b =>
+      bu32(b, usPerFrame); bu32(b, 0); bu32(b, 0); bu32(b, 0)
+      bu32(b, frames.length.toLong); bu32(b, 0); bu32(b, 1); bu32(b, 0)
+      bu32(b, w.toLong); bu32(b, h.toLong)
+      (0 until 4).foreach(_ => bu32(b, 0)) // dwReserved
+    }
+    val strh = build { b =>
+      b.write("vids".getBytes("US-ASCII")); b.write("MJPG".getBytes("US-ASCII"))
+      bu32(b, 0); bu32(b, 0); bu32(b, 0)       // flags, prio+lang, initial
+      bu32(b, usPerFrame); bu32(b, 1000000L)   // scale/rate = frame period
+      bu32(b, 0); bu32(b, frames.length.toLong)
+      bu32(b, 0); bu32(b, 0); bu32(b, 0)       // bufSize, quality, sampleSize
+      bu32(b, (w.toLong << 16) | h.toLong)     // rcFrame (packed, unused)
+      bu32(b, 0)
+    }
+    val strf = build { b => // BITMAPINFOHEADER
+      bu32(b, 40); bu32(b, w.toLong); bu32(b, h.toLong)
+      bu32(b, (24L << 16) | 1L)                // biPlanes=1, biBitCount=24
+      b.write("MJPG".getBytes("US-ASCII"))     // biCompression
+      bu32(b, w.toLong * h * 3)
+      (0 until 4).foreach(_ => bu32(b, 0))
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = build { b =>
+      b.write("LIST".getBytes("US-ASCII")); bu32(b, (body.length + 4).toLong)
+      b.write(kind.getBytes("US-ASCII")); b.write(body)
+    }
+    def rawChunk(id: String, body: Array[Byte]): Array[Byte] = build { b =>
+      b.write(id.getBytes("US-ASCII")); bu32(b, body.length.toLong)
+      b.write(body)
+      if ((body.length & 1) == 1) b.write(0)
+    }
+    val strl = list("strl", rawChunk("strh", strh) ++ rawChunk("strf", strf))
+    val hdrl = list("hdrl", rawChunk("avih", avih) ++ strl)
+    val movi = list("movi",
+      frames.flatMap(f => rawChunk("00dc", f)).toArray)
+    val payload = hdrl ++ movi
+    ascii("RIFF"); u32((payload.length + 4).toLong); ascii("AVI ")
+    bos.write(payload)
     bos.toByteArray
   }
 

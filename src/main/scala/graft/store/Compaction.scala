@@ -173,7 +173,7 @@ object Compaction {
     spark.read.parquet(files.map(_.getPath.toString): _*)
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
-      .write.parquet(tmp.toString)
+      .write.option("compression", LogStore.ParquetCodec).parquet(tmp.toString)
     val newFiles = dataFiles(tmp)
     // unique part names: move-in before delete-old, so a crash leaves
     // duplicates (re-converged by the next run), never data loss
@@ -230,7 +230,8 @@ object Compaction {
     StoreLocks.streams(dir).synchronized {
       val cur = s"$dir/streams"
       val tmp = s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}"
-      df.coalesce(streamsOutFiles(dir)).write.parquet(tmp)
+      df.coalesce(streamsOutFiles(dir)).write
+        .option("compression", LogStore.ParquetCodec).parquet(tmp)
       val old = s"$dir/.streams_old_${java.util.UUID.randomUUID()}"
       Fs.rename(cur, old)
       Fs.rename(tmp, cur)

@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
   */
 object LogStore {
 
+  /** Store parquet codec: zstd, like the reference's part compression
+    * (docs/victorialogs/README.md:132 claims ≥10× columnar+zstd ratios) —
+    * at 100 TB the scan is IO-bound, so smaller files beat snappy's
+    * slightly cheaper decode. */
+  val ParquetCodec = "zstd"
+
   /** Canonical "k1=v1,k2=v2" (keys sorted) — stream_tags.go canonical form. */
   def canonicalStream(streamFields: Seq[String]): Column =
     concat_ws(",", streamFields.sorted.map(f =>
@@ -55,11 +61,14 @@ object LogStore {
         pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.mode("overwrite")
+      .option("compression", LogStore.ParquetCodec)
       .partitionBy("tenant", "_day")
       .parquet(s"$dir/logs")
     withMeta.select(col("_stream_id"), col("_stream"))
       .dropDuplicates("_stream_id")
-      .write.mode("overwrite").parquet(s"$dir/streams")
+      .write.mode("overwrite")
+      .option("compression", LogStore.ParquetCodec)
+      .parquet(s"$dir/streams")
     invalidate(dir)
   }
 

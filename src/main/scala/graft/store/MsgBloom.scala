@@ -92,7 +92,9 @@ object MsgBloom {
       .groupBy("file")
       .agg(agg(xxhash64(col("tok"))).as("bloom"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/msg_bloom")
+      .write.mode("overwrite")
+      .option("compression", LogStore.ParquetCodec)
+      .parquet(s"$dir/msg_bloom")
   }
 
   /** Files of `dir` whose bloom may contain ALL `tokens`; None when no

@@ -200,6 +200,7 @@ object Ingest {
           pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
         .sortWithinPartitions(col("_stream_id"), col("_time"))
         .write.mode("append")
+        .option("compression", graft.store.LogStore.ParquetCodec)
         .partitionBy("tenant", "_day")
         .parquet(s"$dir/logs")
       // only read after a successful write — get blocks until the
@@ -211,7 +212,9 @@ object Ingest {
       // concurrent snapshot-and-swap rewrite
       graft.store.StoreLocks.streams(dir).synchronized {
         withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
-          .write.mode("append").parquet(s"$dir/streams")
+          .write.mode("append")
+          .option("compression", graft.store.LogStore.ParquetCodec)
+          .parquet(s"$dir/streams")
       }
     } finally withMeta.unpersist(blocking = false)
     LogStore.invalidateCaches(dir)

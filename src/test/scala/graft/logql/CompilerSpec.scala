@@ -422,6 +422,21 @@ class CompilerSpec extends SparkSuite {
     assert(rows.length == 2 && rows.head._2 == 1L)
   }
 
+  test("sort rank followed by a rank bound fuses into bounded top-k") {
+    // `sort … rank r | where r:<=k` is top-k written in two pipes — the
+    // peephole must route it through the bounded path (global sort + limit,
+    // no full-relation zipWithIndex); the where still filters correctly
+    val df = run("* | sort by (_msg) rank as r | where r:<=2 | fields _msg, r")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(rows.length == 2 && rows.map(_._2).toSeq == Seq(1L, 2L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // offset composes: ranks 2..3 of 5 rows
+    val off = run("* | sort by (_msg) offset 1 rank as r | where r:<=3 | fields r")
+      .collect().map(_.getLong(0)).sorted
+    assert(off.toSeq == Seq(2L, 3L))
+  }
+
   test("histogram vmrange bucket strings match the reference format") {
     import graft.functions.VmHistogram
     assert(VmHistogram.lowerBucketRange == "0...1.000e-09")

