@@ -26,20 +26,25 @@ object Bench {
     // fixed per-query local-mode job overhead (scheduler + codegen floor),
     // measured as the median latency of a trivial 1-row action — reported
     // so the DuckDB-ratio comparison can exclude it arithmetically.
-    // Sampled BOTH before and after the timed section (the floor drifts
-    // with JIT/GC state, and it multiplies by the query count in
-    // adjusted_total, so a single-sided estimate swings the headline).
+    // Sampled INTERLEAVED through the timed section, not just at the
+    // edges: the floor drifts with JIT/GC state, it multiplies by the
+    // query count in adjusted_total, and two edge-only medians have
+    // swung the headline by several seconds between otherwise-identical
+    // runs.
     def noopSamples(k: Int): Seq[Double] = Seq.fill(k) {
       val t0 = System.nanoTime()
       spark.range(1).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val noopBefore = noopSamples(7)
-    val results = names.map { n =>
+    val noopAcc = scala.collection.mutable.ArrayBuffer[Double]()
+    noopAcc ++= noopSamples(5)
+    val results = names.zipWithIndex.map { case (n, i) =>
       val ts = Seq.fill(3)(once(n)).sorted
+      if (i % 10 == 9) noopAcc ++= noopSamples(2)
       n -> ts(1) // median
     }
-    val noopAll = (noopBefore ++ noopSamples(7)).sorted
+    noopAcc ++= noopSamples(5)
+    val noopAll = noopAcc.toSeq.sorted
     val noop = noopAll(noopAll.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -481,6 +481,39 @@ object SparkEntry {
       exact.join(ivf, Seq("query_id", "neighbor_id"))
         .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
     }),
+    // ---- int8-quantized cosine top-k recall vs float brute force: the
+    // 4x-smaller corpus codes must preserve >= 90% of the exact top-10 ----
+    "q_sim_quantized" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val quant = Similarity.quantizeInt8(emb, "embedding")
+      val approx = Similarity.quantizedTopK(q, quant,
+        "vec_id", "embedding", "vec_id", "q8", 10)
+        .select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= 45).cast(LongType).as("recall_ok"))
+    }),
+    // ---- token-window document chunking with overlap (pre-training
+    // shaping): chunk boundaries + text must match list-slice semantics ----
+    "q_text_chunks" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.chunkDocuments(
+          documents(s, d).filter(col("doc_id") < 20).select("doc_id", "text"),
+          "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // ---- deterministic shuffled-shard export assignment: hash sharding
+    // is a pure function of (id, seed), so per-shard counts are pinned ----
+    "q_export_shards" -> ((s, d) => {
+      graft.ops.Export.shuffledShards(documents(s, d), "doc_id", 8, seed = 42L)
+        .groupBy(col("__shard").as("shard")).agg(count(lit(1)).as("cnt"))
+        .orderBy("shard")
+    }),
     // ---- language id + token counting grouped by detected lang ----
     "q_text_stats" -> ((s, d) => {
       import graft.ops.TextAnalysis
@@ -1092,6 +1125,35 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_sim_ivf_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q_sim_quantized" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // shard assignment is xxhash64(doc_id, seed) mod 8 — a deterministic
+    // engine-internal hash, so the per-shard counts at sf0.01 are pinned
+    // (same trick as q_lql_hash)
+    "q_export_shards" ->
+      """SELECT * FROM (VALUES
+         (CAST(0 AS BIGINT), CAST(43 AS BIGINT)), (CAST(1 AS BIGINT), CAST(56 AS BIGINT)),
+         (CAST(2 AS BIGINT), CAST(69 AS BIGINT)), (CAST(3 AS BIGINT), CAST(64 AS BIGINT)),
+         (CAST(4 AS BIGINT), CAST(75 AS BIGINT)), (CAST(5 AS BIGINT), CAST(74 AS BIGINT)),
+         (CAST(6 AS BIGINT), CAST(58 AS BIGINT)), (CAST(7 AS BIGINT), CAST(61 AS BIGINT))
+         ) AS t(shard, cnt) ORDER BY shard""",
+    // chunking is list-slice arithmetic both sides: same tokenizer split,
+    // same 64-token windows with 48-token step
+    "q_text_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+           FROM documents WHERE doc_id < 20
+         ), c AS (
+           SELECT doc_id, w,
+             CASE WHEN len(w) <= 0 THEN 0
+                  WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) END AS nc
+           FROM t
+         )
+         SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(w, CAST(i*48+1 AS BIGINT), CAST(i*48+64 AS BIGINT)), ' ') AS chunk_text
+         FROM c, UNNEST(range(c.nc)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     "q_text_stats" ->
       """WITH t AS (
            SELECT list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w FROM documents

@@ -43,6 +43,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------- quantization
+
+  /** Symmetric int8 quantization of a float-vector column: per-row scale
+    * s = 127 / max|v|, stored beside q = round(v·s) as `tinyint`s. 4×
+    * memory/IO reduction for a corpus whose scans are bandwidth-bound —
+    * at 100 TB the embedding column is usually the widest thing in the
+    * table. Zero vectors keep scale 0 and an all-zero code. Pure Column
+    * ops; `transform` stays inside codegen. */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   codeCol: String = "q8", scaleCol: String = "q8_scale"): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    df.withColumn(scaleCol, scale.cast("float"))
+      .withColumn(codeCol,
+        transform(col(vecCol), x => round(x * col(scaleCol)).cast("tinyint")))
+  }
+
+  /** Reconstruct approximate floats from an int8 code (v ≈ q / scale). */
+  def dequantizeInt8(code: Column, scale: Column): Column =
+    when(scale > 0, transform(code, q => (q / scale).cast("float")))
+      .otherwise(transform(code, q => lit(0f)))
+
+  /** Cosine top-k over int8-quantized vectors: same shape as
+    * bruteForceTopK but the corpus side streams 1-byte codes instead of
+    * 4-byte floats (cosine is scale-invariant, so the corpus-side scale
+    * cancels and only the code matters). Queries stay float. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    queryId: String, queryVec: String,
+                    corpusId: String, corpusCode: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      transform(col(corpusCode), x => x.cast("float")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes, baked into the plan as literal
     * arrays — each row pays `bits` dot products, not a per-row
     * (bits × dim) array construction. */

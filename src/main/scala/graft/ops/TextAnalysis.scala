@@ -187,4 +187,39 @@ object TextAnalysis {
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .drop("__id", "__clean")
   }
+
+  // ------------------------------------------------------------- chunking
+
+  /** Split each document into overlapping token-window chunks — the
+    * standard pre-training shaping step (context-length packing happens
+    * downstream). Chunk i covers tokens [i·step, i·step + chunkTokens)
+    * with step = chunkTokens − overlap; the last chunk may be short; a
+    * document with no tokens yields no chunks.
+    *
+    * Pure Column ops (tokenize → sequence → posexplode → slice): fully
+    * codegen'd, no UDF, no shuffle — chunking 100 TB is a single scan
+    * that preserves the input partitioning. Output: the input columns
+    * plus `chunk_idx` and `chunk_text`. */
+  def chunkDocuments(df: DataFrame, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // 1 + ceil((n - chunkTokens) / step) chunks when n > chunkTokens
+    val nChunks = when(n <= 0, 0).otherwise(
+      lit(1) + greatest(lit(0L),
+        ceil((n - chunkTokens).cast("double") / step).cast("long")))
+    // explode of an empty array emits no rows (sequence(0, -1) would count
+    // DOWN and fabricate chunks for empty docs — guard it out)
+    val idxs = when(nChunks > 0, sequence(lit(0L), nChunks.cast("long") - 1L))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(idxs))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), (col("chunk_idx") * step + 1).cast("int"),
+              lit(chunkTokens))))
+      .drop("__toks")
+  }
 }

@@ -13,20 +13,17 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val hash = graft.logql.Compiler.run(graft.Tables.eventsLog(spark, d),
-      "* | hash(event_type) as h | uniq by (event_type, h) | sort by (event_type)")
-    println("== q_lql_hash ==")
-    hash.printSchema()
-    hash.show(20, truncate = false)
-    val samp = graft.logql.Compiler.run(graft.Tables.eventsLog(spark, d),
-      "* | sample 7 | stats count() c")
-    println("== q_lql_sample ==")
-    samp.printSchema()
-    samp.show(5, truncate = false)
-    val audio = graft.SparkEntry.queries("q_multimodal_audio")(spark, d)
-    println("== q_multimodal_audio ==")
-    audio.printSchema()
-    audio.show(10, truncate = false)
+    val shards = graft.SparkEntry.queries("q_export_shards")(spark, d)
+    println("== q_export_shards ==")
+    shards.printSchema()
+    shards.show(20, truncate = false)
+    val chunks = graft.SparkEntry.queries("q_text_chunks")(spark, d)
+    println("== q_text_chunks ==")
+    println("rows=" + chunks.count())
+    chunks.show(5, truncate = false)
+    val quant = graft.SparkEntry.queries("q_sim_quantized")(spark, d)
+    println("== q_sim_quantized ==")
+    quant.show(5, truncate = false)
     spark.stop()
   }
 }

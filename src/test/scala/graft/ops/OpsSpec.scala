@@ -374,6 +374,65 @@ class OpsSpec extends SparkSuite {
     assert(feats(3L).size == 8)
   }
 
+  test("chunkDocuments windows tokens with overlap; empty docs vanish") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 → step 3 → chunks at 0,3,6 (+ short 9)
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""), (3L, "x"))
+      .toDF("id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", chunkTokens = 4, overlap = 1)
+      .select("id", "chunk_idx", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(!out.exists(_._1 == 2L))            // no-token doc → no chunks
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "x"))) // short doc → 1 chunk
+    // a doc one token past a window boundary grows a short tail chunk
+    val tail = TextAnalysis.chunkDocuments(
+        Seq((1L, (0 to 10).map("w" + _).mkString(" "))).toDF("id", "text"),
+        "text", chunkTokens = 4, overlap = 1)
+      .select("chunk_text").collect().map(_.getString(0))
+    assert(tail.last == "w9 w10")
+  }
+
+  test("int8 quantization roundtrips within 1/127 and preserves ranking") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("id", "vec")
+    val q = Similarity.quantizeInt8(df, "vec")
+    val rows = q.collect().map(r => r.getLong(0) -> r).toMap
+    val codes = rows(1L).getAs[scala.collection.Seq[Byte]]("q8")
+    assert(codes == Seq[Byte](64, -127, 32))   // round(v * 127/max|v|)
+    assert(rows(2L).getAs[scala.collection.Seq[Byte]]("q8") == Seq[Byte](0, 0, 0))
+    assert(rows(2L).getFloat(rows(2L).fieldIndex("q8_scale")) == 0f)
+    // dequantize error bounded by half a quantization step
+    val err = q.filter($"id" === 1L).select(
+        Similarity.dot(col("vec"), col("vec")).as("n2"),
+        Similarity.cosine(col("vec"),
+          Similarity.dequantizeInt8(col("q8"), col("q8_scale"))).as("cos"))
+      .collect().head
+    assert(err.getDouble(1) > 0.9999)
+  }
+
+  test("shuffledShards is deterministic, disjoint, and seed-sensitive") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val a = Export.shuffledShards(df, "id", 8, seed = 7L)
+    val b = Export.shuffledShards(df, "id", 8, seed = 7L)
+    val c = Export.shuffledShards(df, "id", 8, seed = 8L)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "__shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ka, kb, kc) = (key(a), key(b), key(c))
+    assert(ka == kb)                         // same seed → same deal
+    assert(ka != kc)                         // new seed → re-deal
+    assert(ka.size == 500 && ka.values.toSet.subsetOf((0L until 8L).toSet))
+    // hash balance: no empty shard, no shard hoarding >2x the mean
+    val sizes = ka.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 8 && sizes.max < 2 * 500 / 8)
+    // within a shard, order follows the seeded position hash
+    val first = a.filter($"__shard" === 0L).select("id", "__pos").collect()
+    assert(first.map(_.getLong(1)).toSeq == first.map(_.getLong(1)).sorted.toSeq)
+  }
+
   test("multimodal: real MJPEG-AVI decode, features, and frame sampling") {
     import spark.implicits._
     // container roundtrip: writer → parser recovers frames + timing
