@@ -514,6 +514,21 @@ object SparkEntry {
         .groupBy(col("__shard").as("shard")).agg(count(lit(1)).as("cnt"))
         .orderBy("shard")
     }),
+    // ---- sequence packing: chunks laid end-to-end into 256-token context
+    // windows within doc_id%4 shards (sharded cumsum, no global window) ----
+    "q_text_pack" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      val chunks = TextAnalysis.chunkDocuments(
+          documents(s, d).filter(col("doc_id") < 40).select("doc_id", "text"),
+          "text", chunkTokens = 64, overlap = 16)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk_text")))
+        .withColumn("shard", col("doc_id") % 4)
+      TextAnalysis.packChunks(chunks, "n_tokens", "shard",
+          Seq("doc_id", "chunk_idx"), contextTokens = 256)
+        .groupBy("shard", "pack_idx")
+        .agg(count(lit(1)).as("chunks"), sum("n_tokens").as("toks"))
+        .orderBy("shard", "pack_idx")
+    }),
     // ---- language id + token counting grouped by detected lang ----
     "q_text_stats" -> ((s, d) => {
       import graft.ops.TextAnalysis
@@ -1137,6 +1152,29 @@ object SparkEntry {
          (CAST(4 AS BIGINT), CAST(75 AS BIGINT)), (CAST(5 AS BIGINT), CAST(74 AS BIGINT)),
          (CAST(6 AS BIGINT), CAST(58 AS BIGINT)), (CAST(7 AS BIGINT), CAST(61 AS BIGINT))
          ) AS t(shard, cnt) ORDER BY shard""",
+    // packing is the chunk CTE + a sharded cumulative sum both sides
+    "q_text_pack" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+           FROM documents WHERE doc_id < 40
+         ), c AS (
+           SELECT doc_id, w,
+             CASE WHEN len(w) <= 0 THEN 0
+                  WHEN len(w) <= 64 THEN 1
+                  ELSE 1 + CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) END AS nc
+           FROM t
+         ), ch AS (
+           SELECT doc_id, i AS chunk_idx,
+             CAST(len(list_slice(w, CAST(i*48+1 AS BIGINT), CAST(i*48+64 AS BIGINT))) AS BIGINT) AS n
+           FROM c, UNNEST(range(c.nc)) AS u(i)
+         ), p AS (
+           SELECT doc_id % 4 AS shard, doc_id, chunk_idx, n,
+             sum(n) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum
+           FROM ch
+         )
+         SELECT shard, CAST(floor((cum - n) / 256.0) AS BIGINT) AS pack_idx,
+           count(*) AS chunks, CAST(sum(n) AS BIGINT) AS toks
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     // chunking is list-slice arithmetic both sides: same tokenizer split,
     // same 64-token windows with 48-token step
     "q_text_chunks" ->

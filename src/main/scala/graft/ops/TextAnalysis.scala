@@ -222,4 +222,28 @@ object TextAnalysis {
               lit(chunkTokens))))
       .drop("__toks")
   }
+
+  /** Pack chunks into fixed-size training context windows: within each
+    * shard (caller-chosen partition key — e.g. `doc_id % n` or a hash),
+    * chunks are laid end-to-end in `orderCols` order and assigned
+    * `pack_idx` = the context window their first token lands in
+    * (⌊cumulative-tokens-before / contextTokens⌋). (shard, pack_idx)
+    * identifies one training sequence.
+    *
+    * The cumulative sum is PARTITIONED by shard — a partition-less global
+    * window would funnel the corpus through one task; sharded packing
+    * keeps the one shuffle keyed and parallel, which is the standard
+    * trade (packing quality is per-shard, throughput is cluster-wide). */
+  def packChunks(df: DataFrame, tokenCountCol: String, shardCol: String,
+                 orderCols: Seq[String], contextTokens: Int): DataFrame = {
+    require(contextTokens > 0, s"contextTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("pack_idx",
+        floor((col("__cum") - col(tokenCountCol)) / contextTokens))
+      .drop("__cum")
+  }
 }

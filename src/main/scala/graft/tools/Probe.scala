@@ -21,9 +21,9 @@ object Probe {
     println("== q_text_chunks ==")
     println("rows=" + chunks.count())
     chunks.show(5, truncate = false)
-    val quant = graft.SparkEntry.queries("q_sim_quantized")(spark, d)
-    println("== q_sim_quantized ==")
-    quant.show(5, truncate = false)
+    val pack = graft.SparkEntry.queries("q_text_pack")(spark, d)
+    println("== q_text_pack ==")
+    pack.show(20, truncate = false)
     spark.stop()
   }
 }

@@ -394,6 +394,24 @@ class OpsSpec extends SparkSuite {
     assert(tail.last == "w9 w10")
   }
 
+  test("packChunks assigns context windows by sharded cumulative tokens") {
+    import spark.implicits._
+    // shard 0: chunks of 60 tokens → cum 60,120,180,240 → all pack 0 until
+    // the 5th (cum-before 240 ≥ 256? no — 240 < 256 → pack 0; 6th at 300 → 1)
+    val rows = (0 until 6).map(i => (0L, i.toLong, 60L)) ++
+               Seq((1L, 0L, 300L), (1L, 1L, 10L))
+    val df = rows.toDF("shard", "chunk_idx", "n")
+    val out = TextAnalysis.packChunks(df, "n", "shard",
+        Seq("chunk_idx"), contextTokens = 256)
+      .select("shard", "chunk_idx", "pack_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) == 0L && out((0L, 3L)) == 0L)  // cum-before 180
+    assert(out((0L, 4L)) == 0L)                         // cum-before 240
+    assert(out((0L, 5L)) == 1L)                         // cum-before 300
+    // an oversized chunk occupies its own window; the next starts after it
+    assert(out((1L, 0L)) == 0L && out((1L, 1L)) == 1L)
+  }
+
   test("int8 quantization roundtrips within 1/127 and preserves ranking") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+/** Stateful streaming ops: watermark-bounded dedup and session-gap key
+  * summaries over the store's tail stream. */
+class StatefulOpsSpec extends SparkSuite {
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/stateful_test/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def append(store: String, rows: Seq[(String, String, String)]): Unit = {
+    import spark.implicits._
+    val lines = rows.map { case (ts, msg, app) =>
+      s"""{"_time":"$ts","_msg":"$msg","app":"$app"}"""
+    }.toDF("value")
+    Ingest.appendBatch(Ingest.parseJsonline(lines), store, Seq("app"))
+  }
+
+  test("dedupStream passes first occurrence per key, drops repeats") {
+    val store = tmp("dedup")
+    append(store, Seq(
+      ("2024-01-01T10:00:00Z", "evt a", "web"),
+      ("2024-01-01T10:00:01Z", "evt a", "web"),  // dup _msg
+      ("2024-01-01T10:00:02Z", "evt b", "web")))
+    val q = StatefulOps.dedupStream(spark, store, "*", Seq("_msg"))
+      .writeStream.format("memory").queryName("dedupq")
+      .outputMode("append")
+      .option("checkpointLocation", s"$store/.ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val msgs1 = spark.table("dedupq").collect()
+        .map(_.getAs[String]("_msg")).sorted
+      assert(msgs1.toSeq == Seq("evt a", "evt b"))
+      // the same key in a later micro-batch (still inside the watermark
+      // window) is dropped; a new key passes
+      append(store, Seq(
+        ("2024-01-01T10:00:03Z", "evt a", "web"),
+        ("2024-01-01T10:00:04Z", "evt c", "web")))
+      q.processAllAvailable()
+      val msgs2 = spark.table("dedupq").collect()
+        .map(_.getAs[String]("_msg")).sorted
+      assert(msgs2.toSeq == Seq("evt a", "evt b", "evt c"))
+    } finally q.stop()
+  }
+
+  test("keySummaryStream closes sessions after the event-time gap") {
+    val store = tmp("sessions")
+    append(store, Seq(
+      ("2024-01-01T10:00:00Z", "m1", "web"),
+      ("2024-01-01T10:00:30Z", "m2", "web"),
+      ("2024-01-01T10:00:10Z", "m3", "api")))
+    val q = StatefulOps.keySummaryStream(spark, store, "*",
+        keyCol = "app", gapMs = 60000L)
+      .toDF().writeStream.format("memory").queryName("sessq")
+      .outputMode("append")
+      .option("checkpointLocation", s"$store/.ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing closed yet: watermark sits at the max event time, which is
+      // inside every session's gap window
+      assert(spark.table("sessq").isEmpty)
+      // an event far past the gap advances the watermark and closes both
+      // earlier sessions; its own session stays open
+      append(store, Seq(("2024-01-01T12:00:00Z", "m4", "batch")))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout fires in the batch AFTER the advance
+      val rows = spark.table("sessq").collect()
+        .map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("hits"),
+            r.getAs[java.sql.Timestamp]("first_time").toInstant.toString,
+            r.getAs[java.sql.Timestamp]("last_time").toInstant.toString))).toMap
+      assert(rows.keySet == Set("web", "api"))
+      assert(rows("web") == ((2L, "2024-01-01T10:00:00Z", "2024-01-01T10:00:30Z")))
+      assert(rows("api") == ((1L, "2024-01-01T10:00:10Z", "2024-01-01T10:00:10Z")))
+    } finally q.stop()
+  }
+}
