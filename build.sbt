@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all executor work in this one JVM: 8g thrashed GC once
+  // the query suite (caches, codegen, ANN cell tables) grew past ~90
+  // entries, adding seconds of per-run noise to bench medians
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // forward stdin to the forked JVM so the graft.Cli REPL is usable
 run / connectInput := true

@@ -485,17 +485,30 @@ object SparkEntry {
     // 4x-smaller corpus codes must preserve >= 90% of the exact top-10 ----
     "q_sim_quantized" -> ((s, d) => {
       import graft.ops.Similarity
+      import org.apache.spark.sql.expressions.Window
       val emb = embeddings(s, d)
+      // one cross join scores BOTH the float and the int8-code cosine;
+      // two row_number windows share the single per-query exchange —
+      // running bruteForceTopK and quantizedTopK separately doubles the
+      // join/shuffle plan for the same answer
       val q = emb.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(q, emb,
-        "vec_id", "embedding", "vec_id", "embedding", 10)
-        .select("query_id", "neighbor_id")
-      val quant = Similarity.quantizeInt8(emb, "embedding")
-      val approx = Similarity.quantizedTopK(q, quant,
-        "vec_id", "embedding", "vec_id", "q8", 10)
-        .select("query_id", "neighbor_id")
-      exact.join(approx, Seq("query_id", "neighbor_id"))
-        .agg((count(lit(1)) >= 45).cast(LongType).as("recall_ok"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = Similarity.quantizeInt8(emb, "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+                col("q8"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("qv"), col("cv")).as("cos_f"),
+          Similarity.cosine(col("qv"), col("q8")).as("cos_q"))
+      val wf = Window.partitionBy("query_id")
+        .orderBy(col("cos_f").desc, col("neighbor_id").asc)
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rq", row_number().over(wq))
+        .agg((count(when(col("rf") <= 10 && col("rq") <= 10, 1)) >= 45)
+          .cast(LongType).as("recall_ok"))
     }),
     // ---- token-window document chunking with overlap (pre-training
     // shaping): chunk boundaries + text must match list-slice semantics ----

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding dot product: a tight
   * codegen'd loop instead of an interpreted `aggregate(zip_with(...))`
@@ -18,7 +18,7 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case ArrayType(t @ (FloatType | DoubleType | ByteType), _) => Some(t)
     case _ => None
   }
 
@@ -26,7 +26,7 @@ case class DotProduct(left: Expression, right: Expression)
     if (elemType(left).isDefined && elemType(right).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot needs array<float|double> inputs, got " +
+      s"graft_dot needs array<float|double|tinyint> inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
   override def dataType: DataType = DoubleType
@@ -34,15 +34,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elemType(left).contains(FloatType)
-    val rf = elemType(right).contains(FloatType)
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    def at(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case ByteType => arr.getByte(i).toDouble
+      case _ => arr.getDouble(i)
+    }
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s += at(x, lt, i) * at(y, rt, i)
       i += 1
     }
     s
@@ -53,9 +55,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
-      def get(arr: String, e: Expression) =
-        if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
-        else s"$arr.getDouble($i)"
+      def get(arr: String, e: Expression) = elemType(e) match {
+        case Some(FloatType) => s"(double) $arr.getFloat($i)"
+        case Some(ByteType) => s"(double) $arr.getByte($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
@@ -79,9 +83,9 @@ case class DotProduct(left: Expression, right: Expression)
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType | ByteType), _) => Some(t)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -92,13 +96,18 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lf, rf) = (isFloat(left), isFloat(right))
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    def at(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case ByteType => arr.getByte(i).toDouble
+      case _ => arr.getDouble(i)
+    }
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = at(x, lt, i)
+      val yv = at(y, rt, i)
       s += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -110,14 +119,17 @@ case class CosineSim(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      def get(arr: String, float: Boolean) =
-        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      def get(arr: String, e: Expression) = elemType(e) match {
+        case Some(FloatType) => s"(double) $arr.getFloat($i)"
+        case Some(ByteType) => s"(double) $arr.getByte($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = ${get(a, isFloat(left))};
-         |  double $yv = ${get(b, isFloat(right))};
+         |  double $xv = ${get(a, left)};
+         |  double $yv = ${get(b, right)};
          |  $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -55,9 +55,13 @@ object Similarity {
                    codeCol: String = "q8", scaleCol: String = "q8_scale"): DataFrame = {
     val mx = array_max(transform(col(vecCol), x => abs(x)))
     val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    // floor(x·s + 0.5), not round(): Spark's round on doubles goes through
+    // a per-element BigDecimal — on a wide embedding column that allocation
+    // dominates the whole quantize pass
     df.withColumn(scaleCol, scale.cast("float"))
       .withColumn(codeCol,
-        transform(col(vecCol), x => round(x * col(scaleCol)).cast("tinyint")))
+        transform(col(vecCol),
+          x => floor(x * col(scaleCol) + 0.5d).cast("tinyint")))
   }
 
   /** Reconstruct approximate floats from an int8 code (v ≈ q / scale). */
@@ -68,13 +72,15 @@ object Similarity {
   /** Cosine top-k over int8-quantized vectors: same shape as
     * bruteForceTopK but the corpus side streams 1-byte codes instead of
     * 4-byte floats (cosine is scale-invariant, so the corpus-side scale
-    * cancels and only the code matters). Queries stay float. */
+    * cancels and only the code matters — the cosine expression reads the
+    * tinyint array directly, no per-pair float materialization). Queries
+    * stay float. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame,
                     queryId: String, queryVec: String,
                     corpusId: String, corpusCode: String, k: Int): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      transform(col(corpusCode), x => x.cast("float")).as("cv"))
+      col(corpusCode).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
