@@ -28,11 +28,56 @@ object Compiler {
 
   def run(source: DataFrame, q: Query, nowNs: Long): DataFrame = {
     val ctx = Ctx(source, nowNs, timeSpanSeconds(q.filter))
+    // top-level in(subquery) conjuncts become distributed semi-joins (no
+    // driver materialization, no value-count cap); everything else stays a
+    // scan predicate. Under or/not the collect path still applies — a
+    // semi-join can't be one branch of a Column expression.
+    val conjs = splitConjuncts(q.filter)
+    val (inqs, rest) = conjs.partition(_.isInstanceOf[Filter.InQuery])
+    val semiJoined = inqs.foldLeft(source) { (df, f) =>
+      val Filter.InQuery(fld, sub) = f: @unchecked
+      inSemiJoin(df, ctx, fld, sub)
+    }
+    val residual: Filter =
+      if (rest.isEmpty || rest == Seq(Filter.Noop)) Filter.Noop
+      else if (rest.size == 1) rest.head
+      else Filter.And(rest)
     val filtered =
-      if (q.filter == Filter.Noop) source
-      else source.filter(compileFilter(source, q.filter, ctx))
+      if (residual == Filter.Noop) semiJoined
+      else semiJoined.filter(compileFilter(semiJoined, residual, ctx))
     fuseSortRankBound(q.pipes.toList)
       .foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+  }
+
+  private def splitConjuncts(f: Filter): Seq[Filter] = f match {
+    case Filter.And(fs) => fs.flatMap(splitConjuncts)
+    case other => Seq(other)
+  }
+
+  /** `field:in(subquery)` as a left-semi join against the subquery result.
+    * Join keys are numeric-canonicalized on both sides (a parseable value
+    * joins by its double rendering, anything else by its string form) so
+    * `5`, `"5"`, and `"5.0"` keep matching exactly as the literal in()
+    * path compares them. Broadcast when plan statistics allow. */
+  private def inSemiJoin(df: DataFrame, ctx: Ctx, fld: String,
+                         sub: Query): DataFrame = {
+    val res = run(ctx.source, sub, ctx.nowNs)
+    if (res.columns.length != 1)
+      throw new IllegalArgumentException(
+        s"in(subquery) needs exactly one result column, got ${res.columns.mkString(", ")}")
+    def canon(c: Column): Column =
+      coalesce(c.cast(StringType).try_cast("double").cast(StringType),
+        c.cast(StringType), lit(""))
+    val vals = res.select(
+      canon(col(quoteName(res.columns.head))).as("__in_v")).distinct()
+    val valsB =
+      if (vals.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
+        broadcast(vals)
+      else vals
+    val key = coalesce(
+      strF(df, fld).try_cast("double").cast(StringType),
+      strF(df, fld), lit(""))
+    df.join(valsB, key === col("__in_v"), "left_semi")
   }
 
   /** Peephole: `sort … rank as r | where r:<=k` is a top-k query written in

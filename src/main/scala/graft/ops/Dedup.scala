@@ -237,7 +237,10 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // lazy checkpoint: the star-forest probe right below is the first
+      // action and materializes it — an eager checkpoint would run the
+      // round's plan as its own extra job first
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       converged = isStarForest(e)
       iter += 1
     }

@@ -490,6 +490,19 @@ class CompilerSpec extends SparkSuite {
     assert(run("v:in(level:error | fields v)").count() == 2)
   }
 
+  test("top-level in(subquery) is a semi-join, no driver materialization") {
+    val df = run("host:in(level:error | fields host)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // composes with other conjuncts and pipes
+    val both = run("level:info host:in(level:error | fields host) | stats count() c")
+    assert(both.collect().head.getLong(0) == 1) // only h1's info row
+    // under or/not it still takes the literal-values path (no semi-join)
+    val orPlan = run("level:fatal or host:in(level:error | fields host)")
+    assert(!orPlan.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(orPlan.count() == 4)
+  }
+
   test("field_names and facets see the fields map") {
     val schema = StructType(Seq(
       StructField("_msg", StringType),
