@@ -44,16 +44,37 @@ object Compaction {
   def optimize(spark: SparkSession, dir: String,
                targetFileBytes: Long = 256L << 20,
                minFilesToCompact: Int = 2): Unit = {
+    val promoted = LogStore.promotedFields(dir).map(_._1)
     partitionDirs(dir).foreach { pdir =>
       val files = dataFiles(pdir)
       if (files.length >= minFilesToCompact)
-        compactPartition(spark, pdir, files, targetFileBytes)
+        compactPartition(spark, pdir, files, targetFileBytes, promoted)
     }
     dedupStreams(spark, dir)
     // the bloom sidecar now references replaced files; drop it so the next
     // bloom-assisted query path rebuilds over the compacted layout
     MsgBloom.invalidate(dir)
     LogStore.invalidateCaches(dir)
+  }
+
+  /** Rewrite EVERY partition so promoted fields become physical columns in
+    * every file, then mark the manifest `done` — after this, reads are
+    * plain column references (the mixed-backlog coalesce disappears and
+    * filters on the promoted field push down to the parquet scan). One
+    * deliberate full rewrite, like a reference forced-merge. */
+  def materializePromotion(spark: SparkSession, dir: String,
+                           targetFileBytes: Long = 256L << 20): Unit = {
+    val promoted = LogStore.promotedFields(dir).map(_._1)
+    if (promoted.nonEmpty) {
+      partitionDirs(dir).foreach { pdir =>
+        val files = dataFiles(pdir)
+        if (files.nonEmpty)
+          compactPartition(spark, pdir, files, targetFileBytes, promoted)
+      }
+      LogStore.markPromotionDone(dir)
+      MsgBloom.invalidate(dir)
+      LogStore.invalidateCaches(dir)
+    }
   }
 
   /** Background store maintenance, mirroring the reference's continuously
@@ -73,11 +94,12 @@ object Compaction {
                       maxStreamsFiles: Int = 16): AutoCloseable = {
     @volatile var closed = false
     def tick(): Unit = {
+      val promoted = LogStore.promotedFields(dir).map(_._1)
       val compacted = partitionDirs(dir).count { pdir =>
         val files = dataFiles(pdir)
         val doIt = files.length >= minFilesToCompact
         if (doIt) {
-          compactPartition(spark, pdir, files, targetFileBytes)
+          compactPartition(spark, pdir, files, targetFileBytes, promoted)
           // shrink the stale-relation window: a query planned against the
           // pre-swap file list and executed after it fails with
           // FILE_NOT_EXIST and must retry (the reference refcounts parts
@@ -163,14 +185,30 @@ object Compaction {
   /** Rewrite one partition's files as ~targetFileBytes-sized sorted files.
     * The partition columns live in the directory name, not the rows, so
     * reading the bare files and writing back into the same directory keeps
-    * the layout intact. */
+    * the layout intact. Promoted fields materialize as physical columns in
+    * the rewrite (block re-encoding is where the reference applies layout
+    * changes too). */
   private def compactPartition(spark: SparkSession, pdir: Path,
                                files: Seq[org.apache.hadoop.fs.FileStatus],
-                               targetFileBytes: Long): Unit = {
+                               targetFileBytes: Long,
+                               promoted: Seq[String] = Nil): Unit = {
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(pdir, s".compact_tmp_${java.util.UUID.randomUUID()}")
-    spark.read.parquet(files.map(_.getPath.toString): _*)
+    val paths = files.map(_.getPath.toString)
+    val raw = spark.read.parquet(paths: _*)
+    val df =
+      if (promoted.isEmpty) raw
+      else {
+        // explicit union schema: the partition can mix pre- and post-
+        // promotion files, and one-footer inference would drop the column
+        val schema = promoted.foldLeft(raw.schema)((sch, k) =>
+          if (sch.fieldNames.contains(k)) sch
+          else sch.add(k, org.apache.spark.sql.types.StringType))
+        LogStore.applyPromotion(
+          spark.read.schema(schema).parquet(paths: _*), promoted)
+      }
+    df
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.option("compression", LogStore.ParquetCodec).parquet(tmp.toString)

@@ -42,6 +42,16 @@ private[store] object Fs {
   /** Rename within one filesystem (atomic on HDFS/local; S3A emulates). */
   def rename(src: String, dst: String): Boolean =
     of(src).rename(new Path(src), new Path(dst))
+
+  def readAll(p: String): Array[Byte] = {
+    val in = of(p).open(new Path(p))
+    try in.readAllBytes() finally in.close()
+  }
+
+  def writeAll(p: String, bytes: Array[Byte]): Unit = {
+    val out = of(p).create(new Path(p), true)
+    try out.write(bytes) finally out.close()
+  }
 }
 
 /** Per-store coordination locks. All writes flow through the one driver

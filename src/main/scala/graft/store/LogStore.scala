@@ -50,7 +50,7 @@ object LogStore {
   def ingest(df: DataFrame, dir: String, streamFields: Seq[String],
              tenant: String = "0:0", filesPerDay: Int = 4): Unit = {
     val sorted = streamFields.sorted
-    val withMeta = df
+    val withMeta = applyPromotion(df, promotedFields(dir).map(_._1))
       .withColumn("_stream", map(sorted.flatMap(f =>
         Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
       .withColumn("_stream_id", streamIdCol(sorted))
@@ -85,9 +85,89 @@ object LogStore {
   def invalidateCaches(dir: String): Unit = invalidate(dir)
 
   def read(spark: SparkSession, dir: String): DataFrame = synchronized {
-    readCache.getOrElseUpdate((spark, s"$dir/logs"),
-      spark.read.parquet(s"$dir/logs"))
+    readCache.getOrElseUpdate((spark, s"$dir/logs"), {
+      val raw = spark.read.parquet(s"$dir/logs")
+      val pf = promotedFields(dir)
+      if (pf.isEmpty) raw
+      else {
+        // explicit schema: files written before a promotion lack the
+        // column, files written after have it — single-footer inference
+        // would silently drop it for everyone
+        val schema = pf.map(_._1).foldLeft(raw.schema)((sch, k) =>
+          if (sch.fieldNames.contains(k)) sch else sch.add(k, StringType))
+        val df = spark.read.schema(schema).parquet(s"$dir/logs")
+        // pending keys still live in the map inside unrewritten files —
+        // coalesce per row; done keys are physical everywhere (writes
+        // materialize them and materializePromotion rewrote the backlog)
+        applyPromotion(df, pf.filter(!_._2).map(_._1))
+      }
+    })
   }
+
+  // ------------------------------------------------- hot-field promotion
+
+  /** Manifest of `fields`-map keys promoted to top-level parquet columns
+    * (`<dir>/_promoted`, one `name<TAB>pending|done` per line). The
+    * reference stores EVERY field as its own column (block columnar
+    * layout); a parquet map column can be neither pruned nor predicate-
+    * pushed, so hot fields earn real columns: `promoteFields` marks them,
+    * every subsequent write materializes them, reads stay correct over the
+    * mixed backlog via coalesce, and `Compaction.materializePromotion`
+    * rewrites the backlog so the coalesce (and with it the pushdown
+    * barrier) disappears. Returns (name, done). */
+  def promotedFields(dir: String): Seq[(String, Boolean)] =
+    if (!Fs.exists(s"$dir/_promoted")) Nil
+    else new String(Fs.readAll(s"$dir/_promoted"), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t")
+        (parts(0), parts.length > 1 && parts(1) == "done")
+      }.toSeq
+
+  private val ReservedCols =
+    Set("_time", "_msg", "_stream", "_stream_id", "fields", "tenant", "_day")
+
+  /** Mark `keys` as promoted (state `pending`). Takes effect on the next
+    * read/write; no data moves until writes/compaction materialize it. */
+  def promoteFields(dir: String, keys: Seq[String]): Unit = {
+    keys.foreach(k => require(!ReservedCols.contains(k) && k.nonEmpty,
+      s"cannot promote reserved or empty field name '$k'"))
+    val cur = promotedFields(dir).toMap
+    val merged = (cur ++ keys.filterNot(cur.contains).map(_ -> false)).toSeq.sortBy(_._1)
+    writeManifest(dir, merged)
+    invalidate(dir)
+  }
+
+  private[store] def markPromotionDone(dir: String): Unit = {
+    writeManifest(dir, promotedFields(dir).map { case (k, _) => (k, true) })
+    invalidate(dir)
+  }
+
+  private def writeManifest(dir: String, entries: Seq[(String, Boolean)]): Unit = {
+    val body = entries.map { case (k, done) =>
+      s"$k\t${if (done) "done" else "pending"}"
+    }.mkString("\n")
+    val tmp = s"$dir/._promoted_tmp_${java.util.UUID.randomUUID()}"
+    Fs.writeAll(tmp, body.getBytes("UTF-8"))
+    Fs.delete(s"$dir/_promoted")
+    Fs.rename(tmp, s"$dir/_promoted")
+  }
+
+  /** Project promoted keys out of the `fields` map into top-level string
+    * columns (coalescing with an existing physical column when present)
+    * and drop them from the map — the invariant every promoted-store
+    * reader and writer shares. */
+  private[graft] def applyPromotion(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty || !df.columns.contains("fields")) df
+    else {
+      val withCols = keys.foldLeft(df) { (d, k) =>
+        val top =
+          if (d.columns.contains(k)) col("`" + k + "`").cast(StringType)
+          else lit(null).cast(StringType)
+        d.withColumn(k, coalesce(top, element_at(col("fields"), k)))
+      }
+      withCols.withColumn("fields",
+        map_filter(col("fields"), (kk, _) => !kk.isin(keys: _*)))
+    }
 
   def streams(spark: SparkSession, dir: String): DataFrame = synchronized {
     readCache.getOrElseUpdate((spark, s"$dir/streams"),

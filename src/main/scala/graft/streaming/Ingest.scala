@@ -180,7 +180,9 @@ object Ingest {
     val bounded = parsed
       .withColumn("_time", coalesce(col("_time"), current_timestamp()))
       .filter(col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
-    val withMeta = promote(bounded, sorted)
+    val withMeta = graft.store.LogStore.applyPromotion(
+        promote(bounded, sorted),
+        graft.store.LogStore.promotedFields(dir).map(_._1))
       .withColumn("_stream", map(sorted.flatMap(f =>
         Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
       .withColumn("_stream_id", LogStore.streamIdCol(sorted))

@@ -186,4 +186,51 @@ class LifecycleSpec extends SparkSuite {
       assert(streamsCount() == 1)
     } finally handle.close()
   }
+
+  test("hot-field promotion: pending coalesce, write-through, materialized pushdown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map_contains_key}
+    val dir = tmp("promote")
+    def append(day: String, lvls: Seq[String]): Unit = {
+      val lines = lvls.zipWithIndex.map { case (l, i) =>
+        s"""{"_time":"${day}T10:0${i % 6}:00Z","_msg":"m$i","app":"web","lvl":"$l"}"""
+      }.toDF("value")
+      Ingest.appendBatch(Ingest.parseJsonline(lines), dir, Seq("app"))
+    }
+    // files written BEFORE promotion carry lvl only inside the fields map
+    append("2024-01-01", Seq("info", "error", "info"))
+    val q = """lvl:="error" | stats count() c"""
+    assert(Compiler.run(LogStore.read(spark, dir), q).collect().head.getLong(0) == 1)
+
+    LogStore.promoteFields(dir, Seq("lvl"))
+    // pending state: old files answer through the coalesce fallback
+    val pending = LogStore.read(spark, dir)
+    assert(pending.columns.contains("lvl"))
+    assert(Compiler.run(pending, q).collect().head.getLong(0) == 1)
+    // map no longer exposes the promoted key; field_names counts it once
+    assert(pending.filter(map_contains_key(col("fields"), "lvl")).count() == 0)
+
+    // writes AFTER promotion materialize the column physically
+    append("2024-01-02", Seq("error", "info"))
+    val mixed = LogStore.read(spark, dir)
+    assert(Compiler.run(mixed, q).collect().head.getLong(0) == 2)
+
+    // materialization rewrites the backlog: every file physical, manifest
+    // done, reads are plain columns and the predicate reaches the scan
+    Compaction.materializePromotion(spark, dir)
+    assert(LogStore.promotedFields(dir).forall(_._2))
+    val done = LogStore.read(spark, dir)
+    val res = Compiler.run(done, q)
+    assert(res.collect().head.getLong(0) == 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lvl"), plan)
+    // promoted column really is physical in every parquet file now
+    val rawFiles = spark.read.parquet(s"$dir/logs")
+    assert(rawFiles.schema.fieldNames.contains("lvl"))
+    assert(rawFiles.filter(col("lvl").isNull).count() == 0)
+    // reserved names stay unpromotable
+    intercept[IllegalArgumentException] {
+      LogStore.promoteFields(dir, Seq("_time"))
+    }
+  }
 }
