@@ -55,18 +55,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val adjusted = total - noop * results.size
-    val (ingestRows, ingestSec, ingestPosts, ingestFlushes) = ingestBench()
+    val (ingestRows, ingestSec, ingestPosts, ingestFlushes, rawB, storeB) =
+      ingestBench()
     val ingestRps = if (ingestSec > 0) ingestRows / ingestSec else 0d
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","overhead_per_query":$noop,"adjusted_total":$adjusted,"ingest_rows_per_sec":$ingestRps,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes}""")
+    val comp = if (storeB > 0) rawB.toDouble / storeB else 0d
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","overhead_per_query":$noop,"adjusted_total":$adjusted,"ingest_rows_per_sec":$ingestRps,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp}""")
     spark.stop()
   }
 
   /** Ingest throughput: concurrent jsonline POSTs against the HTTP ingest
     * service (group-commit path), reported as sustained rows/s — the
-    * reference's headline number (app/vlogsgenerator). Returns
-    * (rows, seconds, posts, write-jobs). */
+    * reference's headline number (app/vlogsgenerator) — plus the
+    * raw-jsonline-to-store compression ratio (columnar+zstd; the
+    * reference claims >=10x, docs/victorialogs/README.md:132). Returns
+    * (rows, seconds, posts, write-jobs, rawBytes, storeBytes). */
   private def ingestBench(threads: Int = 16, posts: Int = 48,
-                          linesPerPost: Int = 5000): (Long, Double, Long, Long) = {
+      linesPerPost: Int = 5000): (Long, Double, Long, Long, Long, Long) = {
     val spark = SparkSession.active
     val dir = s"/root/repo/target/bench_ingest-${System.nanoTime()}"
     val srv = new graft.server.IngestServer(spark, dir)
@@ -93,7 +97,16 @@ object Bench {
       val ok = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS)).count(_ == 200)
       val sec = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      (ok.toLong * linesPerPost, sec, srv.committer.enqueued, srv.committer.flushes)
+      // raw payload bytes (incl. the warmup post) vs what the store holds
+      val rawBytes = (0 until posts).map(i => body(i).length.toLong).sum +
+        body(-1).length.toLong
+      def du(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+        else f.length()
+      val storeBytes = du(new java.io.File(s"$dir/logs"))
+      (ok.toLong * linesPerPost, sec, srv.committer.enqueued,
+        srv.committer.flushes, rawBytes, storeBytes)
     } finally {
       srv.stop()
       // best-effort scratch cleanup

@@ -155,6 +155,16 @@ final class GroupCommitter(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Block until everything enqueued so far has committed (the appends are
+    * synchronous per caller, so an empty queue means no invisible data —
+    * this is the /internal/force_flush contract). */
+  def quiesce(timeoutMs: Long = 30000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!queue.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    queue.isEmpty
+  }
+
   /** Stop accepting entries; the flusher drains what's queued, then exits
     * (its poll timeout notices `closed` within ~100ms). */
   def close(): Unit = { closed = true }

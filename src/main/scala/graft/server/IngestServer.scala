@@ -117,6 +117,30 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       respondEmpty(ex, 200)
     }
     route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }
+    // storage admin endpoints (vlstorage/main.go:211-213): force_merge
+    // kicks a scoped compaction in the background and returns immediately;
+    // force_flush blocks until everything enqueued is committed+visible
+    route("/internal/force_merge") { (ex, ps, _) =>
+      val prefix = ps.get("partition_prefix").flatMap(_.headOption)
+        .filter(_.nonEmpty)
+      Metrics.activeForceMerges.incrementAndGet()
+      val t = new Thread(() => {
+        try graft.store.Compaction.optimize(spark, storeDir,
+          dayPrefix = prefix)
+        catch { case e: Throwable =>
+          System.err.println(s"[force_merge] failed: ${e.getMessage}") }
+        finally Metrics.activeForceMerges.decrementAndGet()
+      }, "graft-force-merge")
+      t.setDaemon(true)
+      t.start()
+      respond(ex, 200, "{}")
+    }
+    route("/internal/force_flush") { (ex, _, _) =>
+      val ok = committer.quiesce()
+      graft.store.LogStore.invalidateCaches(storeDir)
+      if (ok) respond(ex, 200, "{}")
+      else respond(ex, 503, """{"error":"flush timed out"}""")
+    }
   }
 
   def start(): Int = {

@@ -16,6 +16,7 @@ object Metrics {
   val selectRejected = new AtomicLong   // 429s from admission control
   val compactions = new AtomicLong      // partitions merged by lifecycle
   val retentionDaysDropped = new AtomicLong // _day partitions expired
+  val activeForceMerges = new AtomicLong // in-flight /internal/force_merge
   /** live gauge suppliers registered by the servers (concurrency etc.) */
   private val gauges =
     new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
@@ -36,6 +37,8 @@ object Metrics {
     c("graft_select_rejected_total", selectRejected.get)
     c("graft_compacted_partitions_total", compactions.get)
     c("graft_retention_days_dropped_total", retentionDaysDropped.get)
+    sb.append("# TYPE graft_active_force_merges gauge\n")
+    sb.append("graft_active_force_merges ").append(activeForceMerges.get).append('\n')
     gauges.forEach { (name, v) =>
       sb.append("# TYPE ").append(name).append(" gauge\n")
       sb.append(name).append(' ').append(v()).append('\n')

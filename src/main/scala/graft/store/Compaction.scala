@@ -43,11 +43,18 @@ object Compaction {
     * `minFilesToCompact` files are left untouched. */
   def optimize(spark: SparkSession, dir: String,
                targetFileBytes: Long = 256L << 20,
-               minFilesToCompact: Int = 2): Unit = {
+               minFilesToCompact: Int = 2,
+               dayPrefix: Option[String] = None): Unit = {
     val promoted = LogStore.promotedFields(dir).map(_._1)
+    // /internal/force_merge?partition_prefix=YYYYMMDD scopes the merge to
+    // matching day partitions (vlstorage/main.go:230); both 20240921 and
+    // 2024-09-21 spellings accepted
+    val prefix = dayPrefix.map(_.replace("-", ""))
     partitionDirs(dir).foreach { pdir =>
+      val dayOk = prefix.forall(p =>
+        pdir.getName.stripPrefix("_day=").replace("-", "").startsWith(p))
       val files = dataFiles(pdir)
-      if (files.length >= minFilesToCompact)
+      if (dayOk && files.length >= minFilesToCompact)
         compactPartition(spark, pdir, files, targetFileBytes, promoted)
     }
     dedupStreams(spark, dir)

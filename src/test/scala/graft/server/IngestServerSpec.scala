@@ -411,4 +411,41 @@ class IngestServerSpec extends SparkSuite {
         s"expected coalesced flushes, got ${srv.committer.flushes} for $nPosts posts")
     } finally srv.stop()
   }
+
+  test("/internal/force_merge compacts in background; force_flush returns committed") {
+    val dir = tmp("forcemerge")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    try {
+      // several appends → several small files in the day partition
+      (0 until 4).foreach { i =>
+        val (c, _) = post(port, "/insert/jsonline?_stream_fields=app",
+          s"""{"_time":"2024-01-05T10:0$i:00Z","_msg":"fm row $i","app":"web"}""")
+        assert(c == 200)
+      }
+      val (fc, _) = post(port, "/internal/force_flush", "")
+      assert(fc == 200)
+      def files(): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$dir/logs"))
+          .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      }
+      val before = files()
+      assert(before >= 2)
+      // scoped merge: a non-matching prefix must touch nothing
+      val (mc0, _) = post(port, "/internal/force_merge?partition_prefix=19990101", "")
+      assert(mc0 == 200)
+      Thread.sleep(500)
+      assert(files() == before)
+      // matching prefix compacts the partition in the background
+      val (mc, _) = post(port, "/internal/force_merge?partition_prefix=20240105", "")
+      assert(mc == 200)
+      var tries = 0
+      while (files() >= before && tries < 80) { Thread.sleep(250); tries += 1 }
+      assert(files() < before, s"force_merge never compacted ($before files)")
+      assert(count(dir, "fm | stats count() c") == 4)
+    } finally srv.stop()
+  }
 }
