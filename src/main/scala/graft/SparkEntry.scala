@@ -631,6 +631,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("sz"), max("id").as("max_id"))
         .orderBy("component")
     }),
+    // ---- exact-substring duplicate spans (Lee et al. ExactSubstr): a
+    // 12-token sentence planted in every third doc makes its 8-token
+    // windows corpus-duplicated; per-doc fractions match the SQL replica
+    // (Spark joins on the window HASH, the oracle on the string) ----
+    "q_dedup_substr" -> ((s, d) => {
+      import graft.ops.Dedup
+      val corpus = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" shared span alpha bravo charlie delta echo foxtrot golf hotel india juliet")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpans(corpus, "text", "doc_id", k = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_windows"), col("dup_windows"),
+          floor(col("dup_fraction") * 1000000).cast(LongType).as("dupfrac_micro"))
+        .orderBy("doc_id")
+    }),
+    // ---- corpus-LM perplexity scoring (CCNet-style): unigram model
+    // trained on the full table, per-doc mean NLL; the per-doc sum goes
+    // through Decimal so partial-aggregation order can't move the floor ----
+    "q_text_perplexity" -> ((s, d) => {
+      import graft.ops.LangModel
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val model = LangModel.unigramCounts(docs, "text")
+      LangModel.scoreTokens(docs.filter(col("doc_id") < 50), "text", "doc_id", model)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(col("nll").cast(DecimalType(30, 12))).as("__s"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("__s").cast("double") / col("n_tokens") * 10000)
+            .cast(LongType).as("nll_x10k"))
+        .orderBy("doc_id")
+    }),
+    // ---- SemDeDup: exact-duplicate embeddings planted at +10000 ids must
+    // ALL be removed (identical vectors always co-cluster, cos = 1), and
+    // none of the 100 base vectors is a false removal at cos >= 0.9999 —
+    // invariants that hold however k-means carves the space ----
+    "q_dedup_semantic" -> ((s, d) => {
+      import graft.ops.Dedup
+      val base = embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = base.union(
+        base.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(corpus, "embedding", "vec_id", k = 8, threshold = 0.9999)
+        .agg(count(lit(1)).as("survivors"),
+             sum(when(col("vec_id") >= 10000, 1L).otherwise(0L)).as("dups_kept"),
+             max(col("vec_id")).as("max_id"))
+    }),
     // ---- corpus-frequent line removal: two boilerplate lines planted in
     // all docs + one unique line per doc; only the unique line survives ----
     "q_text_boilerplate" -> ((s, d) => {
@@ -1291,6 +1338,44 @@ object SparkEntry {
       """SELECT doc_id,
          text || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text
          FROM documents WHERE doc_id < 40 ORDER BY 1""",
+    "q_dedup_substr" ->
+      """WITH corpus AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || ' shared span alpha bravo charlie delta echo foxtrot golf hotel india juliet'
+             ELSE text END AS text
+           FROM documents WHERE doc_id < 60
+         ), toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w FROM corpus
+         ), wins AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)-7), i -> array_to_string(w[i:i+7], ' '))) AS win
+           FROM toks WHERE len(w) >= 8
+         ), freq AS (
+           SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins) GROUP BY win HAVING count(*) >= 2
+         )
+         SELECT w.doc_id, count(*) AS n_windows, count(f.win) AS dup_windows,
+           CAST(floor(CAST(count(f.win) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS dupfrac_micro
+         FROM wins w LEFT JOIN freq f ON w.win = f.win
+         GROUP BY 1 ORDER BY 1""",
+    "q_text_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')) AS token
+           FROM documents
+         ), model AS (
+           SELECT token, count(*) AS cnt FROM toks GROUP BY token
+         ), tot AS (
+           SELECT sum(cnt) AS total, count(*) AS vocab FROM model
+         ), scored AS (
+           SELECT t.doc_id, -ln((m.cnt + 1.0) / (tot.total + tot.vocab + 1.0)) AS nll
+           FROM toks t JOIN model m USING (token), tot
+           WHERE t.doc_id < 50
+         )
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(floor(CAST(sum(CAST(nll AS DECIMAL(30,12))) AS DOUBLE) / count(*) * 10000) AS BIGINT) AS nll_x10k
+         FROM scored GROUP BY 1 ORDER BY 1""",
+    "q_dedup_semantic" ->
+      """SELECT CAST(100 AS BIGINT) AS survivors, CAST(0 AS BIGINT) AS dups_kept,
+         CAST(99 AS BIGINT) AS max_id""",
     "q_multimodal_features" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -268,6 +268,82 @@ object Dedup {
       .filter(col(idCol) === col("component"))
   }
 
+  /** Exact-substring duplicate spans (the ExactSubstr setup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at token-window granularity): a `k`-token window
+    * occurring in at least `minDocs` DISTINCT documents is a duplicated
+    * span. Returns one row per document with at least `k` tokens:
+    * (id, n_windows, dup_windows, dup_fraction) — the C4/RefinedWeb-style
+    * gate drops documents whose dup_fraction exceeds a budget.
+    *
+    * Scale shape: the window explode is ~one narrow row per token (id +
+    * 64-bit window hash — the hash, not the string, is what shuffles), the
+    * doc-frequency count groups by uniform hashes (no skew), and the
+    * per-doc rollup left-joins windows against the (corpus-duplicated-only)
+    * frequent set. Nothing is quadratic; nothing collects. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
+    val ts = TextAnalysis.tokens(col(textCol))
+    val wins = df.select(col(idCol).as("id"),
+      explode(when(size(ts) >= k,
+          transform(sequence(lit(0), size(ts) - k),
+            i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).as("h"))
+    // doc frequency = distinct documents containing the window (a window
+    // repeated inside ONE doc is repetition, not cross-doc duplication)
+    val freq = wins.distinct()
+      .groupBy("h").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+    wins.join(freq, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+           count(col("__docs")).as("dup_windows"))
+      .withColumn("dup_fraction",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    * cluster the embedding space, then within each cluster drop every row
+    * whose cosine similarity to a LOWER-id cluster mate reaches
+    * `threshold` — semantic (not lexical) dedup whose quadratic work is
+    * bounded to cluster mates, never an all-pairs product. `k` should grow
+    * with corpus size so cluster sizes stay bounded (the paper uses
+    * k ≈ √n·c). Returns the surviving rows of `df` plus their `cluster`.
+    *
+    * Keep-lowest-id is the deterministic tie-break: exact-duplicate
+    * vectors always co-cluster (identical points share a nearest
+    * centroid), so true duplicates are removed regardless of how k-means
+    * carves the space; borderline semantic pairs split across clusters are
+    * missed — the approximation the paper makes by design. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int, threshold: Double, seed: Long = 7L,
+                    maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__vec").setPredictionCol("cluster")
+    val cells = model.fit(feat).transform(feat).drop("__vec")
+      // two consumers below (both pair sides + the survivor anti-join) —
+      // without the cache each re-runs the k-means assignment scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__v_a"))
+    val b = cells.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__v_b"))
+    val dups = a.join(b, "cluster")
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(Similarity.cosine(col("__v_a"), col("__v_b")) >= threshold)
+      .select(col("__id_b").as("__dup")).distinct()
+    val kept = cells.join(dups, col(idCol) === col("__dup"), "left_anti")
+      .localCheckpoint() // materialize before unpersisting the input
+    cells.unpersist(blocking = false)
+    kept
+  }
+
   /** Embedding-cosine near-duplicate candidates above `threshold`, bucketed
     * by [[Similarity.lshBucket]]: only vectors sharing a hyperplane-sign
     * bucket are compared — a bucket-key equi-join, never an all-pairs

@@ -490,4 +490,60 @@ class OpsSpec extends SparkSuite {
     val stub = sampled(2L)
     assert(stub.length == 3 && stub.forall(_.getAs[Array[Byte]]("frame") == null))
   }
+
+  test("duplicateSpans flags cross-doc k-token windows, not in-doc repeats") {
+    val shared = "one two three four five six seven eight nine ten"
+    val df = docsDF(Seq(
+      (1L, s"${synthDoc(201)} $shared"),
+      (2L, s"$shared ${synthDoc(202)}"),
+      (3L, synthDoc(203)),
+      // window repeated only WITHIN one doc: repetition, not duplication
+      (4L, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+      (5L, "short doc"))) // < k tokens -> no output row
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"))).toMap
+    // docs 1 and 2 share the 10-token sentence: 3 fully-shared windows each
+    assert(out(1L)._2 >= 3 && out(2L)._2 >= 3)
+    assert(out(3L)._2 == 0)
+    assert(out(4L)._2 == 0, "in-doc repetition must not count as duplication")
+    assert(!out.contains(5L))
+    // window counts: 40-token synth doc + 10 shared = 50 tokens -> 43 windows
+    assert(out(1L)._1 == 43 && out(3L)._1 == 33)
+  }
+
+  test("unigram LM scoring: rare tokens score higher NLL than common ones") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, "common words appear everywhere " +
+      (if (i == 0) "xylophone quixotic" else "common words"))).toDF("doc_id", "text")
+    val model = LangModel.unigramCounts(docs, "text")
+    val counts = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("common") == 39 && counts("xylophone") == 1)
+    val nll = LangModel.docNll(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    // doc 0 carries the two singletons -> strictly higher mean NLL
+    assert(nll(0L) > nll(1L))
+    // unseen tokens take the smoothed floor, strictly above any seen token
+    val probe = Seq((99L, "zzznever")).toDF("doc_id", "text")
+    val unseen = LangModel.docNll(probe, "text", "doc_id", model)
+      .collect().head.getAs[Double]("avg_nll")
+    assert(unseen > nll(0L))
+  }
+
+  test("semanticDedup removes planted exact duplicates, keeps lowest id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val withDups = base ++ base.take(10).map { case (i, v) => (i + 1000L, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id", k = 4, threshold = 0.9999)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 60L).forall(kept.contains), "no false removals among base")
+    assert((0L until 10L).forall(i => !kept.contains(i + 1000L)),
+      "every planted duplicate removed")
+    // cluster column present and within range
+    val clusters = Dedup.semanticDedup(df, "embedding", "vec_id", k = 4, threshold = 0.9999)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(clusters.forall(c => c >= 0 && c < 4))
+  }
 }
