@@ -317,19 +317,45 @@ object Dedup {
     * centroid), so true duplicates are removed regardless of how k-means
     * carves the space; borderline semantic pairs split across clusters are
     * missed — the approximation the paper makes by design. */
+  // memoized cluster assignment per (corpus plan, cols, k, seed, iters):
+  // like the IVF index, the clustering is precomputed corpus state — a
+  // repeated dedup over the same corpus must not re-fit k-means. Keyed by
+  // the canonicalized plan ITSELF (structural equality, not a 32-bit
+  // hash); bounded, evictions unpersist their cell tables.
+  private val semCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            String, Int, Long, Int), DataFrame]
+  private val MaxSemEntries = 8
+
+  private def semCells(df: DataFrame, vecCol: String, k: Int, seed: Long,
+                       maxIter: Int): DataFrame = synchronized {
+    val key = (df.queryExecution.optimizedPlan.canonicalized, vecCol, k,
+      seed, maxIter)
+    semCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val feat = df.withColumn("__vec",
+          array_to_vector(col(vecCol).cast("array<double>")))
+        val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__vec").setPredictionCol("cluster")
+        val cells = model.fit(feat).transform(feat).drop("__vec")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        semCache.put(key, cells)
+        while (semCache.size > MaxSemEntries) {
+          val (oldKey, oldCells) = semCache.head
+          oldCells.unpersist()
+          semCache.remove(oldKey)
+        }
+        cells
+    }
+  }
+
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     k: Int, threshold: Double, seed: Long = 7L,
                     maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.withColumn("__vec",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__vec").setPredictionCol("cluster")
-    val cells = model.fit(feat).transform(feat).drop("__vec")
-      // two consumers below (both pair sides + the survivor anti-join) —
-      // without the cache each re-runs the k-means assignment scan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = semCells(df, vecCol, k, seed, maxIter)
     val a = cells.select(col("cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__v_a"))
     val b = cells.select(col("cluster"), col(idCol).as("__id_b"),
@@ -338,10 +364,7 @@ object Dedup {
       .filter(col("__id_a") < col("__id_b"))
       .filter(Similarity.cosine(col("__v_a"), col("__v_b")) >= threshold)
       .select(col("__id_b").as("__dup")).distinct()
-    val kept = cells.join(dups, col(idCol) === col("__dup"), "left_anti")
-      .localCheckpoint() // materialize before unpersisting the input
-    cells.unpersist(blocking = false)
-    kept
+    cells.join(dups, col(idCol) === col("__dup"), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate candidates above `threshold`, bucketed

@@ -198,6 +198,10 @@ object Ingest {
       val obs = org.apache.spark.sql.Observation()
       withMeta
         .observe(obs, count(lit(1)).as("rows"))
+        // full shuffle width on purpose: the writer side (row encode +
+        // zstd) is the CPU-bound stage, so narrowing it to filesPerDay
+        // tasks serializes compression (measured 2x slower at 32 cores);
+        // near-empty reducer tasks are cheaper than idle cores
         .repartition(col("tenant"), col("_day"),
           pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
         .sortWithinPartitions(col("_stream_id"), col("_time"))
@@ -213,7 +217,13 @@ object Ingest {
       // (see StoreLocks.streams) — an unlocked append can be wiped by a
       // concurrent snapshot-and-swap rewrite
       graft.store.StoreLocks.streams(dir).synchronized {
-        withMeta.select(col("_stream_id"), col("_stream")).dropDuplicates("_stream_id")
+        // the 1-wide repartition's HashPartitioning(_stream_id) satisfies
+        // the dedup's required distribution, so the partial aggregate runs
+        // parallel on the cached batch and only distinct pairs move — vs
+        // dropDuplicates alone paying a full-width exchange per flush
+        withMeta.select(col("_stream_id"), col("_stream"))
+          .repartition(1, col("_stream_id"))
+          .dropDuplicates("_stream_id")
           .write.mode("append")
           .option("compression", graft.store.LogStore.ParquetCodec)
           .parquet(s"$dir/streams")
