@@ -380,6 +380,24 @@ object SparkEntry {
         "user_id:<20 | stats uniq_values(event_type) limit 100 uv, values(event_type) limit 100000 vs")
         .select(concat_ws(",", col("uv")).as("uv"),
                 concat_ws(",", array_sort(col("vs"))).as("vs"))),
+    // ---- v1.24 `prefix*` wildcard field filters (lib/prefixfilter) ----
+    "q_lql_wildcard_stats" -> ((s, d) =>
+      lql(s, d,
+        "* | stats sum(event_*) as s_num, avg(event_*) as a_num, " +
+        "max(event_*) as mx, count(event_*) as c, sum_len(user*) as sl")),
+    "q_lql_wildcard_copy" -> ((s, d) =>
+      lql(s, d,
+        "* | copy event_* as e2_* | rename user_id as uid " +
+        "| stats count_uniq(e2_type) as ut, sum(e2_id) as si, max(uid) as mu")),
+    "q_lql_wildcard_unpack" -> ((s, d) =>
+      lql(s, d,
+        "* | unpack_json from _msg fields (k*) | stats sum(k*) as sk, " +
+        "count_uniq(event_type) as ev")),
+    // ---- format <time:...> unix-unit auto-detection (v1.25) ----
+    "q_lql_format_time" -> ((s, d) =>
+      lql(s, d,
+        "* | math (event_id + 1718236800) as t | format '<time:t>' as iso " +
+        "| stats min(iso) as lo, max(iso) as hi, count_uniq(iso) as u")),
 
     // ==== training-data pipeline ops (ops/Dedup, Similarity, TextAnalysis,
     // Multimodal) — planted-duplicate corpora make LSH recall deterministic
@@ -1119,7 +1137,12 @@ object SparkEntry {
                FROM documents WHERE doc_id < 5)""",
     "q_lql_histogram" ->
       """WITH v AS (
-           SELECT event_type, (log10(value) + 9) * 18 AS ir FROM events
+           -- value=0 belongs in the lower bucket (metrics/histogram.go:96
+           -- log10(0)=-Inf); 1e-300 keeps DuckDB's log10 in range and lands
+           -- in the same ir<0 branch
+           SELECT event_type,
+             (log10(CASE WHEN value = 0 THEN 1e-300 ELSE value END) + 9) * 18 AS ir
+           FROM events
            WHERE value IS NOT NULL AND value >= 0 AND NOT isnan(value)
          ), idx AS (
            SELECT event_type,
@@ -1154,6 +1177,29 @@ object SparkEntry {
       """SELECT
          (SELECT string_agg(DISTINCT event_type, ',' ORDER BY event_type) FROM events WHERE user_id < 20) AS uv,
          (SELECT string_agg(event_type, ',' ORDER BY event_type) FROM events WHERE user_id < 20) AS vs""",
+    // wildcard field filters: event_* matches event_id (numeric) and
+    // event_type (string); numeric funcs see only the parseable values
+    "q_lql_wildcard_stats" ->
+      """SELECT CAST(sum(event_id) AS DOUBLE) AS s_num,
+                avg(event_id) AS a_num,
+                max(event_type) AS mx,
+                count(*) AS c,
+                CAST(sum(length(CAST(user_id AS VARCHAR))) AS BIGINT) AS sl
+         FROM events""",
+    "q_lql_wildcard_copy" ->
+      """SELECT count(DISTINCT event_type) AS ut,
+                CAST(sum(event_id) AS DOUBLE) AS si,
+                max(user_id) AS mu
+         FROM events""",
+    "q_lql_wildcard_unpack" ->
+      """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk,
+                count(DISTINCT event_type) AS ev
+         FROM events""",
+    "q_lql_format_time" ->
+      """SELECT min(iso) AS lo, max(iso) AS hi, count(DISTINCT iso) AS u FROM (
+           SELECT strftime(make_timestamp((1718236800 + event_id) * 1000000),
+                           '%Y-%m-%dT%H:%M:%SZ') AS iso
+           FROM events)""",
     "q_dedup_keep_first" ->
       """SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
            SELECT min(doc_id) AS doc_id FROM (

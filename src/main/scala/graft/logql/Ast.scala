@@ -198,11 +198,15 @@ object StatsFunc {
   final case class Values(fields: Seq[String], limit: Option[Long]) extends StatsFunc
   final case class UniqValues(fields: Seq[String], limit: Option[Long]) extends StatsFunc
   final case class JsonValues(fields: Seq[String], limit: Option[Long]) extends StatsFunc
-  case object RowAny extends StatsFunc
-  final case class RowMax(field: String) extends StatsFunc
-  final case class RowMin(field: String) extends StatsFunc
+  // row_any(fields...) / row_max(src, fields...) / row_min(src, fields...):
+  // the optional field filters (plain names or `p*` prefixes) limit the
+  // returned row JSON (stats_row_any.go:170, stats_row_max.go:237; empty =
+  // all fields)
+  final case class RowAny(fields: Seq[String]) extends StatsFunc
+  final case class RowMax(field: String, fields: Seq[String]) extends StatsFunc
+  final case class RowMin(field: String, fields: Seq[String]) extends StatsFunc
   final case class Rate() extends StatsFunc
-  final case class RateSum(field: String) extends StatsFunc
+  final case class RateSum(fields: Seq[String]) extends StatsFunc
   final case class Histogram(field: String) extends StatsFunc
 }
 

@@ -394,13 +394,10 @@ object Compiler {
       df.drop(names.filter(hasCol(df, _)): _*)
 
     case Pipe.Copy(pairs) =>
-      pairs.foldLeft(df)((d, ab) => d.withColumn(ab._2, anyF(d, ab._1)))
+      pairs.foldLeft(df)((d, ab) => copyRenameOne(d, ab._1, ab._2, keepOld = true))
 
     case Pipe.Rename(pairs) =>
-      pairs.foldLeft(df) { (d, ab) =>
-        if (hasCol(d, ab._1)) d.withColumnRenamed(ab._1, ab._2)
-        else d.withColumn(ab._2, anyF(d, ab._1))
-      }
+      pairs.foldLeft(df)((d, ab) => copyRenameOne(d, ab._1, ab._2, keepOld = false))
 
     case Pipe.Where(f) => df.filter(compileFilter(df, f, ctx))
     case Pipe.Limit(n) => df.limit(n.toInt)
@@ -523,22 +520,39 @@ object Compiler {
       df.withColumn(out, json_array_length(strF(df, fld)).cast(LongType))
 
     case Pipe.UnpackJson(from, fieldsList, prefix) =>
-      if (fieldsList.nonEmpty)
-        fieldsList.foldLeft(df)((d, f) =>
+      if (fieldsList.nonEmpty) {
+        val (wild, plain) = fieldsList.partition(isWildcardField)
+        val d1 = plain.foldLeft(df)((d, f) =>
           d.withColumn(prefix + f,
             coalesce(get_json_object(strF(d, from), "$." + f), lit(""))))
-      else {
+        // `fields (p*)` unpacks only matching keys (v1.24); key set is
+        // dynamic, so matching entries merge into the fields map
+        wild.foldLeft(d1) { (d, w) =>
+          val p = w.dropRight(1)
+          val parsed = map_filter(
+            from_json(strF(d, from), MapType(StringType, StringType)),
+            (k, _) => k.startsWith(p))
+          mergeIntoFields(d, parsed, prefix)
+        }
+      } else {
         val parsed = from_json(strF(df, from), MapType(StringType, StringType))
         mergeIntoFields(df, parsed, prefix)
       }
 
     case Pipe.UnpackLogfmt(from, fieldsList, prefix) =>
       val parsed = logfmtMap(strF(df, from))
-      if (fieldsList.nonEmpty)
-        fieldsList.foldLeft(df)((d, f) =>
+      if (fieldsList.nonEmpty) {
+        val (wild, plain) = fieldsList.partition(isWildcardField)
+        val d1 = plain.foldLeft(df)((d, f) =>
           d.withColumn(prefix + f,
             coalesce(element_at(logfmtMap(strF(d, from)), f), lit(""))))
-      else mergeIntoFields(df, parsed, prefix)
+        wild.foldLeft(d1) { (d, w) =>
+          val p = w.dropRight(1)
+          mergeIntoFields(d,
+            map_filter(logfmtMap(strF(d, from)), (k, _) => k.startsWith(p)),
+            prefix)
+        }
+      } else mergeIntoFields(df, parsed, prefix)
 
     case Pipe.UnpackSyslog(from, prefix, off) => applyUnpackSyslog(df, from, prefix, off)
 
@@ -832,7 +846,11 @@ object Compiler {
       case None => c
     }
     def anyNonEmpty(fields: Seq[String]): Column =
-      fields.map(nonEmpty(df, _)).reduce(_ || _)
+      if (hasWildcardField(fields)) exists(fieldVals(df, fields), v => v =!= "")
+      else fields.map(nonEmpty(df, _)).reduce(_ || _)
+    // per-row sum / numeric-value count over wildcard field filters
+    def rowNumSum(fields: Seq[String]): Column =
+      aggregate(numFieldVals(df, fields), lit(0d), _ + _)
 
     fa.fn match {
       case Count(fields) =>
@@ -849,52 +867,87 @@ object Compiler {
       case CountUniqHash(fields) =>
         val cs = fields.map(f => iff(nullIfEmpty(df, f)))
         count_distinct(xxhash64(cs: _*))
-      case Sum(fields) => nAgg(fields, f => sum(iff(numF(df, f))))
+      case Sum(fields) =>
+        if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
+        else nAgg(fields, f => sum(iff(numF(df, f))))
       case Avg(fields) =>
-        if (fields.size == 1) avg(iff(numF(df, fields.head)))
+        if (hasWildcardField(fields))
+          sum(iff(rowNumSum(fields))) /
+            sum(iff(size(numFieldVals(df, fields)).cast(DoubleType)))
+        else if (fields.size == 1) avg(iff(numF(df, fields.head)))
         else nAgg(fields, f => sum(iff(numF(df, f)))) /
              nAgg(fields, f => count(iff(numF(df, f))))
-      case Min(fields) => minMaxAgg(df, fields, iff, isMin = true)
-      case Max(fields) => minMaxAgg(df, fields, iff, isMin = false)
+      case Min(fields) =>
+        if (hasWildcardField(fields)) valsMinMax(df, fields, iff, isMin = true)
+        else minMaxAgg(df, fields, iff, isMin = true)
+      case Max(fields) =>
+        if (hasWildcardField(fields)) valsMinMax(df, fields, iff, isMin = false)
+        else minMaxAgg(df, fields, iff, isMin = false)
       case Median(fields) =>
-        call_function("percentile", iff(numF(df, fields.head)), lit(0.5))
+        if (hasWildcardField(fields)) quantileOfVals(df, fields, 0.5, iff)
+        else call_function("percentile", iff(numF(df, fields.head)), lit(0.5))
       case Quantile(phi, fields) =>
-        call_function("percentile", iff(numF(df, fields.head)), lit(phi))
+        if (hasWildcardField(fields)) quantileOfVals(df, fields, phi, iff)
+        else call_function("percentile", iff(numF(df, fields.head)), lit(phi))
       case SumLen(fields) =>
-        nAgg(fields, f => sum(iff(octet_length(strF(df, f)).cast(LongType))))
+        if (hasWildcardField(fields))
+          sum(iff(aggregate(transform(fieldVals(df, fields),
+            v => octet_length(v).cast(LongType)), lit(0L), _ + _)))
+        else nAgg(fields, f => sum(iff(octet_length(strF(df, f)).cast(LongType))))
       case Values(fields, limitN) =>
         // with a limit, accumulation is capped (bounded state per group —
-        // stats_values.go); without one, the codegen'd builtin collects all
-        limitN match {
+        // stats_values.go); without one, the codegen'd builtin collects all.
+        // Wildcard / multi-field filters collect every matching value per
+        // row (flatten of per-row arrays).
+        if (hasWildcardField(fields) || fields.size > 1)
+          limited(flatten(collect_list(iff(fieldVals(df, fields)))), limitN)
+        else limitN match {
           case Some(l) =>
             graft.functions.CappedCollect.cappedList(iff(strF(df, fields.head)), l.toInt)
           case None => collect_list(iff(strF(df, fields.head)))
         }
       case UniqValues(fields, limitN) =>
-        limitN match {
+        if (hasWildcardField(fields) || fields.size > 1)
+          limited(array_sort(array_distinct(flatten(collect_list(
+            iff(filter(fieldVals(df, fields), v => v =!= "")))))), limitN)
+        else limitN match {
           case Some(l) =>
             graft.functions.CappedCollect.cappedSet(iff(nullIfEmpty(df, fields.head)), l.toInt)
           case None => array_sort(collect_set(iff(nullIfEmpty(df, fields.head))))
         }
       case JsonValues(fields, limitN) =>
-        val s = struct(fields.map(f => strF(df, f).as(f)): _*)
+        val j =
+          if (hasWildcardField(fields)) jsonOfMatching(df, fields)
+          else to_json(struct(fields.map(f => strF(df, f).as(f)): _*))
         limitN match {
           case Some(l) =>
-            graft.functions.CappedCollect.cappedList(iff(to_json(s)), l.toInt)
-          case None => collect_list(iff(to_json(s)))
+            graft.functions.CappedCollect.cappedList(iff(j), l.toInt)
+          case None => collect_list(iff(j))
         }
-      case RowAny =>
-        any_value(iff(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))), lit(true))
-      case RowMax(f) =>
-        max_by(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)),
-               iff(numF(df, f)))
-      case RowMin(f) =>
-        min_by(to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)),
-               iff(numF(df, f)))
+      case RowAny(fields) =>
+        val j =
+          if (fields.isEmpty)
+            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
+          else jsonOfMatching(df, fields)
+        any_value(iff(j), lit(true))
+      case RowMax(f, fields) =>
+        val j =
+          if (fields.isEmpty)
+            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
+          else jsonOfMatching(df, fields)
+        max_by(j, iff(numF(df, f)))
+      case RowMin(f, fields) =>
+        val j =
+          if (fields.isEmpty)
+            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
+          else jsonOfMatching(df, fields)
+        min_by(j, iff(numF(df, f)))
       case Rate() =>
         count(iff(lit(1))).cast(DoubleType) / lit(rateSpanSeconds(ctx))
-      case RateSum(f) =>
-        sum(iff(numF(df, f))) / lit(rateSpanSeconds(ctx))
+      case RateSum(fields) =>
+        val s = if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
+                else nAgg(fields, f => sum(iff(numF(df, f))))
+        s / lit(rateSpanSeconds(ctx))
       case Histogram(f) =>
         graft.functions.VmHistogram.column(iff(numF(df, f)))
     }
@@ -936,6 +989,36 @@ object Compiler {
       val c = iff(pick(fields.map(key)))
       (if (isMin) min(c) else max(c)).getField("s")
     }
+  }
+
+  /** min/max over wildcard field filters: per-row pick across the matching
+    * value array via array_min/array_max on the same (tier, number, string)
+    * collation key minMaxAgg uses, then aggregate. */
+  private def valsMinMax(df: DataFrame, fields: Seq[String],
+                         iff: Column => Column, isMin: Boolean): Column = {
+    val keys = transform(fieldVals(df, fields), s => {
+      val n = s.try_cast("double")
+      struct(when(s === "", 0).when(n.isNotNull, 1).otherwise(2).as("t"),
+             coalesce(n, lit(0d)).as("n"), s.as("s"))
+    })
+    val rowPick = if (isMin) array_min(keys) else array_max(keys)
+    (if (isMin) min(iff(rowPick)) else max(iff(rowPick))).getField("s")
+  }
+
+  /** Exact interpolated quantile over every numeric value matching wildcard
+    * field filters — the multiset spans fields, so flatten per-row arrays
+    * and interpolate like `percentile` does over single values. Group state
+    * holds the group's numeric values, same bound as percentile itself. */
+  private def quantileOfVals(df: DataFrame, fields: Seq[String], phi: Double,
+                             iff: Column => Column): Column = {
+    val a = array_sort(flatten(collect_list(iff(numFieldVals(df, fields)))))
+    val n = size(a)
+    val h = (n.cast(DoubleType) - 1d) * lit(phi)
+    val lo = floor(h).cast(IntegerType)
+    val base = element_at(a, lo + 1)
+    val next = element_at(a, least(lo + lit(2), n))
+    when(n === 0, lit(null).cast(DoubleType))
+      .otherwise(base + (h - lo.cast(DoubleType)) * (next - base))
   }
 
   // ----------------------------------------------------------------- math
@@ -1051,8 +1134,29 @@ object Compiler {
         (n / 65536 % 256).cast(LongType).cast(StringType),
         (n / 256 % 256).cast(LongType).cast(StringType),
         (n % 256).cast(LongType).cast(StringType))
-    case "time" => date_format(timestamp_seconds(c.try_cast("double")),
-      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    case "time" =>
+      // Unix-timestamp unit auto-detection (TryParseUnixTimestamp,
+      // timeutil/time.go:293): |v| < 2^31 → seconds, < 2^31·10^3 → ms,
+      // < 2^31·10^6 → µs, else ns. Decimal keeps integer-ns precision
+      // (doubles lose exactness past 2^53). Rendered like Go RFC3339Nano
+      // (values_encoder.go:1427-1429): fraction with trailing zeros
+      // trimmed, omitted entirely when zero; unparseable input passes
+      // through unchanged.
+      val d = c.try_cast("decimal(38,9)")
+      val ad = abs(d)
+      val nanos = when(ad < lit(2147483648L), d * lit(1000000000L))
+        .when(ad < lit(2147483648000L), d * lit(1000000L))
+        .when(ad < lit(2147483648000000L), d * lit(1000L))
+        .otherwise(d)
+        .cast(LongType)
+      val fracNs = pmod(nanos, lit(1000000000L))
+      val secsL = ((nanos - fracNs) / lit(1000000000L)).cast(LongType)
+      val base = date_format(timestamp_seconds(secsL), "yyyy-MM-dd'T'HH:mm:ss")
+      val fracStr = regexp_replace(lpad(fracNs.cast(StringType), 9, "0"), "0+$", "")
+      when(d.isNull, c).otherwise(
+        concat(base,
+          when(fracNs === 0, lit("")).otherwise(concat(lit("."), fracStr)),
+          lit("Z")))
     case "duration" => durationCol(c)
     case "duration_seconds" =>
       // duration string ("1h30m") → float seconds (pipe_format.go:199-204)
@@ -1271,4 +1375,110 @@ object Compiler {
         df.columns.filter(_.startsWith(p)).toSeq
       } else Seq(f)
     }.distinct
+
+  /** One copy/rename pair, incl. the v1.24 `old_prefix* as new_prefix*`
+    * form (pipe_copy.go / pipe_rename.go): matching top-level columns get
+    * suffix-preserving twins, matching `fields`-map keys are rewritten in
+    * place. A rewritten name overwrites an existing field of that name. */
+  private def copyRenameOne(d: DataFrame, src: String, dst: String,
+                            keepOld: Boolean): DataFrame =
+    if (isWildcardField(src) && isWildcardField(dst)) {
+      val srcP = src.dropRight(1)
+      val dstP = dst.dropRight(1)
+      val tops = d.columns.toSeq
+        .filter(c => c.startsWith(srcP) && !(c == "fields" && hasFieldsMap(d)))
+      var out = tops.foldLeft(d)((dd, c) =>
+        dd.withColumn(dstP + c.stripPrefix(srcP), col(quoteName(c))))
+      if (!keepOld)
+        out = out.drop(tops.filter(c => dstP + c.stripPrefix(srcP) != c): _*)
+      if (hasFieldsMap(out))
+        out = out.withColumn("fields",
+          mapPrefixRewrite(col("fields"), srcP, dstP, keepOld))
+      out
+    } else if (keepOld) d.withColumn(dst, anyF(d, src))
+    else if (hasCol(d, src)) d.withColumnRenamed(src, dst)
+    else d.withColumn(dst, anyF(d, src))
+
+  /** Rewrite `srcP`-prefixed keys of a string map to `dstP`-prefixed ones
+    * (copy keeps the originals, rename drops them); rewritten entries win
+    * over same-named existing ones. */
+  private def mapPrefixRewrite(m: Column, srcP: String, dstP: String,
+                               keepOld: Boolean): Column = {
+    val renamed = transform(
+      filter(map_entries(m), e => e.getField("key").startsWith(srcP)),
+      e => struct(
+        concat(lit(dstP),
+          e.getField("key").substr(lit(srcP.length + 1),
+            length(e.getField("key")))).as("key"),
+        e.getField("value").as("value")))
+    val kept0 = if (keepOld) map_entries(m)
+                else filter(map_entries(m),
+                  e => !e.getField("key").startsWith(srcP))
+    val newKeys = transform(renamed, x => x.getField("key"))
+    val kept = filter(kept0,
+      e => !array_contains(newKeys, e.getField("key")))
+    map_from_entries(concat(kept, renamed))
+  }
+
+  private def isWildcardField(f: String): Boolean = f.endsWith("*")
+
+  private def hasWildcardField(fs: Seq[String]): Boolean =
+    fs.exists(isWildcardField)
+
+  /** Per-row string values of every field matching `pats` (plain names or
+    * `p*` prefixes, v1.24 stats-func field filters —
+    * parseStatsFuncFieldFilters, lib/prefixfilter): matching top-level
+    * columns plus matching `fields`-map entries. Stays a single codegen'd
+    * array expression — no explode, no cardinality change. */
+  private def fieldVals(df: DataFrame, pats: Seq[String]): Column = {
+    val parts: Seq[Column] = pats.map { f =>
+      if (isWildcardField(f)) {
+        val p = f.dropRight(1)
+        val tops = df.columns.toSeq
+          .filter(c => c.startsWith(p) && !(c == "fields" && hasFieldsMap(df)))
+          .map(c => coalesce(col(quoteName(c)).cast(StringType), lit("")))
+        val topArr: Column =
+          if (tops.isEmpty) lit(Array.empty[String]) else array(tops: _*)
+        if (hasFieldsMap(df))
+          concat(topArr, transform(
+            map_values(map_filter(col("fields"), (k, _) => k.startsWith(p))),
+            v => coalesce(v, lit(""))))
+        else topArr
+      } else array(strF(df, f))
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
+  /** The numeric subset of [[fieldVals]] (non-parsing values dropped, the
+    * same "ignore non-numeric fields" rule the per-field numF path has). */
+  private def numFieldVals(df: DataFrame, pats: Seq[String]): Column =
+    filter(transform(fieldVals(df, pats), v => v.try_cast("double")),
+           v => v.isNotNull)
+
+  /** JSON object of the fields matching `pats`, top-level columns first,
+    * first occurrence of a key wins (row_any/row_max/row_min/json_values
+    * field filters). */
+  private def jsonOfMatching(df: DataFrame, pats: Seq[String]): Column = {
+    val entryMaps: Seq[Column] = pats.flatMap { f =>
+      if (isWildcardField(f)) {
+        val p = f.dropRight(1)
+        val tops = df.columns.toSeq
+          .filter(c => c.startsWith(p) && !(c == "fields" && hasFieldsMap(df)))
+          .map(c => map(lit(c), coalesce(col(quoteName(c)).cast(StringType), lit(""))))
+        val mapPart =
+          if (hasFieldsMap(df))
+            Seq(map_filter(col("fields"), (k, _) => k.startsWith(p)))
+          else Nil
+        tops ++ mapPart
+      } else Seq(map(lit(f), strF(df, f)))
+    }
+    if (entryMaps.isEmpty) return to_json(map().cast(MapType(StringType, StringType)))
+    // fold with explicit first-wins dedup: a key can legitimately exist both
+    // as a top-level column and as an ingest `fields` entry (e.g. after an
+    // unpack pipe), and map_concat throws on duplicates by default
+    val merged = entryMaps.reduce { (acc, m) =>
+      map_concat(acc, map_filter(m, (k, _) => !map_contains_key(acc, k)))
+    }
+    to_json(merged)
+  }
 }

@@ -928,11 +928,11 @@ final class Parser(input: String, now: Long) {
       case "values" => Values(args.toSeq, limit)
       case "uniq_values" => UniqValues(args.toSeq, limit)
       case "json_values" => JsonValues(args.toSeq, limit)
-      case "row_any" => RowAny
-      case "row_max" => RowMax(args.head)
-      case "row_min" => RowMin(args.head)
+      case "row_any" => RowAny(args.toSeq.filter(_ != "*"))
+      case "row_max" => RowMax(args.head, args.tail.toSeq.filter(_ != "*"))
+      case "row_min" => RowMin(args.head, args.tail.toSeq.filter(_ != "*"))
       case "rate" => Rate()
-      case "rate_sum" => RateSum(args.head)
+      case "rate_sum" => RateSum(args.toSeq)
       case "histogram" => Histogram(args.head)
       case other => err(s"unknown stats function '$other'")
     }

@@ -601,6 +601,82 @@ class CompilerSpec extends SparkSuite {
     assert(fields == Set("k"))
   }
 
+  // ---- v1.24 wildcard field filters (prefixfilter; CHANGELOG v1.24.0) ----
+
+  lazy val wildDf: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("x_a", DoubleType),
+      StructField("x_b", StringType),
+      StructField("fields", MapType(StringType, StringType))))
+    val rows = Seq(
+      Row("a", 1.0, "2", Map("x_c" -> "3", "y" -> "9")),
+      Row("b", 4.0, "bad", Map("x_d" -> "6", "x_e" -> "", "z" -> "7")))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("wildcard stats: numeric funcs over matching cols and map keys") {
+    val r = run("* | stats sum(x_*) as s, avg(x_*) as a, count(x_*) as c, " +
+      "count_empty(x_*) as ce, sum_len(x_*) as sl, median(x_*) as md", wildDf)
+      .collect().head
+    assert(r.getDouble(0) == 16.0)           // 1+2+3+4+6
+    assert(math.abs(r.getDouble(1) - 3.2) < 1e-9)
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 12L)              // bytes across all values
+    assert(r.getDouble(5) == 3.0)
+  }
+
+  test("wildcard stats: min/max use value collation, values/uniq_values flatten") {
+    val r = run("* | stats min(x_*) as mn, max(x_*) as mx, " +
+      "uniq_values(x_*) as uv", wildDf).collect().head
+    assert(r.getString(0) == "")             // empty sorts lowest
+    assert(r.getString(1) == "bad")          // strings above numbers
+    assert(r.getSeq[String](2) == Seq("1.0", "2", "3", "4.0", "6", "bad"))
+  }
+
+  test("row_any/row_max field filters limit the returned JSON") {
+    val r = run("* | stats row_max(x_a, x_*) as r", wildDf).collect().head
+    assert(r.getString(0) == """{"x_a":"4.0","x_b":"bad","x_d":"6","x_e":""}""")
+    val ra = run("* | stats by (k) row_any(x_b, x_c) as r | sort by (k)", wildDf)
+      .collect().map(_.getString(1)).toSeq
+    assert(ra == Seq("""{"x_b":"2","x_c":"3"}""", """{"x_b":"bad","x_c":""}"""))
+  }
+
+  test("copy/rename prefix* rewrites top-level columns and map keys") {
+    val c = run("* | copy x_* as cp_*", wildDf)
+    assert(c.columns.toSet.contains("cp_a") && c.columns.toSet.contains("cp_b"))
+    val cm = c.filter(col("k") === "a").select("fields").collect().head
+      .getMap[String, String](0)
+    assert(cm("cp_c") == "3" && cm("x_c") == "3" && cm("y") == "9")
+    val r = run("* | rename x_* as rn_*", wildDf)
+    assert(!r.columns.exists(_.startsWith("x_")))
+    val rm = r.filter(col("k") === "b").select("fields").collect().head
+      .getMap[String, String](0)
+    assert(rm.keySet == Set("z", "rn_d", "rn_e"))
+  }
+
+  test("unpack_json fields (prefix*) unpacks only matching keys") {
+    val out = run("""* | fields k | format '{"ma":"1","mb":"2","nb":"3"}' as j """ +
+      "| unpack_json from j fields (m*)", wildDf)
+      .filter(col("k") === "a").select("fields").collect().head
+      .getMap[String, String](0)
+    assert(out == Map("ma" -> "1", "mb" -> "2"))
+  }
+
+  test("format <time:...> auto-detects unix timestamp units, RFC3339Nano output") {
+    import spark.implicits._
+    val t = Seq(("1718236800", "1718236800123", "1718236800123456",
+      "1718236800123456789", "1718236800.5", "junk"))
+      .toDF("s", "ms", "us", "ns", "fs", "bad")
+    val out = Compiler.run(t,
+      "* | format '<time:s>|<time:ms>|<time:us>|<time:ns>|<time:fs>|<time:bad>' as o | fields o")
+      .collect().head.getString(0)
+    assert(out == "2024-06-13T00:00:00Z|2024-06-13T00:00:00.123Z|" +
+      "2024-06-13T00:00:00.123456Z|2024-06-13T00:00:00.123456789Z|" +
+      "2024-06-13T00:00:00.5Z|junk")
+  }
+
   test("every SparkEntry query runs without throwing (no silent drops)") {
     // a runtime-failing query must fail THIS suite rather than silently
     // vanish from the driver's CORRECTNESS report (Verify swallows throws)
