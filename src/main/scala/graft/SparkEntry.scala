@@ -328,13 +328,15 @@ object SparkEntry {
       lql(s, d,
         """value:value_type(float64) user_id:value_type(int64)
            | stats count() c, count() if (event_type:value_type(float64)) c0""")),
-    // ---- blocks_count pipe (§2.2 #2; file ≈ block) ----
+    // ---- blocks_count pipe (§2.2 #2; file ≈ block) — runs on the raw
+    // single driver file, whose block count the oracle pins ----
     "q_lql_blocks" -> ((s, d) =>
-      lql(s, d, "* | blocks_count as bc")),
+      graft.logql.Compiler.run(Tables.eventsLogRaw(s, d), "* | blocks_count as bc")),
     // ---- block_stats pipe (§2.2 #1; file ≈ block), aggregated so the
     // engine-specific part path stays out of the compared columns ----
     "q_lql_block_stats" -> ((s, d) =>
-      lql(s, d, "* | block_stats | stats sum(rows) total_rows, count() nblocks")),
+      graft.logql.Compiler.run(Tables.eventsLogRaw(s, d),
+        "* | block_stats | stats sum(rows) total_rows, count() nblocks")),
     // ---- math operand auto-parse: duration / hex / byte-size strings
     // (parseMathNumber, pipe_math.go:1066) ----
     "q_lql_math_units" -> ((s, d) => {
