@@ -32,13 +32,17 @@ object TextMatch {
   def prefixRegex(prefix: String): String =
     lb(prefix) + Pattern.quote(prefix)
 
-  /** `field:phrase` — empty phrase matches empty/missing value. */
+  /** `field:phrase` — empty phrase matches empty/missing value. Compiled
+    * to the codegen'd substring+boundary scan (WordMatch), not a regex —
+    * this predicate sits inside every full-scan filter. */
   def matchPhrase(c: Column, phrase: String): Column =
-    if (phrase.isEmpty) c === "" else c.rlike(phraseRegex(phrase))
+    if (phrase.isEmpty) c === ""
+    else WordMatch.wordMatch(c, phrase, prefixMode = false)
 
   /** `field:prefix*` — empty prefix matches any non-empty value. */
   def matchPrefix(c: Column, prefix: String): Column =
-    if (prefix.isEmpty) c =!= "" else c.rlike(prefixRegex(prefix))
+    if (prefix.isEmpty) c =!= ""
+    else WordMatch.wordMatch(c, prefix, prefixMode = true)
 
   def matchAnyCasePhrase(c: Column, phrase: String): Column =
     matchPhrase(lower(c), phrase.toLowerCase)

@@ -93,4 +93,31 @@ class ExprPropertySpec extends SparkSuite {
       assert(g == w, s"logfmt mismatch for '$in': got $g want $w")
     }
   }
+
+  private val textGen: Gen[String] = {
+    val word = Gen.oneOf("error", "err", "errors", "disk_error", "Err",
+      "db", "x", "10", "日本", "naïve", "_err", "err_")
+    val sep = Gen.oneOf(" ", ": ", ", ", ".", "-", "=", "\n", "")
+    Gen.listOfN(6, Gen.zip(word, sep).map(p => p._1 + p._2)).map(_.mkString)
+  }
+
+  private val phraseGen: Gen[String] = Gen.oneOf(
+    "error", "err", "disk_error", "日本", "naïve", "err_", "10",
+    "error from", ": ", "r f")
+
+  test("WordMatch agrees with the regex word-boundary spec") {
+    val inputs = Gen.listOfN(300, textGen).sample.get
+    for (phrase <- phraseGen.sample.toSeq ++ Seq("error", "err", "日本", ": ", "r f");
+         prefix <- Seq(false, true)) {
+      val got = evalBatch(inputs,
+        c => WordMatch.wordMatch(c, phrase, prefix))
+      val want = evalBatch(inputs, c =>
+        if (prefix) c.rlike(TextMatch.prefixRegex(phrase))
+        else c.rlike(TextMatch.phraseRegex(phrase)))
+      inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+        assert(g == w,
+          s"word-match mismatch for input '$in' phrase '$phrase' prefix=$prefix: got $g want $w")
+      }
+    }
+  }
 }
