@@ -263,6 +263,10 @@ object Compaction {
         LogStore.read(spark, dir).select("_stream_id").distinct(),
         Seq("_stream_id"), "left_semi")
     swapStreams(spark, dir, pruned)
+    // rows were REMOVED: the ingest path's known-streams set would
+    // otherwise skip re-registering a pruned stream that starts emitting
+    // again (dedupStreams needs no reset — it only collapses duplicates)
+    graft.streaming.Ingest.forgetKnownStreams(dir)
   }
 
   /** tmp-write → atomic-swap rewrite of `<dir>/streams`. Holds the store's

@@ -188,22 +188,29 @@ object Ingest {
       .withColumn("_stream_id", LogStore.streamIdCol(sorted))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))
-      // two actions follow (logs write + streams write); without the cache
-      // the second re-executes the whole parse lineage
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // the logs write materializes the cache (the streams write below
-      // re-reads it); the /metrics ingested-rows count rides along as an
-      // observed metric instead of costing a separate count() job
+    // withMeta is deliberately NOT cached: the only second consumer (the
+    // streams-table upsert below) is skipped on steady-state flushes
+    // entirely, and when it does run it re-parses one micro-batch —
+    // cheaper than serializing every flush's map-typed rows into the
+    // block store
+    locally {
+      // the /metrics ingested-rows count AND the batch's distinct stream
+      // ids ride along as observed metrics instead of costing separate jobs
       val obs = org.apache.spark.sql.Observation()
       withMeta
-        .observe(obs, count(lit(1)).as("rows"))
-        // full shuffle width on purpose: the writer side (row encode +
-        // zstd) is the CPU-bound stage, so narrowing it to filesPerDay
-        // tasks serializes compression (measured 2x slower at 32 cores);
-        // near-empty reducer tasks are cheaper than idle cores
+        .observe(obs, count(lit(1)).as("rows"),
+          collect_set(col("_stream_id")).as("sids"))
+        // writer width: the encode+zstd stage is the CPU-bound part of a
+        // flush, so salt across the session's shuffle width (≈ cluster
+        // write slots), not filesPerDay — a 4-way salt left 28 of 32
+        // cores idle (measured ~2x slower flushes). filesPerDay remains
+        // the CONSOLIDATED target: background compaction (lifecycle
+        // optimize / force_merge) merges flush files down, the same
+        // small-parts-then-merge shape as the reference's datadb.
         .repartition(col("tenant"), col("_day"),
-          pmod(xxhash64(col("_stream_id")), lit(filesPerDay)))
+          pmod(xxhash64(col("_stream_id")),
+            lit(math.max(filesPerDay,
+              parsed.sparkSession.sessionState.conf.numShufflePartitions))))
         .sortWithinPartitions(col("_stream_id"), col("_time"))
         .write.mode("append")
         .option("compression", graft.store.LogStore.ParquetCodec)
@@ -213,24 +220,61 @@ object Ingest {
       // observed action completes
       graft.server.Metrics.rowsIngested.addAndGet(
         obs.get("rows").asInstanceOf[Long])
-      // serialized against lifecycle dedup/prune swaps of the same dir
-      // (see StoreLocks.streams) — an unlocked append can be wiped by a
-      // concurrent snapshot-and-swap rewrite
-      graft.store.StoreLocks.streams(dir).synchronized {
-        // the 1-wide repartition's HashPartitioning(_stream_id) satisfies
-        // the dedup's required distribution, so the partial aggregate runs
-        // parallel on the cached batch and only distinct pairs move — vs
-        // dropDuplicates alone paying a full-width exchange per flush
-        withMeta.select(col("_stream_id"), col("_stream"))
-          .repartition(1, col("_stream_id"))
-          .dropDuplicates("_stream_id")
-          .write.mode("append")
-          .option("compression", graft.store.LogStore.ParquetCodec)
-          .parquet(s"$dir/streams")
+      val sids = obs.get("sids").asInstanceOf[Seq[_]].map(String.valueOf)
+      // steady-state flushes carry only already-registered streams — skip
+      // the per-flush streams-table job entirely then. The in-memory set
+      // is an optimization, not the truth: on restart it is empty and one
+      // redundant append happens per stream, which readers already
+      // tolerate (appends were never deduped ACROSS flushes) and lifecycle
+      // dedupStreams consolidates.
+      if (hasNewStreams(dir, sids)) {
+        // serialized against lifecycle dedup/prune swaps of the same dir
+        // (see StoreLocks.streams) — an unlocked append can be wiped by a
+        // concurrent snapshot-and-swap rewrite
+        graft.store.StoreLocks.streams(dir).synchronized {
+          // the 1-wide repartition's HashPartitioning(_stream_id) satisfies
+          // the dedup's required distribution, so the partial aggregate runs
+          // parallel on the cached batch and only distinct pairs move — vs
+          // dropDuplicates alone paying a full-width exchange per flush
+          withMeta.select(col("_stream_id"), col("_stream"))
+            .repartition(1, col("_stream_id"))
+            .dropDuplicates("_stream_id")
+            .write.mode("append")
+            .option("compression", graft.store.LogStore.ParquetCodec)
+            .parquet(s"$dir/streams")
+        }
+        registerStreams(dir, sids)
       }
-    } finally withMeta.unpersist(blocking = false)
+    }
     LogStore.invalidateCaches(dir)
   }
+
+  // per-store set of stream ids known to be in the streams table; bounded
+  // so a pathological stream-id churn can't grow driver memory forever
+  // (overflow clears → worst case is redundant appends, as on restart)
+  private val knownStreams =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+  private val MaxKnownStreams = 1000000
+
+  private def hasNewStreams(dir: String, sids: Seq[String]): Boolean =
+    knownStreams.synchronized {
+      val known = knownStreams.getOrElseUpdate(dir,
+        scala.collection.mutable.Set.empty[String])
+      sids.exists(!known.contains(_))
+    }
+
+  /** Called by lifecycle jobs that REMOVE streams rows (pruneStreams):
+    * a pruned stream that starts emitting again must re-register. */
+  def forgetKnownStreams(dir: String): Unit =
+    knownStreams.synchronized { knownStreams.remove(dir) }
+
+  private def registerStreams(dir: String, sids: Seq[String]): Unit =
+    knownStreams.synchronized {
+      val known = knownStreams.getOrElseUpdate(dir,
+        scala.collection.mutable.Set.empty[String])
+      if (known.size + sids.size > MaxKnownStreams) known.clear()
+      known ++= sids
+    }
 
   /** Structured-Streaming live tail over the store layout: a streaming
     * parquet source on `<dir>/logs` (new files appear as micro-batch rows)

@@ -41,8 +41,9 @@ class LifecycleSpec extends SparkSuite {
     val before = Compiler.run(LogStore.read(spark, dir), q).collect().head
     val filesBefore = dataFileCount(dir)
     assert(filesBefore >= 7) // one file per appendBatch per day at least
-    // appendBatch dedups streams only within its own batch → 7 dup rows
-    assert(spark.read.parquet(s"$dir/streams").count() == 7)
+    // steady-state flushes carrying only already-registered streams skip
+    // the streams-table job entirely → a single row after 7 appends
+    assert(spark.read.parquet(s"$dir/streams").count() == 1)
 
     Compaction.optimize(spark, dir)
 
@@ -67,6 +68,28 @@ class LifecycleSpec extends SparkSuite {
     // idempotent: nothing left to drop
     assert(Compaction.enforceRetention(spark, dir, 30,
       java.time.LocalDate.parse("2024-02-05")).isEmpty)
+  }
+
+  test("a stream pruned by retention re-registers when it emits again") {
+    val dir = tmp("streamprune")
+    def append(day: String, app: String): Unit = {
+      import spark.implicits._
+      val lines = (1 to 3).map(i =>
+        s"""{"_time":"${day}T10:0$i:00Z","_msg":"m $i","app":"$app"}""")
+        .toDF("value")
+      Ingest.appendBatch(Ingest.parseJsonline(lines), dir, Seq("app"))
+    }
+    append("2024-01-01", "old") // stream 'old' lives only in the expired day
+    append("2024-01-20", "new")
+    assert(spark.read.parquet(s"$dir/streams").count() == 2)
+    Compaction.enforceRetention(spark, dir, 30,
+      java.time.LocalDate.parse("2024-02-05"))
+    // day gone → dead stream pruned from the streams table
+    assert(spark.read.parquet(s"$dir/streams").count() == 1)
+    // 'old' emits again: the ingest path's known-streams set must have
+    // been reset by the prune, or this append would skip registration
+    append("2024-02-04", "old")
+    assert(spark.read.parquet(s"$dir/streams").count() == 2)
   }
 
   test("optimize invalidates the bloom sidecar; queries stay correct and rebuild works") {
