@@ -395,6 +395,11 @@ object SparkEntry {
       lql(s, d,
         "* | unpack_json from _msg fields (k*) | stats sum(k*) as sk, " +
         "count_uniq(event_type) as ev")),
+    // ---- contains_any(subquery): phrases from a nested query ----
+    "q_lql_contains_subquery" -> ((s, d) =>
+      lql(s, d,
+        "event_type:contains_any(event_type:purchase or event_type:click | fields event_type) " +
+        "| stats count() c")),
     // ---- format <time:...> unix-unit auto-detection (v1.25) ----
     "q_lql_format_time" -> ((s, d) =>
       lql(s, d,
@@ -1197,6 +1202,8 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk,
                 count(DISTINCT event_type) AS ev
          FROM events""",
+    "q_lql_contains_subquery" ->
+      "SELECT count(*) AS c FROM events WHERE event_type IN ('purchase', 'click')",
     "q_lql_format_time" ->
       """SELECT min(iso) AS lo, max(iso) AS hi, count(DISTINCT iso) AS u FROM (
            SELECT strftime(make_timestamp((1718236800 + event_id) * 1000000),

@@ -46,6 +46,11 @@ object Filter {
   final case class ContainsAll(field: String, values: Seq[String]) extends Filter
   /** `field:contains_any(w1, ...)` (filter_contains_any.go). */
   final case class ContainsAny(field: String, values: Seq[String]) extends Filter
+  /** `field:contains_all(subquery)` / `field:contains_any(subquery)` —
+    * phrases materialized from a nested query, like in(subquery)
+    * (LogsQL.md "arbitrary query inside contains_all/contains_any"). */
+  final case class ContainsQuery(field: String, sub: Query,
+                                 all: Boolean) extends Filter
   /** `field:seq(w1, w2, ...)` — phrases in order (filter_sequence.go). */
   final case class Sequence(field: String, phrases: Seq[String]) extends Filter
   /** `field:~"re"` / `field:re("re")` (filter_regexp.go). */

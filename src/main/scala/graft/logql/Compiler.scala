@@ -221,12 +221,10 @@ object Compiler {
       // larger set should use the join pipe instead.
       compileFilter(df, Filter.In(fld, materializeInValues(ctx, sub)), ctx)
 
-    case Filter.ContainsAll(fld, vs) =>
-      vs.map(v => TextMatch.matchPhrase(strF(df, fld), v))
-        .reduceOption(_ && _).getOrElse(lit(true))
-    case Filter.ContainsAny(fld, vs) =>
-      vs.map(v => TextMatch.matchPhrase(strF(df, fld), v))
-        .reduceOption(_ || _).getOrElse(lit(false))
+    case Filter.ContainsAll(fld, vs) => containsSet(df, fld, vs, all = true)
+    case Filter.ContainsAny(fld, vs) => containsSet(df, fld, vs, all = false)
+    case Filter.ContainsQuery(fld, sub, all) =>
+      containsSet(df, fld, materializeInValues(ctx, sub), all)
     case Filter.Sequence(fld, ps) => TextMatch.matchSequence(strF(df, fld), ps)
     case Filter.Regexp(fld, re) => strF(df, fld).rlike(re)
 
@@ -341,6 +339,37 @@ object Compiler {
         else math.max((r.getLong(1) - r.getLong(0)) / 1e6, 1d)
       } else 1d
     }
+
+  /** contains_all / contains_any over a value set (literal args or a
+    * materialized subquery). Small sets compile to direct WordMatch
+    * conjunctions/disjunctions; large sets would bloat the expression tree,
+    * so pure-word values switch to tokenized set membership (one tokenize +
+    * one array op regardless of set size — same result, since a
+    * single-word phrase match ⇔ token equality) and only multi-word
+    * phrases keep per-phrase matchers, capped. */
+  private def containsSet(df: DataFrame, fld: String, vs: Seq[String],
+                          all: Boolean): Column = {
+    if (vs.isEmpty) return if (all) lit(true) else lit(false)
+    val c = strF(df, fld)
+    def isWordValue(v: String): Boolean =
+      v.nonEmpty && v.codePoints().allMatch(cp =>
+        graft.functions.WordMatch.isWordCp(cp))
+    val (toks, phrases) =
+      if (vs.size <= 64) (Nil, vs) else vs.distinct.partition(isWordValue)
+    if (phrases.size > 1000)
+      throw new UnsupportedOperationException(
+        s"contains_${if (all) "all" else "any"} with ${phrases.size} multi-word " +
+        "phrases; reduce the phrase set or use the join pipe")
+    val tokPart: Option[Column] =
+      if (toks.isEmpty) None
+      else {
+        val w = TextMatch.tokenize(c)
+        Some(if (all) size(array_except(typedLit(toks), w)) === 0
+             else arrays_overlap(w, typedLit(toks)))
+      }
+    val parts = tokPart.toSeq ++ phrases.map(v => TextMatch.matchPhrase(c, v))
+    if (all) parts.reduce(_ && _) else parts.reduce(_ || _)
+  }
 
   private val inSubqueryCap = 100000
 

@@ -304,8 +304,16 @@ final class Parser(input: String, now: Long) {
         expect(')')
         Filter.InQuery(field, sub)
       } else Filter.In(field, parseArgList())
-    case "contains_all" => Filter.ContainsAll(field, parseArgList())
-    case "contains_any" => Filter.ContainsAny(field, parseArgList())
+    case "contains_all" =>
+      if (peeksLikeSubquery()) {
+        expect('('); val sub = parseQuery(); expect(')')
+        Filter.ContainsQuery(field, sub, all = true)
+      } else Filter.ContainsAll(field, parseArgList())
+    case "contains_any" =>
+      if (peeksLikeSubquery()) {
+        expect('('); val sub = parseQuery(); expect(')')
+        Filter.ContainsQuery(field, sub, all = false)
+      } else Filter.ContainsAny(field, parseArgList())
     case "seq" => Filter.Sequence(field, parseArgList())
     case "re" => val a = parseArgList(); Filter.Regexp(field, a.headOption.getOrElse(""))
     case "i" =>

@@ -601,6 +601,27 @@ class CompilerSpec extends SparkSuite {
     assert(fields == Set("k"))
   }
 
+  test("contains_all / contains_any accept subqueries") {
+    // subquery yields the two error-row messages; contains_any over _msg
+    // matches exactly those rows
+    assert(msgs("_msg:contains_any(level:error | fields _msg)") ==
+      Seq("connection error from db", "disk error: no space"))
+    // contains_all with a one-value subquery behaves like a phrase filter
+    assert(msgs("_msg:contains_all(level:warn | fields _msg)") ==
+      Seq("errors piling up"))
+    // empty subquery result: any → nothing, all → everything
+    assert(msgs("_msg:contains_any(level:nosuch | fields _msg)").isEmpty)
+    assert(msgs("_msg:contains_all(level:nosuch | fields _msg)").size == 5)
+  }
+
+  test("contains_any large word sets use tokenized membership") {
+    val vals = (1 to 70).map(i => s"w$i") :+ "error"
+    val q = s"_msg:contains_any(${vals.mkString(", ")})"
+    assert(msgs(q) == Seq("connection error from db", "disk error: no space"))
+    val allq = s"_msg:contains_all(error, db)"
+    assert(msgs(allq) == Seq("connection error from db"))
+  }
+
   // ---- v1.24 wildcard field filters (prefixfilter; CHANGELOG v1.24.0) ----
 
   lazy val wildDf: DataFrame = {
