@@ -395,6 +395,10 @@ object SparkEntry {
       lql(s, d,
         "* | unpack_json from _msg fields (k*) | stats sum(k*) as sk, " +
         "count_uniq(event_type) as ev")),
+    // ---- range comparison with string operands (parser.go:2182) ----
+    "q_lql_string_cmp" -> ((s, d) =>
+      lql(s, d,
+        "event_type:>=error event_type:<purchase | stats count() c, count_uniq(event_type) u")),
     // ---- contains_any(subquery): phrases from a nested query ----
     "q_lql_contains_subquery" -> ((s, d) =>
       lql(s, d,
@@ -1204,6 +1208,9 @@ object SparkEntry {
          FROM events""",
     "q_lql_contains_subquery" ->
       "SELECT count(*) AS c FROM events WHERE event_type IN ('purchase', 'click')",
+    "q_lql_string_cmp" ->
+      """SELECT count(*) AS c, count(DISTINCT event_type) AS u FROM events
+         WHERE event_type >= 'error' AND event_type < 'purchase'""",
     "q_lql_format_time" ->
       """SELECT min(iso) AS lo, max(iso) AS hi, count(DISTINCT iso) AS u FROM (
            SELECT strftime(make_timestamp((1718236800 + event_id) * 1000000),

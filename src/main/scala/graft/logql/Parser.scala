@@ -250,13 +250,29 @@ final class Parser(input: String, now: Long) {
     val op = new StringBuilder
     op += input(pos); pos += 1
     if (peekCh == '=') { op += '='; pos += 1 }
-    val n = parseNumberToken()
-    op.result() match {
-      case ">"  => Filter.Range(field, n, Double.PositiveInfinity, inclLo = false, inclHi = true)
-      case ">=" => Filter.Range(field, n, Double.PositiveInfinity, inclLo = true, inclHi = true)
-      case "<"  => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = false)
-      case "<=" => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = true)
-      case o    => err(s"unsupported comparison '$o'")
+    val raw = readToken()
+    NumLit.parse(raw) match {
+      case Some(n) => op.result() match {
+        case ">"  => Filter.Range(field, n, Double.PositiveInfinity, inclLo = false, inclHi = true)
+        case ">=" => Filter.Range(field, n, Double.PositiveInfinity, inclLo = true, inclHi = true)
+        case "<"  => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = false)
+        case "<=" => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = true)
+        case o    => err(s"unsupported comparison '$o'")
+      }
+      case None =>
+        // non-numeric operand: string-ordering compare, desugared to a
+        // string_range like the reference (tryParseFilterGTString/LTString,
+        // parser.go:2182-2217 — a trailing NUL flips bound inclusivity;
+        // the "unbounded" max mirrors maxStringRangeValue's best-effort
+        // sentinel, filter_string_range.go:9)
+        val MaxStr = "\uFFFF\uFFFF\uFFFF\uFFFF"
+        op.result() match {
+          case ">"  => Filter.StringRange(field, raw + "\u0000", MaxStr)
+          case ">=" => Filter.StringRange(field, raw, MaxStr)
+          case "<"  => Filter.StringRange(field, "", raw)
+          case "<=" => Filter.StringRange(field, "", raw + "\u0000")
+          case o    => err(s"unsupported comparison '$o'")
+        }
     }
   }
 

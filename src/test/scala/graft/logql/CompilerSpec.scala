@@ -601,6 +601,17 @@ class CompilerSpec extends SparkSuite {
     assert(fields == Set("k"))
   }
 
+  test("range comparison with string operands desugars to string_range") {
+    // hosts are h1,h1,h2,h2,h3
+    assert(run("host:<h2 | stats count() c").collect().head.getLong(0) == 2)
+    assert(run("host:>=h2 | stats count() c").collect().head.getLong(0) == 3)
+    assert(run("host:<=h1 | stats count() c").collect().head.getLong(0) == 2)
+    assert(run("host:>h3 | stats count() c").collect().head.getLong(0) == 0)
+    assert(run("""host:<"h2" | stats count() c""").collect().head.getLong(0) == 2)
+    // numeric operands keep numeric range semantics
+    assert(run("v:>=7 | stats count() c").collect().head.getLong(0) == 2)
+  }
+
   test("contains_all / contains_any accept subqueries") {
     // subquery yields the two error-row messages; contains_any over _msg
     // matches exactly those rows
