@@ -16,6 +16,7 @@ object Metrics {
   val selectRejected = new AtomicLong   // 429s from admission control
   val compactions = new AtomicLong      // partitions merged by lifecycle
   val retentionDaysDropped = new AtomicLong // _day partitions expired
+  val bloomFilesRefreshed = new AtomicLong // files bloomed incrementally
   val activeForceMerges = new AtomicLong // in-flight /internal/force_merge
   /** live gauge suppliers registered by the servers (concurrency etc.) */
   private val gauges =
@@ -37,6 +38,7 @@ object Metrics {
     c("graft_select_rejected_total", selectRejected.get)
     c("graft_compacted_partitions_total", compactions.get)
     c("graft_retention_days_dropped_total", retentionDaysDropped.get)
+    c("graft_bloom_files_refreshed_total", bloomFilesRefreshed.get)
     sb.append("# TYPE graft_active_force_merges gauge\n")
     sb.append("graft_active_force_merges ").append(activeForceMerges.get).append('\n')
     gauges.forEach { (name, v) =>

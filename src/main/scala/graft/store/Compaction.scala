@@ -58,9 +58,18 @@ object Compaction {
         compactPartition(spark, pdir, files, targetFileBytes, promoted)
     }
     dedupStreams(spark, dir)
-    // the bloom sidecar now references replaced files; drop it so the next
-    // bloom-assisted query path rebuilds over the compacted layout
-    MsgBloom.invalidate(dir)
+    // the sidecar is maintained INCREMENTALLY across the rewrite: rows for
+    // replaced files drop out via candidateFiles' reconciliation (and the
+    // refresh's prune), merged output files get bloomed from their own
+    // (much smaller) data — never a full-store rebuild, which at 100 TB
+    // would be a second copy of the compaction itself
+    LogStore.invalidateCaches(dir)
+    try MsgBloom.refresh(spark, dir)
+    catch { case e: Exception =>
+      // refresh is an optimization; on any failure fall back to scan-all
+      System.err.println(s"[optimize] bloom refresh failed: ${e.getMessage}")
+      MsgBloom.invalidate(dir)
+    }
     LogStore.invalidateCaches(dir)
   }
 
@@ -121,7 +130,6 @@ object Compaction {
       if (compacted > 0) {
         graft.server.Metrics.compactions.addAndGet(compacted.toLong)
         dedupStreams(spark, dir)
-        MsgBloom.invalidate(dir)
         LogStore.invalidateCaches(dir)
       } else if (streamsFrag > maxStreamsFiles) {
         dedupStreams(spark, dir)
@@ -130,6 +138,16 @@ object Compaction {
       retentionDays.foreach { d =>
         val dropped = enforceRetention(spark, dir, d)
         graft.server.Metrics.retentionDaysDropped.addAndGet(dropped.size.toLong)
+      }
+      // incremental bloom maintenance every tick: blooms new flush /
+      // compaction-output files and prunes rows for deleted ones; no-op
+      // when there is no sidecar or nothing changed
+      try {
+        val (added, pruned) = MsgBloom.refresh(spark, dir)
+        if (added > 0 || pruned > 0)
+          graft.server.Metrics.bloomFilesRefreshed.addAndGet(added.toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[lifecycle] bloom refresh failed: ${e.getMessage}")
       }
     }
     val t = new Thread(() => {

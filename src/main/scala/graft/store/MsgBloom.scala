@@ -97,6 +97,70 @@ object MsgBloom {
       .parquet(s"$dir/msg_bloom")
   }
 
+  /** input_file_name()/inputFiles URI → the path spark.read accepts
+    * (scheme+authority preserved for hdfs://, s3a://). */
+  private def onDisk(uri: String): String = {
+    val u = new java.net.URI(uri)
+    if (u.getScheme == null || u.getScheme == "file") u.getPath
+    else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
+      null, null).toString
+  }
+
+  /** Incremental sidecar maintenance: bloom the data files NOT yet in the
+    * sidecar (flush/compaction output) and append their rows; when at
+    * least half the sidecar references deleted files, rewrite it pruned.
+    * A full rebuild rescans the whole store — a non-starter at 100 TB;
+    * refresh scans only the delta, the same blooms-made-at-part-creation
+    * shape as the reference (bloom sidecar files per part,
+    * lib/logstorage/block_header.go). Correctness never depends on this
+    * running: missing files always scan, dead rows drop in
+    * candidateFiles' reconciliation. Returns (filesBloomeed, rowsPruned).
+    */
+  def refresh(spark: SparkSession, dir: String,
+              mBits: Int = DefaultBits): (Int, Int) = synchronized {
+    if (!Fs.exists(s"$dir/msg_bloom/_SUCCESS")) return (0, 0)
+    val current =
+      try LogStore.read(spark, dir).inputFiles.toSeq.map(onDisk).toSet
+      catch { case _: Exception => // store emptied (retention) → no pruning
+        invalidate(dir); return (0, 0) }
+    val have = spark.read.parquet(s"$dir/msg_bloom")
+      .select("file").collect().map(r => onDisk(r.getString(0))).toSet
+    val missing = (current -- have).toSeq.sorted
+    if (missing.nonEmpty) {
+      val agg = udaf(new BloomAgg(mBits), Encoders.scalaLong)
+      spark.read.option("basePath", s"$dir/logs").parquet(missing: _*)
+        .select(input_file_name().as("file"),
+          explode(array_distinct(TextMatch.tokenize(col("_msg")))).as("tok"))
+        .groupBy("file")
+        .agg(agg(xxhash64(col("tok"))).as("bloom"))
+        .coalesce(1)
+        .write.mode("append")
+        .option("compression", LogStore.ParquetCodec)
+        .parquet(s"$dir/msg_bloom")
+    }
+    val dead = (have -- current).size
+    if (dead * 2 >= math.max(1, have.size)) {
+      // snapshot-rewrite-swap, same crash-safe move as swapStreams. The
+      // rewrite is a distributed semi-join against the (small) live file
+      // list — bitmaps never pass through the driver (candidateFiles'
+      // 12 GiB-at-100k-files argument applies here too).
+      val liveList = spark.createDataset(current.toSeq)(Encoders.STRING)
+        .toDF("__disk")
+      val toDisk = udf((s: String) => onDisk(s))
+      val pruned = spark.read.parquet(s"$dir/msg_bloom")
+        .join(broadcast(liveList), toDisk(col("file")) === col("__disk"),
+          "left_semi")
+      val tmp = s"$dir/.msg_bloom_tmp_${java.util.UUID.randomUUID()}"
+      pruned.coalesce(1).write
+        .option("compression", LogStore.ParquetCodec).parquet(tmp)
+      val old = s"$dir/.msg_bloom_old_${java.util.UUID.randomUUID()}"
+      Fs.rename(s"$dir/msg_bloom", old)
+      Fs.rename(tmp, s"$dir/msg_bloom")
+      Fs.delete(old)
+      (missing.size, dead)
+    } else (missing.size, 0)
+  }
+
   /** Files of `dir` whose bloom may contain ALL `tokens`; None when no
     * sidecar exists (scan everything).
     *
@@ -118,16 +182,9 @@ object MsgBloom {
     val hashes = tokenHashes(spark, tokens).values.toSeq
     val probe = udf((bloom: Array[Byte]) => hashes.forall(mightContain(bloom, _)))
     // both input_file_name() (sidecar build) and DataFrame.inputFiles yield
-    // the same double-escaped URI form; one URI decode recovers the path
-    // spark.read needs. Scheme + authority are PRESERVED (hdfs://nn/…,
-    // s3a://bucket/…) — stripping to the bare path would break re-reading
-    // candidates on any non-default filesystem.
-    def onDisk(uri: String): String = {
-      val u = new java.net.URI(uri)
-      if (u.getScheme == null || u.getScheme == "file") u.getPath
-      else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
-        null, null).toString
-    }
+    // the same double-escaped URI form; onDisk's URI decode recovers the
+    // path spark.read needs (scheme + authority preserved for hdfs://,
+    // s3a://).
     val sidecar = spark.read.parquet(s"$dir/msg_bloom")
       .select(col("file"), probe(col("bloom")).as("m"))
       .collect()

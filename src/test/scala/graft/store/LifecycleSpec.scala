@@ -92,22 +92,45 @@ class LifecycleSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/streams").count() == 2)
   }
 
-  test("optimize invalidates the bloom sidecar; queries stay correct and rebuild works") {
+  test("optimize maintains the bloom sidecar incrementally; queries stay correct") {
     val dir = tmp("compactbloom")
     (1 to 3).foreach(_ => appendLines(dir, "2024-01-01", 10, i => s"bloomword row $i"))
     MsgBloom.build(spark, dir)
     assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
       .collect().head.getLong(0) == 30)
     Compaction.optimize(spark, dir)
-    // sidecar dropped (it referenced replaced files) → full-scan fallback
-    assert(!new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists())
+    // the sidecar SURVIVES compaction: rows for replaced files were pruned
+    // and the merged output files were bloomed from their own data — never
+    // a full-store rebuild
+    assert(new java.io.File(s"$dir/msg_bloom/_SUCCESS").exists())
     assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
       .collect().head.getLong(0) == 30)
-    // rebuild over the compacted layout restores pruning
-    MsgBloom.ensure(spark, dir)
+    // pruning power intact over the compacted layout
     assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
-    assert(MsgBloom.query(spark, dir, "bloomword | stats count() c")
-      .collect().head.getLong(0) == 30)
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("bloomword")).get.nonEmpty)
+  }
+
+  test("bloom refresh blooms only delta files; stale sidecar stays scan-safe") {
+    val dir = tmp("bloomrefresh")
+    appendLines(dir, "2024-01-01", 10, i => s"firstword row $i")
+    MsgBloom.build(spark, dir)
+    val sidecarRows0 = spark.read.parquet(s"$dir/msg_bloom").count()
+    // new flush file: absent from the sidecar → still scanned (correct),
+    // and listed as a must-scan candidate even for unknown tokens
+    appendLines(dir, "2024-01-02", 5, i => s"secondword row $i")
+    assert(MsgBloom.query(spark, dir, "secondword | stats count() c")
+      .collect().head.getLong(0) == 5)
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.nonEmpty)
+    val (added, _) = MsgBloom.refresh(spark, dir)
+    assert(added > 0)
+    assert(spark.read.parquet(s"$dir/msg_bloom").count() == sidecarRows0 + added)
+    // after refresh the new file is bloomed: unknown tokens prune to zero,
+    // real tokens still match
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
+    assert(MsgBloom.query(spark, dir, "secondword | stats count() c")
+      .collect().head.getLong(0) == 5)
+    // second refresh is a no-op
+    assert(MsgBloom.refresh(spark, dir)._1 == 0)
   }
 
   test("tailStream surfaces appended rows through the LogsQL filter") {
