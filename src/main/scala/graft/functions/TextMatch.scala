@@ -50,10 +50,16 @@ object TextMatch {
   def matchAnyCasePrefix(c: Column, prefix: String): Column =
     matchPrefix(lower(c), prefix.toLowerCase)
 
-  /** `field:seq(w1, w2, ...)` — phrases in order (filter_sequence.go). */
+  /** `field:seq(w1, w2, ...)` — phrases in order (filter_sequence.go);
+    * codegen'd greedy scan, not a chained-lookbehind regex. */
   def matchSequence(c: Column, phrases: Seq[String]): Column =
     if (phrases.isEmpty) lit(true)
-    else c.rlike("(?s)" + phrases.map(p => lb(p) + Pattern.quote(p) + rb(p)).mkString(".*?"))
+    else WordMatch.seqMatch(c, phrases)
+
+  /** The regex formulation matchSequence replaced — kept as the semantic
+    * spec for the differential property test. */
+  def sequenceRegex(phrases: Seq[String]): String =
+    "(?s)" + phrases.map(p => lb(p) + Pattern.quote(p) + rb(p)).mkString(".*?")
 
   /** Tokenize into words (tokenizer.go): runs of letters/digits/underscore. */
   def tokenize(c: Column): Column =

@@ -58,6 +58,39 @@ case class WordMatchExpr(child: Expression, phrase: String,
   override def prettyName: String = "graft_word_match"
 }
 
+/** `seq(p1, p2, ...)` — the phrases in order, each with the same
+  * word-boundary edge checks the single-phrase filter applies
+  * (filter_sequence.go). Greedy earliest-valid occurrence per phrase is
+  * optimal: matching earlier only grows the remaining suffix. */
+case class SeqMatchExpr(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_seq_match needs a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  private lazy val phraseArr = phrases.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    WordMatch.matchesSeq(input.asInstanceOf[UTF8String].toString, phraseArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ph = ctx.addReferenceObj("phrases", phraseArr, "java.lang.String[]")
+      s"${ev.value} = graft.functions.WordMatch.matchesSeq($s.toString(), $ph);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SeqMatchExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_seq_match"
+}
+
 object WordMatch {
   def isWordCp(cp: Int): Boolean = Character.isLetterOrDigit(cp) || cp == '_'
 
@@ -80,6 +113,36 @@ object WordMatch {
     false
   }
 
+  /** First boundary-valid occurrence of `p` in `s` at index ≥ from; -1 if
+    * none. Edge checks apply only when p's own edge is a word char. */
+  private def firstValid(s: String, p: String, from0: Int): Int = {
+    val startW = p.nonEmpty && isWordCp(p.codePointAt(0))
+    val endW = p.nonEmpty && isWordCp(p.codePointBefore(p.length))
+    val plen = p.length
+    var from = from0
+    while (from <= s.length) {
+      val i = s.indexOf(p, from)
+      if (i < 0) return -1
+      val lok = !startW || i == 0 || !isWordCp(s.codePointBefore(i))
+      val rok = !endW || i + plen >= s.length || !isWordCp(s.codePointAt(i + plen))
+      if (lok && rok) return i
+      from = i + 1
+    }
+    -1
+  }
+
+  def matchesSeq(s: String, ps: Array[String]): Boolean = {
+    var from = 0
+    var k = 0
+    while (k < ps.length) {
+      val i = firstValid(s, ps(k), from)
+      if (i < 0) return false
+      from = i + ps(k).length
+      k += 1
+    }
+    true
+  }
+
   @volatile private var registered = Set.empty[SparkSession]
 
   private def ensureRegistered(): Unit = {
@@ -92,6 +155,14 @@ object WordMatch {
             val pre = exprs(2).eval().asInstanceOf[Boolean]
             WordMatchExpr(exprs(0), p, pre)
           }, "built-in")
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_seq_match", exprs => {
+            val arr = exprs(1).eval()
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            val ps = (0 until arr.numElements())
+              .map(i => arr.getUTF8String(i).toString)
+            SeqMatchExpr(exprs(0), ps)
+          }, "built-in")
         registered += spark
       }
     }
@@ -101,5 +172,10 @@ object WordMatch {
   def wordMatch(c: Column, phrase: String, prefixMode: Boolean): Column = {
     ensureRegistered()
     call_function("graft_word_match", c, lit(phrase), lit(prefixMode))
+  }
+
+  def seqMatch(c: Column, phrases: Seq[String]): Column = {
+    ensureRegistered()
+    call_function("graft_seq_match", c, lit(phrases.toArray))
   }
 }

@@ -120,4 +120,18 @@ class ExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("SeqMatch agrees with the chained regex spec") {
+    val inputs = Gen.listOfN(300, textGen).sample.get
+    val seqs = Seq(Seq("error", "db"), Seq("err"), Seq("disk_error", "err"),
+      Seq("db", "db"), Seq("日本", "err"), Seq(": ", "x"))
+    for (ps <- seqs) {
+      val got = evalBatch(inputs, c => TextMatch.matchSequence(c, ps))
+      val want = evalBatch(inputs, c => c.rlike(TextMatch.sequenceRegex(ps)))
+      inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+        assert(g == w,
+          s"seq mismatch for input '$in' seq $ps: got $g want $w")
+      }
+    }
+  }
 }
