@@ -25,7 +25,15 @@ object Tables {
     val src = s"$sfDir/$name.parquet"
     val sf = new org.apache.hadoop.fs.Path(sfDir).getName
     val dir = s"/root/repo/target/graft_tbl/v1/$sf/$name"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    // the copy is keyed by the SOURCE's identity+content signature, not
+    // just the sf basename: two corpora with the same basename, or a
+    // regenerated fixture, must not be served a stale rewrite
+    val srcFile = new java.io.File(src)
+    val sig = s"${srcFile.getAbsolutePath}|${srcFile.length()}|${srcFile.lastModified()}"
+    val sigFile = new java.io.File(s"$dir/_src_sig")
+    val sigOk = sigFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath), "UTF-8") == sig
+    if (!new java.io.File(s"$dir/_SUCCESS").exists() || !sigOk) {
       val raw = spark.read.parquet(src)
       // split by ROW count, not bytes: these tables are small compressed
       // but carry heavy per-row downstream work (shingling, minhash,
@@ -39,6 +47,7 @@ object Tables {
       // outweighs scan parallelism below a few thousand rows per task
       val splits = math.max(1L, math.min(32L, rows / 6000L)).toInt
       raw.repartition(splits).write.mode("overwrite").parquet(dir)
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes("UTF-8"))
     }
     dir
   }

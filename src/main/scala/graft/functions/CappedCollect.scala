@@ -50,4 +50,54 @@ object CappedCollect {
 
   def cappedSet(c: Column, limit: Int): Column =
     udaf(new SetAgg(limit), Encoders.STRING)(c)
+
+  // array-input variants for wildcard field filters (one row contributes a
+  // whole per-row value array); state stays bounded by the limit exactly
+  // like the scalar forms
+
+  private class ListArrAgg(limit: Int)
+      extends Aggregator[Seq[String], Seq[String], Seq[String]] {
+    def zero: Seq[String] = Nil
+    def reduce(b: Seq[String], vs: Seq[String]): Seq[String] =
+      if (vs == null || b.size >= limit) b
+      else b ++ vs.filter(_ != null).take(limit - b.size)
+    def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+      if (a.size >= limit) a else a ++ b.take(limit - a.size)
+    def finish(b: Seq[String]): Seq[String] = b
+    def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
+  private class SetArrAgg(limit: Int)
+      extends Aggregator[Seq[String], Seq[String], Seq[String]] {
+    def zero: Seq[String] = Nil
+    def reduce(b: Seq[String], vs: Seq[String]): Seq[String] = {
+      if (vs == null) return b
+      var out = b
+      val it = vs.iterator
+      while (out.size < limit && it.hasNext) {
+        val v = it.next()
+        if (v != null && !out.contains(v)) out = v +: out
+      }
+      out
+    }
+    def merge(a: Seq[String], b: Seq[String]): Seq[String] = {
+      var out = a
+      val it = b.iterator
+      while (out.size < limit && it.hasNext) {
+        val v = it.next()
+        if (!out.contains(v)) out = v +: out
+      }
+      out
+    }
+    def finish(b: Seq[String]): Seq[String] = b.sorted
+    def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+    def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  }
+
+  def cappedListOfArrays(c: Column, limit: Int): Column =
+    udaf(new ListArrAgg(limit), ExpressionEncoder[Seq[String]]())(c)
+
+  def cappedSetOfArrays(c: Column, limit: Int): Column =
+    udaf(new SetArrAgg(limit), ExpressionEncoder[Seq[String]]())(c)
 }

@@ -92,7 +92,16 @@ case class SeqMatchExpr(child: Expression, phrases: Seq[String])
 }
 
 object WordMatch {
-  def isWordCp(cp: Int): Boolean = Character.isLetterOrDigit(cp) || cp == '_'
+  /** Word-char class — must mirror the \p{L}\p{N}_ class the tokenizer and
+    * the regex formulation use (isLetterOrDigit misses \p{Nl}/\p{No} like
+    * 'Ⅻ'/'²', which would silently desync this matcher from the bloom
+    * sidecar's token stream). */
+  def isWordCp(cp: Int): Boolean = {
+    if (cp == '_' || Character.isLetter(cp)) return true
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
 
   /** Substring scan with boundary checks; code-point-aware so
     * supplementary-plane letters count as word chars exactly like the

@@ -16,6 +16,12 @@ final case class Query(filter: Filter, pipes: Seq[Pipe])
 sealed trait Filter
 
 object Filter {
+  /** "No upper bound" sentinel for StringRange built from `field:>V`
+    * string compares — compiled as a lower-bound-only predicate (a literal
+    * max string does not exist under binary UTF-8 ordering: supplementary-
+    * plane code points encode above U+FFFF). */
+  val MaxStringRange: String = "\uFFFF\uFFFF\uFFFF\uFFFF"
+
   /** Implicit/explicit AND of space-separated filters (filter_and.go). */
   final case class And(fs: Seq[Filter]) extends Filter
   final case class Or(fs: Seq[Filter]) extends Filter

@@ -242,7 +242,10 @@ object Compiler {
       val n = ipv4Num(strF(df, fld))
       n.isNotNull && n >= lo && n <= hi
     case Filter.StringRange(fld, lo, hi) =>
-      strF(df, fld) >= lo && strF(df, fld) < hi
+      // the sentinel means "no upper bound": there is no literal max string
+      // under binary UTF-8 ordering (supplementary planes sort above U+FFFF)
+      if (hi == Filter.MaxStringRange) strF(df, fld) >= lo
+      else strF(df, fld) >= lo && strF(df, fld) < hi
     case Filter.LenRange(fld, lo, hi) =>
       octet_length(strF(df, fld)).between(lo, hi)
     case Filter.ValueType(fld, t) =>
@@ -890,10 +893,12 @@ object Compiler {
       case CountUniq(fields, limitN) =>
         // `limit N` caps the reported count (stats_count_uniq.go:77-270
         // stops counting at the cap; the capped *result* is identical)
+        rejectWildcard("count_uniq", fields)
         val cs = fields.map(f => iff(nullIfEmpty(df, f)))
         val cd = count_distinct(cs.head, cs.tail: _*)
         limitN.map(l => least(cd, lit(l))).getOrElse(cd)
       case CountUniqHash(fields) =>
+        rejectWildcard("count_uniq_hash", fields)
         val cs = fields.map(f => iff(nullIfEmpty(df, f)))
         count_distinct(xxhash64(cs: _*))
       case Sum(fields) =>
@@ -928,17 +933,29 @@ object Compiler {
         // stats_values.go); without one, the codegen'd builtin collects all.
         // Wildcard / multi-field filters collect every matching value per
         // row (flatten of per-row arrays).
-        if (hasWildcardField(fields) || fields.size > 1)
-          limited(flatten(collect_list(iff(fieldVals(df, fields)))), limitN)
+        if (hasWildcardField(fields) || fields.size > 1) limitN match {
+          // limit ⇒ capped accumulation (bounded per-group state), same
+          // contract as the scalar path — slicing after an unbounded
+          // collect would defeat the limit's whole point
+          case Some(l) =>
+            graft.functions.CappedCollect.cappedListOfArrays(
+              iff(fieldVals(df, fields)), l.toInt)
+          case None => flatten(collect_list(iff(fieldVals(df, fields))))
+        }
         else limitN match {
           case Some(l) =>
             graft.functions.CappedCollect.cappedList(iff(strF(df, fields.head)), l.toInt)
           case None => collect_list(iff(strF(df, fields.head)))
         }
       case UniqValues(fields, limitN) =>
-        if (hasWildcardField(fields) || fields.size > 1)
-          limited(array_sort(array_distinct(flatten(collect_list(
-            iff(filter(fieldVals(df, fields), v => v =!= "")))))), limitN)
+        if (hasWildcardField(fields) || fields.size > 1) limitN match {
+          case Some(l) =>
+            graft.functions.CappedCollect.cappedSetOfArrays(
+              iff(filter(fieldVals(df, fields), v => v =!= "")), l.toInt)
+          case None =>
+            array_sort(array_distinct(flatten(collect_list(
+              iff(filter(fieldVals(df, fields), v => v =!= ""))))))
+        }
         else limitN match {
           case Some(l) =>
             graft.functions.CappedCollect.cappedSet(iff(nullIfEmpty(df, fields.head)), l.toInt)
@@ -960,12 +977,14 @@ object Compiler {
           else jsonOfMatching(df, fields)
         any_value(iff(j), lit(true))
       case RowMax(f, fields) =>
+        rejectWildcard("the row_max source field", Seq(f))
         val j =
           if (fields.isEmpty)
             to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
           else jsonOfMatching(df, fields)
         max_by(j, iff(numF(df, f)))
       case RowMin(f, fields) =>
+        rejectWildcard("the row_min source field", Seq(f))
         val j =
           if (fields.isEmpty)
             to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
@@ -978,9 +997,18 @@ object Compiler {
                 else nAgg(fields, f => sum(iff(numF(df, f))))
         s / lit(rateSpanSeconds(ctx))
       case Histogram(f) =>
+        rejectWildcard("histogram", Seq(f))
         graft.functions.VmHistogram.column(iff(numF(df, f)))
     }
   }
+
+  /** Functions outside the v1.24 wildcard list must refuse `p*` args
+    * loudly — strF/numF would otherwise resolve the pattern as a literal
+    * missing field and silently return 0/null. */
+  private def rejectWildcard(fn: String, fields: Seq[String]): Unit =
+    if (hasWildcardField(fields))
+      throw new UnsupportedOperationException(
+        s"$fn does not accept wildcard field filters")
 
   private def nAgg(fields: Seq[String], one: String => Column): Column =
     if (fields.size == 1) one(fields.head)
@@ -1416,10 +1444,18 @@ object Compiler {
       val dstP = dst.dropRight(1)
       val tops = d.columns.toSeq
         .filter(c => c.startsWith(srcP) && !(c == "fields" && hasFieldsMap(d)))
-      var out = tops.foldLeft(d)((dd, c) =>
-        dd.withColumn(dstP + c.stripPrefix(srcP), col(quoteName(c))))
-      if (!keepOld)
-        out = out.drop(tops.filter(c => dstP + c.stripPrefix(srcP) != c): _*)
+      val dstOf = tops.map(c => c -> (dstP + c.stripPrefix(srcP))).toMap
+      val dstNames = dstOf.values.toSet
+      // one projection with every destination read from the PRE-copy frame:
+      // a withColumn fold would let an overlapping dst prefix overwrite a
+      // source column before it is itself copied (x_a→x_ba clobbering the
+      // real x_ba ahead of x_ba→x_bba)
+      val keep = d.columns.toSeq.filter { c =>
+        !dstNames.contains(c) &&
+          (keepOld || !dstOf.contains(c) || dstOf(c) == c)
+      }
+      val newCols = tops.map(c => col(quoteName(c)).as(dstOf(c)))
+      var out = d.select(keep.map(c => col(quoteName(c))) ++ newCols: _*)
       if (hasFieldsMap(out))
         out = out.withColumn("fields",
           mapPrefixRewrite(col("fields"), srcP, dstP, keepOld))

@@ -251,6 +251,9 @@ final class Parser(input: String, now: Long) {
     op += input(pos); pos += 1
     if (peekCh == '=') { op += '='; pos += 1 }
     val raw = readToken()
+    if (raw.isEmpty)
+      err("missing comparison operand") // a truncated query must not
+        // degrade into a match-nearly-everything string range
     NumLit.parse(raw) match {
       case Some(n) => op.result() match {
         case ">"  => Filter.Range(field, n, Double.PositiveInfinity, inclLo = false, inclHi = true)
@@ -265,7 +268,7 @@ final class Parser(input: String, now: Long) {
         // parser.go:2182-2217 — a trailing NUL flips bound inclusivity;
         // the "unbounded" max mirrors maxStringRangeValue's best-effort
         // sentinel, filter_string_range.go:9)
-        val MaxStr = "\uFFFF\uFFFF\uFFFF\uFFFF"
+        val MaxStr = Filter.MaxStringRange
         op.result() match {
           case ">"  => Filter.StringRange(field, raw + "\u0000", MaxStr)
           case ">=" => Filter.StringRange(field, raw, MaxStr)

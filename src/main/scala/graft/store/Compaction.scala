@@ -274,6 +274,13 @@ object Compaction {
     * days (a cheap columnar read, and retention runs rarely). */
   private def pruneStreams(spark: SparkSession, dir: String): Unit = {
     if (!Fs.exists(s"$dir/streams")) return
+    // reset the ingest path's known-streams set BEFORE taking the prune
+    // snapshot: rows are about to be removed, and a flush racing this
+    // prune must re-register its streams rather than trust the set. A
+    // flush that already skipped registration on the old set has its logs
+    // rows visible to the semi-join below, so its streams rows survive.
+    // (dedupStreams needs no reset — it only collapses duplicates.)
+    graft.streaming.Ingest.forgetKnownStreams(dir)
     val cur = spark.read.parquet(s"$dir/streams")
     val pruned =
       if (partitionDirs(dir).isEmpty) cur.limit(0) // whole store expired
@@ -281,10 +288,6 @@ object Compaction {
         LogStore.read(spark, dir).select("_stream_id").distinct(),
         Seq("_stream_id"), "left_semi")
     swapStreams(spark, dir, pruned)
-    // rows were REMOVED: the ingest path's known-streams set would
-    // otherwise skip re-registering a pruned stream that starts emitting
-    // again (dedupStreams needs no reset — it only collapses duplicates)
-    graft.streaming.Ingest.forgetKnownStreams(dir)
   }
 
   /** tmp-write → atomic-swap rewrite of `<dir>/streams`. Holds the store's

@@ -119,6 +119,16 @@ object MsgBloom {
   def refresh(spark: SparkSession, dir: String,
               mBits: Int = DefaultBits): (Int, Int) = synchronized {
     if (!Fs.exists(s"$dir/msg_bloom/_SUCCESS")) return (0, 0)
+    // sweep swap leftovers from a crash between renames: an orphaned
+    // .msg_bloom_old_* means the swap lost the live dir — restore it
+    Fs.list(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".msg_bloom_tmp_")) Fs.delete(p.toString)
+      else if (n.startsWith(".msg_bloom_old_")) {
+        if (!Fs.exists(s"$dir/msg_bloom")) Fs.rename(p.toString, s"$dir/msg_bloom")
+        else Fs.delete(p.toString)
+      }
+    }
     val current =
       try LogStore.read(spark, dir).inputFiles.toSeq.map(onDisk).toSet
       catch { case _: Exception => // store emptied (retention) → no pruning
@@ -128,15 +138,43 @@ object MsgBloom {
     val missing = (current -- have).toSeq.sorted
     if (missing.nonEmpty) {
       val agg = udaf(new BloomAgg(mBits), Encoders.scalaLong)
-      spark.read.option("basePath", s"$dir/logs").parquet(missing: _*)
+      val bloomed = spark.read.option("basePath", s"$dir/logs")
+        .parquet(missing: _*)
         .select(input_file_name().as("file"),
           explode(array_distinct(TextMatch.tokenize(col("_msg")))).as("tok"))
         .groupBy("file")
         .agg(agg(xxhash64(col("tok"))).as("bloom"))
-        .coalesce(1)
-        .write.mode("append")
-        .option("compression", LogStore.ParquetCodec)
-        .parquet(s"$dir/msg_bloom")
+        .persist()
+      try {
+        bloomed.coalesce(1)
+          .write.mode("append")
+          .option("compression", LogStore.ParquetCodec)
+          .parquet(s"$dir/msg_bloom")
+        // files whose rows are all token-less produce no agg row; give them
+        // an explicit all-zero bloom (nothing can match — maximal pruning)
+        // or they would stay "missing" and be re-read on every tick. The
+        // stored `file` value must be the input_file_name() form every
+        // other row uses (it is URI-double-escaped: partition dirs hold a
+        // literal %3A for ':'; a plain path would be corrupted by the
+        // reader's decode), so read the names off the files themselves.
+        val covered = bloomed.select("file").collect()
+          .map(r => onDisk(r.getString(0))).toSet
+        val tokenless = missing.filterNot(covered)
+        if (tokenless.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          val names = spark.read.option("basePath", s"$dir/logs")
+            .parquet(tokenless: _*)
+            .select(input_file_name().as("file")).distinct()
+            .collect().map(_.getString(0))
+          val empty = new Array[Byte](mBits / 8)
+          val rows = names.toSeq.map(f =>
+            org.apache.spark.sql.Row(f, empty): org.apache.spark.sql.Row).asJava
+          spark.createDataFrame(rows, bloomed.schema)
+            .coalesce(1).write.mode("append")
+            .option("compression", LogStore.ParquetCodec)
+            .parquet(s"$dir/msg_bloom")
+        }
+      } finally bloomed.unpersist(blocking = false)
     }
     val dead = (have -- current).size
     if (dead * 2 >= math.max(1, have.size)) {
@@ -185,18 +223,23 @@ object MsgBloom {
     // the same double-escaped URI form; onDisk's URI decode recovers the
     // path spark.read needs (scheme + authority preserved for hdfs://,
     // s3a://).
-    val sidecar = spark.read.parquet(s"$dir/msg_bloom")
-      .select(col("file"), probe(col("bloom")).as("m"))
-      .collect()
-      .map(r => onDisk(r.getString(0)) -> r.getBoolean(1)).toMap
-    val out = LogStore.read(spark, dir).inputFiles.toSeq.flatMap { uri =>
-      val p = onDisk(uri)
-      sidecar.get(p) match {
-        case Some(matched) => if (matched) Some(p) else None
-        case None => Some(p) // written after the sidecar build: must scan
+    // The sidecar is an OPTIMIZATION: any read failure (e.g. racing the
+    // refresh prune's rename swap) degrades to scan-everything, never to
+    // a client-visible error or a dropped row.
+    try {
+      val sidecar = spark.read.parquet(s"$dir/msg_bloom")
+        .select(col("file"), probe(col("bloom")).as("m"))
+        .collect()
+        .map(r => onDisk(r.getString(0)) -> r.getBoolean(1)).toMap
+      val out = LogStore.read(spark, dir).inputFiles.toSeq.flatMap { uri =>
+        val p = onDisk(uri)
+        sidecar.get(p) match {
+          case Some(matched) => if (matched) Some(p) else None
+          case None => Some(p) // written after the sidecar build: must scan
+        }
       }
-    }
-    Some(out)
+      Some(out)
+    } catch { case _: Exception => None }
   }
 
   /** Drop the sidecar (called by the store's optimize job before rebuild). */

@@ -95,8 +95,10 @@ class ExprPropertySpec extends SparkSuite {
   }
 
   private val textGen: Gen[String] = {
+    // includes \p{No} (²) and \p{Nl} (Ⅻ) word chars — they are part of the
+    // \p{N} word class and must stay boundary-relevant in the scan matcher
     val word = Gen.oneOf("error", "err", "errors", "disk_error", "Err",
-      "db", "x", "10", "日本", "naïve", "_err", "err_")
+      "db", "x", "10", "日本", "naïve", "_err", "err_", "x²err", "Ⅻerr")
     val sep = Gen.oneOf(" ", ": ", ", ", ".", "-", "=", "\n", "")
     Gen.listOfN(6, Gen.zip(word, sep).map(p => p._1 + p._2)).map(_.mkString)
   }

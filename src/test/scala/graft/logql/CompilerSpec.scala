@@ -688,6 +688,16 @@ class CompilerSpec extends SparkSuite {
     assert(rm.keySet == Set("z", "rn_d", "rn_e"))
   }
 
+  test("copy with an overlapping dst prefix reads all sources pre-copy") {
+    import org.apache.spark.sql.functions.lit
+    val d = wildDf.select(col("k"), col("x_a"), lit("orig").as("x_ba"))
+    val out = run("* | copy x_* as x_b*", d)
+    val r = out.filter(col("k") === "a").collect().head
+    // x_a → x_ba (overwrites), x_ba → x_bba (from the ORIGINAL value)
+    assert(r.getAs[Any]("x_ba") == 1.0)
+    assert(r.getAs[String]("x_bba") == "orig")
+  }
+
   test("unpack_json fields (prefix*) unpacks only matching keys") {
     val out = run("""* | fields k | format '{"ma":"1","mb":"2","nb":"3"}' as j """ +
       "| unpack_json from j fields (m*)", wildDf)

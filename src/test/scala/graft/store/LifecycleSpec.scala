@@ -131,6 +131,13 @@ class LifecycleSpec extends SparkSuite {
       .collect().head.getLong(0) == 5)
     // second refresh is a no-op
     assert(MsgBloom.refresh(spark, dir)._1 == 0)
+    // a file whose rows are all token-less gets an explicit empty bloom
+    // (pruned for every token) instead of being re-bloomed every tick
+    appendLines(dir, "2024-01-03", 3, _ => "...!!...")
+    val (added2, _) = MsgBloom.refresh(spark, dir)
+    assert(added2 > 0)
+    assert(MsgBloom.refresh(spark, dir)._1 == 0)
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
   }
 
   test("tailStream surfaces appended rows through the LogsQL filter") {
