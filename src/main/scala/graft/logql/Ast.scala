@@ -7,7 +7,8 @@ package graft.logql
   * followed by a chain of dataflow pipes. Semantics only — execution is
   * compiled to Spark DataFrame transforms in [[Compiler]].
   */
-final case class Query(filter: Filter, pipes: Seq[Pipe])
+final case class Query(filter: Filter, pipes: Seq[Pipe],
+                       options: Map[String, String] = Map.empty)
 
 // ---------------------------------------------------------------------------
 // Filters (reference: lib/logstorage/filter_*.go, SURVEY.md §2.1)
@@ -140,12 +141,23 @@ object Pipe {
   final case class Len(field: String, out: String) extends Pipe
   final case class Hash(field: String, out: String) extends Pipe
   final case class JsonArrayLen(field: String, out: String) extends Pipe
+  // keepOriginal = non-empty existing fields win over unpacked values;
+  // skipEmpty = empty unpacked values never overwrite; iff = rows failing
+  // the filter pass through unchanged (pipe_unpack_json.go:137-186)
   final case class UnpackJson(from: String, fieldsList: Seq[String],
-                              prefix: String) extends Pipe
+                              prefix: String,
+                              keepOriginal: Boolean = false,
+                              skipEmpty: Boolean = false,
+                              iff: Option[Filter] = None) extends Pipe
   final case class UnpackLogfmt(from: String, fieldsList: Seq[String],
-                                prefix: String) extends Pipe
+                                prefix: String,
+                                keepOriginal: Boolean = false,
+                                skipEmpty: Boolean = false,
+                                iff: Option[Filter] = None) extends Pipe
   final case class UnpackSyslog(from: String, prefix: String,
-      offsetNs: Long = 0L) extends Pipe
+      offsetNs: Long = 0L,
+      keepOriginal: Boolean = false,
+      iff: Option[Filter] = None) extends Pipe
   final case class UnpackWords(from: String, out: String,
                                limit: Long) extends Pipe
   final case class Unroll(fields: Seq[String],

@@ -551,12 +551,14 @@ object Compiler {
     case Pipe.JsonArrayLen(fld, out) =>
       df.withColumn(out, json_array_length(strF(df, fld)).cast(LongType))
 
-    case Pipe.UnpackJson(from, fieldsList, prefix) =>
+    case Pipe.UnpackJson(from, fieldsList, prefix, keep, skipE, iff) =>
+      val cond = iff.map(f => compileFilter(df, f, ctx))
       if (fieldsList.nonEmpty) {
         val (wild, plain) = fieldsList.partition(isWildcardField)
         val d1 = plain.foldLeft(df)((d, f) =>
-          d.withColumn(prefix + f,
-            coalesce(get_json_object(strF(d, from), "$." + f), lit(""))))
+          d.withColumn(prefix + f, unpackTarget(d, prefix + f,
+            coalesce(get_json_object(strF(d, from), "$." + f), lit("")),
+            keep, skipE, cond)))
         // `fields (p*)` unpacks only matching keys (v1.24); key set is
         // dynamic, so matching entries merge into the fields map
         wild.foldLeft(d1) { (d, w) =>
@@ -564,29 +566,33 @@ object Compiler {
           val parsed = map_filter(
             from_json(strF(d, from), MapType(StringType, StringType)),
             (k, _) => k.startsWith(p))
-          mergeIntoFields(d, parsed, prefix)
+          mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
         }
       } else {
         val parsed = from_json(strF(df, from), MapType(StringType, StringType))
-        mergeIntoFields(df, parsed, prefix)
+        mergeIntoFields(df, parsed, prefix, keep, skipE, cond)
       }
 
-    case Pipe.UnpackLogfmt(from, fieldsList, prefix) =>
+    case Pipe.UnpackLogfmt(from, fieldsList, prefix, keep, skipE, iff) =>
+      val cond = iff.map(f => compileFilter(df, f, ctx))
       val parsed = logfmtMap(strF(df, from))
       if (fieldsList.nonEmpty) {
         val (wild, plain) = fieldsList.partition(isWildcardField)
         val d1 = plain.foldLeft(df)((d, f) =>
-          d.withColumn(prefix + f,
-            coalesce(element_at(logfmtMap(strF(d, from)), f), lit(""))))
+          d.withColumn(prefix + f, unpackTarget(d, prefix + f,
+            coalesce(element_at(logfmtMap(strF(d, from)), f), lit("")),
+            keep, skipE, cond)))
         wild.foldLeft(d1) { (d, w) =>
           val p = w.dropRight(1)
           mergeIntoFields(d,
             map_filter(logfmtMap(strF(d, from)), (k, _) => k.startsWith(p)),
-            prefix)
+            prefix, keep, skipE, cond)
         }
-      } else mergeIntoFields(df, parsed, prefix)
+      } else mergeIntoFields(df, parsed, prefix, keep, skipE, cond)
 
-    case Pipe.UnpackSyslog(from, prefix, off) => applyUnpackSyslog(df, from, prefix, off)
+    case Pipe.UnpackSyslog(from, prefix, off, keep, iff) =>
+      applyUnpackSyslog(df, from, prefix, off, keep,
+        iff.map(f => compileFilter(df, f, ctx)))
 
     case Pipe.UnpackWords(from, out, limitN) =>
       val words = TextMatch.tokenize(strF(df, from))
@@ -1343,21 +1349,61 @@ object Compiler {
   private def logfmtMap(c: Column): Column =
     graft.functions.LogfmtParse.logfmtToMap(c)
 
-  private def mergeIntoFields(df: DataFrame, parsed: Column, prefix: String): DataFrame = {
-    val prefixed =
+  /** The final value for an unpack target column given the
+    * keep_original_fields / skip_empty_results / if options
+    * (pipe_unpack_json.go:137-186 semantics; same shape as extract). */
+  private def unpackTarget(d: DataFrame, target: String, v: Column,
+                           keepOriginal: Boolean, skipEmpty: Boolean,
+                           cond: Option[Column]): Column = {
+    val v2 =
+      if (keepOriginal) when(nonEmpty(d, target), strF(d, target)).otherwise(v)
+      else if (skipEmpty) when(v =!= "", v).otherwise(strF(d, target))
+      else v
+    cond match {
+      case Some(c) => when(c, v2).otherwise(strF(d, target))
+      case None => v2
+    }
+  }
+
+  private def mergeIntoFields(df: DataFrame, parsed: Column, prefix: String,
+                              keepOriginal: Boolean = false,
+                              skipEmpty: Boolean = false,
+                              cond: Option[Column] = None): DataFrame = {
+    val prefixed0 =
       if (prefix.isEmpty) parsed
       else map_from_entries(transform(map_entries(parsed),
         e => struct(concat(lit(prefix), e.getField("key")).as("key"),
                     e.getField("value").as("value"))))
-    if (hasFieldsMap(df))
-      df.withColumn("fields", map_concat(
-        map_filter(col("fields"), (k, _) => !array_contains(map_keys(coalesce(prefixed, map())), k)),
-        coalesce(prefixed, map())))
-    else df.withColumn("fields", coalesce(prefixed, map()))
+    val cleaned0 = coalesce(prefixed0, map().cast(MapType(StringType, StringType)))
+    val cleaned =
+      if (skipEmpty)
+        map_filter(cleaned0, (_, v) => v.isNotNull && v =!= "")
+      else cleaned0
+    val base: Column =
+      if (hasFieldsMap(df)) coalesce(col("fields"), map().cast(MapType(StringType, StringType)))
+      else map().cast(MapType(StringType, StringType))
+    // keep_original_fields: an unpacked entry only lands where the
+    // existing field is missing or empty
+    val winning =
+      if (keepOriginal)
+        map_filter(cleaned, (k, _) =>
+          !map_contains_key(base, k) ||
+            coalesce(element_at(base, k), lit("")) === "")
+      else cleaned
+    val merged = map_concat(
+      map_filter(base, (k, _) => !map_contains_key(winning, k)),
+      winning)
+    val out = cond match {
+      case Some(c) => when(c, merged).otherwise(base)
+      case None => merged
+    }
+    df.withColumn("fields", out)
   }
 
   private[graft] def applyUnpackSyslog(df: DataFrame, from: String,
-      prefix: String, offsetNs: Long = 0L): DataFrame = {
+      prefix: String, offsetNs: Long = 0L,
+      keepOriginal: Boolean = false,
+      cond: Option[Column] = None): DataFrame = {
     val src = strF(df, from)
     // RFC5424: <pri>VER TS HOST APP PROCID MSGID [SD] MSG (syslog_parser.go)
     val rfc5424 = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\])|-) ?(.*)$"
@@ -1400,7 +1446,9 @@ object Compiler {
       f("msg_id", when(is5424, regexp_extract(src, rfc5424, 7)).otherwise(lit(""))),
       f("message", when(is5424, regexp_extract(src, rfc5424, 9))
         .otherwise(regexp_extract(src, rfc3164, 6))))
-    cols.foldLeft(df)((d, nc) => d.withColumn(nc._1, nc._2))
+    cols.foldLeft(df)((d, nc) =>
+      d.withColumn(nc._1,
+        unpackTarget(d, nc._1, nc._2, keepOriginal, skipEmpty = false, cond)))
   }
 
   // -------------------------------------------------------- collapse_nums

@@ -131,11 +131,32 @@ final class Parser(input: String, now: Long) {
   // ------------------------------------------------------------------ query
 
   def parseQuery(): Query = {
+    // leading `options (k=v, ...)` (parser.go:261-285 queryOptions:
+    // concurrency, ignore_global_time_filter) — recorded on the query;
+    // ignore_global_time_filter is honored by the HTTP layer, concurrency
+    // is advisory (Spark's scheduler owns worker counts)
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    if (peekKeyword("options")) {
+      val save = pos
+      pos += "options".length
+      skipWs()
+      if (peekCh == '(') {
+        pos += 1
+        var more = !consume(')')
+        while (more) {
+          val k = readToken()
+          expect('=')
+          opts(k) = readToken()
+          more = consume(',')
+          if (!more) expect(')')
+        }
+      } else pos = save // bare word `options` is a filter, not the clause
+    }
     val f = parseOr("_msg")
     val pipes = ArrayBuffer.empty[Pipe]
     skipWs()
     while (consume('|')) { pipes += parsePipe(); skipWs() }
-    Query(f, pipes.toSeq)
+    Query(f, pipes.toSeq, opts.toMap)
   }
 
   /** Parse a complete standalone query (must consume the whole input). */
@@ -684,16 +705,33 @@ final class Parser(input: String, now: Long) {
       case "hash" => parseFieldFnPipe(Pipe.Hash, "hash")
       case "json_array_len" => parseFieldFnPipe(Pipe.JsonArrayLen, "json_array_len")
       case "unpack_json" =>
+        val iff = parseOptIf()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
-        val p = if (consumeKeyword("result_prefix")) readToken() else ""
-        Pipe.UnpackJson(from, fl, p)
+        var p = ""; var keep = false; var skipE = false
+        var more = true
+        while (more) {
+          if (consumeKeyword("result_prefix")) p = readToken()
+          else if (consumeKeyword("keep_original_fields")) keep = true
+          else if (consumeKeyword("skip_empty_results")) skipE = true
+          else more = false
+        }
+        Pipe.UnpackJson(from, fl, p, keep, skipE, iff)
       case "unpack_logfmt" =>
+        val iff = parseOptIf()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
-        val p = if (consumeKeyword("result_prefix")) readToken() else ""
-        Pipe.UnpackLogfmt(from, fl, p)
+        var p = ""; var keep = false; var skipE = false
+        var more = true
+        while (more) {
+          if (consumeKeyword("result_prefix")) p = readToken()
+          else if (consumeKeyword("keep_original_fields")) keep = true
+          else if (consumeKeyword("skip_empty_results")) skipE = true
+          else more = false
+        }
+        Pipe.UnpackLogfmt(from, fl, p, keep, skipE, iff)
       case "unpack_syslog" =>
+        val iff = parseOptIf()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         // `offset <duration>` interprets zone-less RFC3164 timestamps in a
         // fixed zone (pipe_unpack_syslog.go:140-156)
@@ -702,8 +740,14 @@ final class Parser(input: String, now: Long) {
           NumLit.durationNanos(tok)
             .getOrElse(throw ParseException(s"cannot parse offset '$tok'", pos))
         } else 0L
-        val p = if (consumeKeyword("result_prefix")) readToken() else ""
-        Pipe.UnpackSyslog(from, p, off)
+        var p = ""; var keep = false
+        var more = true
+        while (more) {
+          if (consumeKeyword("result_prefix")) p = readToken()
+          else if (consumeKeyword("keep_original_fields")) keep = true
+          else more = false
+        }
+        Pipe.UnpackSyslog(from, p, off, keep, iff)
       case "unpack_words" =>
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         val out = if (consumeKeyword("as")) readToken() else from

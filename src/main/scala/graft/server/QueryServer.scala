@@ -169,8 +169,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   private def parseQ(ex: HttpExchange, ps: Map[String, Seq[String]]): Query = {
     val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
     val q0 = Parser.parse(text, nowNs)
+    // options(ignore_global_time_filter=true) suppresses the HTTP-level
+    // [start, end) conjunct (parser.go AddTimeFilter gate)
+    val ignoreGlobal =
+      q0.options.get("ignore_global_time_filter").contains("true")
     val q1 = (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
+      case _ if ignoreGlobal => q0
       case (lo, hi) =>
         val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
                                   hi.map(parseTime).getOrElse(Long.MaxValue))

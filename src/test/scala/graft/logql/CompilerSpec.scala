@@ -706,6 +706,45 @@ class CompilerSpec extends SparkSuite {
     assert(out == Map("ma" -> "1", "mb" -> "2"))
   }
 
+  test("unpack_json options: keep_original_fields, skip_empty_results, if") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", """{"x":"new","y":""}""", "old", "keep"),
+      ("b", """{"x":"n2","y":"v2"}""", "", "keep"))
+      .toDF("k", "j", "x", "y")
+    // default: unpacked overwrites
+    val d0 = Compiler.run(d, "* | unpack_json from j fields (x)")
+    assert(d0.orderBy("k").collect().map(_.getAs[String]("x")).toSeq ==
+      Seq("new", "n2"))
+    // keep_original_fields: non-empty existing wins
+    val d1 = Compiler.run(d, "* | unpack_json from j fields (x) keep_original_fields")
+    assert(d1.orderBy("k").collect().map(_.getAs[String]("x")).toSeq ==
+      Seq("old", "n2"))
+    // skip_empty_results: empty unpacked value never clears an existing one
+    val d2 = Compiler.run(d, "* | unpack_json from j fields (y) skip_empty_results")
+    assert(d2.orderBy("k").collect().map(_.getAs[String]("y")).toSeq ==
+      Seq("keep", "v2"))
+    // if (...): non-matching rows pass through unchanged
+    val d3 = Compiler.run(d, "* | unpack_json if (k:a) from j fields (x)")
+    assert(d3.orderBy("k").collect().map(_.getAs[String]("x")).toSeq ==
+      Seq("new", ""))
+    // merge-into-map path honors the same options
+    val d4 = Compiler.run(d.drop("x", "y"),
+      "* | unpack_json from j skip_empty_results")
+    val m = d4.filter(col("k") === "a").select("fields").collect().head
+      .getMap[String, String](0)
+    assert(m == Map("x" -> "new"))
+  }
+
+  test("options (...) clause parses and is recorded on the query") {
+    val q = Parser.parse(
+      "options (concurrency=4, ignore_global_time_filter=true) error | stats count() c", NOW)
+    assert(q.options == Map("concurrency" -> "4",
+      "ignore_global_time_filter" -> "true"))
+    // a bare word `options` stays an ordinary filter term
+    assert(run("options | stats count() c").collect().head.getLong(0) == 0)
+  }
+
   test("format <time:...> auto-detects unix timestamp units, RFC3339Nano output") {
     import spark.implicits._
     val t = Seq(("1718236800", "1718236800123", "1718236800123456",
