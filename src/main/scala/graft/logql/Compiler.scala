@@ -739,15 +739,24 @@ object Compiler {
 
     case Pipe.Facets(n, maxPerField, maxValueLen, keepConst) =>
       val topCols = df.columns.filter(_ != "fields")
-      val asStr = df.select(topCols.map(c => strF(df, c).as(c)).toSeq: _*)
-      val topLong = asStr.unpivot(Array.empty[Column], "field_name", "field_value")
-      // map-column fields join the facet browse like promoted ones
-      val long0 =
+      // ONE scan: per-row (field_name, field_value) entry array — top-level
+      // columns plus `fields`-map entries — exploded once. The previous
+      // unpivot ∪ explode union read the source twice per consumer; at
+      // store scale facets is a full scan, so scan count is the cost.
+      val topEntries = array(topCols.map(c =>
+        struct(lit(c).as("field_name"),
+               strF(df, c).as("field_value"))).toSeq: _*)
+      val entries =
         if (hasFieldsMap(df))
-          topLong.unionByName(df
-            .select(explode(col("fields")).as(Seq("field_name", "field_value"))))
-        else topLong
-      val long = long0
+          concat(topEntries, transform(
+            map_entries(coalesce(col("fields"),
+              map().cast(MapType(StringType, StringType)))),
+            e => struct(e.getField("key").as("field_name"),
+                        e.getField("value").as("field_value"))))
+        else topEntries
+      val long = df.select(explode(entries).as("e"))
+        .select(col("e.field_name").as("field_name"),
+                col("e.field_value").as("field_value"))
         .filter(col("field_value").isNotNull && col("field_value") =!= "" &&
                 octet_length(col("field_value")) <= maxValueLen)
       val counted = long.groupBy("field_name", "field_value")
