@@ -1036,7 +1036,11 @@ final class Parser(input: String, now: Long) {
     var rankAs: Option[String] = None
     var more = true
     while (more) {
-      if (consumeKeyword("hits")) { consumeKeyword("as"); hitsAs = readToken() }
+      // `hits` and `rank` both take an optional `as <name>` (pipe_top.go:
+      // 634-671); bare forms keep the default output names
+      if (consumeKeyword("hits")) {
+        if (consumeKeyword("as")) hitsAs = readToken()
+      }
       else if (consumeKeyword("rank")) {
         rankAs = Some(if (consumeKeyword("as")) readToken() else "rank")
       }
@@ -1052,7 +1056,10 @@ final class Parser(input: String, now: Long) {
     var limit: Option[Long] = None
     var more = true
     while (more) {
+      // `with hits` and bare `hits` are both accepted (pipe_uniq.go:540
+      // treats `with` as optional noise before `hits`)
       if (consumeKeyword("with")) { consumeKeyword("hits"); withHits = true }
+      else if (consumeKeyword("hits")) withHits = true
       else if (consumeKeyword("limit")) limit = Some(readLong())
       else more = false
     }
