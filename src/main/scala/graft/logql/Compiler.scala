@@ -552,47 +552,52 @@ object Compiler {
       df.withColumn(out, json_array_length(strF(df, fld)).cast(LongType))
 
     case Pipe.UnpackJson(from, fieldsList, prefix, keep, skipE, iff) =>
-      val cond = iff.map(f => compileFilter(df, f, ctx))
-      if (fieldsList.nonEmpty) {
-        val (wild, plain) = fieldsList.partition(isWildcardField)
-        val d1 = plain.foldLeft(df)((d, f) =>
-          d.withColumn(prefix + f, unpackTarget(d, prefix + f,
+      applyUnpack(df, from, iff, ctx) { (d, cond) =>
+        if (fieldsList.nonEmpty) {
+          val (wild, plain) = fieldsList.partition(isWildcardField)
+          // one simultaneous projection: a sequential fold would let an
+          // earlier target overwrite a column a later target's value or
+          // the `if` condition still reads (torn rows)
+          val writes = plain.map(f => (prefix + f) -> unpackTarget(d, prefix + f,
             coalesce(get_json_object(strF(d, from), "$." + f), lit("")),
-            keep, skipE, cond)))
-        // `fields (p*)` unpacks only matching keys (v1.24); key set is
-        // dynamic, so matching entries merge into the fields map
-        wild.foldLeft(d1) { (d, w) =>
-          val p = w.dropRight(1)
-          val parsed = map_filter(
-            from_json(strF(d, from), MapType(StringType, StringType)),
-            (k, _) => k.startsWith(p))
+            keep, skipE, cond)).toMap
+          val d1 = if (writes.isEmpty) d else d.withColumns(writes)
+          // `fields (p*)` unpacks only matching keys (v1.24); key set is
+          // dynamic, so matching entries merge into the fields map
+          wild.foldLeft(d1) { (dd, w) =>
+            val p = w.dropRight(1)
+            val parsed = map_filter(
+              from_json(strF(dd, from), MapType(StringType, StringType)),
+              (k, _) => k.startsWith(p))
+            mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
+          }
+        } else {
+          val parsed = from_json(strF(d, from), MapType(StringType, StringType))
           mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
         }
-      } else {
-        val parsed = from_json(strF(df, from), MapType(StringType, StringType))
-        mergeIntoFields(df, parsed, prefix, keep, skipE, cond)
       }
 
     case Pipe.UnpackLogfmt(from, fieldsList, prefix, keep, skipE, iff) =>
-      val cond = iff.map(f => compileFilter(df, f, ctx))
-      val parsed = logfmtMap(strF(df, from))
-      if (fieldsList.nonEmpty) {
-        val (wild, plain) = fieldsList.partition(isWildcardField)
-        val d1 = plain.foldLeft(df)((d, f) =>
-          d.withColumn(prefix + f, unpackTarget(d, prefix + f,
+      applyUnpack(df, from, iff, ctx) { (d, cond) =>
+        if (fieldsList.nonEmpty) {
+          val (wild, plain) = fieldsList.partition(isWildcardField)
+          val writes = plain.map(f => (prefix + f) -> unpackTarget(d, prefix + f,
             coalesce(element_at(logfmtMap(strF(d, from)), f), lit("")),
-            keep, skipE, cond)))
-        wild.foldLeft(d1) { (d, w) =>
-          val p = w.dropRight(1)
-          mergeIntoFields(d,
-            map_filter(logfmtMap(strF(d, from)), (k, _) => k.startsWith(p)),
-            prefix, keep, skipE, cond)
-        }
-      } else mergeIntoFields(df, parsed, prefix, keep, skipE, cond)
+            keep, skipE, cond)).toMap
+          val d1 = if (writes.isEmpty) d else d.withColumns(writes)
+          wild.foldLeft(d1) { (dd, w) =>
+            val p = w.dropRight(1)
+            mergeIntoFields(dd,
+              map_filter(logfmtMap(strF(dd, from)), (k, _) => k.startsWith(p)),
+              prefix, keep, skipE, cond)
+          }
+        } else mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
+      }
 
     case Pipe.UnpackSyslog(from, prefix, off, keep, iff) =>
-      applyUnpackSyslog(df, from, prefix, off, keep,
-        iff.map(f => compileFilter(df, f, ctx)))
+      applyUnpack(df, from, iff, ctx) { (d, cond) =>
+        applyUnpackSyslog(d, from, prefix, off, keep, cond)
+      }
 
     case Pipe.UnpackWords(from, out, limitN) =>
       val words = TextMatch.tokenize(strF(df, from))
@@ -1358,6 +1363,22 @@ object Compiler {
   private def logfmtMap(c: Column): Column =
     graft.functions.LogfmtParse.logfmtToMap(c)
 
+  /** Materialize an unpack pipe's `if (...)` predicate ONCE against the
+    * pre-unpack row, run `body` with the frozen condition column, and drop
+    * the scratch column. Unresolved Column predicates re-resolve against
+    * every intermediate plan — an unpack that overwrites a field its own
+    * condition reads would otherwise tear rows (some targets written,
+    * later ones judged against the already-replaced value). */
+  private def applyUnpack(df: DataFrame, from: String, iff: Option[Filter],
+                          ctx: Ctx)(
+      body: (DataFrame, Option[Column]) => DataFrame): DataFrame = iff match {
+    case None => body(df, None)
+    case Some(f) =>
+      val tag = "__unpack_if"
+      val d0 = df.withColumn(tag, compileFilter(df, f, ctx))
+      body(d0, Some(col(tag))).drop(tag)
+  }
+
   /** The final value for an unpack target column given the
     * keep_original_fields / skip_empty_results / if options
     * (pipe_unpack_json.go:137-186 semantics; same shape as extract). */
@@ -1399,14 +1420,33 @@ object Compiler {
           !map_contains_key(base, k) ||
             coalesce(element_at(base, k), lit("")) === "")
       else cleaned
+    // keys that exist as STRING top-level (promoted) columns write THROUGH
+    // to the column — reads prefer columns over map entries, so a map-only
+    // write would be invisible (rawField resolution order). Typed core
+    // columns (_time etc.) are excluded: rewriting them would change the
+    // relation's schema for every row, targeted or not.
+    val topTargets = df.columns.toSeq
+      .filter(c => c != "fields" && !c.startsWith("__unpack_if") &&
+        fieldType(df, c).exists(_.isInstanceOf[StringType]))
+    val topLits = topTargets.map(lit(_))
+    val winningMapOnly =
+      if (topTargets.isEmpty) winning
+      else map_filter(winning, (k, _) => !k.isin(topLits: _*))
     val merged = map_concat(
-      map_filter(base, (k, _) => !map_contains_key(winning, k)),
-      winning)
+      map_filter(base, (k, _) => !map_contains_key(winningMapOnly, k)),
+      winningMapOnly)
     val out = cond match {
       case Some(c) => when(c, merged).otherwise(base)
       case None => merged
     }
-    df.withColumn("fields", out)
+    val colWrites = topTargets.map { c =>
+      val unpacked = element_at(cleaned, c)
+      c -> unpackTarget(df, c,
+        when(unpacked.isNotNull, unpacked).otherwise(strF(df, c)),
+        keepOriginal, skipEmpty = false, cond)
+    }.toMap
+    val d1 = df.withColumn("fields", out)
+    if (colWrites.isEmpty) d1 else d1.withColumns(colWrites)
   }
 
   private[graft] def applyUnpackSyslog(df: DataFrame, from: String,

@@ -137,20 +137,37 @@ final class Parser(input: String, now: Long) {
     // is advisory (Spark's scheduler owns worker counts)
     val opts = scala.collection.mutable.Map.empty[String, String]
     if (peekKeyword("options")) {
+      // commit to the clause only for a genuine `(k=v, ...)` list — the
+      // word `options` followed by a paren FILTER group (`options (error
+      // or warn)`) must keep parsing as filters
       val save = pos
       pos += "options".length
       skipWs()
+      var ok = false
       if (peekCh == '(') {
-        pos += 1
-        var more = !consume(')')
-        while (more) {
-          val k = readToken()
-          expect('=')
-          opts(k) = readToken()
-          more = consume(',')
-          if (!more) expect(')')
-        }
-      } else pos = save // bare word `options` is a filter, not the clause
+        try {
+          pos += 1
+          skipWs()
+          if (peekCh == ')') { pos += 1; ok = true }
+          else {
+            val k0 = readToken()
+            skipWs()
+            if (peekCh == '=') {
+              pos += 1
+              opts(k0) = readToken()
+              while (consume(',')) {
+                val k = readToken(); expect('='); opts(k) = readToken()
+              }
+              expect(')')
+              ok = true
+            }
+          }
+        } catch { case _: ParseException => ok = false }
+      }
+      if (!ok) { pos = save; opts.clear() }
+      else opts.keys.find(k =>
+        k != "concurrency" && k != "ignore_global_time_filter").foreach(k =>
+        err(s"unknown query option '$k'")) // reference rejects unknown options
     }
     val f = parseOr("_msg")
     val pipes = ArrayBuffer.empty[Pipe]
@@ -1057,8 +1074,12 @@ final class Parser(input: String, now: Long) {
     var more = true
     while (more) {
       // `with hits` and bare `hits` are both accepted (pipe_uniq.go:540
-      // treats `with` as optional noise before `hits`)
-      if (consumeKeyword("with")) { consumeKeyword("hits"); withHits = true }
+      // treats `with` as optional noise before `hits` — but `with` alone
+      // is a syntax error, not an implied hits)
+      if (consumeKeyword("with")) {
+        if (!consumeKeyword("hits")) err("expected 'hits' after 'with'")
+        withHits = true
+      }
       else if (consumeKeyword("hits")) withHits = true
       else if (consumeKeyword("limit")) limit = Some(readLong())
       else more = false

@@ -171,8 +171,9 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     val q0 = Parser.parse(text, nowNs)
     // options(ignore_global_time_filter=true) suppresses the HTTP-level
     // [start, end) conjunct (parser.go AddTimeFilter gate)
-    val ignoreGlobal =
-      q0.options.get("ignore_global_time_filter").contains("true")
+    val ignoreGlobal = q0.options.get("ignore_global_time_filter")
+      // Go strconv.ParseBool's accepted spellings (the reference's parser)
+      .exists(v => Set("1", "t", "T", "TRUE", "true", "True").contains(v))
     val q1 = (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
       case _ if ignoreGlobal => q0

@@ -743,6 +743,36 @@ class CompilerSpec extends SparkSuite {
       "ignore_global_time_filter" -> "true"))
     // a bare word `options` stays an ordinary filter term
     assert(run("options | stats count() c").collect().head.getLong(0) == 0)
+    // `options` followed by a paren FILTER group keeps filter semantics
+    val qf = run("options (error or warn) | stats count() c")
+    assert(qf.collect().head.getLong(0) == 0) // word 'options' matches nothing
+    // unknown keys in a committed options clause fail loudly
+    intercept[ParseException](
+      Parser.parse("options (concurrencyy=4) * | stats count() c", NOW))
+  }
+
+  test("unpack if-condition is judged once against the pre-unpack row") {
+    import spark.implicits._
+    val d = Seq(("a", """{"x":"new","y":"v2"}""", "old", ""))
+      .toDF("k", "j", "x", "y")
+    // the condition reads x, which the unpack itself overwrites: both
+    // targets must still be written (no torn rows)
+    val out = Compiler.run(d, "* | unpack_json if (x:old) from j fields (x, y)")
+      .collect().head
+    assert(out.getAs[String]("x") == "new")
+    assert(out.getAs[String]("y") == "v2")
+  }
+
+  test("merge-path unpack writes through to string top-level columns") {
+    import spark.implicits._
+    val d = Seq(("a", """{"x":"new","z":"zz"}""", ""))
+      .toDF("k", "j", "x")
+    val out = Compiler.run(d, "* | unpack_json from j")
+    val r = out.collect().head
+    // x exists as a top-level string column: the unpacked value must be
+    // visible through the column (reads prefer columns over map entries)
+    assert(r.getAs[String]("x") == "new")
+    assert(r.getMap[String, String](r.fieldIndex("fields")) == Map("z" -> "zz"))
   }
 
   test("format <time:...> auto-detects unix timestamp units, RFC3339Nano output") {
