@@ -30,10 +30,12 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min hash over the shingle set. Pure expression — no shuffle. */
+    * min hash over the shingle set. Pure expression — no shuffle; a
+    * codegen'd single-pass kernel (functions/MinHashSim.scala) replaces
+    * the 128-seed higher-order-function tower, hashing each shingle once
+    * and mixing per seed (bit-identical values, property-tested). */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles(text, n), s => xxhash64(s, seed))))
+    graft.functions.MinHashSim.minhashSig(shingles(text, n), numHashes)
 
   /** Estimated Jaccard from two signatures: fraction of agreeing positions. */
   def signatureJaccard(a: Column, b: Column): Column =
@@ -85,21 +87,11 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens (per-bit majority of token hashes). */
-  def simhash(text: Column): Column = {
-    val ts = TextAnalysis.tokens(text)
-    val bitSums = aggregate(
-      ts,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash over word tokens (per-bit majority of token hashes);
+    * codegen'd single-pass kernel, bit-identical to the zip_with bit-vote
+    * tower it replaced (property-tested). */
+  def simhash(text: Column): Column =
+    graft.functions.MinHashSim.simhash64(TextAnalysis.tokens(text))
 
   /** SimHash near-dup candidates: split the 64-bit hash into `bands` chunks;
     * pairs agreeing on any chunk are candidates (Hamming-adjacent dups agree

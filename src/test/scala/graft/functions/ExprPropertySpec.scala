@@ -123,6 +123,40 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("MinHashSig and SimHash64 agree with the Column-tower specs") {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    // the replaced formulations, kept as the semantic spec
+    def specMinhash(tokens: Column, numHashes: Int): Column =
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(tokens, s => xxhash64(s, seed))))
+    def specSimhash(ts: Column): Column = {
+      val bitSums = aggregate(ts, array_repeat(lit(0), 64),
+        (acc, t) => zip_with(acc,
+          transform(sequence(lit(0), lit(63)),
+            b => when(call_function("shiftright", xxhash64(t), b)
+              .bitwiseAND(1) === 1, 1).otherwise(-1)),
+          (a, v) => a + v))
+      aggregate(
+        zip_with(bitSums, sequence(lit(0), lit(63)),
+          (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+        lit(0L), (acc, v) => acc.bitwiseOR(v))
+    }
+    val docGen = Gen.listOfN(8,
+      Gen.oneOf("alpha", "beta", "gamma", "x1", "日本", "", "tok_9")).map(_.mkString(" "))
+    val inputs = Gen.listOfN(60, docGen).sample.get
+    def toks(c: Column) = filter(fsplit(c, " "), t => t =!= "")
+    val gotSig = evalBatch(inputs,
+      c => graft.functions.MinHashSim.minhashSig(toks(c), 16))
+    val wantSig = evalBatch(inputs, c => specMinhash(toks(c), 16))
+    gotSig.zip(wantSig).zip(inputs).foreach { case ((g, w), in) =>
+      assert(g == w, s"minhash sig mismatch for '$in': $g vs $w") }
+    val gotSh = evalBatch(inputs,
+      c => graft.functions.MinHashSim.simhash64(toks(c)))
+    val wantSh = evalBatch(inputs, c => specSimhash(toks(c)))
+    gotSh.zip(wantSh).zip(inputs).foreach { case ((g, w), in) =>
+      assert(g == w, s"simhash mismatch for '$in': $g vs $w") }
+  }
+
   test("SeqMatch agrees with the chained regex spec") {
     val inputs = Gen.listOfN(300, textGen).sample.get
     val seqs = Seq(Seq("error", "db"), Seq("err"), Seq("disk_error", "err"),
