@@ -395,6 +395,11 @@ object SparkEntry {
       lql(s, d,
         "* | unpack_json from _msg fields (k*) | stats sum(k*) as sk, " +
         "count_uniq(event_type) as ev")),
+    // ---- unpack_json merge path + options (pipe_unpack_json.go:137) ----
+    "q_lql_unpack_merge" -> ((s, d) =>
+      lql(s, d,
+        "* | unpack_json from _msg skip_empty_results " +
+        "| stats count() c, count_uniq(k) uk, min(k) mn, max(k) mx")),
     // ---- range comparison with string operands (parser.go:2182) ----
     "q_lql_string_cmp" -> ((s, d) =>
       lql(s, d,
@@ -1211,6 +1216,12 @@ object SparkEntry {
     "q_lql_string_cmp" ->
       """SELECT count(*) AS c, count(DISTINCT event_type) AS u FROM events
          WHERE event_type >= 'error' AND event_type < 'purchase'""",
+    "q_lql_unpack_merge" ->
+      """SELECT count(*) AS c,
+                count(DISTINCT json_extract_string(props, '$.k')) AS uk,
+                CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS VARCHAR) AS mn,
+                CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS VARCHAR) AS mx
+         FROM events""",
     "q_lql_format_time" ->
       """SELECT min(iso) AS lo, max(iso) AS hi, count(DISTINCT iso) AS u FROM (
            SELECT strftime(make_timestamp((1718236800 + event_id) * 1000000),
