@@ -1305,22 +1305,25 @@ object Compiler {
       }
     }
     val re = sb.result()
-    val src = strF(df, e.from)
-    val cond = e.iff.map(f => compileFilter(df, f, ctx.copy(source = df)))
-    names.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      if (f == "_") d
-      else {
-        val v = regexp_extract(src, re, i + 1)
-        val v2 =
-          if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v)
-          else if (e.skipEmpty) when(v =!= "", v).otherwise(strF(d, f))
-          else v
-        val v3 = cond match {
-          case Some(c) => when(c, v2).otherwise(strF(d, f))
-          case None => v2
-        }
-        d.withColumn(f, v3)
-      }
+    // one regex execution per row (all groups at once) and one simultaneous
+    // projection: the previous per-field regexp_extract fold re-ran the
+    // regex N times per row AND let the if-condition / keep-original reads
+    // resolve against already-overwritten columns (torn rows)
+    applyUnpack(df, e.from, e.iff, ctx) { (d, cond) =>
+      val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
+      val writes = names.zipWithIndex.collect {
+        case (f, i) if f != "_" =>
+          val v = element_at(groups, i + 1)
+          val v2 =
+            if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v)
+            else if (e.skipEmpty) when(v =!= "", v).otherwise(strF(d, f))
+            else v
+          f -> (cond match {
+            case Some(c) => when(c, v2).otherwise(strF(d, f))
+            case None => v2
+          })
+      }.toMap
+      if (writes.isEmpty) d else d.withColumns(writes)
     }
   }
 
@@ -1343,15 +1346,16 @@ object Compiler {
       }
       i += 1
     }
-    val src = strF(df, e.from)
-    val cond = e.iff.map(f => compileFilter(df, f, ctx.copy(source = df)))
-    names.foldLeft(df) { case (d, (f, gi)) =>
-      val v = regexp_extract(src, re, gi)
-      val v2 = cond match {
-        case Some(c) => when(c, v).otherwise(strF(d, f))
-        case None => v
-      }
-      d.withColumn(f, v2)
+    applyUnpack(df, e.from, e.iff, ctx) { (d, cond) =>
+      val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
+      val writes = names.map { case (f, gi) =>
+        val v = element_at(groups, gi)
+        f -> (cond match {
+          case Some(c) => when(c, v).otherwise(strF(d, f))
+          case None => v
+        })
+      }.toMap
+      if (writes.isEmpty) d else d.withColumns(writes)
     }
   }
 

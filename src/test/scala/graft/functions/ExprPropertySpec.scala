@@ -123,6 +123,28 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("ExtractGroups agrees with per-group regexp_extract") {
+    val res = Seq(
+      "(?s)(\\w+)=(\\w*)",
+      "^(\\S+) (\\S+) (.*)$",
+      "(a+)(b?)(c*)",
+      "id=(\\d+)(?:;u=(\\w+))?")
+    val gen = Gen.oneOf("k=v x=1", "alpha beta gamma delta", "aabcc", "aab",
+      "id=42;u=bob", "id=7", "nomatch!", "", "k= a=", "aaabbbccc x")
+    val inputs = Gen.listOfN(200, gen).sample.get
+    for (re <- res) {
+      val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+      for (gi <- 1 to n) {
+        val got = evalBatch(inputs, c =>
+          element_at(graft.functions.ExtractGroups.extractGroups(c, re), gi))
+        val want = evalBatch(inputs, c => regexp_extract(c, re, gi))
+        inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+          assert(g == w, s"extract mismatch for '$in' re '$re' group $gi: $g vs $w")
+        }
+      }
+    }
+  }
+
   test("MinHashSig and SimHash64 agree with the Column-tower specs") {
     import org.apache.spark.sql.functions.{split => fsplit}
     // the replaced formulations, kept as the semantic spec
