@@ -1309,7 +1309,7 @@ object Compiler {
     // projection: the previous per-field regexp_extract fold re-ran the
     // regex N times per row AND let the if-condition / keep-original reads
     // resolve against already-overwritten columns (torn rows)
-    applyUnpack(df, e.from, e.iff, ctx) { (d, cond) =>
+    applyUnpack(df, e.from, e.iff, ctx.copy(source = df)) { (d, cond) =>
       val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
       val writes = names.zipWithIndex.collect {
         case (f, i) if f != "_" =>
@@ -1346,7 +1346,7 @@ object Compiler {
       }
       i += 1
     }
-    applyUnpack(df, e.from, e.iff, ctx) { (d, cond) =>
+    applyUnpack(df, e.from, e.iff, ctx.copy(source = df)) { (d, cond) =>
       val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
       val writes = names.map { case (f, gi) =>
         val v = element_at(groups, gi)
