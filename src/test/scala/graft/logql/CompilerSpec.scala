@@ -763,6 +763,17 @@ class CompilerSpec extends SparkSuite {
     assert(out.getAs[String]("y") == "v2")
   }
 
+  test("extract if-condition is judged once against the pre-extract row") {
+    import spark.implicits._
+    val d = Seq(("x=1 y=2", "x", "")).toDF("m", "x", "y")
+    // the condition reads x, which the extract overwrites — both captures
+    // must be written (no torn rows), same contract as the unpack pipes
+    val out = Compiler.run(d, "* | extract if (x:=x) 'x=<x> y=<y>' from m")
+      .collect().head
+    assert(out.getAs[String]("x") == "1")
+    assert(out.getAs[String]("y") == "2")
+  }
+
   test("merge-path unpack writes through to string top-level columns") {
     import spark.implicits._
     val d = Seq(("a", """{"x":"new","z":"zz"}""", ""))
