@@ -45,8 +45,20 @@ object Compiler {
     val filtered =
       if (residual == Filter.Noop) semiJoined
       else semiJoined.filter(compileFilter(semiJoined, residual, ctx))
-    fuseSortRankBound(q.pipes.toList)
-      .foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+    fuseSortRankBound(q.pipes.toList) match {
+      // `filters | stream_context ...` with a pure-predicate needle: mark
+      // rows inline instead of re-joining the needle subplan (the filter
+      // IS the marker predicate). Semi-join conjuncts fall through to the
+      // general join-based path — their needle is not a Column.
+      case Pipe.StreamContext(b, a, tw) :: rest if inqs.isEmpty =>
+        val pred =
+          if (residual == Filter.Noop) lit(true)
+          else compileFilter(source, residual, ctx)
+        rest.foldLeft(streamContextInline(source, pred, b, a, tw))(
+          (df, p) => applyPipe(df, p, ctx))
+      case pipes =>
+        pipes.foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+    }
   }
 
   private def splitConjuncts(f: Filter): Seq[Filter] = f match {
@@ -703,44 +715,31 @@ object Compiler {
       // the matched-row marker set is normally tiny (it IS the needle the
       // query selected) — broadcast it when plan statistics agree, so the
       // source relation is not shuffled for the join (the per-stream window
-      // below still shuffles once by _stream_id; that one is inherent)
-      val sel =
-        if (sel0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
-          broadcast(sel0)
-        else sel0
+      // below still shuffles once by _stream_id; that one is inherent).
+      // Gate on the ORIGINAL logical plan (one stats analysis), then
+      // lazily checkpoint: the marker set feeds BOTH the stream semi-join
+      // and the marker join below, and without the checkpoint the whole
+      // needle subplan would execute twice — once per join
+      // (pipe_stream_context.go re-queries per stream but never re-runs
+      // the needle search itself)
+      val selSmall =
+        sel0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20)
+      val selMat = sel0.localCheckpoint(eager = false)
+      val sel = if (selSmall) broadcast(selMat) else selMat
       // context rows can only come from streams that contain a matched row
       // — semi-join the source down to those streams BEFORE the window, so
       // the per-stream shuffle+sort moves only the needle's streams, not
-      // the whole relation (pipe_stream_context.go likewise re-queries the
-      // store per matched stream, never scanning unmatched ones)
-      val sids = sel0.select(col("__sid")).distinct()
-      val sidsB =
-        if (sids.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
-          broadcast(sids)
-        else sids
-      val srcPruned = src.join(sidsB,
+      // the whole relation. Semi-join directly on the marker set: a
+      // left_semi build side tolerates duplicate __sid values, so no
+      // distinct() (that was an extra shuffle + broadcast job)
+      val srcPruned = src.join(sel,
         strF(src, "_stream_id") === col("__sid"), "left_semi")
       val marked = srcPruned
         .join(sel, strF(srcPruned, "_stream_id") === col("__sid") &&
                    timeMicros(srcPruned) === col("__st"), "left")
         .withColumn("__m", col("__sid").isNotNull)
         .drop("__sid", "__st")
-      val t = timeMicros(marked)
-      val win = Window.partitionBy(strF(marked, "_stream_id"))
-        .orderBy(t, monotonically_increasing_id())
-      val mT = when(col("__m"), t)
-      // a row is context iff a matched row sits within `before` following
-      // positions (we precede it) or `after` preceding positions (we follow
-      // it), inside the time window
-      val twUs = twNs / 1000L
-      val aheadMin = min(mT).over(win.rowsBetween(0, before.toLong))
-      val behindMax = max(mT).over(win.rowsBetween(-after.toLong, 0))
-      marked
-        .withColumn("__keep",
-          (aheadMin.isNotNull && aheadMin - t <= twUs) ||
-          (behindMax.isNotNull && t - behindMax <= twUs))
-        .filter(col("__keep"))
-        .drop("__m", "__keep")
+      streamContextWindow(marked, before, after, twNs)
 
     case Pipe.Facets(n, maxPerField, maxValueLen, keepConst) =>
       val topCols = df.columns.filter(_ != "fields")
@@ -793,6 +792,58 @@ object Compiler {
   }
 
   // ----------------------------------------------------------------- sort
+
+  /** Shared tail of stream_context: `marked` carries a boolean `__m`
+    * marker; a per-stream positional window decides context membership —
+    * a row survives iff a matched row sits within `before` following
+    * positions or `after` preceding positions, inside the time window
+    * (pipe_stream_context.go's per-stream before/after row collection). */
+  private def streamContextWindow(marked: DataFrame, before: Int, after: Int,
+                                  twNs: Long): DataFrame = {
+    val t = timeMicros(marked)
+    val win = Window.partitionBy(strF(marked, "_stream_id"))
+      .orderBy(t, monotonically_increasing_id())
+    val mT = when(col("__m"), t)
+    val twUs = twNs / 1000L
+    val aheadMin = min(mT).over(win.rowsBetween(0, before.toLong))
+    val behindMax = max(mT).over(win.rowsBetween(-after.toLong, 0))
+    marked
+      .withColumn("__keep",
+        (aheadMin.isNotNull && aheadMin - t <= twUs) ||
+        (behindMax.isNotNull && t - behindMax <= twUs))
+      .filter(col("__keep"))
+      .drop("__m", "__keep")
+  }
+
+  /** Fast path for the canonical `filters | stream_context ...` shape: the
+    * needle is a pure predicate over the source, so mark rows INLINE
+    * (`__m = pred`) instead of joining back against the needle subplan —
+    * no marker join, no checkpoint, one fewer broadcast, and the needle
+    * scan runs exactly once (for the matched-stream prune). This is also
+    * the more faithful semantics: rows are matched by satisfying the
+    * predicate, not by sharing a (stream, time) pair with a match. */
+  private def streamContextInline(src: DataFrame, pred: Column,
+                                  before: Int, after: Int,
+                                  twNs: Long): DataFrame = {
+    if (rawField(src, "_stream_id").isEmpty)
+      throw new IllegalArgumentException(
+        "stream_context requires a _stream_id column on the source " +
+        "relation (use the log store, or add a _stream_id column)")
+    // context rows can only come from streams containing a matched row —
+    // prune the source to those streams BEFORE the per-stream window. The
+    // distinct is deliberate despite the left_semi tolerance for dups: at
+    // scale the needle can match many rows, and the map-side partial agg
+    // collapses them before anything moves to the driver for broadcast.
+    val sids = src.filter(pred)
+      .select(strF(src, "_stream_id").as("__sid")).distinct()
+    val sidsB =
+      if (sids.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20))
+        broadcast(sids)
+      else sids
+    val srcPruned = src.join(sidsB,
+      strF(src, "_stream_id") === col("__sid"), "left_semi")
+    streamContextWindow(srcPruned.withColumn("__m", pred), before, after, twNs)
+  }
 
   private def sortExprs(df: DataFrame, k: SortKey): Seq[Column] = {
     val cols: Seq[Column] =

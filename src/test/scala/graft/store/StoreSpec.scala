@@ -122,6 +122,30 @@ class StoreSpec extends SparkSuite {
     assert(out.toSeq == Seq("MATCH", "b", "c"))
   }
 
+  test("stream_context marks rows by predicate, not by (stream,time) pair") {
+    // two rows share a timestamp in one stream; only one satisfies the
+    // needle. The inline fast path must mark just the matching row — the
+    // old join-on-(sid,time) marking would have treated both as matches
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_stream_id", StringType),
+      StructField("_msg", StringType)))
+    val rows = Seq(
+      Row(t("2024-01-01T00:00:01Z"), "s1", "MATCH"),
+      Row(t("2024-01-01T00:00:01Z"), "s1", "twin"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Compiler.run(df, "MATCH | stream_context before 0 after 0")
+      .select("_msg").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("MATCH"))
+    // and the fast path compiles to ONE join (the stream semi-join): the
+    // needle subplan must not be joined back as a marker relation
+    val plan = Compiler.run(df, "MATCH | stream_context before 1")
+      .queryExecution.executedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 1 && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("LeftOuter"), plan)
+  }
+
   test("stream_context prunes unmatched streams before the window") {
     // context can only come from streams holding a matched row — the plan
     // must semi-join the source down to those streams so the per-stream
