@@ -567,22 +567,32 @@ object Compiler {
       applyUnpack(df, from, iff, ctx) { (d, cond) =>
         if (fieldsList.nonEmpty) {
           val (wild, plain) = fieldsList.partition(isWildcardField)
+          // when plain writes and wildcard reads mix, freeze the source
+          // first: a plain target may BE the source column (from=_msg,
+          // fields (_msg, k*)) and the wildcard fold below must parse the
+          // pre-unpack value — the same pre-op-row guarantee the
+          // if-condition gets from applyUnpack
+          val freeze = wild.nonEmpty && plain.nonEmpty
+          val d0 = if (freeze) d.withColumn("__unpack_src", strF(d, from)) else d
+          def src(x: DataFrame): Column =
+            if (freeze) col("__unpack_src") else strF(x, from)
           // one simultaneous projection: a sequential fold would let an
           // earlier target overwrite a column a later target's value or
           // the `if` condition still reads (torn rows)
-          val writes = plain.map(f => (prefix + f) -> unpackTarget(d, prefix + f,
-            coalesce(get_json_object(strF(d, from), "$." + f), lit("")),
+          val writes = plain.map(f => (prefix + f) -> unpackTarget(d0, prefix + f,
+            coalesce(get_json_object(src(d0), "$." + f), lit("")),
             keep, skipE, cond)).toMap
-          val d1 = if (writes.isEmpty) d else d.withColumns(writes)
+          val d1 = if (writes.isEmpty) d0 else d0.withColumns(writes)
           // `fields (p*)` unpacks only matching keys (v1.24); key set is
           // dynamic, so matching entries merge into the fields map
-          wild.foldLeft(d1) { (dd, w) =>
+          val folded = wild.foldLeft(d1) { (dd, w) =>
             val p = w.dropRight(1)
             val parsed = map_filter(
-              from_json(strF(dd, from), MapType(StringType, StringType)),
+              from_json(src(dd), MapType(StringType, StringType)),
               (k, _) => k.startsWith(p))
             mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
           }
+          if (freeze) folded.drop("__unpack_src") else folded
         } else {
           val parsed = from_json(strF(d, from), MapType(StringType, StringType))
           mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
@@ -593,16 +603,22 @@ object Compiler {
       applyUnpack(df, from, iff, ctx) { (d, cond) =>
         if (fieldsList.nonEmpty) {
           val (wild, plain) = fieldsList.partition(isWildcardField)
-          val writes = plain.map(f => (prefix + f) -> unpackTarget(d, prefix + f,
-            coalesce(element_at(logfmtMap(strF(d, from)), f), lit("")),
+          // freeze the source against plain-target writes (see UnpackJson)
+          val freeze = wild.nonEmpty && plain.nonEmpty
+          val d0 = if (freeze) d.withColumn("__unpack_src", strF(d, from)) else d
+          def src(x: DataFrame): Column =
+            if (freeze) col("__unpack_src") else strF(x, from)
+          val writes = plain.map(f => (prefix + f) -> unpackTarget(d0, prefix + f,
+            coalesce(element_at(logfmtMap(src(d0)), f), lit("")),
             keep, skipE, cond)).toMap
-          val d1 = if (writes.isEmpty) d else d.withColumns(writes)
-          wild.foldLeft(d1) { (dd, w) =>
+          val d1 = if (writes.isEmpty) d0 else d0.withColumns(writes)
+          val folded = wild.foldLeft(d1) { (dd, w) =>
             val p = w.dropRight(1)
             mergeIntoFields(dd,
-              map_filter(logfmtMap(strF(dd, from)), (k, _) => k.startsWith(p)),
+              map_filter(logfmtMap(src(dd)), (k, _) => k.startsWith(p)),
               prefix, keep, skipE, cond)
           }
+          if (freeze) folded.drop("__unpack_src") else folded
         } else mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
       }
 
@@ -951,9 +967,14 @@ object Compiler {
     def anyNonEmpty(fields: Seq[String]): Column =
       if (hasWildcardField(fields)) exists(fieldVals(df, fields), v => v =!= "")
       else fields.map(nonEmpty(df, _)).reduce(_ || _)
-    // per-row sum / numeric-value count over wildcard field filters
+    // per-row sum / numeric-value count over wildcard field filters.
+    // Null seed (not 0): a row with no parseable numeric values must yield
+    // null, so a group with none aggregates to null like the scalar
+    // sum-over-all-null path — the fold coalesces the accumulator on the
+    // first element, keeping it a single pass over the array
     def rowNumSum(fields: Seq[String]): Column =
-      aggregate(numFieldVals(df, fields), lit(0d), _ + _)
+      aggregate(numFieldVals(df, fields),
+        lit(null).cast(DoubleType), (acc, x) => coalesce(acc, lit(0d)) + x)
 
     fa.fn match {
       case Count(fields) =>

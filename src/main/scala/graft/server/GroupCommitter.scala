@@ -103,7 +103,12 @@ final class GroupCommitter(spark: SparkSession, storeDir: String,
         // stragglers per job (measured ~2x fewer write jobs under 16-way
         // load). A lone idle request pays +lingerMs latency, two orders of
         // magnitude below the write job it is about to run.
-        if (lingerMs > 0) Thread.sleep(lingerMs)
+        // guarded like the poll above: an interrupt during the linger must
+        // not kill the flusher (that would leave every enqueued caller
+        // timing out until restart) — the batch still flushes below
+        if (lingerMs > 0)
+          try Thread.sleep(lingerMs)
+          catch { case _: InterruptedException => () }
         val batch = new java.util.ArrayList[Entry]()
         batch.add(first)
         queue.drainTo(batch, maxBatchEntries - 1)

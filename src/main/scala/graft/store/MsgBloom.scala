@@ -106,6 +106,16 @@ object MsgBloom {
       null, null).toString
   }
 
+  /** Inverse of [[onDisk]] for writing sidecar rows: a URI string whose
+    * onDisk decode yields `p` again. Local paths re-acquire a `file:`
+    * scheme with '%' re-quoted (the multi-arg URI constructor always
+    * quotes '%', so a partition dir's literal `%3A` survives the round
+    * trip); remote URI strings are already in stored form — onDisk is
+    * idempotent on them. */
+  private def asStored(p: String): String =
+    if (p.startsWith("/")) new java.net.URI("file", null, p, null).toString
+    else p
+
   /** Incremental sidecar maintenance: bloom the data files NOT yet in the
     * sidecar (flush/compaction output) and append their rows; when at
     * least half the sidecar references deleted files, rewrite it pruned.
@@ -153,22 +163,20 @@ object MsgBloom {
         // files whose rows are all token-less produce no agg row; give them
         // an explicit all-zero bloom (nothing can match — maximal pruning)
         // or they would stay "missing" and be re-read on every tick. The
-        // stored `file` value must be the input_file_name() form every
-        // other row uses (it is URI-double-escaped: partition dirs hold a
-        // literal %3A for ':'; a plain path would be corrupted by the
-        // reader's decode), so read the names off the files themselves.
+        // stored form is derived from the missing paths THEMSELVES (not
+        // read off the files via input_file_name: a zero-ROW parquet file
+        // yields no rows at all, so it would never get a sidecar entry and
+        // be re-read forever). Every consumer decodes stored values with
+        // onDisk, so any URI form that decodes back to the path works —
+        // asStored is that exact inverse.
         val covered = bloomed.select("file").collect()
           .map(r => onDisk(r.getString(0))).toSet
         val tokenless = missing.filterNot(covered)
         if (tokenless.nonEmpty) {
           import scala.jdk.CollectionConverters._
-          val names = spark.read.option("basePath", s"$dir/logs")
-            .parquet(tokenless: _*)
-            .select(input_file_name().as("file")).distinct()
-            .collect().map(_.getString(0))
           val empty = new Array[Byte](mBits / 8)
-          val rows = names.toSeq.map(f =>
-            org.apache.spark.sql.Row(f, empty): org.apache.spark.sql.Row).asJava
+          val rows = tokenless.map(f =>
+            org.apache.spark.sql.Row(asStored(f), empty): org.apache.spark.sql.Row).asJava
           spark.createDataFrame(rows, bloomed.schema)
             .coalesce(1).write.mode("append")
             .option("compression", LogStore.ParquetCodec)

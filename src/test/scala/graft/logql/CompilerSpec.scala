@@ -659,6 +659,19 @@ class CompilerSpec extends SparkSuite {
     assert(r.getDouble(5) == 3.0)
   }
 
+  test("wildcard sum over a group with no parseable values is null, not 0") {
+    // mirrors the scalar path: sum over all-null is null. Group "a" has
+    // numeric x_* values, group "n" has none — its sum/avg must be null
+    val schema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("x_a", StringType)))
+    val rows = Seq(Row("a", "2"), Row("a", "3"), Row("n", "notnum"))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = run("* | stats by (k) sum(x_*) as s | sort by (k)", d).collect()
+    assert(out(0).getDouble(1) == 5.0)
+    assert(out(1).isNullAt(1))
+  }
+
   test("wildcard stats: min/max use value collation, values/uniq_values flatten") {
     val r = run("* | stats min(x_*) as mn, max(x_*) as mx, " +
       "uniq_values(x_*) as uv", wildDf).collect().head
@@ -704,6 +717,16 @@ class CompilerSpec extends SparkSuite {
       .filter(col("k") === "a").select("fields").collect().head
       .getMap[String, String](0)
     assert(out == Map("ma" -> "1", "mb" -> "2"))
+  }
+
+  test("unpack from a source that is also a plain target: wildcards see the pre-unpack row") {
+    // `from j fields (j, m*)` overwrites the source column itself; the
+    // wildcard merge must still parse the ORIGINAL j, not the torn frame
+    val out = run("""* | fields k | format '{"j":"inner","ma":"1"}' as j """ +
+      "| unpack_json from j fields (j, m*)", wildDf)
+      .filter(col("k") === "a").select("j", "fields").collect().head
+    assert(out.getString(0) == "inner")
+    assert(out.getMap[String, String](1) == Map("ma" -> "1"))
   }
 
   test("unpack_json options: keep_original_fields, skip_empty_results, if") {

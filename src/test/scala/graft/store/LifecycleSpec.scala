@@ -140,6 +140,39 @@ class LifecycleSpec extends SparkSuite {
     assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
   }
 
+  test("zero-row data files get a sidecar entry instead of eternal re-reads") {
+    val dir = tmp("bloomzerorow")
+    appendLines(dir, "2024-01-01", 4, i => s"zword row $i")
+    MsgBloom.build(spark, dir)
+    // plant a zero-ROW parquet file in a partition dir (an empty flush /
+    // compaction artifact): input_file_name() yields no rows for it, so
+    // it can never be named by reading the data — the sidecar entry must
+    // derive from the missing path itself
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val one = walk(new java.io.File(s"$dir/logs"))
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val scratch = tmp("bloomzerorow-scratch")
+    spark.read.parquet(one.getPath).limit(0).repartition(1)
+      .write.mode("overwrite").parquet(s"$scratch/empty")
+    val emptyPart = new java.io.File(s"$scratch/empty").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.copy(emptyPart.toPath,
+      Paths.get(one.getParent, "part-zero-rows.snappy.parquet"))
+    LogStore.invalidateCaches(dir) // the copy bypassed the write path
+    // first refresh covers the empty file (all-zero bloom); the second is
+    // a genuine no-op — before the fix the file stayed "missing" forever
+    assert(MsgBloom.refresh(spark, dir)._1 == 1)
+    assert(MsgBloom.refresh(spark, dir)._1 == 0)
+    // pruning and querying stay correct: unknown tokens prune everything,
+    // real tokens still hit, and the partition-dir %3A escaping survives
+    // the stored-form round trip (candidate paths must re-read cleanly)
+    assert(MsgBloom.candidateFiles(spark, dir, Seq("qqqmissing")).get.isEmpty)
+    assert(MsgBloom.query(spark, dir, "zword | stats count() c")
+      .collect().head.getLong(0) == 4)
+  }
+
   test("tailStream surfaces appended rows through the LogsQL filter") {
     val dir = tmp("tailstream")
     appendLines(dir, "2024-01-01", 5)
