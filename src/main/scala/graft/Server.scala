@@ -64,7 +64,8 @@ object Server {
     // invalidates, so each query sees the latest file set; before the
     // first ingest the store may not exist yet — surface that as an
     // empty-store error per request rather than failing startup
-    new QueryServer(spark, () => LogStore.read(spark, storeDir), 0).attach(http)
+    new QueryServer(spark, () => LogStore.read(spark, storeDir), 0,
+      storeDir = Some(storeDir)).attach(http)
     http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     http.start()
     (http, http.getAddress.getPort)

@@ -27,7 +27,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
                         port: Int,
                         maxConcurrentQueries: Int = 16,
                         queueTimeoutMs: Long = 10000L,
-                        maxSeriesPoints: Int = 200000) {
+                        maxSeriesPoints: Int = 200000,
+                        storeDir: Option[String] = None) {
 
   /** Fixed-relation convenience constructor (tests, ad-hoc views). A
     * log-store caller should pass `() => LogStore.read(spark, dir)` so
@@ -224,23 +225,45 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     Parser.parse(text, nowNs).filter
   }
 
-  /** Request tenant (tenant_id.go:15-21): missing headers default to 0:0 —
-    * a headerless request must NOT see every tenant's rows. */
-  def tenantOf(ex: HttpExchange): String = {
-    val acct = Option(ex.getRequestHeaders.getFirst("AccountID")).getOrElse("0")
-    val proj = Option(ex.getRequestHeaders.getFirst("ProjectID")).getOrElse("0")
-    s"$acct:$proj"
+  /** Request tenants (tenant_id.go:15-21): missing headers default to 0:0 —
+    * a headerless request must NOT see every tenant's rows. Queries may
+    * address a tenant LIST (storage_search.go:102 takes []TenantID):
+    * repeated or comma-separated header values; an AccountID entry may
+    * also carry a full `acct:proj` pair. A lone ProjectID value applies
+    * to every account; otherwise accounts and projects pair positionally. */
+  def tenantsOf(ex: HttpExchange): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    def vals(h: String): Seq[String] =
+      Option(ex.getRequestHeaders.get(h)).map(_.asScala.toSeq).getOrElse(Nil)
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val accts = vals("AccountID")
+    val projs = vals("ProjectID")
+    val tenants =
+      if (accts.isEmpty && projs.isEmpty) Seq("0:0")
+      else if (accts.isEmpty) projs.map(p => s"0:$p")
+      else accts.zipWithIndex.map { case (a, i) =>
+        if (a.contains(":")) a
+        else {
+          val p = if (projs.isEmpty) "0"
+                  else if (i < projs.length) projs(i)
+                  else projs.last // a lone project fans out to all accounts
+          s"$a:$p"
+        }
+      }
+    tenants.distinct
   }
 
   /** Tenant scoping happens on the SOURCE relation, before Compiler.run:
     * subqueries (join / union / in(subquery) pipes) execute against
     * ctx.source, so an AST-level filter on the outer query would leak
-    * other tenants' rows through them. A plain-column equality on the
+    * other tenants' rows through them. A plain-column predicate on the
     * `tenant` partition column also prunes whole tenant directories. */
-  private def scopedSource(ex: HttpExchange): DataFrame =
-    if (source.columns.contains("tenant"))
-      source.filter(col("tenant") === tenantOf(ex))
-    else source
+  private def tenantScope(ex: HttpExchange)(df: DataFrame): DataFrame =
+    if (df.columns.contains("tenant"))
+      df.filter(col("tenant").isin(tenantsOf(ex): _*))
+    else df
+
+  private def scopedSource(ex: HttpExchange): DataFrame = tenantScope(ex)(source)
 
   private def runQ(ex: HttpExchange, q: Query): DataFrame =
     Compiler.run(scopedSource(ex), q, nowNs)
@@ -255,9 +278,28 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   // ------------------------------------------------------------ endpoints
 
+  /** Above this, the lastN descent's driver-side materialization of the
+    * result window is no longer a "handful of rows" — fall back to the
+    * streaming plan (the reference's default limit is 1000). */
+  private val maxLastNLimit = 100000
+
   private def handleQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    var df = runQ(ex, parseQ(ex, ps))
-    one(ps, "limit").foreach(l => df = df.limit(l.toInt))
+    val q = parseQ(ex, ps)
+    val df = (one(ps, "limit").map(_.toInt), storeDir) match {
+      // the reference's limit contract is the NEWEST n rows, found by
+      // binary-searching the time range instead of scanning history
+      // (logsql.go:1005-1133, CanReturnLastNResults parser.go:470) — for
+      // store-backed sources route through the day-descent, which also
+      // enforces newest-first and falls back internally for pipes that
+      // cannot early-return over a partial window
+      case (Some(n), Some(dir)) if n > 0 && n <= maxLastNLimit =>
+        val (res, daysScanned) = graft.store.LogStore.lastN(
+          spark, dir, q, n, nowNs, scope = tenantScope(ex))
+        ex.getResponseHeaders.set("X-Graft-Days-Scanned", daysScanned.toString)
+        res
+      case (Some(n), _) => runQ(ex, q).limit(n)
+      case (None, _) => runQ(ex, q)
+    }
     val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
     ex.sendResponseHeaders(200, 0)
@@ -472,8 +514,50 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   /** Live tail (logsql.go:497-660): poll loop re-running the query over
     * `(lastSeen, now]`, streaming new rows as NDJSON. `max_polls` bounds
     * the loop (tests); production clients just hang up. */
+  /** canLiveTail gate (pipe.go:30; logsql.go:497 rejects non-tailable
+    * queries with 400): a poll loop re-runs the query over successive time
+    * windows, so only stateless per-row transforms keep their semantics —
+    * a pipe that aggregates, reorders, samples, or changes cardinality
+    * across the whole relation would silently recompute over each window
+    * instead (a `| stats` tail re-aggregating every second is not a tail). */
+  private def canLiveTail(p: Pipe): Boolean = p match {
+    case Pipe.BlockStats | _: Pipe.BlocksCount | _: Pipe.Facets |
+         _: Pipe.FieldNames | _: Pipe.FieldValues | _: Pipe.Join |
+         _: Pipe.Limit | _: Pipe.Offset | _: Pipe.Sample | _: Pipe.Sort |
+         _: Pipe.Stats | _: Pipe.StreamContext | _: Pipe.Top |
+         _: Pipe.Union | _: Pipe.Uniq => false
+    case _ => true
+  }
+
   private def handleTail(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val q = parseQ(ex, ps)
+    val q0 = parseQ(ex, ps)
+    q0.pipes.find(!canLiveTail(_)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"cannot tail results of query with pipe ${p.getClass.getSimpleName
+          .toLowerCase}: it aggregates or reorders the whole result set")
+    }
+    // the poll loop tracks progress by each row's _time, but projection
+    // pipes may drop it (`| fields event_id`) — keep it flowing through
+    // the pipeline and strip it from the emitted JSON afterwards, so the
+    // client sees exactly the fields it asked for
+    def keepsTime(fs: Seq[String]): Boolean =
+      fs.exists(f => f == "_time" ||
+        (f.endsWith("*") && "_time".startsWith(f.dropRight(1))))
+    var stripTime = false
+    val pipes2 = q0.pipes.map {
+      case Pipe.Fields(fs) if !keepsTime(fs) =>
+        stripTime = true; Pipe.Fields(fs :+ "_time")
+      case Pipe.Delete(fs) if keepsTime(fs) =>
+        stripTime = true; Pipe.Delete(fs.filter(f => !keepsTime(Seq(f))))
+      case p => p
+    }
+    val q = q0.copy(pipes = pipes2)
+    // a pipe this rewrite doesn't cover can still lose _time (`mv _time
+    // as t`) — fail as a client error BEFORE the 200 header goes out
+    if (!runQ(ex, q).columns.contains("_time"))
+      throw new IllegalArgumentException(
+        "cannot tail a query whose pipes drop _time: tailing tracks " +
+        "progress by row time")
     val refreshMs = one(ps, "refresh_interval").map(_.toLong).getOrElse(1000L)
     val maxPolls = one(ps, "max_polls").map(_.toInt).getOrElse(Int.MaxValue)
     // default lifetime cap: tails are not admission-gated, so an abandoned
@@ -509,7 +593,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         val df = runQ(ex, windowed)
         val withT = df.withColumn("__tus",
           unix_micros(col("_time")))
-        val rows = withT.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
+        val outCols = df.columns.filter(c => !(stripTime && c == "_time"))
+        val rows = withT.select(to_json(struct(outCols.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
           .collect()
         var maxUs = lastSeenUs
         var atMax = if (rows.exists(_.getLong(1) > lastSeenUs)) Set.empty[Int] else seenAtLast

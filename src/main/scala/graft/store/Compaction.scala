@@ -151,8 +151,15 @@ object Compaction {
       }
     }
     val t = new Thread(() => {
+      // ±20% jitter so a fleet of nodes started together doesn't compact
+      // in lockstep (the reference staggers its bgMergers the same way);
+      // ticks run sequentially on this one thread, which is the
+      // single-flight guard — a slow compaction delays the next tick
+      // instead of overlapping it
+      val rnd = new scala.util.Random()
       while (!closed) {
-        try Thread.sleep(intervalMs) catch { case _: InterruptedException => }
+        val jittered = (intervalMs * (0.8 + 0.4 * rnd.nextDouble())).toLong
+        try Thread.sleep(jittered) catch { case _: InterruptedException => }
         if (!closed) {
           try tick()
           catch { case e: Throwable =>

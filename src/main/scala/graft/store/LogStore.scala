@@ -211,16 +211,25 @@ object LogStore {
 
   def lastN(spark: SparkSession, dir: String, filterText: String,
             n: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val nowNs = System.currentTimeMillis() * 1000000L
+    lastN(spark, dir, graft.logql.Parser.parse(filterText, nowNs), n, nowNs)
+  }
+
+  /** Query-AST form, used by the HTTP endpoint: `scope` is applied to the
+    * store relation before compiling (tenant filters must bind to the
+    * SOURCE so subqueries stay scoped too — see QueryServer.scopedSource). */
+  def lastN(spark: SparkSession, dir: String, q: graft.logql.Query, n: Int,
+            nowNs: Long,
+            scope: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     val days = listDays(dir)
-    val logs = read(spark, dir)
-    val q = graft.logql.Parser.parse(filterText,
-      System.currentTimeMillis() * 1000000L)
+    val logs = scope(read(spark, dir))
     // pipes routed to the full-scan path (stats, facets, fields without
     // _time, …) usually DROP _time — only order by it when it survived
     // the compile (the reference skips getLastNQueryResults entirely when
     // CanReturnLastNResults is false)
     def fullScan(): org.apache.spark.sql.DataFrame = {
-      val res = graft.logql.Compiler.run(logs, filterText)
+      val res = graft.logql.Compiler.run(logs, q, nowNs)
       if (res.columns.contains("_time"))
         res.orderBy(col("_time").desc).limit(n)
       else res.limit(n)
@@ -230,7 +239,7 @@ object LogStore {
     while (take < days.length) {
       val window = days.take(take)
       val sub = logs.filter(col("_day").isin(window: _*))
-      val res = graft.logql.Compiler.run(sub, filterText)
+      val res = graft.logql.Compiler.run(sub, q, nowNs)
         .orderBy(col("_time").desc).limit(n)
       // one execution per descent step: the window is already limited to
       // ≤n rows, so materialize it once and hand back a local relation

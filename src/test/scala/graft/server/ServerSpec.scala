@@ -142,6 +142,77 @@ class ServerSpec extends SparkSuite {
     } finally s2.stop()
   }
 
+  test("store-backed query?limit=N returns the newest N via day descent") {
+    val dir = graft.store.LogStore.ensureFromEvents(spark, "/root/testdata/sf0.001")
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    try {
+      val conn = new URI(s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("*")}&limit=5")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      val daysScanned = conn.getHeaderField("X-Graft-Days-Scanned").toInt
+      conn.disconnect()
+      val lines = body.trim.split("\n")
+      assert(lines.length == 5)
+      // newest-first: timestamps strictly descend across the returned rows
+      val times = lines.toSeq.map(l =>
+        """"_time":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1))
+      assert(times == times.sortBy(identity).reverse, times)
+      // and the newest row of the whole store is included (not arbitrary rows)
+      val dayCount = new java.io.File(s"$dir/logs/tenant=0%3A0")
+        .listFiles().count(_.getName.startsWith("_day="))
+      assert(daysScanned < dayCount, s"scanned $daysScanned of $dayCount days")
+    } finally s2.stop()
+  }
+
+  test("tenant lists read across tenants; single and headerless unchanged") {
+    import spark.implicits._
+    val dir = s"/root/repo/target/server_test/multitenant-${System.nanoTime()}"
+    def mk(tenant: String, n: Int): Unit = {
+      val lines = (1 to n).map(i =>
+        s"""{"_time":"2024-01-0${i}T10:00:00Z","_msg":"row $i","app":"web"}""")
+        .toDF("value")
+      // appendBatch, not LogStore.ingest: the latter is the overwrite
+      // initial-load path and would replace the previous tenants' data
+      graft.streaming.Ingest.appendBatch(
+        graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"), tenant = tenant)
+    }
+    mk("0:0", 3); mk("7:0", 2); mk("9:1", 4)
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    def getT(hs: Seq[(String, String)]): Long = {
+      val conn = new URI(
+        s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("* | stats count() c")}")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      hs.foreach { case (k, v) => conn.addRequestProperty(k, v) }
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      conn.disconnect()
+      """"c":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    }
+    try {
+      assert(getT(Nil) == 3)                                   // headerless → 0:0
+      assert(getT(Seq("AccountID" -> "7")) == 2)               // single tenant
+      assert(getT(Seq("AccountID" -> "0,7")) == 5)             // comma list
+      assert(getT(Seq("AccountID" -> "0:0,9:1")) == 7)         // full pairs
+      assert(getT(Seq("AccountID" -> "7,9", "ProjectID" -> "0,1")) == 6) // zip
+    } finally s2.stop()
+  }
+
+  test("tail rejects non-streamable pipes with 400") {
+    val (code, body) = get(
+      s"/select/logsql/tail?query=${enc("* | stats count() c")}&max_polls=1")
+    assert(code == 400, body)
+    assert(body.contains("cannot tail"), body)
+    // a pure filter/transform tail keeps streaming
+    val (code2, body2) = get(
+      s"/select/logsql/tail?query=${enc("event_type:purchase | fields event_id")}&max_polls=1")
+    assert(code2 == 200)
+    assert(body2.contains("\"event_id\""))
+  }
+
   test("bad query returns a JSON error") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
     assert(code == 400)
