@@ -576,14 +576,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("chunks"), sum("n_tokens").as("toks"))
         .orderBy("shard", "pack_idx")
     }),
-    // ---- language id + token counting grouped by detected lang ----
+    // ---- language id + token counting grouped by detected lang: ONE
+    // codegen'd pass per document (lang decision + token count together;
+    // the Column tower re-walked the token array once per language) ----
     "q_text_stats" -> ((s, d) => {
       import graft.ops.TextAnalysis
       documents(s, d)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .groupBy(TextAnalysis.langIdTokens(col("__toks"), col("text")).as("lang"))
+        .withColumn("__ts", TextAnalysis.langTokenStats(col("text")))
+        .groupBy(col("__ts.lang").as("lang"))
         .agg(count(lit(1)).as("cnt"),
-             sum(size(col("__toks")).cast(LongType)).cast(LongType).as("toks"))
+             sum(col("__ts.n_tokens")).cast(LongType).as("toks"))
         .orderBy("lang")
     }),
     // ---- set fingerprint ≡ distinct sorted token set (collision-free at

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass language-ID + token-count kernel over the raw text.
+  *
+  * The Column formulation (ops/TextAnalysis.langIdTokens over
+  * `tokens(text)`) pays a java.util.regex split into an intermediate
+  * array, then three interpreted `filter` walks (HigherOrderFunction is
+  * CodegenFallback) plus an `rlike` Han scan — five passes, per-token
+  * boxing. This expression computes the identical answer in one walk of
+  * the string's code points: token boundaries from the same
+  * `\p{L}\p{N}_` word class (lib/logstorage/tokenizer.go:12-60 uses the
+  * same class — see WordMatch), stopword hits via a length-gated hash
+  * lookup, Han detection via Character.UnicodeScript. Parity with the
+  * Column spec is pinned by ExprPropertySpec.
+  */
+case class LangTextStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_text_stats needs string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatsKernel.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextStatsKernel.eval($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangTextStatsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_text_stats"
+}
+
+object TextStatsKernel {
+
+  /** Stopword lists — the single source of truth shared with the Column
+    * spec (ops/TextAnalysis). Keys map to the language's counter index. */
+  val enStop = Seq("the", "a", "of", "and", "is", "to", "in")
+  val esStop = Seq("el", "la", "de", "los", "que", "y", "en")
+  val deStop = Seq("der", "die", "und", "das", "ist", "nicht")
+
+  // value type MUST be the boxed Integer: with a primitive Int value
+  // type, scalac unboxes get()'s null-on-miss to 0 — silently counting
+  // every short token as language 0
+  private val stopLang: java.util.HashMap[String, java.lang.Integer] = {
+    val m = new java.util.HashMap[String, java.lang.Integer]()
+    enStop.foreach(m.put(_, Int.box(0)))
+    esStop.foreach(m.put(_, Int.box(1)))
+    deStop.foreach(m.put(_, Int.box(2)))
+    m
+  }
+  private val maxStopLen = (enStop ++ esStop ++ deStop).map(_.length).max
+
+  private val LANGS = Array(UTF8String.fromString("en"),
+    UTF8String.fromString("es"), UTF8String.fromString("de"))
+  private val ZH = UTF8String.fromString("zh")
+  private val UND = UTF8String.fromString("und")
+
+  /** `\p{L}\p{N}_` membership for a code point. NOT isLetterOrDigit —
+    * that misses the Nl/No categories \p{N} includes (a divergence that
+    * would silently desync this kernel from WordMatch and the blooms). */
+  private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || cp == '_' || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  def eval(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    var nTokens = 0L
+    var tokStart = -1
+    var han = false
+    val counts = new Array[Int](3)
+    def endToken(end: Int): Unit = {
+      nTokens += 1L
+      if (end - tokStart <= maxStopLen) {
+        val lang = stopLang.get(s.substring(tokStart, end))
+        if (lang != null) counts(lang.intValue) += 1
+      }
+      tokStart = -1
+    }
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (isWordCp(cp)) {
+        if (tokStart < 0) tokStart = i
+        if (!han && Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+          han = true
+      } else {
+        if (tokStart >= 0) endToken(i)
+        // the Han regex scans the WHOLE text, word char or not
+        if (!han && Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+          han = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (tokStart >= 0) endToken(len)
+    val lang =
+      if (han) ZH
+      else if (counts(0) >= counts(1) && counts(0) >= counts(2) && counts(0) > 0) LANGS(0)
+      else if (counts(1) >= counts(2) && counts(1) > 0) LANGS(1)
+      else if (counts(2) > 0) LANGS(2)
+      else UND
+    new GenericInternalRow(Array[Any](lang, nTokens))
+  }
+
+  @volatile private var registered = Set.empty[SparkSession]
+
+  private def ensureRegistered(): Unit = {
+    val spark = SparkSession.active
+    if (!registered.contains(spark)) synchronized {
+      if (!registered.contains(spark)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_text_stats", exprs => LangTextStatsExpr(exprs(0)), "built-in")
+        registered += spark
+      }
+    }
+  }
+
+  def textStats(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_text_stats", text)
+  }
+}

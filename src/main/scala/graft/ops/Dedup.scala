@@ -97,7 +97,8 @@ object Dedup {
     * pairs agreeing on any chunk are candidates (Hamming-adjacent dups agree
     * on at least one chunk when distance < bands). */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4,
+                        maxBucketSize: Int = 10000): DataFrame = {
     val bits = 64 / bands
     val withSh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
       .withColumn("chunk", explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -105,8 +106,19 @@ object Dedup {
           call_function("shiftright", col("sh"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("chunk_val")))))
       .select(col("id"), col("sh"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
-    val l = withSh.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = withSh.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // same pathological-bucket cap as minhashLSH: exact duplicates share
+    // ALL chunk values, so a mass-duplicate corpus (the very thing dedup
+    // targets) would make one chunk bucket quadratic — 100k copies of a
+    // boilerplate page is 4×10^10 candidate pairs without the cap. Members
+    // of a dropped bucket still pair via their other chunks when those
+    // buckets are below the cap, and exact dedup catches identical docs.
+    val sized = withSh
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("chunk_idx", "chunk_val")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = sized.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sized.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

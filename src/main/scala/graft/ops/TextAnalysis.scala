@@ -25,9 +25,11 @@ object TextAnalysis {
 
   // ----------------------------------------------------------- language id
 
-  private val enStop = Seq("the", "a", "of", "and", "is", "to", "in")
-  private val esStop = Seq("el", "la", "de", "los", "que", "y", "en")
-  private val deStop = Seq("der", "die", "und", "das", "ist", "nicht")
+  // single source of truth lives beside the codegen'd kernel that also
+  // consumes them (functions/TextStatsKernel.scala)
+  private val enStop = graft.functions.TextStatsKernel.enStop
+  private val esStop = graft.functions.TextStatsKernel.esStop
+  private val deStop = graft.functions.TextStatsKernel.deStop
 
   private def stopHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
@@ -36,9 +38,11 @@ object TextAnalysis {
     * zh (CJK chars) > en >= es >= de > und. */
   def langId(text: Column): Column = langIdTokens(tokens(text), text)
 
-  /** langId over a precomputed token array — callers that also need token
-    * counts should tokenize once and share the column (each `tokens()` is
-    * a full regex split of the document). */
+  /** langId over a precomputed token array. This Column tower walks the
+    * array once per language (HOF lambdas are CodegenFallback, so no
+    * projection shape can share the walks) — it is kept as the SEMANTIC
+    * SPEC for the differential property test; hot paths use the
+    * single-pass codegen'd kernel [[langTokenStats]] instead. */
   def langIdTokens(ts: Column, text: Column): Column = {
     def hits(words: Seq[String]): Column =
       size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
@@ -51,6 +55,13 @@ object TextAnalysis {
       .when(de > 0, "de")
       .otherwise("und")
   }
+
+  /** `struct(lang, n_tokens)` in ONE codegen'd pass over the raw text —
+    * no regex split, no intermediate token array, no interpreted HOF
+    * lambdas (functions/TextStatsKernel.scala; parity with
+    * [[langIdTokens]] + [[tokenCount]] pinned by ExprPropertySpec). */
+  def langTokenStats(text: Column): Column =
+    graft.functions.TextStatsKernel.textStats(text)
 
   // --------------------------------------------------------- quality score
 
@@ -75,11 +86,28 @@ object TextAnalysis {
     round((lenScore + punctOk + stopOk) / 3d, 6)
   }
 
-  def withQuality(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("punct_ratio", round(punctRatio(col(textCol)), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(col(textCol)), 6))
-      .withColumn("quality", qualityScore(col(textCol)))
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // tokenize and count punctuation ONCE each: the scratch columns are
+    // non-cheap aliases referenced several times, so CollapseProject keeps
+    // them materialized instead of inlining a regex split per consumer
+    // (the inline form re-tokenized the document ~5×)
+    val d = df
+      .withColumn("__q_toks", tokens(t))
+      .withColumn("__q_punct", punctRatio(t))
+      .withColumn("__q_stop",
+        size(filter(col("__q_toks"), x => x.isin(enStop.map(lit(_)): _*)))
+          .cast("double") /
+          greatest(size(col("__q_toks")), lit(1)).cast("double"))
+    val lenScore = least(octet_length(t).cast("double") / 500d, lit(1d))
+    val punctOk = lit(1d) - least(col("__q_punct") * 5d, lit(1d))
+    val stopOk = least(col("__q_stop") * 10d, lit(1d))
+    d.withColumn("n_tokens", size(col("__q_toks")).cast("long"))
+      .withColumn("punct_ratio", round(col("__q_punct"), 6))
+      .withColumn("stopword_ratio", round(col("__q_stop"), 6))
+      .withColumn("quality", round((lenScore + punctOk + stopOk) / 3d, 6))
+      .drop("__q_toks", "__q_punct", "__q_stop")
+  }
 
   // ---------------------------------------------------------- fingerprints
 

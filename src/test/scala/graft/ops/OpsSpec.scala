@@ -109,6 +109,23 @@ class OpsSpec extends SparkSuite {
     assert(!planOf(out).contains("CartesianProduct"))
   }
 
+  test("simhashCandidates caps mass-duplicate buckets like minhashLSH") {
+    // 5k identical docs: they share ALL chunk values, so without the cap
+    // the chunk join is quadratic (~12.5M pairs per chunk). With the cap
+    // the flooded buckets drop — identical docs are exact dedup's job —
+    // while unrelated near-dup pairs in small buckets keep matching.
+    val flood = (0L until 5000L).map(i => (10000L + i, "the same boilerplate page text"))
+    val distinct = (0L until 10L).flatMap(i =>
+      Seq((i, synthDoc(i)), (1000L + i, synthDoc(i) + " extra tail")))
+    val out = Dedup.simhashCandidates(docsDF(flood ++ distinct), "text", "doc_id",
+      maxBucketSize = 100)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a < 10000L && b < 10000L },
+      "flooded bucket must not emit pairs")
+    val found = (0L until 10L).count(i => pairs.contains((i, 1000L + i)))
+    assert(found >= 8, s"simhash recall too low after cap: $found/10")
+  }
+
   test("ngramJaccard computes exact jaccard over shingles") {
     // "a b c d" 2-grams: {a b, b c, c d}; "a b c e": {a b, b c, c e}
     // common=2, union=4 → jaccard 0.5
