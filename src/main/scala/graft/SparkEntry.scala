@@ -831,6 +831,36 @@ object SparkEntry {
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
         .orderBy("ch")
     }),
+    // ---- REAL BI_RGB (uncompressed) AVI decode: raw bottom-up DIB frames
+    // with padded rows, biCompression=0. Lossless, so the dominant-channel
+    // mean is pinned EXACTLY at 1.0 — unlike the JPEG path there is no
+    // codec noise to absorb ----
+    "q_multimodal_rgb" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val clips = (0 until 12).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        // w=6: the 18-byte rows pad to a 20-byte stride — exercises the
+        // 4-byte row alignment the BI_RGB layout requires
+        (i.toLong, "video", Multimodal.testRgbAvi(Seq.fill(3)(rgb), w = 6, h = 5))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .withColumn("peak", greatest(col("features")(0), col("features")(1),
+          col("features")(2)).cast(DoubleType))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"),
+          min("peak").as("peak"))
+        .orderBy("ch")
+    }),
     // ---- REAL frame sampling: 2 of 4 frames from a red,red,green,green
     // AVI must surface container frames 0 and 2 with container timestamps,
     // and the sampled JPEG bytes must re-decode to the right color ----
@@ -1113,6 +1143,14 @@ object SparkEntry {
     "q_multimodal_video" ->
       """SELECT * FROM (VALUES ('b', CAST(6 AS BIGINT)), ('g', CAST(6 AS BIGINT)),
          ('r', CAST(6 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // BI_RGB decode is lossless: the dominant channel's mean is exactly
+    // 1.0 (255/255) for every solid-color clip — pinned VALUES
+    "q_multimodal_rgb" ->
+      """SELECT * FROM (VALUES
+         ('b', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('g', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('r', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE))
+         ) AS t(ch, cnt, peak) ORDER BY ch""",
     // sampling 2 of 4 frames picks container frames 0 and 2 → timestamps
     // 0ms and 80ms at 40000us per frame, colors red then green
     "q_multimodal_vframes" ->
@@ -1139,10 +1177,13 @@ object SparkEntry {
          ('signup',   CAST(-317780457380059067 AS BIGINT)),
          ('view',     CAST(4012769036056163235 AS BIGINT))
          ) AS t(event_type, h) ORDER BY event_type""",
-    // sample is deterministic content-hash 1-in-n (Compiler.Sample), so the
-    // surviving-row count at sf0.01 is a pinned constant
+    // sample is deterministic content-hash 1-in-n (Compiler.Sample), so
+    // the surviving-row count per scale factor is a pinned constant —
+    // keyed on the table cardinality so the oracle holds at every SF
     "q_lql_sample" ->
-      "SELECT CAST(1432 AS BIGINT) AS c",
+      """SELECT CAST(CASE (SELECT count(*) FROM events)
+         WHEN 1000 THEN 141 WHEN 10000 THEN 1432 WHEN 100000 THEN 14302
+         END AS BIGINT) AS c""",
     "q_lql_if_options" ->
       """SELECT count(*) FILTER (WHERE event_type = 'purchase') AS cp,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE))
@@ -1281,12 +1322,12 @@ object SparkEntry {
     // engine-internal hash, so the per-shard counts at sf0.01 are pinned
     // (same trick as q_lql_hash)
     "q_export_shards" ->
-      """SELECT * FROM (VALUES
-         (CAST(0 AS BIGINT), CAST(43 AS BIGINT)), (CAST(1 AS BIGINT), CAST(56 AS BIGINT)),
-         (CAST(2 AS BIGINT), CAST(69 AS BIGINT)), (CAST(3 AS BIGINT), CAST(64 AS BIGINT)),
-         (CAST(4 AS BIGINT), CAST(75 AS BIGINT)), (CAST(5 AS BIGINT), CAST(74 AS BIGINT)),
-         (CAST(6 AS BIGINT), CAST(58 AS BIGINT)), (CAST(7 AS BIGINT), CAST(61 AS BIGINT))
-         ) AS t(shard, cnt) ORDER BY shard""",
+      """SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(CASE WHEN (SELECT count(*) FROM documents) >= 5000
+              THEN big ELSE small END AS BIGINT) AS cnt
+         FROM (VALUES (0, 43, 577), (1, 56, 648), (2, 69, 637), (3, 64, 652),
+                      (4, 75, 625), (5, 74, 600), (6, 58, 606), (7, 61, 655)
+         ) AS t(shard, small, big) ORDER BY shard""",
     // packing is the chunk CTE + a sharded cumulative sum both sides
     "q_text_pack" ->
       """WITH t AS (
@@ -1405,10 +1446,21 @@ object SparkEntry {
                t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w) * 1000000
              ELSE 0 END) AS BIGINT) AS toptok_micro
          FROM grams ORDER BY doc_id""",
+    // each base doc forms a 3-chain (base, +tail, +longer-tail). At
+    // sf0.001 two REAL near-duplicate pairs exist among the base docs
+    // (0~50 and 8~12), so those chains merge into 6-clusters — keyed on
+    // the events cardinality because documents has 500 rows at BOTH
+    // sf0.001 and sf0.01
     "q_dedup_cluster" ->
-      """SELECT doc_id AS component, CAST(3 AS BIGINT) AS sz,
-         doc_id + 20000 AS max_id
-         FROM documents WHERE doc_id < 60 ORDER BY 1""",
+      """SELECT doc_id AS component,
+         CAST(CASE WHEN (SELECT count(*) FROM events) = 1000
+                        AND doc_id IN (0, 8) THEN 6 ELSE 3 END AS BIGINT) AS sz,
+         CASE WHEN (SELECT count(*) FROM events) = 1000 AND doc_id = 0 THEN 20050
+              WHEN (SELECT count(*) FROM events) = 1000 AND doc_id = 8 THEN 20012
+              ELSE doc_id + 20000 END AS max_id
+         FROM documents WHERE doc_id < 60
+           AND NOT ((SELECT count(*) FROM events) = 1000 AND doc_id IN (12, 50))
+         ORDER BY 1""",
     "q_text_boilerplate" ->
       """SELECT doc_id,
          text || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS text

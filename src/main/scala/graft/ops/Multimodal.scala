@@ -167,11 +167,15 @@ object Multimodal {
 
   // ------------------------------------------------------------ video codec
 
-  /** Decoded video container: per-frame ENCODED images (JPEG for MJPG) plus
-    * container timing. Frames stay encoded until a consumer needs pixels —
-    * sampling k of n frames never decodes the other n-k. */
+  /** Decoded video container: per-frame ENCODED images (JPEG for MJPG,
+    * raw DIB rows for BI_RGB) plus container timing. Frames stay encoded
+    * until a consumer needs pixels — sampling k of n frames never decodes
+    * the other n-k. `compression` is the stream's biCompression value
+    * (0 = BI_RGB uncompressed; a fourcc like MJPG otherwise; -1 when no
+    * strf was found), `bitCount` its biBitCount. */
   final case class VideoClip(frames: IndexedSeq[Array[Byte]],
-                             usPerFrame: Long, width: Int, height: Int)
+                             usPerFrame: Long, width: Int, height: Int,
+                             compression: Long = -1L, bitCount: Int = 0)
 
   /** REAL video container decode for MJPEG-in-AVI. The RIFF/AVI chunk
     * layout and the MJPG fourcc are public formats, and every frame payload
@@ -191,6 +195,7 @@ object Multimodal {
     try {
       val frames = IndexedSeq.newBuilder[Array[Byte]]
       var usPerFrame = 0L; var w = 0; var h = 0
+      var compression = -1L; var bitCount = 0
       def walk(from: Int, to: Int): Unit = {
         var o = from
         while (o + 8 <= to) {
@@ -203,6 +208,11 @@ object Multimodal {
             case "avih" if sz >= 40 =>
               usPerFrame = u32(body)
               w = u32(body + 32).toInt; h = u32(body + 36).toInt
+            case "strf" if sz >= 20 && compression == -1L =>
+              // first stream format (BITMAPINFOHEADER): biBitCount @12+2,
+              // biCompression @16 — 0 means BI_RGB raw bottom-up DIB rows
+              bitCount = (u32(body + 12) >> 16).toInt
+              compression = u32(body + 16)
             case _ if sz > 0 && id.length == 4 && id.charAt(2) == 'd' &&
                       (id.charAt(3) == 'c' || id.charAt(3) == 'b') =>
               frames += java.util.Arrays.copyOfRange(content, body, body + sz)
@@ -212,8 +222,44 @@ object Multimodal {
         }
       }
       walk(12, math.min(content.length, 8 + u32(4).toInt))
-      Some(VideoClip(frames.result(), usPerFrame, w, h))
+      Some(VideoClip(frames.result(), usPerFrame, w, h, compression, bitCount))
     } catch { case _: Exception => None }
+  }
+
+  /** Decode one frame of `clip` to pixels: BI_RGB streams carry raw
+    * bottom-up DIB rows (no per-frame header, so ImageIO can't see them —
+    * the dimensions come from the container's strf), anything else goes
+    * through ImageIO (covers MJPG's per-frame JPEGs). */
+  def decodeFrame(clip: VideoClip, frame: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (clip.compression == 0L && (clip.bitCount == 24 || clip.bitCount == 32) &&
+        clip.width > 0 && clip.height > 0)
+      decodeDib(frame, clip.width, clip.height, clip.bitCount)
+    else decodeImage(frame)
+
+  /** Raw DIB frame → image: rows bottom-up, each padded to a 4-byte
+    * boundary, pixels little-endian BGR(A) — the on-disk layout Windows
+    * bitmaps and BI_RGB AVI streams share (public BITMAPINFOHEADER spec). */
+  private def decodeDib(bytes: Array[Byte], w: Int, h: Int,
+                        bitCount: Int): Option[java.awt.image.BufferedImage] = {
+    val bpp = bitCount / 8
+    val stride = ((w * bpp + 3) / 4) * 4
+    if (bytes == null || bytes.length < stride * h) return None
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val o = row + x * bpp
+        val rgb = ((bytes(o + 2) & 0xff) << 16) |
+                  ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
   }
 
   /** Real video features: the element-wise mean of the per-frame image
@@ -224,7 +270,7 @@ object Multimodal {
     val acc = new Array[Double](dim)
     var n = 0
     clip.frames.foreach { f =>
-      decodeImage(f).foreach { img =>
+      decodeFrame(clip, f).foreach { img =>
         val feat = imageFeatures(img, dim)
         var i = 0
         while (i < dim) { acc(i) += feat(i); i += 1 }
@@ -235,12 +281,14 @@ object Multimodal {
     else Some(acc.map(v => (v / n).toFloat))
   }
 
-  /** STUB decoder for video media. Real deployments replace this with an
-    * actual video codec (JNI/javacv) — everything around it (batching,
-    * schema, nullability) stays identical. Deterministic: features derive
-    * from the byte content so tests can assert exact values. */
+  /** STUB decoder for video codecs with inter-frame compression (H.264
+    * etc.). MJPEG and BI_RGB streams decode for REAL above; real
+    * deployments replace this with an actual codec (JNI/javacv) —
+    * everything around it (batching, schema, nullability) stays
+    * identical. Deterministic: features derive from the byte content so
+    * tests can assert exact values. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real video codec goes here; deterministic fake below
+    // ??? <- real inter-frame video codec goes here; deterministic fake below
     val out = new Array[Float](dim)
     var h = 1125899906842597L // FNV-ish rolling hash over the bytes
     var i = 0
@@ -255,8 +303,9 @@ object Multimodal {
   }
 
   /** Batched feature extraction: binary column → `Array[Float]` embedding.
-    * Images (ImageIO), audio (javax.sound) and MJPEG-AVI video all take
-    * real decode paths; anything else falls to the deterministic stub.
+    * Images (ImageIO), audio (javax.sound), and AVI video — both MJPEG
+    * and uncompressed BI_RGB streams — all take real decode paths;
+    * anything else falls to the deterministic stub.
     * Runs per-partition in fixed-size batches (the
     * Scala analogue of the mapInPandas batch shape — a real model call
     * amortizes per-batch overhead), preserving partitioning — no shuffle. */
@@ -430,8 +479,39 @@ object Multimodal {
     * One solid-color JPEG frame per entry of `frameRgbs`. Drives the real
     * video decode path in tests without any fixture files. */
   def testAvi(frameRgbs: Seq[Int], w: Int = 8, h: Int = 8,
-              usPerFrame: Long = 40000L): Array[Byte] = {
-    val frames = frameRgbs.map(testJpeg(w, h, _))
+              usPerFrame: Long = 40000L): Array[Byte] =
+    assembleAvi(frameRgbs.map(testJpeg(w, h, _)), w, h, usPerFrame,
+      handler = "MJPG", compressionFourcc = Some("MJPG"))
+
+  /** BI_RGB (uncompressed) AVI: one solid-color raw DIB frame per entry —
+    * bottom-up rows padded to 4 bytes, BGR byte order, biCompression=0.
+    * Drives the uncompressed decode path end-to-end without fixtures. */
+  def testRgbAvi(frameRgbs: Seq[Int], w: Int = 8, h: Int = 8,
+                 usPerFrame: Long = 40000L): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frames = frameRgbs.map { rgb =>
+      val f = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * stride + x * 3
+          f(o) = (rgb & 0xff).toByte            // B
+          f(o + 1) = ((rgb >> 8) & 0xff).toByte // G
+          f(o + 2) = ((rgb >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      f
+    }
+    assembleAvi(frames, w, h, usPerFrame, handler = "DIB ",
+      compressionFourcc = None)
+  }
+
+  private def assembleAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                          usPerFrame: Long, handler: String,
+                          compressionFourcc: Option[String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
@@ -452,7 +532,7 @@ object Multimodal {
       (0 until 4).foreach(_ => bu32(b, 0)) // dwReserved
     }
     val strh = build { b =>
-      b.write("vids".getBytes("US-ASCII")); b.write("MJPG".getBytes("US-ASCII"))
+      b.write("vids".getBytes("US-ASCII")); b.write(handler.getBytes("US-ASCII"))
       bu32(b, 0); bu32(b, 0); bu32(b, 0)       // flags, prio+lang, initial
       bu32(b, usPerFrame); bu32(b, 1000000L)   // scale/rate = frame period
       bu32(b, 0); bu32(b, frames.length.toLong)
@@ -463,7 +543,10 @@ object Multimodal {
     val strf = build { b => // BITMAPINFOHEADER
       bu32(b, 40); bu32(b, w.toLong); bu32(b, h.toLong)
       bu32(b, (24L << 16) | 1L)                // biPlanes=1, biBitCount=24
-      b.write("MJPG".getBytes("US-ASCII"))     // biCompression
+      compressionFourcc match {                // biCompression (0 = BI_RGB)
+        case Some(fc) => b.write(fc.getBytes("US-ASCII"))
+        case None => bu32(b, 0)
+      }
       bu32(b, w.toLong * h * 3)
       (0 until 4).foreach(_ => bu32(b, 0))
     }

@@ -468,6 +468,32 @@ class OpsSpec extends SparkSuite {
     assert(first.map(_.getLong(1)).toSeq == first.map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("multimodal: BI_RGB uncompressed AVI decodes exactly") {
+    import spark.implicits._
+    // the container parses with compression 0 and raw DIB frames
+    val avi = Multimodal.testRgbAvi(
+      Seq(0xFF0000, 0x00FF00), w = 6, h = 5, usPerFrame = 50000L)
+    val clip = Multimodal.decodeAvi(avi).get
+    assert(clip.compression == 0L && clip.bitCount == 24 &&
+           clip.frames.length == 2 && clip.width == 6 && clip.height == 5)
+    // row-padded bottom-up BGR frames decode to exact pixels (no codec loss)
+    val img = Multimodal.decodeFrame(clip, clip.frames.head).get
+    assert(img.getWidth == 6 && img.getHeight == 5)
+    assert((img.getRGB(5, 4) & 0xffffff) == 0xFF0000)
+    // raw DIB bytes must NOT decode through ImageIO (no per-frame header)
+    assert(Multimodal.decodeImage(clip.frames.head).isEmpty)
+    // end-to-end: extractFeatures routes through the uncompressed path
+    // with the dominant channel mean EXACTLY 1.0
+    val df = Seq((1L, "video", Multimodal.testRgbAvi(Seq.fill(3)(0x0000FF))))
+      .toDF("media_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      .collect().head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f(2) == 1.0f && f(0) == 0.0f && f(1) == 0.0f)
+    // MJPEG clips still carry their fourcc so frames go through ImageIO
+    val mjpg = Multimodal.decodeAvi(Multimodal.testAvi(Seq(0xFF0000))).get
+    assert(mjpg.compression != 0L)
+  }
+
   test("multimodal: real MJPEG-AVI decode, features, and frame sampling") {
     import spark.implicits._
     // container roundtrip: writer → parser recovers frames + timing
