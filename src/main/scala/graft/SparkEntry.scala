@@ -689,7 +689,7 @@ object SparkEntry {
     "q_text_perplexity" -> ((s, d) => {
       import graft.ops.LangModel
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val model = LangModel.unigramCounts(docs, "text")
+      val model = LangModel.unigramModel(docs, "text")
       LangModel.scoreTokens(docs.filter(col("doc_id") < 50), "text", "doc_id", model)
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),

@@ -48,16 +48,45 @@ object Dedup {
     * numHashes = bands * rowsPerBand. Collision probability for a pair with
     * true Jaccard s is 1-(1-s^rows)^bands (standard LSH S-curve).
     */
+  private val sigCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            String, String, Int, Int), DataFrame]
+  private val MaxSigEntries = 8
+
+  /** Memoized MinHash signature table: signatures depend only on the
+    * corpus and (shingleSize, numHashes) — re-thresholding or re-banding
+    * the same corpus (the common tuning loop) reuses them instead of
+    * recomputing a full shingle+hash pass. Keyed by the canonicalized
+    * plan, bounded, unpersist-on-evict (the IVF cache pattern). */
+  private def minhashSigs(df: DataFrame, textCol: String, idCol: String,
+                          shingleSize: Int, numHashes: Int): DataFrame =
+    synchronized {
+      val key = (df.queryExecution.optimizedPlan.canonicalized,
+        textCol, idCol, shingleSize, numHashes)
+      sigCache.get(key) match {
+        case Some(s) => s
+        case None =>
+          val s = df.select(col(idCol).as("id"),
+              minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sigCache.put(key, s)
+          while (sigCache.size > MaxSigEntries) {
+            val (oldKey, oldS) = sigCache.head
+            oldS.unpersist(blocking = false)
+            sigCache.remove(oldKey)
+          }
+          s
+      }
+    }
+
   def minhashLSH(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.7,
                  maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // signatures computed once, cached — both the band explode and the
+    // signatures computed once, memoized — both the band explode and the
     // per-side re-attach below read them (id + numHashes longs per row)
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigs(df, textCol, idCol, shingleSize, numHashes)
     // the band join carries IDS ONLY — not the full signature on both sides
     // of an exploded 32× join (that would shuffle sig arrays 64×)
     val bandRows = sigs

@@ -25,6 +25,33 @@ object LangModel {
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  private val modelCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+           DataFrame]
+  private val MaxModels = 8
+
+  /** Memoized trained model: the counts table is index-like state — the
+    * CCNet shape trains once and scores many batches against it — so
+    * repeat calls over the same corpus reuse the persisted counts instead
+    * of re-running the train shuffle. Keyed by the canonicalized corpus
+    * plan, bounded, unpersist-on-evict (the IVF/SemDeDup cache pattern). */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame = synchronized {
+    val key = (df.queryExecution.optimizedPlan.canonicalized, textCol)
+    modelCache.get(key) match {
+      case Some(m) => m
+      case None =>
+        val m = unigramCounts(df, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        modelCache.put(key, m)
+        while (modelCache.size > MaxModels) {
+          val (oldKey, oldM) = modelCache.head
+          oldM.unpersist(blocking = false)
+          modelCache.remove(oldKey)
+        }
+        m
+    }
+  }
+
   /** Add-one-smoothed unigram negative log-likelihood of one token count
     * column against (total, vocab) scalars:
     * nll(t) = −ln((cnt(t)+1) / (total+vocab+1)); unseen tokens take cnt=0.
