@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine near-dup.
@@ -226,7 +227,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          maxLocalEdges: Long = 2000000L): DataFrame = {
     // canonical big→small orientation, no self-loops / nulls
     var e = pairs
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
@@ -235,6 +237,53 @@ object Dedup {
         least(col(idACol), col(idBCol)).as("b"))
       .distinct()
       .localCheckpoint()
+
+    // size gate, like the engine's broadcast gates: a SMALL edge set pays
+    // more in star-round scheduler jobs (2 shuffles + a probe per round ×
+    // O(log n) rounds) than a driver union-find costs outright — ids-only
+    // pairs at the gate are ≤ ~32 MB, the size class broadcasts already
+    // trust the driver with. Numeric ids only (driver comparison must
+    // match Spark's least/greatest collation exactly; numeric types are
+    // the only ones where that equivalence is trivially safe). Big graphs
+    // — billions of LSH candidate edges at 100 TB — stay on the
+    // distributed star-forest loop below.
+    val idType = e.schema.head.dataType
+    val numericId = idType == LongType || idType == IntegerType ||
+      idType == ShortType
+    if (numericId && e.count() <= maxLocalEdges) {
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+      }
+      val edges = e.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x0 // path compression
+        while (parent.getOrDefault(c, c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      val nodes = new java.util.HashSet[Long]()
+      edges.foreach { row =>
+        val a = asLong(row.get(0)); val b = asLong(row.get(1))
+        nodes.add(a); nodes.add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.asScala.toSeq.map(n => (n, find(n)))
+        .toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    }
 
     // large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
     // No distinct here — small-star's final distinct dedups the round.

@@ -61,13 +61,19 @@ class OpsSpec extends SparkSuite {
           (11L, 10L),                           // pair
           (20L, 21L), (20L, 22L)) ++            // star centered on 20
         (100L until 110L).map(i => (i, i + 1))  // 11-node path, forces >1 round
-    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
-    assert(cc(10L) == 10L && cc(11L) == 10L)
-    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
-    assert((100L to 110L).forall(cc(_) == 100L))
-    assert(cc.size == 4 + 2 + 3 + 11)
+    // both execution paths must agree: the size-gated driver union-find
+    // (default gate) and the distributed star-forest loop (gate forced to
+    // 0 so tiny test graphs still exercise it)
+    for (gate <- Seq(2000000L, 0L)) {
+      val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          maxLocalEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"gate=$gate")
+      assert(cc(10L) == 10L && cc(11L) == 10L, s"gate=$gate")
+      assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L), s"gate=$gate")
+      assert((100L to 110L).forall(cc(_) == 100L), s"gate=$gate")
+      assert(cc.size == 4 + 2 + 3 + 11, s"gate=$gate")
+    }
   }
 
   test("dedupClusters collapses a planted 3-chain to one representative") {
