@@ -1,0 +1,96 @@
+package graft
+
+import graft.logql.Compiler
+import graft.store.LogStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: every scale claim the engine makes
+  * ("one scan", "pushed filter", "broadcast, not shuffle", "top-k, not
+  * global sort", "codegen'd hot path") is pinned against the EXECUTED
+  * plan, so a refactor that silently de-optimizes a flagship query fails
+  * here rather than in a 100 TB deployment. Complements the per-operator
+  * value tests: those catch wrong answers, these catch right answers
+  * computed the wrong way. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val SF = "/root/testdata/sf0.001"
+  private lazy val storeDir = LogStore.ensureFromEvents(spark, SF)
+  private lazy val logs = LogStore.read(spark, storeDir)
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // let AQE finalize so the audited plan is the real one
+    val s = df.queryExecution.executedPlan.toString
+    // AQE prints the final plan followed by the pre-execution initial
+    // plan; occurrence counts must only see the plan that actually ran
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  private def countOf(p: String, needle: String): Int =
+    needle.r.findAllIn(p).size
+
+  test("time+stream filters reach the scan: partition prune + pushdown") {
+    val p = plan(Compiler.run(logs,
+      """{event_type="purchase"} _time:[2024-01-05, 2024-01-07) | stats count() hits"""))
+    assert("PartitionFilters: \\[[^\\]]*_day".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p)
+  }
+
+  test("stream_context compiles to ONE needle scan and no marker join") {
+    val p = plan(Compiler.run(logs,
+      "value:>300 | stream_context before 2 after 1 time_window 4w"))
+    // the fast path: a single left-semi stream prune; the needle subplan
+    // appears once (inside the broadcast build), never as a LeftOuter
+    // marker join (the round-5 double-execution shape)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("LeftOuter"), p)
+    assert(countOf(p, "Scan parquet") <= 2, p) // needle build + source walk
+  }
+
+  test("facets runs ONE scan of the source relation") {
+    val p = plan(Compiler.run(logs, "* | facets 3"))
+    // the const-field rollup must reuse the counted exchange, not rescan
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("ReusedExchange") || countOf(p, "HashAggregate") > 0, p)
+  }
+
+  test("bounded sort+rank fuses to TakeOrderedAndProject, not a global sort") {
+    val p = plan(Compiler.run(logs,
+      "* | sort by (value desc) rank as r | where r:<=5"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("small join sides broadcast instead of shuffling") {
+    val p = plan(Compiler.run(logs,
+      """* | join by (event_type) (event_type:purchase | stats by (event_type) count() pc)"""))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("in(subquery) compiles to a broadcast semi-join, not a collected list") {
+    val p = plan(Compiler.run(logs,
+      "event_id:in(event_type:purchase | fields event_id) | stats count() c"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("filter+stats pipeline stays inside whole-stage codegen") {
+    val p = plan(Compiler.run(logs,
+      "event_type:purchase OR event_type:signup | stats by (event_type) count() hits, sum(value) sv"))
+    // `*(n)` prefixes are whole-stage-codegen span markers; the scan →
+    // filter → partial-agg pipeline must sit inside one
+    assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("graft_word_match"), p)
+    // the tokenized word-match predicate is a codegen'd kernel, not a
+    // regex: RLike in the plan would mean the WordMatch path regressed
+    assert(!p.contains("RLike"), p)
+  }
+
+  test("last-N day descent touches fewer partitions than exist") {
+    val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
+    assert(res.count() == 5)
+    val totalDays = new java.io.File(s"$storeDir/logs/tenant=0%3A0")
+      .listFiles().count(_.getName.startsWith("_day="))
+    assert(daysScanned < totalDays, s"$daysScanned vs $totalDays")
+  }
+}
