@@ -635,6 +635,20 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
+    // ---- target-mixture resampling (LLaMA-style domain weights): en
+    // downsampled, zh/de upsampled by whole epochs + a hash-selected
+    // partial pass, demand bounded at 2 passes per domain ----
+    "q_sample_mixture" -> ((s, d) => {
+      import graft.ops.Sampling
+      Sampling.mixture(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2), maxRepeats = 2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("picked"),
+             count_distinct(col("__epoch")).as("epochs"))
+        .orderBy("lang")
+    }),
     // ---- repetition signals (Gopher/C4 filters): micro-unit integers so
     // the comparison is exact, no float-rounding surface ----
     "q_text_repetition" -> ((s, d) => {
@@ -1418,6 +1432,18 @@ object SparkEntry {
          SELECT sh.doc_id AS id, count(*) AS shared
          FROM sh JOIN bsh USING (g)
          GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""",
+    // hash-selected partial passes make the mixture counts engine-pinned
+    // (xxhash64 selection, like q_lql_sample), keyed on events cardinality
+    // because documents has 500 rows at both sf0.001 and sf0.01
+    "q_sample_mixture" ->
+      """SELECT lang,
+         CAST(CASE (SELECT count(*) FROM events)
+           WHEN 1000 THEN CASE lang WHEN 'de' THEN 96 WHEN 'en' THEN 246 ELSE 148 END
+           WHEN 10000 THEN CASE lang WHEN 'de' THEN 97 WHEN 'en' THEN 249 ELSE 150 END
+           WHEN 100000 THEN CASE lang WHEN 'de' THEN 1018 WHEN 'en' THEN 2517 ELSE 1506 END
+         END AS BIGINT) AS picked,
+         CAST(2 AS BIGINT) AS epochs
+         FROM (VALUES ('de'), ('en'), ('zh')) AS t(lang) ORDER BY lang""",
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,

@@ -26,4 +26,56 @@ object Sampling {
     * no RNG, stable across runs and partitionings. */
   def downsample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
     df.filter(pmod(xxhash64(keyCol), lit(1000000)) < lit((fraction * 1000000).toLong))
+
+  /** Resample to a target domain MIXTURE (the LLaMA/GPT data-recipe
+    * stage: "web 60%, code 20%, books 20%"): pick the largest output size
+    * whose per-domain demand stays within `maxRepeats` passes over that
+    * domain, then deterministically downsample over-represented domains
+    * (key-hash filter, no RNG) and epoch-repeat under-represented ones
+    * (whole extra passes plus a hash-selected partial pass; the output
+    * carries an `__epoch` column so repeated rows stay distinguishable
+    * for shuffling/packing downstream).
+    *
+    * Scale shape: one small per-domain count aggregate (rows = #domains —
+    * driver-safe by construction), then a single scan with a per-domain
+    * filter/explode; no shuffle beyond the count. Deterministic in
+    * `keyCol`, so re-runs and retried partitions agree. */
+  def mixture(df: DataFrame, domainCol: String, keyCol: Column,
+              targets: Map[String, Double],
+              maxRepeats: Int = 4): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "mixture targets must be positive")
+    val wSum = targets.values.sum
+    val p = targets.map { case (d, w) => d -> w / wSum } // normalize
+    val counts = df.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+      .groupBy(domainCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = p.keySet -- counts.keySet
+    require(missing.isEmpty, s"mixture domains absent from data: $missing")
+    // largest total N with demand_d = p_d * N <= n_d * maxRepeats for all d
+    val total = p.map { case (d, pd) => counts(d) * maxRepeats / pd }.min
+    val perDomain = p.map { case (d, pd) => d -> (pd * total) }
+    // per-domain epoch plan: `full` whole passes + one partial pass
+    // keeping `frac` of rows — encoded in the plan as literals
+    val plans = perDomain.map { case (d, want) =>
+      val n = counts(d).toDouble
+      val full = math.floor(want / n).toInt
+      val frac = (want - full * n) / n
+      (d, full, frac)
+    }.toSeq
+    val keyBucket = pmod(xxhash64(keyCol), lit(1000000))
+    // one scan: each row's epoch list = 0..full-1 always, plus epoch
+    // `full` when its hash bucket falls under the partial fraction
+    val epochs = plans.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (d, full, frac)) =>
+        when(col(domainCol) === d,
+          filter(sequence(lit(0), lit(full)), e =>
+            e < full || keyBucket < lit((frac * 1000000).toLong))
+        ).otherwise(acc)
+    }
+    df.withColumn("__epochs", epochs)
+      .filter(col("__epochs").isNotNull && size(col("__epochs")) > 0)
+      .withColumn("__epoch", explode(col("__epochs")))
+      .drop("__epochs")
+  }
 }

@@ -107,6 +107,34 @@ class OpsSpec extends SparkSuite {
     assert(out(5L) == "")
   }
 
+  test("mixture resamples to target domain proportions with bounded repeats") {
+    import spark.implicits._
+    // skewed corpus: 800 web, 150 code, 50 books → target 50/30/20
+    val rows = (0 until 800).map(i => (i.toLong, "web")) ++
+      (0 until 150).map(i => (1000L + i, "code")) ++
+      (0 until 50).map(i => (2000L + i, "books"))
+    val df = rows.toDF("doc_id", "domain")
+    val out = Sampling.mixture(df, "domain", col("doc_id"),
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2), maxRepeats = 4)
+    val counts = out.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // books is the binding domain: 50 docs × 4 repeats / 0.2 = 1000 total
+    assert(total <= 1000 && total > 900, counts.toString)
+    assert(math.abs(counts("web") / total - 0.5) < 0.05, counts.toString)
+    assert(math.abs(counts("code") / total - 0.3) < 0.05, counts.toString)
+    assert(math.abs(counts("books") / total - 0.2) < 0.05, counts.toString)
+    // repeats bounded and epochs dense from 0
+    val epochs = out.groupBy("domain").agg(max("__epoch"), min("__epoch"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(epochs.values.forall { case (mx, mn) => mn == 0 && mx < 4 })
+    assert(epochs("books")._1 >= 3, epochs.toString) // upsampled hardest
+    // deterministic: same inputs, same rows
+    val again = Sampling.mixture(df, "domain", col("doc_id"),
+      Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2), maxRepeats = 4)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("simhashCandidates finds planted near-dups") {
     val out = Dedup.simhashCandidates(corpus, "text", "doc_id")
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
