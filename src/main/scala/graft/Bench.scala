@@ -35,12 +35,27 @@ object Bench {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobCounter.incrementAndGet()
     })
+    // listener events are delivered on an async bus: a job started by the
+    // action we just timed can be counted AFTER the action returns,
+    // misattributing it to the next query — drain the bus before reading
+    // the counter on either side of a delta (waitUntilEmpty is
+    // private[spark] at the source level but public in bytecode)
+    def drainListenerBus(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .foreach(_.invoke(bus))
+    } catch { case _: Exception => Thread.sleep(30) }
     def once(name: String): (Double, Long) = {
+      drainListenerBus()
       val j0 = jobCounter.get
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => return (-1d, 0L) }
-      ((System.nanoTime() - t0) / 1e9, jobCounter.get - j0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      (sec, jobCounter.get - j0)
     }
     names.foreach(once) // warmup
     // fixed per-query local-mode job overhead (scheduler + codegen floor),
@@ -63,10 +78,13 @@ object Bench {
     // time delta between a shuffling noop (multi-job under AQE) and the
     // plain one, divided by the extra jobs it runs.
     def noopShuffleSamples(k: Int): Seq[(Double, Long)] = Seq.fill(k) {
+      drainListenerBus()
       val j0 = jobCounter.get
       val t0 = System.nanoTime()
       spark.range(2).repartition(2).count()
-      ((System.nanoTime() - t0) / 1e9, jobCounter.get - j0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      (sec, jobCounter.get - j0)
     }
     val noopAcc = scala.collection.mutable.ArrayBuffer[Double]()
     val noopShufAcc = scala.collection.mutable.ArrayBuffer[(Double, Long)]()

@@ -196,6 +196,12 @@ object Multimodal {
       val frames = IndexedSeq.newBuilder[Array[Byte]]
       var usPerFrame = 0L; var w = 0; var h = 0
       var compression = -1L; var bitCount = 0
+      // fccType of the most recent strh: an AVI may list its audio stream
+      // first, and parsing that stream's strf (WAVEFORMATEX) as a
+      // BITMAPINFOHEADER would capture garbage compression/bitCount —
+      // only accept a strf that follows a 'vids' header (or none at all,
+      // for minimal writers that skip strh)
+      var streamType = ""
       def walk(from: Int, to: Int): Unit = {
         var o = from
         while (o + 8 <= to) {
@@ -208,8 +214,10 @@ object Multimodal {
             case "avih" if sz >= 40 =>
               usPerFrame = u32(body)
               w = u32(body + 32).toInt; h = u32(body + 36).toInt
-            case "strf" if sz >= 20 && compression == -1L =>
-              // first stream format (BITMAPINFOHEADER): biBitCount @12+2,
+            case "strh" if sz >= 4 => streamType = fourcc(body)
+            case "strf" if sz >= 20 && compression == -1L &&
+                           (streamType == "vids" || streamType == "") =>
+              // video stream format (BITMAPINFOHEADER): biBitCount @12+2,
               // biCompression @16 — 0 means BI_RGB raw bottom-up DIB rows
               bitCount = (u32(body + 12) >> 16).toInt
               compression = u32(body + 16)

@@ -47,8 +47,12 @@ object Sampling {
       "mixture targets must be positive")
     val wSum = targets.values.sum
     val p = targets.map { case (d, w) => d -> w / wSum } // normalize
-    val counts = df.filter(col(domainCol).isin(targets.keys.toSeq: _*))
-      .groupBy(domainCol).count()
+    // target keys are strings — compare against the STRING form of the
+    // domain column so an int/long domain id neither crashes the
+    // getString below nor relies on implicit isin coercion
+    val dom = col(domainCol).cast("string")
+    val counts = df.filter(dom.isin(targets.keys.toSeq: _*))
+      .groupBy(dom.as("__dom")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = p.keySet -- counts.keySet
     require(missing.isEmpty, s"mixture domains absent from data: $missing")
@@ -68,7 +72,7 @@ object Sampling {
     // `full` when its hash bucket falls under the partial fraction
     val epochs = plans.foldLeft(lit(null).cast("array<int>")) {
       case (acc, (d, full, frac)) =>
-        when(col(domainCol) === d,
+        when(dom === d,
           filter(sequence(lit(0), lit(full)), e =>
             e < full || keyBucket < lit((frac * 1000000).toLong))
         ).otherwise(acc)

@@ -238,9 +238,22 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val accts = vals("AccountID")
     val projs = vals("ProjectID")
+    val bare = accts.filter(!_.contains(":"))
     val tenants =
       if (accts.isEmpty && projs.isEmpty) Seq("0:0")
       else if (accts.isEmpty) projs.map(p => s"0:$p")
+      else if (bare.length == 1 && projs.length > 1)
+        // a lone account fans out to every project (and pre-paired
+        // `acct:proj` entries pass through unchanged)
+        accts.flatMap(a => if (a.contains(":")) Seq(a)
+                           else projs.map(p => s"$a:$p"))
+      else if (projs.length > bare.length)
+        // silently dropping surplus projects would exclude tenants from
+        // the result with no signal — reject as a client error instead
+        throw new IllegalArgumentException(
+          s"ProjectID lists ${projs.length} projects for ${bare.length} " +
+          "account(s): pair them 1:1, or send one account, or use " +
+          "AccountID: acct:proj pairs")
       else accts.zipWithIndex.map { case (a, i) =>
         if (a.contains(":")) a
         else {
@@ -544,12 +557,27 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       fs.exists(f => f == "_time" ||
         (f.endsWith("*") && "_time".startsWith(f.dropRight(1))))
     var stripTime = false
-    val pipes2 = q0.pipes.map {
+    // scratch column for carrying _time across a wildcard delete — no
+    // leading underscore, so `_*` (the common "drop internals" delete)
+    // doesn't match it; a wildcard that DOES cover it (`*`, `g*`) deletes
+    // it too and the _time guard below rejects the tail as un-trackable
+    val tScratch = "graftTailTime"
+    val pipes2 = q0.pipes.flatMap {
       case Pipe.Fields(fs) if !keepsTime(fs) =>
-        stripTime = true; Pipe.Fields(fs :+ "_time")
+        stripTime = true; Seq(Pipe.Fields(fs :+ "_time"))
       case Pipe.Delete(fs) if keepsTime(fs) =>
-        stripTime = true; Pipe.Delete(fs.filter(f => !keepsTime(Seq(f))))
-      case p => p
+        stripTime = true
+        // exact `_time` entries just drop from the list; a wildcard that
+        // covers _time must still delete its OTHER matches, so park _time
+        // in the scratch column across the delete and restore it after
+        val (wild, rest0) = fs.partition(f => f != "_time" && keepsTime(Seq(f)))
+        val rest = rest0.filter(_ != "_time")
+        if (wild.isEmpty) Seq(Pipe.Delete(rest))
+        else Seq(
+          Pipe.Copy(Seq("_time" -> tScratch)),
+          Pipe.Delete(rest ++ wild),
+          Pipe.Rename(Seq(tScratch -> "_time")))
+      case p => Seq(p)
     }
     val q = q0.copy(pipes = pipes2)
     // a pipe this rewrite doesn't cover can still lose _time (`mv _time

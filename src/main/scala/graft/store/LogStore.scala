@@ -205,6 +205,13 @@ object LogStore {
            _: StreamContext => false
       case Fields(fs) => matchesTime(fs)
       case Delete(fs) => !matchesTime(fs)
+      // pipes that rename _time away or overwrite it with computed values
+      // break the descent's newest-by-_time ordering
+      case Rename(ps) =>
+        !ps.exists(p => matchesTime(Seq(p._1)) || matchesTime(Seq(p._2)))
+      case Copy(ps) => !ps.exists(p => matchesTime(Seq(p._2)))
+      case Math(es) => !es.exists(_._2 == "_time")
+      case f: Format => f.out != "_time"
       case _ => true
     }
   }
@@ -224,23 +231,22 @@ object LogStore {
       : (org.apache.spark.sql.DataFrame, Int) = {
     val days = listDays(dir)
     val logs = scope(read(spark, dir))
-    // pipes routed to the full-scan path (stats, facets, fields without
-    // _time, …) usually DROP _time — only order by it when it survived
-    // the compile (the reference skips getLastNQueryResults entirely when
-    // CanReturnLastNResults is false)
-    def fullScan(): org.apache.spark.sql.DataFrame = {
-      val res = graft.logql.Compiler.run(logs, q, nowNs)
-      if (res.columns.contains("_time"))
-        res.orderBy(col("_time").desc).limit(n)
-      else res.limit(n)
-    }
+    // the full-scan path is the reference's CanReturnLastNResults=false
+    // branch: newest-N semantics do NOT apply — the limit is a plain head
+    // over the query's own output, so a `| sort by (value)` keeps its
+    // sorted prefix instead of being re-ordered by _time
+    def fullScan(): org.apache.spark.sql.DataFrame =
+      graft.logql.Compiler.run(logs, q, nowNs).limit(n)
     if (!q.pipes.forall(lastNSafe)) return (fullScan(), days.length)
     var take = 1
     while (take < days.length) {
       val window = days.take(take)
       val sub = logs.filter(col("_day").isin(window: _*))
-      val res = graft.logql.Compiler.run(sub, q, nowNs)
-        .orderBy(col("_time").desc).limit(n)
+      val res0 = graft.logql.Compiler.run(sub, q, nowNs)
+      // belt-and-suspenders: a pipe the static gate admits can still drop
+      // _time (unpack writing over it, etc.) — fall back rather than throw
+      if (!res0.columns.contains("_time")) return (fullScan(), days.length)
+      val res = res0.orderBy(col("_time").desc).limit(n)
       // one execution per descent step: the window is already limited to
       // ≤n rows, so materialize it once and hand back a local relation
       // instead of returning the plan for the caller to re-execute

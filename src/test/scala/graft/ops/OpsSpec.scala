@@ -135,6 +135,16 @@ class OpsSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("mixture accepts non-string domain columns") {
+    import spark.implicits._
+    val df = (0 until 90).map(i => (i.toLong, i % 3)).toDF("doc_id", "dom")
+    val out = Sampling.mixture(df, "dom", col("doc_id"),
+      Map("0" -> 0.5, "1" -> 0.5), maxRepeats = 2)
+    assert(out.count() > 0)
+    assert(out.select("dom").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1))
+  }
+
   test("simhashCandidates finds planted near-dups") {
     val out = Dedup.simhashCandidates(corpus, "text", "doc_id")
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -179,7 +179,7 @@ class ServerSpec extends SparkSuite {
       graft.streaming.Ingest.appendBatch(
         graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"), tenant = tenant)
     }
-    mk("0:0", 3); mk("7:0", 2); mk("9:1", 4)
+    mk("0:0", 3); mk("7:0", 2); mk("9:1", 4); mk("7:1", 1)
     val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
       storeDir = Some(dir))
     val p2 = s2.start()
@@ -198,6 +198,16 @@ class ServerSpec extends SparkSuite {
       assert(getT(Seq("AccountID" -> "0,7")) == 5)             // comma list
       assert(getT(Seq("AccountID" -> "0:0,9:1")) == 7)         // full pairs
       assert(getT(Seq("AccountID" -> "7,9", "ProjectID" -> "0,1")) == 6) // zip
+      // a lone account fans out to every listed project (7:0 + 7:1)
+      assert(getT(Seq("AccountID" -> "7", "ProjectID" -> "0,1")) == 3)
+      // surplus projects can't pair up — loud client error, not a silent drop
+      val conn = new URI(
+        s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("*")}")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      Seq("AccountID" -> "7,9", "ProjectID" -> "0,1,2")
+        .foreach { case (k, v) => conn.addRequestProperty(k, v) }
+      assert(conn.getResponseCode == 400)
+      conn.disconnect()
     } finally s2.stop()
   }
 
@@ -211,6 +221,17 @@ class ServerSpec extends SparkSuite {
       s"/select/logsql/tail?query=${enc("event_type:purchase | fields event_id")}&max_polls=1")
     assert(code2 == 200)
     assert(body2.contains("\"event_id\""))
+  }
+
+  test("tail wildcard delete keeps deleting its other matches") {
+    // `delete _*` covers _time (tracking) AND _msg (payload): the rewrite
+    // must preserve time tracking while still deleting _msg
+    val (code, body) = get(
+      s"/select/logsql/tail?query=${enc("event_type:signup | delete _*")}&max_polls=1")
+    assert(code == 200, body)
+    val lines = body.trim.split("\n").filter(_.nonEmpty)
+    assert(lines.nonEmpty && lines.forall(_.contains("\"event_id\"")))
+    assert(lines.forall(l => !l.contains("\"_msg\"") && !l.contains("\"_time\"")), lines.head)
   }
 
   test("bad query returns a JSON error") {

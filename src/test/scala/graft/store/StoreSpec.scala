@@ -81,6 +81,22 @@ class StoreSpec extends SparkSuite {
     assert(res2.count() == 3)
   }
 
+  test("lastN: full-scan queries keep their own semantics") {
+    val logs = LogStore.read(spark, storeDir)
+    // a sort pipe is not lastN-safe: the limit must be the SORTED prefix,
+    // not a newest-by-_time reorder of it
+    val q = "* | sort by (value desc, event_id desc)"
+    val (res, _) = LogStore.lastN(spark, storeDir, q, 4)
+    val got = res.select("event_id").collect().map(_.get(0)).toSeq
+    val expect = Compiler.run(logs, q).limit(4)
+      .select("event_id").collect().map(_.get(0)).toSeq
+    assert(got == expect, s"got $got want $expect")
+    // renaming _time away routes to the fallback instead of throwing
+    val (res2, _) = LogStore.lastN(spark, storeDir, "* | mv _time as t", 3)
+    assert(res2.count() == 3)
+    assert(res2.columns.contains("t") && !res2.columns.contains("_time"))
+  }
+
   test("stream_context returns surrounding rows per stream") {
     def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
     val schema = StructType(Seq(
