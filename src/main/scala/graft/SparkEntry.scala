@@ -519,12 +519,11 @@ object SparkEntry {
     // 4x-smaller corpus codes must preserve >= 90% of the exact top-10 ----
     "q_sim_quantized" -> ((s, d) => {
       import graft.ops.Similarity
-      import org.apache.spark.sql.expressions.Window
       val emb = embeddings(s, d)
       // one cross join scores BOTH the float and the int8-code cosine;
-      // two row_number windows share the single per-query exchange —
-      // running bruteForceTopK and quantizedTopK separately doubles the
-      // join/shuffle plan for the same answer
+      // two bounded TopK aggregates share the single per-query exchange
+      // (partial aggregation keeps 10 candidates per query per task —
+      // nothing here shuffles the full scored set)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = Similarity.quantizeInt8(emb, "embedding")
@@ -534,15 +533,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           Similarity.cosine(col("qv"), col("cv")).as("cos_f"),
           Similarity.cosine(col("qv"), col("q8")).as("cos_q"))
-      val wf = Window.partitionBy("query_id")
-        .orderBy(col("cos_f").desc, col("neighbor_id").asc)
-      val wq = Window.partitionBy("query_id")
-        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("rf", row_number().over(wf))
-        .withColumn("rq", row_number().over(wq))
-        .agg((count(when(col("rf") <= 10 && col("rq") <= 10, 1)) >= 45)
-          .cast(LongType).as("recall_ok"))
+      val ids = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => x.getField("id"))
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopK.topk(col("cos_f"), col("neighbor_id"), 10).as("nf"),
+             graft.functions.TopK.topk(col("cos_q"), col("neighbor_id"), 10).as("nq"))
+        .select(size(array_intersect(ids(col("nf")), ids(col("nq")))).as("ov"))
+        .agg((sum(col("ov")) >= 45).cast(LongType).as("recall_ok"))
     }),
     // ---- token-window document chunking with overlap (pre-training
     // shaping): chunk boundaries + text must match list-slice semantics ----

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -27,6 +26,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.DotProduct.cosine(a, b)
 
+  /** Rank `scored` rows (query_id, neighbor_id, cos) down to the
+    * per-query top-k via the BOUNDED TopK aggregate: partial aggregation
+    * keeps k candidates per query per task, so the exchange moves
+    * O(queries × k × tasks) rows. A row_number window here would shuffle
+    * and sort every scored pair — the thing that dies first at 100 TB.
+    * Deterministic: ties break by neighbor_id ascending, identical to
+    * `orderBy(cos desc, neighbor_id asc)`. */
+  def topKByScore(scored: DataFrame, k: Int): DataFrame =
+    scored.filter(col("cos").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("__nn"))
+      .select(col("query_id"), posexplode(col("__nn")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus`. Queries are broadcast (must be small); corpus streams. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
@@ -37,10 +53,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   // -------------------------------------------------------- quantization
@@ -84,10 +97,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   /** Deterministic random hyperplanes, baked into the plan as literal
@@ -175,10 +185,7 @@ object Similarity {
     val scored = cells.join(broadcast(q), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   /** LSH-bucketed ANN: join queries to corpus within the same hyperplane
@@ -206,9 +213,6 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(first("cos").as("cos")) // a pair may match via several probes
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k)
   }
 }

@@ -86,6 +86,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("RLike"), p)
   }
 
+  test("similarity top-k aggregates bounded state — no window over the scored set") {
+    import spark.implicits._
+    val emb = (0 until 300).map { i =>
+      val r = new scala.util.Random(i * 31)
+      (i.toLong, Seq.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5)
+    val p = plan(df)
+    // the top-k must be a partial-aggregating bounded aggregate: a Window
+    // in the plan means every scored pair shuffles and sorts again
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("last-N day descent touches fewer partitions than exist") {
     val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
     assert(res.count() == 5)

@@ -212,6 +212,28 @@ class OpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bounded topK aggregate matches the row_number window exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scores with planted ties (mod 97 collides often)
+    val rows = for { q <- 0 until 4; i <- 0 until 300 } yield
+      (q.toLong, i.toLong, ((i * 2654435761L + q * 7919) % 97).toDouble / 97.0)
+    val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(8)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = Similarity.topKByScore(df, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // groups smaller than k return the whole group, ranked
+    val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "cos")
+    val t = Similarity.topKByScore(tiny, 7).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(t == Seq((11L, 1), (10L, 2)))
+  }
+
   test("lshTopK approximates bruteForceTopK with good recall") {
     val dim = 16
     def vec(seed: Int): Seq[Float] = {
