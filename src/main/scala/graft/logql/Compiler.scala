@@ -580,7 +580,7 @@ object Compiler {
           // earlier target overwrite a column a later target's value or
           // the `if` condition still reads (torn rows)
           val writes = plain.map(f => (prefix + f) -> unpackTarget(d0, prefix + f,
-            coalesce(get_json_object(src(d0), "$." + f), lit("")),
+            coalesce(graft.functions.JsonGet.scalarOrJson(src(d0), f), lit("")),
             keep, skipE, cond)).toMap
           val d1 = if (writes.isEmpty) d0 else d0.withColumns(writes)
           // `fields (p*)` unpacks only matching keys (v1.24); key set is

@@ -145,6 +145,44 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("JsonGet.scalarOrJson agrees with get_json_object") {
+    val jstr = Gen.oneOf("v", "", "a b", "q\\\"uote", "back\\\\slash",
+      "tab\\tx", "nl\\nx", "uni\\u00e9z", "sol\\/idus", "wörld €",
+      "日本語", "\\u0041\\u0042", "{brace}", "[brk]", "null", "12")
+      .map(v => "\"" + v + "\"")
+    val jnum = Gen.oneOf("0", "42", "-7", "3.14", "-0.5", "1e3", "2E-4",
+      "1234567890123456789")
+    val jscalar = Gen.oneOf(jstr, jnum, Gen.oneOf("true", "false", "null"))
+    val jval = Gen.oneOf(jscalar,
+      jscalar.map(v => s"""{"x":$v,"y":1}"""),
+      jscalar.map(v => s"[$v,2]"))
+    val key = Gen.oneOf("k", "key2", "with space", "uni€", "a")
+    val doc = for {
+      k1 <- key; v1 <- jval; k2 <- key; v2 <- jval
+      ws <- Gen.oneOf("", " ", "\n ")
+      shape <- Gen.choose(0, 5)
+    } yield shape match {
+      case 0 => s"""{$ws"$k1":$ws$v1$ws}"""
+      case 1 => s"""{"$k1":$v1,"$k2":$v2}"""
+      case 2 => s"""{"a":{"$k1":$v1},"$k2":$v2}"""        // nested descent
+      case 3 => s"""{"$k1":$v1""".dropRight(1)             // truncated
+      case 4 => s"""not json at all $v1"""
+      case 5 => s"""{"other":$v1}"""                       // key missing
+    }
+    val inputs = Gen.listOfN(400, doc).sample.get ++ Seq(
+      "{}", "", " ", "{\"k\":}", "{\"k\" : 7 }", "[1,2,3]", "7",
+      """{"k":"a","k":"b"}""",                              // duplicate key
+      """{"a":{"b":{"c":"deep"}}}""",
+      """{"a.b":1,"a":{"b":2}}""")
+    for (path <- Seq("k", "a.b", "a.b.c", "with space")) {
+      val got = evalBatch(inputs, c => graft.functions.JsonGet.scalarOrJson(c, path))
+      val want = evalBatch(inputs, c => get_json_object(c, "$." + path))
+      inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+        assert(g == w, s"json_get mismatch for path '$path' input <$in>: got $g want $w")
+      }
+    }
+  }
+
   test("ExtractGroups agrees with per-group regexp_extract") {
     val res = Seq(
       "(?s)(\\w+)=(\\w*)",
