@@ -7,8 +7,14 @@ package graft.logql
   * followed by a chain of dataflow pipes. Semantics only — execution is
   * compiled to Spark DataFrame transforms in [[Compiler]].
   */
+/** `evalNs`: the timestamp the query was parsed at — relative `_time:5m`
+  * filters and `now` math already resolved against it, so running the
+  * SAME Query later must reuse it (the reference pins the evaluation
+  * timestamp per request: logsql.go:1155-1171 time arg). 0 = unset, run
+  * at the caller's clock. */
 final case class Query(filter: Filter, pipes: Seq[Pipe],
-                       options: Map[String, String] = Map.empty)
+                       options: Map[String, String] = Map.empty,
+                       evalNs: Long = 0L)
 
 // ---------------------------------------------------------------------------
 // Filters (reference: lib/logstorage/filter_*.go, SURVEY.md §2.1)

@@ -1210,7 +1210,7 @@ final class Parser(input: String, now: Long) {
 
 object Parser {
   def parse(q: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Query =
-    new Parser(q, nowNs).parseQueryFull()
+    new Parser(q, nowNs).parseQueryFull().copy(evalNs = nowNs)
 
   /** Function-style filter names (parse dispatch parser.go:1425-1568). */
   val filterFuncs: Set[String] = Set(

@@ -169,7 +169,14 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   /** Parse query + optional [start, end) range + extra filters into an AST. */
   private def parseQ(ex: HttpExchange, ps: Map[String, Seq[String]]): Query = {
     val text = one(ps, "query").getOrElse(throw new IllegalArgumentException("missing 'query' arg"))
-    val q0 = Parser.parse(text, nowNs)
+    // evaluation timestamp (logsql.go:1155-1171): the `time` arg pins it
+    // (reproducible dashboards re-resolve `_time:5m` identically), else
+    // the `end` bound, else the wall clock — minus 1ns so an exact
+    // month/day/hour boundary doesn't capture the next period's first ns
+    val evalNs = one(ps, "time").map(parseTime)
+      .orElse(one(ps, "end").map(parseTime))
+      .getOrElse(nowNs) - 1
+    val q0 = Parser.parse(text, evalNs)
     // options(ignore_global_time_filter=true) suppresses the HTTP-level
     // [start, end) conjunct (parser.go AddTimeFilter gate)
     val ignoreGlobal = q0.options.get("ignore_global_time_filter")
@@ -185,9 +192,9 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     }
     val extras =
       ps.getOrElse("extra_filters", Nil).filter(_.nonEmpty)
-        .map(extraFilter(_, stream = false)) ++
+        .map(extraFilter(_, stream = false, evalNs)) ++
       ps.getOrElse("extra_stream_filters", Nil).filter(_.nonEmpty)
-        .map(extraFilter(_, stream = true))
+        .map(extraFilter(_, stream = true, evalNs))
     extras.foldLeft(q1)((q, f) => q.copy(filter = Filter.And(Seq(f, q.filter))))
   }
 
@@ -196,7 +203,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     * JSON shorthand — exact/in() filters for the plain variant, stream
     * label matchers for the stream variant. Every query the UI issues
     * carries its selected-filter state this way. */
-  private def extraFilter(s: String, stream: Boolean): Filter = {
+  private def extraFilter(s: String, stream: Boolean, evalNs: Long): Filter = {
     val trimmed = s.trim
     def quote(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -222,7 +229,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             else s"${quote(k)}:in(${vals.map(quote).mkString(",")})"
           }.mkString(" ")
       }
-    Parser.parse(text, nowNs).filter
+    Parser.parse(text, evalNs).filter
   }
 
   /** Request tenants (tenant_id.go:15-21): missing headers default to 0:0 —
@@ -279,7 +286,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   private def scopedSource(ex: HttpExchange): DataFrame = tenantScope(ex)(source)
 
   private def runQ(ex: HttpExchange, q: Query): DataFrame =
-    Compiler.run(scopedSource(ex), q, nowNs)
+    Compiler.run(scopedSource(ex), q,
+      if (q.evalNs != 0L) q.evalNs else nowNs)
 
   /** Render a value like the reference's NDJSON writer: strings as-is,
     * integral doubles without the trailing ".0". */
@@ -307,7 +315,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       // cannot early-return over a partial window
       case (Some(n), Some(dir)) if n > 0 && n <= maxLastNLimit =>
         val (res, daysScanned) = graft.store.LogStore.lastN(
-          spark, dir, q, n, nowNs, scope = tenantScope(ex))
+          spark, dir, q, n, if (q.evalNs != 0L) q.evalNs else nowNs,
+          scope = tenantScope(ex))
         ex.getResponseHeaders.set("X-Graft-Days-Scanned", daysScanned.toString)
         res
       case (Some(n), _) => runQ(ex, q).limit(n)

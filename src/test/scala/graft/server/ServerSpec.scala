@@ -234,6 +234,28 @@ class ServerSpec extends SparkSuite {
     assert(lines.forall(l => !l.contains("\"_msg\"") && !l.contains("\"_time\"")), lines.head)
   }
 
+  test("time arg pins the evaluation timestamp for relative filters") {
+    def cnt(extra: String): Long = {
+      val (code, body) = get(
+        s"/select/logsql/query?query=${enc("_time:1d | stats count() c")}$extra")
+      assert(code == 200, body)
+      """"c":"?(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    }
+    // pinned evaluation: reproducible across calls, matches the direct
+    // compile at the same instant (minus the boundary nanosecond)
+    val evalNs = java.time.Instant.parse("2024-01-06T00:00:00Z")
+      .toEpochMilli * 1000000L - 1
+    val want = graft.logql.Compiler.run(
+      graft.Tables.eventsLog(spark, "/root/testdata/sf0.001"),
+      graft.logql.Parser.parse("_time:1d | stats count() c", evalNs), evalNs)
+      .collect().head.getLong(0)
+    val got = cnt("&time=2024-01-06T00:00:00Z")
+    assert(got == want && got > 0, s"got $got want $want")
+    assert(cnt("&time=2024-01-06T00:00:00Z") == got) // reproducible
+    // a different pin sees a different day's rows
+    assert(cnt("&time=2024-01-13T00:00:00Z") != got)
+  }
+
   test("bad query returns a JSON error") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
     assert(code == 400)
