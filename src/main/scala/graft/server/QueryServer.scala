@@ -28,7 +28,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
                         maxConcurrentQueries: Int = 16,
                         queueTimeoutMs: Long = 10000L,
                         maxSeriesPoints: Int = 200000,
-                        storeDir: Option[String] = None) {
+                        storeDir: Option[String] = None,
+                        maxQueryDurationMs: Long = 30000L) {
 
   /** Fixed-relation convenience constructor (tests, ad-hoc views). A
     * log-store caller should pass `() => LogStore.read(spark, dir)` so
@@ -101,6 +102,18 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   private val querySem =
     new java.util.concurrent.Semaphore(maxConcurrentQueries, true)
 
+  /** Per-query execution deadline (reference -search.maxQueryDuration,
+    * 30s default, overridable DOWN via the `timeout` arg — main.go:278-285):
+    * a runaway query must not pin its admission slot forever. The handler
+    * thread runs inside a Spark job group; a scheduled cancel interrupts
+    * the group's jobs at the deadline and the action surfaces the
+    * cancellation, mapped to 503. */
+  private val deadlineTimer = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val th = new Thread(r, "graft-query-deadline"); th.setDaemon(true); th })
+    t
+  }
+
   private def handler(f: (HttpExchange, Map[String, Seq[String]]) => Unit,
                       gated: Boolean = true): HttpHandler =
     (ex: HttpExchange) => {
@@ -111,9 +124,39 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           Metrics.selectRejected.incrementAndGet()
           respond(ex, 429,
             s"""{"error":"too many concurrent queries (limit $maxConcurrentQueries); retry later"}""")
+        } else if (!gated) {
+          // tail: no deadline — it is lifetime-capped in handleTail instead
+          try f(ex, params(ex)) finally ()
         } else {
-          try f(ex, params(ex))
-          finally { if (gated) querySem.release() }
+          val ps = params(ex)
+          // `timeout` only shortens the cap, as in the reference
+          val capMs = one(ps, "timeout").map(s => (s.toDouble * 1000).toLong)
+            .filter(t => t > 0 && t < maxQueryDurationMs)
+            .getOrElse(maxQueryDurationMs)
+          val group = "req-" + java.util.UUID.randomUUID()
+          val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+          spark.sparkContext.setJobGroup(group, ex.getRequestURI.getPath,
+            interruptOnCancel = true)
+          val cancel = deadlineTimer.schedule(new Runnable {
+            def run(): Unit = {
+              timedOut.set(true)
+              spark.sparkContext.cancelJobGroup(group)
+            }
+          }, capMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          try f(ex, ps)
+          catch {
+            // a cancel that fires after the headers went out can only
+            // truncate the stream; the attempt to say so is best-effort
+            case _: Throwable if timedOut.get() =>
+              try respond(ex, 503,
+                s"""{"error":"query exceeded its deadline of ${capMs}ms; pass a larger 'timeout' arg"}""")
+              catch { case _: Exception => () }
+          }
+          finally {
+            cancel.cancel(false)
+            spark.sparkContext.clearJobGroup()
+            querySem.release()
+          }
         }
       } catch {
         case e: Throwable =>
@@ -323,10 +366,14 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       case (None, _) => runQ(ex, q)
     }
     val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
+    val it = json.toLocalIterator()
+    // force the first partition's job BEFORE committing the 200: compile
+    // errors and deadline cancels map to a real error response instead of
+    // a truncated stream (later partitions can still only truncate)
+    it.hasNext
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
     ex.sendResponseHeaders(200, 0)
     val out = ex.getResponseBody
-    val it = json.toLocalIterator()
     while (it.hasNext) {
       out.write(it.next().getString(0).getBytes(UTF_8))
       out.write('\n')

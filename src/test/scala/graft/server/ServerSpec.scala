@@ -256,6 +256,35 @@ class ServerSpec extends SparkSuite {
     assert(cnt("&time=2024-01-13T00:00:00Z") != got)
   }
 
+  test("queries exceeding the deadline cancel with 503; fast ones pass") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val slow = udf((s: String) => { Thread.sleep(100); s })
+    val src = graft.Tables.eventsLog(spark, "/root/testdata/sf0.001")
+      .withColumn("_msg", slow(col("_msg")))
+    val s3 = new QueryServer(spark, () => src, 0, maxQueryDurationMs = 400)
+    val p3 = s3.start()
+    def get3(pq: String): (Int, String) = {
+      val conn = new URI(s"http://127.0.0.1:$p3$pq").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(120000)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), UTF_8)
+      conn.disconnect(); (code, body)
+    }
+    try {
+      // reads _msg through the sleeping udf: blows the 400ms deadline
+      val (code, body) = get3(
+        s"/select/logsql/query?query=${enc("* | len(_msg) as l | stats sum(l) sl")}")
+      assert(code == 503, s"$code $body")
+      assert(body.contains("deadline"), body)
+      // column pruning drops the udf for a count: same server, fast, 200
+      val (c2, b2) = get3(
+        s"/select/logsql/query?query=${enc("* | stats count() c")}")
+      assert(c2 == 200, s"$c2 $b2")
+    } finally s3.stop()
+  }
+
   test("bad query returns a JSON error") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("* | nosuchpipe")}")
     assert(code == 400)
