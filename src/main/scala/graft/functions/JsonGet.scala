@@ -34,77 +34,177 @@ object JsonGetKernel {
   val NonScalarStr: String = "\u0000{}"
   val NonScalar: UTF8String = UTF8String.fromString(NonScalarStr)
 
-  /** null → missing/invalid/JSON-null; NonScalar → object/array value. */
+  /** null → missing/invalid/JSON-null; NonScalar → object/array value.
+    *
+    * Jackson iterates every object it enters through to its CLOSING brace
+    * (that is how it reaches END_OBJECT), so a malformed or truncated
+    * remainder nulls the lookup even when the value was already found —
+    * the walk here does the same: each descended level is validated
+    * member-by-member to its `}`. Content after the root object's close
+    * is never read (Jackson stops there too). */
   def get(json: UTF8String, path: Array[String]): UTF8String = {
     if (json == null) return null
     val s = json.toString
-    val n = s.length
     var i = skipWs(s, 0)
     var level = 0
+    val out = new Array[Int](3)
     while (level < path.length) {
-      if (i >= n || s.charAt(i) != '{') return null
-      i += 1
-      val key = path(level)
-      var found = -1
-      var done = false
-      while (!done) {
-        i = skipWs(s, i)
-        if (i >= n) return null
-        if (s.charAt(i) == '}') { done = true }
-        else {
-          if (s.charAt(i) == ',') { i = skipWs(s, i + 1); if (i >= n) return null }
-          if (s.charAt(i) != '"') return null
-          val keyEnd = scanString(s, i)
-          if (keyEnd < 0) return null
-          val matches = keyEquals(s, i + 1, keyEnd - 1, key)
-          i = skipWs(s, keyEnd)
-          if (i >= n || s.charAt(i) != ':') return null
-          i = skipWs(s, i + 1)
-          if (i >= n) return null
-          if (matches) { found = i; done = true }
-          else {
-            i = skipValue(s, i)
-            if (i < 0) return null
-          }
-        }
-      }
-      if (found < 0) return null
-      i = found
+      // "$." and "$.a..b" are invalid JsonPath to get_json_object → null
+      if (path(level).isEmpty) return null
+      if (i >= s.length) return null
+      // an array where an object was expected: get_json_object's JsonPath
+      // implicitly traverses arrays ($.a.b over {"a":[{"b":1}]} → [1]) —
+      // semantics the scan can't reproduce, so route to the fallback
+      if (s.charAt(i) == '[') return NonScalar
+      if (s.charAt(i) != '{') return null
+      if (!walkObject(s, i, path(level), out)) return null
+      if (out(1) < 0) return null // key missing from a valid object
+      // duplicate keys at an INTERMEDIATE level: Jackson descends every
+      // matching branch and the first branch that yields output wins —
+      // multi-branch evaluation belongs to the fallback
+      if (level < path.length - 1 && out(2) > 1) return NonScalar
+      i = out(1)
       level += 1
     }
-    // i sits at the value of the full path
+    // i sits at the value of the full path; its span was validated by the
+    // enclosing walk, so classification never runs off the end
     s.charAt(i) match {
       case '"' =>
-        val end = scanString(s, i)
+        val end = scanStringStrict(s, i)
         if (end < 0) null else unescape(s, i + 1, end - 1)
       case '{' | '[' => NonScalar
-      case 'n' =>
-        if (s.startsWith("null", i)) null else null
-      case 't' =>
-        if (s.startsWith("true", i)) UTF8String.fromString("true") else null
-      case 'f' =>
-        if (s.startsWith("false", i)) UTF8String.fromString("false") else null
+      case 'n' => null // JSON null → SQL NULL
+      case 't' => UTF8String.fromString("true")
+      case 'f' => UTF8String.fromString("false")
       case c if c == '-' || (c >= '0' && c <= '9') =>
         var j = i
+        val n = s.length
         while (j < n && isNumChar(s.charAt(j))) j += 1
-        // strict JSON number grammar, matching Jackson's rejection of
-        // truncated/overcooked tokens ("1e", "01", "-", "1.") as null; a
-        // token running to end-of-input is "unexpected EOF in number" to a
-        // streaming parser (no terminator proves the token complete)
-        if (j == n || !validNumber(s, i, j)) null
-        else {
-          val tok = s.substring(i, j)
-          // integer tokens keep their literal text (Jackson long/BigInteger
-          // rendering); float tokens round-trip through double exactly as
-          // Jackson's writeNumber(getDoubleValue) does ("1e3" -> "1000.0")
-          if (tok.indexOf('.') < 0 && tok.indexOf('e') < 0 && tok.indexOf('E') < 0)
-            UTF8String.fromString(tok)
-          else
-            UTF8String.fromString(java.lang.Double.toString(
-              java.lang.Double.parseDouble(tok)))
-        }
+        val tok = s.substring(i, j)
+        // Jackson renders numbers from their PARSED value, not the token
+        // text: integers through long ("-0" -> "0"), overflows through
+        // BigInteger, floats through double ("1e3" -> "1000.0")
+        if (tok.indexOf('.') < 0 && tok.indexOf('e') < 0 && tok.indexOf('E') < 0)
+          UTF8String.fromString(
+            try String.valueOf(tok.toLong)
+            catch { case _: NumberFormatException =>
+              new java.math.BigInteger(tok).toString })
+        else
+          UTF8String.fromString(java.lang.Double.toString(
+            java.lang.Double.parseDouble(tok)))
       case _ => null
     }
+  }
+
+  /** Strictly walk the object at `from` ('{'): full member syntax through
+    * the closing brace, nested values validated recursively. Records the
+    * FIRST member whose (unescaped) key equals `key` — out(0) = index
+    * just past the '}', out(1) = that value's start or -1. Returns false
+    * on any malformation or truncation, like Jackson's streaming parse. */
+  private def walkObject(s: String, from: Int, key: String,
+                         out: Array[Int]): Boolean = {
+    val n = s.length
+    var i = skipWs(s, from + 1)
+    var matchPos = -1
+    // Jackson's path evaluation writes nothing for a JSON-null leaf and
+    // keeps scanning, so with duplicate keys the first NON-null match
+    // wins ({"k":null,"k":false} → false) — a null match stays tentative
+    var matchWasNull = false
+    var matchCount = 0
+    var first = true
+    var closed = false
+    while (!closed) {
+      if (i >= n) return false
+      if (s.charAt(i) == '}') { closed = true; i += 1 }
+      else {
+        if (!first) {
+          if (s.charAt(i) != ',') return false
+          i = skipWs(s, i + 1)
+          if (i >= n) return false
+        }
+        first = false
+        if (s.charAt(i) != '"') return false
+        val keyEnd = scanStringStrict(s, i)
+        if (keyEnd < 0) return false
+        val keyEq = key != null && keyEquals(s, i + 1, keyEnd - 1, key)
+        if (keyEq) matchCount += 1
+        val isMatch = keyEq && (matchPos < 0 || matchWasNull)
+        i = skipWs(s, keyEnd)
+        if (i >= n || s.charAt(i) != ':') return false
+        i = skipWs(s, i + 1)
+        val vStart = i
+        i = skipValueStrict(s, i)
+        if (i < 0) return false
+        if (isMatch) {
+          matchPos = vStart
+          matchWasNull = s.charAt(vStart) == 'n'
+        }
+        i = skipWs(s, i)
+      }
+    }
+    out(0) = i; out(1) = matchPos; out(2) = matchCount
+    true
+  }
+
+  /** Skip one strictly-valid JSON value; -1 on malformed/truncated. */
+  private def skipValueStrict(s: String, from: Int): Int = {
+    val n = s.length
+    if (from >= n) return -1
+    s.charAt(from) match {
+      case '"' => scanStringStrict(s, from)
+      case '{' =>
+        val out = new Array[Int](3)
+        if (walkObject(s, from, null, out)) out(0) else -1
+      case '[' =>
+        var i = skipWs(s, from + 1)
+        if (i >= n) return -1
+        if (s.charAt(i) == ']') return i + 1
+        var done = false
+        while (!done) {
+          i = skipValueStrict(s, i)
+          if (i < 0) return -1
+          i = skipWs(s, i)
+          if (i >= n) return -1
+          if (s.charAt(i) == ']') { done = true; i += 1 }
+          else if (s.charAt(i) == ',') i = skipWs(s, i + 1)
+          else return -1
+        }
+        i
+      case 'n' => if (s.startsWith("null", from)) from + 4 else -1
+      case 't' => if (s.startsWith("true", from)) from + 4 else -1
+      case 'f' => if (s.startsWith("false", from)) from + 5 else -1
+      case c if c == '-' || (c >= '0' && c <= '9') =>
+        var j = from
+        while (j < n && isNumChar(s.charAt(j))) j += 1
+        if (validNumber(s, from, j)) j else -1
+      case _ => -1
+    }
+  }
+
+  /** `from` at the opening quote; index past the closing quote, or -1 on
+    * an unterminated string or invalid escape. Raw control characters are
+    * ACCEPTED — Spark's shared Jackson factory enables
+    * ALLOW_UNESCAPED_CONTROL_CHARS (fuzz-verified: a literal tab inside a
+    * string value extracts fine through get_json_object). */
+  private def scanStringStrict(s: String, from: Int): Int = {
+    var i = from + 1
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= n) return -1
+        s.charAt(i + 1) match {
+          case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 2
+          case 'u' =>
+            if (i + 6 > n || hex4(s, i + 2) < 0) return -1
+            i += 6
+          case _ => return -1
+        }
+      }
+      else if (c == '"') return i + 1
+      else i += 1
+    }
+    -1
   }
 
   /** RFC 8259 number: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)? */
@@ -139,20 +239,6 @@ object JsonGetKernel {
     while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
                      s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
     i
-  }
-
-  /** `from` at the opening quote; returns index just past the closing
-    * quote, or -1 when unterminated. */
-  private def scanString(s: String, from: Int): Int = {
-    var i = from + 1
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c == '\\') i += 2
-      else if (c == '"') return i + 1
-      else i += 1
-    }
-    -1
   }
 
   /** Compare the raw (possibly escaped) key text s[from,to) to `key`. */
@@ -214,36 +300,6 @@ object JsonGetKernel {
     v
   }
 
-  /** Skip one JSON value starting at `from`; returns the index just past
-    * it, or -1 on malformed input. */
-  private def skipValue(s: String, from: Int): Int = {
-    val n = s.length
-    var i = from
-    if (i >= n) return -1
-    s.charAt(i) match {
-      case '"' => scanString(s, i)
-      case '{' | '[' =>
-        // structural walk: strings may contain braces, so track them
-        var depth = 0
-        while (i < n) {
-          val c = s.charAt(i)
-          if (c == '"') { i = scanString(s, i); if (i < 0) return -1 }
-          else {
-            if (c == '{' || c == '[') depth += 1
-            else if (c == '}' || c == ']') { depth -= 1; if (depth == 0) return i + 1 }
-            i += 1
-          }
-        }
-        -1
-      case 'n' => if (s.startsWith("null", i)) i + 4 else -1
-      case 't' => if (s.startsWith("true", i)) i + 4 else -1
-      case 'f' => if (s.startsWith("false", i)) i + 5 else -1
-      case c if c == '-' || (c >= '0' && c <= '9') =>
-        while (i < n && isNumChar(s.charAt(i))) i += 1
-        i
-      case _ => -1
-    }
-  }
 }
 
 /** Codegen'd wrapper: one kernel call per row inside whole-stage codegen. */
@@ -280,20 +336,20 @@ case class JsonGetScalar(child: Expression, path: Seq[String])
 }
 
 object JsonGet {
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys: a strong session reference here would pin every stopped
+  // session's state for the JVM's lifetime (registration is idempotent,
+  // so re-registering after a GC'd entry is benign)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private def ensureRegistered(): Unit = {
     val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_json_get", exprs => {
-            val path = exprs.tail.map(_.eval(null).toString)
-            JsonGetScalar(exprs.head, path)
-          }, "built-in")
-        registered += spark
-      }
-    }
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_json_get", exprs => {
+          val path = exprs.tail.map(_.eval(null).toString)
+          JsonGetScalar(exprs.head, path)
+        }, "built-in")
   }
 
   /** Raw kernel column (tests; returns the NonScalar marker verbatim). */

@@ -19,8 +19,14 @@ object TopK {
     * are deterministic and match the window's orderBy(score desc, id). */
   final case class Scored(score: Double, id: Long)
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // Double.compare, not >: Spark's descending sort ranks NaN ABOVE every
+  // other double (a zero vector's cosine is 0/0 = NaN and the window this
+  // replaces put those rows first) — IEEE > is false both ways on NaN and
+  // would instead silently drop them from full buffers
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private class Agg(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {

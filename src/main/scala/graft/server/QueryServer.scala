@@ -126,8 +126,11 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             s"""{"error":"too many concurrent queries (limit $maxConcurrentQueries); retry later"}""")
         } else if (!gated) {
           // tail: no deadline — it is lifetime-capped in handleTail instead
-          try f(ex, params(ex)) finally ()
-        } else {
+          f(ex, params(ex))
+        } else try {
+          // EVERYTHING after a successful acquire sits inside this
+          // try/finally: a parse error in params or a malformed `timeout`
+          // must not leak the admission slot
           val ps = params(ex)
           // `timeout` only shortens the cap, as in the reference
           val capMs = one(ps, "timeout").map(s => (s.toDouble * 1000).toLong)
@@ -137,10 +140,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
           spark.sparkContext.setJobGroup(group, ex.getRequestURI.getPath,
             interruptOnCancel = true)
+          // ...AndFutureJobs: a multi-job handler (toLocalIterator runs one
+          // job per partition) would otherwise slip later jobs past a
+          // cancel that fired between two of them
           val cancel = deadlineTimer.schedule(new Runnable {
             def run(): Unit = {
               timedOut.set(true)
-              spark.sparkContext.cancelJobGroup(group)
+              spark.sparkContext.cancelJobGroupAndFutureJobs(group)
             }
           }, capMs, java.util.concurrent.TimeUnit.MILLISECONDS)
           try f(ex, ps)
@@ -155,9 +161,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           finally {
             cancel.cancel(false)
             spark.sparkContext.clearJobGroup()
-            querySem.release()
           }
-        }
+        } finally querySem.release()
       } catch {
         case e: Throwable =>
           val msg = jsonStr(Option(e.getMessage).getOrElse(e.toString))
@@ -304,13 +309,20 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           s"ProjectID lists ${projs.length} projects for ${bare.length} " +
           "account(s): pair them 1:1, or send one account, or use " +
           "AccountID: acct:proj pairs")
-      else accts.zipWithIndex.map { case (a, i) =>
-        if (a.contains(":")) a
-        else {
-          val p = if (projs.isEmpty) "0"
-                  else if (i < projs.length) projs(i)
-                  else projs.last // a lone project fans out to all accounts
-          s"$a:$p"
+      else {
+        // pair projects against BARE accounts only — pre-paired
+        // `acct:proj` entries pass through and must not shift the
+        // positional pairing of the entries that still need a project
+        var bi = -1
+        accts.map { a =>
+          if (a.contains(":")) a
+          else {
+            bi += 1
+            val p = if (projs.isEmpty) "0"
+                    else if (bi < projs.length) projs(bi)
+                    else projs.last // a lone project fans out to all accounts
+            s"$a:$p"
+          }
         }
       }
     tenants.distinct
@@ -628,6 +640,16 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         // in the scratch column across the delete and restore it after
         val (wild, rest0) = fs.partition(f => f != "_time" && keepsTime(Seq(f)))
         val rest = rest0.filter(_ != "_time")
+        // a delete that ALSO covers the scratch (`delete *`, or the
+        // scratch named outright) leaves nothing to restore — the Rename
+        // would resurrect `_time` as a null column and the poll loop
+        // would stream garbage; reject it as un-tailable up front
+        def covers(f: String, name: String): Boolean =
+          f == name || (f.endsWith("*") && name.startsWith(f.dropRight(1)))
+        if (wild.nonEmpty && fs.exists(covers(_, tScratch)))
+          throw new IllegalArgumentException(
+            "cannot tail a query whose pipes delete _time: tailing tracks " +
+            "progress by row time")
         if (wild.isEmpty) Seq(Pipe.Delete(rest))
         else Seq(
           Pipe.Copy(Seq("_time" -> tScratch)),

@@ -206,12 +206,30 @@ object LogStore {
       case Fields(fs) => matchesTime(fs)
       case Delete(fs) => !matchesTime(fs)
       // pipes that rename _time away or overwrite it with computed values
-      // break the descent's newest-by-_time ordering
+      // break the descent's newest-by-_time ordering. The reference's gate
+      // stops at fields/delete (parser.go:470-500) because it orders by the
+      // STORAGE timestamp; this descent re-sorts by the _time COLUMN after
+      // the pipes ran, so every static write target must be checked, and
+      // dynamic-key unpacks are conservatively unsafe
       case Rename(ps) =>
         !ps.exists(p => matchesTime(Seq(p._1)) || matchesTime(Seq(p._2)))
       case Copy(ps) => !ps.exists(p => matchesTime(Seq(p._2)))
       case Math(es) => !es.exists(_._2 == "_time")
       case f: Format => f.out != "_time"
+      case Len(_, out) => out != "_time"
+      case Hash(_, out) => out != "_time"
+      case JsonArrayLen(_, out) => out != "_time"
+      case UnpackWords(_, out, _) => out != "_time"
+      case Replace(_, _, at, _) => at != "_time"
+      case ReplaceRegexp(_, _, at, _) => at != "_time"
+      case e: Extract => !e.steps.exists(_.field.contains("_time"))
+      case er: ExtractRegexp => !er.re.contains("_time")
+      case u: UnpackJson =>
+        u.fieldsList.nonEmpty &&
+          !u.fieldsList.exists(f => matchesTime(Seq(u.prefix + f)))
+      case u: UnpackLogfmt =>
+        u.fieldsList.nonEmpty &&
+          !u.fieldsList.exists(f => matchesTime(Seq(u.prefix + f)))
       case _ => true
     }
   }

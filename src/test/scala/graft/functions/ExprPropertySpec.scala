@@ -173,7 +173,10 @@ class ExprPropertySpec extends SparkSuite {
       "{}", "", " ", "{\"k\":}", "{\"k\" : 7 }", "[1,2,3]", "7",
       """{"k":"a","k":"b"}""",                              // duplicate key
       """{"a":{"b":{"c":"deep"}}}""",
-      """{"a.b":1,"a":{"b":2}}""")
+      """{"a.b":1,"a":{"b":2}}""",
+      """{"a":[{"b":1},{"b":2}],"k":[3]}""",                // array traversal
+      """[{"k":"rootarr"},{"k":2}]""",
+      """{"a":1,"k":"scalar-parent"}""")                    // scalar mid-path
     for (path <- Seq("k", "a.b", "a.b.c", "with space")) {
       val got = evalBatch(inputs, c => graft.functions.JsonGet.scalarOrJson(c, path))
       val want = evalBatch(inputs, c => get_json_object(c, "$." + path))

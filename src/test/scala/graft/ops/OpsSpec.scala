@@ -215,17 +215,23 @@ class OpsSpec extends SparkSuite {
   test("bounded topK aggregate matches the row_number window exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // deterministic scores with planted ties (mod 97 collides often)
+    // deterministic scores with planted ties (mod 97 collides often) and
+    // planted NaNs (a zero embedding's cosine): the window ranks NaN FIRST
+    // under desc ordering, and the aggregate must agree
     val rows = for { q <- 0 until 4; i <- 0 until 300 } yield
-      (q.toLong, i.toLong, ((i * 2654435761L + q * 7919) % 97).toDouble / 97.0)
+      (q.toLong, i.toLong,
+        if (i % 101 == 0) Double.NaN
+        else ((i * 2654435761L + q * 7919) % 97).toDouble / 97.0)
     val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(8)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // NaN != NaN under numeric equality — normalize for the set compare
+    def norm(d: Double): Double = if (d.isNaN) -999.0 else d
     val want = df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), norm(r.getDouble(2)), r.getInt(3))).toSet
     val got = Similarity.topKByScore(df, 7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), norm(r.getDouble(2)), r.getInt(3))).toSet
     assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
     // groups smaller than k return the whole group, ranked
     val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "cos")

@@ -200,6 +200,10 @@ class ServerSpec extends SparkSuite {
       assert(getT(Seq("AccountID" -> "7,9", "ProjectID" -> "0,1")) == 6) // zip
       // a lone account fans out to every listed project (7:0 + 7:1)
       assert(getT(Seq("AccountID" -> "7", "ProjectID" -> "0,1")) == 3)
+      // pre-paired entries don't shift the positional pairing of bare
+      // accounts: 0:0 passes through, 7 and 9 pair with 1 and 1... i.e.
+      // projects pair against BARE accounts only (0:0=3, 7:1=1, 9:1=4)
+      assert(getT(Seq("AccountID" -> "0:0,7,9", "ProjectID" -> "1,1")) == 8)
       // surplus projects can't pair up — loud client error, not a silent drop
       val conn = new URI(
         s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("*")}")
@@ -232,6 +236,21 @@ class ServerSpec extends SparkSuite {
     val lines = body.trim.split("\n").filter(_.nonEmpty)
     assert(lines.nonEmpty && lines.forall(_.contains("\"event_id\"")))
     assert(lines.forall(l => !l.contains("\"_msg\"") && !l.contains("\"_time\"")), lines.head)
+    // `delete *` leaves no time to track — clean 400, not a mid-stream error
+    val (c2, b2) = get(
+      s"/select/logsql/tail?query=${enc("* | delete *")}&max_polls=1")
+    assert(c2 == 400, s"$c2 $b2")
+  }
+
+  test("malformed timeout arg rejects without leaking an admission slot") {
+    // 20 bad requests > the 16-slot admission cap: if any leaked its
+    // slot, the good request after them would 429 instead of 200
+    (1 to 20).foreach { _ =>
+      val (c, _) = get(s"/select/logsql/query?query=${enc("*")}&timeout=abc")
+      assert(c == 400)
+    }
+    val (ok, _) = get(s"/select/logsql/query?query=${enc("* | stats count() c")}")
+    assert(ok == 200)
   }
 
   test("time arg pins the evaluation timestamp for relative filters") {
