@@ -747,9 +747,16 @@ object Compiler {
       // the per-stream shuffle+sort moves only the needle's streams, not
       // the whole relation. Semi-join directly on the marker set: a
       // left_semi build side tolerates duplicate __sid values, so no
-      // distinct() (that was an extra shuffle + broadcast job)
-      val srcPruned = src.join(sel,
-        strF(src, "_stream_id") === col("__sid"), "left_semi")
+      // distinct() (that was an extra shuffle + broadcast job). Like the
+      // inline path, the prune is a shuffle-size optimization only (the
+      // window drops no-match streams itself) — skip it for small sources
+      // where the second scan costs more than the saved shuffle.
+      val srcPruned =
+        if (src.queryExecution.optimizedPlan.stats.sizeInBytes <=
+              streamPruneGate(src))
+          src
+        else src.join(sel,
+          strF(src, "_stream_id") === col("__sid"), "left_semi")
       val marked = srcPruned
         .join(sel, strF(srcPruned, "_stream_id") === col("__sid") &&
                    timeMicros(srcPruned) === col("__st"), "left")
@@ -846,10 +853,20 @@ object Compiler {
         "stream_context requires a _stream_id column on the source " +
         "relation (use the log store, or add a _stream_id column)")
     // context rows can only come from streams containing a matched row —
-    // prune the source to those streams BEFORE the per-stream window. The
-    // distinct is deliberate despite the left_semi tolerance for dups: at
-    // scale the needle can match many rows, and the map-side partial agg
-    // collapses them before anything moves to the driver for broadcast.
+    // prune the source to those streams BEFORE the per-stream window, so
+    // the shuffle moves only the needle's streams. The prune is purely a
+    // shuffle-size optimization: the window itself already drops rows of
+    // streams with no match (their frame min/max are null). It costs a
+    // second source scan plus a broadcast exchange, which only pays off
+    // when the relation is big — below the gate, shuffling the whole
+    // relation once is cheaper than scanning it twice.
+    if (src.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          streamPruneGate(src))
+      return streamContextWindow(src.withColumn("__m", pred),
+        before, after, twNs)
+    // The distinct is deliberate despite the left_semi tolerance for dups:
+    // at scale the needle can match many rows, and the map-side partial
+    // agg collapses them before anything moves to the driver for broadcast.
     val sids = src.filter(pred)
       .select(strF(src, "_stream_id").as("__sid")).distinct()
     val sidsB =
@@ -860,6 +877,14 @@ object Compiler {
       strF(src, "_stream_id") === col("__sid"), "left_semi")
     streamContextWindow(srcPruned.withColumn("__m", pred), before, after, twNs)
   }
+
+  /** Below this source-relation size, stream_context skips the
+    * matched-stream semi-join prune and windows the relation directly —
+    * conf-tunable like spark.sql.autoBroadcastJoinThreshold. */
+  private def streamPruneGate(df: DataFrame): BigInt =
+    BigInt(df.sparkSession.conf
+      .get("spark.graft.streamContext.pruneGateBytes", (1L << 30).toString)
+      .toLong)
 
   private def sortExprs(df: DataFrame, k: SortKey): Seq[Column] = {
     val cols: Seq[Column] =

@@ -44,7 +44,8 @@ object Compaction {
   def optimize(spark: SparkSession, dir: String,
                targetFileBytes: Long = 256L << 20,
                minFilesToCompact: Int = 2,
-               dayPrefix: Option[String] = None): Unit = {
+               dayPrefix: Option[String] = None,
+               skipAtTargetSize: Boolean = false): Unit = {
     val promoted = LogStore.promotedFields(dir).map(_._1)
     // /internal/force_merge?partition_prefix=YYYYMMDD scopes the merge to
     // matching day partitions (vlstorage/main.go:230); both 20240921 and
@@ -54,7 +55,13 @@ object Compaction {
       val dayOk = prefix.forall(p =>
         pdir.getName.stripPrefix("_day=").replace("-", "").startsWith(p))
       val files = dataFiles(pdir)
-      if (dayOk && files.length >= minFilesToCompact)
+      // post-bulk-load merges (skipAtTargetSize) only touch genuinely
+      // fragmented partitions: files already near target size would be
+      // rewritten 1:1 — pure I/O churn. force_merge keeps merging
+      // unconditionally, like the reference's forced final merge.
+      val small = !skipAtTargetSize ||
+        files.map(_.getLen).sum / files.length < targetFileBytes / 2
+      if (dayOk && files.length >= minFilesToCompact && small)
         compactPartition(spark, pdir, files, targetFileBytes, promoted)
     }
     dedupStreams(spark, dir)

@@ -288,9 +288,18 @@ object LogStore {
     val name = new org.apache.hadoop.fs.Path(sfDir).getName
     // bump the version segment whenever the layout changes — stale stores
     // from previous builds must not satisfy the marker check
-    val dir = s"/root/repo/target/graft_store/v1/$name"
+    // v2: bulk loads end with a small-file merge (below)
+    val dir = s"/root/repo/target/graft_store/v2/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
+      // merge the write-parallelism salt's small files per day partition —
+      // the reference background-merges freshly flushed parts the same way
+      // (datadb.go:210-259), and every subsequent scan of the store pays
+      // per-file open cost. Partitions already at target size are left
+      // alone by the size gate, so a genuinely large bulk load is not
+      // rewritten.
+      Compaction.optimize(spark, dir, minFilesToCompact = 2,
+        skipAtTargetSize = true)
     }
     built += dir
     dir

@@ -38,14 +38,24 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("stream_context compiles to ONE needle scan and no marker join") {
-    val p = plan(Compiler.run(logs,
+    // big-source shape (prune gate forced to 0): a single left-semi stream
+    // prune; the needle subplan appears once (inside the broadcast build),
+    // never as a LeftOuter marker join (the round-5 double-execution shape)
+    spark.conf.set("spark.graft.streamContext.pruneGateBytes", "0")
+    try {
+      val p = plan(Compiler.run(logs,
+        "value:>300 | stream_context before 2 after 1 time_window 4w"))
+      assert(p.contains("LeftSemi"), p)
+      assert(!p.contains("LeftOuter"), p)
+      assert(countOf(p, "Scan parquet") <= 2, p) // needle build + source walk
+    } finally
+      spark.conf.unset("spark.graft.streamContext.pruneGateBytes")
+    // small-source shape (default gate): ONE scan, no join at all — the
+    // window itself drops rows of streams with no matched row
+    val q = plan(Compiler.run(logs,
       "value:>300 | stream_context before 2 after 1 time_window 4w"))
-    // the fast path: a single left-semi stream prune; the needle subplan
-    // appears once (inside the broadcast build), never as a LeftOuter
-    // marker join (the round-5 double-execution shape)
-    assert(p.contains("LeftSemi"), p)
-    assert(!p.contains("LeftOuter"), p)
-    assert(countOf(p, "Scan parquet") <= 2, p) // needle build + source walk
+    assert(!q.contains("Join"), q)
+    assert(countOf(q, "Scan parquet") == 1, q)
   }
 
   test("facets runs ONE scan of the source relation") {

@@ -163,15 +163,29 @@ class StoreSpec extends SparkSuite {
   }
 
   test("stream_context prunes unmatched streams before the window") {
-    // context can only come from streams holding a matched row — the plan
-    // must semi-join the source down to those streams so the per-stream
-    // shuffle+sort moves the needle's streams, not the whole relation
+    // context can only come from streams holding a matched row — above the
+    // cost gate the plan must semi-join the source down to those streams
+    // so the per-stream shuffle+sort moves the needle's streams, not the
+    // whole relation (gate forced to 0 here: the test store is tiny)
     val logs = LogStore.read(spark, storeDir)
-    val out = Compiler.run(logs,
-      "value:>300 | stream_context before 1 after 1")
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), plan)
-    // and the result matches running the same query without the store
-    assert(out.count() > 0)
+    spark.conf.set("spark.graft.streamContext.pruneGateBytes", "0")
+    try {
+      val out = Compiler.run(logs,
+        "value:>300 | stream_context before 1 after 1")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), plan)
+      val n = out.count()
+      assert(n > 0)
+      // below the gate the prune disappears but the result is identical —
+      // the window itself drops rows of streams with no matched row
+      spark.conf.set("spark.graft.streamContext.pruneGateBytes",
+        (1L << 30).toString)
+      val direct = Compiler.run(logs,
+        "value:>300 | stream_context before 1 after 1")
+      val dplan = direct.queryExecution.executedPlan.toString
+      assert(!dplan.contains("LeftSemi"), dplan)
+      assert(direct.count() == n)
+    } finally
+      spark.conf.unset("spark.graft.streamContext.pruneGateBytes")
   }
 }
