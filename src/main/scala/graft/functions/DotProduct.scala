@@ -144,22 +144,7 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): SparkSession = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        val reg = spark.sessionState.functionRegistry
-        reg.createOrReplaceTempFunction(
-          "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-        reg.createOrReplaceTempFunction(
-          "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-        registered += spark
-      }
-    }
-    spark
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   /** Column API: registers the expression builders once per session and
     * calls them by name (the stable route to a custom Expression without

@@ -64,21 +64,7 @@ object ExtractGroups {
     new GenericArrayData(out)
   }
 
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_extract_groups", exprs => {
-            val re = exprs(1).eval().asInstanceOf[UTF8String].toString
-            ExtractGroupsExpr(exprs(0), re)
-          }, "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   def extractGroups(c: Column, regex: String): Column = {
     ensureRegistered()

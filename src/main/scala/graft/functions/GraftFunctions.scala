@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single source of truth for the engine's custom-expression SQL surface.
+  *
+  * Every codegen'd expression is exposed two ways from this one table:
+  *
+  *   - [[graft.GraftExtensions]] injects all of them at session build
+  *     (`spark.sql.extensions=graft.GraftExtensions`) — the idiomatic
+  *     route for clusters and plain-SQL/JDBC clients;
+  *   - the per-file Column APIs ([[JsonGet.scalar]], [[WordMatch
+  *     .wordMatch]], …) lazily [[ensure]] the temp functions exist before
+  *     building a `call_function` Column.
+  *
+  * `ensure` registers into BOTH the thread's active session and the JVM
+  * default session: a bare `Column` does not know which session will
+  * analyze it, and registering only the active one strands a DataFrame
+  * owned by a different session with "undefined function" at analysis
+  * (two-session JVMs: a test suite session next to a server session, or a
+  * `newSession()` clone, whose session state — including the function
+  * registry — is fresh). Sessions built through the extension never
+  * depend on the lazy path at all. */
+object GraftFunctions {
+
+  private def str(e: Expression): String =
+    e.eval().asInstanceOf[UTF8String].toString
+
+  /** name → builder, for both injectFunction and temp registration. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - dot product of two float/double/tinyint arrays",
+      es => DotProduct(es(0), es(1))),
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float/double/tinyint arrays",
+      es => CosineSim(es(0), es(1))),
+    ("graft_ipv4",
+      "graft_ipv4(s) - IPv4 dotted-quad string to uint32 (null when invalid)",
+      es => Ipv4ToLong(es.head)),
+    ("graft_logfmt",
+      "graft_logfmt(s) - parse a logfmt line into a map<string,string>",
+      es => LogfmtToMap(es.head)),
+    ("graft_json_get",
+      "graft_json_get(json, seg, ...) - scalar JSON field lookup; " +
+        "sentinel for object/array values",
+      es => JsonGetScalar(es.head, es.tail.map(e => str(e)))),
+    ("graft_extract_groups",
+      "graft_extract_groups(s, re) - all capture groups of re in one pass",
+      es => ExtractGroupsExpr(es(0), str(es(1)))),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(tokens, n) - n-hash MinHash signature",
+      es => MinHashSigExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a token array",
+      es => SimHash64Expr(es(0))),
+    ("graft_text_stats",
+      "graft_text_stats(s) - language/token counters in one pass",
+      es => LangTextStatsExpr(es(0))),
+    ("graft_word_match",
+      "graft_word_match(s, phrase, prefix) - word-boundary phrase match",
+      es => {
+        val p = str(es(1))
+        val pre = es(2).eval().asInstanceOf[Boolean]
+        WordMatchExpr(es(0), p, pre)
+      }),
+    ("graft_seq_match",
+      "graft_seq_match(s, phrases) - ordered word-sequence match",
+      es => {
+        val arr = es(1).eval().asInstanceOf[ArrayData]
+        val ps = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        SeqMatchExpr(es(0), ps)
+      }))
+
+  // weak keys: a strong session reference would pin every stopped
+  // session's state for the JVM's lifetime (registration is idempotent,
+  // so re-registering after a GC'd entry is benign)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Install every function into `spark`'s registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      all.foreach { case (name, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+      }
+
+  /** Lazy Column-API route: cover both sessions the Column could
+    * resolve against. */
+  private[functions] def ensure(): Unit = {
+    SparkSession.getActiveSession.foreach(register)
+    SparkSession.getDefaultSession.foreach(register)
+  }
+}

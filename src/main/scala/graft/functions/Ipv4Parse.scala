@@ -87,18 +87,7 @@ case class Ipv4ToLong(child: Expression) extends UnaryExpression {
 }
 
 object Ipv4Parse {
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_ipv4", exprs => Ipv4ToLong(exprs(0)), "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   /** Column API (same call_function registration route as DotProduct). */
   def ipv4ToLong(c: Column): Column = {

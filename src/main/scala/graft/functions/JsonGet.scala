@@ -336,26 +336,15 @@ case class JsonGetScalar(child: Expression, path: Seq[String])
 }
 
 object JsonGet {
-  // weak keys: a strong session reference here would pin every stopped
-  // session's state for the JVM's lifetime (registration is idempotent,
-  // so re-registering after a GC'd entry is benign)
-  private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_json_get", exprs => {
-          val path = exprs.tail.map(_.eval(null).toString)
-          JsonGetScalar(exprs.head, path)
-        }, "built-in")
-  }
-
-  /** Raw kernel column (tests; returns the NonScalar marker verbatim). */
+  /** Raw kernel column (tests; returns the NonScalar marker verbatim).
+    * limit -1 keeps trailing empty segments ("a." → ["a",""]) so the
+    * kernel's empty-segment→null rule fires exactly where
+    * get_json_object("$.a.") reports an invalid path. */
   def scalar(c: Column, dottedPath: String): Column = {
     ensureRegistered()
-    val segs = dottedPath.split("\\.").toSeq
+    val segs = dottedPath.split("\\.", -1).toSeq
     call_function("graft_json_get", c +: segs.map(lit): _*)
   }
 

@@ -95,18 +95,7 @@ case class LogfmtToMap(child: Expression)
 }
 
 object LogfmtParse {
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_logfmt", exprs => LogfmtToMap(exprs(0)), "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   def logfmtToMap(c: Column): Column = {
     ensureRegistered()

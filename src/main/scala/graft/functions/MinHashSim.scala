@@ -130,23 +130,7 @@ object MinHashSim {
     out
   }
 
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_minhash_sig", exprs => {
-            val n = exprs(1).eval().asInstanceOf[Int]
-            MinHashSigExpr(exprs(0), n)
-          }, "built-in")
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   def minhashSig(tokens: Column, numHashes: Int): Column = {
     ensureRegistered()

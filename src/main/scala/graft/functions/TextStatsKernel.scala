@@ -124,18 +124,7 @@ object TextStatsKernel {
     new GenericInternalRow(Array[Any](lang, nTokens))
   }
 
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_text_stats", exprs => LangTextStatsExpr(exprs(0)), "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   def textStats(text: Column): Column = {
     ensureRegistered()

@@ -16,15 +16,21 @@ import org.apache.spark.sql.functions.udaf
 object TopK {
 
   /** One scored candidate; `id` breaks score ties ascending so results
-    * are deterministic and match the window's orderBy(score desc, id). */
-  final case class Scored(score: Double, id: Long)
+    * are deterministic and match the window's orderBy(score desc, id).
+    * `nul` carries SQL-NULL scores (a null embedding's cosine): the
+    * window's desc ordering puts nulls LAST — after every real double,
+    * NaN included — so they must stay ranked, not dropped, or a group
+    * with fewer than k non-null scores returns different rows than the
+    * window this aggregate replaces. */
+  final case class Scored(score: Double, id: Long, nul: Boolean)
 
-  // Double.compare, not >: Spark's descending sort ranks NaN ABOVE every
-  // other double (a zero vector's cosine is 0/0 = NaN and the window this
-  // replaces put those rows first) — IEEE > is false both ways on NaN and
-  // would instead silently drop them from full buffers
+  // Ordering identical to Spark's `orderBy(score.desc, id.asc)`:
+  // null last; then Double.compare, not > — desc ranks NaN ABOVE every
+  // other double, and IEEE > is false both ways on NaN and would instead
+  // silently drop NaN scores from full buffers
   private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    if (a.nul != b.nul) return !a.nul
+    val c = if (a.nul) 0 else java.lang.Double.compare(a.score, b.score)
     c > 0 || (c == 0 && a.id < b.id)
   }
 
@@ -57,9 +63,14 @@ object TopK {
     def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
   }
 
-  /** `array<struct<score,id>>` of the group's k best rows, best first. */
+  /** `array<struct<score,id,nul>>` of the group's k best rows, best
+    * first; read the score as `when(col.nul, null).otherwise(col.score)`
+    * to round-trip SQL NULLs (the struct field itself is primitive). */
   def topk(score: Column, id: Column, k: Int): Column = {
     require(k > 0, "topk needs k > 0")
-    udaf(new Agg(k), ExpressionEncoder[Scored]())(score, id)
+    udaf(new Agg(k), ExpressionEncoder[Scored]())(
+      org.apache.spark.sql.functions.coalesce(
+        score, org.apache.spark.sql.functions.lit(0d)),
+      id, score.isNull)
   }
 }

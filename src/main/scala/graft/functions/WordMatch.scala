@@ -152,30 +152,7 @@ object WordMatch {
     true
   }
 
-  @volatile private var registered = Set.empty[SparkSession]
-
-  private def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
-    if (!registered.contains(spark)) synchronized {
-      if (!registered.contains(spark)) {
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_word_match", exprs => {
-            val p = exprs(1).eval().asInstanceOf[UTF8String].toString
-            val pre = exprs(2).eval().asInstanceOf[Boolean]
-            WordMatchExpr(exprs(0), p, pre)
-          }, "built-in")
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_seq_match", exprs => {
-            val arr = exprs(1).eval()
-              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            val ps = (0 until arr.numElements())
-              .map(i => arr.getUTF8String(i).toString)
-            SeqMatchExpr(exprs(0), ps)
-          }, "built-in")
-        registered += spark
-      }
-    }
-  }
+  private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   /** Column API (same call_function registration route as Ipv4Parse). */
   def wordMatch(c: Column, phrase: String, prefixMode: Boolean): Column = {

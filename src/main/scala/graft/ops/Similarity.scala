@@ -34,13 +34,15 @@ object Similarity {
     * Deterministic: ties break by neighbor_id ascending, identical to
     * `orderBy(cos desc, neighbor_id asc)`. */
   def topKByScore(scored: DataFrame, k: Int): DataFrame =
-    scored.filter(col("cos").isNotNull)
+    scored
       .groupBy("query_id")
       .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("__nn"))
       .select(col("query_id"), posexplode(col("__nn")))
       .select(col("query_id"),
         col("col.id").as("neighbor_id"),
-        col("col.score").as("cos"),
+        // null-score pairs (null embeddings) rank LAST, like the window's
+        // desc NULLS LAST — kept, not dropped, so short groups match
+        when(col("col.nul"), lit(null)).otherwise(col("col.score")).as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of

@@ -309,6 +309,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           s"ProjectID lists ${projs.length} projects for ${bare.length} " +
           "account(s): pair them 1:1, or send one account, or use " +
           "AccountID: acct:proj pairs")
+      else if (projs.length > 1 && bare.length > projs.length)
+        // the mirror of the surplus-projects case: which project the
+        // unpaired accounts belong to is a guess — reject, don't guess
+        throw new IllegalArgumentException(
+          s"AccountID lists ${bare.length} bare accounts for " +
+          s"${projs.length} projects: pair them 1:1, send one project " +
+          "to fan out, or use AccountID: acct:proj pairs")
       else {
         // pair projects against BARE accounts only — pre-paired
         // `acct:proj` entries pass through and must not shift the
@@ -320,7 +327,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             bi += 1
             val p = if (projs.isEmpty) "0"
                     else if (bi < projs.length) projs(bi)
-                    else projs.last // a lone project fans out to all accounts
+                    else projs.head // the lone project fans out to all accounts
             s"$a:$p"
           }
         }

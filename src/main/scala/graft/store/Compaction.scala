@@ -59,7 +59,7 @@ object Compaction {
       // fragmented partitions: files already near target size would be
       // rewritten 1:1 — pure I/O churn. force_merge keeps merging
       // unconditionally, like the reference's forced final merge.
-      val small = !skipAtTargetSize ||
+      def small = !skipAtTargetSize ||
         files.map(_.getLen).sum / files.length < targetFileBytes / 2
       if (dayOk && files.length >= minFilesToCompact && small)
         compactPartition(spark, pdir, files, targetFileBytes, promoted)

@@ -230,6 +230,16 @@ object LogStore {
       case u: UnpackLogfmt =>
         u.fieldsList.nonEmpty &&
           !u.fieldsList.exists(f => matchesTime(Seq(u.prefix + f)))
+      case PackJson(out, _) => out != "_time"
+      case PackLogfmt(out, _) => out != "_time"
+      // in-place rewrites: the field keeps its name but holds new values
+      case Decolorize(f) => f != "_time"
+      case CollapseNums(f, _) => f != "_time"
+      case Unroll(fs, _) => !fs.contains("_time")
+      case s: UnpackSyslog =>
+        !Seq("timestamp", "hostname", "app_name", "proc_id", "msg_id",
+             "message", "priority", "facility", "severity", "format")
+          .exists(n => s.prefix + n == "_time")
       case _ => true
     }
   }

@@ -27,6 +27,23 @@ class ExtensionsSpec extends SparkSuite {
         assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
         assert(r.getLong(2) == ((10L << 24) | 1L))
         assert(r.getAs[Map[String, String]](3) == Map("a" -> "1", "b" -> "x y"))
+        // the whole table is injected, not a hand-picked subset: every
+        // name in GraftFunctions.all resolves in a plain SQL session
+        val r2 = s2.sql(
+          """SELECT graft_json_get('{"a":{"b":7}}', 'a', 'b') AS j,
+                    graft_word_match('an error here', 'error', false) AS w,
+                    graft_seq_match('connect then fail', array('connect', 'fail')) AS q,
+                    graft_extract_groups('u=7 d=9', 'u=(\\d+) d=(\\d+)') AS g,
+                    graft_simhash64(array('a', 'b')) AS sh,
+                    size(graft_minhash_sig(array('a', 'b'), 8)) AS mh,
+                    graft_text_stats('hello the world').n_tokens AS tk""")
+          .collect().head
+        assert(r2.getString(0) == "7")
+        assert(r2.getBoolean(1) && r2.getBoolean(2))
+        assert(r2.getSeq[String](3) == Seq("7", "9"))
+        assert(r2.getLong(4) != 0L)
+        assert(r2.getInt(5) == 8)
+        assert(r2.getLong(6) == 3L)
       } finally {
         // do NOT stop s2 — it shares the suite-wide SparkContext
       }

@@ -177,7 +177,9 @@ class ExprPropertySpec extends SparkSuite {
       """{"a":[{"b":1},{"b":2}],"k":[3]}""",                // array traversal
       """[{"k":"rootarr"},{"k":2}]""",
       """{"a":1,"k":"scalar-parent"}""")                    // scalar mid-path
-    for (path <- Seq("k", "a.b", "a.b.c", "with space")) {
+    // "a." and "" exercise trailing/lone empty segments: Java split drops
+    // trailing empties unless limit -1, and get_json_object("$.a.") is null
+    for (path <- Seq("k", "a.b", "a.b.c", "with space", "a.", "")) {
       val got = evalBatch(inputs, c => graft.functions.JsonGet.scalarOrJson(c, path))
       val want = evalBatch(inputs, c => get_json_object(c, "$." + path))
       inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>

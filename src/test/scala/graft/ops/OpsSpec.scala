@@ -215,24 +215,37 @@ class OpsSpec extends SparkSuite {
   test("bounded topK aggregate matches the row_number window exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // deterministic scores with planted ties (mod 97 collides often) and
-    // planted NaNs (a zero embedding's cosine): the window ranks NaN FIRST
-    // under desc ordering, and the aggregate must agree
+    // deterministic scores with planted ties (mod 97 collides often),
+    // planted NaNs (a zero embedding's cosine: desc ranks NaN FIRST) and
+    // planted NULLs (a null embedding's cosine: desc ranks null LAST,
+    // kept, so groups with fewer than k real scores stay whole)
     val rows = for { q <- 0 until 4; i <- 0 until 300 } yield
       (q.toLong, i.toLong,
-        if (i % 101 == 0) Double.NaN
-        else ((i * 2654435761L + q * 7919) % 97).toDouble / 97.0)
+        if (i % 113 == 0) null
+        else if (i % 101 == 0) java.lang.Double.valueOf(Double.NaN)
+        else java.lang.Double.valueOf(
+          ((i * 2654435761L + q * 7919) % 97).toDouble / 97.0))
     val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(8)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    // NaN != NaN under numeric equality — normalize for the set compare
-    def norm(d: Double): Double = if (d.isNaN) -999.0 else d
+    // NaN != NaN and null != null under tuple equality — normalize
+    def norm(r: org.apache.spark.sql.Row): (Long, Long, Double, Int) =
+      (r.getLong(0), r.getLong(1),
+       if (r.isNullAt(2)) -888.0
+       else if (r.getDouble(2).isNaN) -999.0 else r.getDouble(2),
+       r.getInt(3))
     val want = df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), norm(r.getDouble(2)), r.getInt(3))).toSet
+      .collect().map(norm).toSet
     val got = Similarity.topKByScore(df, 7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), norm(r.getDouble(2)), r.getInt(3))).toSet
+      .collect().map(norm).toSet
     assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // an all-null group still returns k ranked rows, like the window
+    val allNull = Seq((9L, 1L, null), (9L, 2L, null), (9L, 3L, null))
+      .toDF("query_id", "neighbor_id", "cos")
+    val an = Similarity.topKByScore(allNull, 2).orderBy("rank").collect()
+    assert(an.map(r => (r.getLong(1), r.isNullAt(2), r.getInt(3))).toSeq ==
+      Seq((1L, true, 1), (2L, true, 2)))
     // groups smaller than k return the whole group, ranked
     val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "cos")
     val t = Similarity.topKByScore(tiny, 7).orderBy("rank")

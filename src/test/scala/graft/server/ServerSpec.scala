@@ -204,14 +204,21 @@ class ServerSpec extends SparkSuite {
       // accounts: 0:0 passes through, 7 and 9 pair with 1 and 1... i.e.
       // projects pair against BARE accounts only (0:0=3, 7:1=1, 9:1=4)
       assert(getT(Seq("AccountID" -> "0:0,7,9", "ProjectID" -> "1,1")) == 8)
-      // surplus projects can't pair up — loud client error, not a silent drop
-      val conn = new URI(
-        s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("*")}")
-        .toURL.openConnection().asInstanceOf[HttpURLConnection]
-      Seq("AccountID" -> "7,9", "ProjectID" -> "0,1,2")
-        .foreach { case (k, v) => conn.addRequestProperty(k, v) }
-      assert(conn.getResponseCode == 400)
-      conn.disconnect()
+      // unpairable surpluses on either side are loud client errors, not
+      // silent drops or guesses (except the deliberate single fan-outs)
+      def code(hs: Seq[(String, String)]): Int = {
+        val conn = new URI(
+          s"http://127.0.0.1:$p2/select/logsql/query?query=${enc("*")}")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        hs.foreach { case (k, v) => conn.addRequestProperty(k, v) }
+        val c = conn.getResponseCode
+        conn.disconnect()
+        c
+      }
+      assert(code(Seq("AccountID" -> "7,9", "ProjectID" -> "0,1,2")) == 400)
+      // 3 bare accounts for 2 projects: which project covers account 9 is
+      // a guess — mirror case of surplus projects, same 400
+      assert(code(Seq("AccountID" -> "7,8,9", "ProjectID" -> "0,1")) == 400)
     } finally s2.stop()
   }
 

@@ -95,6 +95,19 @@ class StoreSpec extends SparkSuite {
     val (res2, _) = LogStore.lastN(spark, storeDir, "* | mv _time as t", 3)
     assert(res2.count() == 3)
     assert(res2.columns.contains("t") && !res2.columns.contains("_time"))
+    // pipes that overwrite _time IN PLACE (column still present, values
+    // clobbered) must also route to the full-scan path: the descent's
+    // final newest-by-_time re-sort would order by the clobbered values.
+    // Routing is observable through daysScanned — the fallback reports
+    // every day, the descent fewer (the descent test above pins that).
+    val (_, allDays) = LogStore.lastN(spark, storeDir, "* | sort by (value)", 1)
+    for (q3 <- Seq("* | pack_json as _time",
+                   "* | collapse_nums at _time",
+                   "* | decolorize _time")) {
+      val (res3, scanned3) = LogStore.lastN(spark, storeDir, q3, 3)
+      assert(scanned3 == allDays, q3)
+      assert(res3.count() == 3, q3)
+    }
   }
 
   test("stream_context returns surrounding rows per stream") {
