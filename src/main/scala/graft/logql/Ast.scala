@@ -16,6 +16,45 @@ final case class Query(filter: Filter, pipes: Seq[Pipe],
                        options: Map[String, String] = Map.empty,
                        evalNs: Long = 0L)
 
+object Query {
+  /** Rewrite `q` AND every nested subquery with `f` — in(subquery),
+    * contains_all/any(subquery), join/union pipes, and the if(...)
+    * conditions of pipes and stats functions, innermost first. This is
+    * the reference's `visitSubqueries` (parser.go:642-657): HTTP-level
+    * conjuncts like the [start, end) time range and extra_filters apply
+    * to nested queries too, so a join subquery over years of retention
+    * is bounded exactly like its parent. */
+  def transformWithSubqueries(q: Query)(f: Query => Query): Query = {
+    def tq(q: Query): Query =
+      f(q.copy(filter = tf(q.filter), pipes = q.pipes.map(tp)))
+    def tf(fl: Filter): Filter = fl match {
+      case Filter.And(fs) => Filter.And(fs.map(tf))
+      case Filter.Or(fs) => Filter.Or(fs.map(tf))
+      case Filter.Not(x) => Filter.Not(tf(x))
+      case Filter.InQuery(fd, sub) => Filter.InQuery(fd, tq(sub))
+      case Filter.ContainsQuery(fd, sub, all) =>
+        Filter.ContainsQuery(fd, tq(sub), all)
+      case other => other
+    }
+    def tp(p: Pipe): Pipe = p match {
+      case j: Pipe.Join => j.copy(sub = tq(j.sub))
+      case Pipe.Union(sub) => Pipe.Union(tq(sub))
+      case Pipe.Where(x) => Pipe.Where(tf(x))
+      case x: Pipe.Format => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.Extract => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.ExtractRegexp => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.UnpackJson => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.UnpackLogfmt => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.UnpackSyslog => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.Unroll => x.copy(iff = x.iff.map(tf))
+      case s: Pipe.Stats =>
+        s.copy(funcs = s.funcs.map(fa => fa.copy(iff = fa.iff.map(tf))))
+      case other => other
+    }
+    tq(q)
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Filters (reference: lib/logstorage/filter_*.go, SURVEY.md §2.1)
 // ---------------------------------------------------------------------------

@@ -226,24 +226,34 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       .getOrElse(nowNs) - 1
     val q0 = Parser.parse(text, evalNs)
     // options(ignore_global_time_filter=true) suppresses the HTTP-level
-    // [start, end) conjunct (parser.go AddTimeFilter gate)
-    val ignoreGlobal = q0.options.get("ignore_global_time_filter")
-      // Go strconv.ParseBool's accepted spellings (the reference's parser)
-      .exists(v => Set("1", "t", "T", "TRUE", "true", "True").contains(v))
+    // [start, end) conjunct (parser.go AddTimeFilter gate), checked per
+    // query — a subquery can opt out independently of its parent
+    def ignoresGlobal(q: Query): Boolean =
+      q.options.get("ignore_global_time_filter")
+        // Go strconv.ParseBool's accepted spellings (the reference parser)
+        .exists(v => Set("1", "t", "T", "TRUE", "true", "True").contains(v))
     val q1 = (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
-      case _ if ignoreGlobal => q0
       case (lo, hi) =>
         val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
                                   hi.map(parseTime).getOrElse(Long.MaxValue))
-        q0.copy(filter = Filter.And(Seq(tr, q0.filter)))
+        // AddTimeFilter reaches subqueries too (parser.go:537-541): a
+        // join/in() subquery over years of retention is bounded exactly
+        // like its parent instead of scanning all history
+        Query.transformWithSubqueries(q0) { q =>
+          if (ignoresGlobal(q)) q
+          else q.copy(filter = Filter.And(Seq(tr, q.filter)))
+        }
     }
     val extras =
       ps.getOrElse("extra_filters", Nil).filter(_.nonEmpty)
         .map(extraFilter(_, stream = false, evalNs)) ++
       ps.getOrElse("extra_stream_filters", Nil).filter(_.nonEmpty)
         .map(extraFilter(_, stream = true, evalNs))
-    extras.foldLeft(q1)((q, f) => q.copy(filter = Filter.And(Seq(f, q.filter))))
+    if (extras.isEmpty) q1
+    // AddExtraFilters visits subqueries the same way (parser.go:567-576)
+    else Query.transformWithSubqueries(q1)(q =>
+      q.copy(filter = Filter.And(extras ++ Seq(q.filter))))
   }
 
   /** `extra_filters` / `extra_stream_filters` args (logsql.go:1191-1283):

@@ -37,6 +37,41 @@ class ServerSpec extends SparkSuite {
     assert(lines.forall(l => l.startsWith("{") && l.contains("\"event_type\":\"purchase\"")))
   }
 
+  test("extra_filters scope the query and its subqueries") {
+    def count(params: String): Long = {
+      val (code, body) = get(
+        s"/select/logsql/query?query=${enc("* | stats count() c")}$params")
+      assert(code == 200, body)
+      """"c":"?(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    }
+    val all = count("")
+    // raw LogsQL form
+    val purch = count(s"&extra_filters=${enc("event_type:=purchase")}")
+    assert(purch > 0 && purch < all)
+    // JSON shorthand: {"field":"value"} → exact filter
+    assert(count(s"&extra_filters=${enc("""{"event_type":"purchase"}""")}") == purch)
+    // JSON array → in(); two types is strictly between one and all
+    val two = count(s"&extra_filters=${enc("""{"event_type":["purchase","view"]}""")}")
+    assert(two > purch && two < all)
+    // stream variant compiles to label matchers over the same promoted col
+    assert(count(s"&extra_stream_filters=${enc("""{"event_type":"purchase"}""")}") == purch)
+    // the conjunct reaches in(subquery) sources too (parser.go:567-576):
+    // with the subquery restricted to purchase rows, ids collected from
+    // view rows vanish — the count equals the purchase-only intersection
+    val subQ = "event_id:in(* | fields event_id) | stats count() c"
+    val subAll = {
+      val (c, b) = get(s"/select/logsql/query?query=${enc(subQ)}")
+      assert(c == 200, b)
+      """"c":"?(\d+)""".r.findFirstMatchIn(b).get.group(1).toLong
+    }
+    assert(subAll == all)
+    val (c2, b2) = get(s"/select/logsql/query?query=${enc(subQ)}" +
+      s"&extra_filters=${enc("event_type:=purchase")}")
+    assert(c2 == 200, b2)
+    val subPurch = """"c":"?(\d+)""".r.findFirstMatchIn(b2).get.group(1).toLong
+    assert(subPurch == purch, s"subquery not scoped: $subPurch vs $purch")
+  }
+
   test("hits fields_limit folds the tail series into an other bucket") {
     val (code, body) = get(
       s"/select/logsql/hits?query=${enc("*")}&step=1d&field=event_type&fields_limit=2")
