@@ -25,6 +25,7 @@ object Bench {
     // by 3-4x versus the same code on a warm-but-clean session
     val (ingestRows, ingestSec, ingestPosts, ingestFlushes, rawB, storeB) =
       ingestBench()
+    val (scanBytes, scanSec) = scanBench(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // per-query Spark job counts: local mode pays the scheduler floor once
     // PER JOB, so multi-job queries (AQE stages, broadcast builds, descent
@@ -125,8 +126,32 @@ object Bench {
         jobFloor * math.max(totalJobs - results.size, 0L)
     val ingestRps = if (ingestSec > 0) ingestRows / ingestSec else 0d
     val comp = if (storeB > 0) rawB.toDouble / storeB else 0d
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp}""")
+    val scanGbps =
+      if (scanSec > 0) scanBytes / scanSec / (1L << 30).toDouble else 0d
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps}""")
     spark.stop()
+  }
+
+  /** Raw columnar scan bandwidth (BASELINE.md "track scan GB/s"): decode
+    * EVERY column of the largest table and fold it into one hash-sum —
+    * a plain count() short-circuits to parquet row-group metadata and
+    * measures nothing. Reported as on-disk (compressed) bytes per second,
+    * median of 3 after a warmup pass. */
+  private def scanBench(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    try {
+      val path = s"$sfDir/lineitem.parquet"
+      val bytes = new java.io.File(path).length
+      val df = spark.read.parquet(path)
+      def run(): Unit =
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(bit_xor(col("h"))).collect() // xor: no ANSI sum overflow
+      run() // warm
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (bytes, ts(1))
+    } catch { case _: Exception => (0L, 0d) }
   }
 
   /** Ingest throughput: concurrent jsonline POSTs against the HTTP ingest
