@@ -69,11 +69,11 @@ final class Parser(input: String, now: Long) {
           case '"' => sb += '"'; pos += 2
           case '\'' => sb += '\''; pos += 2
           case 'u' if pos + 5 < input.length =>
-            sb += Integer.parseInt(input.substring(pos + 2, pos + 6), 16).toChar
+            sb += hexEscape(input.substring(pos + 2, pos + 6), pos).toChar
             pos += 6
           case 'x' if pos + 3 < input.length =>
             // Go-style hex byte escape (LogsQL.md:4132: `\x8c` etc.)
-            sb += Integer.parseInt(input.substring(pos + 2, pos + 4), 16).toChar
+            sb += hexEscape(input.substring(pos + 2, pos + 4), pos).toChar
             pos += 4
           case other => // unknown escape: keep the backslash (regex \w, \d …)
             sb += '\\'; sb += other; pos += 2
@@ -83,6 +83,17 @@ final class Parser(input: String, now: Long) {
     if (pos >= input.length) err("unterminated quoted string")
     pos += 1
     sb.result()
+  }
+
+  /** Malformed hex in a \\u/\\x escape is a parse error (→ HTTP 400),
+    * not a NumberFormatException escaping to the server as a 500; a
+    * leading '-' would pass parseInt but is equally invalid. */
+  private def hexEscape(hex: String, at: Int): Int = {
+    val v = try Integer.parseInt(hex, 16)
+            catch { case _: NumberFormatException =>
+              err(s"invalid hex escape \\$hex at offset $at") }
+    if (v < 0) err(s"invalid hex escape \\$hex at offset $at")
+    v
   }
 
   private def isQuote(c: Char): Boolean = c == '"' || c == '\'' || c == '`'
@@ -209,7 +220,21 @@ final class Parser(input: String, now: Long) {
     if (parts.size == 1) parts.head else Filter.And(parts.toSeq)
   }
 
+  // every recursion cycle of the filter grammar (parens, !-chains,
+  // subqueries) passes through parseTerm — a depth cap turns a
+  // pathologically nested query ("(((((..." ) into a ParseException/400
+  // instead of a StackOverflowError killing the server thread
+  private var termDepth = 0
+  private val MaxTermDepth = 300
+
   private def parseTerm(defaultField: String): Filter = {
+    termDepth += 1
+    if (termDepth > MaxTermDepth)
+      err(s"filter nesting deeper than $MaxTermDepth")
+    try parseTerm0(defaultField) finally termDepth -= 1
+  }
+
+  private def parseTerm0(defaultField: String): Filter = {
     skipWs()
     peekCh match {
       case '!' => pos += 1; Filter.Not(parseTerm(defaultField))

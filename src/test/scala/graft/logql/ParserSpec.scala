@@ -229,4 +229,35 @@ class ParserSpec extends AnyFunSuite {
     assert(NumLit.parse("0x10").contains(16d))
     assert(NumLit.parse("1_000").contains(1000d))
   }
+
+  test("fuzz: garbage input parses or raises ParseException, never crashes") {
+    // the HTTP layer maps ParseException to 400 — anything else
+    // (StackOverflowError on deep nesting, NPE, MatchError) would 500.
+    val rnd = new scala.util.Random(20260813L)
+    val atoms = Seq("*", "|", ":", "(", ")", "{", "}", "\"", "'", ",",
+      "and", "or", "not", "in", "stats", "by", "count()", "sort", "fields",
+      "_time:5m", "error", "foo:bar", "=~", "!=", ">=", "<", "i(", "re(",
+      "seq(", "range(", "\\", "\u0000", "日本", " ", "-", "1e9", "0x",
+      "extract", "unpack_json", "format", "if", "offset", "limit",
+      "\"unterminated", "{a=", "a*b", "..", "$$", "\t", "\n")
+    var parsed = 0
+    for (_ <- 1 to 30000) {
+      val n = 1 + rnd.nextInt(12)
+      val s = Seq.fill(n)(atoms(rnd.nextInt(atoms.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+      try { Parser.parse(s, NOW); parsed += 1 }
+      catch {
+        case _: ParseException => ()
+        case e: Throwable => fail(s"query <$s> threw ${e.getClass}: $e")
+      }
+    }
+    assert(parsed > 0) // the generator does produce valid queries too
+    // deep nesting must not blow the stack (reference caps nesting too)
+    val deep = "(" * 10000 + "*" + ")" * 10000
+    try Parser.parse(deep, NOW)
+    catch { case _: ParseException => () }
+    val deepPipes = "* " + ("| where (a:b or c:d) " * 2000)
+    try Parser.parse(deepPipes, NOW)
+    catch { case _: ParseException => () }
+  }
 }
