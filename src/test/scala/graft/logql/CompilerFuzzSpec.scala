@@ -1,0 +1,98 @@
+package graft.logql
+
+import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Grammar-level fuzz of the parse → compile path: random combinations of
+  * VALID filter and pipe fragments must either compile (and a sampled
+  * subset execute) or raise a deliberate error type. Crash-class
+  * throwables — MatchError, NPE, ClassCastException, StackOverflowError —
+  * mean a query string can 500 the server, and each one found here is a
+  * bug (the parser fuzz in ParserSpec caught two real ones this way). */
+class CompilerFuzzSpec extends SparkSuite {
+
+  private val NOW = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+
+  private def ts(s: String): Timestamp =
+    Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val logs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_msg", StringType),
+      StructField("_stream_id", StringType),
+      StructField("level", StringType),
+      StructField("v", StringType),
+      StructField("js", StringType),
+      StructField("kv", StringType)))
+    val rows = (0 until 24).map { i =>
+      Row(ts(f"2023-12-31T${i % 24}%02d:00:01Z"), s"msg $i error code=$i",
+        s"s${i % 3}", Seq("error", "info", "warn")(i % 3), s"${i * 1.5}",
+        s"""{"a":$i,"b":{"c":"x$i"}}""", s"k=$i mode=m${i % 2}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("random valid-fragment queries compile or raise deliberate errors") {
+    val filters = Seq(
+      "*", "error", "level:info", "v:>3", "v:range(1, 20)", "_time:5m",
+      "level:in(error, warn)", "_msg:~\"code=\\\\d+\"", "level:i(ERROR)",
+      "_msg:seq(msg, error)", "v:len_range(1, 4)", "level:eq_field(level)",
+      "_msg:contains_any(error, warn)", "!level:debug",
+      "(error or level:info)", "_time:day_range[00:00, 23:00)",
+      "level:value_type(string)", "nosuchfield:foo", "_stream_id:abc",
+      "v:in(* | fields v)")
+    val pipes = Seq(
+      "fields _time, _msg, level, v", "delete kv", "copy v as v2",
+      "rename level as lvl", "where v:>2", "limit 7", "offset 2",
+      "sample 3", "sort by (v desc) limit 5", "sort by (level) rank as r",
+      "stats count() c", "stats by (level) count() c, sum(v) s",
+      "stats by (_time:1h) median(v) m", "top 3 by (level)",
+      "uniq by (level) with hits", "field_names as fn",
+      "field_values level limit 4", "len _msg as l", "hash v as h",
+      "math v * 2 as dbl", "format \"<level>:<v>\" as f",
+      "extract \"code=<code>\" from _msg", "replace (error, warn) at _msg",
+      "replace_regexp (\"m.g\", \"MSG\") at _msg", "unpack_json from js",
+      "unpack_json from js fields (a, b) result_prefix p_",
+      "unpack_logfmt from kv", "unpack_words from _msg as w limit 5",
+      "unroll by (w)", "json_array_len js as jl", "pack_json as packed",
+      "pack_logfmt as pkv fields (level, v)", "drop_empty_fields",
+      "decolorize _msg", "collapse_nums at _msg", "facets 3",
+      "block_stats", "blocks_count as bc", "field_values nosuch",
+      "first 3 by (v)", "last 2 by (_time)",
+      "stream_context before 1 after 1",
+      "join by (level) (level:error | stats by (level) count() jc)",
+      "union (level:info)", "stats count() if (level:error) ec")
+    val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "8132026").toLong)
+    var compiled = 0
+    var executed = 0
+    for (i <- 1 to sys.env.getOrElse("FUZZ_ITERS", "800").toInt) {
+      val nf = filters(rnd.nextInt(filters.length))
+      val np = 1 + rnd.nextInt(3)
+      val q = nf + Seq.fill(np)(pipes(rnd.nextInt(pipes.length)))
+        .mkString(" | ", " | ", "")
+      try {
+        val df = Compiler.run(logs, q, NOW)
+        compiled += 1
+        // executing every query would take minutes; a deterministic 1-in-8
+        // sample still runs ~100 full pipelines through Tungsten
+        if (i % 8 == 0) { df.count(); executed += 1 }
+      } catch {
+        // deliberate rejections: parse errors, semantic rejections from
+        // the compiler, and Spark analysis errors for unresolvable shapes
+        case _: ParseException => ()
+        case _: IllegalArgumentException => ()
+        case _: UnsupportedOperationException => ()
+        case _: org.apache.spark.sql.AnalysisException => ()
+        case e: Throwable =>
+          fail(s"query <$q> threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // the generator must mostly produce workable queries, or this tests
+    // nothing — and the sampled executions must have actually run
+    assert(compiled * 2 > sys.env.getOrElse("FUZZ_ITERS", "800").toInt, s"only $compiled compiled")
+    assert(executed > 50, s"only $executed sampled executions ran")
+  }
+}
