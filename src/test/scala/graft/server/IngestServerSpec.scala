@@ -95,6 +95,60 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("malformed payloads never 500 and never poison later ingest") {
+    val dir = tmp("malformed")
+    val srv = new IngestServer(spark, dir)
+    val port = srv.start()
+    def postRaw(path: String, body: Array[Byte],
+                headers: Map[String, String]): Int = {
+      val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(60000)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.getOutputStream.write(body)
+      val c = conn.getResponseCode
+      conn.disconnect()
+      c
+    }
+    try {
+      val garbage = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+      val cases: Seq[(String, Array[Byte], Map[String, String])] = Seq(
+        // binary garbage where protobuf is expected → request-time 400
+        ("/insert/loki/api/v1/push", garbage,
+          Map("Content-Type" -> "application/x-protobuf")),
+        ("/insert/opentelemetry/v1/logs", garbage,
+          Map("Content-Type" -> "application/x-protobuf")),
+        // corrupt gzip body → decompress error, not a 500
+        ("/insert/jsonline", garbage, Map("Content-Encoding" -> "gzip")),
+        // structurally-wrong JSON for structured protocols
+        ("/insert/loki/api/v1/push", """{"streams":"nope"}""".getBytes(UTF_8),
+          Map("Content-Type" -> "application/json")),
+        ("/insert/opentelemetry/v1/logs", """{"resourceLogs":42}""".getBytes(UTF_8),
+          Map("Content-Type" -> "application/json")),
+        ("/insert/datadog/api/v2/logs", "]][[".getBytes(UTF_8), Map.empty))
+      for ((path, body, hs) <- cases) {
+        val c = postRaw(path, body, hs)
+        // lenient line protocols may accept (storing the raw line);
+        // binary/structured failures must be client errors — never 5xx
+        assert(c < 500, s"$path returned $c")
+      }
+      // jsonline garbage text is LENIENT by design: the raw line becomes
+      // _msg with ingest-time _time (the reference keeps malformed lines
+      // queryable rather than dropping data)
+      val (cj, _) = post(port, "/insert/jsonline", "not json at all")
+      assert(cj == 200)
+      // and the server still ingests normally after all of the above
+      val (ok, _) = post(port, "/insert/jsonline",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"after the storm"}""")
+      assert(ok == 200)
+      assert(count(dir, "\"after the storm\" | stats count() c") == 1)
+      assert(count(dir, "\"not json at all\" | stats count() c") == 1)
+    } finally srv.stop()
+  }
+
   test("loki protobuf+snappy push round-trips") {
     import graft.streaming.LokiProto
     val dir = tmp("lokiproto")
