@@ -157,6 +157,15 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
               try respond(ex, 503,
                 s"""{"error":"query exceeded its deadline of ${capMs}ms; pass a larger 'timeout' arg"}""")
               catch { case _: Exception => () }
+            // a lifecycle swap (compaction/retention) replaced files
+            // between this query's cached file index and its execution —
+            // the reference refcounts parts instead (datadb.go); with
+            // immutable parquet the contract is invalidate + retry once
+            // against the fresh listing. If the stream already started,
+            // the retry's response write fails like the truncation above.
+            case e: Throwable if isStaleFileError(e) =>
+              storeDir.foreach(graft.store.LogStore.invalidateCaches)
+              f(ex, ps)
           }
           finally {
             cancel.cancel(false)
@@ -186,6 +195,20 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def one(ps: Map[String, Seq[String]], k: String): Option[String] =
     ps.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+
+  /** A scan failed because a file in the plan's cached index no longer
+    * exists (replaced by a lifecycle swap mid-query). */
+  private def isStaleFileError(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = String.valueOf(c.getMessage)
+      if (m.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+          m.contains("does not exist")) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)

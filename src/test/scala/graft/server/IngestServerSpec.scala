@@ -310,6 +310,37 @@ class IngestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("query racing a lifecycle file swap retries against the fresh index") {
+    val dir = tmp("staleswap")
+    val (http, port) = graft.Server.start(spark, dir)
+    try {
+      for (i <- 1 to 3)
+        post(port, "/insert/jsonline?_stream_fields=app",
+          s"""{"_time":"2024-01-0${i}T10:00:00Z","_msg":"swap row $i","app":"a$i"}""")
+      def getQ(q: String): (Int, String) = {
+        val conn = new URI(s"http://127.0.0.1:$port/select/logsql/query?query=" +
+          java.net.URLEncoder.encode(q, UTF_8)).toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+        conn.disconnect(); (code, body)
+      }
+      // populate the memoized relation's file index
+      assert(getQ("swap | stats count() c")._2.contains("\"c\":3"))
+      // swap a file out from under the cached index WITHOUT invalidating —
+      // what a compaction/retention rename does between plan and execution
+      val victim = spark.read.parquet(s"$dir/logs").inputFiles.head
+        .stripPrefix("file:")
+      Files.delete(Paths.get(java.net.URLDecoder.decode(victim, UTF_8)))
+      // the handler must invalidate + retry against the fresh listing —
+      // one day partition is gone, the other two rows still answer
+      val (code, body) = getQ("swap | stats count() c")
+      assert(code == 200, s"$code $body")
+      assert(body.contains("\"c\":2"), body)
+    } finally http.stop(0)
+  }
+
   test("unified server: ingest then query on one port, fresh data visible") {
     val dir = tmp("unified")
     val (http, port) = graft.Server.start(spark, dir)
