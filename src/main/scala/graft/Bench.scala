@@ -151,7 +151,12 @@ object Bench {
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }.sorted
       (bytes, ts(1))
-    } catch { case _: Exception => (0L, 0d) }
+    } catch { case e: Exception =>
+      // zeros in the JSON are indistinguishable from a measurement —
+      // say why the series flatlined
+      System.err.println(s"[bench] scanBench failed: $e")
+      (0L, 0d)
+    }
   }
 
   /** Ingest throughput: concurrent jsonline POSTs against the HTTP ingest

@@ -86,14 +86,13 @@ final class Parser(input: String, now: Long) {
   }
 
   /** Malformed hex in a \\u/\\x escape is a parse error (→ HTTP 400),
-    * not a NumberFormatException escaping to the server as a 500; a
-    * leading '-' would pass parseInt but is equally invalid. */
+    * not a NumberFormatException escaping to the server as a 500.
+    * Every char must be a hex digit — parseInt alone would also accept
+    * the sign prefixes '+'/'-', which Go's escape grammar rejects. */
   private def hexEscape(hex: String, at: Int): Int = {
-    val v = try Integer.parseInt(hex, 16)
-            catch { case _: NumberFormatException =>
-              err(s"invalid hex escape \\$hex at offset $at") }
-    if (v < 0) err(s"invalid hex escape \\$hex at offset $at")
-    v
+    if (!hex.forall(c => Character.digit(c, 16) >= 0))
+      err(s"invalid hex escape \\$hex at offset $at")
+    Integer.parseInt(hex, 16)
   }
 
   private def isQuote(c: Char): Boolean = c == '"' || c == '\'' || c == '`'
@@ -141,7 +140,23 @@ final class Parser(input: String, now: Long) {
 
   // ------------------------------------------------------------------ query
 
+  // pipe subqueries (join/union) recurse parseQuery→parsePipe→parseQuery
+  // without a live parseTerm frame on the stack, so they need the same
+  // depth cap the filter grammar has — "* | union (* | union (…" at
+  // thousands of levels is a StackOverflowError otherwise
   def parseQuery(): Query = {
+    termDepth += 1
+    if (termDepth > MaxTermDepth)
+      err(s"query nesting deeper than $MaxTermDepth")
+    try parseQuery0() finally termDepth -= 1
+  }
+
+  // options inherit into subqueries, overridable per level, like the
+  // reference's opts propagation (a subquery sees its parent's
+  // ignore_global_time_filter unless it declares its own)
+  private var inheritedOpts: Map[String, String] = Map.empty
+
+  private def parseQuery0(): Query = {
     // leading `options (k=v, ...)` (parser.go:261-285 queryOptions:
     // concurrency, ignore_global_time_filter) — recorded on the query;
     // ignore_global_time_filter is honored by the HTTP layer, concurrency
@@ -180,11 +195,16 @@ final class Parser(input: String, now: Long) {
         k != "concurrency" && k != "ignore_global_time_filter").foreach(k =>
         err(s"unknown query option '$k'")) // reference rejects unknown options
     }
-    val f = parseOr("_msg")
-    val pipes = ArrayBuffer.empty[Pipe]
-    skipWs()
-    while (consume('|')) { pipes += parsePipe(); skipWs() }
-    Query(f, pipes.toSeq, opts.toMap)
+    val effectiveOpts = inheritedOpts ++ opts.toMap
+    val prevInherited = inheritedOpts
+    inheritedOpts = effectiveOpts
+    try {
+      val f = parseOr("_msg")
+      val pipes = ArrayBuffer.empty[Pipe]
+      skipWs()
+      while (consume('|')) { pipes += parsePipe(); skipWs() }
+      Query(f, pipes.toSeq, effectiveOpts)
+    } finally inheritedOpts = prevInherited
   }
 
   /** Parse a complete standalone query (must consume the whole input). */

@@ -161,9 +161,12 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             // between this query's cached file index and its execution —
             // the reference refcounts parts instead (datadb.go); with
             // immutable parquet the contract is invalidate + retry once
-            // against the fresh listing. If the stream already started,
-            // the retry's response write fails like the truncation above.
-            case e: Throwable if isStaleFileError(e) =>
+            // against the fresh listing. Only before the status line is
+            // committed (a retry after that could never be delivered)
+            // and only for store-backed sources (nothing to refresh
+            // otherwise — a bare retry would fail identically).
+            case e: Throwable
+                if isStaleFileError(e) && !committed(ex) && storeDir.isDefined =>
               storeDir.foreach(graft.store.LogStore.invalidateCaches)
               f(ex, ps)
           }
@@ -197,18 +200,29 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     ps.get(k).flatMap(_.headOption).filter(_.nonEmpty)
 
   /** A scan failed because a file in the plan's cached index no longer
-    * exists (replaced by a lifecycle swap mid-query). */
+    * exists (replaced by a lifecycle swap mid-query). Deliberately
+    * narrow: matching loose phrases like "does not exist" would let a
+    * client-crafted parse error (the text echoes the query) trigger a
+    * cache flush plus a doubled execution on demand. */
   private def isStaleFileError(e: Throwable): Boolean = {
     var c = e
     while (c != null) {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
-      val m = String.valueOf(c.getMessage)
-      if (m.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
-          m.contains("does not exist")) return true
+      if (String.valueOf(c.getMessage)
+            .contains("FAILED_READ_FILE.FILE_NOT_EXIST")) return true
       c = if (c.getCause eq c) null else c.getCause
     }
     false
   }
+
+  /** True once the status line is on the wire — after this, an error can
+    * only truncate the stream; a retry could never deliver its result
+    * (the stale-file retry checks it). getResponseCode is -1 until
+    * sendResponseHeaders; NOT HttpExchange attributes, which the JDK
+    * stores on the shared HttpContext, where one request's flag would
+    * poison every later one. */
+  private def committed(ex: HttpExchange): Boolean =
+    ex.getResponseCode != -1
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)

@@ -92,7 +92,9 @@ class CompilerFuzzSpec extends SparkSuite {
     }
     // the generator must mostly produce workable queries, or this tests
     // nothing — and the sampled executions must have actually run
-    assert(compiled * 2 > sys.env.getOrElse("FUZZ_ITERS", "800").toInt, s"only $compiled compiled")
-    assert(executed > 50, s"only $executed sampled executions ran")
+    // (both bounds scale with FUZZ_ITERS so the knob stays usable)
+    val iters = sys.env.getOrElse("FUZZ_ITERS", "800").toInt
+    assert(compiled * 2 > iters, s"only $compiled/$iters compiled")
+    assert(executed * 16 > iters, s"only $executed sampled executions ran")
   }
 }

@@ -259,5 +259,24 @@ class ParserSpec extends AnyFunSuite {
     val deepPipes = "* " + ("| where (a:b or c:d) " * 2000)
     try Parser.parse(deepPipes, NOW)
     catch { case _: ParseException => () }
+    // pipe-subquery recursion (union/join) bypasses the filter grammar's
+    // stack frames and needs its own cap
+    val deepUnion = "* " + ("| union (* " * 5000) + (")" * 5000)
+    try Parser.parse(deepUnion, NOW)
+    catch { case _: ParseException => () }
+    val deepIn = ("v:in(* | fields v | where " * 3000) + "*" + (")" * 3000)
+    try Parser.parse(deepIn, NOW)
+    catch { case _: ParseException => () }
+  }
+
+  test("options inherit into subqueries, overridable per level") {
+    val q = parse(
+      "options (ignore_global_time_filter=true) * | union (error) " +
+      "| join by (v) (options (ignore_global_time_filter=false) level:info)")
+    assert(q.options("ignore_global_time_filter") == "true")
+    val u = q.pipes.head.asInstanceOf[Pipe.Union]
+    assert(u.sub.options("ignore_global_time_filter") == "true") // inherited
+    val j = q.pipes(1).asInstanceOf[Pipe.Join]
+    assert(j.sub.options("ignore_global_time_filter") == "false") // overridden
   }
 }
