@@ -43,7 +43,12 @@ class CompilerFuzzSpec extends SparkSuite {
       "_msg:contains_any(error, warn)", "!level:debug",
       "(error or level:info)", "_time:day_range[00:00, 23:00)",
       "level:value_type(string)", "nosuchfield:foo", "_stream_id:abc",
-      "v:in(* | fields v)")
+      "v:in(* | fields v)",
+      "options (ignore_global_time_filter=true) *",
+      "_time:week_range[Mon, Sun]", "v:range[1KiB, 1MiB]",
+      "level:=error*", "_msg:i(MSG*)", "v:le_field(v)",
+      "_msg:contains_all(* | fields level)", "\"msg 3\"",
+      "v:string_range(1, 9)", "ip:ipv4_range(0.0.0.0, 255.255.255.255)")
     val pipes = Seq(
       "fields _time, _msg, level, v", "delete kv", "copy v as v2",
       "rename level as lvl", "where v:>2", "limit 7", "offset 2",
@@ -64,7 +69,22 @@ class CompilerFuzzSpec extends SparkSuite {
       "first 3 by (v)", "last 2 by (_time)",
       "stream_context before 1 after 1",
       "join by (level) (level:error | stats by (level) count() jc)",
-      "union (level:info)", "stats count() if (level:error) ec")
+      "union (level:info)", "stats count() if (level:error) ec",
+      "copy l* as c*", "rename l* as r*", "delete n*",
+      "stats sum(v*) sw, count_uniq_hash(level) ch",
+      "stats histogram(v) h", "stats quantile(0.9, v) q90",
+      "stats values(level) limit 3 vs", "stats rate() r",
+      "stats by (v:10) count() cb", "stats row_max(v) rm",
+      "math (v + 1h) as plus_h, (v * 1KiB) as kib",
+      "format if (level:error) \"<uc:level>\" as up",
+      "extract if (v:>1) \"code=<code>\" from _msg keep_original_fields",
+      "unpack_json if (level:error) from js",
+      "replace (\" \", \"_\") at _msg limit 2",
+      "unpack_syslog from _msg", "field_values v limit 2",
+      "sort by (v) partition by (level) rank as pr",
+      "top 2 by (level) rank as tr", "uniq by (level, v) limit 9",
+      "sample 2", "drop_empty_fields", "len v as vlen",
+      "stream_context after 2 time_window 1h")
     val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "8132026").toLong)
     var compiled = 0
     var executed = 0
