@@ -269,6 +269,19 @@ class ParserSpec extends AnyFunSuite {
     catch { case _: ParseException => () }
   }
 
+  test("quoted-string hex escapes: valid forms decode, malformed are parse errors") {
+    assert(parse("\"a\\u0041b\"").filter == Phrase("_msg", "aAb"))
+    assert(parse("\"a\\x41b\"").filter == Phrase("_msg", "aAb"))
+    // malformed hex (including sign prefixes parseInt would accept) must
+    // be ParseException -> HTTP 400, never NumberFormatException -> 500
+    for (bad <- Seq("\"\\uZZ00\"", "\"\\u+12f\"", "\"\\u-abc\"", "\"\\x+f\"",
+                    "\"\\xg1\""))
+      assertThrows[ParseException](parse(bad))
+    // a too-short escape at end of input keeps the backslash literally
+    // (the unknown-escape fallback), it does not read off the end
+    assert(parse("\"\\u12\"").filter == Phrase("_msg", "\\u12"))
+  }
+
   test("options inherit into subqueries, overridable per level") {
     val q = parse(
       "options (ignore_global_time_filter=true) * | union (error) " +
