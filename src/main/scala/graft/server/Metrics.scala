@@ -18,6 +18,7 @@ object Metrics {
   val retentionDaysDropped = new AtomicLong // _day partitions expired
   val bloomFilesRefreshed = new AtomicLong // files bloomed incrementally
   val activeForceMerges = new AtomicLong // in-flight /internal/force_merge
+  val staleIndexRetries = new AtomicLong // queries re-run after a file swap
   /** live gauge suppliers registered by the servers (concurrency etc.) */
   private val gauges =
     new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
@@ -39,6 +40,7 @@ object Metrics {
     c("graft_compacted_partitions_total", compactions.get)
     c("graft_retention_days_dropped_total", retentionDaysDropped.get)
     c("graft_bloom_files_refreshed_total", bloomFilesRefreshed.get)
+    c("graft_stale_index_retries_total", staleIndexRetries.get)
     sb.append("# TYPE graft_active_force_merges gauge\n")
     sb.append("graft_active_force_merges ").append(activeForceMerges.get).append('\n')
     gauges.forEach { (name, v) =>

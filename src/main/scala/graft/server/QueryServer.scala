@@ -167,6 +167,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             // otherwise — a bare retry would fail identically).
             case e: Throwable
                 if isStaleFileError(e) && !committed(ex) && storeDir.isDefined =>
+              Metrics.staleIndexRetries.incrementAndGet()
               storeDir.foreach(graft.store.LogStore.invalidateCaches)
               f(ex, ps)
           }

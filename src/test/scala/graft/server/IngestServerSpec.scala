@@ -335,9 +335,11 @@ class IngestServerSpec extends SparkSuite {
       Files.delete(Paths.get(java.net.URLDecoder.decode(victim, UTF_8)))
       // the handler must invalidate + retry against the fresh listing —
       // one day partition is gone, the other two rows still answer
+      val retriesBefore = Metrics.staleIndexRetries.get
       val (code, body) = getQ("swap | stats count() c")
       assert(code == 200, s"$code $body")
       assert(body.contains("\"c\":2"), body)
+      assert(Metrics.staleIndexRetries.get > retriesBefore)
     } finally http.stop(0)
   }
 
