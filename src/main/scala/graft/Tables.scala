@@ -78,24 +78,46 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read as
-    * a timestamp. Read it as a long (nanos since epoch) and derive:
-    *   - `ts`: TimestampType truncated to micros (integer division — the raw
-    *     int64 exceeds 2^53, double arithmetic would corrupt it)
-    *   - `ts_ns`: the original nanos, kept for exact arithmetic.
+  /** Normalize `events.ts` to (ts: TimestampType, ts_ns: LongType) no
+    * matter which physical encoding the fixture generator emitted. The
+    * reference never assumes a wire type — values are ingested as strings
+    * and typed per block (lib/logstorage/values_encoder.go:109-154) — so
+    * the loader must accept every encoding the generator has produced:
+    *   - parquet TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp;
+    *     with `nanosAsLong` it loads as LongType nanos-since-epoch. Derive
+    *     `ts` by integer division (the raw int64 exceeds 2^53 — double
+    *     arithmetic would corrupt it) and keep the nanos as `ts_ns`.
+    *   - parquet timestamp[us] (tz'd or NTZ): loads as (NTZ)Timestamp.
+    *     Keep the instant as `ts` (cast to TimestampType — a no-op under
+    *     the UTC session timezone every entrypoint pins) and derive
+    *     `ts_ns = unix_micros(ts) * 1000`.
     */
+  private def deriveTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        val tsUtc = col("ts").cast(TimestampType)
+        df.withColumn("ts_ns", unix_micros(tsUtc) * lit(1000L))
+          .withColumn("ts", tsUtc)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            s"(expected int64 nanos, timestamp[us], or timestamp[ns]); " +
+            s"full schema: ${df.schema.treeString}")
+    }
+  }
+
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    deriveTs(load(spark, d, "events"))
   }
 
   private def eventsRaw(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loadRaw(spark, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    deriveTs(loadRaw(spark, d, "events"))
   }
 
   /** `events` mapped into the engine's log-event shape (FIXTURES.md §1):
