@@ -89,14 +89,30 @@ object Bench {
     // marginal JOB floor, separate from the per-query floor: a query's
     // fixed cost is (planning + first job) + (jobs-1) × marginal-job.
     // Subtracting the full noop per job over-subtracts (the noop includes
-    // planning, which multi-job queries pay once) — measured here as the
-    // time delta between a shuffling noop (multi-job under AQE) and the
-    // plain one, divided by the extra jobs it runs.
+    // planning, which multi-job queries pay once) — measured as the time
+    // delta between a multi-job noop under AQE and the plain one, divided
+    // by the extra jobs. The noop must be STRUCTURALLY representative: a
+    // `range(2).repartition(2)` stage-job costs ~10ms, but a real query's
+    // extra stage-job (file scan below it, AQE stage stats + scheduling of
+    // a hash exchange, wider generated code) costs several times that — so
+    // the probe is a 2-row parquet scan + shuffle + agg, the minimal shape
+    // every multi-job query in this suite actually repeats.
+    val tinyParquet = {
+      val p = "/root/repo/target/bench_noop_tbl"
+      if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+        import spark.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+          .repartition(1).write.mode("overwrite").parquet(p)
+      }
+      p
+    }
     def noopShuffleSamples(k: Int): Seq[(Double, Long)] = Seq.fill(k) {
       drainListenerBus()
       val j0 = jobCounter.get
       val t0 = System.nanoTime()
-      spark.range(2).repartition(2).count()
+      spark.read.parquet(tinyParquet)
+        .repartition(org.apache.spark.sql.functions.col("k"))
+        .groupBy("k").count().count()
       val sec = (System.nanoTime() - t0) / 1e9
       drainListenerBus()
       (sec, jobCounter.get - j0)

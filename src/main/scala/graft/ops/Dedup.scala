@@ -167,15 +167,27 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 10000): DataFrame = {
+    // Minimal-barrier plan: three exchanges total — window(g) computes doc
+    // frequency in the same shuffle that keeps the (id, g) rows (a groupBy
+    // would need that exchange PLUS a join back), window(id) attaches the
+    // per-doc post-cutoff shingle count the same way (replacing a
+    // groupBy + re-join pair, two barriers, with one), and the self-join's
+    // two sides are the identical subtree, so they share one reused
+    // exchange. Counts ride through the pair rollup as grouping keys.
+    // Skew note: a super-frequent shingle serializes its window(g)
+    // partition; such shingles are exactly what maxDocFreq exists to drop,
+    // so deployments at corpus scale should set it low (stop-phrase df),
+    // which also bounds the self-join fan-out per shingle.
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
     val rare = exploded
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-    val counts = rare.groupBy("id").agg(count(lit(1)).as("sh_count"))
-    val inverted = rare.join(counts, "id")
-    val pairs = inverted.as("a").join(inverted.as("b"), Seq("g"))
+      // per-doc size of the POST-cutoff shingle set (stop-phrases leave
+      // the counts too, keeping the reported value an exact Jaccard)
+      .withColumn("sh_count", count(lit(1)).over(Window.partitionBy("id")))
+      .select(col("id"), col("g"), col("sh_count"))
+    val pairs = rare.as("a").join(rare.as("b"), Seq("g"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh_count").as("ca"), col("b.sh_count").as("cb"))
@@ -202,8 +214,12 @@ object Dedup {
     val docSh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("g"))
     val benchSh = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("g")).distinct()
-    docSh.join(benchSh, "g")
+      .select(explode(shingles(col(benchTextCol), n)).as("g"))
+    // LEFT SEMI: existence-match means duplicate shingles on the bench
+    // side can't multiply rows, so the bench set needs no distinct
+    // exchange — and docSh is per-doc distinct (shingles() dedups), so
+    // the per-doc count is exactly "distinct n-grams shared"
+    docSh.join(benchSh, Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -372,15 +388,23 @@ object Dedup {
           transform(sequence(lit(0), size(ts) - k),
             i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
         .otherwise(array().cast("array<bigint>"))).as("h"))
+    // one scan, three partial-aggregated exchanges: (id,h) rollup keeps
+    // in-doc multiplicity, its h-exchange is REUSED by both the doc-
+    // frequency count and the join back, and the final per-doc rollup sums
+    // the carried multiplicities. (The previous shape exploded the corpus
+    // twice — once for the distinct doc-frequency branch, once for the
+    // join branch — and paid a standalone distinct exchange.)
+    val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
     // doc frequency = distinct documents containing the window (a window
     // repeated inside ONE doc is repetition, not cross-doc duplication)
-    val freq = wins.distinct()
+    val freq = perDoc
       .groupBy("h").agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= minDocs)
-    wins.join(freq, Seq("h"), "left")
+    perDoc.join(freq, Seq("h"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_windows"),
-           count(col("__docs")).as("dup_windows"))
+      .agg(sum("__reps").as("n_windows"),
+           sum(when(col("__docs").isNotNull, col("__reps"))
+             .otherwise(0L)).as("dup_windows"))
       .withColumn("dup_fraction",
         col("dup_windows").cast("double") / col("n_windows"))
   }

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Matched-work DuckDB comparison (BASELINE.md 2x target).
+
+Times every oracle SQL in DuckDB over the same parquet tables, then joins
+against a Bench JSON line's per-query seconds and reports the ratio on the
+matched-work subset (oracle >= 20ms, excluding rows-only entries with no
+oracle). Spark seconds are floor-adjusted the same way adjusted_total is:
+per-query noop plus marginal job floor for extra jobs.
+
+Usage: python3 tools/duckbench.py <sfDir> <oracle_sql.json> <bench.json>
+"""
+import json, sys, time, os
+
+def main():
+    sf, oracle_path, bench_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_path))
+    bench = json.loads(open(bench_path).read())
+    qs, jobs = bench["queries"], bench.get("jobs", {})
+    noop = bench.get("overhead_per_query", 0.0)
+    jf = bench.get("overhead_per_extra_job", 0.0)
+    rows = []
+    for name, sql in sorted(oracle.items()):
+        if name not in qs:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                ts.append(time.perf_counter() - t0)
+            duck = sorted(ts)[1]
+        except Exception as e:
+            print(f"SKIP {name}: duckdb error {str(e).splitlines()[0][:120]}")
+            continue
+        spark_adj = max(qs[name] - noop - jf * max(jobs.get(name, 1) - 1, 0), 0.0)
+        rows.append((name, duck, qs[name], spark_adj))
+    matched = [r for r in rows if r[1] >= 0.02]
+    for name, duck, raw, adj in sorted(matched, key=lambda r: -(r[3] / max(r[1], 1e-9))):
+        print(f"{name:28s} duck={duck*1000:8.1f}ms spark={raw*1000:8.1f}ms adj={adj*1000:8.1f}ms ratio={adj/max(duck,1e-9):6.2f}")
+    if matched:
+        sduck = sum(r[1] for r in matched)
+        sadj = sum(r[3] for r in matched)
+        sraw = sum(r[2] for r in matched)
+        print(f"== matched-work subset (oracle>=20ms): {len(matched)} queries; "
+              f"duck={sduck:.2f}s spark_raw={sraw:.2f}s spark_adj={sadj:.2f}s "
+              f"ratio_adj={sadj/sduck:.2f} ratio_raw={sraw/sduck:.2f}")
+    print(f"== all {len(rows)} oracle-timed queries: duck={sum(r[1] for r in rows):.2f}s "
+          f"spark_adj={sum(r[3] for r in rows):.2f}s")
+
+if __name__ == "__main__":
+    main()
