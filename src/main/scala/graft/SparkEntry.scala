@@ -886,6 +886,33 @@ object SparkEntry {
           min("peak").as("peak"))
         .orderBy("ch")
     }),
+    // ---- REAL MS-RLE (BI_RLE8) decode: palettized run-length AVI frames
+    // through the same feature path — lossless, dominant channel pinned
+    // exactly at 1.0, like the BI_RGB entry ----
+    "q_multimodal_rle" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val clips = (0 until 9).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        (i.toLong, "video", Multimodal.testRle8Avi(Seq.fill(2)(rgb), w = 7, h = 4))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .withColumn("peak", greatest(col("features")(0), col("features")(1),
+          col("features")(2)).cast(DoubleType))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"),
+          min("peak").as("peak"))
+        .orderBy("ch")
+    }),
     // ---- REAL frame sampling: 2 of 4 frames from a red,red,green,green
     // AVI must surface container frames 0 and 2 with container timestamps,
     // and the sampled JPEG bytes must re-decode to the right color ----
@@ -1175,6 +1202,14 @@ object SparkEntry {
          ('b', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
          ('g', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
          ('r', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE))
+         ) AS t(ch, cnt, peak) ORDER BY ch""",
+    // MS-RLE decode is lossless too: solid-color palettized frames pin the
+    // dominant channel's mean at exactly 1.0 — pinned VALUES
+    "q_multimodal_rle" ->
+      """SELECT * FROM (VALUES
+         ('b', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('g', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('r', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE))
          ) AS t(ch, cnt, peak) ORDER BY ch""",
     // sampling 2 of 4 frames picks container frames 0 and 2 → timestamps
     // 0ms and 80ms at 40000us per frame, colors red then green

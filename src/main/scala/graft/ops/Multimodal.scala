@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * BufferedImage (no external dependency). The AUDIO codec path is REAL:
   * WAV/AIFF/AU decode through javax.sound.sampled with waveform +
   * spectral-band features. The VIDEO path is REAL for MJPEG-in-AVI
-  * (RIFF container walk + per-frame JPEG decode, both public formats the
-  * JDK handles); inter-frame codecs (H.264 etc.) fall back to a
-  * clearly-marked deterministic stub, so the Spark-side plumbing (schema,
-  * batching, partitioning, output shape) stays real and tested for every
-  * media type regardless of codec availability.
+  * (RIFF container walk + per-frame JPEG decode), uncompressed BI_RGB
+  * streams (raw DIB rows), and MS-RLE BI_RLE8 streams (palettized
+  * run-length) — all public formats; inter-frame codecs (H.264 etc.)
+  * fall back to a clearly-marked deterministic stub, so the Spark-side
+  * plumbing (schema, batching, partitioning, output shape) stays real
+  * and tested for every media type regardless of codec availability.
   */
 object Multimodal {
 
@@ -175,7 +176,8 @@ object Multimodal {
     * strf was found), `bitCount` its biBitCount. */
   final case class VideoClip(frames: IndexedSeq[Array[Byte]],
                              usPerFrame: Long, width: Int, height: Int,
-                             compression: Long = -1L, bitCount: Int = 0)
+                             compression: Long = -1L, bitCount: Int = 0,
+                             palette: Array[Int] = Array.empty)
 
   /** REAL video container decode for MJPEG-in-AVI. The RIFF/AVI chunk
     * layout and the MJPG fourcc are public formats, and every frame payload
@@ -196,6 +198,7 @@ object Multimodal {
       val frames = IndexedSeq.newBuilder[Array[Byte]]
       var usPerFrame = 0L; var w = 0; var h = 0
       var compression = -1L; var bitCount = 0
+      var palette: Array[Int] = Array.empty
       // fccType of the most recent strh: an AVI may list its audio stream
       // first, and parsing that stream's strf (WAVEFORMATEX) as a
       // BITMAPINFOHEADER would capture garbage compression/bitCount —
@@ -218,9 +221,21 @@ object Multimodal {
             case "strf" if sz >= 20 && compression == -1L &&
                            (streamType == "vids" || streamType == "") =>
               // video stream format (BITMAPINFOHEADER): biBitCount @12+2,
-              // biCompression @16 — 0 means BI_RGB raw bottom-up DIB rows
+              // biCompression @16 — 0 means BI_RGB raw bottom-up DIB rows,
+              // 1 means BI_RLE8 (palettized run-length, color table after
+              // the 40-byte header as RGBQUAD entries)
               bitCount = (u32(body + 12) >> 16).toInt
               compression = u32(body + 16)
+              if (sz > 40 && bitCount <= 8) {
+                val clrUsed = u32(body + 32).toInt
+                val n = math.min(if (clrUsed > 0) clrUsed else 1 << bitCount,
+                  (sz - 40) / 4)
+                palette = Array.tabulate(n) { i =>
+                  val o = body + 40 + i * 4 // RGBQUAD: B, G, R, reserved
+                  ((content(o + 2) & 0xff) << 16) |
+                  ((content(o + 1) & 0xff) << 8) | (content(o) & 0xff)
+                }
+              }
             case _ if sz > 0 && id.length == 4 && id.charAt(2) == 'd' &&
                       (id.charAt(3) == 'c' || id.charAt(3) == 'b') =>
               frames += java.util.Arrays.copyOfRange(content, body, body + sz)
@@ -230,7 +245,8 @@ object Multimodal {
         }
       }
       walk(12, math.min(content.length, 8 + u32(4).toInt))
-      Some(VideoClip(frames.result(), usPerFrame, w, h, compression, bitCount))
+      Some(VideoClip(frames.result(), usPerFrame, w, h, compression,
+        bitCount, palette))
     } catch { case _: Exception => None }
   }
 
@@ -242,6 +258,9 @@ object Multimodal {
     if (clip.compression == 0L && (clip.bitCount == 24 || clip.bitCount == 32) &&
         clip.width > 0 && clip.height > 0)
       decodeDib(frame, clip.width, clip.height, clip.bitCount)
+    else if (clip.compression == 1L && clip.bitCount == 8 &&
+             clip.width > 0 && clip.height > 0 && clip.palette.nonEmpty)
+      decodeRle8(frame, clip.width, clip.height, clip.palette)
     else decodeImage(frame)
 
   /** Raw DIB frame → image: rows bottom-up, each padded to a 4-byte
@@ -270,6 +289,46 @@ object Multimodal {
     Some(img)
   }
 
+  /** MS-RLE (BI_RLE8) frame → image: bottom-up rows of (count, palette
+    * index) byte pairs; count 0 escapes to EOL (0), EOD (1), delta move
+    * (2, dx, dy), or an absolute run of `n >= 3` literal indices padded to
+    * a word boundary — the public BI_RLE8 spec (Windows BMP/AVI). Pixels
+    * the stream never writes (delta skips / early EOD) stay palette[0],
+    * matching decoders that clear to the first palette entry. */
+  private def decodeRle8(bytes: Array[Byte], w: Int, h: Int,
+                         palette: Array[Int]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 2) return None
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def color(idx: Int): Int = palette(math.min(idx, palette.length - 1))
+    val bg = color(0)
+    var y0 = 0
+    while (y0 < h) { var x0 = 0; while (x0 < w) { img.setRGB(x0, h - 1 - y0, bg); x0 += 1 }; y0 += 1 }
+    var x = 0; var y = 0; var o = 0 // (x, y) in bottom-up DIB space
+    def put(idx: Int): Unit = {
+      if (x < w && y < h) img.setRGB(x, h - 1 - y, color(idx))
+      x += 1
+    }
+    try {
+      while (o + 1 < bytes.length) {
+        val n = bytes(o) & 0xff; val v = bytes(o + 1) & 0xff; o += 2
+        if (n > 0) { var i = 0; while (i < n) { put(v); i += 1 } } // encoded run
+        else v match {
+          case 0 => x = 0; y += 1                  // end of line
+          case 1 => return Some(img)               // end of data
+          case 2 =>                                // delta: skip dx right, dy up
+            if (o + 1 >= bytes.length) return Some(img)
+            x += bytes(o) & 0xff; y += bytes(o + 1) & 0xff; o += 2
+          case cnt =>                              // absolute run of cnt indices
+            var i = 0
+            while (i < cnt && o < bytes.length) { put(bytes(o) & 0xff); o += 1; i += 1 }
+            if ((cnt & 1) == 1) o += 1             // pad to word boundary
+        }
+      }
+      Some(img)
+    } catch { case _: Exception => None }
+  }
+
   /** Real video features: the element-wise mean of the per-frame image
     * features over every decodable frame — deterministic, frame-count
     * independent. Falls back to None when no frame decodes (the caller
@@ -290,7 +349,7 @@ object Multimodal {
   }
 
   /** STUB decoder for video codecs with inter-frame compression (H.264
-    * etc.). MJPEG and BI_RGB streams decode for REAL above; real
+    * etc.). MJPEG, BI_RGB, and MS-RLE streams decode for REAL above; real
     * deployments replace this with an actual codec (JNI/javacv) —
     * everything around it (batching, schema, nullability) stays
     * identical. Deterministic: features derive from the byte content so
@@ -517,9 +576,35 @@ object Multimodal {
       compressionFourcc = None)
   }
 
+  /** MS-RLE (BI_RLE8) AVI: one solid-color frame per entry, each encoded
+    * as per-row (w, index) runs + EOL, final EOD, over a palette holding
+    * the frame colors — drives the palettized run-length decode path
+    * end-to-end without fixtures. Lossless like BI_RGB. */
+  def testRle8Avi(frameRgbs: Seq[Int], w: Int = 8, h: Int = 8,
+                  usPerFrame: Long = 40000L): Array[Byte] = {
+    require(w <= 255, "solid-row RLE run length is one byte")
+    val palette = frameRgbs.distinct
+    val frames = frameRgbs.map { rgb =>
+      val idx = palette.indexOf(rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      (0 until h).foreach { _ =>
+        b.write(w); b.write(idx) // one full-row run
+        b.write(0); b.write(0)   // EOL
+      }
+      b.write(0); b.write(1)     // EOD
+      b.toByteArray
+    }
+    assembleAvi(frames, w, h, usPerFrame, handler = "MRLE",
+      compressionFourcc = None, bitCount = 8, compressionValue = 1L,
+      palette = palette)
+  }
+
   private def assembleAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
                           usPerFrame: Long, handler: String,
-                          compressionFourcc: Option[String]): Array[Byte] = {
+                          compressionFourcc: Option[String],
+                          bitCount: Int = 24,
+                          compressionValue: Long = 0L,
+                          palette: Seq[Int] = Nil): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
@@ -548,15 +633,20 @@ object Multimodal {
       bu32(b, (w.toLong << 16) | h.toLong)     // rcFrame (packed, unused)
       bu32(b, 0)
     }
-    val strf = build { b => // BITMAPINFOHEADER
+    val strf = build { b => // BITMAPINFOHEADER (+ RGBQUAD color table)
       bu32(b, 40); bu32(b, w.toLong); bu32(b, h.toLong)
-      bu32(b, (24L << 16) | 1L)                // biPlanes=1, biBitCount=24
-      compressionFourcc match {                // biCompression (0 = BI_RGB)
-        case Some(fc) => b.write(fc.getBytes("US-ASCII"))
-        case None => bu32(b, 0)
+      bu32(b, (bitCount.toLong << 16) | 1L)    // biPlanes=1, biBitCount
+      compressionFourcc match {                // biCompression (numeric
+        case Some(fc) => b.write(fc.getBytes("US-ASCII")) // or fourcc)
+        case None => bu32(b, compressionValue)
       }
-      bu32(b, w.toLong * h * 3)
-      (0 until 4).foreach(_ => bu32(b, 0))
+      bu32(b, w.toLong * h * (bitCount / 8).max(1))
+      bu32(b, 0); bu32(b, 0)
+      bu32(b, palette.size.toLong); bu32(b, 0) // biClrUsed, biClrImportant
+      palette.foreach { rgb =>                 // RGBQUAD: B, G, R, reserved
+        b.write(rgb & 0xff); b.write((rgb >> 8) & 0xff)
+        b.write((rgb >> 16) & 0xff); b.write(0)
+      }
     }
     def list(kind: String, body: Array[Byte]): Array[Byte] = build { b =>
       b.write("LIST".getBytes("US-ASCII")); bu32(b, (body.length + 4).toLong)

@@ -579,6 +579,36 @@ class OpsSpec extends SparkSuite {
     assert(mjpg.compression != 0L)
   }
 
+  test("multimodal: MS-RLE (BI_RLE8) AVI decodes exactly") {
+    import spark.implicits._
+    // container parse: biCompression 1, 8-bit, palette recovered from strf
+    val avi = Multimodal.testRle8Avi(
+      Seq(0xFF0000, 0x00FF00), w = 7, h = 4, usPerFrame = 50000L)
+    val clip = Multimodal.decodeAvi(avi).get
+    assert(clip.compression == 1L && clip.bitCount == 8 &&
+           clip.frames.length == 2 && clip.width == 7 && clip.height == 4)
+    assert(clip.palette.toSeq == Seq(0xFF0000, 0x00FF00))
+    // run-length rows decode to exact solid-color pixels
+    val img0 = Multimodal.decodeFrame(clip, clip.frames(0)).get
+    val img1 = Multimodal.decodeFrame(clip, clip.frames(1)).get
+    assert((img0.getRGB(0, 0) & 0xffffff) == 0xFF0000 &&
+           (img0.getRGB(6, 3) & 0xffffff) == 0xFF0000)
+    assert((img1.getRGB(3, 2) & 0xffffff) == 0x00FF00)
+    // absolute-mode + delta escapes: an absolute run of 3 then EOD leaves
+    // the remaining pixels at palette[0]
+    val abs = Array[Byte](0, 3, 1, 1, 1, 0 /* pad */, 0, 1)
+    val img2 = Multimodal.decodeFrame(clip.copy(), abs).get
+    assert((img2.getRGB(0, 3) & 0xffffff) == 0x00FF00 && // bottom row y=0
+           (img2.getRGB(2, 3) & 0xffffff) == 0x00FF00 &&
+           (img2.getRGB(3, 3) & 0xffffff) == 0xFF0000)   // untouched -> bg
+    // end-to-end: extractFeatures routes the palettized path, exact 1.0
+    val df = Seq((1L, "video", Multimodal.testRle8Avi(Seq.fill(2)(0x0000FF))))
+      .toDF("media_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      .collect().head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f(2) == 1.0f && f(0) == 0.0f && f(1) == 0.0f)
+  }
+
   test("multimodal: real MJPEG-AVI decode, features, and frame sampling") {
     import spark.implicits._
     // container roundtrip: writer → parser recovers frames + timing
