@@ -388,22 +388,23 @@ object Dedup {
           transform(sequence(lit(0), size(ts) - k),
             i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
         .otherwise(array().cast("array<bigint>"))).as("h"))
-    // one scan, three partial-aggregated exchanges: (id,h) rollup keeps
-    // in-doc multiplicity, its h-exchange is REUSED by both the doc-
-    // frequency count and the join back, and the final per-doc rollup sums
-    // the carried multiplicities. (The previous shape exploded the corpus
-    // twice — once for the distinct doc-frequency branch, once for the
-    // join branch — and paid a standalone distinct exchange.)
+    // one scan, three exchanges, NO join: the (id, h) rollup keeps in-doc
+    // multiplicity, doc frequency rides a window over h on that same
+    // relation (a separate frequency branch would re-explode the corpus —
+    // the optimizer prunes the branches differently, so their exchanges
+    // never unify), and the per-doc rollup sums the carried
+    // multiplicities. Doc frequency counts ROWS of the (id, h) rollup per
+    // h = distinct documents containing the window (a window repeated
+    // inside ONE doc is repetition, not cross-doc duplication). Skew
+    // note: a corpus-degenerate window hash serializes its window(h)
+    // partition; uniform 64-bit hashes make that a pathology (a single
+    // k-gram shared by a large corpus fraction), not a normal-data risk.
     val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
-    // doc frequency = distinct documents containing the window (a window
-    // repeated inside ONE doc is repetition, not cross-doc duplication)
-    val freq = perDoc
-      .groupBy("h").agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
-    perDoc.join(freq, Seq("h"), "left")
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("h")))
+    perDoc
       .groupBy("id")
       .agg(sum("__reps").as("n_windows"),
-           sum(when(col("__docs").isNotNull, col("__reps"))
+           sum(when(col("__docs") >= minDocs, col("__reps"))
              .otherwise(0L)).as("dup_windows"))
       .withColumn("dup_fraction",
         col("dup_windows").cast("double") / col("n_windows"))

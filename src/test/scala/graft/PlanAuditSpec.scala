@@ -112,6 +112,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("ngramJaccard: no per-id re-shuffle of the inverted index; reused self-join exchange") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta $i common tail words here"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.1))
+    // per-doc and doc-frequency counts ride window exchanges; attaching
+    // them must not add shuffle JOINs over the index (the de-optimized
+    // shape re-partitioned the whole inverted index by id)
+    assert(countOf(p, "SortMergeJoin") <= 1, p)
+    // the self-join's two sides are the identical subtree: one side must
+    // be a reused exchange, not a second full scan+explode+window chain
+    assert(p.contains("ReusedExchange") || countOf(p, "Generate explode") <= 1, p)
+  }
+
+  test("contaminated: bench side joins as LeftSemi with no distinct exchange") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"some words $i shared amongst documents")).toDF("doc_id", "text")
+    val bench = Seq("shared amongst documents exactly").toDF("text")
+    val p = plan(graft.ops.Dedup.contaminated(docs, "text", "doc_id", bench, "text", n = 2))
+    assert(p.contains("LeftSemi"), p)
+    // existence-match makes a bench-side dedup unnecessary: exactly two
+    // aggregates total (partial+final of the per-doc count), none on the
+    // bench branch
+    assert(countOf(p, "HashAggregate") <= 2, p)
+  }
+
+  test("duplicateSpans: one corpus scan, multiplicity carried not re-exploded") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta $i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.duplicateSpans(docs, "text", "doc_id", k = 4))
+    // the de-optimized shape exploded the corpus once for the distinct
+    // doc-frequency branch and again for the join branch
+    assert(countOf(p, "Generate explode") == 1, p)
+  }
+
   test("last-N day descent touches fewer partitions than exist") {
     val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
     assert(res.count() == 5)
