@@ -205,7 +205,12 @@ object Multimodal {
       // only accept a strf that follows a 'vids' header (or none at all,
       // for minimal writers that skip strh)
       var streamType = ""
-      def walk(from: Int, to: Int): Unit = {
+      // depth-capped: RIFF nests LISTs a handful deep in real files; a
+      // crafted container with thousands of nested LISTs must not blow
+      // the stack (StackOverflowError is not an Exception — the catch
+      // below would not contain it)
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 16) return
         var o = from
         while (o + 8 <= to) {
           val id = fourcc(o)
@@ -213,7 +218,7 @@ object Multimodal {
           val body = o + 8
           if (body + sz > to) return // truncated chunk: keep what we have
           id match {
-            case "LIST" => walk(body + 4, body + sz) // skip the list type
+            case "LIST" => walk(body + 4, body + sz, depth + 1) // skip the list type
             case "avih" if sz >= 40 =>
               usPerFrame = u32(body)
               w = u32(body + 32).toInt; h = u32(body + 36).toInt

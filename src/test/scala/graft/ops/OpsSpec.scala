@@ -609,6 +609,45 @@ class OpsSpec extends SparkSuite {
     assert(f(2) == 1.0f && f(0) == 0.0f && f(1) == 0.0f)
   }
 
+  test("multimodal: container/codec walk survives adversarial bytes") {
+    val rnd = new scala.util.Random(7)
+    // random garbage, truncations of a valid file, and bit flips must
+    // never throw or hang — None / best-effort partial decode only
+    val valid = Multimodal.testRle8Avi(Seq(0xFF0000, 0x00FF00), w = 7, h = 4)
+    val cases = Seq.tabulate(200) { _ =>
+      val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
+    } ++ Seq.tabulate(60)(i => valid.take(i * valid.length / 60)) ++
+      Seq.tabulate(60) { _ =>
+        val b = valid.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        b
+      }
+    cases.foreach { b =>
+      Multimodal.decodeAvi(b).foreach { clip =>
+        clip.frames.take(3).foreach(f => Multimodal.decodeFrame(clip, f))
+      }
+    }
+    // deep LIST nesting: depth-capped walk, no StackOverflowError
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII"))
+    val inner = new Array[Byte](0)
+    var payload = inner
+    (0 until 5000).foreach { _ =>
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("LIST".getBytes("US-ASCII"))
+      val sz = payload.length + 4
+      b.write(sz & 0xff); b.write((sz >> 8) & 0xff)
+      b.write((sz >> 16) & 0xff); b.write((sz >> 24) & 0xff)
+      b.write("AVI ".getBytes("US-ASCII")); b.write(payload)
+      payload = b.toByteArray
+    }
+    val sz = payload.length + 4
+    bos.write(sz & 0xff); bos.write((sz >> 8) & 0xff)
+    bos.write((sz >> 16) & 0xff); bos.write((sz >> 24) & 0xff)
+    bos.write("AVI ".getBytes("US-ASCII")); bos.write(payload)
+    assert(Multimodal.decodeAvi(bos.toByteArray).isDefined) // parses, capped
+  }
+
   test("multimodal: real MJPEG-AVI decode, features, and frame sampling") {
     import spark.implicits._
     // container roundtrip: writer → parser recovers frames + timing
