@@ -205,16 +205,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     * narrow: matching loose phrases like "does not exist" would let a
     * client-crafted parse error (the text echoes the query) trigger a
     * cache flush plus a doubled execution on demand. */
-  private def isStaleFileError(e: Throwable): Boolean = {
-    var c = e
-    while (c != null) {
-      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
-      if (String.valueOf(c.getMessage)
-            .contains("FAILED_READ_FILE.FILE_NOT_EXIST")) return true
-      c = if (c.getCause eq c) null else c.getCause
-    }
-    false
-  }
+  private def isStaleFileError(e: Throwable): Boolean =
+    graft.store.LogStore.isStaleFileError(e)
 
   /** True once the status line is on the wire — after this, an error can
     * only truncate the stream; a retry could never deliver its result

@@ -85,7 +85,7 @@ object LogStore {
   def invalidateCaches(dir: String): Unit = invalidate(dir)
 
   def read(spark: SparkSession, dir: String): DataFrame = synchronized {
-    readCache.getOrElseUpdate((spark, s"$dir/logs"), {
+    def build(): DataFrame = {
       val raw = spark.read.parquet(s"$dir/logs")
       val pf = promotedFields(dir)
       if (pf.isEmpty) raw
@@ -101,8 +101,52 @@ object LogStore {
         // materialize them and materializePromotion rewrote the backlog)
         applyPromotion(df, pf.filter(!_._2).map(_._1))
       }
+    }
+    readCache.getOrElseUpdate((spark, s"$dir/logs"), {
+      // schema inference reads a footer chosen from a directory listing; a
+      // lifecycle swap (compaction/retention) can delete that exact file
+      // between the listing and the read. Files are immutable, so a fresh
+      // listing is consistent — retry the build once.
+      try build()
+      catch {
+        case e: Throwable if isStaleFileError(e) =>
+          graft.server.Metrics.staleIndexRetries.incrementAndGet()
+          Thread.sleep(50)
+          build()
+      }
     })
   }
+
+  /** The failure came from a file that a lifecycle swap deleted between a
+    * directory listing and the read (the reference refcounts parts instead,
+    * datadb.go; with immutable parquet the contract is invalidate + retry
+    * once). Deliberately narrow — only a real FileNotFound in the cause
+    * chain or Spark's FILE_NOT_EXIST error class qualify; loose phrases
+    * like "does not exist" could be echoed from client-supplied text. */
+  def isStaleFileError(e: Throwable): Boolean = {
+    var c = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      if (String.valueOf(c.getMessage)
+            .contains("FAILED_READ_FILE.FILE_NOT_EXIST")) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
+  /** Run `f` against the store under `dir`; on a stale-file failure,
+    * invalidate the cached relation and retry once against the fresh
+    * listing. This is the documented client contract for readers that
+    * race a compaction/retention swap (QueryServer applies the same
+    * policy inline so it can also check response-commit state). */
+  def withStaleRetry[T](dir: String)(f: => T): T =
+    try f
+    catch {
+      case e: Throwable if isStaleFileError(e) =>
+        graft.server.Metrics.staleIndexRetries.incrementAndGet()
+        invalidate(dir)
+        f
+    }
 
   // ------------------------------------------------- hot-field promotion
 

@@ -32,8 +32,12 @@ class IngestServerSpec extends SparkSuite {
     (code, out)
   }
 
+  // withStaleRetry: the documented client contract for readers racing a
+  // background compaction swap (exactly what the force_merge test does)
   private def count(dir: String, q: String): Long =
-    Compiler.run(LogStore.read(spark, dir), q).collect().head.getLong(0)
+    LogStore.withStaleRetry(dir) {
+      Compiler.run(LogStore.read(spark, dir), q).collect().head.getLong(0)
+    }
 
   test("every /insert protocol round-trips to a queryable store") {
     val dir = tmp("protocols")
