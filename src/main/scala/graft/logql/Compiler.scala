@@ -100,9 +100,12 @@ object Compiler {
     * changes, which is semantics-preserving because every row the where
     * keeps has rank ≤ k. */
   private def fuseSortRankBound(pipes: List[Pipe]): List[Pipe] = pipes match {
+    // also fires for `partition by (...)`: the fused limit lets applySort
+    // emit the Filter-over-row_number shape Catalyst's InferWindowGroupLimit
+    // rewrites into partial+final per-group top-k (no full per-group sort)
     case (s: Pipe.Sort) :: (w @ Pipe.Where(Filter.Range(f, _, hi, _, inclHi)))
         :: rest
-        if s.limit.isEmpty && s.rank.contains(f) && s.partitionBy.isEmpty &&
+        if s.limit.isEmpty && s.rank.contains(f) &&
            !hi.isInfinite && !hi.isNaN =>
       val bound = if (inclHi) math.floor(hi).toLong else math.ceil(hi).toLong - 1L
       val l = math.max(bound - s.offset, 0L)
@@ -910,9 +913,26 @@ object Compiler {
       val w = Window.partitionBy(s.partitionBy.map(quoteName).map(col): _*)
         .orderBy(exprs: _*)
       val rn = s.rank.getOrElse("__rank")
-      var out = df.withColumn(rn, row_number().over(w).cast(LongType))
-      s.limit.foreach(l => out = out.filter(col(rn) <= s.offset + l))
-      if (s.offset > 0) out = out.filter(col(rn) > s.offset)
+      // keep row_number() un-cast and compare it to an int literal: that is
+      // the exact Filter-over-Window shape InferWindowGroupLimit rewrites
+      // into WindowGroupLimit(partial) → shuffle → WindowGroupLimit(final),
+      // so each map task forwards at most offset+limit rows per group
+      // instead of sorting whole groups after the shuffle. The LogsQL-facing
+      // Long cast happens after the bound filters.
+      var out = df.withColumn(rn, row_number().over(w))
+      s.limit.foreach { l =>
+        val bound = s.offset + l
+        // row_number() is IntegerType: a bound past Int.MaxValue keeps
+        // every row, so only emit the filter when it can actually bind
+        if (bound <= Int.MaxValue.toLong)
+          out = out.filter(col(rn) <= lit(bound.toInt))
+      }
+      if (s.offset > 0)
+        out =
+          if (s.offset <= Int.MaxValue.toLong)
+            out.filter(col(rn) > lit(s.offset.toInt))
+          else out.filter(lit(false)) // every Int rank is below the offset
+      out = out.withColumn(rn, col(rn).cast(LongType))
       if (s.rank.isEmpty) out = out.drop(rn)
       out
     } else {
@@ -1087,26 +1107,29 @@ object Compiler {
             graft.functions.CappedCollect.cappedList(iff(j), l.toInt)
           case None => collect_list(iff(j))
         }
+      // row_any/row_max/row_min: aggregate the raw struct/map and render
+      // JSON once per GROUP, after the aggregate — serializing every input
+      // row only to discard all but one was the hot cost of these stats
       case RowAny(fields) =>
-        val j =
+        val v =
           if (fields.isEmpty)
-            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
-          else jsonOfMatching(df, fields)
-        any_value(iff(j), lit(true))
+            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
+          else mapOfMatching(df, fields)
+        to_json(any_value(iff(v), lit(true)))
       case RowMax(f, fields) =>
         rejectWildcard("the row_max source field", Seq(f))
-        val j =
+        val v =
           if (fields.isEmpty)
-            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
-          else jsonOfMatching(df, fields)
-        max_by(j, iff(numF(df, f)))
+            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
+          else mapOfMatching(df, fields)
+        to_json(max_by(v, iff(numF(df, f))))
       case RowMin(f, fields) =>
         rejectWildcard("the row_min source field", Seq(f))
-        val j =
+        val v =
           if (fields.isEmpty)
-            to_json(struct(df.columns.map(c => col(quoteName(c))).toSeq: _*))
-          else jsonOfMatching(df, fields)
-        min_by(j, iff(numF(df, f)))
+            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
+          else mapOfMatching(df, fields)
+        to_json(min_by(v, iff(numF(df, f))))
       case Rate() =>
         count(iff(lit(1))).cast(DoubleType) / lit(rateSpanSeconds(ctx))
       case RateSum(fields) =>
@@ -1721,7 +1744,13 @@ object Compiler {
   /** JSON object of the fields matching `pats`, top-level columns first,
     * first occurrence of a key wins (row_any/row_max/row_min/json_values
     * field filters). */
-  private def jsonOfMatching(df: DataFrame, pats: Seq[String]): Column = {
+  private def jsonOfMatching(df: DataFrame, pats: Seq[String]): Column =
+    to_json(mapOfMatching(df, pats))
+
+  /** Ordered (name → string value) map of the fields matching `pats` —
+    * the pre-serialization form of jsonOfMatching, so aggregates can keep
+    * the raw map and render JSON once per group instead of per row. */
+  private def mapOfMatching(df: DataFrame, pats: Seq[String]): Column = {
     val entryMaps: Seq[Column] = pats.flatMap { f =>
       if (isWildcardField(f)) {
         val p = f.dropRight(1)
@@ -1735,13 +1764,12 @@ object Compiler {
         tops ++ mapPart
       } else Seq(map(lit(f), strF(df, f)))
     }
-    if (entryMaps.isEmpty) return to_json(map().cast(MapType(StringType, StringType)))
+    if (entryMaps.isEmpty) return map().cast(MapType(StringType, StringType))
     // fold with explicit first-wins dedup: a key can legitimately exist both
     // as a top-level column and as an ingest `fields` entry (e.g. after an
     // unpack pipe), and map_concat throws on duplicates by default
-    val merged = entryMaps.reduce { (acc, m) =>
+    entryMaps.reduce { (acc, m) =>
       map_concat(acc, map_filter(m, (k, _) => !map_contains_key(acc, k)))
     }
-    to_json(merged)
   }
 }
