@@ -529,6 +529,23 @@ object SparkEntry {
       exact.join(ivf, Seq("query_id", "neighbor_id"))
         .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
     }),
+    // ---- IVF-PQ (coarse cells + product-quantized codes + exact
+    // re-rank): the probe scan reads m=8 bytes per corpus row instead of
+    // 256 float bytes; recall vs the float brute force must stay high ----
+    "q_sim_pq_recall" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.ivfPqTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10,
+        nlist = 8, nprobe = 4, m = 16, ksub = 64, refine = 50)
+        .select("query_id", "neighbor_id")
+      exact.join(pq, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
+    }),
     // ---- int8-quantized cosine top-k recall vs float brute force: the
     // 4x-smaller corpus codes must preserve >= 90% of the exact top-10 ----
     "q_sim_quantized" -> ((s, d) => {
@@ -886,6 +903,36 @@ object SparkEntry {
           min("peak").as("peak"))
         .orderBy("ch")
     }),
+    // ---- REAL BI_BITFIELDS decode: RGB565 masked-channel AVI frames
+    // through the same feature path — pure-channel colors survive the
+    // 5/6-bit quantization exactly (31→255, 63→255), so the dominant
+    // channel pins at 1.0 like the other lossless codecs ----
+    "q_multimodal_bitfields" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import s.implicits._
+      val clips = (0 until 9).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        // w=5: the 10-byte rows pad to a 12-byte stride — exercises the
+        // 4-byte row alignment on the 16bpp path
+        (i.toLong, "video", Multimodal.testBitfieldsAvi(Seq.fill(2)(rgb), w = 5, h = 4))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .withColumn("peak", greatest(col("features")(0), col("features")(1),
+          col("features")(2)).cast(DoubleType))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"),
+          min("peak").as("peak"))
+        .orderBy("ch")
+    }),
     // ---- REAL MS-RLE (BI_RLE8) decode: palettized run-length AVI frames
     // through the same feature path — lossless, dominant channel pinned
     // exactly at 1.0, like the BI_RGB entry ----
@@ -1203,6 +1250,14 @@ object SparkEntry {
          ('g', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE)),
          ('r', CAST(4 AS BIGINT), CAST(1.0 AS DOUBLE))
          ) AS t(ch, cnt, peak) ORDER BY ch""",
+    // RGB565 BI_BITFIELDS decode: pure-channel colors rescale exactly
+    // (31/31, 63/63 → 255), pinning the dominant mean at 1.0 — pinned VALUES
+    "q_multimodal_bitfields" ->
+      """SELECT * FROM (VALUES
+         ('b', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('g', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         ('r', CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE))
+         ) AS t(ch, cnt, peak) ORDER BY ch""",
     // MS-RLE decode is lossless too: solid-color palettized frames pin the
     // dominant channel's mean at exactly 1.0 — pinned VALUES
     "q_multimodal_rle" ->
@@ -1375,6 +1430,8 @@ object SparkEntry {
     "q_sim_lsh_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_sim_ivf_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q_sim_pq_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_sim_quantized" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",

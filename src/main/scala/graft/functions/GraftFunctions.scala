@@ -66,6 +66,14 @@ object GraftFunctions {
         val pre = es(2).eval().asInstanceOf[Boolean]
         WordMatchExpr(es(0), p, pre)
       }),
+    ("graft_pq_encode",
+      "graft_pq_encode(vec, cb, m) - m-byte product-quantization code of " +
+        "vec against a flat subspace-major codebook",
+      es => PqEncodeExpr(es(0), es(1), es(2).eval().asInstanceOf[Int])),
+    ("graft_pq_cosine",
+      "graft_pq_cosine(qv, code, cb) - asymmetric cosine of an exact query " +
+        "vector vs a product-quantized corpus code",
+      es => PqCosineExpr(es(0), es(1), es(2))),
     ("graft_seq_match",
       "graft_seq_match(s, phrases) - ordered word-sequence match",
       es => {

@@ -177,7 +177,8 @@ object Multimodal {
   final case class VideoClip(frames: IndexedSeq[Array[Byte]],
                              usPerFrame: Long, width: Int, height: Int,
                              compression: Long = -1L, bitCount: Int = 0,
-                             palette: Array[Int] = Array.empty)
+                             palette: Array[Int] = Array.empty,
+                             masks: Array[Long] = Array.empty)
 
   /** REAL video container decode for MJPEG-in-AVI. The RIFF/AVI chunk
     * layout and the MJPG fourcc are public formats, and every frame payload
@@ -199,6 +200,7 @@ object Multimodal {
       var usPerFrame = 0L; var w = 0; var h = 0
       var compression = -1L; var bitCount = 0
       var palette: Array[Int] = Array.empty
+      var masks: Array[Long] = Array.empty
       // fccType of the most recent strh: an AVI may list its audio stream
       // first, and parsing that stream's strf (WAVEFORMATEX) as a
       // BITMAPINFOHEADER would capture garbage compression/bitCount —
@@ -231,6 +233,10 @@ object Multimodal {
               // the 40-byte header as RGBQUAD entries)
               bitCount = (u32(body + 12) >> 16).toInt
               compression = u32(body + 16)
+              // BI_BITFIELDS (3): three channel masks (R, G, B DWORDs)
+              // directly after the 40-byte header (public BMP v3 layout)
+              if (compression == 3L && sz >= 52)
+                masks = Array(u32(body + 40), u32(body + 44), u32(body + 48))
               if (sz > 40 && bitCount <= 8) {
                 val clrUsed = u32(body + 32).toInt
                 val n = math.min(if (clrUsed > 0) clrUsed else 1 << bitCount,
@@ -251,7 +257,7 @@ object Multimodal {
       }
       walk(12, math.min(content.length, 8 + u32(4).toInt))
       Some(VideoClip(frames.result(), usPerFrame, w, h, compression,
-        bitCount, palette))
+        bitCount, palette, masks))
     } catch { case _: Exception => None }
   }
 
@@ -266,6 +272,9 @@ object Multimodal {
     else if (clip.compression == 1L && clip.bitCount == 8 &&
              clip.width > 0 && clip.height > 0 && clip.palette.nonEmpty)
       decodeRle8(frame, clip.width, clip.height, clip.palette)
+    else if (clip.compression == 3L && (clip.bitCount == 16 || clip.bitCount == 32) &&
+             clip.width > 0 && clip.height > 0 && clip.masks.length == 3)
+      decodeBitfields(frame, clip.width, clip.height, clip.bitCount, clip.masks)
     else decodeImage(frame)
 
   /** Raw DIB frame → image: rows bottom-up, each padded to a 4-byte
@@ -287,6 +296,42 @@ object Multimodal {
         val rgb = ((bytes(o + 2) & 0xff) << 16) |
                   ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
         img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
+  }
+
+  /** BI_BITFIELDS frame → image: bottom-up padded rows of 16- or 32-bit
+    * little-endian pixels; each channel is extracted with its mask from
+    * the strf header and rescaled to 8 bits by its mask width (the public
+    * BMP v3 layout — RGB565 AVIs are the common case). A zero mask yields
+    * a zero channel rather than dividing by zero. */
+  private def decodeBitfields(bytes: Array[Byte], w: Int, h: Int,
+                              bitCount: Int, masks: Array[Long])
+      : Option[java.awt.image.BufferedImage] = {
+    val bpp = bitCount / 8
+    val stride = ((w * bpp + 3) / 4) * 4
+    if (bytes == null || bytes.length < stride * h) return None
+    // per-channel shift (mask trailing zeros) + max value, precomputed
+    val shifts = masks.map(m => if (m == 0) 0 else java.lang.Long.numberOfTrailingZeros(m))
+    val maxes = masks.indices.map(i => (masks(i) >>> shifts(i)).toInt).toArray
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val o = row + x * bpp
+        var px = 0L
+        var b = 0
+        while (b < bpp) { px |= (bytes(o + b) & 0xffL) << (8 * b); b += 1 }
+        def chan(i: Int): Int =
+          if (maxes(i) <= 0) 0
+          else ((((px & masks(i)) >>> shifts(i)) * 255L) / maxes(i)).toInt
+        img.setRGB(x, y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
         x += 1
       }
       y += 1
@@ -604,12 +649,45 @@ object Multimodal {
       palette = palette)
   }
 
+  /** BI_BITFIELDS AVI (RGB565): one solid-color frame per entry, 16-bit
+    * little-endian pixels with the standard 0xF800/0x07E0/0x001F channel
+    * masks after the header — drives the masked-channel decode path
+    * end-to-end without fixtures. Pure-channel colors survive the 5/6-bit
+    * quantization exactly (31->255, 63->255), so oracles can pin 1.0. */
+  def testBitfieldsAvi(frameRgbs: Seq[Int], w: Int = 8, h: Int = 8,
+                       usPerFrame: Long = 40000L): Array[Byte] = {
+    val stride = ((w * 2 + 3) / 4) * 4
+    val frames = frameRgbs.map { rgb =>
+      val r5 = ((rgb >> 16) & 0xff) >> 3
+      val g6 = ((rgb >> 8) & 0xff) >> 2
+      val b5 = (rgb & 0xff) >> 3
+      val px = (r5 << 11) | (g6 << 5) | b5
+      val f = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * stride + x * 2
+          f(o) = (px & 0xff).toByte
+          f(o + 1) = ((px >> 8) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f
+    }
+    assembleAvi(frames, w, h, usPerFrame, handler = "DIB ",
+      compressionFourcc = None, bitCount = 16, compressionValue = 3L,
+      bitfieldMasks = Seq(0xF800L, 0x07E0L, 0x001FL))
+  }
+
   private def assembleAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
                           usPerFrame: Long, handler: String,
                           compressionFourcc: Option[String],
                           bitCount: Int = 24,
                           compressionValue: Long = 0L,
-                          palette: Seq[Int] = Nil): Array[Byte] = {
+                          palette: Seq[Int] = Nil,
+                          bitfieldMasks: Seq[Long] = Nil): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
@@ -648,6 +726,7 @@ object Multimodal {
       bu32(b, w.toLong * h * (bitCount / 8).max(1))
       bu32(b, 0); bu32(b, 0)
       bu32(b, palette.size.toLong); bu32(b, 0) // biClrUsed, biClrImportant
+      bitfieldMasks.foreach(bu32(b, _))        // BI_BITFIELDS R/G/B masks
       palette.foreach { rgb =>                 // RGBQUAD: B, G, R, reserved
         b.write(rgb & 0xff); b.write((rgb >> 8) & 0xff)
         b.write((rgb >> 16) & 0xff); b.write(0)

@@ -217,4 +217,182 @@ object Similarity {
       .agg(first("cos").as("cos")) // a pair may match via several probes
     topKByScore(scored, k)
   }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Train per-subspace product-quantization codebooks (Jégou et al.,
+    * TPAMI 2011) on a bounded driver-side sample: `m` subspaces × `ksub`
+    * centroids each, deterministic Lloyd iterations (evenly-spaced sample
+    * init, no RNG). The sample is capped at `sampleN` vectors
+    * (4096 × d=64 doubles ≈ 2 MB — the same driver-size class as the
+    * broadcast dictionaries the other ops already trust the driver with);
+    * codebook quality needs a representative sample, not the corpus.
+    * Returns the flat subspace-major codebook `cb[((j*ksub)+c)*dsub + t]`
+    * that [[graft.functions.PqKernel]] expects. `d` must divide by `m`. */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
+              sampleN: Int = 4096, iters: Int = 10): Array[Double] = {
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(sampleN).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }.toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus sample")
+    val d = sample.head.length
+    require(m > 0 && d % m == 0, s"pqTrain: dim $d must divide by m=$m")
+    val dsub = d / m
+    val k = math.min(ksub, sample.length)
+    val flat = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m) {
+      def sub(i: Int): Array[Double] =
+        java.util.Arrays.copyOfRange(sample(i), j * dsub, (j + 1) * dsub)
+      // init: deterministic farthest-point (maxmin) seeding — evenly
+      // spaced indices can alias with periodic structure in the sample
+      // (every picked row from the same cluster) and collapse the
+      // codebook; maxmin spreads centroids by construction, no RNG
+      val cents = new Array[Array[Double]](k)
+      cents(0) = sub(0)
+      val minD = Array.fill(sample.length)(Double.MaxValue)
+      for (c <- 1 until k) {
+        var farthest = 0; var farD = -1.0
+        var s = 0
+        while (s < sample.length) {
+          var dist = 0.0; var t = 0
+          val v = sample(s)
+          while (t < dsub) {
+            val diff = v(j * dsub + t) - cents(c - 1)(t); dist += diff * diff; t += 1
+          }
+          if (dist < minD(s)) minD(s) = dist
+          if (minD(s) > farD) { farD = minD(s); farthest = s }
+          s += 1
+        }
+        cents(c) = sub(farthest)
+      }
+      val assign = new Array[Int](sample.length)
+      var it = 0
+      while (it < iters) {
+        var moved = false
+        var s = 0
+        while (s < sample.length) {
+          val v = sample(s)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dist = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = v(j * dsub + t) - cents(c)(t); dist += diff * diff; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          if (assign(s) != best) { assign(s) = best; moved = true }
+          s += 1
+        }
+        if (!moved && it > 0) it = iters
+        else {
+          val sums = Array.fill(k)(new Array[Double](dsub))
+          val counts = new Array[Int](k)
+          var s2 = 0
+          while (s2 < sample.length) {
+            val v = sample(s2); val a = assign(s2)
+            counts(a) += 1
+            var t = 0
+            while (t < dsub) { sums(a)(t) += v(j * dsub + t); t += 1 }
+            s2 += 1
+          }
+          var c2 = 0
+          while (c2 < k) {
+            if (counts(c2) > 0) {
+              var t = 0
+              while (t < dsub) { cents(c2)(t) = sums(c2)(t) / counts(c2); t += 1 }
+            } // empty cluster: keep the previous centroid
+            c2 += 1
+          }
+          it += 1
+        }
+      }
+      // fill the fixed ksub-wide layout; unused slots repeat the last
+      // centroid so a stray code can never index out of range
+      for (c <- 0 until ksub) {
+        val src = cents(math.min(c, k - 1))
+        System.arraycopy(src, 0, flat, (j * ksub + c) * dsub, dsub)
+      }
+    }
+    flat
+  }
+
+  /** Memoized IVF-PQ index: the coarse cells come from [[ivfIndex]] (same
+    * plan-keyed cache) and each cell row is re-stored as its m-byte PQ
+    * code ONLY — the float vectors are dropped, which is the point: the
+    * probe scan reads `m` bytes per corpus row instead of 4·d, turning a
+    * bandwidth-bound ANN sweep into one that fits page cache at 100 TB.
+    * Returns (centroids, flat codebook, cells-with-codes). */
+  private val pqCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Int, Int),
+           (Array[Array[Double]], Array[Double], DataFrame)]
+  private val MaxPqEntries = 8
+
+  def ivfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 nlist: Int, m: Int, ksub: Int)
+      : (Array[Array[Double]], Array[Double], DataFrame) = synchronized {
+    val key = (corpus.queryExecution.optimizedPlan.canonicalized,
+      s"$corpusId/$corpusVec", nlist, m, ksub)
+    pqCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val (centroids, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist)
+        val cb = pqTrain(corpus.select(col(corpusVec)), corpusVec, m, ksub)
+        val coded = cells
+          .select(col("cell"), col("neighbor_id"),
+            graft.functions.PqKernel.encode(col("cv"), lit(cb), lit(m)).as("code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val entry = (centroids, cb, coded)
+        pqCache.put(key, entry)
+        while (pqCache.size > MaxPqEntries) {
+          val (oldKey, (_, _, old)) = pqCache.head
+          old.unpersist()
+          pqCache.remove(oldKey)
+        }
+        entry
+    }
+  }
+
+  /** IVF-PQ ANN with optional exact re-rank: probe `nprobe` coarse cells,
+    * score candidates with the asymmetric PQ cosine (codes only — no
+    * float corpus reads), and when `refine > k` re-rank the PQ top-
+    * `refine` against the exact float vectors (a semi-join back to the
+    * corpus on ids — the standard retrieve-then-rerank shape; the exact
+    * pass touches `refine` rows per query, not the corpus). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: String, queryVec: String,
+                corpusId: String, corpusVec: String,
+                k: Int, nlist: Int, nprobe: Int,
+                m: Int, ksub: Int = 256, refine: Int = 0): DataFrame = {
+    val (centroids, cb, coded) = ivfPqIndex(corpus, corpusId, corpusVec, nlist, m, ksub)
+    val cellDist = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot(col("qv"), array(c.map(lit(_)): _*)) * 2d).as("d"),
+             lit(i).as("cell"))
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(array(cellDist: _*)), 1, nprobe),
+          s => s.getField("cell"))))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.PqKernel.cosine(col("qv"), col("code"), lit(cb)).as("cos"))
+    if (refine <= k) topKByScore(scored, k)
+    else {
+      val shortlist = topKByScore(scored, refine).select("query_id", "neighbor_id")
+      val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      val exact = shortlist
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("cos"))
+      topKByScore(exact, k)
+    }
+  }
 }

@@ -71,6 +71,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("partitioned rank+bound compiles to WindowGroupLimit, not whole-group sort") {
+    // the fused `where r:<=k` bound must surface as partial+final
+    // WindowGroupLimit so map tasks forward at most k rows per group
+    // across the shuffle instead of sorting entire groups after it
+    val p = plan(Compiler.run(logs,
+      """* | sort by (value desc) partition by (event_type) rank as r
+         | where r:<=2 | fields event_type, r"""))
+    assert(countOf(p, "WindowGroupLimit") >= 2, p)
+  }
+
   test("small join sides broadcast instead of shuffling") {
     val p = plan(Compiler.run(logs,
       """* | join by (event_type) (event_type:purchase | stats by (event_type) count() pc)"""))

@@ -82,6 +82,7 @@ class CompilerFuzzSpec extends SparkSuite {
       "replace (\" \", \"_\") at _msg limit 2",
       "unpack_syslog from _msg", "field_values v limit 2",
       "sort by (v) partition by (level) rank as pr",
+      "sort by (v desc) partition by (level) rank as pr | where pr:<=2",
       "top 2 by (level) rank as tr", "uniq by (level, v) limit 9",
       "sample 2", "drop_empty_fields", "len v as vlen",
       "stream_context after 2 time_window 1h")

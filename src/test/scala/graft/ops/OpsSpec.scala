@@ -295,6 +295,77 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.5, s"ivf recall@10 = $recall")
   }
 
+  test("ivfPqTopK: PQ codes + exact re-rank keep good recall") {
+    val dim = 16
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed * 131)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 200).map(i => Row(i.toLong, vec(i))), 2), schema)
+    val queries = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1000 until 1005).map(i => Row(i.toLong, vec(i))), 1), schema)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "id", "v", "id", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(queries, corpus, "id", "v", "id", "v",
+      10, nlist = 8, nprobe = 4, m = 4, ksub = 32, refine = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf-pq recall@10 = $recall")
+  }
+
+  test("PQ encode/cosine: code shape, determinism, and eval-vs-codegen agreement") {
+    import graft.functions.PqKernel
+    val dim = 8; val m = 4; val ksub = 8
+    // clustered data: centroid + small noise, so the PQ reconstruction
+    // should track the exact cosine closely
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed * 17)
+      val center = seed % 4
+      Seq.tabulate(dim)(i =>
+        (math.cos(center + i) + r.nextGaussian() * 0.05).toFloat)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 64).map(i => Row(i.toLong, vec(i))), 2), schema)
+    val cb = Similarity.pqTrain(df, "v", m, ksub)
+    assert(cb.length == m * ksub * (dim / m))
+    val coded = df.select(col("id"), col("v"),
+      PqKernel.encode(col("v"), lit(cb), lit(m)).as("code"))
+    val rows = coded.collect()
+    // every code is m bytes; encoding is deterministic across runs
+    assert(rows.forall(_.getSeq[Byte](2).length == m))
+    val again = coded.collect()
+    assert(rows.map(_.getSeq[Byte](2)).toSeq == again.map(_.getSeq[Byte](2)).toSeq)
+    // codegen path (DF) agrees with a direct scala re-computation of the
+    // argmin spec on the same codebook
+    val dsub = dim / m
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val code = r.getSeq[Byte](2)
+      for (j <- 0 until m) {
+        val dists = (0 until ksub).map { c =>
+          (0 until dsub).map { t =>
+            val diff = v(j * dsub + t).toDouble - cb((j * ksub + c) * dsub + t)
+            diff * diff
+          }.sum
+        }
+        assert(code(j) == dists.indexOf(dists.min).toByte)
+      }
+    }
+    // asymmetric PQ cosine tracks the exact cosine on clustered data
+    val q = df.filter(col("id") === 0L)
+      .select(col("v").as("qv")).crossJoin(coded)
+    val diffs = q.select(
+      abs(PqKernel.cosine(col("qv"), col("code"), lit(cb)) -
+        Similarity.cosine(col("qv"), col("v"))).as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diffs < 0.15, s"max |pq_cos - exact_cos| = $diffs")
+  }
+
   test("text analysis: token counts, quality, langid") {
     val df = docsDF(Seq(
       (1L, "the cat is on the mat and a dog"),
@@ -609,11 +680,49 @@ class OpsSpec extends SparkSuite {
     assert(f(2) == 1.0f && f(0) == 0.0f && f(1) == 0.0f)
   }
 
+  test("multimodal: BI_BITFIELDS (RGB565) AVI decodes exactly") {
+    import spark.implicits._
+    // container parse: biCompression 3, 16-bit, channel masks from strf
+    val avi = Multimodal.testBitfieldsAvi(
+      Seq(0xFF0000, 0x00FF00), w = 5, h = 4, usPerFrame = 50000L)
+    val clip = Multimodal.decodeAvi(avi).get
+    assert(clip.compression == 3L && clip.bitCount == 16 &&
+           clip.frames.length == 2 && clip.width == 5 && clip.height == 4)
+    assert(clip.masks.toSeq == Seq(0xF800L, 0x07E0L, 0x001FL))
+    // masked channels rescale exactly for pure colors (31→255, 63→255)
+    val img0 = Multimodal.decodeFrame(clip, clip.frames(0)).get
+    val img1 = Multimodal.decodeFrame(clip, clip.frames(1)).get
+    assert((img0.getRGB(0, 0) & 0xffffff) == 0xFF0000 &&
+           (img0.getRGB(4, 3) & 0xffffff) == 0xFF0000)
+    assert((img1.getRGB(2, 2) & 0xffffff) == 0x00FF00)
+    // mid-gray quantizes through the 5-bit channel: 0x80 >> 3 = 16 → 131
+    val gray = Multimodal.decodeAvi(
+      Multimodal.testBitfieldsAvi(Seq(0x808080), w = 5, h = 4)).get
+    val g = Multimodal.decodeFrame(gray, gray.frames(0)).get
+    assert(((g.getRGB(1, 1) >> 16) & 0xff) == 16 * 255 / 31)
+    // end-to-end: extractFeatures routes the masked path, exact 1.0
+    val df = Seq((1L, "video", Multimodal.testBitfieldsAvi(Seq.fill(2)(0x0000FF))))
+      .toDF("media_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      .collect().head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f(2) == 1.0f && f(0) == 0.0f && f(1) == 0.0f)
+  }
+
   test("multimodal: container/codec walk survives adversarial bytes") {
     val rnd = new scala.util.Random(7)
     // random garbage, truncations of a valid file, and bit flips must
     // never throw or hang — None / best-effort partial decode only
     val valid = Multimodal.testRle8Avi(Seq(0xFF0000, 0x00FF00), w = 7, h = 4)
+    val validBf = Multimodal.testBitfieldsAvi(Seq(0xFF0000, 0x00FF00), w = 5, h = 4)
+    Seq.tabulate(60) { _ =>
+      val b = validBf.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      b
+    }.foreach { b =>
+      Multimodal.decodeAvi(b).foreach { clip =>
+        clip.frames.take(3).foreach(f => Multimodal.decodeFrame(clip, f))
+      }
+    }
     val cases = Seq.tabulate(200) { _ =>
       val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b
     } ++ Seq.tabulate(60)(i => valid.take(i * valid.length / 60)) ++
