@@ -168,6 +168,12 @@ object Multimodal {
 
   // ------------------------------------------------------------ video codec
 
+  /** Upper bound on decoded-frame pixels (16 Mpx ≈ a 4K×4K frame, 64 MB
+    * of INT_RGB raster): container-declared dimensions are
+    * attacker-controlled, and a crafted header must fail to None, not
+    * allocate an executor-killing image. */
+  private val MaxDecodedPixels = 16777216L
+
   /** Decoded video container: per-frame ENCODED images (JPEG for MJPG,
     * raw DIB rows for BI_RGB) plus container timing. Frames stay encoded
     * until a consumer needs pixels — sampling k of n frames never decodes
@@ -218,6 +224,10 @@ object Multimodal {
           val id = fourcc(o)
           val sz = u32(o + 4).toInt
           val body = o + 8
+          // sz is attacker-controlled: a value that decodes to -8 or -9
+          // would leave the cursor unmoved below and spin this loop
+          // forever — a non-recursive hang no depth cap or catch contains
+          if (sz < 0) return
           if (body + sz > to) return // truncated chunk: keep what we have
           id match {
             case "LIST" => walk(body + 4, body + sz, depth + 1) // skip the list type
@@ -284,7 +294,11 @@ object Multimodal {
                         bitCount: Int): Option[java.awt.image.BufferedImage] = {
     val bpp = bitCount / 8
     val stride = ((w * bpp + 3) / 4) * 4
-    if (bytes == null || bytes.length < stride * h) return None
+    // Long math: container-declared w*h are attacker-controlled, and an
+    // Int-overflowing stride*h lets a tiny frame through to a giant (or
+    // negative-size) image allocation
+    if (bytes == null || bytes.length.toLong < stride.toLong * h ||
+        w.toLong * h > MaxDecodedPixels) return None
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -313,7 +327,8 @@ object Multimodal {
       : Option[java.awt.image.BufferedImage] = {
     val bpp = bitCount / 8
     val stride = ((w * bpp + 3) / 4) * 4
-    if (bytes == null || bytes.length < stride * h) return None
+    if (bytes == null || bytes.length.toLong < stride.toLong * h ||
+        w.toLong * h > MaxDecodedPixels) return None
     // per-channel shift (mask trailing zeros) + max value, precomputed
     val shifts = masks.map(m => if (m == 0) 0 else java.lang.Long.numberOfTrailingZeros(m))
     val maxes = masks.indices.map(i => (masks(i) >>> shifts(i)).toInt).toArray
@@ -347,7 +362,10 @@ object Multimodal {
     * matching decoders that clear to the first palette entry. */
   private def decodeRle8(bytes: Array[Byte], w: Int, h: Int,
                          palette: Array[Int]): Option[java.awt.image.BufferedImage] = {
-    if (bytes == null || bytes.length < 2) return None
+    // unlike the raw-DIB paths the frame length implies nothing about
+    // w*h (RLE compresses), so the pixel cap is the only allocation guard
+    if (bytes == null || bytes.length < 2 ||
+        w.toLong * h > MaxDecodedPixels) return None
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     def color(idx: Int): Int = palette(math.min(idx, palette.length - 1))

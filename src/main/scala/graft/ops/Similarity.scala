@@ -232,7 +232,8 @@ object Similarity {
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
               sampleN: Int = 4096, iters: Int = 10): Array[Double] = {
     val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(sampleN).collect()
+      .where(col(vecCol).isNotNull) // null embeddings rank last at query
+      .limit(sampleN).collect()     // time; they must not NPE the training
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d

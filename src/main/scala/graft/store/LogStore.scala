@@ -106,12 +106,14 @@ object LogStore {
       // schema inference reads a footer chosen from a directory listing; a
       // lifecycle swap (compaction/retention) can delete that exact file
       // between the listing and the read. Files are immutable, so a fresh
-      // listing is consistent — retry the build once.
+      // listing is consistent — retry the build once. No sleep: this runs
+      // under the object lock, and stalling every concurrent reader of
+      // every store is worse than the small chance the re-list still sees
+      // a mid-delete file (callers' withStaleRetry covers that tail).
       try build()
       catch {
         case e: Throwable if isStaleFileError(e) =>
           graft.server.Metrics.staleIndexRetries.incrementAndGet()
-          Thread.sleep(50)
           build()
       }
     })

@@ -736,6 +736,28 @@ class OpsSpec extends SparkSuite {
         clip.frames.take(3).foreach(f => Multimodal.decodeFrame(clip, f))
       }
     }
+    // a chunk whose size field decodes to -8 would leave the walk cursor
+    // unmoved — a non-recursive infinite loop no depth cap or catch
+    // contains; random fuzz has ~2^-32 odds of generating it, so pin it
+    val negSz = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII"))
+      b.write(Array[Byte](32, 0, 0, 0))
+      b.write("AVI ".getBytes("US-ASCII"))
+      b.write("JUNK".getBytes("US-ASCII"))
+      b.write(Array[Byte](-8, -1, -1, -1)) // sz = 0xFFFFFFF8 = -8
+      b.write(new Array[Byte](16))
+      b.toByteArray
+    }
+    val walker = new Thread(() => Multimodal.decodeAvi(negSz))
+    walker.setDaemon(true); walker.start(); walker.join(5000)
+    assert(!walker.isAlive, "negative chunk size must terminate the walk")
+    // container-declared giant dimensions must fail to None, not allocate:
+    // a 2-byte RLE frame with avih/strf claiming 50000x50000
+    val giant = Multimodal.decodeAvi(
+      Multimodal.testRle8Avi(Seq(0xFF0000), w = 7, h = 4)).get
+      .copy(width = 50000, height = 50000)
+    assert(Multimodal.decodeFrame(giant, Array[Byte](7, 0)).isEmpty)
     // deep LIST nesting: depth-capped walk, no StackOverflowError
     val bos = new java.io.ByteArrayOutputStream()
     bos.write("RIFF".getBytes("US-ASCII"))
