@@ -129,10 +129,12 @@ object Filter {
   final case class TimeRange(loNs: Long, hiNs: Long) extends Filter
   /** `_time:day_range[08:00, 18:00)` — minutes of day (filter_day_range.go). */
   final case class DayRange(startMin: Int, endMin: Int,
-                            inclStart: Boolean, inclEnd: Boolean) extends Filter
+                            inclStart: Boolean, inclEnd: Boolean,
+                            offsetNs: Long = 0L) extends Filter
   /** `_time:week_range[Mon, Fri]` — day of week 0=Sun (filter_week_range.go). */
   final case class WeekRange(startDay: Int, endDay: Int,
-                             inclStart: Boolean, inclEnd: Boolean) extends Filter
+                             inclStart: Boolean, inclEnd: Boolean,
+                             offsetNs: Long = 0L) extends Filter
   /** `{label=~"re", ...}` — stream label matchers, OR of AND-groups
     * (filter_stream.go, stream_filter.go). */
   final case class Stream(orGroups: Seq[Seq[StreamMatcher]]) extends Filter

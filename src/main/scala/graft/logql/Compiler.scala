@@ -175,6 +175,14 @@ object Compiler {
   private def nonEmpty(df: DataFrame, name: String): Column =
     strF(df, name) =!= ""
 
+  /** `_time` shifted back by an `offset` duration (filter_day_range.go
+    * applies the offset to the timestamp before extracting day/week). */
+  private def shiftedTime(df: DataFrame, offsetNs: Long): Column = {
+    val t = timeCol(df)
+    if (offsetNs == 0L) t
+    else timestamp_micros(unix_micros(t) - lit(offsetNs / 1000L))
+  }
+
   /** The `_time` column as micros since epoch. */
   private def timeMicros(df: DataFrame): Column = {
     val name = if (hasCol(df, "_time")) "_time" else "ts"
@@ -230,11 +238,20 @@ object Compiler {
       }
     case Filter.InQuery(fld, sub) =>
       // materialize the subquery's (single) result column at plan-build
-      // time, then compile as a literal in() — mirrors the reference, which
-      // pre-executes in(subquery) and shares the value set
-      // (initFilterInValues storage_search.go:582). Bounded by a cap; a
-      // larger set should use the join pipe instead.
-      compileFilter(df, Filter.In(fld, materializeInValues(ctx, sub)), ctx)
+      // time — mirrors the reference, which pre-executes in(subquery) and
+      // shares the value set (initFilterInValues storage_search.go:582).
+      // Bounded by a cap; a larger set should use the join pipe instead.
+      // Both sides get inSemiJoin's numeric canonicalization ("5", "5.0",
+      // and 5 compare equal), so `f:in(q)` and `not f:in(q)` stay
+      // complementary whichever path compiles them.
+      val vs = materializeInValues(ctx, sub)
+      val canonVals =
+        vs.map(v => v.toDoubleOption.map(_.toString).getOrElse(v)).distinct
+      val key = coalesce(
+        strF(df, fld).try_cast("double").cast(StringType),
+        strF(df, fld), lit(""))
+      if (canonVals.size <= 1000) key.isin(canonVals: _*)
+      else array_contains(typedLit(canonVals), key)
 
     case Filter.ContainsAll(fld, vs) => containsSet(df, fld, vs, all = true)
     case Filter.ContainsAny(fld, vs) => containsSet(df, fld, vs, all = false)
@@ -295,13 +312,13 @@ object Compiler {
         (base +: dayConds).reduce(_ && _)
       } else base
 
-    case Filter.DayRange(s, e, inclS, inclE) =>
-      val t = timeCol(df)
+    case Filter.DayRange(s, e, inclS, inclE, offNs) =>
+      val t = shiftedTime(df, offNs)
       val m = hour(t) * 60 + minute(t)
       (if (inclS) m >= s else m > s) && (if (inclE) m <= e else m < e)
 
-    case Filter.WeekRange(s, e, inclS, inclE) =>
-      val d = dayofweek(timeCol(df)) - 1 // 0 = Sunday
+    case Filter.WeekRange(s, e, inclS, inclE, offNs) =>
+      val d = dayofweek(shiftedTime(df, offNs)) - 1 // 0 = Sunday
       (if (inclS) d >= s else d > s) && (if (inclE) d <= e else d < e)
 
     case Filter.Stream(groups) =>
@@ -433,12 +450,30 @@ object Compiler {
 
   def applyPipe(df: DataFrame, p: Pipe, ctx: Ctx): DataFrame = p match {
     case Pipe.Fields(fs) =>
+      // wildcards must also keep matching `fields`-map entries — dynamic
+      // fields are first-class in the reference's schemaless model, and
+      // expanding only top-level columns would silently drop their data
       val names = expandWildcards(df, fs)
-      df.select(names.map(n => anyF(df, n).as(n)): _*)
+      val base = names.map(n => anyF(df, n).as(n))
+      val wilds = fs.filter(isWildcardField).map(_.dropRight(1))
+      if (wilds.nonEmpty && hasFieldsMap(df) && !names.contains("fields")) {
+        val keep = map_filter(col("fields"),
+          (k, _) => wilds.map(p => k.startsWith(p)).reduce(_ || _))
+        df.select(base :+ keep.as("fields"): _*)
+      } else df.select(base: _*)
 
     case Pipe.Delete(fs) =>
       val names = expandWildcards(df, fs)
-      df.drop(names.filter(hasCol(df, _)): _*)
+      val dropped = df.drop(names.filter(hasCol(df, _)): _*)
+      // map-resident fields: `delete secret*` (or an exact map key) must
+      // remove the entries, not leave them readable by later pipes
+      val wilds = fs.filter(isWildcardField).map(_.dropRight(1))
+      val exactMapKeys = fs.filterNot(isWildcardField).filterNot(hasCol(df, _))
+      if (hasFieldsMap(dropped) && (wilds.nonEmpty || exactMapKeys.nonEmpty))
+        dropped.withColumn("fields", map_filter(col("fields"), (k, _) =>
+          !(wilds.map(p => k.startsWith(p)) ++
+            exactMapKeys.map(e => k === lit(e))).reduce(_ || _)))
+      else dropped
 
     case Pipe.Copy(pairs) =>
       pairs.foldLeft(df)((d, ab) => copyRenameOne(d, ab._1, ab._2, keepOld = true))
@@ -447,8 +482,8 @@ object Compiler {
       pairs.foldLeft(df)((d, ab) => copyRenameOne(d, ab._1, ab._2, keepOld = false))
 
     case Pipe.Where(f) => df.filter(compileFilter(df, f, ctx))
-    case Pipe.Limit(n) => df.limit(n.toInt)
-    case Pipe.Offset(n) => df.offset(n.toInt)
+    case Pipe.Limit(n) => df.limit(clampInt(n))
+    case Pipe.Offset(n) => df.offset(clampInt(n))
     // deterministic 1-in-n sampling: keep rows whose row-content hash lands
     // in bucket 0 (pipe_sample.go keeps each row with probability 1/n via a
     // PRNG; a content hash gives the same ~1/n expectation while staying
@@ -472,7 +507,7 @@ object Compiler {
       val grouped = df.groupBy(keys.map(k => anyF(df, k).as(k)): _*)
         .agg(count(lit(1)).as(hitsAs))
         .orderBy(col(quoteName(hitsAs)).desc +: keys.map(k => col(quoteName(k)).asc): _*)
-        .limit(n.toInt)
+        .limit(clampInt(n))
       rankAs match {
         case Some(r) =>
           grouped.withColumn(r, row_number().over(
@@ -485,7 +520,7 @@ object Compiler {
       val base = df.groupBy(keys.map(k => anyF(df, k).as(k)): _*)
       val out = if (withHits) base.agg(count(lit(1)).as("hits"))
                 else base.agg(lit(1).as("__one")).drop("__one")
-      limit.map(l => out.limit(l.toInt)).getOrElse(out)
+      limit.map(l => out.limit(clampInt(l))).getOrElse(out)
 
     case Pipe.FieldNames(out) =>
       val topCols = df.columns.filter(_ != "fields")
@@ -511,7 +546,7 @@ object Compiler {
       val out = df.groupBy(strF(df, fld).as(fld))
         .agg(count(lit(1)).as("hits"))
         .orderBy(col(quoteName(fld)))
-      limit.map(l => out.limit(l.toInt)).getOrElse(out)
+      limit.map(l => out.limit(clampInt(l))).getOrElse(out)
 
     case Pipe.Math(exprs) =>
       exprs.foldLeft(df)((d, ea) => d.withColumn(ea._2, mathCol(d, ea._1, ctx)))
@@ -632,7 +667,7 @@ object Compiler {
 
     case Pipe.UnpackWords(from, out, limitN) =>
       val words = TextMatch.tokenize(strF(df, from))
-      val limited = if (limitN > 0) slice(words, 1, limitN.toInt) else words
+      val limited = if (limitN > 0) slice(words, 1, clampInt(limitN)) else words
       df.withColumn(out, to_json(limited))
 
     case Pipe.Unroll(fields, iff) =>
@@ -683,8 +718,17 @@ object Compiler {
       df.withColumn(fld, collapseNums(strF(df, fld), prettify))
 
     case Pipe.Join(by, sub, inner, prefix) =>
-      val right0 = run(ctx.source, sub, ctx.nowNs)
+      val right0raw = run(ctx.source, sub, ctx.nowNs)
       val keys = by
+      // a by-field may live only in the `fields` map (or be missing): a
+      // name-based equi-join would fail analysis, while every other
+      // field access resolves through strF with missing ≡ "". Materialize
+      // such keys as real columns on both sides before joining.
+      def materializeKeys(d: DataFrame): DataFrame =
+        keys.filterNot(hasCol(d, _)).foldLeft(d)((dd, k) =>
+          dd.withColumn(k, strF(dd, k)))
+      val left = materializeKeys(df)
+      val right0 = materializeKeys(right0raw)
       val pfx = prefix.getOrElse("")
       // prefix non-key columns; resolve collisions in favor of the subquery
       // for matched rows (reference pipe_join.go merges subquery fields in)
@@ -693,7 +737,7 @@ object Compiler {
         else d.withColumnRenamed(c, pfx + c)
       }
       val joinType = if (inner) "inner" else "left"
-      val collisions = right.columns.filter(c => !keys.contains(c) && hasCol(df, c))
+      val collisions = right.columns.filter(c => !keys.contains(c) && hasCol(left, c))
       val renamedRight = collisions.foldLeft(right)((d, c) =>
         d.withColumnRenamed(c, "__r_" + c))
       // size-gate the broadcast (pipe_join.go:17-32 enforces a memory
@@ -703,8 +747,8 @@ object Compiler {
       val gate = BigInt(256L << 20)
       val small = renamedRight.queryExecution.optimizedPlan.stats.sizeInBytes <= gate
       val joined =
-        if (small) df.join(broadcast(renamedRight), keys, joinType)
-        else df.join(renamedRight, keys, joinType)
+        if (small) left.join(broadcast(renamedRight), keys, joinType)
+        else left.join(renamedRight, keys, joinType)
       collisions.foldLeft(joined) { (d, c) =>
         d.withColumn(c, coalesce(col("__r_" + c).cast(StringType),
                                  col(quoteName(c)).cast(StringType)))
@@ -938,6 +982,12 @@ object Compiler {
     } else {
       var out = df.orderBy(exprs: _*)
       (s.limit, s.rank) match {
+        case (Some(l), Some(r)) if s.offset + l > Int.MaxValue.toLong =>
+          // a bound past Int range can't go through .limit() — use the
+          // distributed zipWithIndex rank instead of a wrapped Int that
+          // would silently drop in-bound rows
+          out = zipWithRank(out, r)
+          if (s.offset > 0) out = out.filter(col(quoteName(r)) > s.offset)
         case (Some(l), Some(r)) =>
           // bounded rank: top-(offset+limit) first (TakeOrderedAndProject),
           // then rank the small in-memory result — the single-partition
@@ -952,10 +1002,10 @@ object Compiler {
           out = zipWithRank(out, r)
           if (s.offset > 0) out = out.filter(col(quoteName(r)) > s.offset)
         case (Some(l), None) =>
-          if (s.offset > 0) out = out.offset(s.offset.toInt)
-          out = out.limit(l.toInt)
+          if (s.offset > 0) out = out.offset(clampInt(s.offset))
+          out = out.limit(clampInt(l))
         case (None, None) =>
-          if (s.offset > 0) out = out.offset(s.offset.toInt)
+          if (s.offset > 0) out = out.offset(clampInt(s.offset))
       }
       out
     }
@@ -989,13 +1039,18 @@ object Compiler {
         val stepUs = NumLit.durationNanos(bk)
           .map(_ / 1000L)
           .orElse(NumLit.parse(bk).map(s => (s * 1e6).toLong))
-          .getOrElse(throw ParseException(s"bad time bucket '$bk'", 0))
+          // a sub-microsecond or zero step would divide by a zero literal,
+          // which Spark nulls out — every row would silently collapse into
+          // one null bucket instead of erroring
+          .filter(_ > 0L)
+          .getOrElse(throw ParseException(s"bad time bucket '$bk' (must be >= 1us)", 0))
         val offUs = b.offset.flatMap(NumLit.durationNanos).map(_ / 1000L).getOrElse(0L)
         val t = if (b.name == "_time") timeMicros(df) else unix_micros(col(quoteName(b.name)))
         timestamp_micros(((t - offUs).cast(LongType) / stepUs).cast(LongType) * stepUs + offUs)
       } else {
         val w = NumLit.parse(bk)
-          .getOrElse(throw ParseException(s"bad bucket '$bk'", 0))
+          .filter(v => v > 0 && !v.isInfinite) // floor(n/0) is null: see above
+          .getOrElse(throw ParseException(s"bad bucket '$bk' (must be > 0)", 0))
         val off = b.offset.flatMap(NumLit.parse).getOrElse(0d)
         val n = numF(df, b.name)
         floor((n - off) / w) * w + off
@@ -1076,26 +1131,26 @@ object Compiler {
           // collect would defeat the limit's whole point
           case Some(l) =>
             graft.functions.CappedCollect.cappedListOfArrays(
-              iff(fieldVals(df, fields)), l.toInt)
+              iff(fieldVals(df, fields)), clampInt(l))
           case None => flatten(collect_list(iff(fieldVals(df, fields))))
         }
         else limitN match {
           case Some(l) =>
-            graft.functions.CappedCollect.cappedList(iff(strF(df, fields.head)), l.toInt)
+            graft.functions.CappedCollect.cappedList(iff(strF(df, fields.head)), clampInt(l))
           case None => collect_list(iff(strF(df, fields.head)))
         }
       case UniqValues(fields, limitN) =>
         if (hasWildcardField(fields) || fields.size > 1) limitN match {
           case Some(l) =>
             graft.functions.CappedCollect.cappedSetOfArrays(
-              iff(filter(fieldVals(df, fields), v => v =!= "")), l.toInt)
+              iff(filter(fieldVals(df, fields), v => v =!= "")), clampInt(l))
           case None =>
             array_sort(array_distinct(flatten(collect_list(
               iff(filter(fieldVals(df, fields), v => v =!= ""))))))
         }
         else limitN match {
           case Some(l) =>
-            graft.functions.CappedCollect.cappedSet(iff(nullIfEmpty(df, fields.head)), l.toInt)
+            graft.functions.CappedCollect.cappedSet(iff(nullIfEmpty(df, fields.head)), clampInt(l))
           case None => array_sort(collect_set(iff(nullIfEmpty(df, fields.head))))
         }
       case JsonValues(fields, limitN) =>
@@ -1104,7 +1159,7 @@ object Compiler {
           else to_json(struct(fields.map(f => strF(df, f).as(f)): _*))
         limitN match {
           case Some(l) =>
-            graft.functions.CappedCollect.cappedList(iff(j), l.toInt)
+            graft.functions.CappedCollect.cappedList(iff(j), clampInt(l))
           case None => collect_list(iff(j))
         }
       // row_any/row_max/row_min: aggregate the raw struct/map and render
@@ -1150,12 +1205,18 @@ object Compiler {
       throw new UnsupportedOperationException(
         s"$fn does not accept wildcard field filters")
 
+  /** Long pipe limits feed Int-typed Spark APIs: 5e9.toInt silently wraps
+    * negative/small and drops rows the query should keep — clamp instead
+    * (a limit past 2^31-1 rows is effectively unbounded for .limit()). */
+  private def clampInt(n: Long): Int =
+    math.min(math.max(n, 0L), Int.MaxValue.toLong).toInt
+
   private def nAgg(fields: Seq[String], one: String => Column): Column =
     if (fields.size == 1) one(fields.head)
     else fields.map(f => coalesce(one(f).cast(DoubleType), lit(0d))).reduce(_ + _)
 
   private def limited(c: Column, limitN: Option[Long]): Column =
-    limitN.map(l => slice(c, 1, l.toInt)).getOrElse(c)
+    limitN.map(l => slice(c, 1, clampInt(l))).getOrElse(c)
 
   private def nullIfEmpty(df: DataFrame, f: String): Column = {
     val s = strF(df, f)
@@ -1453,13 +1514,21 @@ object Compiler {
     val names = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     var idx = 0
     var i = 0
+    var inClass = false // '(' inside [...] is a literal, not a group
     while (i < re.length) {
-      if (re(i) == '(' && (i == 0 || re(i - 1) != '\\')) {
+      val escaped = i > 0 && re(i - 1) == '\\' &&
+        (i < 2 || re(i - 2) != '\\') // "\\(": the paren IS a group opener
+      if (!escaped && !inClass && re(i) == '[') inClass = true
+      else if (!escaped && inClass && re(i) == ']') inClass = false
+      else if (re(i) == '(' && !escaped && !inClass) {
         if (i + 1 < re.length && re(i + 1) == '?') {
           if (i + 2 < re.length && re(i + 2) == '<' &&
               i + 3 < re.length && re(i + 3) != '=' && re(i + 3) != '!') {
             idx += 1
             val end = re.indexOf('>', i)
+            if (end < 0)
+              throw ParseException(
+                s"unterminated named capture group in regexp '$re'", i)
             names += ((re.substring(i + 3, end), idx))
           }
         } else idx += 1

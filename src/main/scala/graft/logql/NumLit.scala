@@ -31,12 +31,17 @@ object NumLit {
     "gi" -> math.pow(1024, 3), "ti" -> math.pow(1024, 4),
     "k" -> 1e3, "m" -> 1e6, "g" -> 1e9, "t" -> 1e12)
 
+  /** Digits with at most one dot — "1..2".toDouble throws, and a raw
+    * NumberFormatException would escape the ParseException/400 contract. */
+  private def isPlainNumber(s: String): Boolean =
+    s.nonEmpty && s.count(_ == '.') <= 1 &&
+      s.forall(c => c.isDigit || c == '.') && s.exists(_.isDigit)
+
   def sizeValue(s: String): Option[Double] = {
     val ls = s.toLowerCase
     sizeSuffixes.collectFirst {
       case (suf, mult) if ls.endsWith(suf) &&
-          ls.dropRight(suf.length).nonEmpty &&
-          ls.dropRight(suf.length).forall(c => c.isDigit || c == '.') =>
+          isPlainNumber(ls.dropRight(suf.length)) =>
         ls.dropRight(suf.length).toDouble * mult
     }
   }
@@ -52,6 +57,7 @@ object NumLit {
       val numStart = i
       while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
       if (i == numStart) return None
+      if (!isPlainNumber(s.substring(numStart, i))) return None
       val num = s.substring(numStart, i).toDouble
       val unitStart = i
       while (i < s.length && !s(i).isDigit) i += 1

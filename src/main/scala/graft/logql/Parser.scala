@@ -447,7 +447,12 @@ final class Parser(input: String, now: Long) {
         case Seq(single) if single.contains("/") =>
           val Array(ipStr, bitsStr) = single.split("/", 2)
           val ip = ipv4ToLong(ipStr)
-          val bits = bitsStr.toInt
+          // bits > 32 would shift by a negative amount (masked mod 64 →
+          // mask 0 → match-all); non-numeric would NFE past the parse
+          // error contract — both are malformed CIDR, reject loudly
+          val bits = bitsStr.toIntOption
+            .filter(b => b >= 0 && b <= 32)
+            .getOrElse(err(s"bad CIDR suffix '/$bitsStr' (want 0-32)"))
           val mask = if (bits == 0) 0L else (0xffffffffL << (32 - bits)) & 0xffffffffL
           Filter.Ipv4Range(field, ip & mask, (ip & mask) | (~mask & 0xffffffffL))
         case Seq(single) => val ip = ipv4ToLong(single); Filter.Ipv4Range(field, ip, ip)
@@ -463,12 +468,20 @@ final class Parser(input: String, now: Long) {
       if (args.size != 2) err("len_range expects 2 args")
       Filter.LenRange(field, parseNumberLiteral(args(0)).toLong,
                       parseNumberLiteral(args(1)).toLong)
-    case "value_type" => Filter.ValueType(field, parseArgList().head)
-    case "eq_field" => Filter.EqField(field, parseArgList().head)
-    case "le_field" => Filter.LeField(field, parseArgList().head)
-    case "lt_field" => Filter.LtField(field, parseArgList().head)
+    case "value_type" => Filter.ValueType(field, oneArg("value_type"))
+    case "eq_field" => Filter.EqField(field, oneArg("eq_field"))
+    case "le_field" => Filter.LeField(field, oneArg("le_field"))
+    case "lt_field" => Filter.LtField(field, oneArg("lt_field"))
     case "day_range" => err("day_range is only valid on _time")
     case other => err(s"unknown filter function '$other'")
+  }
+
+  /** Exactly-one-argument helper: `.head` on an empty list would throw
+    * NoSuchElementException past the ParseException/400 contract. */
+  private def oneArg(fn: String): String = {
+    val args = parseArgList()
+    if (args.size != 1) err(s"$fn expects exactly 1 argument")
+    args.head
   }
 
   private def parseArgList(): Seq[String] = {
@@ -486,7 +499,11 @@ final class Parser(input: String, now: Long) {
   private def ipv4ToLong(s: String): Long = {
     val parts = s.trim.split("\\.")
     if (parts.length != 4) err(s"bad ipv4 '$s'")
-    parts.foldLeft(0L)((acc, p) => (acc << 8) | p.toInt)
+    parts.foldLeft(0L) { (acc, p) =>
+      val octet = p.toIntOption.filter(o => o >= 0 && o <= 255)
+        .getOrElse(err(s"bad ipv4 '$s'")) // NFE / >255 must be a parse error
+      (acc << 8) | octet
+    }
   }
 
   // ------------------------------------------------------------ number lits
@@ -503,6 +520,25 @@ final class Parser(input: String, now: Long) {
   // ------------------------------------------------------------ time filter
 
   private def parseTimeFilter(): Filter = {
+    val f = parseTimeFilterInner()
+    // `_time:5m offset 1h` (parser.go:2598-2608): shift the whole window
+    // back by the duration. Without this the two words fell through to
+    // the _msg phrase parser and silently matched nothing.
+    if (consumeKeyword("offset")) {
+      val d = durationNanos(readTimeWord())
+        .getOrElse(err("bad duration after 'offset'"))
+      f match {
+        case Filter.TimeRange(lo, hi) =>
+          Filter.TimeRange(if (lo == Long.MinValue) lo else lo - d,
+                           if (hi == Long.MaxValue) hi else hi - d)
+        case dr: Filter.DayRange => dr.copy(offsetNs = d)
+        case wr: Filter.WeekRange => wr.copy(offsetNs = d)
+        case other => other
+      }
+    } else f
+  }
+
+  private def parseTimeFilterInner(): Filter = {
     skipWs()
     peekCh match {
       case '[' | '(' =>
@@ -653,7 +689,9 @@ final class Parser(input: String, now: Long) {
     pos += 1
     def minutes(s: String): Int = {
       val p = s.trim.split(":")
-      p(0).toInt * 60 + (if (p.length > 1) p(1).toInt else 0)
+      def num(x: String): Int =
+        x.toIntOption.getOrElse(err(s"bad day_range time '$s'"))
+      num(p(0)) * 60 + (if (p.length > 1) num(p(1)) else 0)
     }
     Filter.DayRange(minutes(a), minutes(b), inclStart, inclEnd)
   }
@@ -1046,27 +1084,34 @@ final class Parser(input: String, now: Long) {
     var limit: Option[Long] = None
     if (consumeKeyword("limit")) limit = Some(readLong())
     import StatsFunc._
+    // `.head` on an empty arg list must be a parse error, not a
+    // NoSuchElementException 500 — and the aggregates that need a source
+    // field fail the same way when called with none
+    def arg0(fname: String): String = {
+      if (args.isEmpty) err(s"$fname expects at least 1 argument")
+      args.head
+    }
     val fn: StatsFunc = name match {
       case "count" => Count(args.toSeq.filter(_ != "*"))
       case "count_empty" => CountEmpty(args.toSeq)
-      case "count_uniq" => CountUniq(args.toSeq, limit)
-      case "count_uniq_hash" => CountUniqHash(args.toSeq)
-      case "sum" => Sum(args.toSeq)
-      case "avg" => Avg(args.toSeq)
-      case "min" => Min(args.toSeq)
-      case "max" => Max(args.toSeq)
-      case "median" => Median(args.toSeq)
-      case "quantile" => Quantile(parseNumberLiteral(args.head), args.tail.toSeq)
-      case "sum_len" => SumLen(args.toSeq)
-      case "values" => Values(args.toSeq, limit)
-      case "uniq_values" => UniqValues(args.toSeq, limit)
-      case "json_values" => JsonValues(args.toSeq, limit)
+      case "count_uniq" => { arg0("count_uniq"); CountUniq(args.toSeq, limit) }
+      case "count_uniq_hash" => { arg0("count_uniq_hash"); CountUniqHash(args.toSeq) }
+      case "sum" => { arg0("sum"); Sum(args.toSeq) }
+      case "avg" => { arg0("avg"); Avg(args.toSeq) }
+      case "min" => { arg0("min"); Min(args.toSeq) }
+      case "max" => { arg0("max"); Max(args.toSeq) }
+      case "median" => Median(Seq(arg0("median")) ++ args.tail)
+      case "quantile" => Quantile(parseNumberLiteral(arg0("quantile")), args.tail.toSeq)
+      case "sum_len" => { arg0("sum_len"); SumLen(args.toSeq) }
+      case "values" => { arg0("values"); Values(args.toSeq, limit) }
+      case "uniq_values" => { arg0("uniq_values"); UniqValues(args.toSeq, limit) }
+      case "json_values" => { arg0("json_values"); JsonValues(args.toSeq, limit) }
       case "row_any" => RowAny(args.toSeq.filter(_ != "*"))
-      case "row_max" => RowMax(args.head, args.tail.toSeq.filter(_ != "*"))
-      case "row_min" => RowMin(args.head, args.tail.toSeq.filter(_ != "*"))
+      case "row_max" => RowMax(arg0("row_max"), args.tail.toSeq.filter(_ != "*"))
+      case "row_min" => RowMin(arg0("row_min"), args.tail.toSeq.filter(_ != "*"))
       case "rate" => Rate()
-      case "rate_sum" => RateSum(args.toSeq)
-      case "histogram" => Histogram(args.head)
+      case "rate_sum" => { arg0("rate_sum"); RateSum(args.toSeq) }
+      case "histogram" => Histogram(arg0("histogram"))
       case other => err(s"unknown stats function '$other'")
     }
     // optional `if (filter)`

@@ -774,6 +774,103 @@ class CompilerSpec extends SparkSuite {
       Parser.parse("options (concurrencyy=4) * | stats count() c", NOW))
   }
 
+  test("malformed inputs are parse errors, not runtime 500s") {
+    // multi-dot "numbers" with a size/duration suffix used to throw raw
+    // NumberFormatException; they now fall back to the string-range filter
+    // (the reference's semantics for a non-numeric `>value`)
+    assert(Parser.parse("v:>1..2k | stats count() c", NOW)
+      .filter.isInstanceOf[Filter.StringRange])
+    assert(Parser.parse("v:>1..2h | stats count() c", NOW)
+      .filter.isInstanceOf[Filter.StringRange])
+    // CIDR bits > 32 used to silently match the whole IPv4 space
+    intercept[ParseException](Parser.parse("ip:ipv4_range(10.0.0.0/40)", NOW))
+    intercept[ParseException](Parser.parse("ip:ipv4_range(10.0.0.0/x)", NOW))
+    intercept[ParseException](Parser.parse("ip:ipv4_range(1.2.3.999)", NOW))
+    // empty-arg stats/filter functions used to NoSuchElementException
+    intercept[ParseException](Parser.parse("* | stats quantile() q", NOW))
+    intercept[ParseException](Parser.parse("* | stats sum() s", NOW))
+    intercept[ParseException](Parser.parse("* | stats row_min() m", NOW))
+    intercept[ParseException](Parser.parse("v:value_type()", NOW))
+    // zero/sub-microsecond buckets used to null-collapse every group
+    intercept[ParseException](run("* | stats by (_time:500ns) count() c").collect())
+    intercept[ParseException](run("* | stats by (v:0) count() c").collect())
+    // day_range with a non-numeric HH:MM
+    intercept[ParseException](Parser.parse("_time:day_range[aa:bb, 18:00]", NOW))
+  }
+
+  test("limits past Int range clamp instead of wrapping") {
+    // 5e9.toInt wraps negative; the pipe must keep all rows instead
+    assert(run("* | limit 5000000000").count() == 5)
+    assert(run("* | sort by (v) rank as r | where r:<=5000000000").count() == 5)
+  }
+
+  test("_time filter offset shifts the window back") {
+    // rows span 2023-12-31T10:00..18:00; NOW is 2024-01-01T00:00.
+    // last-6h window offset by 12h => [2023-12-31T06:00, 12:00) → 2 rows
+    assert(run("_time:6h offset 12h | stats count() c")
+      .collect().head.getLong(0) == 2)
+    // explicit range shifted the same way
+    assert(run("_time:[2024-01-01T10:00:00Z, 2024-01-01T12:00:00Z) offset 1d | stats count() c")
+      .collect().head.getLong(0) == 2)
+    // offset demands a duration
+    intercept[ParseException](Parser.parse("_time:5m offset banana", NOW))
+  }
+
+  test("in(subquery) and its negation stay complementary on numeric strings") {
+    // v holds "10", "2.5", "7", "n/a", "": subquery yields 10.0 (double
+    // rendering); canonicalization must make both paths agree
+    import spark.implicits._
+    val sel = run("v:in(v:10 | fields v)").count()
+    val nsel = run("not v:in(v:10 | fields v)").count()
+    assert(sel + nsel == 5, s"in=$sel not-in=$nsel")
+    assert(sel == 1)
+  }
+
+  test("join by a fields-map key resolves like every other field access") {
+    val schema = StructType(Seq(
+      StructField("_msg", StringType),
+      StructField("fields", MapType(StringType, StringType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("m1", Map("req" -> "a", "v" -> "1")),
+      Row("m2", Map("req" -> "b", "v" -> "2"))), 2), schema)
+    // subquery output carries req as a real column; left side has it only
+    // in the map — used to throw AnalysisException (USING column not found)
+    val out = Compiler.run(df,
+      """* | join by (req) (* | fields req, v | rename v as vv) inner""", NOW)
+      .collect().map(r => r.getAs[String]("req") -> r.getAs[String]("vv")).toMap
+    assert(out == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("fields/delete wildcards cover fields-map entries") {
+    val schema = StructType(Seq(
+      StructField("_msg", StringType),
+      StructField("app_x", StringType),
+      StructField("fields", MapType(StringType, StringType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("m1", "top", Map("app_y" -> "mapval", "secret_k" -> "s1", "keep" -> "ok"))), 1), schema)
+    // `fields app*` keeps the top-level column AND the matching map entry
+    val kept = Compiler.run(df, "* | fields app*", NOW).collect().head
+    assert(kept.getAs[String]("app_x") == "top")
+    assert(kept.getAs[Map[String, String]]("fields") == Map("app_y" -> "mapval"))
+    // `delete secret*` removes the map entry; exact map-key delete works too
+    val del = Compiler.run(df, "* | delete secret*, keep", NOW).collect().head
+    assert(del.getAs[Map[String, String]]("fields") == Map("app_y" -> "mapval"))
+    // deleted map keys read as missing ("") afterwards
+    val gone = Compiler.run(df,
+      "* | delete secret* | len(secret_k) as l", NOW).collect().head
+    assert(gone.getAs[Long]("l") == 0L)
+  }
+
+  test("extract_regexp counts groups past character-class parens correctly") {
+    import spark.implicits._
+    val d = Seq(("x", "(42) rest")).toDF("k", "_msg")
+    val out = Compiler.run(d,
+      """* | extract_regexp "[(](?<n>\d+)[)]" from _msg""", NOW).collect().head
+    assert(out.getAs[String]("n") == "42")
+    intercept[ParseException](Compiler.run(d,
+      """* | extract_regexp "(?<broken" from _msg""", NOW))
+  }
+
   test("unpack if-condition is judged once against the pre-unpack row") {
     import spark.implicits._
     val d = Seq(("a", """{"x":"new","y":"v2"}""", "old", ""))
