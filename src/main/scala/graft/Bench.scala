@@ -13,6 +13,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark's default openCostInBytes (4 MiB) treats every file open as
+      // 4 MiB of scan work; against this store's small zstd day-parts it
+      // shreds a 30-file / 1.6 MB scan into 30 ~150 ms tasks (measured:
+      // store count 0.22s → 0.12s, stream_context 0.43s → 0.31s at 256 KiB).
+      // A real open on local disk / SSD-backed object cache costs well
+      // under 256 KiB of scan-equivalent time, and on a cluster the same
+      // packing keeps tiny-part scans from occupying a task slot per file.
+      // Big files are unaffected (bytes dominate the estimate).
+      .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
       // AQE stays on, as on a cluster: measured here, its partition
       // coalescing wins more than its per-stage re-planning costs
       // (iterative connected-components is 3x slower without it)

@@ -25,6 +25,7 @@ object Cli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val source: DataFrame =

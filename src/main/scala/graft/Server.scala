@@ -31,6 +31,7 @@ object Server {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

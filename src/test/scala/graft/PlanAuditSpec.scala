@@ -122,18 +122,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
-  test("ngramJaccard: no per-id re-shuffle of the inverted index; reused self-join exchange") {
+  test("ngramJaccard: aggregate-only index — no window, no index self-join") {
     import spark.implicits._
     val docs = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta $i common tail words here"))
       .toDF("doc_id", "text")
     val p = plan(graft.ops.Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.1))
-    // per-doc and doc-frequency counts ride window exchanges; attaching
-    // them must not add shuffle JOINs over the index (the de-optimized
-    // shape re-partitioned the whole inverted index by id)
-    assert(countOf(p, "SortMergeJoin") <= 1, p)
-    // the self-join's two sides are the identical subtree: one side must
-    // be a reused exchange, not a second full scan+explode+window chain
-    assert(p.contains("ReusedExchange") || countOf(p, "Generate explode") <= 1, p)
+    // candidate pairs come from LOCAL combinations inside each shingle
+    // bucket; the inverted index must never be re-shuffled and sorted
+    // through a SortMergeJoin of itself, and no window funnels it either
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the only joins are the two per-doc-count attaches, broadcast here
+    assert(countOf(p, "BroadcastHashJoin") <= 2, p)
+  }
+
+  test("minhash/simhash candidates: bucket combinations, not a band-table self-join") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"common words shared prefix tail marker token$i"))
+      .toDF("doc_id", "text")
+    val pm = plan(graft.ops.Dedup.minhashLSH(docs, "text", "doc_id", threshold = 0.1))
+    // the band table groups once (map-side partial combine) and pairs are
+    // generated inside each bucket — no Window bucket-size funnel, no
+    // SortMergeJoin re-shuffling the band rows against themselves
+    assert(!pm.contains("Window"), pm)
+    assert(!pm.contains("SortMergeJoin"), pm)
+    val ps = plan(graft.ops.Dedup.simhashCandidates(docs, "text", "doc_id"))
+    assert(!ps.contains("Window"), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
   }
 
   test("contaminated: bench side joins as LeftSemi with no distinct exchange") {
