@@ -56,9 +56,21 @@ object GraftFunctions {
     ("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
       es => SimHash64Expr(es(0))),
+    ("graft_shingles",
+      "graft_shingles(s, n) - distinct word n-gram shingles, one pass",
+      es => ShinglesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_tokens",
+      "graft_tokens(s) - word tokens (\\p{L}\\p{N}_ runs), one pass",
+      es => TokensExpr(es(0))),
+    ("graft_band_hashes",
+      "graft_band_hashes(sig, bands) - per-band LSH bucket ids",
+      es => BandHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
     ("graft_text_stats",
       "graft_text_stats(s) - language/token counters in one pass",
       es => LangTextStatsExpr(es(0))),
+    ("graft_quality_counts",
+      "graft_quality_counts(s) - token/punct/stopword counters in one pass",
+      es => QualityCountsExpr(es(0))),
     ("graft_word_match",
       "graft_word_match(s, phrase, prefix) - word-boundary phrase match",
       es => {

@@ -44,6 +44,31 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash_sig"
 }
 
+case class BandHashesExpr(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_hashes needs array<bigint>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSim.bandHashesEval(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.MinHashSim.bandHashesEval($s, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_band_hashes"
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -130,11 +155,44 @@ object MinHashSim {
     out
   }
 
+  /** Per-band LSH bucket ids from a MinHash signature: band b's id chains
+    * xxhash64 over its rowsPerBand signature longs, seeded with the band
+    * index — so one long IS the bucket key (no (band_idx, hash) pair, no
+    * `concat_ws` string render of the slice, which allocated a string per
+    * band per row and dominated the candidate pass at 500k docs). Null
+    * entries (empty-token signatures) are skipped, like concat_ws did.
+    * Any injective-enough id works here: bucket SEMANTICS (same bucket ⇔
+    * same band values) are what the dedup result depends on. */
+  def bandHashesEval(arr: ArrayData, bands: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val rpb = n / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      var j = b * rpb
+      val end = j + rpb
+      while (j < end) {
+        if (!arr.isNullAt(j))
+          h = XxHash64Function.hash(arr.getLong(j), LongType, h)
+        j += 1
+      }
+      out(b) = java.lang.Long.valueOf(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def ensureRegistered(): Unit = GraftFunctions.ensure()
 
   def minhashSig(tokens: Column, numHashes: Int): Column = {
     ensureRegistered()
     call_function("graft_minhash_sig", tokens, lit(numHashes))
+  }
+
+  def bandHashes(sig: Column, bands: Int): Column = {
+    ensureRegistered()
+    call_function("graft_band_hashes", sig, lit(bands))
   }
 
   def simhash64(tokens: Column): Column = {

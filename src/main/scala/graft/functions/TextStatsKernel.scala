@@ -130,4 +130,76 @@ object TextStatsKernel {
     ensureRegistered()
     call_function("graft_text_stats", text)
   }
+
+  /** Counters for the quality gate (ops/TextAnalysis.withQuality) in the
+    * same single code-point walk: token count (same `\p{L}\p{N}_` class),
+    * punctuation bytes (the ASCII `[!-/:-@\[-`{-~]` class the regex
+    * counted — all single-byte, so byte count = char count), English
+    * stopword hits. COUNTERS ONLY: the ratio/score arithmetic stays in
+    * Column space, identical ops in identical order, so the doubles are
+    * bit-identical to the regexp tower this replaces. */
+  def qualityCountsEval(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    var nTokens = 0L
+    var punct = 0L
+    var stops = 0L
+    var tokStart = -1
+    def endToken(end: Int): Unit = {
+      nTokens += 1L
+      if (end - tokStart <= maxStopLen) {
+        val lang = stopLang.get(s.substring(tokStart, end))
+        if (lang != null && lang.intValue == 0) stops += 1
+      }
+      tokStart = -1
+    }
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (isWordCp(cp)) {
+        if (tokStart < 0) tokStart = i
+      } else if (tokStart >= 0) endToken(i)
+      // independent of tokenization: the regex class includes `_`, which
+      // is ALSO a word char — membership is tested for every code point
+      if ((cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+          (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')) punct += 1
+      i += Character.charCount(cp)
+    }
+    if (tokStart >= 0) endToken(len)
+    new GenericInternalRow(Array[Any](nTokens, punct, stops))
+  }
+
+  def qualityCounts(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_quality_counts", text)
+  }
+}
+
+/** struct(n_tokens, punct_bytes, stop_hits) for the quality gate —
+  * see [[TextStatsKernel.qualityCountsEval]]. */
+case class QualityCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quality_counts needs string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("punct_bytes", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatsKernel.qualityCountsEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextStatsKernel.qualityCountsEval($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityCountsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_quality_counts"
 }

@@ -23,12 +23,12 @@ object Dedup {
   }
 
   /** Word n-gram shingles of `text`. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles — codegen'd single-pass kernel
+    * (functions/Shingles.scala), value-identical to the HOF tower
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(tokens, i+1, n))))` it replaced (differential-tested). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles.shingles(text, n)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min hash over the shingle set. Pure expression — no shuffle; a
@@ -88,13 +88,16 @@ object Dedup {
     // signatures computed once, memoized — both the band explode and the
     // per-side re-attach below read them (id + numHashes longs per row)
     val sigs = minhashSigs(df, textCol, idCol, shingleSize, numHashes)
-    // the band join carries IDS ONLY — not the full signature on both sides
-    // of an exploded 32× join (that would shuffle sig arrays 64×)
+    // the band table carries IDS ONLY — not the full signature on both
+    // sides of an exploded 32× join (that would shuffle sig arrays 64×).
+    // One codegen'd kernel emits all band bucket ids per row (band index
+    // folded into the hash seed, so a single long is the bucket key — no
+    // per-band string render of the signature slice, which dominated the
+    // candidate pass at 500k docs)
     val bandRows = sigs
-      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_idx"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash")))))
-      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+      .select(col("id"),
+        explode(graft.functions.MinHashSim.bandHashes(col("sig"), bands))
+          .as("band_hash"))
     // cap pathological buckets (identical-doc clusters make one bucket
     // quadratic): drop buckets above maxBucketSize — their members are
     // still paired via exact dedup / their other, smaller bands.
@@ -104,9 +107,20 @@ object Dedup {
     // a bucket self-join, without re-shuffling and sorting the band table
     // twice through a SortMergeJoin. Fan-out per bucket is bounded by
     // maxBucketSize²/2, the same bound the join plan had.
-    val buckets = bandRows.groupBy("band_idx", "band_hash")
+    // two-phase bucket build: on a deduplicated corpus almost every band
+    // bucket is a singleton, and feeding all of them through collect_list
+    // (ObjectHashAggregate — row-at-a-time, object buffers) was the whole
+    // candidate-pass cost at 500k docs (~40s warm). A codegen'd COUNT
+    // finds the ≥2-member buckets first; only their rows (the planted-dup
+    // fraction) reach the object aggregate. The count also applies the
+    // maxBucketSize cap before any array exists.
+    val hot = bandRows.groupBy("band_hash")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2, maxBucketSize))
+      .select("band_hash")
+    val buckets = bandRows.join(hot, Seq("band_hash"), "left_semi")
+      .groupBy("band_hash")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
       .select(col("ids"))
     val candidates = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -151,9 +165,15 @@ object Dedup {
     // generated locally per bucket (sorted i<j combinations — same pair
     // set as the old bucket self-join without the double shuffle+sort;
     // array_sort on (id, sh) structs orders by id, ids unique per bucket)
-    val buckets = withSh.groupBy("chunk_idx", "chunk_val")
+    // two-phase, like minhashLSH: a codegen'd count finds ≥2-member
+    // buckets; only their rows reach the object collect aggregate
+    val hotCh = withSh.groupBy("chunk_idx", "chunk_val")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c").between(2, maxBucketSize))
+      .select("chunk_idx", "chunk_val")
+    val buckets = withSh.join(hotCh, Seq("chunk_idx", "chunk_val"), "left_semi")
+      .groupBy("chunk_idx", "chunk_val")
       .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
       .select(col("ms"))
     buckets
       .select(explode(flatten(transform(col("ms"), (a, i) =>
@@ -193,15 +213,24 @@ object Dedup {
     // df), same knob and bound as the old join plan.
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
-    // sorted ids make combination pairs come out with id_a < id_b
-    val buckets = exploded.groupBy("g")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDocFreq)
-      .select(col("ids"))
+    // two-phase bucket build (see minhashLSH): a codegen'd count applies
+    // the doc-frequency cutoff BEFORE any array exists; sorted ids make
+    // combination pairs come out with id_a < id_b. Unlike the LSH ops the
+    // singleton buckets still matter here — they carry per-doc counts —
+    // so the pair side alone takes the ≥2 filter.
+    val gCounts = exploded.groupBy("g")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
     // per-doc size of the POST-cutoff shingle set (stop-phrases leave
     // the counts too, keeping the reported value an exact Jaccard)
-    val perDoc = buckets.select(explode(col("ids")).as("id"))
+    val perDoc = exploded
+      .join(gCounts.select("g"), Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("sh_count"))
+    val buckets = exploded
+      .join(gCounts.filter(col("__df") >= 2).select("g"), Seq("g"), "left_semi")
+      .groupBy("g")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .select(col("ids"))
     val pairs = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -383,6 +412,14 @@ object Dedup {
     def isStarForest(edges: DataFrame): Boolean =
       edges.alias("x").join(edges.alias("y"),
         col("x.b") === col("y.a"), "left_semi").isEmpty
+
+    // entering the distributed loop: pin the canonicalized edge set ONCE.
+    // largeStar reads its input several times (undirected union + the
+    // min-join); without this the upstream candidate plan — a full
+    // LSH/shingle pipeline — re-derives per read in round 1 (measured 40s
+    // of re-LSH on a 100k-doc corpus before a single star round ran).
+    // Lazy: the first action (round 1's shuffle) materializes it.
+    e = e.localCheckpoint(eager = false)
 
     // no upfront check: a round applied to an already-converged star forest
     // is the identity, so always running round 1 is safe and saves a job

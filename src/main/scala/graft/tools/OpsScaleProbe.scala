@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the LLM-pipeline operators — the dedup/ANN/text
+  * counterpart to [[ScaleProbe]]'s LogsQL store rehearsal. Generates a
+  * deterministic synthetic corpus ~100-200× the sf0.1 documents fixture
+  * (default 500k docs, 500k 64-dim embeddings; every token and vector
+  * component derives from xxhash64 of the row id) with PLANTED near-dups
+  * (every 50th doc repeats its predecessor plus a 3-token tail, Jaccard
+  * ≈ 0.94), then times the flagship ops and checks their recall against
+  * the plant. The point is evidence for the 100 TB design claims at a
+  * scale where a de-optimized shape (quadratic bucket, unbounded
+  * collect, full re-shuffle) visibly blows up rather than hiding under
+  * the scheduler floor.
+  *
+  * Usage: runMain graft.tools.OpsScaleProbe [docs] [vecs]
+  */
+object OpsScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(500000L)
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+    // ---- deterministic corpus with planted near-dups ----
+    // text(id) = 40+((id*7)%40) vocab words drawn by xxhash(base,pos);
+    // every 50th doc re-derives its predecessor's text and appends a
+    // 3-token tail → a planted near-dup pair (id-1, id), J ≈ L/(L+3)
+    val vocab = array((0 until 500).map(i => lit("w" + i)): _*)
+    def textOf(base: org.apache.spark.sql.Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(39) + pmod(base * 7, lit(40))),
+        j => element_at(vocab, (pmod(xxhash64(base, j), lit(500)) + 1).cast("int"))))
+    val isDup = col("id") % 50 === 0 && col("id") > 0
+    val docsPath = s"/root/repo/target/graft_opsscale/v1/docs$nDocs"
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
+      spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("doc_id"),
+          when(isDup, concat(textOf(col("id") - 1), lit(" zz zz zz")))
+            .otherwise(textOf(col("id"))).as("text"))
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val planted = nDocs / 50 - 1 // ids 50, 100, ... (id 0 excluded)
+
+    def time(label: String)(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"OPSSCALE $label%-26s ${sec}%8.2fs  result=$out")
+      (sec, out)
+    }
+
+    // 1. codegen'd text-stats kernel over every doc
+    val (statsSec, _) = time("text_stats_kernel") {
+      graft.ops.TextAnalysis.withQuality(docs, "text")
+        .agg(count(lit(1)), avg("quality"), sum("n_tokens"))
+        .collect(); nDocs
+    }
+    println(f"OPSSCALE   -> ${nDocs / statsSec / 1e3}%.0f k docs/s text-stats")
+
+    // 2. exact dedup (hash groupBy)
+    time("exact_dedup") {
+      docs.agg(countDistinct(col("text"))).collect()(0).getLong(0)
+    }
+
+    // 3a. component probes: shingle tower alone, then signatures
+    time("shingles_only") {
+      docs.select(size(Dedup.shingles(col("text"), 3)).as("k"))
+        .agg(sum("k")).collect()(0).getLong(0)
+    }
+    time("minhash_signatures") {
+      docs.select(Dedup.minhashSignature(col("text"), 3, 128).as("sig"))
+        .agg(sum(size(col("sig")))).collect()(0).getLong(0)
+    }
+
+    // 3. MinHash+LSH candidates — recall of the planted pairs
+    val cand = Dedup.minhashLSH(docs, "text", "doc_id", threshold = 0.7)
+    val (lshSec, found) = time("minhash_lsh_candidates") {
+      cand.filter(col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 0)
+        .count()
+    }
+    println(f"OPSSCALE   -> recall ${found * 100.0 / planted}%.1f%% of $planted planted pairs, ${nDocs / lshSec / 1e3}%.0f k docs/s")
+
+    // 4. connected components over the candidates — forced DISTRIBUTED
+    // star rounds (maxLocalEdges=0 disables the driver union-find gate)
+    time("cc_star_rounds_distributed") {
+      Dedup.connectedComponents(cand.select("id_a", "id_b"),
+        maxLocalEdges = 0L).count()
+    }
+
+    // 5. decontamination against a 1k-doc benchmark slice
+    time("decontaminate_vs_1k_bench") {
+      graft.ops.TextAnalysis // (kept import used)
+      Dedup.contaminated(docs, "text", "doc_id",
+        docs.filter(col("doc_id") % 500 === 7).select(col("text")), "text",
+        n = 8).count()
+    }
+
+    // ---- embeddings: hash-derived 64-dim floats ----
+    val vecsPath = s"/root/repo/target/graft_opsscale/v1/vecs$nVecs"
+    if (!new java.io.File(s"$vecsPath/_SUCCESS").exists()) {
+      spark.range(0, nVecs, 1, 64)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(xxhash64(col("id"), j), lit(2000)) - 1000) / 1000.0)
+              .cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(vecsPath)
+    }
+    val vecs = spark.read.parquet(vecsPath)
+    val queries = vecs.filter(col("vec_id") < 10)
+
+    // 6. brute-force exact top-10 (ground truth)
+    val bf = Similarity.bruteForceTopK(queries, vecs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    var truth: Set[(Long, Long)] = Set.empty
+    time("bruteforce_top10_x10q") {
+      truth = bf.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.size.toLong
+    }
+
+    // 7. IVF index build + probe, recall vs brute force
+    val ivf = Similarity.ivfTopK(queries, vecs,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nlist = 64, nprobe = 8)
+    val (ivfSec, hits) = time("ivf_build_plus_top10") {
+      ivf.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+    }
+    println(f"OPSSCALE   -> IVF recall@10 ${hits * 100.0 / truth.size}%.1f%% (build+probe ${ivfSec}%.1fs)")
+    // warm-index probe cost (the production steady state)
+    time("ivf_probe_warm_index") {
+      Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+        "vec_id", "embedding", k = 10, nlist = 64, nprobe = 8).count()
+    }
+    spark.stop()
+  }
+}

@@ -132,8 +132,9 @@ class PlanAuditSpec extends SparkSuite {
     // through a SortMergeJoin of itself, and no window funnels it either
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Window"), p)
-    // the only joins are the two per-doc-count attaches, broadcast here
-    assert(countOf(p, "BroadcastHashJoin") <= 2, p)
+    // the only joins are the two per-doc-count attaches plus the two
+    // hot-bucket semi-join prefilters, all broadcast here
+    assert(countOf(p, "BroadcastHashJoin") <= 4, p)
   }
 
   test("minhash/simhash candidates: bucket combinations, not a band-table self-join") {

@@ -244,6 +244,92 @@ class ExprPropertySpec extends SparkSuite {
       assert(g == w, s"simhash mismatch for '$in': $g vs $w") }
   }
 
+  test("Shingles kernel agrees with the HOF-tower spec") {
+    // the replaced formulation, kept as the semantic spec
+    def specShingles(c: Column, n: Int): Column = {
+      val ts = filter(split(c, "[^\\p{L}\\p{N}_]+"), t => t =!= "")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    }
+    val word = Gen.oneOf("alpha", "beta", "x_1", "wörld", "日本語", "Ⅻ",
+      "①", "a", "", "tok9", "__", "𝕏", "漢")
+    val sep = Gen.oneOf(" ", "  ", ", ", ".", "—", "\n", "\t", "!", "", "€",
+      "-", "'")
+    val textGenS = Gen.listOfN(9, Gen.zip(word, sep).map(p => p._1 + p._2))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(300, textGenS).sample.get ++
+      Seq("", " ", ".", "a", "a b", "a b c d e", "dup dup dup dup",
+        "___ ___", "𝕏 𝕏 𝕏 𝕏", "a b c d")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val got = evalBatch(inputs, c => graft.functions.Shingles.shingles(c, n))
+      val want = evalBatch(inputs, c => specShingles(c, n))
+      inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+        assert(g == w, s"shingles mismatch for input '$in' n=$n: got $g want $w")
+      }
+    }
+  }
+
+  test("Tokens kernel agrees with the split+filter spec") {
+    val word = Gen.oneOf("alpha", "x_1", "wörld", "日本語", "Ⅻ", "①", "a",
+      "", "tok9", "__", "𝕏", "漢")
+    val sep = Gen.oneOf(" ", "  ", ", ", ".", "—", "\n", "\t", "!", "", "€")
+    val textGenT = Gen.listOfN(9, Gen.zip(word, sep).map(p => p._1 + p._2))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(300, textGenT).sample.get ++
+      Seq("", " ", ".", "a", "a b", "_", ".lead", "trail.", "𝕏a漢")
+    val got = evalBatch(inputs, c => graft.functions.Shingles.tokens(c))
+    val want = evalBatch(inputs,
+      c => filter(split(c, "[^\\p{L}\\p{N}_]+"), t => t =!= ""))
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"tokens mismatch for input '$in': got $g want $w")
+    }
+  }
+
+  test("QualityCounts kernel agrees with the regexp-tower withQuality spec") {
+    import graft.ops.TextAnalysis
+    // the replaced tower, kept as the semantic spec
+    def specQuality(c: Column): Column = {
+      val toks = filter(split(c, "[^\\p{L}\\p{N}_]+"), t => t =!= "")
+      val punctRaw =
+        octet_length(regexp_replace(c, "[^!-/:-@\\[-`{-~]", "")).cast("double") /
+          greatest(octet_length(c), lit(1)).cast("double")
+      val stopRaw = size(filter(toks,
+          x => x.isin(graft.functions.TextStatsKernel.enStop.map(lit(_)): _*)))
+        .cast("double") / greatest(size(toks), lit(1)).cast("double")
+      val lenScore = least(octet_length(c).cast("double") / 500d, lit(1d))
+      val punctOk = lit(1d) - least(punctRaw * 5d, lit(1d))
+      val stopOk = least(stopRaw * 10d, lit(1d))
+      struct(size(toks).cast("long"), round(punctRaw, 6), round(stopRaw, 6),
+        round((lenScore + punctOk + stopOk) / 3d, 6))
+    }
+    val word = Gen.oneOf("the", "a", "of", "and", "is", "to", "in", "word",
+      "x_1", "wörld", "日本語", "Ⅻ", "", "___", "𝕏")
+    val sep = Gen.oneOf(" ", ", ", ".", "—", "\n", "!", "", "€", "_", "~",
+      "[;]", "@@")
+    val textGenQ = Gen.listOfN(9, Gen.zip(word, sep).map(p => p._1 + p._2))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(300, textGenQ).sample.get ++
+      Seq("", " ", "!!!", "_under_score_", "the the the", "a~b[c]d",
+        "no stop words here at all")
+    val got = evalBatch(inputs, c => {
+      val qc = graft.functions.TextStatsKernel.qualityCounts(c)
+      val punctRaw = qc.getField("punct_bytes").cast("double") /
+        greatest(octet_length(c), lit(1)).cast("double")
+      val stopRaw = qc.getField("stop_hits").cast("double") /
+        greatest(qc.getField("n_tokens").cast("int"), lit(1)).cast("double")
+      val lenScore = least(octet_length(c).cast("double") / 500d, lit(1d))
+      val punctOk = lit(1d) - least(punctRaw * 5d, lit(1d))
+      val stopOk = least(stopRaw * 10d, lit(1d))
+      struct(qc.getField("n_tokens"), round(punctRaw, 6), round(stopRaw, 6),
+        round((lenScore + punctOk + stopOk) / 3d, 6))
+    })
+    val want = evalBatch(inputs, specQuality)
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"quality mismatch for input '$in': got $g want $w")
+    }
+  }
+
   test("SeqMatch agrees with the chained regex spec") {
     val inputs = Gen.listOfN(300, textGen).sample.get
     val seqs = Seq(Seq("error", "db"), Seq("err"), Seq("disk_error", "err"),
