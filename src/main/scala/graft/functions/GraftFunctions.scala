@@ -65,6 +65,9 @@ object GraftFunctions {
     ("graft_band_hashes",
       "graft_band_hashes(sig, bands) - per-band LSH bucket ids",
       es => BandHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_collapse_nums",
+      "graft_collapse_nums(s, prettify) - collapse numbers/uuids/hex/ips",
+      es => CollapseNumsExpr(es(0), es(1).eval().asInstanceOf[Boolean])),
     ("graft_text_stats",
       "graft_text_stats(s) - language/token counters in one pass",
       es => LangTextStatsExpr(es(0))),

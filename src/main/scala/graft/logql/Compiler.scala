@@ -1695,22 +1695,10 @@ object Compiler {
 
   // -------------------------------------------------------- collapse_nums
 
-  private def collapseNums(c: Column, prettify: Boolean): Column = {
-    val uuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val hexRe = "\\b0[xX][0-9a-fA-F]+\\b|\\b[0-9a-fA-F]{16,}\\b"
-    val numRe = "\\b\\d+(?:\\.\\d+)?\\b"
-    if (prettify) {
-      val c1 = regexp_replace(c, uuidRe, "<uuid>")
-      val c2 = regexp_replace(c1, ipRe, "<ip4>")
-      val c3 = regexp_replace(c2, hexRe, "<hex>")
-      regexp_replace(c3, numRe, "<N>")
-    } else {
-      val c1 = regexp_replace(c, uuidRe, "<N>-<N>-<N>-<N>-<N>")
-      val c2 = regexp_replace(c1, hexRe, "<N>")
-      regexp_replace(c2, numRe, "<N>")
-    }
-  }
+  /** One-pass kernel (functions/CollapseNums.scala); value-identical to
+    * the chained regexp_replace tower it replaced (diff-tested). */
+  private def collapseNums(c: Column, prettify: Boolean): Column =
+    graft.functions.CollapseNums.collapseNums(c, prettify)
 
   // ------------------------------------------------------------ wildcards
 
