@@ -129,19 +129,18 @@ object OpsScaleProbe {
       truth.size.toLong
     }
 
-    // 7. IVF index build + probe, recall vs brute force
-    val ivf = Similarity.ivfTopK(queries, vecs,
-      "vec_id", "embedding", "vec_id", "embedding",
-      k = 10, nlist = 64, nprobe = 8)
-    val (ivfSec, hits) = time("ivf_build_plus_top10") {
-      ivf.select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
-    }
-    println(f"OPSSCALE   -> IVF recall@10 ${hits * 100.0 / truth.size}%.1f%% (build+probe ${ivfSec}%.1fs)")
-    // warm-index probe cost (the production steady state)
-    time("ivf_probe_warm_index") {
-      Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
-        "vec_id", "embedding", k = 10, nlist = 64, nprobe = 8).count()
+    // 7. IVF index build + probe; recall/latency curve over nprobe (the
+    // production tuning axis — uniform random vectors are IVF's worst
+    // case, so the curve shows the knob works, not a flattering number)
+    for (nprobe <- Seq(4, 8, 16, 32)) {
+      val ivf = Similarity.ivfTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nlist = 64, nprobe = nprobe)
+      val (ivfSec, hits) = time(f"ivf_top10_nprobe$nprobe%-3d") {
+        ivf.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+      }
+      println(f"OPSSCALE   -> IVF nprobe=$nprobe recall@10 ${hits * 100.0 / truth.size}%.1f%% in ${ivfSec}%.2fs")
     }
     spark.stop()
   }
