@@ -1034,19 +1034,62 @@ object Compiler {
   /** Group-key expression incl. bucketing (pipe_stats.go:1495-1605). */
   private def byExpr(df: DataFrame, b: ByField, ctx: Ctx): Column = b.bucket match {
     case None => anyF(df, b.name)
+    case Some(bk) if bk.startsWith("/") =>
+      // IPv4 subnet bucket `ip:/24` (tryParseIPv4Mask → bucket size
+      // 2^(32-bits); truncateUint32 + marshalIPv4String in
+      // block_result.go:1731-1745). Non-IPv4 values pass through raw,
+      // like the reference's parse-fallthrough.
+      val bits = bk.drop(1).toIntOption
+        .filter(v => v >= 0 && v <= 32)
+        .getOrElse(throw ParseException(s"bad IPv4 mask bucket '$bk'", 0))
+      val sz = if (bits >= 32) 1L else 1L << (32 - bits)
+      val s = strF(df, b.name)
+      val n = ipv4Num(s)
+      val m = (n / sz).cast(LongType) * sz
+      when(n.isNotNull,
+        concat_ws(".", (m / 16777216 % 256).cast(LongType).cast(StringType),
+          (m / 65536 % 256).cast(LongType).cast(StringType),
+          (m / 256 % 256).cast(LongType).cast(StringType),
+          (m % 256).cast(LongType).cast(StringType)))
+        .otherwise(s)
     case Some(bk) =>
       if (b.name == "_time" || fieldType(df, b.name).contains(TimestampType)) {
-        val stepUs = NumLit.durationNanos(bk)
-          .map(_ / 1000L)
-          .orElse(NumLit.parse(bk).map(s => (s * 1e6).toLong))
-          // a sub-microsecond or zero step would divide by a zero literal,
-          // which Spark nulls out — every row would silently collapse into
-          // one null bucket instead of erroring
-          .filter(_ > 0L)
-          .getOrElse(throw ParseException(s"bad time bucket '$bk' (must be >= 1us)", 0))
-        val offUs = b.offset.flatMap(NumLit.durationNanos).map(_ / 1000L).getOrElse(0L)
+        val offUs0 = b.offset.flatMap(NumLit.durationNanos).map(_ / 1000L).getOrElse(0L)
         val t = if (b.name == "_time") timeMicros(df) else unix_micros(col(quoteName(b.name)))
-        timestamp_micros(((t - offUs).cast(LongType) / stepUs).cast(LongType) * stepUs + offUs)
+        if (bk == "month" || bk == "year") {
+          // calendar truncation in UTC, offset applied around it
+          // (truncateTimestamp + truncateTimestampToMonth/Year,
+          // block_result.go:818-848, :2641)
+          timestamp_micros(
+            unix_micros(date_trunc(bk, timestamp_micros(t - offUs0))) + offUs0)
+        } else {
+          // word buckets are plain sizes (tryParseBucketSize,
+          // pipe_stats.go:1624-1642); sub-microsecond words clamp to this
+          // store's 1us resolution, where they are identity anyway
+          val wordUs: Option[Long] = bk match {
+            case "nanosecond" | "microsecond" => Some(1L)
+            case "millisecond" => Some(1000L)
+            case "second" => Some(1000000L)
+            case "minute" => Some(60L * 1000000L)
+            case "hour" => Some(3600L * 1000000L)
+            case "day" => Some(86400L * 1000000L)
+            case "week" => Some(7L * 86400L * 1000000L)
+            case _ => None
+          }
+          val stepUs = wordUs
+            .orElse(NumLit.durationNanos(bk).map(_ / 1000L))
+            .orElse(NumLit.parse(bk).map(s => (s * 1e6).toLong))
+            // a sub-microsecond or zero step would divide by a zero literal,
+            // which Spark nulls out — every row would silently collapse into
+            // one null bucket instead of erroring
+            .filter(_ > 0L)
+            .getOrElse(throw ParseException(s"bad time bucket '$bk' (must be >= 1us)", 0))
+          // the WORD form `week` starts weeks on Monday: the epoch is a
+          // Thursday, so the reference folds +4d into the offset
+          // (block_result.go:819-822). `1w` keeps plain epoch truncation.
+          val offUs = offUs0 + (if (bk == "week") 4L * 86400L * 1000000L else 0L)
+          timestamp_micros(((t - offUs).cast(LongType) / stepUs).cast(LongType) * stepUs + offUs)
+        }
       } else {
         val w = NumLit.parse(bk)
           .filter(v => v > 0 && !v.isInfinite) // floor(n/0) is null: see above
@@ -1364,7 +1407,9 @@ object Compiler {
         case "round" =>
           if (as.size <= 1) round(as.head, 0).cast(DoubleType)
           else (round(as.head / as(1), 0) * as(1)).cast(DoubleType)
-        case "now" => lit(ctx.nowNs / 1e9)
+        // Unix NANOS, not seconds (pipe_math.go:1030 uses UnixNano; the
+        // format pipe's <time:...> unit auto-detection round-trips it)
+        case "now" => lit(ctx.nowNs.toDouble)
         case "rand" => rand()
         case other =>
           throw new UnsupportedOperationException(s"math function '$other'")
@@ -1381,8 +1426,20 @@ object Compiler {
     case "base64decode" => unbase64(c).cast(StringType)
     case "hexencode" => hex(c.cast(BinaryType))
     case "hexdecode" => unhex(c).cast(StringType)
-    case "hexnumencode" => hex(c.try_cast("long"))
-    case "hexnumdecode" => conv(c, 16, 10)
+    case "hexnumencode" =>
+      // 16-char zero-padded uppercase; non-numeric values pass through raw
+      // (pipe_format.go:213-219, appendHexUint64Encode :406). Deviation:
+      // decimal inputs in [2^63, 2^64) fall back to raw here (LongType
+      // cap) where the reference still encodes them.
+      val n = c.try_cast("long")
+      when(n.isNotNull && n >= 0 && c.rlike("^\\d+$"), lpad(hex(n), 16, "0"))
+        .otherwise(c)
+    case "hexnumdecode" =>
+      // <=16 hex chars -> decimal uint64 (empty -> 0); else raw
+      // (appendHexUint64Decode, pipe_format.go:413-428)
+      when(c === "", lit("0"))
+        .when(c.rlike("^[0-9a-fA-F]{1,16}$"), conv(c, 16, 10))
+        .otherwise(c)
     case "urlencode" => call_function("url_encode", c)
     case "urldecode" => call_function("url_decode", c)
     case "q" => to_json(struct(c.as("v"))).substr(lit(6), octet_length(to_json(struct(c.as("v")))) - 6)

@@ -166,6 +166,46 @@ class CompilerSpec extends SparkSuite {
     assert(df.count() == 4)
   }
 
+  test("stats calendar and word time buckets (month, week→Monday)") {
+    import spark.implicits._
+    // 2024-01-01 was a Monday; 2024-01-07 a Sunday; 2024-02-02 next month
+    val df = Seq("2024-01-01T10:00:00Z", "2024-01-07T23:00:00Z",
+        "2024-02-02T00:30:00Z")
+      .map(java.time.Instant.parse(_))
+      .map(i => java.sql.Timestamp.from(i)).toDF("_time")
+    val months = Compiler.run(df,
+      "* | stats by (_time:month) count() hits | sort by (_time)", NOW)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    assert(months.toSeq == Seq(("2024-01-01T00:00:00Z", 2L),
+      ("2024-02-01T00:00:00Z", 1L)), months.toSeq.toString)
+    // word `week` starts Monday (block_result.go:819-822): Jan 1 + Jan 7
+    // share a Monday-based week; `1w` truncates from the Thursday epoch,
+    // which SPLITS them (Jan 4 is a Thursday)
+    val weeks = Compiler.run(df,
+      "* | stats by (_time:week) count() hits | sort by (_time)", NOW)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    assert(weeks.toSeq == Seq(("2024-01-01T00:00:00Z", 2L),
+      ("2024-01-29T00:00:00Z", 1L)), weeks.toSeq.toString)
+    val w1 = Compiler.run(df,
+      "* | stats by (_time:1w) count() hits | sort by (_time)", NOW)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    assert(w1.head._1 == "2023-12-28T00:00:00Z" && w1.length == 3,
+      w1.toSeq.toString)
+  }
+
+  test("stats IPv4 subnet bucket ip:/24") {
+    import spark.implicits._
+    val df = Seq("10.1.2.3", "10.1.2.200", "10.1.3.4", "not-an-ip")
+      .toDF("ip")
+    val out = Compiler.run(df,
+      "* | stats by (ip:/24) count() hits | sort by (ip)", NOW)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // two /24 groups + raw passthrough for the unparseable value
+    // (block_result.go:1731-1745 falls through to the raw string)
+    assert(out == Seq(("10.1.2.0", 2L), ("10.1.3.0", 1L), ("not-an-ip", 1L)),
+      out.toString)
+  }
+
   test("stats if filter") {
     val df = run("* | stats count() total, count() if (level:error) errs")
     val r = df.collect().head
@@ -232,6 +272,10 @@ class CompilerSpec extends SparkSuite {
     assert(df.collect().map(_.getDouble(1)).sorted.toSeq == Seq(15.0, 21.0))
     val d = run("* | math v default 0 as y | stats sum(y) s").collect().head
     assert(d.getDouble(0) == 19.5)
+    // now() is Unix NANOseconds (pipe_math.go:1030 UnixNano), not seconds
+    val n = run("* | math now() as t | limit 1").collect().head
+      .getAs[Double]("t")
+    assert(n == NOW.toDouble, s"now()=$n, want ctx nanos $NOW")
   }
 
   test("format pipe") {
