@@ -206,7 +206,8 @@ object Pipe {
       keepOriginal: Boolean = false,
       iff: Option[Filter] = None) extends Pipe
   final case class UnpackWords(from: String, out: String,
-                               limit: Long) extends Pipe
+                               limit: Long,
+                               dropDuplicates: Boolean = false) extends Pipe
   final case class Unroll(fields: Seq[String],
                           iff: Option[Filter] = None) extends Pipe
   /** `blocks_count` — scanned-block count; Spark analogue: distinct input

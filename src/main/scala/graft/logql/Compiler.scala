@@ -665,9 +665,13 @@ object Compiler {
         applyUnpackSyslog(d, from, prefix, off, keep, cond)
       }
 
-    case Pipe.UnpackWords(from, out, limitN) =>
+    case Pipe.UnpackWords(from, out, limitN, dropDup) =>
       val words = TextMatch.tokenize(strF(df, from))
-      val limited = if (limitN > 0) slice(words, 1, clampInt(limitN)) else words
+      // first-occurrence dedup (pipe_unpack_words.go:104 keeps duplicates
+      // unless drop_duplicates), then this engine's limit extension
+      val deduped = if (dropDup) array_distinct(words) else words
+      val limited =
+        if (limitN > 0) slice(deduped, 1, clampInt(limitN)) else deduped
       df.withColumn(out, to_json(limited))
 
     case Pipe.Unroll(fields, iff) =>
@@ -1054,7 +1058,15 @@ object Compiler {
         .otherwise(s)
     case Some(bk) =>
       if (b.name == "_time" || fieldType(df, b.name).contains(TimestampType)) {
-        val offUs0 = b.offset.flatMap(NumLit.durationNanos).map(_ / 1000L).getOrElse(0L)
+        // offsets may be negative timezone shifts (`offset -2h`;
+        // tryParseBucketOffset, pipe_stats.go:1596-1620 accepts a sign) —
+        // and an unparseable offset must fail loudly, not silently zero
+        def signedDurUs(s: String): Long =
+          (if (s.startsWith("-")) NumLit.durationNanos(s.drop(1)).map(v => -v)
+           else NumLit.durationNanos(s))
+            .map(_ / 1000L)
+            .getOrElse(throw ParseException(s"bad bucket offset '$s'", 0))
+        val offUs0 = b.offset.map(signedDurUs).getOrElse(0L)
         val t = if (b.name == "_time") timeMicros(df) else unix_micros(col(quoteName(b.name)))
         if (bk == "month" || bk == "year") {
           // calendar truncation in UTC, offset applied around it
@@ -1094,7 +1106,10 @@ object Compiler {
         val w = NumLit.parse(bk)
           .filter(v => v > 0 && !v.isInfinite) // floor(n/0) is null: see above
           .getOrElse(throw ParseException(s"bad bucket '$bk' (must be > 0)", 0))
-        val off = b.offset.flatMap(NumLit.parse).getOrElse(0d)
+        val off = b.offset
+          .map(o => NumLit.parse(o).getOrElse(
+            throw ParseException(s"bad bucket offset '$o'", 0)))
+          .getOrElse(0d)
         val n = numF(df, b.name)
         floor((n - off) / w) * w + off
       }

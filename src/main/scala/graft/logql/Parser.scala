@@ -852,7 +852,9 @@ final class Parser(input: String, now: Long) {
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         val out = if (consumeKeyword("as")) readToken() else from
         val lim = if (consumeKeyword("limit")) readLong() else 0L
-        Pipe.UnpackWords(from, out, lim)
+        // pipe_unpack_words.go:163-166; `limit` is this engine's extension
+        val dd = consumeKeyword("drop_duplicates")
+        Pipe.UnpackWords(from, out, lim, dd)
       case "unroll" =>
         val iff = parseOptIf()
         consumeKeyword("by")

@@ -265,7 +265,7 @@ object LogStore {
       case Len(_, out) => out != "_time"
       case Hash(_, out) => out != "_time"
       case JsonArrayLen(_, out) => out != "_time"
-      case UnpackWords(_, out, _) => out != "_time"
+      case UnpackWords(_, out, _, _) => out != "_time"
       case Replace(_, _, at, _) => at != "_time"
       case ReplaceRegexp(_, _, at, _) => at != "_time"
       case e: Extract => !e.steps.exists(_.field.contains("_time"))

@@ -193,6 +193,24 @@ class CompilerSpec extends SparkSuite {
       w1.toSeq.toString)
   }
 
+  test("time bucket timezone offset, including negative") {
+    import spark.implicits._
+    // 01:00 UTC = 03:00 at UTC+2 (day bucket offset 2h → bucket start
+    // shifts to 22:00 prior UTC day); negative offset shifts the other way
+    val df = Seq("2024-01-02T01:00:00Z").map(java.time.Instant.parse(_))
+      .map(java.sql.Timestamp.from(_)).toDF("_time")
+    def bucket(q: String): String =
+      Compiler.run(df, q, NOW).collect().head.getTimestamp(0).toInstant.toString
+    assert(bucket("* | stats by (_time:1d offset 2h) count() c")
+      == "2024-01-01T02:00:00Z")
+    assert(bucket("* | stats by (_time:1d offset -2h) count() c")
+      == "2024-01-01T22:00:00Z")
+    // unparseable offsets fail loudly, not silently as zero
+    intercept[Exception] {
+      Compiler.run(df, "* | stats by (_time:1d offset bogus) count() c", NOW)
+    }
+  }
+
   test("stats IPv4 subnet bucket ip:/24") {
     import spark.implicits._
     val df = Seq("10.1.2.3", "10.1.2.200", "10.1.3.4", "not-an-ip")
@@ -358,6 +376,10 @@ class CompilerSpec extends SparkSuite {
     assert(out.collect().head.getAs[String]("w") == """["a","b","a"]""")
     val unrolled = Compiler.run(df, "* | unpack_words from _msg as w | unroll by (w)", NOW)
     assert(unrolled.count() == 3)
+    // drop_duplicates keeps the first occurrence (pipe_unpack_words.go:104)
+    val dd = Compiler.run(df,
+      "* | unpack_words from _msg as w drop_duplicates", NOW)
+    assert(dd.collect().head.getAs[String]("w") == """["a","b"]""")
   }
 
   test("pack_json / pack_logfmt") {
