@@ -182,6 +182,18 @@ object SparkEntry {
       lql(s, d,
         """_time:week_range[Mon, Fri] _time:day_range[09:00, 17:00)
            | stats by (event_type) count() hits | sort by (event_type)""")),
+    // ---- calendar `week` bucket: Monday-start truncation (§2.2 #32;
+    // block_result.go:818-848 folds +4d into the offset for the word form) ----
+    "q_lql_week_bucket" -> ((s, d) =>
+      lql(s, d,
+        """* | stats by (_time:week) count() hits
+           | math _time as week_s | fields week_s, hits | sort by (week_s)""")),
+    // ---- IPv4 subnet bucket `ip:/24` (§2.3 grouping extras;
+    // tryParseIPv4Mask + truncateUint32, block_result.go:1731-1745) ----
+    "q_lql_ip_bucket" -> ((s, d) =>
+      lql(s, d,
+        """* | unpack_json from _msg | format "10.1.<k>.9" as ip
+           | stats by (ip:/24) count() hits | sort by (ip)""")),
     // ---- copy/rename/delete/where/sum_len transforms (§2.2 #4, #6, #27) ----
     "q_lql_transform" -> ((s, d) =>
       lql(s, d,
@@ -240,6 +252,13 @@ object SparkEntry {
       lqld(s, d,
         """doc_id:<20 | unpack_words from _msg as w | unroll by (w)
            | stats by (w) count() hits | sort by (hits desc, w) limit 10""")),
+    // ---- unpack_words drop_duplicates: per-doc distinct word counts
+    // (§2.2 #40; pipe_unpack_words.go:163-166) ----
+    "q_lql_words_dedup" -> ((s, d) =>
+      lqld(s, d,
+        """doc_id:<20 | unpack_words from _msg as w drop_duplicates
+           | unroll by (w) | stats by (w) count() hits
+           | sort by (hits desc, w) limit 10""")),
     // ---- join pipe (§2.2 #18) ----
     "q_lql_join" -> ((s, d) =>
       lql(s, d,
@@ -1047,6 +1066,17 @@ object SparkEntry {
     "q_lql_time_stats" ->
       """SELECT epoch(date_trunc('day', ts)) AS day_s, count(*) AS hits
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_week_bucket" ->
+      """SELECT epoch(date_trunc('week', ts)) AS week_s, count(*) AS hits
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_ip_bucket" ->
+      """SELECT '10.1.' || (props->>'$.k') || '.0' AS ip, count(*) AS hits
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_words_dedup" ->
+      """SELECT w, count(*) AS hits FROM (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id < 20
+         ) GROUP BY 1 ORDER BY hits DESC, w LIMIT 10""",
     "q_lql_topk" ->
       """SELECT event_id, event_type, value FROM events
          WHERE event_type IN ('purchase', 'refund')
