@@ -1,80 +1,131 @@
 package graft.logql
 
 import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Row
-import scala.util.Random
+import java.sql.Timestamp
 
-/** Compile-level fuzz: random pipe chains over a small typed frame must
-  * either build a plan (collect may still be meaningless) or throw a
-  * DELIBERATE error (ParseException, UnsupportedOperation, Spark
-  * AnalysisException, IllegalArgument). MatchError / NullPointer /
-  * StackOverflow would be compiler bugs that surface as opaque 400s with
-  * useless messages — this spec keeps them out of the tree. */
+/** Grammar-level fuzz of the parse → compile path: random combinations of
+  * VALID filter and pipe fragments must either compile (and a sampled
+  * subset execute) or raise a deliberate error type. Crash-class
+  * throwables — MatchError, NPE, ClassCastException, StackOverflowError —
+  * mean a query string can 500 the server, and each one found here is a
+  * bug (the parser fuzz in ParserSpec caught two real ones this way). */
 class CompilerFuzzSpec extends SparkSuite {
 
-  private val NOW = 1704067200L * 1000000000L
+  private val NOW = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
 
-  private lazy val df = {
+  private def ts(s: String): Timestamp =
+    Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val logs: DataFrame = {
     val schema = StructType(Seq(
-      StructField("_time", TimestampType), StructField("_msg", StringType),
-      StructField("level", StringType), StructField("v", DoubleType),
-      StructField("host", StringType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize((0 until 20).map(i =>
-        Row(new java.sql.Timestamp(1704067200000L + i * 3600000L),
-          s"""{"k": $i} msg $i""", if (i % 3 == 0) "error" else "info",
-          i * 1.5, s"h${i % 4}"))),
-      schema)
+      StructField("_time", TimestampType),
+      StructField("_msg", StringType),
+      StructField("_stream_id", StringType),
+      StructField("level", StringType),
+      StructField("v", StringType),
+      StructField("js", StringType),
+      StructField("kv", StringType)))
+    val rows = (0 until 24).map { i =>
+      Row(ts(f"2023-12-31T${i % 24}%02d:00:01Z"), s"msg $i error code=$i",
+        s"s${i % 3}", Seq("error", "info", "warn")(i % 3), s"${i * 1.5}",
+        s"""{"a":$i,"b":{"c":"x$i"}}""", s"k=$i mode=m${i % 2}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
   }
 
-  private val filters = Seq(
-    "*", "error", "level:error", "v:>5", "_time:1d", "level:in(error, info)",
-    "_msg:~\"msg\"", "level:i(ERROR)", "host:h1 OR host:h2", "-level:info",
-    "_msg:contains_any(msg, k)", "v:range(1, 20]", "host:string_range(a, z)")
-
-  private val pipes = Seq(
-    "stats count() c", "stats by (level) sum(v) s", "stats by (v:5) count() c",
-    "stats by (_time:1h offset -30m) count() c", "stats by (host:/24) count() c",
-    "sort by (v desc) limit 3", "sort by (level) rank as r partition by (host)",
-    "top 3 by (level)", "uniq by (level) with hits", "fields level, v",
-    "delete host", "copy level as l2", "rename v as vv", "limit 5", "offset 2",
-    "math v * 2 as y", "math now() as t", "format \"<uc:level>@<host>\" as f",
-    "extract \"<a> <b>\" from _msg", "replace (\"msg\", \"MSG\") at _msg",
-    "unpack_json from _msg", "unpack_words from _msg as w drop_duplicates",
-    "unpack_words from _msg as w | unroll by (w)", "collapse_nums at _msg",
-    "collapse_nums prettify at _msg", "decolorize _msg", "drop_empty_fields",
-    "field_names as n", "field_values level", "hash(host) as h", "len(_msg) as l",
-    "json_array_len(_msg) as n", "pack_json as p", "pack_logfmt as p",
-    "where v:>2", "filter level:error", "sample 3", "first 2 by (v)",
-    "last 2 by (v)", "facets 3", "union (error)", "blocks_count",
-    "join by (host) (* | stats by (host) count() hc)",
-    "stats by (level) count() if (v:>5) big, count() all")
-
-  test("random filter+pipe chains compile without compiler-bug crashes") {
-    val rnd = new Random(7042026L)
+  test("random valid-fragment queries compile or raise deliberate errors") {
+    val filters = Seq(
+      "*", "error", "level:info", "v:>3", "v:range(1, 20)", "_time:5m",
+      "level:in(error, warn)", "_msg:~\"code=\\\\d+\"", "level:i(ERROR)",
+      "_msg:seq(msg, error)", "v:len_range(1, 4)", "level:eq_field(level)",
+      "_msg:contains_any(error, warn)", "!level:debug",
+      "(error or level:info)", "_time:day_range[00:00, 23:00)",
+      "level:value_type(string)", "nosuchfield:foo", "_stream_id:abc",
+      "v:in(* | fields v)",
+      "options (ignore_global_time_filter=true) *",
+      "_time:week_range[Mon, Sun]", "v:range[1KiB, 1MiB]",
+      "level:=error*", "_msg:i(MSG*)", "v:le_field(v)",
+      "_msg:contains_all(* | fields level)", "\"msg 3\"",
+      "v:string_range(1, 9)", "ip:ipv4_range(0.0.0.0, 255.255.255.255)")
+    val pipes = Seq(
+      "fields _time, _msg, level, v", "delete kv", "copy v as v2",
+      "rename level as lvl", "where v:>2", "limit 7", "offset 2",
+      "sample 3", "sort by (v desc) limit 5", "sort by (level) rank as r",
+      "stats count() c", "stats by (level) count() c, sum(v) s",
+      "stats by (_time:1h) median(v) m", "top 3 by (level)",
+      "uniq by (level) with hits", "field_names as fn",
+      "field_values level limit 4", "len _msg as l", "hash v as h",
+      "math v * 2 as dbl", "format \"<level>:<v>\" as f",
+      "extract \"code=<code>\" from _msg", "replace (error, warn) at _msg",
+      "replace_regexp (\"m.g\", \"MSG\") at _msg", "unpack_json from js",
+      "unpack_json from js fields (a, b) result_prefix p_",
+      "unpack_logfmt from kv", "unpack_words from _msg as w limit 5",
+      "unroll by (w)", "json_array_len js as jl", "pack_json as packed",
+      "pack_logfmt as pkv fields (level, v)", "drop_empty_fields",
+      "decolorize _msg", "collapse_nums at _msg", "facets 3",
+      "block_stats", "blocks_count as bc", "field_values nosuch",
+      "first 3 by (v)", "last 2 by (_time)",
+      "stream_context before 1 after 1",
+      "join by (level) (level:error | stats by (level) count() jc)",
+      "union (level:info)", "stats count() if (level:error) ec",
+      "copy l* as c*", "rename l* as r*", "delete n*",
+      "stats sum(v*) sw, count_uniq_hash(level) ch",
+      "stats histogram(v) h", "stats quantile(0.9, v) q90",
+      "stats values(level) limit 3 vs", "stats rate() r",
+      "stats by (v:10) count() cb", "stats row_max(v) rm",
+      "math (v + 1h) as plus_h, (v * 1KiB) as kib",
+      "format if (level:error) \"<uc:level>\" as up",
+      "extract if (v:>1) \"code=<code>\" from _msg keep_original_fields",
+      "unpack_json if (level:error) from js",
+      "replace (\" \", \"_\") at _msg limit 2",
+      "unpack_syslog from _msg", "field_values v limit 2",
+      "sort by (v) partition by (level) rank as pr",
+      "sort by (v desc) partition by (level) rank as pr | where pr:<=2",
+      "top 2 by (level) rank as tr", "uniq by (level, v) limit 9",
+      "sample 2", "drop_empty_fields", "len v as vlen",
+      "stream_context after 2 time_window 1h",
+      // round-7 surface: calendar/word time buckets with signed offsets,
+      // IPv4 subnet buckets, drop_duplicates, prettify collapse, math
+      // now(), hexnum format transforms
+      "stats by (_time:month) count() mc", "stats by (_time:week) count() wc",
+      "stats by (_time:1d offset -2h) count() oc",
+      "stats by (v:/24) count() ipc",
+      "unpack_words from _msg as w drop_duplicates",
+      "collapse_nums prettify at _msg",
+      "math now() as t", "format \"<hexnumencode:v>\" as he",
+      "format \"<hexnumdecode:v>\" as hd")
+    val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "8132026").toLong)
     var compiled = 0
-    for (i <- 0 until 400) {
-      val f = filters(rnd.nextInt(filters.length))
-      val n = rnd.nextInt(4)
-      val ps = Seq.fill(n)(pipes(rnd.nextInt(pipes.length)))
-      val q = (f +: ps).mkString(" | ")
+    var executed = 0
+    for (i <- 1 to sys.env.getOrElse("FUZZ_ITERS", "800").toInt) {
+      val nf = filters(rnd.nextInt(filters.length))
+      val np = 1 + rnd.nextInt(3)
+      val q = nf + Seq.fill(np)(pipes(rnd.nextInt(pipes.length)))
+        .mkString(" | ", " | ", "")
       try {
-        val out = Compiler.run(df, q, NOW)
-        out.schema // force analysis
+        val df = Compiler.run(logs, q, NOW)
         compiled += 1
+        // executing every query would take minutes; a deterministic 1-in-8
+        // sample still runs ~100 full pipelines through Tungsten
+        if (i % 8 == 0) { df.count(); executed += 1 }
       } catch {
+        // deliberate rejections: parse errors, semantic rejections from
+        // the compiler, and Spark analysis errors for unresolvable shapes
         case _: ParseException => ()
-        case _: UnsupportedOperationException => ()
         case _: IllegalArgumentException => ()
+        case _: UnsupportedOperationException => ()
         case _: org.apache.spark.sql.AnalysisException => ()
         case e: Throwable =>
-          fail(s"iteration $i: compiler-bug class ${e.getClass.getName}: " +
-            s"${e.getMessage} for query <$q>")
+          fail(s"query <$q> threw ${e.getClass.getName}: ${e.getMessage}")
       }
     }
-    // the fragments are all individually valid — the vast majority of
-    // random chains must actually compile, or the fuzz is testing nothing
-    assert(compiled > 300, s"only $compiled/400 chains compiled")
+    // the generator must mostly produce workable queries, or this tests
+    // nothing — and the sampled executions must have actually run
+    // (both bounds scale with FUZZ_ITERS so the knob stays usable)
+    val iters = sys.env.getOrElse("FUZZ_ITERS", "800").toInt
+    assert(compiled * 2 > iters, s"only $compiled/$iters compiled")
+    assert(executed * 16 > iters, s"only $executed sampled executions ran")
   }
 }
