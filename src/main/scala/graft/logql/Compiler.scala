@@ -1458,12 +1458,15 @@ object Compiler {
     case "urlencode" => call_function("url_encode", c)
     case "urldecode" => call_function("url_decode", c)
     case "q" => to_json(struct(c.as("v"))).substr(lit(6), octet_length(to_json(struct(c.as("v")))) - 6)
-    case "ipv4" => // uint32 → dotted quad
+    case "ipv4" => // uint32 → dotted quad; non-uint32 values pass through
+      // raw (pipe_format.go:220-226), not as an empty string
       val n = c.try_cast("long")
-      concat_ws(".", (n / 16777216 % 256).cast(LongType).cast(StringType),
-        (n / 65536 % 256).cast(LongType).cast(StringType),
-        (n / 256 % 256).cast(LongType).cast(StringType),
-        (n % 256).cast(LongType).cast(StringType))
+      when(n.isNotNull && n >= 0 && n <= 4294967295L && c.rlike("^\\d+$"),
+        concat_ws(".", (n / 16777216 % 256).cast(LongType).cast(StringType),
+          (n / 65536 % 256).cast(LongType).cast(StringType),
+          (n / 256 % 256).cast(LongType).cast(StringType),
+          (n % 256).cast(LongType).cast(StringType)))
+        .otherwise(c)
     case "time" =>
       // Unix-timestamp unit auto-detection (TryParseUnixTimestamp,
       // timeutil/time.go:293): |v| < 2^31 → seconds, < 2^31·10^3 → ms,

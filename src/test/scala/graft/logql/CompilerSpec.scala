@@ -585,6 +585,28 @@ class CompilerSpec extends SparkSuite {
     assert(facets.contains(("app", "web")) && facets.contains(("lvl", "info")))
   }
 
+  test("format ipv4/hexnum render valid values, pass raw otherwise") {
+    val schema = StructType(Seq(StructField("n", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("3232235777"), Row("0"), Row("4294967296"), Row("-5"), Row("x"))), schema)
+    // pipe_format.go:220-226: uint32 renders dotted quad, else raw
+    val ip = Compiler.run(df, """* | format "<ipv4:n>" as d""", NOW)
+      .collect().map(_.getAs[String]("d")).toSet
+    assert(ip == Set("192.168.1.1", "0.0.0.0", "4294967296", "-5", "x"), ip)
+    // hexnumencode: 16-char zero-padded; non-numeric raw
+    val he = Compiler.run(df, """* | format "<hexnumencode:n>" as d""", NOW)
+      .collect().map(_.getAs[String]("d")).toSet
+    assert(he.contains("00000000C0A80101") && he.contains("x") &&
+      he.contains("-5") && he.contains("0000000000000000"), he)
+    // hexnumdecode: <=16 hex chars -> decimal, else raw
+    val schema2 = StructType(Seq(StructField("n", StringType)))
+    val df2 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("ff"), Row(""), Row("zz"), Row("11112222333344445"))), schema2)
+    val hd = Compiler.run(df2, """* | format "<hexnumdecode:n>" as d""", NOW)
+      .collect().map(_.getAs[String]("d")).toSet
+    assert(hd == Set("255", "0", "zz", "11112222333344445"), hd)
+  }
+
   test("format duration humanizes nanoseconds") {
     val schema = StructType(Seq(StructField("ns", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
