@@ -24,7 +24,10 @@ object Tables {
                            name: String): String = synchronized {
     val src = s"$sfDir/$name.parquet"
     val sf = new org.apache.hadoop.fs.Path(sfDir).getName
-    val dir = s"/root/repo/target/graft_tbl/v1/$sf/$name"
+    // v2: split cap 32 → 16 — the layout version is IN the path because
+    // the _src_sig guard only covers the source file, so a policy change
+    // would otherwise be inert on any checkout with a warm v1 rewrite
+    val dir = s"/root/repo/target/graft_tbl/v2/$sf/$name"
     // the copy is keyed by the SOURCE's identity+content signature, not
     // just the sf basename: two corpora with the same basename, or a
     // regenerated fixture, must not be served a stale rewrite

@@ -1038,11 +1038,14 @@ object Compiler {
   /** Group-key expression incl. bucketing (pipe_stats.go:1495-1605). */
   private def byExpr(df: DataFrame, b: ByField, ctx: Ctx): Column = b.bucket match {
     case None => anyF(df, b.name)
-    case Some(bk) if bk.startsWith("/") =>
+    case Some(bk) if bk.startsWith("/") &&
+        b.name != "_time" && !fieldType(df, b.name).contains(TimestampType) =>
       // IPv4 subnet bucket `ip:/24` (tryParseIPv4Mask → bucket size
       // 2^(32-bits); truncateUint32 + marshalIPv4String in
       // block_result.go:1731-1745). Non-IPv4 values pass through raw,
-      // like the reference's parse-fallthrough.
+      // like the reference's parse-fallthrough. Guarded off timestamp
+      // fields: `_time:/24` falls to the time branch and errors there
+      // instead of silently string-grouping timestamps.
       val bits = bk.drop(1).toIntOption
         .filter(v => v >= 0 && v <= 32)
         .getOrElse(throw ParseException(s"bad IPv4 mask bucket '$bk'", 0))

@@ -84,7 +84,11 @@ object Dedup {
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                  threshold: Double = 0.7,
                  maxBucketSize: Int = 10000): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    // banding math lives in MinHashSim.bandHashesEval (rows-per-band =
+    // numHashes / bands); make the divisibility contract explicit here
+    // instead of silently ignoring trailing hashes
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // signatures computed once, memoized — both the band explode and the
     // per-side re-attach below read them (id + numHashes longs per row)
     val sigs = minhashSigs(df, textCol, idCol, shingleSize, numHashes)
@@ -126,6 +130,10 @@ object Dedup {
       .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + lit(2), size(col("ids"))),
             b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      // duplicate id VALUES in the corpus sort adjacent and would emit
+      // (x, x) self-pairs here; the old self-join's strict id_a < id_b
+      // excluded them
+      .filter(col("p.id_a") =!= col("p.id_b"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     // re-attach signatures only for the (small) candidate set
     candidates
@@ -182,6 +190,9 @@ object Dedup {
               b.getField("id").as("id_b"),
               bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
                 .as("hamming")))))).as("p"))
+      // exclude (x, x) self-pairs from duplicate id values (the old
+      // self-join's strict id_a < id_b did)
+      .filter(col("p.id_a") =!= col("p.id_b"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
@@ -235,6 +246,9 @@ object Dedup {
       .select(explode(flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + lit(2), size(col("ids"))),
             b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      // exclude (x, x) self-pairs from duplicate id values (the old
+      // self-join's strict id_a < id_b did)
+      .filter(col("p.id_a") =!= col("p.id_b"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -289,43 +303,70 @@ object Dedup {
     * localCheckpoint so the plan doesn't grow with iteration count (on a
     * real cluster with an HA requirement, swap in reliable checkpointing).
     */
-  // memoized component map per (candidate-pair plan, cols): like the
-  // k-means cells and the MinHash signature table, the id→component map is
-  // precomputed corpus state — a repeated cluster-dedup over the same
-  // candidate set must not re-run the union-find / star rounds. Keyed by
-  // the canonicalized plan itself (structural equality); bounded LRU.
+  // memoized component map per (session, candidate-pair plan, cols): like
+  // the k-means cells and the MinHash signature table, the id→component
+  // map is precomputed corpus state — a repeated cluster-dedup over the
+  // same candidate set must not re-run the union-find / star rounds.
+  // Keyed by the canonicalized plan itself (structural equality) AND the
+  // owning SparkSession: a cached DataFrame is bound to the session that
+  // built it, and a plan-equal call from a fresh session after a restart
+  // must not be handed a result on a stopped context. The family caveat
+  // shared with the sibling caches applies: plans canonicalize by
+  // paths+schema, not file contents — overwriting a path in place and
+  // re-running serves the old result (ingest/compaction never mutate a
+  // path's meaning in place; external callers doing so should not rely on
+  // same-JVM memoization). Eviction drops the strong reference, which is
+  // all a localCheckpoint result needs to become ContextCleaner-collectable
+  // (there is no persist() handle to unpersist, unlike sigCache's).
   private val ccCache = scala.collection.mutable.LinkedHashMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    .empty[(org.apache.spark.sql.SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
             String, String, Int, Long), DataFrame]
   private val MaxCcEntries = 8
 
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
                           maxIter: Int = 25,
-                          maxLocalEdges: Long = 2000000L): DataFrame =
-    synchronized {
-      val key = (pairs.queryExecution.optimizedPlan.canonicalized,
-        idACol, idBCol, maxIter, maxLocalEdges)
-      ccCache.getOrElseUpdate(key, {
-        while (ccCache.size >= MaxCcEntries) ccCache.remove(ccCache.head._1)
-        connectedComponentsImpl(pairs, idACol, idBCol, maxIter, maxLocalEdges)
-      })
+                          maxLocalEdges: Long = 2000000L): DataFrame = {
+    val key = (pairs.sparkSession,
+      pairs.queryExecution.optimizedPlan.canonicalized,
+      idACol, idBCol, maxIter, maxLocalEdges)
+    // NOT computed under the object lock: the union-find / star rounds run
+    // real jobs for minutes at scale, and holding Dedup's monitor would
+    // serialize every concurrent dedup call in the JVM (minhashSigs
+    // synchronizes on the same object, but only to BUILD a lazy plan).
+    // Two racing misses may both compute; last insert wins — benign.
+    synchronized { ccCache.get(key) } match {
+      case Some(v) => v
+      case None =>
+        val v = connectedComponentsImpl(pairs, idACol, idBCol, maxIter,
+          maxLocalEdges)
+        synchronized {
+          while (ccCache.size >= MaxCcEntries) ccCache.remove(ccCache.head._1)
+          ccCache.put(key, v)
+        }
+        v
     }
+  }
 
   private def connectedComponentsImpl(pairs: DataFrame, idACol: String,
                           idBCol: String,
                           maxIter: Int,
                           maxLocalEdges: Long): DataFrame = {
-    // canonical big→small orientation, no self-loops / nulls.
-    // NOT checkpointed yet: the driver-gate probe below must not pay a
-    // materialization job — only the distributed star loop needs lineage
-    // truncation, so the checkpoint moves there.
+    // canonical big→small orientation, no self-loops / nulls. LAZILY
+    // checkpointed up front: the first action — the driver-gate probe
+    // below — materializes it, so when the probe overflows into the
+    // distributed path, round 1 reads the persisted edges instead of
+    // re-deriving the whole upstream candidate pipeline a second time
+    // (an eager checkpoint here would instead cost a dedicated
+    // materialization job before the probe).
     var e = pairs
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
         col(idACol) =!= col(idBCol))
       .select(greatest(col(idACol), col(idBCol)).as("a"),
         least(col(idACol), col(idBCol)).as("b"))
       .distinct()
+      .localCheckpoint(eager = false)
 
     // size gate, like the engine's broadcast gates: a SMALL edge set pays
     // more in star-round scheduler jobs (2 shuffles + a probe per round ×
@@ -413,13 +454,10 @@ object Dedup {
       edges.alias("x").join(edges.alias("y"),
         col("x.b") === col("y.a"), "left_semi").isEmpty
 
-    // entering the distributed loop: pin the canonicalized edge set ONCE.
-    // largeStar reads its input several times (undirected union + the
-    // min-join); without this the upstream candidate plan — a full
-    // LSH/shingle pipeline — re-derives per read in round 1 (measured 40s
-    // of re-LSH on a 100k-doc corpus before a single star round ran).
-    // Lazy: the first action (round 1's shuffle) materializes it.
-    e = e.localCheckpoint(eager = false)
+    // (the edge set is already checkpointed above — largeStar reads its
+    // input several times, and without the checkpoint the upstream
+    // LSH/shingle pipeline re-derived per read: measured 40s of re-LSH on
+    // a 100k-doc corpus before a single star round ran)
 
     // no upfront check: a round applied to an already-converged star forest
     // is the identity, so always running round 1 is safe and saves a job

@@ -52,8 +52,10 @@ object CcRoundsProbe {
     val e = spark.read.parquet("/tmp/cc_edges")
     for (r <- 1 to 2) {
       val t0 = System.nanoTime()
-      val c = graft.ops.Dedup.connectedComponents(e, maxIter = 25,
-        maxLocalEdges = if (r == 1) 0L else 0L).count()
+      // maxIter varies per pass so each run misses the plan-keyed ccCache
+      // and actually re-runs the star rounds (the point of the probe)
+      val c = graft.ops.Dedup.connectedComponents(e, maxIter = 25 - r,
+        maxLocalEdges = 0L).count()
       println(f"CC pass $r: ${(System.nanoTime() - t0) / 1e9}%.2fs ($c nodes)")
     }
     spark.stop()

@@ -2,7 +2,7 @@ package graft.logql
 
 import graft.SparkSuite
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, current_timestamp}
 import org.apache.spark.sql.types._
 import java.sql.Timestamp
 
@@ -222,6 +222,12 @@ class CompilerSpec extends SparkSuite {
     // (block_result.go:1731-1745 falls through to the raw string)
     assert(out == Seq(("10.1.2.0", 2L), ("10.1.3.0", 1L), ("not-an-ip", 1L)),
       out.toString)
+    // a mask bucket on the timestamp field is an error, not a silent
+    // string-group of rendered timestamps
+    intercept[Exception] {
+      Compiler.run(df.withColumn("_time", current_timestamp()),
+        "* | stats by (_time:/24) count() c", NOW)
+    }
   }
 
   test("stats if filter") {

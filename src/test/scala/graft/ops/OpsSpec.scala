@@ -170,6 +170,23 @@ class OpsSpec extends SparkSuite {
     assert(found >= 8, s"simhash recall too low after cap: $found/10")
   }
 
+  test("duplicate id values never emit (x, x) self-pairs") {
+    // two rows share doc_id 1 with identical text — they co-bucket in
+    // every band/chunk/shingle; the bucket-combination generators must
+    // exclude the (1, 1) pair like the old strict id_a < id_b join did
+    val df = docsDF(Seq((1L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), (2L, "omega psi chi phi")))
+    val mh = Dedup.minhashLSH(df, "text", "doc_id", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.forall { case (a, b) => a != b }, mh.toSeq.toString)
+    val sh = Dedup.simhashCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.forall { case (a, b) => a != b }, sh.toSeq.toString)
+    val ng = Dedup.ngramJaccard(df, "text", "doc_id", n = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ng.forall { case (a, b) => a != b }, ng.toSeq.toString)
+  }
+
   test("ngramJaccard computes exact jaccard over shingles") {
     // "a b c d" 2-grams: {a b, b c, c d}; "a b c e": {a b, b c, c e}
     // common=2, union=4 → jaccard 0.5
