@@ -47,6 +47,9 @@ object Query {
       case x: Pipe.UnpackLogfmt => x.copy(iff = x.iff.map(tf))
       case x: Pipe.UnpackSyslog => x.copy(iff = x.iff.map(tf))
       case x: Pipe.Unroll => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.Replace => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.ReplaceRegexp => x.copy(iff = x.iff.map(tf))
+      case x: Pipe.CollapseNums => x.copy(iff = x.iff.map(tf))
       case s: Pipe.Stats =>
         s.copy(funcs = s.funcs.map(fa => fa.copy(iff = fa.iff.map(tf))))
       case other => other
@@ -182,9 +185,11 @@ object Pipe {
   final case class ExtractRegexp(re: String, from: String,
                                  iff: Option[Filter] = None) extends Pipe
   final case class Replace(oldS: String, newS: String, at: String,
-                           limit: Long) extends Pipe
+                           limit: Long,
+                           iff: Option[Filter] = None) extends Pipe
   final case class ReplaceRegexp(re: String, repl: String, at: String,
-                                 limit: Long) extends Pipe
+                                 limit: Long,
+                                 iff: Option[Filter] = None) extends Pipe
   final case class Len(field: String, out: String) extends Pipe
   final case class Hash(field: String, out: String) extends Pipe
   final case class JsonArrayLen(field: String, out: String) extends Pipe
@@ -220,7 +225,8 @@ object Pipe {
   final case class PackLogfmt(out: String, fieldsList: Seq[String]) extends Pipe
   case object DropEmptyFields extends Pipe
   final case class Decolorize(field: String) extends Pipe
-  final case class CollapseNums(field: String, prettify: Boolean) extends Pipe
+  final case class CollapseNums(field: String, prettify: Boolean,
+                                iff: Option[Filter] = None) extends Pipe
   final case class Join(by: Seq[String], sub: Query, inner: Boolean,
                         prefix: Option[String]) extends Pipe
   /** `stream_context before N after M [time_window d]` — surrounding rows

@@ -567,7 +567,7 @@ object Compiler {
     case e: Pipe.Extract => applyExtract(df, e, ctx)
     case e: Pipe.ExtractRegexp => applyExtractRegexp(df, e, ctx)
 
-    case Pipe.Replace(oldS, newS, at, limitN) =>
+    case Pipe.Replace(oldS, newS, at, limitN, iff) =>
       // `limit N` caps replacements per row (pipe_replace.go:176): split on
       // the literal with limit N+1 parts — first N separators only — and
       // re-join with the replacement.
@@ -577,9 +577,10 @@ object Compiler {
         else array_join(
           split(src, java.util.regex.Pattern.quote(oldS), limitN.toInt + 1),
           newS)
-      df.withColumn(at, out)
+      df.withColumn(at, iff.map(f =>
+        when(compileFilter(df, f, ctx), out).otherwise(src)).getOrElse(out))
 
-    case Pipe.ReplaceRegexp(re, repl, at, limitN) =>
+    case Pipe.ReplaceRegexp(re, repl, at, limitN, iff) =>
       val src = strF(df, at)
       val out =
         if (limitN <= 0) regexp_replace(src, re, repl)
@@ -590,7 +591,8 @@ object Compiler {
           // loudly rather than silently replacing all occurrences
           throw new UnsupportedOperationException(
             "replace_regexp with both `limit` and capture refs in the replacement")
-      df.withColumn(at, out)
+      df.withColumn(at, iff.map(f =>
+        when(compileFilter(df, f, ctx), out).otherwise(src)).getOrElse(out))
 
     case Pipe.Len(fld, out) =>
       df.withColumn(out, octet_length(strF(df, fld)).cast(LongType))
@@ -718,8 +720,11 @@ object Compiler {
       df.withColumn(fld,
         regexp_replace(strF(df, fld), "\u001b\\[[0-9;]*m", ""))
 
-    case Pipe.CollapseNums(fld, prettify) =>
-      df.withColumn(fld, collapseNums(strF(df, fld), prettify))
+    case Pipe.CollapseNums(fld, prettify, iff) =>
+      val collapsed = collapseNums(strF(df, fld), prettify)
+      df.withColumn(fld, iff.map(f =>
+        when(compileFilter(df, f, ctx), collapsed).otherwise(strF(df, fld)))
+        .getOrElse(collapsed))
 
     case Pipe.Join(by, sub, inner, prefix) =>
       val right0raw = run(ctx.source, sub, ctx.nowNs)

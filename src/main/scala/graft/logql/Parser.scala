@@ -792,15 +792,19 @@ final class Parser(input: String, now: Long) {
         val from = if (consumeKeyword("from")) readToken() else "_msg"
         Pipe.ExtractRegexp(re, from, iff)
       case "replace" =>
+        // `replace [if (...)] (old, new) [at field] [limit N]`
+        // (pipe_replace.go:82-96)
+        val iff = parseOptIf()
         val (a, b) = parsePairArgs()
         val at = if (consumeKeyword("at")) readToken() else "_msg"
         val lim = if (consumeKeyword("limit")) readLong() else 0L
-        Pipe.Replace(a, b, at, lim)
+        Pipe.Replace(a, b, at, lim, iff)
       case "replace_regexp" =>
+        val iff = parseOptIf()
         val (a, b) = parsePairArgs()
         val at = if (consumeKeyword("at")) readToken() else "_msg"
         val lim = if (consumeKeyword("limit")) readLong() else 0L
-        Pipe.ReplaceRegexp(a, b, at, lim)
+        Pipe.ReplaceRegexp(a, b, at, lim, iff)
       case "len" => parseFieldFnPipe(Pipe.Len, "len")
       case "hash" => parseFieldFnPipe(Pipe.Hash, "hash")
       case "json_array_len" => parseFieldFnPipe(Pipe.JsonArrayLen, "json_array_len")
@@ -877,9 +881,12 @@ final class Parser(input: String, now: Long) {
         val f = if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000') readToken() else "_msg"
         Pipe.Decolorize(f)
       case "collapse_nums" =>
+        // `collapse_nums [if (...)] [at field] [prettify]`
+        // (pipe_collapse_nums.go:83-113)
+        val iff = parseOptIf()
         val at = if (consumeKeyword("at")) readToken() else "_msg"
         val pretty = consumeKeyword("prettify")
-        Pipe.CollapseNums(at, pretty)
+        Pipe.CollapseNums(at, pretty, iff)
       case "join" =>
         consumeKeyword("by")
         val by = parseFieldList(parens = true)

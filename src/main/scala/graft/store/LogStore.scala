@@ -266,8 +266,8 @@ object LogStore {
       case Hash(_, out) => out != "_time"
       case JsonArrayLen(_, out) => out != "_time"
       case UnpackWords(_, out, _, _) => out != "_time"
-      case Replace(_, _, at, _) => at != "_time"
-      case ReplaceRegexp(_, _, at, _) => at != "_time"
+      case Replace(_, _, at, _, _) => at != "_time"
+      case ReplaceRegexp(_, _, at, _, _) => at != "_time"
       case e: Extract => !e.steps.exists(_.field.contains("_time"))
       case er: ExtractRegexp => !er.re.contains("_time")
       case u: UnpackJson =>
@@ -280,7 +280,7 @@ object LogStore {
       case PackLogfmt(out, _) => out != "_time"
       // in-place rewrites: the field keeps its name but holds new values
       case Decolorize(f) => f != "_time"
-      case CollapseNums(f, _) => f != "_time"
+      case CollapseNums(f, _, _) => f != "_time"
       case Unroll(fs, _) => !fs.contains("_time")
       case s: UnpackSyslog =>
         !Seq("timestamp", "hostname", "app_name", "proc_id", "msg_id",

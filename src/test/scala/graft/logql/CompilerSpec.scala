@@ -591,6 +591,24 @@ class CompilerSpec extends SparkSuite {
     assert(facets.contains(("app", "web")) && facets.contains(("lvl", "info")))
   }
 
+  test("conditional replace / replace_regexp / collapse_nums") {
+    val schema = StructType(Seq(
+      StructField("lvl", StringType), StructField("m", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("admin", "x 42 y"), Row("user", "x 42 y"))), schema)
+    // pipe_replace.go:88-96 / pipe_collapse_nums.go:89-97: rows failing
+    // the if keep their original value
+    def vals(q: String): Set[(String, String)] =
+      Compiler.run(df, q, NOW).collect()
+        .map(r => (r.getAs[String]("lvl"), r.getAs[String]("m"))).toSet
+    assert(vals("""* | replace if (lvl:=admin) ("42", "NN") at m""")
+      == Set(("admin", "x NN y"), ("user", "x 42 y")))
+    assert(vals("""* | replace_regexp if (lvl:=admin) ("\\d+", "D") at m""")
+      == Set(("admin", "x D y"), ("user", "x 42 y")))
+    assert(vals("""* | collapse_nums if (lvl:=admin) at m""")
+      == Set(("admin", "x <N> y"), ("user", "x 42 y")))
+  }
+
   test("format ipv4/hexnum render valid values, pass raw otherwise") {
     val schema = StructType(Seq(StructField("n", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
