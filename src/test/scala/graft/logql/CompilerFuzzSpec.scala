@@ -95,7 +95,10 @@ class CompilerFuzzSpec extends SparkSuite {
       "unpack_words from _msg as w drop_duplicates",
       "collapse_nums prettify at _msg",
       "math now() as t", "format \"<hexnumencode:v>\" as he",
-      "format \"<hexnumdecode:v>\" as hd")
+      "format \"<hexnumdecode:v>\" as hd",
+      "replace if (level:error) (msg, MSG) at _msg",
+      "replace_regexp if (v:>3) (\"\\\\d\", \"D\") at _msg",
+      "collapse_nums if (level:info) at _msg")
     val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "8132026").toLong)
     var compiled = 0
     var executed = 0
