@@ -182,6 +182,13 @@ object SparkEntry {
       lql(s, d,
         """_time:week_range[Mon, Fri] _time:day_range[09:00, 17:00)
            | stats by (event_type) count() hits | sort by (event_type)""")),
+    // ---- conditional replace: rows failing the `if` keep the original
+    // value (§2.2 #28; pipe_replace.go:88-96) ----
+    "q_lql_replace_if" -> ((s, d) =>
+      lql(s, d,
+        """* | replace if (event_type:=purchase) ("4", "##") at _msg
+           | stats by (event_type) sum_len(_msg) blen
+           | sort by (event_type)""")),
     // ---- calendar `week` bucket: Monday-start truncation (§2.2 #32;
     // block_result.go:818-848 folds +4d into the offset for the word form) ----
     "q_lql_week_bucket" -> ((s, d) =>
@@ -1065,6 +1072,12 @@ object SparkEntry {
          WHERE event_type = 'purchase' GROUP BY 1""",
     "q_lql_time_stats" ->
       """SELECT epoch(date_trunc('day', ts)) AS day_s, count(*) AS hits
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lql_replace_if" ->
+      """SELECT event_type,
+         CAST(sum(length(CASE WHEN event_type = 'purchase'
+                              THEN replace(props, '4', '##')
+                              ELSE props END)) AS BIGINT) AS blen
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_lql_week_bucket" ->
       """SELECT epoch(date_trunc('week', ts)) AS week_s, count(*) AS hits
