@@ -390,6 +390,14 @@ object SparkEntry {
            | stats sum(mins) sm, sum(hv) sh, sum(kb) sk""")
     }),
     // ---- _stream_id: filter over the store (§2.1 #23) ----
+    // ---- _stream_id:in(<subquery>) builds the id set from a query
+    //      (filter_stream_id.go:28-40) ----
+    "q_lql_stream_id_subquery" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      graft.logql.Compiler.run(graft.store.LogStore.read(s, dir),
+        """_stream_id:in({event_type="purchase"} | fields _stream_id)
+           | stats count() hits""")
+    }),
     "q_lql_stream_id" -> ((s, d) => {
       val dir = graft.store.LogStore.ensureFromEvents(s, d)
       val sid = graft.store.LogStore.streams(s, dir)
@@ -1276,6 +1284,8 @@ object SparkEntry {
          CAST(sum(user_id % 7) AS DOUBLE) AS sk
          FROM events""",
     "q_lql_stream_id" ->
+      "SELECT count(*) AS hits FROM events WHERE event_type = 'purchase'",
+    "q_lql_stream_id_subquery" ->
       "SELECT count(*) AS hits FROM events WHERE event_type = 'purchase'",
     "q_multimodal_decode" ->
       """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),

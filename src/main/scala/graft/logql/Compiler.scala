@@ -17,8 +17,14 @@ import graft.functions.TextMatch
   */
 object Compiler {
 
+  /** `neededAfter`: fields any downstream pipe may still read after the
+    * pipe currently being compiled (None = all) — the reference's
+    * updateNeededFields result (pipe.go:11-55), computed per chain in
+    * [[run]] by [[NeededFields.afterSets]]. Dynamic-schema pipes (bare
+    * unpack_json/unpack_logfmt) use it to extract only consumed keys. */
   final case class Ctx(source: DataFrame, nowNs: Long,
-                       rangeSeconds: Option[Double])
+                       rangeSeconds: Option[Double],
+                       neededAfter: Option[Set[String]] = None)
 
   def run(source: DataFrame, queryText: String,
           nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
@@ -54,10 +60,13 @@ object Compiler {
         val pred =
           if (residual == Filter.Noop) lit(true)
           else compileFilter(source, residual, ctx)
-        rest.foldLeft(streamContextInline(source, pred, b, a, tw))(
-          (df, p) => applyPipe(df, p, ctx))
+        val needs = NeededFields.afterSets(rest)
+        rest.zipWithIndex.foldLeft(streamContextInline(source, pred, b, a, tw))(
+          (df, pi) => applyPipe(df, pi._1, ctx.copy(neededAfter = needs(pi._2))))
       case pipes =>
-        pipes.foldLeft(filtered)((df, p) => applyPipe(df, p, ctx))
+        val needs = NeededFields.afterSets(pipes)
+        pipes.zipWithIndex.foldLeft(filtered)((df, pi) =>
+          applyPipe(df, pi._1, ctx.copy(neededAfter = needs(pi._2))))
     }
   }
 
@@ -633,9 +642,33 @@ object Compiler {
             mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
           }
           if (freeze) folded.drop("__unpack_src") else folded
-        } else {
-          val parsed = from_json(strF(d, from), MapType(StringType, StringType))
-          mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
+        } else boundedUnpackKeys(ctx, prefix) match {
+          case Some(keys) =>
+            // Needed-fields-bounded bare unpack: downstream reads only
+            // `keys`, so extract per-key with the JsonGet kernel instead
+            // of materializing every document key as a map and merging it
+            // (the reference prunes the same way via updateNeededFields,
+            // pipe.go:11-55). A non-object root yields no fields, like
+            // the full from_json(Map) parse. Micro-deviation: an explicit
+            // JSON null entry reads back as a missing key here, while the
+            // full parse merges a null entry that masks an earlier value
+            // (both render as "" unless the key pre-existed non-empty).
+            val src = strF(d, from)
+            val isObj = startswith(ltrim(src, " \t\n\r"), lit("{"))
+            val kv: Column =
+              if (keys.isEmpty) map().cast(MapType(StringType, StringType))
+              else map_filter(
+                map_from_arrays(
+                  array(keys.map(lit): _*),
+                  array(keys.map(k =>
+                    graft.functions.JsonGet.scalarOrJson(src, k)): _*)),
+                (_, v) => v.isNotNull)
+            val parsed = when(isObj, kv)
+              .otherwise(lit(null).cast(MapType(StringType, StringType)))
+            mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
+          case None =>
+            val parsed = from_json(strF(d, from), MapType(StringType, StringType))
+            mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
         }
       }
 
@@ -659,7 +692,18 @@ object Compiler {
               prefix, keep, skipE, cond)
           }
           if (freeze) folded.drop("__unpack_src") else folded
-        } else mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
+        } else boundedUnpackKeys(ctx, prefix) match {
+          case Some(keys) =>
+            // logfmt parses in one pass either way; the bound shrinks the
+            // fields-map merge to the consumed keys
+            val kv: Column =
+              if (keys.isEmpty) map().cast(MapType(StringType, StringType))
+              else map_filter(logfmtMap(strF(d, from)),
+                (k, _) => k.isin(keys: _*))
+            mergeIntoFields(d, kv, prefix, keep, skipE, cond)
+          case None =>
+            mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
+        }
       }
 
     case Pipe.UnpackSyslog(from, prefix, off, keep, iff) =>
@@ -1645,6 +1689,19 @@ object Compiler {
     * every intermediate plan — an unpack that overwrites a field its own
     * condition reads would otherwise tear rows (some targets written,
     * later ones judged against the already-replaced value). */
+  /** Keys a bare unpack must extract to satisfy every downstream read
+    * (ctx.neededAfter filtered by the result_prefix), or None when the
+    * set is statically unknown or a key falls outside the per-key
+    * kernel's semantics: a dotted name descends nested objects in
+    * JsonGet but is a literal top-level key in the full-map parse. */
+  private def boundedUnpackKeys(ctx: Ctx, prefix: String): Option[Seq[String]] =
+    ctx.neededAfter.flatMap { s =>
+      val keys = s.toSeq.filter(_.startsWith(prefix)).map(_.drop(prefix.length))
+        .filter(_.nonEmpty).sorted
+      if (keys.exists(k => k.contains('.') || k.contains('*'))) None
+      else Some(keys)
+    }
+
   private def applyUnpack(df: DataFrame, from: String, iff: Option[Filter],
                           ctx: Ctx)(
       body: (DataFrame, Option[Column]) => DataFrame): DataFrame = iff match {

@@ -718,7 +718,13 @@ final class Parser(input: String, now: Long) {
     skipWs()
     if (peekCh == 'i' && peekKeyword("in")) {
       pos += 2
-      Filter.StreamId(parseArgList())
+      // `_stream_id:in(<subquery>)` builds the id set from a query
+      // (filter_stream_id.go:28-40) — same compile paths as field in(q):
+      // top-level conjunct → semi-join, nested → capped materialization
+      if (peeksLikeSubquery()) {
+        expect('('); val sub = parseQuery(); expect(')')
+        Filter.InQuery("_stream_id", sub)
+      } else Filter.StreamId(parseArgList())
     } else Filter.StreamId(Seq(readToken()))
   }
 

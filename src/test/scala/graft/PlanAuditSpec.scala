@@ -174,6 +174,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(countOf(p, "Generate explode") == 1, p)
   }
 
+  test("needed-fields-bounded bare unpack_json: per-key kernel, no full-map parse") {
+    // `stats by (ip:/24)` back-propagates {ip} → {k} through format, so
+    // the bare unpack must compile to the JsonGet kernel on key k — never
+    // a from_json(Map) of every document key (updateNeededFields,
+    // pipe.go:11-55)
+    val p = plan(Compiler.run(logs,
+      """* | unpack_json from _msg | format "10.1.<k>.9" as ip
+         | stats by (ip:/24) count() hits | sort by (ip)"""))
+    assert(p.contains("graft_json_get"), p)
+    assert(!p.contains("from_json"), p)
+    // an unbounded tail (whole-row consumer) must keep the full parse
+    val q = plan(Compiler.run(logs,
+      "* | unpack_json from _msg | facets 3"))
+    assert(q.contains("from_json") || q.contains("entries"), q)
+  }
+
   test("last-N day descent touches fewer partitions than exist") {
     val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
     assert(res.count() == 5)

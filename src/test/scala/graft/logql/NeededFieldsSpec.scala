@@ -1,0 +1,151 @@
+package graft.logql
+
+import graft.SparkSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Needed-fields back-propagation (reference updateNeededFields,
+  * pipe.go:11-55): analysis unit tests + differential tests pinning the
+  * bounded per-key bare-unpack path to the full-map parse it replaces. */
+class NeededFieldsSpec extends SparkSuite {
+
+  private def pipesOf(q: String): Seq[Pipe] = Parser.parse(q, 0L).pipes
+
+  private def needBeforeFirst(q: String): Option[Set[String]] = {
+    // needed set AFTER pipe 0 is what the first pipe's compile sees
+    NeededFields.afterSets(pipesOf(q)).headOption.flatten match {
+      case s => s
+    }
+  }
+
+  test("stats projection bounds the chain; format subtracts its output") {
+    val q = """* | unpack_json from _msg | format "10.1.<k>.9" as ip
+               | stats by (ip:/24) count() hits | sort by (ip)"""
+    val needs = NeededFields.afterSets(pipesOf(q))
+    assert(needs(0) == Some(Set("k")), needs) // after unpack: format+stats
+    assert(needs(1) == Some(Set("ip")), needs) // after format: stats by ip
+    assert(needs(2) == None, needs) // after stats: unbounded tail
+  }
+
+  test("whole-row consumers and wildcards degrade to unbounded") {
+    assert(needBeforeFirst("* | unpack_json from _msg | facets 5").isEmpty)
+    assert(needBeforeFirst("* | unpack_json from _msg | field_names as f").isEmpty)
+    assert(needBeforeFirst(
+      "* | unpack_json from _msg | stats sum(k*) s").isEmpty)
+    assert(needBeforeFirst(
+      "* | unpack_json from _msg | stats row_any() r").isEmpty)
+    assert(needBeforeFirst("* | unpack_json from _msg | pack_json as j").isEmpty)
+  }
+
+  test("format with if() keeps its output needed (prior value survives)") {
+    val q = """* | unpack_json from _msg
+               | format if (level:error) "x<k>" as ip | stats by (ip) count() c"""
+    val needs = NeededFields.afterSets(pipesOf(q))
+    assert(needs(0) == Some(Set("k", "ip", "level")), needs)
+  }
+
+  test("delete narrows; copy keeps sources; where/iff fields propagate") {
+    val q = "* | unpack_json from _msg | delete b | copy a as a2 " +
+      "| where level:error | stats by (a2) count() c"
+    val needs = NeededFields.afterSets(pipesOf(q))
+    // stats needs a2; copy maps a→a2 (source a stays needed); where adds
+    // level; delete b proves b is NOT needed upstream
+    assert(needs(0) == Some(Set("a", "a2", "level")), needs)
+  }
+
+  // ---------------------------------------------------- differential pins
+
+  private lazy val jsonLogs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("_msg", StringType), StructField("level", StringType)))
+    val msgs = Seq(
+      """{"k":"v1","other":"x"}""",
+      """{"k":42,"pad":{"deep":1}}""",
+      """{"k":-0.5}""",
+      """{"k":true}""",
+      """{"k":null,"o":1}""", // explicit null ≡ missing on the bounded path
+      """{"k":{"nested":"obj"}}""",
+      """{"k":[1,2,3]}""",
+      """{"k":"a\"b\\cé"}""",
+      """  {"k":"ws-prefixed"}""",
+      """{"other":"no k"}""",
+      """{"k":"dup1","k":"dup2"}""",
+      """not json at all""",
+      """{"k":"truncated""",
+      """[{"k":"array-root"}]""",
+      """"scalar-root"""",
+      "",
+      """{"k":""}""",
+      """{"k":"1e3"}""",
+      """{"k":1e3}""",
+      """{"K":"case-differs"}""")
+    val rows = msgs.zipWithIndex.map { case (m, i) =>
+      Row(m, if (i % 2 == 0) "error" else "info") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  /** The pre-optimization semantics, spelled out by hand: full-map parse,
+    * fields-map entry for k (missing key groups as SQL null, like the
+    * engine's anyF group key for a map-resident field). */
+  private def fullParseGroups(skipEmpty: Boolean): Map[Option[String], Long] = {
+    val m = from_json(col("_msg"), MapType(StringType, StringType))
+    val raw = element_at(m, "k")
+    val v =
+      if (skipEmpty) when(raw.isNotNull && raw =!= "", raw)
+      else raw
+    jsonLogs.groupBy(v.as("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+  }
+
+  private def boundedGroups(q: String): Map[Option[String], Long] =
+    Compiler.run(jsonLogs, q, 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+
+  test("bounded bare unpack_json matches the full-map parse value-for-value") {
+    val got = boundedGroups("* | unpack_json from _msg | stats by (k) count() c")
+    assert(got == fullParseGroups(skipEmpty = false), got)
+  }
+
+  test("bounded bare unpack_json honors skip_empty_results") {
+    val got = boundedGroups(
+      "* | unpack_json from _msg skip_empty_results | stats by (k) count() c")
+    assert(got == fullParseGroups(skipEmpty = true), got)
+  }
+
+  test("bounded bare unpack_json honors if() and result_prefix") {
+    val got = boundedGroups(
+      """* | unpack_json if (level:error) from _msg result_prefix "p_"
+         | stats by (p_k) count() c""")
+    val m = from_json(col("_msg"), MapType(StringType, StringType))
+    val v = when(col("level") === "error", element_at(m, "k"))
+    val want = jsonLogs.groupBy(v.as("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == want, got)
+  }
+
+  test("dotted needed keys fall back to the literal-key full parse") {
+    // "a.b" is a literal top-level key to the map parse; the kernel would
+    // descend — the guard must route this shape to the full parse
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("""{"a.b":"literal","a":{"b":"nested"}}"""), Row("""{"a":{"b":"x"}}""")), 1),
+      StructType(Seq(StructField("_msg", StringType))))
+    val got = Compiler.run(df,
+      "* | unpack_json from _msg | stats by (`a.b`) count() c", 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("literal") -> 1L, None -> 1L), got)
+  }
+
+  test("bounded bare unpack_logfmt matches the full parse") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("""a=1 b="two words" c=3"""), Row("a=9 b="), Row("x=only"),
+        Row(""), Row("a=dup a=dup2")), 2),
+      StructType(Seq(StructField("_msg", StringType))))
+    val got = Compiler.run(df,
+      "* | unpack_logfmt from _msg | stats by (b) count() c", 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("two words") -> 1L, Some("") -> 1L, None -> 3L), got)
+  }
+}

@@ -282,6 +282,18 @@ class ParserSpec extends AnyFunSuite {
     assert(parse("\"\\u12\"").filter == Phrase("_msg", "\\u12"))
   }
 
+  test("_stream_id: literal, list, and in(subquery) forms") {
+    assert(parse("_stream_id:abc123").filter == StreamId(Seq("abc123")))
+    assert(parse("_stream_id:in(a1, b2)").filter == StreamId(Seq("a1", "b2")))
+    // in(<query>) builds the id set from a subquery
+    // (filter_stream_id.go:28-40) and rides the generic InQuery paths
+    parse("""_stream_id:in({app="x"} | fields _stream_id)""").filter match {
+      case InQuery("_stream_id", sub) =>
+        assert(sub.pipes == Seq(Pipe.Fields(Seq("_stream_id"))))
+      case other => fail(other.toString)
+    }
+  }
+
   test("options inherit into subqueries, overridable per level") {
     val q = parse(
       "options (ignore_global_time_filter=true) * | union (error) " +
