@@ -35,6 +35,7 @@ object Bench {
     val (ingestRows, ingestSec, ingestPosts, ingestFlushes, rawB, storeB) =
       ingestBench()
     val (scanBytes, scanSec) = scanBench(spark, sfDir)
+    val (lastnMs, lastnDays) = serverBench(spark, sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // per-query Spark job counts: local mode pays the scheduler floor once
     // PER JOB, so multi-job queries (AQE stages, broadcast builds, descent
@@ -192,7 +193,11 @@ object Bench {
     val comp = if (storeB > 0) rawB.toDouble / storeB else 0d
     val scanGbps =
       if (scanSec > 0) scanBytes / scanSec / (1L << 30).toDouble else 0d
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows_per_sec_warmjvm":$ingestRps2,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows_per_sec_warmjvm":$ingestRps2,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays}""")
+    // second COMPACT totals line, after the full line: artifact capture
+    // keeps only the tail of the output, and the full line (121+ per-query
+    // entries) alone overflows it — this line always fits
+    println(s"""{"metric":"totals","value":$total,"adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -266,6 +271,36 @@ object Bench {
     * raw-jsonline-to-store compression ratio (columnar+zstd; the
     * reference claims >=10x, docs/victorialogs/README.md:132). Returns
     * (rows, seconds, posts, write-jobs, rawBytes, storeBytes). */
+  /** Endpoint-level lastN rehearsal: `/select/logsql/query?limit=100`
+    * over the events store — the day-descent tail path a dashboard pays.
+    * Reports median request latency and the days-scanned pruning as
+    * benched numbers (previously a ScalaTest-only assertion). */
+  private def serverBench(spark: SparkSession, sfDir: String): (Double, Long) = {
+    val dir = graft.store.LogStore.ensureFromEvents(spark, sfDir)
+    val srv = new graft.server.QueryServer(spark,
+      () => graft.store.LogStore.read(spark, dir), 0, storeDir = Some(dir))
+    val port = srv.start()
+    try {
+      def one(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val conn = new java.net.URI(
+          s"http://127.0.0.1:$port/select/logsql/query?query=%2A&limit=100")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        conn.getInputStream.readAllBytes()
+        val ms = (System.nanoTime() - t0) / 1e6
+        val days = Option(conn.getHeaderField("X-Graft-Days-Scanned"))
+          .map(_.toLong).getOrElse(-1L)
+        conn.disconnect()
+        require(code == 200, s"lastN endpoint HTTP $code")
+        (ms, days)
+      }
+      one() // warmup (store build + first plan)
+      val runs = Seq.fill(5)(one())
+      (runs.map(_._1).sorted.apply(runs.size / 2), runs.map(_._2).max)
+    } finally srv.stop()
+  }
+
   private def ingestBench(threads: Int = 16, posts: Int = 48,
       linesPerPost: Int = 5000): (Long, Double, Long, Long, Long, Long) = {
     val spark = SparkSession.active

@@ -759,6 +759,22 @@ object SparkEntry {
           floor(col("dup_fraction") * 1000000).cast(LongType).as("dupfrac_micro"))
         .orderBy("doc_id")
     }),
+    // ---- char-level ExactSubstr (Lee et al. operate on the character
+    // stream): a literal 40-char sentence planted in every third doc
+    // makes its 24-char windows corpus-duplicated; Spark hashes windows
+    // with the O(n) rolling kernel, the oracle compares the substrings ----
+    "q_dedup_substr_chars" -> ((s, d) => {
+      import graft.ops.Dedup
+      val corpus = documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" shared span alpha bravo charlie delta echo")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpanChars(corpus, "text", "doc_id", k = 24, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_windows"), col("dup_windows"),
+          floor(col("dup_fraction") * 1000000).cast(LongType).as("dupfrac_micro"))
+        .orderBy("doc_id")
+    }),
     // ---- corpus-LM perplexity scoring (CCNet-style): unigram model
     // trained on the full table, per-doc mean NLL; the per-doc sum goes
     // through Decimal so partial-aggregation order can't move the floor ----
@@ -877,6 +893,36 @@ object SparkEntry {
       graft.store.MsgBloom.query(s, dir, "\"89\" | stats count() hits")
     }),
     // ---- stream_context pipe over the store (§2.2 #33) ----
+    // ---- stateful Structured-Streaming ops, batch-bounded so the final
+    //      state-store output gates against a batch SQL oracle
+    //      (StreamOracle: deterministic single-batch file source) ----
+    "q_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamOracle.dedupResult(s, d)),
+    "q_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamOracle.sessionsResult(s, d)),
+    // ---- REAL MPEG-1 I-frame decode (ops/Mpeg1.scala: VLC tables,
+    // dequant + mismatch control, IDCT): solid-color I-only elementary
+    // streams reconstruct exactly, so dominant-channel counts are pinned ----
+    "q_multimodal_mpeg" -> ((s, d) => {
+      import s.implicits._
+      val clips = (0 until 18).map { i =>
+        val rgb = (i % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        (i.toLong, "video", graft.ops.Mpeg1.encodeIntra(Seq.fill(4)(rgb), 32, 16))
+      }
+      val df = clips.toDF("media_id", "media_type", "content")
+      val f = graft.ops.Multimodal.extractFeatures(df, "content", dim = 6)
+      f.withColumn("ch",
+          when(col("features")(0) >= col("features")(1) &&
+               col("features")(0) >= col("features")(2), "r")
+            .when(col("features")(1) >= col("features")(2), "g")
+            .otherwise("b"))
+        .groupBy("ch").agg(count(lit(1)).as("cnt"))
+        .orderBy("ch")
+    }),
     "q_stream_context" -> ((s, d) => {
       val dir = graft.store.LogStore.ensureFromEvents(s, d)
       val logs = graft.store.LogStore.read(s, dir)
@@ -1290,6 +1336,11 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT * FROM (VALUES ('b', CAST(10 AS BIGINT)), ('g', CAST(10 AS BIGINT)),
          ('r', CAST(10 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // MPEG-1 I-frame decode of solid colors is exact (DC-only blocks):
+    // dominant-channel counts pinned
+    "q_multimodal_mpeg" ->
+      """SELECT * FROM (VALUES ('b', CAST(6 AS BIGINT)), ('g', CAST(6 AS BIGINT)),
+         ('r', CAST(6 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
     // video decode is deterministic (solid-color MJPEG frames keep their
     // dominant channel through JPEG loss): pinned VALUES
     "q_multimodal_video" ->
@@ -1666,6 +1717,23 @@ object SparkEntry {
            CAST(floor(CAST(count(f.win) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS dupfrac_micro
          FROM wins w LEFT JOIN freq f ON w.win = f.win
          GROUP BY 1 ORDER BY 1""",
+    "q_dedup_substr_chars" ->
+      """WITH corpus AS (
+           SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || ' shared span alpha bravo charlie delta echo'
+             ELSE text END AS text
+           FROM documents WHERE doc_id < 60
+         ), wins AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 23), i -> substr(text, i, 24))) AS win
+           FROM corpus WHERE length(text) >= 24
+         ), freq AS (
+           SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins) GROUP BY win HAVING count(*) >= 2
+         )
+         SELECT w.doc_id, count(*) AS n_windows, count(f.win) AS dup_windows,
+           CAST(floor(CAST(count(f.win) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS dupfrac_micro
+         FROM wins w LEFT JOIN freq f ON w.win = f.win
+         GROUP BY 1 ORDER BY 1""",
     "q_text_perplexity" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')) AS token
@@ -1702,6 +1770,15 @@ object SparkEntry {
     "q_store_bloom" ->
       """SELECT count(*) AS hits FROM events
          WHERE regexp_matches(props, '\b89\b')""",
+    // streaming dedup ≡ first-per-(type,user): aggregated it is a
+    // distinct count; sessions ≡ per-type count/min/max once the gap
+    // exceeds the fixture span
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_stream_sessions" ->
+      """SELECT event_type AS key, count(*) AS hits, min(ts) AS first_time,
+         max(ts) AS last_time FROM events GROUP BY 1 ORDER BY 1""",
     "q_stream_context" ->
       """WITH m AS (
            SELECT event_type, event_id, epoch_us(ts) AS tsu,

@@ -62,6 +62,9 @@ object GraftFunctions {
     ("graft_tokens",
       "graft_tokens(s) - word tokens (\\p{L}\\p{N}_ runs), one pass",
       es => TokensExpr(es(0))),
+    ("graft_char_windows",
+      "graft_char_windows(s, k) - rolling hashes of every k-char window",
+      es => CharWindowHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
     ("graft_band_hashes",
       "graft_band_hashes(sig, bands) - per-band LSH bucket ids",
       es => BandHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),

@@ -80,6 +80,41 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_tokens"
 }
 
+/** Rolling 64-bit hashes of every k-CODE-POINT window of the raw string —
+  * the char-level ExactSubstr kernel (Lee et al., "Deduplicating Training
+  * Data Makes Language Models Better": suffix-level duplication operates
+  * on the character stream, not token windows). One O(n) scan: the
+  * polynomial hash rolls (h·B + cp, dropping cp_{i-k}·B^k), so the cost is
+  * independent of k — a per-window substring hash would be O(n·k).
+  * Windows are code points, matching DuckDB/SQL `substr` character
+  * semantics in the oracle replica. Equal windows hash equal; distinct
+  * windows collide with ~2^-64 probability (mod-2^64 polynomial, odd
+  * base) — fine for frequency counting, not adversarial-input-proof. */
+case class CharWindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_windows needs string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.charWindowHashesEval(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Shingles.charWindowHashesEval($s, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindowHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_char_windows"
+}
+
 object Shingles {
 
   /** `[\p{L}\p{N}_]` per Java regex Unicode categories. */
@@ -163,5 +198,40 @@ object Shingles {
   def tokens(text: Column): Column = {
     ensureRegistered()
     call_function("graft_tokens", text)
+  }
+
+  private val RollBase = 0x100000001b3L // odd (FNV prime); invertible mod 2^64
+
+  def charWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
+    val s = text.toString
+    // code-point array (window positions are code points, not UTF-16 units)
+    val n = s.codePointCount(0, s.length)
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](n)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(o) = cp; o += 1
+      i += Character.charCount(cp)
+    }
+    // B^k mod 2^64 for the rolling drop-term
+    var bk = 1L
+    var e = 0
+    while (e < k) { bk *= RollBase; e += 1 }
+    val out = new Array[Any](n - k + 1)
+    var h = 0L
+    var j = 0
+    while (j < n) {
+      h = h * RollBase + cps(j)
+      if (j >= k) h -= bk * cps(j - k)
+      if (j >= k - 1) out(j - k + 1) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def charWindowHashes(text: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("graft_char_windows", text, lit(k))
   }
 }

@@ -1099,9 +1099,16 @@ object Compiler {
         .filter(v => v >= 0 && v <= 32)
         .getOrElse(throw ParseException(s"bad IPv4 mask bucket '$bk'", 0))
       val sz = if (bits >= 32) 1L else 1L << (32 - bits)
+      // the reference routes IPv4 buckets through truncateUint32(n, size,
+      // OFFSET) too (block_result.go:1731-1745) — pmod keeps the floor
+      // semantics when n-off is negative
+      val off = b.offset
+        .map(o => NumLit.parse(o).map(_.toLong).getOrElse(
+          throw ParseException(s"bad bucket offset '$o'", 0)))
+        .getOrElse(0L)
       val s = strF(df, b.name)
       val n = ipv4Num(s)
-      val m = (n / sz).cast(LongType) * sz
+      val m = (n - pmod(n - lit(off), lit(sz))).cast(LongType)
       when(n.isNotNull,
         concat_ws(".", (m / 16777216 % 256).cast(LongType).cast(StringType),
           (m / 65536 % 256).cast(LongType).cast(StringType),
@@ -1152,7 +1159,12 @@ object Compiler {
           // Thursday, so the reference folds +4d into the offset
           // (block_result.go:819-822). `1w` keeps plain epoch truncation.
           val offUs = offUs0 + (if (bk == "week") 4L * 86400L * 1000000L else 0L)
-          timestamp_micros(((t - offUs).cast(LongType) / stepUs).cast(LongType) * stepUs + offUs)
+          // FLOOR truncation (truncateTimestamp adds the bucket back when
+          // the remainder is negative, block_result.go): Long division
+          // truncates toward zero, which would round timestamps below the
+          // offset (pre-epoch data; 1970-01-01..04 under the week +4d
+          // fold) UP to the following boundary instead of down
+          timestamp_micros(t - pmod(t - lit(offUs), lit(stepUs)))
         }
       } else {
         val w = NumLit.parse(bk)

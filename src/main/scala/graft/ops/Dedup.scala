@@ -126,15 +126,21 @@ object Dedup {
       .groupBy("band_hash")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .select(col("ids"))
+    // two chained Generates (posexplode the members, then explode each
+    // member's tail slice): the cross-product streams row-by-row and the
+    // per-row state is one bucket array — never the ~n²/2 pair structs a
+    // single flatten(transform(...)) would materialize as one in-memory
+    // array before its Generate iterates (executor-OOM risk at the
+    // maxBucketSize cap)
     val candidates = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       // duplicate id VALUES in the corpus sort adjacent and would emit
       // (x, x) self-pairs here; the old self-join's strict id_a < id_b
       // excluded them
-      .filter(col("p.id_a") =!= col("p.id_b"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
     // re-attach signatures only for the (small) candidate set
     candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -183,17 +189,16 @@ object Dedup {
       .groupBy("chunk_idx", "chunk_val")
       .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
       .select(col("ms"))
+    // two chained Generates, not one flattened pair array (see minhashLSH)
     buckets
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-            b => struct(a.getField("id").as("id_a"),
-              b.getField("id").as("id_b"),
-              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
-                .as("hamming")))))).as("p"))
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       // exclude (x, x) self-pairs from duplicate id values (the old
       // self-join's strict id_a < id_b did)
-      .filter(col("p.id_a") =!= col("p.id_b"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
   }
 
@@ -232,24 +237,32 @@ object Dedup {
     val gCounts = exploded.groupBy("g")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
+    // ONE join of the exploded corpus against the doc-frequency table
+    // feeds both branches (the old shape semi-joined `exploded` against
+    // gCounts twice, shuffling it twice at scale; here the g-hash
+    // exchange under gCounts and the join's left side is the same
+    // subtree, and the join output is already g-partitioned, so the
+    // bucket groupBy below needs no further exchange)
+    val withDf = exploded.join(gCounts, Seq("g"))
     // per-doc size of the POST-cutoff shingle set (stop-phrases leave
     // the counts too, keeping the reported value an exact Jaccard)
-    val perDoc = exploded
-      .join(gCounts.select("g"), Seq("g"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("sh_count"))
-    val buckets = exploded
-      .join(gCounts.filter(col("__df") >= 2).select("g"), Seq("g"), "left_semi")
+    val perDoc = withDf.groupBy("id").agg(count(lit(1)).as("sh_count"))
+    // singleton buckets (df = 1) carry per-doc counts only — they are
+    // filtered BEFORE the object collect aggregate, like the two-phase
+    // count prefilter did
+    val buckets = withDf.filter(col("__df") >= 2)
       .groupBy("g")
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .select(col("ids"))
+    // two chained Generates, not one flattened pair array (see minhashLSH)
     val pairs = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       // exclude (x, x) self-pairs from duplicate id values (the old
       // self-join's strict id_a < id_b did)
-      .filter(col("p.id_a") =!= col("p.id_b"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(perDoc.select(col("id").as("id_a"), col("sh_count").as("ca")), Seq("id_a"))
@@ -383,12 +396,13 @@ object Dedup {
     // one probe job, not three (count + checkpoint + collect): collect
     // max+1 rows — if the limit is hit the graph is "big" and the rows are
     // discarded; if not, these ARE the edges and no second pass runs
+    // a gate at or above Int.MaxValue-1 cannot collect its sentinel row
+    // (limit() is Int-bounded), so the overflow check would silently pass
+    // on a truncated edge sample — treat it as "always distributed"
     val probed: Option[Array[org.apache.spark.sql.Row]] =
-      if (!numericId) None
+      if (!numericId || maxLocalEdges >= Int.MaxValue.toLong - 1) None
       else {
-        val rows =
-          e.limit(math.min(maxLocalEdges + 1, Int.MaxValue.toLong - 1).toInt)
-            .collect()
+        val rows = e.limit((maxLocalEdges + 1).toInt).collect()
         if (rows.length <= maxLocalEdges) Some(rows) else None
       }
     if (probed.isDefined) {
@@ -529,6 +543,33 @@ object Dedup {
     // note: a corpus-degenerate window hash serializes its window(h)
     // partition; uniform 64-bit hashes make that a pathology (a single
     // k-gram shared by a large corpus fraction), not a normal-data risk.
+    val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("h")))
+    perDoc
+      .groupBy("id")
+      .agg(sum("__reps").as("n_windows"),
+           sum(when(col("__docs") >= minDocs, col("__reps"))
+             .otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
+  /** Char-level ExactSubstr duplicate spans — the literature-faithful
+    * variant of [[duplicateSpans]]: Lee et al. operate on the character
+    * stream (suffix arrays over bytes), so windows here are every
+    * k-CODE-POINT span of the raw text, hashed by an O(n) rolling kernel
+    * (functions/Shingles.scala graft_char_windows — per-window hashing
+    * would be O(n·k)). Same one-scan three-exchange plan as the token
+    * variant: (id, h) rollup carries in-doc multiplicity, doc frequency
+    * rides a window over h, per-doc rollup sums multiplicities. Returns
+    * (id, n_windows, dup_windows, dup_fraction). */
+  def duplicateSpanChars(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(k > 0 && minDocs >= 2,
+      s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
+    val wins = df.select(col(idCol).as("id"),
+      explode(graft.functions.Shingles.charWindowHashes(
+        coalesce(col(textCol), lit("")), k)).as("h"))
     val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
       .withColumn("__docs", count(lit(1)).over(Window.partitionBy("h")))
     perDoc

@@ -416,12 +416,26 @@ object Multimodal {
     else Some(acc.map(v => (v / n).toFloat))
   }
 
+  /** Mean frame features over an MPEG-1 elementary stream's I-frames
+    * (ops/Mpeg1.scala — real intra decode: VLC, dequant, IDCT). */
+  private def mpegFeatures(v: Mpeg1.Mpeg1Video, dim: Int): Option[Array[Float]] = {
+    val acc = new Array[Double](dim)
+    var n = 0
+    v.frames.foreach { img =>
+      val feat = imageFeatures(img, dim)
+      var i = 0
+      while (i < dim) { acc(i) += feat(i); i += 1 }
+      n += 1
+    }
+    if (n == 0) None else Some(acc.map(x => (x / n).toFloat))
+  }
+
   /** STUB decoder for video codecs with inter-frame compression (H.264
-    * etc.). MJPEG, BI_RGB, and MS-RLE streams decode for REAL above; real
-    * deployments replace this with an actual codec (JNI/javacv) —
-    * everything around it (batching, schema, nullability) stays
-    * identical. Deterministic: features derive from the byte content so
-    * tests can assert exact values. */
+    * etc.). MJPEG, BI_RGB, MS-RLE, BI_BITFIELDS, and MPEG-1 I-frame
+    * streams decode for REAL above; real deployments replace this with an
+    * actual codec (JNI/javacv) — everything around it (batching, schema,
+    * nullability) stays identical. Deterministic: features derive from
+    * the byte content so tests can assert exact values. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real inter-frame video codec goes here; deterministic fake below
     val out = new Array[Float](dim)
@@ -464,6 +478,7 @@ object Multimodal {
               case Some(clip) => audioFeatures(clip, dim)
               case None => decodeAvi(bytes)
                 .flatMap(videoFeatures(_, dim))
+                .orElse(Mpeg1.decode(bytes).flatMap(mpegFeatures(_, dim)))
                 .getOrElse(decodeStub(bytes, dim))
             }
           }
@@ -540,16 +555,27 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => Array.emptyByteArray
         }
-        val clip = decodeAvi(bytes).filter(_.frames.nonEmpty)
+        // frame payloads: AVI chunks verbatim; MPEG-1 I-frames re-encoded
+        // as PNG (an MPEG frame has no standalone byte representation)
+        val clip: Option[(IndexedSeq[Array[Byte]], Long)] =
+          decodeAvi(bytes).filter(_.frames.nonEmpty)
+            .map(c => (c.frames, c.usPerFrame))
+            .orElse(Mpeg1.decode(bytes).filter(_.frames.nonEmpty).map { v =>
+              (v.frames.map { img =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                bos.toByteArray
+              }, v.usPerFrame)
+            })
         val metaDur: Any =
           if (mIdx < 0 || durField < 0 || r.isNullAt(mIdx)) null
           else r.getStruct(mIdx).get(durField)
         (0 until n).iterator.map { j =>
           clip match {
-            case Some(c) =>
-              val src = (j.toLong * c.frames.length / n).toInt
-              Row.fromSeq(r.toSeq :+ j :+ (src * c.usPerFrame / 1000L)
-                :+ c.frames(src))
+            case Some((fr, usPerFrame)) =>
+              val src = (j.toLong * fr.length / n).toInt
+              Row.fromSeq(r.toSeq :+ j :+ (src * usPerFrame / 1000L)
+                :+ fr(src))
             case None =>
               val ts: Any = metaDur match {
                 case d: Long => d * j / n

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic batch-bounded drives of the stateful streaming ops, so
+  * they can carry DuckDB oracle entries like every batch operator.
+  *
+  * Determinism argument: the file source picks up every store file in
+  * the FIRST micro-batch (no maxFilesPerTrigger), so (a) dedup with an
+  * effectively-infinite watermark delay emits exactly the distinct key
+  * set (no state GC, no arrival-order sensitivity in the aggregated
+  * output), and (b) every session sees all of its rows before the
+  * watermark first advances — a far-future sentinel row then advances
+  * the watermark past every last_time+gap and flushes all sessions on
+  * the following (empty) micro-batch. The sentinel's own session stays
+  * open by construction and is filtered out.
+  */
+object StreamOracle {
+
+  private val Sentinel = "zzz_sentinel"
+  private val built = scala.collection.mutable.Set[String]()
+  // nanoTime in the name: a checkpoint dir surviving from an earlier JVM
+  // would otherwise resume the old query and skip the files it already saw
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.nanoTime())
+
+  /** Store built from the events fixture plus one sentinel row dated far
+    * after the fixture's time range (fixture: 2024-01; sentinel:
+    * 2025-01-01 — in the past of wall-clock, so ingest's future-time
+    * bound never drops it). One build per (sfDir, JVM). */
+  def ensureStore(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = new org.apache.hadoop.fs.Path(sfDir).getName
+    val dir = s"/root/repo/target/graft_stream_store/v1/$name"
+    if (!built.contains(dir) &&
+        !new java.io.File(s"$dir/logs/_SUCCESS").exists()) {
+      val ev = graft.Tables.eventsLog(spark, sfDir)
+      val sentinel = spark.range(1).select(ev.schema.fields.toSeq.map { f =>
+        (f.name match {
+          case "_time" => lit("2025-01-01 00:00:00").cast("timestamp")
+          case "_msg" => lit("{}")
+          case "event_type" => lit(Sentinel)
+          case _ => lit(null)
+        }).cast(f.dataType).as(f.name)
+      }: _*)
+      graft.store.LogStore.ingest(ev.unionByName(sentinel), dir,
+        Seq("event_type"))
+    }
+    built += dir
+    dir
+  }
+
+  private def drain(df: DataFrame, qn: String, extraBatch: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation",
+        s"/root/repo/target/stream_oracle_ckpt/$qn")
+      .start()
+    try {
+      q.processAllAvailable()
+      // event-time timeouts fire on the micro-batch AFTER the watermark
+      // advance — give the no-data batch a chance to run
+      if (extraBatch) q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qn)
+  }
+
+  /** dedupStream over (event_type, user_id) with no state GC in range →
+    * output is exactly the distinct key pairs; aggregated per type it
+    * equals `count(DISTINCT user_id) GROUP BY event_type`. */
+  def dedupResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureStore(spark, sfDir)
+    val qn = s"strm_dedup_${nameSeq.incrementAndGet()}"
+    val out = drain(
+      StatefulOps.dedupStream(spark, dir, "*", Seq("event_type", "user_id"),
+        watermarkDelay = "36500 days"),
+      qn, extraBatch = false)
+    out.filter(col("event_type") =!= Sentinel)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("uniq_users"))
+      .orderBy("event_type")
+  }
+
+  /** keySummaryStream keyed by event_type with a gap wider than the
+    * fixture's whole span → one session per key, flushed by the
+    * sentinel; equals `count/min/max GROUP BY event_type`. */
+  def sessionsResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureStore(spark, sfDir)
+    val qn = s"strm_sess_${nameSeq.incrementAndGet()}"
+    val out = drain(
+      StatefulOps.keySummaryStream(spark, dir, "*", keyCol = "event_type",
+        gapMs = 90L * 86400L * 1000L).toDF(),
+      qn, extraBatch = true)
+    out.filter(col("key") =!= Sentinel)
+      .select(col("key"), col("hits"), col("first_time"), col("last_time"))
+      .orderBy("key")
+  }
+}

@@ -380,4 +380,37 @@ class ExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("CharWindowHashes: rolling hashes ≡ code-point substring equality") {
+    // the hash VALUES have no Column-tower spec (they're a rolling
+    // polynomial); the pinned property is the one the dedup op consumes —
+    // window count, and hash equality iff code-point-substring equality
+    // (checked globally across all generated inputs, so a rolling-update
+    // bug that collides different windows or splits equal ones fails)
+    val word = org.scalacheck.Gen.oneOf("alpha", "βeta", "日本語", "𝕏y𝕐",
+      "a", "", "1.2", "shared span alpha bravo", "\n", "aaaa")
+    val textGen = org.scalacheck.Gen.listOfN(6, word).map(_.mkString(" "))
+    val inputs = org.scalacheck.Gen.listOfN(200, textGen).sample.get ++
+      Seq("", "ab", "𝕏𝕏𝕏𝕏𝕏", "aaaaaaaaaa", "ababababab")
+    for (k <- Seq(1, 3, 8)) {
+      val got = evalBatch(inputs,
+        c => graft.functions.Shingles.charWindowHashes(c, k))
+      val subToHash = scala.collection.mutable.HashMap[String, Long]()
+      val hashToSub = scala.collection.mutable.HashMap[Long, String]()
+      inputs.zip(got).foreach { case (in, g) =>
+        val cps = in.codePoints().toArray
+        val subs =
+          if (cps.length < k) Seq.empty[String]
+          else (0 to cps.length - k).map(i => new String(cps, i, k))
+        val hs = g.asInstanceOf[scala.collection.Seq[Long]]
+        assert(hs.length == subs.length, s"'$in' k=$k: ${hs.length} windows")
+        subs.zip(hs).foreach { case (sub, h) =>
+          assert(subToHash.getOrElseUpdate(sub, h) == h,
+            s"equal windows hashed differently: '$sub' k=$k")
+          assert(hashToSub.getOrElseUpdate(h, sub) == sub,
+            s"hash collision: '$sub' vs '${hashToSub(h)}' k=$k")
+        }
+      }
+    }
+  }
 }

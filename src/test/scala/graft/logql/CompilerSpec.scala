@@ -193,6 +193,22 @@ class CompilerSpec extends SparkSuite {
       w1.toSeq.toString)
   }
 
+  test("time buckets FLOOR below the offset fold (week near epoch)") {
+    import spark.implicits._
+    // 1970-01-02 is a Friday; the word-week Monday fold (+4d) puts it
+    // BELOW the first post-epoch boundary — floor semantics must bucket
+    // it to Monday 1969-12-29, not round it up to 1970-01-05
+    // (truncateTimestamp r<0 => r+=bucket)
+    val df = Seq("1970-01-02T12:00:00Z", "1970-01-06T00:00:00Z")
+      .map(java.time.Instant.parse(_))
+      .map(java.sql.Timestamp.from(_)).toDF("_time")
+    val weeks = Compiler.run(df,
+      "* | stats by (_time:week) count() hits | sort by (_time)", NOW)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    assert(weeks.toSeq == Seq(("1969-12-29T00:00:00Z", 1L),
+      ("1970-01-05T00:00:00Z", 1L)), weeks.toSeq.toString)
+  }
+
   test("time bucket timezone offset, including negative") {
     import spark.implicits._
     // 01:00 UTC = 03:00 at UTC+2 (day bucket offset 2h → bucket start
@@ -222,6 +238,14 @@ class CompilerSpec extends SparkSuite {
     // (block_result.go:1731-1745 falls through to the raw string)
     assert(out == Seq(("10.1.2.0", 2L), ("10.1.3.0", 1L), ("not-an-ip", 1L)),
       out.toString)
+    // bucket offset applies to IPv4 masks too (truncateUint32 takes the
+    // offset, block_result.go:1731-1745), with floor semantics when
+    // n-off wraps below the subnet base
+    val shifted = Compiler.run(df,
+      "* | stats by (ip:/24 offset 1) count() hits | sort by (ip)", NOW)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(shifted == Seq(("10.1.2.1", 2L), ("10.1.3.1", 1L), ("not-an-ip", 1L)),
+      shifted.toString)
     // a mask bucket on the timestamp field is an error, not a silent
     // string-group of rendered timestamps
     intercept[Exception] {

@@ -836,6 +836,60 @@ class OpsSpec extends SparkSuite {
     assert(stub.length == 3 && stub.forall(_.getAs[Array[Byte]]("frame") == null))
   }
 
+  test("multimodal: MPEG-1 I-frame decode — VLC, dequant, IDCT round trip") {
+    import spark.implicits._
+    // encodeIntra writes a real elementary stream (sequence header, GOP,
+    // picture, slice, intra MBs); decode recovers frame count, timing,
+    // dimensions
+    val es = Mpeg1.encodeIntra(Seq(0xFF0000, 0x00FF00, 0x0000FF), w = 48, h = 32)
+    val v = Mpeg1.decode(es).get
+    assert(v.frames.length == 3 && v.usPerFrame == 33333L)
+    assert(v.frames.head.getWidth == 48 && v.frames.head.getHeight == 32)
+    // DC-only blocks reconstruct EXACTLY flat frames (the IDCT of a lone
+    // DC coefficient is constant), so every pixel of a frame is identical
+    // — this also pins the DC-predictor chain across the 6 macroblocks
+    val doms = v.frames.map { img =>
+      val p0 = img.getRGB(0, 0)
+      for (x <- Seq(0, 15, 16, 31, 47); y <- Seq(0, 15, 16, 31))
+        assert(img.getRGB(x, y) == p0, s"non-flat at ($x,$y)")
+      Seq((p0 >> 16) & 0xff, (p0 >> 8) & 0xff, p0 & 0xff)
+        .zipWithIndex.maxBy(_._1)
+    }
+    assert(doms.map(_._2) == Seq(0, 1, 2)) // dominant channel r, g, b
+    assert(doms.forall(_._1 > 200)) // and strongly so
+    // mid-gray exercises the size-0 DC path (diff 0 everywhere)
+    val gray = Mpeg1.decode(Mpeg1.encodeIntra(Seq(0x808080))).get
+    val g0 = gray.frames.head.getRGB(3, 3)
+    assert(Seq((g0 >> 16) & 0xff, (g0 >> 8) & 0xff, g0 & 0xff)
+      .forall(c => (c - 128).abs <= 2), g0.toHexString)
+    // adversarial bytes: truncations and flips never throw
+    assert(Mpeg1.decode("not mpeg".getBytes("UTF-8")).isEmpty)
+    for (cut <- Seq(4, 12, es.length / 2, es.length - 3))
+      Mpeg1.decode(java.util.Arrays.copyOf(es, cut)) // must not throw
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val b = es.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Mpeg1.decode(b) // must not throw
+    }
+
+    // extractFeatures routes MPEG-1 bytes through the real decode (the
+    // H.264-style stub would give hash noise, not a dominant channel)
+    val df = Seq((1L, "video", Mpeg1.encodeIntra(Seq.fill(3)(0x00FF00))))
+      .toDF("media_id", "media_type", "content")
+    val f = Multimodal.extractFeatures(df, "content", dim = 6)
+      .collect().head.getAs[scala.collection.Seq[Float]]("features")
+    assert(f(1) > 0.9f && f(0) < 0.1f && f(2) < 0.1f, f)
+
+    // sampleFrames re-encodes I-frames as PNG with stream timing
+    val sampled = Multimodal.sampleFrames(
+        Seq((2L, "video", es)).toDF("media_id", "media_type", "content"), n = 3)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(sampled.map(_.getAs[Long]("frame_ts_ms")).toSeq == Seq(0L, 33L, 66L))
+    assert(sampled.forall(r => Multimodal.decodeImage(
+      r.getAs[Array[Byte]]("frame")).isDefined))
+  }
+
   test("duplicateSpans flags cross-doc k-token windows, not in-doc repeats") {
     val shared = "one two three four five six seven eight nine ten"
     val df = docsDF(Seq(
