@@ -655,17 +655,8 @@ object Compiler {
             // (both render as "" unless the key pre-existed non-empty).
             val src = strF(d, from)
             val isObj = startswith(ltrim(src, " \t\n\r"), lit("{"))
-            val kv: Column =
-              if (keys.isEmpty) map().cast(MapType(StringType, StringType))
-              else map_filter(
-                map_from_arrays(
-                  array(keys.map(lit): _*),
-                  array(keys.map(k =>
-                    graft.functions.JsonGet.scalarOrJson(src, k)): _*)),
-                (_, v) => v.isNotNull)
-            val parsed = when(isObj, kv)
-              .otherwise(lit(null).cast(MapType(StringType, StringType)))
-            mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
+            applyBoundedUnpack(d, keys, prefix, keep, skipE, cond,
+              k => when(isObj, graft.functions.JsonGet.scalarOrJson(src, k)))
           case None =>
             val parsed = from_json(strF(d, from), MapType(StringType, StringType))
             mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
@@ -694,13 +685,11 @@ object Compiler {
           if (freeze) folded.drop("__unpack_src") else folded
         } else boundedUnpackKeys(ctx, prefix) match {
           case Some(keys) =>
-            // logfmt parses in one pass either way; the bound shrinks the
-            // fields-map merge to the consumed keys
-            val kv: Column =
-              if (keys.isEmpty) map().cast(MapType(StringType, StringType))
-              else map_filter(logfmtMap(strF(d, from)),
-                (k, _) => k.isin(keys: _*))
-            mergeIntoFields(d, kv, prefix, keep, skipE, cond)
+            // logfmt parses in one pass either way; the bound replaces
+            // the whole-map merge with per-key codegen column writes
+            val src = strF(d, from)
+            applyBoundedUnpack(d, keys, prefix, keep, skipE, cond,
+              k => element_at(logfmtMap(src), k))
           case None =>
             mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
         }
@@ -1713,6 +1702,45 @@ object Compiler {
       if (keys.exists(k => k.contains('.') || k.contains('*'))) None
       else Some(keys)
     }
+
+  /** Bounded bare unpack: every consumed key lands as a TOP-LEVEL string
+    * column (whole-stage-codegen `when` towers — no per-row map
+    * allocation, no fields-map merge), which is read-equivalent to the
+    * merge because field resolution prefers columns over map entries and
+    * the needed-fields analysis guarantees nothing downstream observes
+    * the row any other way. Per key: present → value wins (subject to
+    * keep_original_fields / skip_empty_results), absent/null → the prior
+    * value (existing column, else fields-map entry, else null ≡ missing)
+    * survives. Targets that are existing NON-string top-level columns
+    * are skipped — a map write would be invisible on read, which is the
+    * same exclusion mergeIntoFields applies. */
+  private def applyBoundedUnpack(d: DataFrame, keys: Seq[String],
+      prefix: String, keep: Boolean, skipE: Boolean, cond: Option[Column],
+      value: String => Column): DataFrame = {
+    val writes = keys.flatMap { k =>
+      val target = prefix + k
+      val isStrCol = fieldType(d, target).exists(_.isInstanceOf[StringType])
+      if (hasCol(d, target) && !isStrCol) None
+      else Some {
+        val v = value(k)
+        val base: Column =
+          if (isStrCol) col(quoteName(target))
+          else if (hasFieldsMap(d)) element_at(col("fields"), target)
+          else lit(null).cast(StringType)
+        val v2 =
+          if (keep) when(base.isNotNull && base =!= "", base)
+            .otherwise(when(v.isNotNull, v).otherwise(base))
+          else if (skipE) when(v.isNotNull && v =!= "", v).otherwise(base)
+          else when(v.isNotNull, v).otherwise(base)
+        val out = cond match {
+          case Some(c) => when(c, v2).otherwise(base)
+          case None => v2
+        }
+        target -> out
+      }
+    }.toMap
+    if (writes.isEmpty) d else d.withColumns(writes)
+  }
 
   private def applyUnpack(df: DataFrame, from: String, iff: Option[Filter],
                           ctx: Ctx)(

@@ -133,7 +133,10 @@ object NeededFields {
     case Pipe.Copy(pairs) => plus(a, pairs.map(_._1))
     case Pipe.Rename(pairs) => plus(a, pairs.map(_._1))
     case Pipe.Where(f) => plus(a, filterFields(f))
-    case Pipe.Limit(_) | Pipe.Offset(_) | Pipe.Sample(_) => a
+    case Pipe.Limit(_) | Pipe.Offset(_) => a
+    // sample hashes EVERY column of the row: which rows survive depends on
+    // the full row representation, so nothing upstream may be pruned
+    case Pipe.Sample(_) => None
     case s: Pipe.Sort =>
       plus(a, s.keys.map(_.field) ++ s.partitionBy)
     case Pipe.Stats(by, funcs) =>
@@ -179,7 +182,11 @@ object NeededFields {
       if (fs.isEmpty) None else a.map(s => (s - out) ++ fs)
     case Pipe.PackLogfmt(out, fs) =>
       if (fs.isEmpty) None else a.map(s => (s - out) ++ fs)
-    case Pipe.DropEmptyFields => a
+    // drop_empty_fields removes empty MAP entries but leaves promoted
+    // columns alone: whether a value is map- or column-resident is
+    // observable through it (pack_json omits an absent key but keeps an
+    // empty column), so upstream unpacks must not be re-homed
+    case Pipe.DropEmptyFields => None
     case Pipe.Decolorize(fd) => plus(a, Set(fd))
     case Pipe.CollapseNums(fd, _, iff) => plus(a, Set(fd) ++ iffFields(iff))
     case j: Pipe.Join => plus(a, j.by)

@@ -36,6 +36,13 @@ class NeededFieldsSpec extends SparkSuite {
     assert(needBeforeFirst(
       "* | unpack_json from _msg | stats row_any() r").isEmpty)
     assert(needBeforeFirst("* | unpack_json from _msg | pack_json as j").isEmpty)
+    // drop_empty_fields observes map-vs-column residence (it empties the
+    // map only), so it must block the bounded column rewrite
+    assert(needBeforeFirst(
+      "* | unpack_json from _msg | drop_empty_fields | stats by (k) count() c").isEmpty)
+    // sample hashes the whole row — same story
+    assert(needBeforeFirst(
+      "* | unpack_json from _msg | sample 5 | stats by (k) count() c").isEmpty)
   }
 
   test("format with if() keeps its output needed (prior value survives)") {
