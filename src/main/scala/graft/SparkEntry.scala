@@ -1775,10 +1775,11 @@ object SparkEntry {
     // exceeds the fixture span
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
-         FROM events GROUP BY 1 ORDER BY 1""",
+         FROM events WHERE user_id % 5 = 0 GROUP BY 1 ORDER BY 1""",
     "q_stream_sessions" ->
       """SELECT event_type AS key, count(*) AS hits, min(ts) AS first_time,
-         max(ts) AS last_time FROM events GROUP BY 1 ORDER BY 1""",
+         max(ts) AS last_time FROM events WHERE user_id % 5 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q_stream_context" ->
       """WITH m AS (
            SELECT event_type, event_id, epoch_us(ts) AS tsu,

@@ -458,8 +458,14 @@ object Mpeg1 {
   /** Deterministic I-only MPEG-1 elementary stream of solid-color frames
     * (the video-fixture pattern of Multimodal.testAvi): one slice per
     * picture, every macroblock intra with DC-only blocks, so the decode
-    * is exact. Dimensions must be multiples of 16. */
-  def encodeIntra(frameRgbs: Seq[Int], w: Int = 16, h: Int = 16): Array[Byte] = {
+    * is exact. Dimensions must be multiples of 16.
+    *
+    * `acPlantLuma`: optionally plant one escape-coded AC (run, level)
+    * after each luma DC — the test hook that drives the escape parse,
+    * zigzag placement, dequantization, and IDCT through a coefficient
+    * pattern whose expected pixels a test can derive independently. */
+  def encodeIntra(frameRgbs: Seq[Int], w: Int = 16, h: Int = 16,
+                  acPlantLuma: Option[(Int, Int)] = None): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0,
       s"dimensions must be multiples of 16, got ${w}x$h")
     val bw = new BitWriter
@@ -518,6 +524,14 @@ object Mpeg1 {
             else if (blk == 4) cbV - 128
             else crV - 128
           putDc(diff, luma = blk < 4)
+          if (blk < 4) acPlantLuma.foreach { case (run, level) =>
+            require(run >= 0 && run < 63 && level != 0 &&
+              level >= -127 && level <= 127 && level != -128,
+              s"unplantable escape ($run, $level)")
+            bw.put(1, 6) // escape '000001'
+            bw.put(run, 6)
+            bw.put(level & 0xff, 8)
+          }
           bw.put(2, 2) // EOB '10'
           blk += 1
         }

@@ -25,16 +25,20 @@ object StreamOracle {
   private val nameSeq = new java.util.concurrent.atomic.AtomicLong(
     System.nanoTime())
 
-  /** Store built from the events fixture plus one sentinel row dated far
-    * after the fixture's time range (fixture: 2024-01; sentinel:
-    * 2025-01-01 — in the past of wall-clock, so ingest's future-time
-    * bound never drops it). One build per (sfDir, JVM). */
+  /** Store built from a deterministic 1-in-5 slice of the events fixture
+    * (`user_id % 5 = 0` — the oracle SQL applies the same predicate; the
+    * full relation re-streams per drive and the bench drives each query
+    * four times) plus one sentinel row dated far after the fixture's
+    * time range (fixture: 2024-01; sentinel: 2025-01-01 — in the past of
+    * wall-clock, so ingest's future-time bound never drops it). One
+    * build per (sfDir, JVM). */
   def ensureStore(spark: SparkSession, sfDir: String): String = synchronized {
     val name = new org.apache.hadoop.fs.Path(sfDir).getName
-    val dir = s"/root/repo/target/graft_stream_store/v1/$name"
+    val dir = s"/root/repo/target/graft_stream_store/v2/$name"
     if (!built.contains(dir) &&
         !new java.io.File(s"$dir/logs/_SUCCESS").exists()) {
       val ev = graft.Tables.eventsLog(spark, sfDir)
+        .filter(col("user_id") % 5 === 0)
       val sentinel = spark.range(1).select(ev.schema.fields.toSeq.map { f =>
         (f.name match {
           case "_time" => lit("2025-01-01 00:00:00").cast("timestamp")

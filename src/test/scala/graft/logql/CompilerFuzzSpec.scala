@@ -98,7 +98,32 @@ class CompilerFuzzSpec extends SparkSuite {
       "format \"<hexnumdecode:v>\" as hd",
       "replace if (level:error) (msg, MSG) at _msg",
       "replace_regexp if (v:>3) (\"\\\\d\", \"D\") at _msg",
-      "collapse_nums if (level:info) at _msg")
+      "collapse_nums if (level:info) at _msg",
+      // round-8 surface: needed-fields-bounded bare unpacks (the stats/
+      // fields tails below make the analysis produce a finite key set,
+      // exercising the per-key column-write path against the same pool),
+      // stream-id subquery sets, offset ip-mask buckets
+      "unpack_json from js | stats by (a) count() ja",
+      "unpack_json from js result_prefix u_ | stats count_uniq(u_a) ua",
+      "unpack_logfmt from kv | stats by (mode) count() mc",
+      "unpack_json skip_empty_results from js | stats min(a) mn, max(a) mx",
+      "stats by (v:/24 offset 1) count() oip")
+    val extraFilters = Seq(
+      "_stream_id:in(level:error | fields _stream_id)",
+      "v:in(* | unpack_json from js | fields a)")
+    locally {
+      // stream-id subquery needs a _stream_id column: compile-only against
+      // a view that has one (errors must still be deliberate ParseException
+      // / IllegalArgument shapes, never MatchError)
+      val withSid = logs.withColumn("_stream_id",
+        org.apache.spark.sql.functions.lit("s1"))
+      extraFilters.foreach { f =>
+        try Compiler.run(withSid, s"$f | stats count() c", NOW).count()
+        catch {
+          case _: ParseException | _: IllegalArgumentException => ()
+        }
+      }
+    }
     val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED", "8132026").toLong)
     var compiled = 0
     var executed = 0

@@ -890,6 +890,57 @@ class OpsSpec extends SparkSuite {
       r.getAs[Array[Byte]]("frame")).isDefined))
   }
 
+  test("multimodal: MPEG-1 AC coefficients — escape parse, zigzag, dequant, IDCT vs independent math") {
+    // constants re-derived here from the standard, NOT imported from the
+    // decoder, so a transcription slip on either side fails the compare
+    val zig = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val q = Array(
+      8, 16, 19, 22, 26, 27, 29, 34, 16, 16, 22, 24, 27, 29, 34, 37,
+      19, 22, 26, 27, 29, 34, 34, 38, 22, 22, 26, 27, 29, 34, 37, 40,
+      22, 26, 27, 29, 32, 35, 40, 48, 26, 27, 29, 32, 35, 40, 48, 58,
+      26, 27, 29, 34, 38, 46, 56, 69, 27, 29, 35, 38, 46, 56, 69, 83)
+    def expectedY(coeffs: Array[Int], x: Int, y: Int): Int = {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+        s += cu * cv * coeffs(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.round(s / 4.0).toInt))
+    }
+    // gray base (Cb=Cr=128 → R=G=B=Y exactly) with planted escapes
+    for ((run, level) <- Seq((2, 5), (9, -5), (0, 12))) {
+      val es = Mpeg1.encodeIntra(Seq(0x808080), 16, 16,
+        acPlantLuma = Some((run, level)))
+      val img = Mpeg1.decode(es).get.frames.head
+      val coeffs = new Array[Int](64)
+      coeffs(0) = 128 * 8 // DC: yV * 8
+      val pos = zig(run + 1)
+      var ac = (2 * level * 8 * q(pos)) / 16 // quantizer_scale = 8
+      if ((ac & 1) == 0) ac = if (ac > 0) ac - 1 else if (ac < 0) ac + 1 else 0
+      coeffs(pos) = math.max(-2048, math.min(2047, ac))
+      // the plant repeats in all four luma blocks: the 16x16 frame tiles
+      // the 8x8 pattern — compare two tiles pixel-for-pixel
+      for (x <- 0 until 8; y <- 0 until 8) {
+        val want = expectedY(coeffs, x, y)
+        val g1 = img.getRGB(x, y) & 0xff
+        val g2 = img.getRGB(x + 8, y + 8) & 0xff
+        assert(g1 == want && g2 == want,
+          s"run=$run level=$level ($x,$y): got $g1/$g2 want $want")
+      }
+      // sanity: the pattern is genuinely non-flat (AC path exercised)
+      assert((for (x <- 0 until 8; y <- 0 until 8)
+        yield img.getRGB(x, y) & 0xff).distinct.size > 1,
+        s"flat frame for run=$run level=$level")
+    }
+  }
+
   test("duplicateSpans flags cross-doc k-token windows, not in-doc repeats") {
     val shared = "one two three four five six seven eight nine ten"
     val df = docsDF(Seq(
