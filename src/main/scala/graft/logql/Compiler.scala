@@ -1695,13 +1695,17 @@ object Compiler {
     * set is statically unknown or a key falls outside the per-key
     * kernel's semantics: a dotted name descends nested objects in
     * JsonGet but is a literal top-level key in the full-map parse. */
-  private def boundedUnpackKeys(ctx: Ctx, prefix: String): Option[Seq[String]] =
+  private def boundedUnpackKeys(ctx: Ctx, prefix: String): Option[Seq[String]] = {
+    // A/B kill switch (perf probes, field debugging): forces the full
+    // from_json path even when the needed set is known
+    if (sys.props.contains("graft.neededfields.disable")) return None
     ctx.neededAfter.flatMap { s =>
       val keys = s.toSeq.filter(_.startsWith(prefix)).map(_.drop(prefix.length))
         .filter(_.nonEmpty).sorted
       if (keys.exists(k => k.contains('.') || k.contains('*'))) None
       else Some(keys)
     }
+  }
 
   /** Bounded bare unpack: every consumed key lands as a TOP-LEVEL string
     * column (whole-stage-codegen `when` towers — no per-row map
