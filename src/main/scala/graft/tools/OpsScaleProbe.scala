@@ -91,6 +91,16 @@ object OpsScaleProbe {
     }
     println(f"OPSSCALE   -> recall ${found * 100.0 / planted}%.1f%% of $planted planted pairs, ${nDocs / lshSec / 1e3}%.0f k docs/s")
 
+    // 3b. EXACT n-gram Jaccard over the same corpus (round-8 shape: one
+    // shuffle of the exploded corpus feeds both the per-doc counts and
+    // the bucket build) — must find the same planted pairs exactly
+    val (njSec, njFound) = time("ngram_jaccard_pairs") {
+      Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.7)
+        .filter(col("id_b") === col("id_a") + 1 && col("id_b") % 50 === 0)
+        .count()
+    }
+    println(f"OPSSCALE   -> exact-jaccard recall ${njFound * 100.0 / planted}%.1f%% of $planted planted pairs, ${nDocs / njSec / 1e3}%.0f k docs/s")
+
     // 4. connected components over the candidates — forced DISTRIBUTED
     // star rounds (maxLocalEdges=0 disables the driver union-find gate)
     time("cc_star_rounds_distributed") {

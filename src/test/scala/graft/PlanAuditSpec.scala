@@ -190,6 +190,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(q.contains("from_json") || q.contains("entries"), q)
   }
 
+  test("dead columns are pruned below wide pipes (Catalyst ColumnPruning)") {
+    // the reference back-propagates needed fields into its storage reads
+    // (storage_search.go:124-133); in this engine Catalyst's ColumnPruning
+    // provides the same guarantee declaratively — a projection after a
+    // sort narrows the SCAN, so the shuffle never carries dead columns.
+    // Pinned here so a compiled-pipe refactor that breaks pruning
+    // (e.g. an opaque UDF over the whole row) fails loudly.
+    val p = plan(Compiler.run(logs,
+      "* | sort by (value desc) limit 5 | fields _time, value"))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("_time") && read.contains("value"), p)
+    assert(!read.contains("event_id") && !read.contains("_msg"), p)
+  }
+
   test("last-N day descent touches fewer partitions than exist") {
     val (res, daysScanned) = LogStore.lastN(spark, storeDir, "*", 5)
     assert(res.count() == 5)
