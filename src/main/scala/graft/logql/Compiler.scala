@@ -637,7 +637,7 @@ object Compiler {
           val folded = wild.foldLeft(d1) { (dd, w) =>
             val p = w.dropRight(1)
             val parsed = map_filter(
-              from_json(src(dd), MapType(StringType, StringType)),
+              dedupKeysFirst(from_json(src(dd), MapType(StringType, StringType))),
               (k, _) => k.startsWith(p))
             mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
           }
@@ -658,7 +658,8 @@ object Compiler {
             applyBoundedUnpack(d, keys, prefix, keep, skipE, cond,
               k => when(isObj, graft.functions.JsonGet.scalarOrJson(src, k)))
           case None =>
-            val parsed = from_json(strF(d, from), MapType(StringType, StringType))
+            val parsed = dedupKeysFirst(
+              from_json(strF(d, from), MapType(StringType, StringType)))
             mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
         }
       }
@@ -1705,6 +1706,24 @@ object Compiler {
       if (keys.exists(k => k.contains('.') || k.contains('*'))) None
       else Some(keys)
     }
+  }
+
+  /** First-occurrence key dedup over a parsed map. from_json KEEPS
+    * duplicate JSON keys in its raw map (element_at reads the first), but
+    * any downstream map rebuild (map_filter/map_concat in the merge)
+    * throws DUPLICATED_MAP_KEY — a crasher on real-world logs with
+    * repeated keys. First wins, matching element_at and the JsonGet
+    * kernel's first-non-null rule. O(k²) per row in the key count, only
+    * on the full-parse path. */
+  private def dedupKeysFirst(m: Column): Column = {
+    val entries = map_entries(m)
+    val withIdx = transform(entries, (e, i) =>
+      struct(e.getField("key").as("k"), e.getField("value").as("v"), i.as("i")))
+    val kept = filter(withIdx, s =>
+      !exists(slice(withIdx, lit(1), s.getField("i")),
+        p => p.getField("k") === s.getField("k")))
+    map_from_entries(transform(kept, s =>
+      struct(s.getField("k").as("key"), s.getField("v").as("value"))))
   }
 
   /** Bounded bare unpack: every consumed key lands as a TOP-LEVEL string

@@ -144,6 +144,50 @@ class NeededFieldsSpec extends SparkSuite {
     assert(got == Map(Some("literal") -> 1L, None -> 1L), got)
   }
 
+  test("differential fuzz: bounded and full unpack paths agree on whole result sets") {
+    // the strongest guard on the analysis transfers: every pool query runs
+    // twice — once normally (bounded column path fires when the tail
+    // yields a finite key set) and once with the kill switch forcing the
+    // full from_json/logfmt-map path — and the ENTIRE result sets must
+    // match. A transfer that under-approximates (drops a consumed field)
+    // or a column-write that breaks merge semantics diverges here.
+    val heads = Seq(
+      "* | unpack_json from _msg",
+      "* | unpack_json from _msg skip_empty_results",
+      "* | unpack_json from _msg keep_original_fields",
+      """* | unpack_json if (level:error) from _msg""",
+      """* | unpack_json from _msg result_prefix "p_"""",
+      "level:error | unpack_json from _msg")
+    val tails = Seq(
+      "stats by (k) count() c",
+      "stats count_uniq(k) uk, min(k) mn, max(k) mx",
+      "stats by (p_k) count() c",
+      "where k:=v1 | stats count() c",
+      """format "x<k>y" as f | stats by (f) count() c""",
+      // secondary sort key: ties on k alone make the limited row choice
+      // legitimately nondeterministic
+      "sort by (k, level) limit 4 | fields k, level",
+      "top 3 by (k)",
+      "uniq by (k, level)",
+      "field_values k",
+      "math (k * 2) as lk | stats sum(lk) s, count() c",
+      "copy k as k2 | delete k | stats by (k2) count() c",
+      "len(k) as kl | stats max(kl) m",
+      "stats by (k, level) count() c")
+    def rows(q: String): Seq[String] =
+      Compiler.run(jsonLogs, q, 0L).collect()
+        .map(_.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted.toSeq
+    for (h <- heads; t <- tails) {
+      val q = s"$h | $t"
+      val bounded = rows(q)
+      System.setProperty("graft.neededfields.disable", "1")
+      val full = try rows(q)
+      finally System.clearProperty("graft.neededfields.disable")
+      assert(bounded == full,
+        s"DIVERGED on: $q\nbounded=${bounded.take(8)}\nfull=${full.take(8)}")
+    }
+  }
+
   test("bounded bare unpack_logfmt matches the full parse") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
