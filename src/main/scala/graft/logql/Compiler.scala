@@ -1715,16 +1715,8 @@ object Compiler {
     * repeated keys. First wins, matching element_at and the JsonGet
     * kernel's first-non-null rule. O(k²) per row in the key count, only
     * on the full-parse path. */
-  private def dedupKeysFirst(m: Column): Column = {
-    val entries = map_entries(m)
-    val withIdx = transform(entries, (e, i) =>
-      struct(e.getField("key").as("k"), e.getField("value").as("v"), i.as("i")))
-    val kept = filter(withIdx, s =>
-      !exists(slice(withIdx, lit(1), s.getField("i")),
-        p => p.getField("k") === s.getField("k")))
-    map_from_entries(transform(kept, s =>
-      struct(s.getField("k").as("key"), s.getField("v").as("value"))))
-  }
+  private def dedupKeysFirst(m: Column): Column =
+    graft.functions.MapOps.dedupKeysFirst(m)
 
   /** Bounded bare unpack: every consumed key lands as a TOP-LEVEL string
     * column (whole-stage-codegen `when` towers — no per-row map

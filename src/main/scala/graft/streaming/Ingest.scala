@@ -24,7 +24,11 @@ object Ingest {
     * drops; keeping is the safer default for data pipelines). */
   def parseJsonline(lines: DataFrame, timeField: String = "_time",
                     msgField: String = "_msg"): DataFrame = {
-    val m = from_json(col("value"), MapType(StringType, StringType))
+    // first-wins dedup: duplicate JSON keys in a client line would throw
+    // DUPLICATED_MAP_KEY when map_filter rebuilds the map below, failing
+    // the whole batch (graft.functions.MapOps scaladoc)
+    val m = graft.functions.MapOps.dedupKeysFirst(
+      from_json(col("value"), MapType(StringType, StringType)))
     lines.select(
       coalesce(element_at(m, timeField).try_cast("timestamp"),
         current_timestamp()).as("_time"),
@@ -69,7 +73,10 @@ object Ingest {
       StructField("values", ArrayType(ArrayType(StringType)))))))))
     payloads
       .select(explode(from_json(col("value"), schema).getField("streams")).as("s"))
-      .select(col("s.stream").as("fields"), explode(col("s.values")).as("v"))
+      // duplicate label keys inside one stream object: dedup first-wins
+      // so the stored fields map never poisons later map rebuilds
+      .select(graft.functions.MapOps.dedupKeysFirst(col("s.stream")).as("fields"),
+        explode(col("s.values")).as("v"))
       .select(
         timestamp_micros((col("v").getItem(0).cast(LongType) / 1000L).cast(LongType)).as("_time"),
         col("v").getItem(1).as("_msg"),
@@ -98,7 +105,11 @@ object Ingest {
       .select(
         timestamp_micros((col("r.timeUnixNano").cast(LongType) / 1000L).cast(LongType)).as("_time"),
         coalesce(col("r.body.stringValue"), lit("")).as("_msg"),
-        map_concat(
+        // defined LAST_WIN precedence (resource attrs < record attrs <
+        // severity): repeated attribute keys — legal OTLP, e.g. the same
+        // key on resource AND record — previously threw DUPLICATED_MAP_KEY
+        // out of map_concat/map_from_entries and failed the batch
+        graft.functions.MapOps.concatLastWins(
           attrsToMap(col("res_attrs")),
           attrsToMap(col("r.attributes")),
           when(col("r.severityText").isNotNull,
@@ -108,7 +119,7 @@ object Ingest {
 
   private def attrsToMap(attrs: org.apache.spark.sql.Column) =
     coalesce(
-      map_from_entries(transform(attrs, a =>
+      graft.functions.MapOps.entriesLastWins(transform(attrs, a =>
         struct(a.getField("key").as("key"),
                coalesce(a.getField("value").getField("stringValue"), lit("")).as("value")))),
       map().cast(MapType(StringType, StringType)))
@@ -128,13 +139,16 @@ object Ingest {
         coalesce(col("r.timestamp").try_cast("timestamp"),
           current_timestamp()).as("_time"),
         coalesce(col("r.message"), lit("")).as("_msg"),
-        map_concat(
+        // LAST_WIN precedence: a repeated tag or a tag shadowing
+        // hostname/service is defined (tag wins) instead of a
+        // DUPLICATED_MAP_KEY batch failure
+        graft.functions.MapOps.concatLastWins(
           map(lit("hostname"), coalesce(col("r.hostname"), lit("")),
               lit("service"), coalesce(col("r.service"), lit(""))),
           // ddtags "k:v,k2:v2" → map entries (tag name prefixed like the
           // reference's tag fields)
           coalesce(
-            map_from_entries(transform(
+            graft.functions.MapOps.entriesLastWins(transform(
               filter(split(coalesce(col("r.ddtags"), lit("")), ","), t => t.contains(":")),
               t => struct(substring_index(t, ":", 1).as("key"),
                           substring_index(t, ":", -1).as("value")))),
@@ -146,7 +160,9 @@ object Ingest {
     * block per row (pre-split by the transport). */
   def parseJournaldExport(blocks: DataFrame): DataFrame = {
     val pairs = filter(split(col("value"), "\n"), l => l.contains("="))
-    val m = map_from_entries(transform(pairs, l =>
+    // journald entries may legally repeat a FIELD — last wins instead of
+    // a DUPLICATED_MAP_KEY batch failure
+    val m = graft.functions.MapOps.entriesLastWins(transform(pairs, l =>
       struct(substring_index(l, "=", 1).as("key"),
              regexp_replace(l, "^[^=]*=", "").as("value"))))
     blocks.select(

@@ -94,6 +94,40 @@ class IngestSpec extends SparkSuite {
     assert(f("env") == "prod" && f("team") == "core" && f("hostname") == "h9")
   }
 
+  test("duplicate keys in client payloads are DEFINED, never a batch failure") {
+    import spark.implicits._
+    // jsonline: duplicate JSON keys → first wins (element_at parity);
+    // previously any map rebuild threw DUPLICATED_MAP_KEY
+    val jl = Ingest.parseJsonline(Seq(
+      """{"_msg":"m","a":"1","a":"2","b":"x"}""").toDF("value")).collect()
+    assert(jl.head.getAs[Map[String, String]]("fields") ==
+      Map("a" -> "1", "b" -> "x"))
+    // Loki: duplicate stream label keys → first wins
+    val loki = Ingest.parseLokiJson(Seq(
+      """{"streams":[{"stream":{"app":"w","app":"x"},"values":[["1704449000000000000","l1"]]}]}""")
+      .toDF("value")).collect()
+    assert(loki.head.getAs[Map[String, String]]("fields") == Map("app" -> "w"))
+    // OTLP: same attribute key on resource and record (legal) → record
+    // wins; repeated record attr → last wins; severity strongest
+    val otlp = Ingest.parseOtlpJson(Seq(
+      """{"resourceLogs":[{"resource":{"attributes":[{"key":"env","value":{"stringValue":"res"}},{"key":"severity","value":{"stringValue":"attr"}}]},
+         "scopeLogs":[{"logRecords":[{"timeUnixNano":"1704449000000000000","severityText":"INFO",
+         "body":{"stringValue":"b"},"attributes":[{"key":"env","value":{"stringValue":"rec1"}},{"key":"env","value":{"stringValue":"rec2"}}]}]}]}]}"""
+        .replaceAll("\n\\s*", "")).toDF("value")).collect()
+    val of = otlp.head.getAs[Map[String, String]]("fields")
+    assert(of("env") == "rec2" && of("severity") == "INFO", of.toString)
+    // DataDog: tag repeating and tag shadowing hostname → tag (last) wins
+    val dd = Ingest.parseDatadogJson(Seq(
+      """[{"message":"m","hostname":"h1","service":"s","ddtags":"hostname:h2,t:1,t:2"}]""")
+      .toDF("value")).collect()
+    val df0 = dd.head.getAs[Map[String, String]]("fields")
+    assert(df0("hostname") == "h2" && df0("t") == "2" && df0("service") == "s", df0.toString)
+    // journald: repeated FIELD → last wins
+    val jd = Ingest.parseJournaldExport(Seq(
+      "MESSAGE=m\nX=1\nX=2").toDF("value")).collect()
+    assert(jd.head.getAs[Map[String, String]]("fields")("X") == "2")
+  }
+
   test("journald export blocks parse FIELD=value pairs") {
     import spark.implicits._
     val block = "MESSAGE=unit started\n__REALTIME_TIMESTAMP=1704449000000000\nPRIORITY=6\n_SYSTEMD_UNIT=web.service"
