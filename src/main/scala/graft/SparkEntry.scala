@@ -563,6 +563,30 @@ object SparkEntry {
       exact.join(ivf, Seq("query_id", "neighbor_id"))
         .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
     }),
+    // ---- persisted IVF index (save → load → probe): an ANN index over a
+    // 100 TB corpus is corpus-scale state reused across sessions, not
+    // re-fit per JVM — the loaded index must answer EXACTLY like the
+    // in-session one ----
+    "q_sim_ivf_persist" -> ((s, d) => {
+      import graft.ops.Similarity
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      val dir = s"/root/repo/target/ivf_persist/${new org.apache.hadoop.fs.Path(d).getName}"
+      Similarity.saveIvfIndex(emb, "vec_id", "embedding", nlist = 8, dir)
+      val (centroids, cells) = Similarity.loadIvfIndex(s, dir)
+      val loaded = Similarity.ivfProbe(q, centroids, cells,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      val direct = Similarity.ivfTopK(q, emb,
+        "vec_id", "embedding", "vec_id", "embedding", 10, nlist = 8, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      // loaded ≡ direct (same centroids, same cells): symmetric difference
+      // empty AND the expected 50 rows present
+      val both = loaded.join(direct, Seq("query_id", "neighbor_id"))
+      loaded.agg(
+        (count(lit(1)) === 50).cast(LongType).as("rows_ok"))
+        .crossJoin(both.agg((count(lit(1)) === 50).cast(LongType).as("match_ok")))
+    }),
     // ---- IVF-PQ (coarse cells + product-quantized codes + exact
     // re-rank): the probe scan reads m=8 bytes per corpus row instead of
     // 256 float bytes; recall vs the float brute force must stay high ----
@@ -1537,6 +1561,8 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_sim_pq_recall" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "q_sim_ivf_persist" ->
+      "SELECT CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS match_ok",
     "q_sim_quantized" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // shard assignment is xxhash64(doc_id, seed) mod 8 — a deterministic

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -173,6 +173,14 @@ object Similarity {
               corpusId: String, corpusVec: String,
               k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val (centroids, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist)
+    ivfProbe(queries, centroids, cells, queryId, queryVec, k, nprobe)
+  }
+
+  /** Probe a prebuilt IVF index — shared by the in-session memoized path
+    * and indexes loaded from disk. */
+  def ivfProbe(queries: DataFrame, centroids: Array[Array[Double]],
+               cells: DataFrame, queryId: String, queryVec: String,
+               k: Int, nprobe: Int): DataFrame = {
     // nprobe nearest cells per query, ranked by L2 distance to centroids:
     // ||q-c||^2 = ||q||^2 - 2 q·c + ||c||^2; ||q||^2 is constant per query
     val cellDist = centroids.zipWithIndex.map { case (c, i) =>
@@ -188,6 +196,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     topKByScore(scored, k)
+  }
+
+  /** Persist an IVF index to `dir` (centroids + cell assignments as
+    * parquet). An ANN index over a 100 TB embedding corpus is
+    * corpus-scale state: the k-means pass and the full-corpus cell
+    * assignment must be buildable once and reused across sessions and
+    * clusters, not re-fit per JVM (the in-memory memoization only helps
+    * one driver). Layout: `dir/centroids` (cell, centroid), `dir/cells`
+    * (cell, neighbor_id, cv), plus a _SUCCESS-gated two-phase write via
+    * a temp dir so readers never see a half-written index. */
+  def saveIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   nlist: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, cells) = ivfIndex(corpus, corpusId, corpusVec, nlist)
+    val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    cells.write.mode("overwrite").parquet(s"$tmp/cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Load a persisted IVF index; the returned pair feeds [[ivfProbe]]. */
+  def loadIvfIndex(spark: SparkSession, dir: String): (Array[Array[Double]], DataFrame) = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect().sortBy(_.getAs[Int]("cell"))
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    (centroids, spark.read.parquet(s"$dir/cells"))
   }
 
   /** LSH-bucketed ANN: join queries to corpus within the same hyperplane
