@@ -563,6 +563,27 @@ object SparkEntry {
       exact.join(ivf, Seq("query_id", "neighbor_id"))
         .agg((count(lit(1)) >= 35).cast(LongType).as("recall_ok"))
     }),
+    // ---- DSIR importance resampling (Xie et al. 2302.03169): hashed
+    // n-gram importance weights select target-domain-like docs; the
+    // synthetic corpus separates cleanly (every top-40 doc is prose) ----
+    "q_dsir" -> ((s, d) => {
+      import s.implicits._
+      val prose = Seq("the", "quick", "brown", "fox", "jumps", "over",
+        "lazy", "dog", "river", "stone")
+      val codeV = Seq("var", "func", "return", "if0", "else1", "while2",
+        "class3", "import4", "val5", "def6")
+      def doc(vocab: Seq[String], seed: Int, step: Int): String =
+        (0 until 30).map(j => vocab((seed * step + j * j) % 10)).mkString(" ")
+      val raw = ((0 until 40).map(i => (i.toLong, "prose", doc(prose, i, 7))) ++
+        (40 until 80).map(i => (i.toLong, "code", doc(codeV, i, 7))))
+        .toDF("doc_id", "cls", "text")
+      val target = (100 until 120).map(i => (i.toLong, doc(prose, i, 11)))
+        .toDF("doc_id", "text")
+      graft.ops.Sampling.dsirWeights(raw, target, "text", "doc_id")
+        .orderBy(col("logw").desc, col("doc_id")).limit(40)
+        .join(raw.select("doc_id", "cls"), "doc_id")
+        .groupBy("cls").agg(count(lit(1)).as("cnt")).orderBy("cls")
+    }),
     // ---- persisted IVF index (save → load → probe): an ANN index over a
     // 100 TB corpus is corpus-scale state reused across sessions, not
     // re-fit per JVM — the loaded index must answer EXACTLY like the
@@ -1563,6 +1584,10 @@ object SparkEntry {
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "q_sim_ivf_persist" ->
       "SELECT CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS match_ok",
+    // DSIR separation is structural (off-domain n-grams only hit the
+    // target smoothing floor): the entire top-40 is the prose class
+    "q_dsir" ->
+      "SELECT 'prose' AS cls, CAST(40 AS BIGINT) AS cnt",
     "q_sim_quantized" ->
       "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // shard assignment is xxhash64(doc_id, seed) mod 8 — a deterministic

@@ -82,4 +82,54 @@ object Sampling {
       .withColumn("__epoch", explode(col("__epochs")))
       .drop("__epochs")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * arXiv:2302.03169): score each raw-corpus document by how much its
+    * hashed n-gram distribution looks like the TARGET corpus rather than
+    * the raw corpus, log w(doc) = Σ_grams log(p_target[b] / p_raw[b])
+    * over hashed feature buckets b, with add-α smoothing. High-weight
+    * docs are the ones to keep when curating pretraining data toward a
+    * target domain.
+    *
+    * Scale shape: one exploded-gram aggregation per corpus with map-side
+    * partial combine (bucket tables have at most `buckets` rows — tiny),
+    * a broadcast join of the log-ratio table back onto the raw corpus's
+    * exploded grams, and a per-doc sum. No all-pairs, no driver funnel,
+    * no window. Deterministic: xxhash64 bucketing, no RNG — the paper
+    * resamples with Gumbel noise, here selection is a deterministic
+    * top-fraction by weight (callers wanting sampled diversity can add
+    * seeded noise to `logw` themselves).
+    *
+    * Returns (idCol, n_grams, logw) — one row per raw doc with at least
+    * one n-gram. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, n: Int = 2, buckets: Int = 10000,
+                  smoothing: Double = 0.01): DataFrame = {
+    require(buckets > 0 && smoothing > 0, "need buckets > 0, smoothing > 0")
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(graft.functions.Shingles.shingles(col(textCol), n)).as("__g"): _*)
+        .withColumn("__b", pmod(xxhash64(col("__g")), lit(buckets.toLong)))
+    // per-bucket smoothed log-prob table + the constant smoothing floor
+    // for absent buckets (totals are 1-row aggregates — driver-safe)
+    def bucketLogP(df: DataFrame, name: String): (DataFrame, Double) = {
+      val c = grams(df).groupBy("__b").agg(count(lit(1)).as("__c"))
+      val total = c.agg(sum("__c")).collect()(0).getLong(0).toDouble
+      val denom = total + smoothing * buckets
+      (c.select(col("__b"), log((col("__c") + smoothing) / denom).as(name)),
+        math.log(smoothing / denom))
+    }
+    val (pt, ptFloor) = bucketLogP(target, "__lpt")
+    val (pr, prFloor) = bucketLogP(raw, "__lpr")
+    // bucket log-ratio table: <= `buckets` rows, broadcast onto the scan
+    val ratio = pr.join(pt, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        (coalesce(col("__lpt"), lit(ptFloor)) -
+         coalesce(col("__lpr"), lit(prFloor))).as("__lr"))
+    grams(raw, col(idCol))
+      .join(broadcast(ratio), Seq("__b"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce(col("__lr"), lit(0d))).as("logw"))
+  }
 }

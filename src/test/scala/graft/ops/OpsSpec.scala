@@ -515,6 +515,36 @@ class OpsSpec extends SparkSuite {
       plan.take(2000))
   }
 
+  test("DSIR importance weights separate target-like docs from off-domain docs") {
+    import spark.implicits._
+    val prose = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "river", "stone")
+    val code = Seq("var", "func", "return", "if0", "else1", "while2",
+      "class3", "import4", "val5", "def6")
+    // quadratic stepping: successive-word differences cycle 1,3,5,7,9, so
+    // with offsets covering all residues the TARGET corpus contains every
+    // bigram family the raw prose docs can produce (a linear stride would
+    // leave some raw prose docs with genuinely out-of-target bigrams)
+    def doc(vocab: Seq[String], seed: Int, step: Int): String =
+      (0 until 30).map(j => vocab((seed * step + j * j) % 10)).mkString(" ")
+    val raw = ((0 until 40).map(i => (i.toLong, "prose", doc(prose, i, 7))) ++
+      (40 until 80).map(i => (i.toLong, "code", doc(code, i, 7))))
+      .toDF("doc_id", "cls", "text")
+    val target = (100 until 120).map(i => (i.toLong, doc(prose, i, 11)))
+      .toDF("doc_id", "text")
+    val w = graft.ops.Sampling.dsirWeights(raw, target, "text", "doc_id")
+      .join(raw.select("doc_id", "cls"), "doc_id")
+      .collect().map(r => r.getAs[String]("cls") -> r.getAs[Double]("logw"))
+    val proseW = w.filter(_._1 == "prose").map(_._2)
+    val codeW = w.filter(_._1 == "code").map(_._2)
+    assert(proseW.length == 40 && codeW.length == 40)
+    // clean separation: every target-vocabulary doc outweighs every
+    // off-domain doc (code bigrams only ever hit the target smoothing
+    // floor, so their log-ratios are strongly negative)
+    assert(proseW.min > codeW.max,
+      s"prose min ${proseW.min} vs code max ${codeW.max}")
+  }
+
   test("stratified sample is deterministic and capped per stratum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}
