@@ -203,6 +203,11 @@ object Shingles {
   private val RollBase = 0x100000001b3L // odd (FNV prime); invertible mod 2^64
 
   def charWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
+    // SQL callers can pass any literal k: non-positive windows have no
+    // defined hash — empty result, never an unset array slot (k = 0
+    // would leave out(0) null inside a containsNull=false array) or a
+    // negative index crash
+    if (k <= 0) return new GenericArrayData(Array.empty[Any])
     val s = text.toString
     // code-point array (window positions are code points, not UTF-16 units)
     val n = s.codePointCount(0, s.length)

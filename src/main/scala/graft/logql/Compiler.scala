@@ -642,20 +642,21 @@ object Compiler {
             mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
           }
           if (freeze) folded.drop("__unpack_src") else folded
-        } else boundedUnpackKeys(ctx, prefix) match {
-          case Some(keys) =>
+        } else boundedUnpackTargets(ctx, prefix) match {
+          case Some(targets) =>
             // Needed-fields-bounded bare unpack: downstream reads only
-            // `keys`, so extract per-key with the JsonGet kernel instead
-            // of materializing every document key as a map and merging it
-            // (the reference prunes the same way via updateNeededFields,
-            // pipe.go:11-55). A non-object root yields no fields, like
-            // the full from_json(Map) parse. Micro-deviation: an explicit
-            // JSON null entry reads back as a missing key here, while the
-            // full parse merges a null entry that masks an earlier value
-            // (both render as "" unless the key pre-existed non-empty).
+            // `targets`, so extract per-key with the JsonGet kernel
+            // instead of materializing every document key as a map and
+            // merging it (the reference prunes the same way via
+            // updateNeededFields, pipe.go:11-55). A non-object root
+            // yields no fields, like the full from_json(Map) parse.
+            // Micro-deviation: an explicit JSON null entry reads back as
+            // a missing key here, while the full parse merges a null
+            // entry that masks an earlier value (both render as ""
+            // unless the key pre-existed non-empty).
             val src = strF(d, from)
             val isObj = startswith(ltrim(src, " \t\n\r"), lit("{"))
-            applyBoundedUnpack(d, keys, prefix, keep, skipE, cond,
+            applyBoundedUnpack(d, targets, prefix, keep, skipE, cond,
               k => when(isObj, graft.functions.JsonGet.scalarOrJson(src, k)))
           case None =>
             val parsed = dedupKeysFirst(
@@ -684,12 +685,12 @@ object Compiler {
               prefix, keep, skipE, cond)
           }
           if (freeze) folded.drop("__unpack_src") else folded
-        } else boundedUnpackKeys(ctx, prefix) match {
-          case Some(keys) =>
+        } else boundedUnpackTargets(ctx, prefix) match {
+          case Some(targets) =>
             // logfmt parses in one pass either way; the bound replaces
             // the whole-map merge with per-key codegen column writes
             val src = strF(d, from)
-            applyBoundedUnpack(d, keys, prefix, keep, skipE, cond,
+            applyBoundedUnpack(d, targets, prefix, keep, skipE, cond,
               k => element_at(logfmtMap(src), k))
           case None =>
             mergeIntoFields(d, logfmtMap(strF(d, from)), prefix, keep, skipE, cond)
@@ -1098,7 +1099,12 @@ object Compiler {
         .getOrElse(0L)
       val s = strF(df, b.name)
       val n = ipv4Num(s)
-      val m = (n - pmod(n - lit(off), lit(sz))).cast(LongType)
+      // UINT32 arithmetic like truncateUint32: an offset above the
+      // address must wrap modulo 2^32 (rendering "255.255.255.x"), not
+      // produce negative octets
+      val u32 = 4294967296L
+      val m = pmod((pmod(n - lit(off), lit(u32)) / lit(sz)).cast(LongType) * sz
+        + lit(off), lit(u32))
       when(n.isNotNull,
         concat_ws(".", (m / 16777216 % 256).cast(LongType).cast(StringType),
           (m / 65536 % 256).cast(LongType).cast(StringType),
@@ -1694,17 +1700,24 @@ object Compiler {
   /** Keys a bare unpack must extract to satisfy every downstream read
     * (ctx.neededAfter filtered by the result_prefix), or None when the
     * set is statically unknown or a key falls outside the per-key
-    * kernel's semantics: a dotted name descends nested objects in
-    * JsonGet but is a literal top-level key in the full-map parse. */
-  private def boundedUnpackKeys(ctx: Ctx, prefix: String): Option[Seq[String]] = {
+    * kernel's semantics: '.' descends nested objects in JsonGet but is a
+    * literal top-level key in the full-map parse, and the non-scalar
+    * fallback routes through get_json_object whose JsonPath grammar
+    * gives brackets/quotes/'$'/spaces their own meaning — only plain
+    * identifier-ish keys are provably equivalent, anything else keeps
+    * the full parse. */
+  private def boundedUnpackTargets(ctx: Ctx, prefix: String): Option[Seq[String]] = {
     // A/B kill switch (perf probes, field debugging): forces the full
     // from_json path even when the needed set is known
     if (sys.props.contains("graft.neededfields.disable")) return None
+    def plainKey(k: String): Boolean =
+      k.nonEmpty &&
+        k.forall(ch => Character.isLetterOrDigit(ch) || ch == '_' || ch == '-')
     ctx.neededAfter.flatMap { s =>
-      val keys = s.toSeq.filter(_.startsWith(prefix)).map(_.drop(prefix.length))
-        .filter(_.nonEmpty).sorted
-      if (keys.exists(k => k.contains('.') || k.contains('*'))) None
-      else Some(keys)
+      val targets = s.toSeq.sorted
+      val extractable = targets.filter(_.startsWith(prefix))
+        .map(_.drop(prefix.length))
+      if (extractable.forall(plainKey)) Some(targets) else None
     }
   }
 
@@ -1718,28 +1731,36 @@ object Compiler {
   private def dedupKeysFirst(m: Column): Column =
     graft.functions.MapOps.dedupKeysFirst(m)
 
-  /** Bounded bare unpack: every consumed key lands as a TOP-LEVEL string
-    * column (whole-stage-codegen `when` towers — no per-row map
+  /** Bounded bare unpack: every consumed field lands as a TOP-LEVEL
+    * string column (whole-stage-codegen `when` towers — no per-row map
     * allocation, no fields-map merge), which is read-equivalent to the
     * merge because field resolution prefers columns over map entries and
     * the needed-fields analysis guarantees nothing downstream observes
-    * the row any other way. Per key: present → value wins (subject to
-    * keep_original_fields / skip_empty_results), absent/null → the prior
-    * value (existing column, else fields-map entry, else null ≡ missing)
-    * survives. Targets that are existing NON-string top-level columns
-    * are skipped — a map write would be invisible on read, which is the
-    * same exclusion mergeIntoFields applies. */
-  private def applyBoundedUnpack(d: DataFrame, keys: Seq[String],
+    * the row any other way. Per target: extractable value present →
+    * value wins (subject to keep_original_fields / skip_empty_results),
+    * absent/null → the prior value (existing column, else fields-map
+    * entry, else null ≡ missing) survives. Existing STRING columns go
+    * through the strF view (NULL ≡ "") and are rewritten even when the
+    * document cannot contribute to them (a non-matching result_prefix) —
+    * mergeIntoFields' colWrites unconditionally route every top-level
+    * string column through strF, so the "" coercion is observable and
+    * both paths must agree. Targets that are existing NON-string
+    * columns are skipped, the same exclusion mergeIntoFields applies
+    * (a map write would be invisible on read). */
+  private def applyBoundedUnpack(d: DataFrame, targets: Seq[String],
       prefix: String, keep: Boolean, skipE: Boolean, cond: Option[Column],
       value: String => Column): DataFrame = {
-    val writes = keys.flatMap { k =>
-      val target = prefix + k
+    val writes = targets.flatMap { target =>
       val isStrCol = fieldType(d, target).exists(_.isInstanceOf[StringType])
-      if (hasCol(d, target) && !isStrCol) None
+      val docKey =
+        if (target.startsWith(prefix)) Some(target.drop(prefix.length))
+        else None
+      if (hasCol(d, target) && !isStrCol) None // typed col: invisible write
+      else if (docKey.isEmpty && !isStrCol) None // nothing observable
       else Some {
-        val v = value(k)
+        val v = docKey.map(value).getOrElse(lit(null).cast(StringType))
         val base: Column =
-          if (isStrCol) col(quoteName(target))
+          if (isStrCol) coalesce(col(quoteName(target)).cast(StringType), lit(""))
           else if (hasFieldsMap(d)) element_at(col("fields"), target)
           else lit(null).cast(StringType)
         val v2 =

@@ -28,6 +28,13 @@ object Mpeg1 {
   final case class Mpeg1Video(frames: IndexedSeq[BufferedImage],
                               usPerFrame: Long)
 
+  /** Allocation bounds for attacker-controlled header dimensions: one
+    * frame ≤ 2048×2048 pixels (covers 1080p; a 12-bit header maxes at
+    * 4095×4095 ≈ 67 MB/frame, which a few-KB crafted stream must not
+    * command), whole stream ≤ 16M pixels (~64 MB of RGB). */
+  private val MaxFramePixels: Long = 2048L * 2048L
+  private val MaxTotalPixels: Long = 16L * 1024L * 1024L
+
   // ------------------------------------------------------------ bit I/O
 
   private final class BitReader(data: Array[Byte], startBit: Long, endBit: Long) {
@@ -270,6 +277,12 @@ object Mpeg1 {
         code match {
           case 0xB3 =>
             w = br.read(12); h = br.read(12)
+            // header dimensions are attacker-controlled (these bytes flow
+            // straight from corpus rows via extractFeatures): bound the
+            // per-frame AND whole-stream pixel allocation like decodeAvi
+            // bounds its containers — a few-KB stream must not command
+            // gigabytes of BufferedImages
+            if (w.toLong * h > MaxFramePixels) return None
             br.read(4) // pel aspect
             val rate = br.read(4)
             if (rate >= 1 && rate <= 8) usPerFrame = RateUs(rate)
@@ -287,15 +300,25 @@ object Mpeg1 {
             br.read(10) // temporal reference
             val ptype = br.read(3)
             picIsIntra = ptype == 1
-            if (picIsIntra && mbW > 0) {
+            val pixelBudgetLeft =
+              frames.size < maxFrames &&
+                (frames.size.toLong + 1) * w * h <= MaxTotalPixels
+            if (picIsIntra && mbW > 0 && pixelBudgetLeft) {
               yPlane = new Array[Int](mbW * 16 * mbH * 16)
               cbPlane = new Array[Int](mbW * 8 * mbH * 8)
               crPlane = new Array[Int](mbW * 8 * mbH * 8)
-            }
+            } else picIsIntra = false // over budget: skip, keep what we have
           case sc if sc >= 0x01 && sc <= 0xAF =>
             if (picIsIntra && mbW > 0) {
-              decodeSlice(br, sc, mbW, mbH, intraQ, yPlane, cbPlane, crPlane)
-              picOk = true
+              // a bad slice (unsupported VLC tail, malformed bits) aborts
+              // THIS picture only — earlier frames already decoded stay,
+              // later pictures still get their chance
+              try {
+                decodeSlice(br, sc, mbW, mbH, intraQ, yPlane, cbPlane, crPlane)
+                picOk = true
+              } catch {
+                case _: Exception => picOk = false; picIsIntra = false
+              }
             }
           case _ => () // GOP, user data, extensions, sequence end
         }

@@ -556,26 +556,30 @@ object Multimodal {
           case _ => Array.emptyByteArray
         }
         // frame payloads: AVI chunks verbatim; MPEG-1 I-frames re-encoded
-        // as PNG (an MPEG frame has no standalone byte representation)
-        val clip: Option[(IndexedSeq[Array[Byte]], Long)] =
+        // as PNG on demand — only the n SAMPLED indices pay an encode
+        // (a 256-I-frame clip sampled at n=3 must not do 256 encodes),
+        // memoized because the index formula can repeat an index
+        val clip: Option[(Int, Long, Int => Array[Byte])] =
           decodeAvi(bytes).filter(_.frames.nonEmpty)
-            .map(c => (c.frames, c.usPerFrame))
+            .map(c => (c.frames.length, c.usPerFrame, (i: Int) => c.frames(i)))
             .orElse(Mpeg1.decode(bytes).filter(_.frames.nonEmpty).map { v =>
-              (v.frames.map { img =>
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", bos)
-                bos.toByteArray
-              }, v.usPerFrame)
+              val png = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+              (v.frames.length, v.usPerFrame, (i: Int) =>
+                png.getOrElseUpdate(i, {
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(v.frames(i), "png", bos)
+                  bos.toByteArray
+                }))
             })
         val metaDur: Any =
           if (mIdx < 0 || durField < 0 || r.isNullAt(mIdx)) null
           else r.getStruct(mIdx).get(durField)
         (0 until n).iterator.map { j =>
           clip match {
-            case Some((fr, usPerFrame)) =>
-              val src = (j.toLong * fr.length / n).toInt
+            case Some((nFrames, usPerFrame, frameAt)) =>
+              val src = (j.toLong * nFrames / n).toInt
               Row.fromSeq(r.toSeq :+ j :+ (src * usPerFrame / 1000L)
-                :+ fr(src))
+                :+ frameAt(src))
             case None =>
               val ts: Any = metaDur match {
                 case d: Long => d * j / n

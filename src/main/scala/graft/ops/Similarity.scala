@@ -204,8 +204,11 @@ object Similarity {
     * assignment must be buildable once and reused across sessions and
     * clusters, not re-fit per JVM (the in-memory memoization only helps
     * one driver). Layout: `dir/centroids` (cell, centroid), `dir/cells`
-    * (cell, neighbor_id, cv), plus a _SUCCESS-gated two-phase write via
-    * a temp dir so readers never see a half-written index. */
+    * (cell, neighbor_id, cv). Two-phase write: both tables land in a
+    * temp dir first, then one rename publishes them — a reader never
+    * sees a HALF-WRITTEN index, though between replacing an existing
+    * index's delete and rename there is a brief no-index window (same
+    * contract as the store's compaction swap; loaders retry). */
   def saveIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                    nlist: Int, dir: String): Unit = {
     val spark = corpus.sparkSession
@@ -222,7 +225,11 @@ object Similarity {
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename reports failure via its Boolean — swallowing it would
+    // "publish" nothing and leave the next load reading a missing or
+    // stale index
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"failed to publish IVF index: rename $tmp -> $dir")
   }
 
   /** Load a persisted IVF index; the returned pair feeds [[ivfProbe]]. */

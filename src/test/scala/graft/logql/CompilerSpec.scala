@@ -246,6 +246,12 @@ class CompilerSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(shifted == Seq(("10.1.2.1", 2L), ("10.1.3.1", 1L), ("not-an-ip", 1L)),
       shifted.toString)
+    // an offset ABOVE the address wraps uint32 like truncateUint32 —
+    // never a negative octet string
+    val wrapped = Compiler.run(Seq("0.0.0.5").toDF("ip"),
+      "* | stats by (ip:/24 offset 200) count() hits", NOW)
+      .collect().map(_.getString(0)).toSeq
+    assert(wrapped == Seq("255.255.255.200"), wrapped.toString)
     // a mask bucket on the timestamp field is an error, not a silent
     // string-group of rendered timestamps
     intercept[Exception] {

@@ -174,14 +174,20 @@ class NeededFieldsSpec extends SparkSuite {
       "copy k as k2 | delete k | stats by (k2) count() c",
       "len(k) as kl | stats max(kl) m",
       "stats by (k, level) count() c")
-    def rows(q: String): Seq[String] =
-      Compiler.run(jsonLogs, q, 0L).collect()
+    // second fixture: a PRE-EXISTING nullable string column k — the
+    // unpack write-through path, including NULL cells that the full
+    // path's strF view coerces to "" (a divergence this matrix caught)
+    val withKCol = jsonLogs.withColumn("k",
+      when(col("level") === "error", lit(null).cast("string"))
+        .otherwise(concat(lit("pre-"), col("level"))))
+    def rows(df: org.apache.spark.sql.DataFrame, q: String): Seq[String] =
+      Compiler.run(df, q, 0L).collect()
         .map(_.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted.toSeq
-    for (h <- heads; t <- tails) {
+    for (df <- Seq(jsonLogs, withKCol); h <- heads; t <- tails) {
       val q = s"$h | $t"
-      val bounded = rows(q)
+      val bounded = rows(df, q)
       System.setProperty("graft.neededfields.disable", "1")
-      val full = try rows(q)
+      val full = try rows(df, q)
       finally System.clearProperty("graft.neededfields.disable")
       assert(bounded == full,
         s"DIVERGED on: $q\nbounded=${bounded.take(8)}\nfull=${full.take(8)}")

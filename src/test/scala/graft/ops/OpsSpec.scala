@@ -892,6 +892,30 @@ class OpsSpec extends SparkSuite {
     val g0 = gray.frames.head.getRGB(3, 3)
     assert(Seq((g0 >> 16) & 0xff, (g0 >> 8) & 0xff, g0 & 0xff)
       .forall(c => (c - 128).abs <= 2), g0.toHexString)
+    // one bad slice aborts ITS picture only: corrupt the middle frame's
+    // slice payload — the other two frames still decode
+    locally {
+      val es3 = Mpeg1.encodeIntra(Seq(0xFF0000, 0x00FF00, 0x0000FF), 16, 16)
+      // find the 2nd slice start (00 00 01 01) and trash its body
+      var hits = 0; var pos = -1
+      for (i <- 0 until es3.length - 4 if pos < 0) {
+        if (es3(i) == 0 && es3(i + 1) == 0 && es3(i + 2) == 1 && es3(i + 3) == 1) {
+          hits += 1; if (hits == 2) pos = i + 4
+        }
+      }
+      val bad = es3.clone(); bad(pos) = 0x00; bad(pos + 1) = 0x1f
+      val partial = Mpeg1.decode(bad)
+      assert(partial.isDefined && partial.get.frames.length >= 2,
+        s"per-picture abort lost good frames: ${partial.map(_.frames.length)}")
+    }
+    // attacker-controlled header dimensions are bounded: a tiny stream
+    // declaring giant frames must not allocate gigabytes
+    locally {
+      val giant = Mpeg1.encodeIntra(Seq(0x808080), 16, 16)
+      // rewrite w/h: first 3 header bytes after 000001B3 are w(12),h(12)
+      giant(4) = 0xff.toByte; giant(5) = 0xff.toByte; giant(6) = 0xff.toByte
+      assert(Mpeg1.decode(giant).isEmpty)
+    }
     // adversarial bytes: truncations and flips never throw
     assert(Mpeg1.decode("not mpeg".getBytes("UTF-8")).isEmpty)
     for (cut <- Seq(4, 12, es.length / 2, es.length - 3))
