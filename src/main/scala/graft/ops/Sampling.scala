@@ -93,9 +93,10 @@ object Sampling {
     *
     * Scale shape: one exploded-gram aggregation per corpus with map-side
     * partial combine (bucket tables have at most `buckets` rows — tiny),
-    * a broadcast join of the log-ratio table back onto the raw corpus's
-    * exploded grams, and a per-doc sum. No all-pairs, no driver funnel,
-    * no window. Deterministic: xxhash64 bucketing, no RNG — the paper
+    * corpus totals as broadcast 1-row cross joins, a broadcast join of
+    * the log-ratio table back onto the raw corpus's exploded grams, and
+    * a per-doc sum. No all-pairs, no driver collect at all, no window.
+    * Deterministic: xxhash64 bucketing, no RNG — the paper
     * resamples with Gumbel noise, here selection is a deterministic
     * top-fraction by weight (callers wanting sampled diversity can add
     * seeded noise to `logw` themselves).
@@ -110,22 +111,31 @@ object Sampling {
       df.select(cols :+
         explode(graft.functions.Shingles.shingles(col(textCol), n)).as("__g"): _*)
         .withColumn("__b", pmod(xxhash64(col("__g")), lit(buckets.toLong)))
-    // per-bucket smoothed log-prob table + the constant smoothing floor
-    // for absent buckets (totals are 1-row aggregates — driver-safe)
-    def bucketLogP(df: DataFrame, name: String): (DataFrame, Double) = {
+    // per-bucket smoothed log-prob table; the corpus total rides along as
+    // a broadcast 1-row cross join, so the whole weight computation stays
+    // one lazy plan — no driver collect, no extra jobs
+    def bucketLogP(df: DataFrame, name: String): (DataFrame, DataFrame) = {
       val c = grams(df).groupBy("__b").agg(count(lit(1)).as("__c"))
-      val total = c.agg(sum("__c")).collect()(0).getLong(0).toDouble
-      val denom = total + smoothing * buckets
-      (c.select(col("__b"), log((col("__c") + smoothing) / denom).as(name)),
-        math.log(smoothing / denom))
+      val tot = c.agg(sum("__c").cast("double").as(s"${name}_tot"))
+      (c.crossJoin(broadcast(tot))
+        .select(col("__b"),
+          log((col("__c") + smoothing) /
+            (col(s"${name}_tot") + smoothing * buckets)).as(name)),
+        tot)
     }
-    val (pt, ptFloor) = bucketLogP(target, "__lpt")
-    val (pr, prFloor) = bucketLogP(raw, "__lpr")
+    val (pt, ptTot) = bucketLogP(target, "__lpt")
+    val (pr, prTot) = bucketLogP(raw, "__lpr")
+    // smoothing floors for buckets absent from one side, derived from the
+    // same 1-row totals
+    val floors = prTot.crossJoin(ptTot).select(
+      log(lit(smoothing) / (col("__lpr_tot") + smoothing * buckets)).as("__prf"),
+      log(lit(smoothing) / (col("__lpt_tot") + smoothing * buckets)).as("__ptf"))
     // bucket log-ratio table: <= `buckets` rows, broadcast onto the scan
     val ratio = pr.join(pt, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(floors))
       .select(col("__b"),
-        (coalesce(col("__lpt"), lit(ptFloor)) -
-         coalesce(col("__lpr"), lit(prFloor))).as("__lr"))
+        (coalesce(col("__lpt"), col("__ptf")) -
+         coalesce(col("__lpr"), col("__prf"))).as("__lr"))
     grams(raw, col(idCol))
       .join(broadcast(ratio), Seq("__b"), "left")
       .groupBy(idCol)
