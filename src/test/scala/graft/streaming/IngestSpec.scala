@@ -126,6 +126,10 @@ class IngestSpec extends SparkSuite {
     val jd = Ingest.parseJournaldExport(Seq(
       "MESSAGE=m\nX=1\nX=2").toDF("value")).collect()
     assert(jd.head.getAs[Map[String, String]]("fields")("X") == "2")
+    // Loki protobuf label strings: Scala toMap gives proto's last-wins
+    assert(graft.streaming.LokiProto
+      .parseLabels("""{app="a",app="b",env="p"}""") ==
+      Map("app" -> "b", "env" -> "p"))
   }
 
   test("journald export blocks parse FIELD=value pairs") {
