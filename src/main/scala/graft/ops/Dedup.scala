@@ -532,20 +532,23 @@ object Dedup {
           transform(sequence(lit(0), size(ts) - k),
             i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
         .otherwise(array().cast("array<bigint>"))).as("h"))
-    // one scan, three exchanges, NO join: the (id, h) rollup keeps in-doc
-    // multiplicity, doc frequency rides a window over h on that same
-    // relation (a separate frequency branch would re-explode the corpus —
-    // the optimizer prunes the branches differently, so their exchanges
-    // never unify), and the per-doc rollup sums the carried
-    // multiplicities. Doc frequency counts ROWS of the (id, h) rollup per
-    // h = distinct documents containing the window (a window repeated
-    // inside ONE doc is repetition, not cross-doc duplication). Skew
-    // note: a corpus-degenerate window hash serializes its window(h)
-    // partition; uniform 64-bit hashes make that a pathology (a single
-    // k-gram shared by a large corpus fraction), not a normal-data risk.
-    val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
-      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("h")))
-    perDoc
+    spanRollup(wins, minDocs)
+  }
+
+  /** Shared tail of the token/char duplicate-span ops: (id, h) rollup
+    * keeps in-doc multiplicity; doc frequency counts rollup ROWS per h
+    * (= distinct documents containing the window — in-doc repetition is
+    * not cross-doc duplication) via an AGGREGATE + equi-join, not a
+    * window over h: a window serializes each h partition, and hot
+    * windows are the NORM in the data this op exists for (boilerplate
+    * shared by large corpus fractions), while the aggregate partial-
+    * combines map-side and AQE's skew-join splits the join's hot h
+    * partitions. The two h-hash exchanges over the rollup are identical
+    * subtrees, so ReuseExchange shuffles the rollup once. */
+  private def spanRollup(wins: DataFrame, minDocs: Int): DataFrame = {
+    val rolled = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
+    val docFreq = rolled.groupBy("h").agg(count(lit(1)).as("__docs"))
+    rolled.join(docFreq, Seq("h"))
       .groupBy("id")
       .agg(sum("__reps").as("n_windows"),
            sum(when(col("__docs") >= minDocs, col("__reps"))
@@ -559,10 +562,9 @@ object Dedup {
     * stream (suffix arrays over bytes), so windows here are every
     * k-CODE-POINT span of the raw text, hashed by an O(n) rolling kernel
     * (functions/Shingles.scala graft_char_windows — per-window hashing
-    * would be O(n·k)). Same one-scan three-exchange plan as the token
-    * variant: (id, h) rollup carries in-doc multiplicity, doc frequency
-    * rides a window over h, per-doc rollup sums multiplicities. Returns
-    * (id, n_windows, dup_windows, dup_fraction). */
+    * would be O(n·k)). Same one-scan skew-robust plan as the token
+    * variant (see [[spanRollup]]). Returns (id, n_windows, dup_windows,
+    * dup_fraction). */
   def duplicateSpanChars(df: DataFrame, textCol: String, idCol: String,
                          k: Int = 50, minDocs: Int = 2): DataFrame = {
     require(k > 0 && minDocs >= 2,
@@ -570,15 +572,7 @@ object Dedup {
     val wins = df.select(col(idCol).as("id"),
       explode(graft.functions.Shingles.charWindowHashes(
         coalesce(col(textCol), lit("")), k)).as("h"))
-    val perDoc = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
-      .withColumn("__docs", count(lit(1)).over(Window.partitionBy("h")))
-    perDoc
-      .groupBy("id")
-      .agg(sum("__reps").as("n_windows"),
-           sum(when(col("__docs") >= minDocs, col("__reps"))
-             .otherwise(0L)).as("dup_windows"))
-      .withColumn("dup_fraction",
-        col("dup_windows").cast("double") / col("n_windows"))
+    spanRollup(wins, minDocs)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

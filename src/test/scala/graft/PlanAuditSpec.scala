@@ -164,14 +164,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(countOf(p, "HashAggregate") <= 2, p)
   }
 
-  test("duplicateSpans: one corpus scan, multiplicity carried not re-exploded") {
+  test("duplicateSpans: skew-robust doc-frequency join, no window over h") {
     import spark.implicits._
     val docs = (0 until 20).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta $i"))
       .toDF("doc_id", "text")
     val p = plan(graft.ops.Dedup.duplicateSpans(docs, "text", "doc_id", k = 4))
-    // the de-optimized shape exploded the corpus once for the distinct
-    // doc-frequency branch and again for the join branch
-    assert(countOf(p, "Generate explode") == 1, p)
+    // doc frequency must attach via aggregate + equi-join (AQE can split
+    // a hot window-hash partition), NEVER a Window over h (hot windows —
+    // boilerplate shared corpus-wide, the op's whole purpose — would
+    // serialize into single unsplittable tasks). The price is the corpus
+    // exploding once per branch (the pruned branches' exchanges don't
+    // unify), each behind a map-side partial aggregate — bounded extra
+    // map work, not extra shuffle skew.
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+    assert(countOf(p, "Generate explode") <= 2, p)
   }
 
   test("needed-fields-bounded bare unpack_json: per-key kernel, no full-map parse") {
