@@ -101,6 +101,15 @@ object OpsScaleProbe {
     }
     println(f"OPSSCALE   -> exact-jaccard recall ${njFound * 100.0 / planted}%.1f%% of $planted planted pairs, ${nDocs / njSec / 1e3}%.0f k docs/s")
 
+    // 3c. ExactSubstr duplicate spans (round-8 shape: doc-frequency via
+    // aggregate + skew-join, no window over the hash) — the planted dup
+    // pairs share their predecessor's whole text, so ~2% of docs must
+    // report duplicated windows
+    time("duplicate_spans_tokens") {
+      graft.ops.Dedup.duplicateSpans(docs, "text", "doc_id", k = 8)
+        .filter(col("dup_windows") > 0).count()
+    }
+
     // 4. connected components over the candidates — forced DISTRIBUTED
     // star rounds (maxLocalEdges=0 disables the driver union-find gate)
     time("cc_star_rounds_distributed") {
