@@ -117,6 +117,23 @@ object OpsScaleProbe {
         maxLocalEdges = 0L).count()
     }
 
+    // 4b. mass-duplicate stress: the pathological corpus the bucket caps
+    // exist for — 10% of docs are ONE identical text, which without the
+    // maxBucketSize cap would put ~n²/100 candidate pairs through a
+    // single band bucket. Must complete with bounded fan-out (identical
+    // docs are exact-dedup's job; LSH drops the over-cap buckets).
+    locally {
+      val stressN = math.min(nDocs, 200000L)
+      val stress = spark.range(0, stressN, 1, 32)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 10 === 0, lit("mass duplicated boilerplate " +
+            "page body shared across the whole corpus fraction"))
+            .otherwise(textOf(col("id"))).as("text"))
+      time("mass_duplicate_lsh_stress") {
+        Dedup.minhashLSH(stress, "text", "doc_id", threshold = 0.7).count()
+      }
+    }
+
     // 5. decontamination against a 1k-doc benchmark slice
     time("decontaminate_vs_1k_bench") {
       graft.ops.TextAnalysis // (kept import used)

@@ -17,6 +17,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "*", "error", "foo:bar", "_time:5m", "_time:[2024-01-01, 2024-02-01)",
     "{app=\"x\",env=~\"p.*\"}", "_stream_id:abc123", "field:in(a, b, c)",
     "f:in(q | fields f)", "f:contains_all(a, b)", "f:seq(\"a\", \"b\")",
+    "_stream_id:in(app:web | fields _stream_id)", "_stream_id:in(a1, b2)",
     "f:~\"re.*\"", "f:>10KiB", "f:<\"zz\"", "f:range(1, 10]",
     "f:ipv4_range(1.2.3.4, 5.6.7.8)", "f:string_range(a, b)",
     "f:len_range(1, 5)", "f:value_type(dict)", "f:eq_field(g)", "i(Foo)",
