@@ -1747,20 +1747,42 @@ object Compiler {
     * both paths must agree. Targets that are existing NON-string
     * columns are skipped, the same exclusion mergeIntoFields applies
     * (a map write would be invisible on read). */
+  /** Attribute metadata marking a column CREATED by a bounded unpack: on
+    * the full-parse path the same value would be a fields-MAP entry, so
+    * a later unpack in the chain must treat it as map-resident (nullable
+    * base, no strF "" coercion, untouched when its prefix can't reach
+    * it). A pipe that re-creates the column through a plain alias
+    * (projection, format) drops the marker — correctly, because the full
+    * path would materialize a REAL column there too. */
+  private val BoundedArtifactMeta =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.boundedUnpack", true).build()
+
+  private def isBoundedArtifact(d: DataFrame, name: String): Boolean =
+    d.schema.fields.exists(f => f.name == name &&
+      f.metadata.contains("graft.boundedUnpack"))
+
   private def applyBoundedUnpack(d: DataFrame, targets: Seq[String],
       prefix: String, keep: Boolean, skipE: Boolean, cond: Option[Column],
       value: String => Column): DataFrame = {
     val writes = targets.flatMap { target =>
       val isStrCol = fieldType(d, target).exists(_.isInstanceOf[StringType])
+      // a REAL pre-existing string column (promoted field, projection
+      // output) takes the full path's colWrites semantics: strF view and
+      // an unconditional rewrite; a bounded-artifact column stays
+      // map-entry-like
+      val isRealCol = isStrCol && !isBoundedArtifact(d, target)
       val docKey =
         if (target.startsWith(prefix)) Some(target.drop(prefix.length))
         else None
       if (hasCol(d, target) && !isStrCol) None // typed col: invisible write
-      else if (docKey.isEmpty && !isStrCol) None // nothing observable
+      else if (docKey.isEmpty && !isRealCol) None // nothing observable
       else Some {
         val v = docKey.map(value).getOrElse(lit(null).cast(StringType))
         val base: Column =
-          if (isStrCol) coalesce(col(quoteName(target)).cast(StringType), lit(""))
+          if (isRealCol)
+            coalesce(col(quoteName(target)).cast(StringType), lit(""))
+          else if (isStrCol) col(quoteName(target))
           else if (hasFieldsMap(d)) element_at(col("fields"), target)
           else lit(null).cast(StringType)
         val v2 =
@@ -1772,7 +1794,10 @@ object Compiler {
           case Some(c) => when(c, v2).otherwise(base)
           case None => v2
         }
-        target -> out
+        // real columns keep their identity; NEW and artifact columns
+        // carry (or re-carry) the artifact marker
+        target -> (if (isRealCol) out
+                   else out.as(target, BoundedArtifactMeta))
       }
     }.toMap
     if (writes.isEmpty) d else d.withColumns(writes)

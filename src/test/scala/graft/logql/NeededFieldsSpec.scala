@@ -157,7 +157,12 @@ class NeededFieldsSpec extends SparkSuite {
       "* | unpack_json from _msg keep_original_fields",
       """* | unpack_json if (level:error) from _msg""",
       """* | unpack_json from _msg result_prefix "p_"""",
-      "level:error | unpack_json from _msg")
+      "level:error | unpack_json from _msg",
+      // chained unpacks: the first must extract the second's SOURCE field
+      // (needed-before of unpack2 includes its `from`) plus the terminal
+      // keys — the transfer composition the analysis exists for
+      "* | unpack_json from _msg | unpack_logfmt from other",
+      "* | unpack_logfmt from _msg | unpack_json from k")
     val tails = Seq(
       "stats by (k) count() c",
       "stats count_uniq(k) uk, min(k) mn, max(k) mx",
