@@ -162,7 +162,8 @@ class NeededFieldsSpec extends SparkSuite {
       // (needed-before of unpack2 includes its `from`) plus the terminal
       // keys — the transfer composition the analysis exists for
       "* | unpack_json from _msg | unpack_logfmt from other",
-      "* | unpack_logfmt from _msg | unpack_json from k")
+      "* | unpack_logfmt from _msg | unpack_json from k",
+      """* | unpack_json from _msg result_prefix "p_" keep_original_fields""")
     val tails = Seq(
       "stats by (k) count() c",
       "stats count_uniq(k) uk, min(k) mn, max(k) mx",
@@ -178,7 +179,10 @@ class NeededFieldsSpec extends SparkSuite {
       "math (k * 2) as lk | stats sum(lk) s, count() c",
       "copy k as k2 | delete k | stats by (k2) count() c",
       "len(k) as kl | stats max(kl) m",
-      "stats by (k, level) count() c")
+      "stats by (k, level) count() c",
+      "where p_k:=v1 | stats count() c",
+      "unroll by (k) | stats by (k) count() c",
+      "stats by (k:10) count() c")
     // second fixture: a PRE-EXISTING nullable string column k — the
     // unpack write-through path, including NULL cells that the full
     // path's strF view coerces to "" (a divergence this matrix caught)
