@@ -943,6 +943,8 @@ object SparkEntry {
     //      (StreamOracle: deterministic single-batch file source) ----
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamOracle.dedupResult(s, d)),
+    "q_stream_neardup" -> ((s, d) =>
+      graft.streaming.StreamOracle.nearDupResult(s, d)),
     "q_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamOracle.sessionsResult(s, d)),
     // ---- REAL MPEG-1 I-frame decode (ops/Mpeg1.scala: VLC tables,
@@ -1827,6 +1829,9 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
          FROM events WHERE user_id % 5 = 0 GROUP BY 1 ORDER BY 1""",
+    // streaming LSH near-dup: 19 planted pairs, all must surface
+    "q_stream_neardup" ->
+      "SELECT CAST(19 AS BIGINT) AS planted_found",
     "q_stream_sessions" ->
       """SELECT event_type AS key, count(*) AS hits, min(ts) AS first_time,
          max(ts) AS last_time FROM events WHERE user_id % 5 = 0

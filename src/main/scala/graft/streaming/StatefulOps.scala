@@ -27,6 +27,66 @@ object StatefulOps {
       .withWatermark("_time", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming near-duplicate CANDIDATE detection: the incremental form
+    * of Dedup.minhashLSH for a document stream — every incoming doc is
+    * checked against the corpus seen SO FAR, not just its own
+    * micro-batch. Docs explode to (band bucket, id); per-bucket state
+    * holds the ≤`maxBucketSize` member ids, and each new member emits a
+    * candidate pair against every existing member before joining the
+    * state (an over-cap bucket stops emitting — the batch op's
+    * pathological-bucket rule; identical docs are exact dedup's job).
+    *
+    * Emitted pairs are CANDIDATES (id_a < id_b, possibly repeated when
+    * two docs share several buckets): verification — signature Jaccard /
+    * exact n-gram — is a batch-side join, exactly like the batch op's
+    * second phase. State is per-bucket id lists in the streaming state
+    * store (RocksDB on a cluster); `ttlMs` > 0 expires idle buckets via
+    * a processing-time timeout so unbounded retention is opt-in, not the
+    * default failure mode. Note: a processing-time timeout makes the
+    * engine schedule timeout-check batches continuously even when idle —
+    * pair it with a real trigger interval (production), not with
+    * processAllAvailable-style drives. */
+  def nearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 128,
+                        bands: Int = 32, maxBucketSize: Int = 64,
+                        ttlMs: Long = 0L): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
+    val bandRows = docs.select(
+        col(idCol).cast("long").as("id"),
+        graft.ops.Dedup.minhashSignature(col(textCol), shingleSize, numHashes)
+          .as("sig"))
+      .select(col("id"),
+        explode(graft.functions.MinHashSim.bandHashes(col("sig"), bands))
+          .as("bucket"))
+      .as[(Long, Long)]
+    val timeoutKind =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bandRows.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutKind) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            rows.foreach { case (id, _) =>
+              if (members.length < maxBucketSize && !members.contains(id)) {
+                members.foreach { m =>
+                  out += (if (m < id) (m, id) else (id, m))
+                }
+                members = id :: members
+              }
+            }
+            state.update(members)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Closed per-key activity summary (hits + first/last event time),
     * emitted once the key has been silent for `gap` of EVENT time — i.e.
     * session-gap semantics, the streaming counterpart of

@@ -86,6 +86,47 @@ object StreamOracle {
       .orderBy("event_type")
   }
 
+  /** Deterministic synthetic doc corpus with planted near-dups (every
+    * 10th doc repeats its predecessor plus a short tail) for the
+    * streaming near-dup drive; sf-independent, built once per JVM. */
+  private def ensureDocs(spark: SparkSession): String = synchronized {
+    val dir = "/root/repo/target/graft_stream_store/neardup_docs_v1"
+    if (!built.contains(dir) &&
+        !new java.io.File(s"$dir/_SUCCESS").exists()) {
+      import spark.implicits._
+      val vocab = (0 until 30).map(i => s"w$i")
+      def text(i: Int): String =
+        (0 until 25).map(j => vocab((i * 7 + j * j) % 30)).mkString(" ")
+      val rows = (0 until 200).map { i =>
+        (i.toLong, if (i % 10 == 0 && i > 0) text(i - 1) + " zz zz" else text(i))
+      }
+      rows.toDF("doc_id", "text").repartition(2)
+        .write.mode("overwrite").parquet(dir)
+    }
+    built += dir
+    dir
+  }
+
+  /** nearDupCandidates over the planted corpus: all 19 planted pairs
+    * (i-1, i) for i = 10..190 step 10 must surface as candidates. */
+  def nearDupResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureDocs(spark)
+    val qn = s"strm_nd_${nameSeq.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = drain(
+      StatefulOps.nearDupCandidates(stream, "text", "doc_id")
+        .toDF("id_a", "id_b"),
+      qn, extraBatch = false)
+    out.filter(col("id_b") === col("id_a") + 1 && col("id_b") % 10 === 0)
+      .select("id_a", "id_b").distinct()
+      .agg(count(lit(1)).as("planted_found"))
+  }
+
   /** keySummaryStream keyed by event_type with a gap wider than the
     * fixture's whole span → one session per key, flushed by the
     * sentinel; equals `count/min/max GROUP BY event_type`. */

@@ -49,6 +49,45 @@ class StatefulOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidates finds CROSS-BATCH near-dups via bucket state") {
+    import spark.implicits._
+    val dir = tmp("neardup")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def write(name: String, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$dir/docs")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    write("b1", (1L, base), (2L, "totally different words nothing shared " +
+      "here at all not even close to the first document text body"))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+    // ttlMs = 0 (NoTimeout): a processing-time timeout makes the engine
+    // schedule continuous timeout-check batches, which never settles
+    // under processAllAvailable in a test
+    val q = StatefulOps.nearDupCandidates(stream, "text", "doc_id",
+        maxBucketSize = 16)
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName("neardupq")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/.ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives LATER: its near-dup of doc 1 must pair against
+      // the bucket state, not just its own batch
+      write("b2", (3L, base + " plus tail"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardupq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), pairs.toString)
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toString)
+    } finally q.stop()
+  }
+
   test("keySummaryStream closes sessions after the event-time gap") {
     val store = tmp("sessions")
     append(store, Seq(
