@@ -276,13 +276,18 @@ object Mpeg1 {
         val br = new BitReader(content, off.toLong * 8, end.toLong * 8)
         code match {
           case 0xB3 =>
-            w = br.read(12); h = br.read(12)
+            val nw = br.read(12); val nh = br.read(12)
             // header dimensions are attacker-controlled (these bytes flow
             // straight from corpus rows via extractFeatures): bound the
             // per-frame AND whole-stream pixel allocation like decodeAvi
             // bounds its containers — a few-KB stream must not command
-            // gigabytes of BufferedImages
-            if (w.toLong * h > MaxFramePixels) return None
+            // gigabytes of BufferedImages. Keep-what-we-have, like bad
+            // slices: a corrupt trailing header must not discard frames
+            // already decoded
+            if (nw.toLong * nh > MaxFramePixels) {
+              emit() // flush the pending picture before going dead
+              picOk = false; picIsIntra = false; mbW = 0; mbH = 0
+            } else { w = nw; h = nh; mbW = (w + 15) / 16; mbH = (h + 15) / 16 }
             br.read(4) // pel aspect
             val rate = br.read(4)
             if (rate >= 1 && rate <= 8) usPerFrame = RateUs(rate)
@@ -293,7 +298,6 @@ object Mpeg1 {
               while (k < 64) { q(Zigzag(k)) = br.read(8); k += 1 }
               intraQ = q
             }
-            mbW = (w + 15) / 16; mbH = (h + 15) / 16
           case 0x00 => // picture header: emit the previous picture first
             emit()
             picOk = false
@@ -317,7 +321,9 @@ object Mpeg1 {
                 decodeSlice(br, sc, mbW, mbH, intraQ, yPlane, cbPlane, crPlane)
                 picOk = true
               } catch {
-                case _: Exception => picOk = false; picIsIntra = false
+                case e: Exception =>
+                  if (sys.props.contains("graft.mpeg1.debug")) e.printStackTrace()
+                  picOk = false; picIsIntra = false
               }
             }
           case _ => () // GOP, user data, extensions, sequence end

@@ -116,7 +116,11 @@ object Sampling {
     // one lazy plan — no driver collect, no extra jobs
     def bucketLogP(df: DataFrame, name: String): (DataFrame, DataFrame) = {
       val c = grams(df).groupBy("__b").agg(count(lit(1)).as("__c"))
-      val tot = c.agg(sum("__c").cast("double").as(s"${name}_tot"))
+      // coalesce: a corpus with zero n-grams (every doc shorter than n)
+      // must yield the defined all-floor limit, not NULL weights (sum
+      // over zero rows is NULL)
+      val tot = c.agg(coalesce(sum("__c").cast("double"), lit(0d))
+        .as(s"${name}_tot"))
       (c.crossJoin(broadcast(tot))
         .select(col("__b"),
           log((col("__c") + smoothing) /

@@ -33,8 +33,12 @@ object StatefulOps {
     * micro-batch. Docs explode to (band bucket, id); per-bucket state
     * holds the ≤`maxBucketSize` member ids, and each new member emits a
     * candidate pair against every existing member before joining the
-    * state (an over-cap bucket stops emitting — the batch op's
-    * pathological-bucket rule; identical docs are exact dedup's job).
+    * state. Over-cap buckets stop ADMITTING members: unlike the batch
+    * op, which retroactively drops an over-cap bucket's pairs, a stream
+    * cannot un-emit — so a pathological bucket contributes the pairs of
+    * its FIRST maxBucketSize arrivals (arrival-order dependent), then
+    * goes quiet. Candidates are a verification input either way;
+    * identical docs remain exact dedup's job.
     *
     * Emitted pairs are CANDIDATES (id_a < id_b, possibly repeated when
     * two docs share several buckets): verification — signature Jaccard /
@@ -70,7 +74,8 @@ object StatefulOps {
         (_: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Nil)
+            val before = state.getOption.getOrElse(Nil)
+            var members = before
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
             rows.foreach { case (id, _) =>
               if (members.length < maxBucketSize && !members.contains(id)) {
@@ -80,7 +85,10 @@ object StatefulOps {
                 members = id :: members
               }
             }
-            state.update(members)
+            // skip the state-store write when nothing changed: a full or
+            // replayed bucket must not rewrite its member list (RocksDB
+            // write amplification on exactly the hot buckets)
+            if (members ne before) state.update(members)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             out.iterator
           }

@@ -20,9 +20,6 @@ class MapOpsSpec extends SparkSuite {
       schema)
   }
 
-  private def asSeqMap(r: Row): Seq[(String, String)] =
-    r.getAs[Map[String, String]](0).toSeq
-
   test("entriesFirstWins / entriesLastWins precedence and order") {
     val df = entriesDf(Seq("a" -> "1", "b" -> "2", "a" -> "3", "c" -> "4"))
     val first = df.select(MapOps.entriesFirstWins(col("e"))).collect().head

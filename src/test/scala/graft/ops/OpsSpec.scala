@@ -915,6 +915,12 @@ class OpsSpec extends SparkSuite {
       // rewrite w/h: first 3 header bytes after 000001B3 are w(12),h(12)
       giant(4) = 0xff.toByte; giant(5) = 0xff.toByte; giant(6) = 0xff.toByte
       assert(Mpeg1.decode(giant).isEmpty)
+      // a giant header APPENDED after valid frames keeps what decoded
+      // (keep-what-we-have, same as bad slices)
+      val appended = Mpeg1.encodeIntra(Seq(0x808080), 16, 16) ++ giant.take(12)
+      val kept = Mpeg1.decode(appended)
+      assert(kept.isDefined && kept.get.frames.length == 1,
+        kept.map(_.frames.length).toString)
     }
     // adversarial bytes: truncations and flips never throw
     assert(Mpeg1.decode("not mpeg".getBytes("UTF-8")).isEmpty)

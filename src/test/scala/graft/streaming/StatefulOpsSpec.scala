@@ -57,12 +57,12 @@ class StatefulOpsSpec extends SparkSuite {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    def write(name: String, rows: (Long, String)*): Unit =
+    def write(rows: (Long, String)*): Unit =
       rows.toSeq.toDF("doc_id", "text").repartition(1)
         .write.mode("append").parquet(s"$dir/docs")
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    write("b1", (1L, base), (2L, "totally different words nothing shared " +
+    write((1L, base), (2L, "totally different words nothing shared " +
       "here at all not even close to the first document text body"))
     val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
     // ttlMs = 0 (NoTimeout): a processing-time timeout makes the engine
@@ -79,7 +79,7 @@ class StatefulOpsSpec extends SparkSuite {
       q.processAllAvailable()
       // batch 2 arrives LATER: its near-dup of doc 1 must pair against
       // the bucket state, not just its own batch
-      write("b2", (3L, base + " plus tail"))
+      write((3L, base + " plus tail"))
       q.processAllAvailable()
       val pairs = spark.table("neardupq").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
