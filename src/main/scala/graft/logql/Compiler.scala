@@ -1980,8 +1980,23 @@ object Compiler {
           mapPrefixRewrite(col("fields"), srcP, dstP, keepOld))
       out
     } else if (keepOld) d.withColumn(dst, anyF(d, src))
-    else if (hasCol(d, src)) d.withColumnRenamed(src, dst)
-    else d.withColumn(dst, anyF(d, src))
+    else {
+      // rename REMOVES the source (pipe_rename.go; reading it afterwards
+      // gives "") — including its fields-MAP entry: leaving the entry
+      // behind kept the old name readable (map-resident source), or let
+      // a stale entry resurface from under a renamed column's shadow
+      val moved =
+        if (hasCol(d, src)) {
+          // an existing dst column must be REPLACED (the reference
+          // overwrites) — withColumnRenamed would duplicate the name
+          val d0 = if (hasCol(d, dst) && dst != src) d.drop(dst) else d
+          d0.withColumnRenamed(src, dst)
+        } else d.withColumn(dst, anyF(d, src))
+      if (hasFieldsMap(moved) && src != dst)
+        moved.withColumn("fields",
+          map_filter(col("fields"), (k, _) => k =!= src))
+      else moved
+    }
 
   /** Rewrite `srcP`-prefixed keys of a string map to `dstP`-prefixed ones
     * (copy keeps the originals, rename drops them); rewritten entries win

@@ -155,6 +155,28 @@ class CompilerSpec extends SparkSuite {
       ("warn", 1L, None))) // "n/a" doesn't parse
   }
 
+  test("rename removes the source field, map-resident included") {
+    // reference pipe_rename: `mv a as aa` leaves a unreadable. The
+    // map-resident case leaked the old entry (and a renamed column
+    // un-shadowed a stale map entry) until round 8's differential fuzz
+    // caught full-vs-bounded disagreement here.
+    import spark.implicits._
+    val df = (0 until 5).map(i => (s"""{"a":$i,"b":"y$i"}""", "info"))
+      .toDF("js", "level")
+    val q = """* | unpack_json from js | rename a as aa
+               | stats count() c, count(a) ca, count(aa) caa"""
+    val out = Compiler.run(df, q, NOW).collect().head
+    assert(out.getAs[Long]("c") == 5 && out.getAs[Long]("ca") == 0 &&
+      out.getAs[Long]("caa") == 5, out.toString)
+    // the kill-switched full path must agree
+    System.setProperty("graft.neededfields.disable", "1")
+    try {
+      val full = Compiler.run(df, q, NOW).collect().head
+      assert(full.getAs[Long]("ca") == 0 && full.getAs[Long]("caa") == 5,
+        full.toString)
+    } finally System.clearProperty("graft.neededfields.disable")
+  }
+
   test("stats time bucket") {
     val df = run("* | stats by (_time:1h) count() hits | sort by (_time)")
     assert(df.count() == 5) // all rows in distinct hours
