@@ -31,16 +31,21 @@ object UnpackDiffFuzz {
       """{"n":"42"}""", """{"k":null,"n":"0"}""",
       """{"k":"dup","k":"dup2"}""", "not json", "",
       """{"k":"with space","n":"1e3"}""", """  {"k":"ws"}""")
+    val lfs = Seq("""k=v1 n=7 other="x y"""", "k= n=-2", "n=9 n=8 dup=1",
+      "", "no pairs here", """k="q\"uote" n=0""", "k=v n=", "weird==x",
+      "k=last n=1 k=first", "just=one")
     val df = msgs.zipWithIndex.map { case (m, i) =>
       (m, Seq("error", "info", "warn")(i % 3),
-        if (i % 4 == 0) null else s"pre$i")
-    }.toDF("_msg", "level", "k")
+        if (i % 4 == 0) null else s"pre$i", lfs(i % lfs.length))
+    }.toDF("_msg", "level", "k", "lf")
     val heads = Seq(
       "* | unpack_json from _msg",
       "* | unpack_json from _msg skip_empty_results",
       "* | unpack_json from _msg keep_original_fields",
       "* | unpack_json if (level:error) from _msg",
-      """* | unpack_json from _msg result_prefix "p_"""")
+      """* | unpack_json from _msg result_prefix "p_"""",
+      "* | unpack_logfmt from lf",
+      "* | unpack_logfmt if (level:info) from lf skip_empty_results")
     val mids = Seq(
       """format "<k>/<n>" as f""",
       "math (n * 2) as n2",
