@@ -132,6 +132,12 @@ object SparkEntry {
     // ---- word filter + stats (§2.1 #1, §2.2 #32) ----
     "q_lql_filter_stats" -> ((s, d) =>
       lql(s, d, "event_type:purchase | stats by (event_type) count() hits")),
+    // ---- bare stats/filter pipe shorthand (pipe.go:368-380 default
+    // branch: `| count()` without the stats keyword, `| event_id:>5`
+    // without the filter keyword) ----
+    "q_lql_bare_stats" -> ((s, d) =>
+      lql(s, d,
+        "* | event_type:purchase | by (event_type) count() hits, sum(event_id) s")),
     // ---- time bucketing via LogsQL (§2.3 grouping extras) ----
     "q_lql_time_stats" -> ((s, d) =>
       lql(s, d,
@@ -1171,6 +1177,9 @@ object SparkEntry {
     "q_lql_filter_stats" ->
       """SELECT event_type, count(*) AS hits FROM events
          WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_lql_bare_stats" ->
+      """SELECT event_type, count(*) AS hits, CAST(sum(event_id) AS DOUBLE) AS s
+         FROM events WHERE event_type = 'purchase' GROUP BY 1""",
     "q_lql_time_stats" ->
       """SELECT epoch(date_trunc('day', ts)) AS day_s, count(*) AS hits
          FROM events GROUP BY 1 ORDER BY 1""",

@@ -766,7 +766,14 @@ final class Parser(input: String, now: Long) {
   // ------------------------------------------------------------------ pipes
 
   private def parsePipe(): Pipe = {
-    val name = readWord().toLowerCase
+    skipWs()
+    val pipeStart = pos
+    // a pipe may start with a non-word token (`| "phrase"`, `| ~"re"`) —
+    // those go straight to the bare-filter fallback below, like the
+    // reference's default branch (pipe.go:368-380)
+    val name = try readWord().toLowerCase catch {
+      case _: ParseException => return barePipe(pipeStart, s"'${peekCh}'")
+    }
     name match {
       case "fields" | "keep" => Pipe.Fields(parseFieldList())
       case "delete" | "del" | "drop" | "rm" => Pipe.Delete(parseFieldList())
@@ -937,8 +944,25 @@ final class Parser(input: String, now: Long) {
           else more = false
         }
         Pipe.Facets(n, maxPerField, maxLen, keepConst)
-      case other => err(s"unknown pipe '$other'")
+      case other => barePipe(pipeStart, s"'$other'")
     }
+  }
+
+  /** Reference pipe.go:368-380 default branch: an unrecognized pipe head
+    * is retried as a stats pipe without the `stats` keyword (`| count()`,
+    * `| by (x) avg(y)`), then as a filter pipe without the `filter`
+    * keyword (`| level:error`, `| error slow`). parseStatsFunc rejects
+    * unknown function names, so a bare word never mis-parses as stats;
+    * only input that fails BOTH grammars reports `unknown pipe`. */
+  private def barePipe(start: Int, shown: String): Pipe = {
+    def attempt(f: => Pipe): Option[Pipe] = {
+      pos = start
+      try Some(f)
+      catch { case _: ParseException | _: NumberFormatException => None }
+    }
+    attempt(parseStatsPipe())
+      .orElse(attempt(Pipe.Where(parseOr("_msg"))))
+      .getOrElse { pos = start; err(s"unknown pipe $shown") }
   }
 
   private def readLong(): Long = {

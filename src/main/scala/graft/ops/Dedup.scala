@@ -213,47 +213,37 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 10000): DataFrame = {
-    // Aggregate-only plan — no windows, no index self-join. The inverted
-    // index is built as one groupBy(g) with a partial (map-side) combine;
-    // candidate pairs are generated LOCALLY inside each surviving bucket
-    // (all i<j combinations of the sorted id list — identical pair set to
-    // the old index self-join, but without re-shuffling and sorting the
-    // whole index through a SortMergeJoin), then rolled up by pair with
-    // another partial agg. Per-doc post-cutoff counts come from the same
-    // bucket relation (its exchange is reused across the two branches).
-    // Every shuffle here partial-aggregates before the wire, which the
-    // window/self-join formulation could not.
-    // Skew/scale note: a super-frequent shingle is dropped by maxDocFreq
-    // BEFORE pair generation, so per-bucket fan-out is bounded by
-    // maxDocFreq²/2 — deployments at corpus scale set it low (stop-phrase
-    // df), same knob and bound as the old join plan.
+    // Aggregate-only plan — no windows, no index self-join, and the
+    // exploded corpus is shuffled exactly ONCE: a single groupBy(g) with
+    // a capped-collect aggregate ([[graft.functions.CappedIds]]) gathers
+    // each bucket's member ids AND its exact doc frequency in one pass.
+    // Stop-phrase buckets over `maxDocFreq` are dropped on the exact
+    // count (their id arrays were capped at maxDocFreq+1 and never
+    // consumed), so per-group state is bounded regardless of how hot a
+    // shingle is. The previous shape counted first, then RE-JOINED the
+    // exploded corpus against the surviving counts — two corpus-scale
+    // shuffles plus a corpus-scale join; at 100 TB that join is the
+    // dominant cost, here it simply doesn't exist. Candidate pairs are
+    // generated LOCALLY inside each surviving bucket (all i<j
+    // combinations of the sorted id list), then rolled up by pair with a
+    // partial agg; per-doc post-cutoff counts re-derive from the compact
+    // index (bucket-count scale, not corpus scale).
+    // Skew note: per-bucket fan-out stays bounded by maxDocFreq²/2 —
+    // corpus-scale deployments set the knob low (stop-phrase df).
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
-    // two-phase bucket build (see minhashLSH): a codegen'd count applies
-    // the doc-frequency cutoff BEFORE any array exists; sorted ids make
-    // combination pairs come out with id_a < id_b. Unlike the LSH ops the
-    // singleton buckets still matter here — they carry per-doc counts —
-    // so the pair side alone takes the ≥2 filter.
-    val gCounts = exploded.groupBy("g")
-      .agg(count(lit(1)).as("__df"))
+    val gAgg = exploded.groupBy("g")
+      .agg(graft.functions.CappedIds.idsWithCount(col("id"), maxDocFreq + 1).as("r"))
+      .select(col("r._1").as("ids"), col("r._2").as("__df"))
       .filter(col("__df") <= maxDocFreq)
-    // ONE join of the exploded corpus against the doc-frequency table
-    // feeds both branches (the old shape semi-joined `exploded` against
-    // gCounts twice, shuffling it twice at scale; here the g-hash
-    // exchange under gCounts and the join's left side is the same
-    // subtree, and the join output is already g-partitioned, so the
-    // bucket groupBy below needs no further exchange)
-    val withDf = exploded.join(gCounts, Seq("g"))
     // per-doc size of the POST-cutoff shingle set (stop-phrases leave
-    // the counts too, keeping the reported value an exact Jaccard)
-    val perDoc = withDf.groupBy("id").agg(count(lit(1)).as("sh_count"))
-    // singleton buckets (df = 1) carry per-doc counts only — they are
-    // filtered BEFORE the object collect aggregate, like the two-phase
-    // count prefilter did
-    val buckets = withDf.filter(col("__df") >= 2)
-      .groupBy("g")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .select(col("ids"))
+    // the counts too, keeping the reported value an exact Jaccard);
+    // singleton buckets (df = 1) matter here even though they can't pair
+    val perDoc = gAgg.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sh_count"))
+    // sorted ids make combination pairs come out with id_a < id_b
+    val buckets = gAgg.filter(col("__df") >= 2)
+      .select(array_sort(col("ids")).as("ids"))
     // two chained Generates, not one flattened pair array (see minhashLSH)
     val pairs = buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))

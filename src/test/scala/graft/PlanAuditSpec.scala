@@ -132,9 +132,14 @@ class PlanAuditSpec extends SparkSuite {
     // through a SortMergeJoin of itself, and no window funnels it either
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Window"), p)
-    // the only joins are the two per-doc-count attaches plus the two
-    // hot-bucket semi-join prefilters, all broadcast here
-    assert(countOf(p, "BroadcastHashJoin") <= 4, p)
+    // the only joins left are the two per-doc-count attaches (broadcast
+    // here); the index build itself is ONE shuffle of the exploded corpus
+    // (capped-collect fuses the doc-freq count and the id gather), so no
+    // corpus-scale join exists at all
+    assert(countOf(p, "BroadcastHashJoin") <= 2, p)
+    // shuffle exchanges only: gAgg (the ONE corpus-scale shuffle), perDoc,
+    // pair rollup — broadcast exchanges excluded (they're dim-sized)
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p)
   }
 
   test("minhash/simhash candidates: bucket combinations, not a band-table self-join") {

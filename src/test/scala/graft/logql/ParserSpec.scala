@@ -176,8 +176,43 @@ class ParserSpec extends AnyFunSuite {
       StatsFunc.Quantile(0.95, Seq("v")))
   }
 
-  test("unknown pipe errors") {
-    assertThrows[ParseException](parse("* | bogus_pipe x"))
+  test("bare stats pipe shorthand (pipe.go:368-380 default branch)") {
+    // `| count()` — the docs' most common form
+    val q = parse("* | count()")
+    assert(q.pipes.head.asInstanceOf[Pipe.Stats].funcs.head.fn ==
+      StatsFunc.Count(Nil))
+    // with by-fields and alias
+    val q2 = parse("* | by (event_type) avg(event_id) a")
+    val st = q2.pipes.head.asInstanceOf[Pipe.Stats]
+    assert(st.by.map(_.name) == Seq("event_type"))
+    assert(st.funcs.head.fn == StatsFunc.Avg(Seq("event_id")))
+    // multiple funcs
+    val q3 = parse("* | count() hits, sum(n) s")
+    assert(q3.pipes.head.asInstanceOf[Pipe.Stats].funcs.size == 2)
+  }
+
+  test("bare filter pipe shorthand") {
+    // a field filter after a pipe, no `filter` keyword
+    parse("error | limit 10 | event_id:>5").pipes.last match {
+      case Pipe.Where(_) => ()
+      case other => fail(s"expected Where, got $other")
+    }
+    // bare words become a word-AND filter pipe (reference parsePipeFilter
+    // without keyword), NOT an unknown-pipe error
+    parse("* | bogus_pipe x").pipes.head match {
+      case Pipe.Where(_) => ()
+      case other => fail(s"expected Where, got $other")
+    }
+    // non-word pipe heads fall through to the filter too
+    parse("* | \"exact phrase\"").pipes.head match {
+      case Pipe.Where(_) => ()
+      case other => fail(s"expected Where, got $other")
+    }
+  }
+
+  test("unknown pipe errors when both bare grammars fail") {
+    assertThrows[ParseException](parse("* | :"))
+    assertThrows[ParseException](parse("* | count(, )"))
   }
 
   test("stream_context parses before/after/time_window") {
@@ -239,7 +274,9 @@ class ParserSpec extends AnyFunSuite {
       "_time:5m", "error", "foo:bar", "=~", "!=", ">=", "<", "i(", "re(",
       "seq(", "range(", "\\", "\u0000", "日本", " ", "-", "1e9", "0x",
       "extract", "unpack_json", "format", "if", "offset", "limit",
-      "\"unterminated", "{a=", "a*b", "..", "$$", "\t", "\n")
+      "\"unterminated", "{a=", "a*b", "..", "$$", "\t", "\n",
+      // bare stats/filter pipe shorthand fragments (pipe.go:368-380)
+      "by (x)", "avg(y)", "hits", "count() hits", "event_id:>5", "bogus_pipe")
     var parsed = 0
     for (_ <- 1 to 30000) {
       val n = 1 + rnd.nextInt(12)
