@@ -65,6 +65,9 @@ object GraftFunctions {
     ("graft_char_windows",
       "graft_char_windows(s, k) - rolling hashes of every k-char window",
       es => CharWindowHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_token_windows",
+      "graft_token_windows(s, k) - rolling hashes of every k-token window",
+      es => TokenWindowHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
     ("graft_band_hashes",
       "graft_band_hashes(sig, bands) - per-band LSH bucket ids",
       es => BandHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),

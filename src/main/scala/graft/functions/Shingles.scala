@@ -115,6 +115,33 @@ case class CharWindowHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_char_windows"
 }
 
+/** Rolling hashes of every k-TOKEN window — see
+  * [[Shingles.tokenWindowHashesEval]]. */
+case class TokenWindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_windows expects a string column, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.tokenWindowHashesEval(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Shingles.tokenWindowHashesEval($s, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_windows"
+}
+
 object Shingles {
 
   /** `[\p{L}\p{N}_]` per Java regex Unicode categories. */
@@ -202,6 +229,24 @@ object Shingles {
 
   private val RollBase = 0x100000001b3L // odd (FNV prime); invertible mod 2^64
 
+  /** 64-bit finalizer (the MurmurHash3 fmix64 constants): avalanche-mixes
+    * a linearly-built hash so related inputs get unrelated outputs.
+    * REQUIRED before feeding symbol hashes into the linear window roll —
+    * a roll over hashes that are themselves polynomials in RollBase
+    * aligns both on the same power basis, and small symbol differences at
+    * aligned positions cancel EXACTLY mod 2^64 (e.g. fixed-width tokens
+    * differing by one digit at two positions collided systematically in
+    * the 1M-doc rehearsal: +δ·B^i in one token, −δ·B^{i+len} in the
+    * next). After mixing, colliding pairs are structureless → birthday-
+    * bounded like any 64-bit hash. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
   def charWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
     // SQL callers can pass any literal k: non-positive windows have no
     // defined hash — empty result, never an unset array slot (k = 0
@@ -226,9 +271,13 @@ object Shingles {
     val out = new Array[Any](n - k + 1)
     var h = 0L
     var j = 0
+    // roll over MIXED code points (see fmix64): raw cps keep the window
+    // hash a sparse small-coefficient polynomial in RollBase, where a
+    // short lattice vector (a few positions with bounded char deltas) can
+    // cancel mod 2^64; mixed symbols make any colliding pair structureless
     while (j < n) {
-      h = h * RollBase + cps(j)
-      if (j >= k) h -= bk * cps(j - k)
+      h = h * RollBase + fmix64(cps(j).toLong)
+      if (j >= k) h -= bk * fmix64(cps(j - k).toLong)
       if (j >= k - 1) out(j - k + 1) = h
       j += 1
     }
@@ -238,5 +287,54 @@ object Shingles {
   def charWindowHashes(text: Column, k: Int): Column = {
     ensureRegistered()
     call_function("graft_char_windows", text, lit(k))
+  }
+
+  /** Hashes of every k-TOKEN window (ExactSubstr token granularity): one
+    * code-point scan tokenizes (same word-cp classes as [[tokensEval]]),
+    * each token gets a 64-bit content hash, and windows combine k token
+    * hashes with the same invertible rolling scheme as
+    * [[charWindowHashesEval]] — O(n) total, in-doc multiplicity kept.
+    * Replaces the transform(sequence)/xxhash64/slice HOF tower, which
+    * interpreted per element AND broke plan canonicalization (lambda
+    * variables defeat ReuseExchange, so the rollup shuffled twice). */
+  def tokenWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
+    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+    val s = text.toString
+    val len = s.length
+    // per-token content hashes in one scan
+    val toks = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    var inRun = false
+    var th = 0L
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val w = isWordCp(cp)
+      if (w) {
+        if (!inRun) { inRun = true; th = 1125899906842597L }
+        th = th * RollBase + cp
+      } else if (inRun) { toks.add(fmix64(th)); inRun = false }
+      i += Character.charCount(cp)
+    }
+    if (inRun) toks.add(fmix64(th))
+    val m = toks.size()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    var bk = 1L
+    var e = 0
+    while (e < k) { bk *= RollBase; e += 1 }
+    val out = new Array[Any](m - k + 1)
+    var h = 0L
+    var j = 0
+    while (j < m) {
+      h = h * RollBase + toks.get(j)
+      if (j >= k) h -= bk * toks.get(j - k)
+      if (j >= k - 1) out(j - k + 1) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tokenWindowHashes(text: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("graft_token_windows", text, lit(k))
   }
 }

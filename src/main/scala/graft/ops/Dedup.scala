@@ -516,12 +516,14 @@ object Dedup {
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
-    val ts = TextAnalysis.tokens(col(textCol))
+    // O(n) codegen rolling kernel, like the char variant — the earlier
+    // transform(sequence)/xxhash64/slice tower interpreted per element
+    // AND its lambda variables defeated plan canonicalization, so the
+    // (id,h) rollup exchange below was never reused and the corpus
+    // shuffled twice (caught by tools/SubstrProbe)
     val wins = df.select(col(idCol).as("id"),
-      explode(when(size(ts) >= k,
-          transform(sequence(lit(0), size(ts) - k),
-            i => xxhash64(concat_ws(" ", slice(ts, i + 1, lit(k))))))
-        .otherwise(array().cast("array<bigint>"))).as("h"))
+      explode(graft.functions.Shingles.tokenWindowHashes(
+        coalesce(col(textCol), lit("")), k)).as("h"))
     spanRollup(wins, minDocs)
   }
 
@@ -537,7 +539,18 @@ object Dedup {
     * subtrees, so ReuseExchange shuffles the rollup once. */
   private def spanRollup(wins: DataFrame, minDocs: Int): DataFrame = {
     val rolled = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
-    val docFreq = rolled.groupBy("h").agg(count(lit(1)).as("__docs"))
+    // counts rows per h (= distinct docs), but through a predicate on
+    // __reps's VALUE that the optimizer cannot prove constant — a plain
+    // count(*) lets it rewrite this branch's copy of `rolled` to a
+    // keys-only aggregate (no partial_count), making the two (id,h)
+    // exchange subtrees structurally different so neither ReuseExchange
+    // nor AQE stage reuse could share them, and the corpus was
+    // scanned+shuffled TWICE (caught by tools/SubstrProbe). With the
+    // forced dependence both branches shuffle the identical rollup
+    // subtree and it materializes once. __reps >= 1 always, so the
+    // semantics are exactly count(*).
+    val docFreq = rolled.groupBy("h")
+      .agg(count(when(col("__reps") >= 1, lit(1))).as("__docs"))
     rolled.join(docFreq, Seq("h"))
       .groupBy("id")
       .agg(sum("__reps").as("n_windows"),

@@ -413,4 +413,42 @@ class ExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("TokenWindowHashes: rolling hashes ≡ token-window string equality") {
+    // same pinned property as the char variant, at token granularity —
+    // window count = max(tokens-k+1, 0) against the graft_tokens spec,
+    // hash equality iff the space-joined window strings are equal
+    // (globally across inputs), no collisions among distinct windows
+    val word = org.scalacheck.Gen.oneOf("alpha", "βeta", "日本語", "x9_y",
+      "a", "1.2", "shared", "span", "bravo", "aaaa")
+    val sep = org.scalacheck.Gen.oneOf(" ", "  ", ", ", "\n", "--", ".")
+    val textGen = for {
+      ws <- org.scalacheck.Gen.listOfN(12, word)
+      ss <- org.scalacheck.Gen.listOfN(12, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val inputs = org.scalacheck.Gen.listOfN(200, textGen).sample.get ++
+      Seq("", "one", "one two", "a b a b a b", "..., ---")
+    for (k <- Seq(1, 3, 8)) {
+      val got = evalBatch(inputs,
+        c => graft.functions.Shingles.tokenWindowHashes(c, k))
+      val toksAll = evalBatch(inputs, c => graft.functions.Shingles.tokens(c))
+      val winToHash = scala.collection.mutable.HashMap[String, Long]()
+      val hashToWin = scala.collection.mutable.HashMap[Long, String]()
+      inputs.indices.foreach { i =>
+        val toks = toksAll(i).asInstanceOf[scala.collection.Seq[String]]
+        val wins =
+          if (toks.length < k) Seq.empty[String]
+          else (0 to toks.length - k).map(j => toks.slice(j, j + k).mkString(" "))
+        val hs = got(i).asInstanceOf[scala.collection.Seq[Long]]
+        assert(hs.length == wins.length,
+          s"'${inputs(i)}' k=$k: ${hs.length} windows, expected ${wins.length}")
+        wins.zip(hs).foreach { case (w, h) =>
+          assert(winToHash.getOrElseUpdate(w, h) == h,
+            s"equal windows hashed differently: '$w' k=$k")
+          assert(hashToWin.getOrElseUpdate(h, w) == w,
+            s"hash collision: '$w' vs '${hashToWin(h)}' k=$k")
+        }
+      }
+    }
+  }
 }
