@@ -391,6 +391,87 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     Compiler.run(scopedSource(ex), q,
       if (q.evalNs != 0L) q.evalNs else nowNs)
 
+  // ---------------------------------------------- compiled-plan cache
+
+  /** Serving-path plan cache: repeated dashboard/tail-style requests pay
+    * parse → compile → analyze → day-descent on EVERY hit (~0.5s for a
+    * `limit=100` over one day partition — all plan work, no row work).
+    * Entries memoize the finished DataFrame (and for fully-materialized
+    * endpoints the rendered body) keyed by the full request signature,
+    * tenant scope, and the STORE GENERATION — LogStore bumps the
+    * generation on every write/compaction/retention, so a cached plan can
+    * never serve stale data; stale-generation keys simply stop hitting
+    * and age out of the LRU. Reusing one DataFrame object also reuses its
+    * materialized AQE stages, so a hit re-runs only the final stage. */
+  private final case class PlanCacheEntry(jsonDf: Option[DataFrame],
+                                          daysScanned: Option[Long],
+                                          body: Option[String],
+                                          bounded: Boolean = false)
+  private val planCacheMax = 32
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, PlanCacheEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PlanCacheEntry]): Boolean =
+        size > planCacheMax
+    })
+
+  /** Cache key, or None when the request must not be cached. Cacheable =
+    * store-backed source (only those have a mutation-generation signal)
+    * AND the plan provably doesn't depend on the wall clock: either the
+    * `time`/`end` arg pins the evaluation timestamp (and is part of the
+    * key), or relative-time constructs are absent — detected by parsing
+    * twice with two different eval timestamps and comparing ASTs, since
+    * `_time:5m`-style filters resolve against `now` during parsing. */
+  private def planCacheKey(kind: String, ex: HttpExchange,
+                           ps: Map[String, Seq[String]]): Option[String] = {
+    if (storeDir.isEmpty) return None
+    val text = one(ps, "query").getOrElse(return None)
+    val pinned = one(ps, "time").isDefined || one(ps, "end").isDefined
+    val extras = ps.getOrElse("extra_filters", Nil) ++
+      ps.getOrElse("extra_stream_filters", Nil)
+    val invariant = pinned || {
+      val t1 = 1600000000000000000L
+      val t2 = 1700000000000000000L
+      try {
+        Parser.parse(text, t1).copy(evalNs = 0L) ==
+          Parser.parse(text, t2).copy(evalNs = 0L) &&
+        extras.filter(_.nonEmpty).forall(s =>
+          extraFilter(s, stream = false, t1) == extraFilter(s, stream = false, t2))
+      } catch { case _: Exception => false }
+    }
+    if (!invariant) return None
+    val sig = ps.toSeq.sortBy(_._1)
+      .map { case (k, vs) => k + "=" + vs.mkString("\u0001") }
+      .mkString("\u0002")
+    Some(kind + "\u0003" + tenantsOf(ex).mkString(",") + "\u0003" +
+      graft.store.LogStore.generation + "\u0003" + sig)
+  }
+
+  /** Look up / populate the plan cache around `build`; on a hit the
+    * response is produced from the memoized entry. `emit` runs for both
+    * paths; a failure while emitting a cached entry evicts it (a
+    * cancelled run can poison materialized stages) and rethrows. */
+  private def withPlanCache(kind: String, ex: HttpExchange,
+                            ps: Map[String, Seq[String]])
+                           (build: => PlanCacheEntry)
+                           (emit: PlanCacheEntry => Unit): Unit = {
+    val key = planCacheKey(kind, ex, ps)
+    val cached = key.flatMap(k => Option(planCache.get(k)))
+    ex.getResponseHeaders.set("X-Graft-Plan-Cache",
+      if (cached.isDefined) "hit" else if (key.isDefined) "miss" else "bypass")
+    val entry = cached.getOrElse {
+      val e = build
+      key.foreach(k => planCache.put(k, e))
+      e
+    }
+    try emit(entry)
+    catch {
+      case t: Throwable =>
+        key.foreach(planCache.remove(_))
+        throw t
+    }
+  }
+
   /** Render a value like the reference's NDJSON writer: strings as-is,
     * integral doubles without the trailing ".0". */
   private def render(v: Any): String = v match {
@@ -407,41 +488,65 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   private val maxLastNLimit = 100000
 
   private def handleQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val q = parseQ(ex, ps)
-    val df = (one(ps, "limit").map(_.toInt), storeDir) match {
-      // the reference's limit contract is the NEWEST n rows, found by
-      // binary-searching the time range instead of scanning history
-      // (logsql.go:1005-1133, CanReturnLastNResults parser.go:470) — for
-      // store-backed sources route through the day-descent, which also
-      // enforces newest-first and falls back internally for pipes that
-      // cannot early-return over a partial window
-      case (Some(n), Some(dir)) if n > 0 && n <= maxLastNLimit =>
-        val (res, daysScanned) = graft.store.LogStore.lastN(
-          spark, dir, q, n, if (q.evalNs != 0L) q.evalNs else nowNs,
-          scope = tenantScope(ex))
-        ex.getResponseHeaders.set("X-Graft-Days-Scanned", daysScanned.toString)
-        res
-      case (Some(n), _) => runQ(ex, q).limit(n)
-      case (None, _) => runQ(ex, q)
-    }
-    val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
-    val it = json.toLocalIterator()
-    // force the first partition's job BEFORE committing the 200: compile
-    // errors and deadline cancels map to a real error response instead of
-    // a truncated stream (later partitions can still only truncate)
-    it.hasNext
-    ex.getResponseHeaders.set("Content-Type", "application/stream+json")
-    ex.sendResponseHeaders(200, 0)
-    val out = ex.getResponseBody
-    while (it.hasNext) {
-      out.write(it.next().getString(0).getBytes(UTF_8))
-      out.write('\n')
+    withPlanCache("query", ex, ps) {
+      val q = parseQ(ex, ps)
+      val (df, days) = (one(ps, "limit").map(_.toInt), storeDir) match {
+        // the reference's limit contract is the NEWEST n rows, found by
+        // binary-searching the time range instead of scanning history
+        // (logsql.go:1005-1133, CanReturnLastNResults parser.go:470) — for
+        // store-backed sources route through the day-descent, which also
+        // enforces newest-first and falls back internally for pipes that
+        // cannot early-return over a partial window
+        case (Some(n), Some(dir)) if n > 0 && n <= maxLastNLimit =>
+          val (res, daysScanned) = graft.store.LogStore.lastN(
+            spark, dir, q, n, if (q.evalNs != 0L) q.evalNs else nowNs,
+            scope = tenantScope(ex))
+          (res, Some(daysScanned.toLong))
+        case (Some(n), _) => (runQ(ex, q).limit(n), None)
+        case (None, _) => (runQ(ex, q), None)
+      }
+      val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
+      PlanCacheEntry(Some(json), days, None,
+        bounded = one(ps, "limit").exists(n => n.toInt > 0 && n.toInt <= maxLastNLimit))
+    } { entry =>
+      entry.daysScanned.foreach(d =>
+        ex.getResponseHeaders.set("X-Graft-Days-Scanned", d.toString))
+      // bounded results (an explicit limit ≤ maxLastNLimit) collect in ONE
+      // job: toLocalIterator runs one sequential job per partition, which
+      // turns a 100-row lastN response into 32 scheduler round-trips
+      // (~450ms measured) against collect's ~3ms. Unbounded queries keep
+      // the streaming iterator (one partition in memory at a time).
+      val it: Iterator[org.apache.spark.sql.Row] =
+        if (entry.bounded) entry.jsonDf.get.collect().iterator
+        else {
+          val li = entry.jsonDf.get.toLocalIterator()
+          // force the first partition's job BEFORE committing the 200:
+          // compile errors and deadline cancels map to a real error
+          // response instead of a truncated stream (later partitions can
+          // still only truncate)
+          li.hasNext
+          scala.jdk.CollectionConverters.IteratorHasAsScala(li).asScala
+        }
+      ex.getResponseHeaders.set("Content-Type", "application/stream+json")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      while (it.hasNext) {
+        out.write(it.next().getString(0).getBytes(UTF_8))
+        out.write('\n')
+      }
     }
   }
 
   /** `| stats by (_time:step [, fields]) count() hits`, grouped to series
     * (AddCountByTimePipe, parser.go:408-446; pipes are dropped first). */
-  private def handleHits(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+  private def handleHits(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit =
+    // fully-materialized endpoint → memoize the rendered body (same
+    // generation-keyed invalidation as the /query plan cache)
+    withPlanCache("hits", ex, ps) {
+      PlanCacheEntry(None, None, Some(hitsBody(ex, ps)))
+    } { entry => respond(ex, 200, entry.body.get) }
+
+  private def hitsBody(ex: HttpExchange, ps: Map[String, Seq[String]]): String = {
     val step = one(ps, "step").getOrElse("1d")
     val off = one(ps, "offset")
     val fields = ps.getOrElse("field", Nil)
@@ -474,12 +579,11 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           .toSeq.sortBy(_._1)
         ranked.take(fieldsLimit) :+ ("{}", other)
       }
-    val body = series.map { case (fieldsJson, pts) =>
+    series.map { case (fieldsJson, pts) =>
       val ts = pts.map(p => jsonStr(p._1)).mkString(",")
       val vs = pts.map(_._2.toString).mkString(",")
       s"""{"fields":$fieldsJson,"timestamps":[$ts],"values":[$vs],"total":${pts.map(_._2).sum}}"""
     }.mkString("""{"hits":[""", ",", "]}")
-    respond(ex, 200, body)
   }
 
   private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
@@ -736,34 +840,57 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       .getOrElse(Long.MinValue)
     var seenAtLast = Set.empty[Int]
     var polls = 0
+    // idle-poll elision: a poll can only surface new rows if the store
+    // mutated since the last executed poll (generation bump) OR the
+    // previous poll saw rows "from the future" (beyond its hi bound —
+    // they enter the window as hi advances, with no new write). On an
+    // idle tail this skips ALL Spark work per refresh tick instead of
+    // re-compiling and re-running the same plan every second (the
+    // reference's tail re-polls storage too; with an immutable batch
+    // store we can prove the poll is a no-op). Only store-backed sources
+    // have the generation signal; fixed-DF sources always poll.
+    var lastGen = -1L
+    var pendingFuture = true // first poll always runs
     try {
       while (!stopped && polls < maxPolls && System.nanoTime() < deadlineNs) {
-        val hiNs = (System.currentTimeMillis() - offsetMs) * 1000000L
-        val loNs = if (lastSeenUs == Long.MinValue) Long.MinValue
-                   else lastSeenUs * 1000L
-        val windowed = q.copy(filter = Filter.And(Seq(
-          Filter.TimeRange(loNs, hiNs), q.filter)))
-        val df = runQ(ex, windowed)
-        val withT = df.withColumn("__tus",
-          unix_micros(col("_time")))
-        val outCols = df.columns.filter(c => !(stripTime && c == "_time"))
-        val rows = withT.select(to_json(struct(outCols.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
-          .collect()
-        var maxUs = lastSeenUs
-        var atMax = if (rows.exists(_.getLong(1) > lastSeenUs)) Set.empty[Int] else seenAtLast
-        rows.sortBy(_.getLong(1)).foreach { r =>
-          val tus = r.getLong(1)
-          val h = scala.util.hashing.MurmurHash3.stringHash(r.getString(0))
-          val dup = tus == lastSeenUs && seenAtLast.contains(h)
-          if (!dup) {
-            out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+        val gen = graft.store.LogStore.generation
+        val mayHaveNew = storeDir.isEmpty || pendingFuture || gen != lastGen
+        if (mayHaveNew) {
+          val hiUs = (System.currentTimeMillis() - offsetMs) * 1000L
+          val loNs = if (lastSeenUs == Long.MinValue) Long.MinValue
+                     else lastSeenUs * 1000L
+          // the query window is [lo, +inf) — the hi bound applies at
+          // emission, so rows already written with future timestamps are
+          // VISIBLE here (they set pendingFuture and keep the poll loop
+          // live until hi catches up, instead of being invisible to the
+          // generation gate and silently dropped)
+          val windowed = q.copy(filter = Filter.And(Seq(
+            Filter.TimeRange(loNs, Long.MaxValue), q.filter)))
+          val df = runQ(ex, windowed)
+          val withT = df.withColumn("__tus",
+            unix_micros(col("_time")))
+          val outCols = df.columns.filter(c => !(stripTime && c == "_time"))
+          val rows = withT.select(to_json(struct(outCols.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
+            .collect()
+          val (future, emit) = rows.partition(_.getLong(1) > hiUs)
+          pendingFuture = future.nonEmpty
+          lastGen = gen
+          var maxUs = lastSeenUs
+          var atMax = if (emit.exists(_.getLong(1) > lastSeenUs)) Set.empty[Int] else seenAtLast
+          emit.sortBy(_.getLong(1)).foreach { r =>
+            val tus = r.getLong(1)
+            val h = scala.util.hashing.MurmurHash3.stringHash(r.getString(0))
+            val dup = tus == lastSeenUs && seenAtLast.contains(h)
+            if (!dup) {
+              out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
+            }
+            if (tus > maxUs) { maxUs = tus; atMax = Set(h) }
+            else if (tus == maxUs) atMax += h
           }
-          if (tus > maxUs) { maxUs = tus; atMax = Set(h) }
-          else if (tus == maxUs) atMax += h
+          lastSeenUs = maxUs
+          seenAtLast = atMax
+          out.flush()
         }
-        lastSeenUs = maxUs
-        seenAtLast = atMax
-        out.flush()
         polls += 1
         if (polls < maxPolls) Thread.sleep(refreshMs)
       }

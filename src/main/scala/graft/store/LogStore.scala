@@ -77,7 +77,18 @@ object LogStore {
   private val readCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
+  // monotonically bumped on every store mutation (write/compaction/
+  // retention/external invalidateCaches) — serving-path caches key their
+  // compiled plans on this, so a cached plan can never serve data from
+  // before a write it should see. One global counter: coarser than
+  // per-dir (any write invalidates every cached plan) but never wrong.
+  private val generationCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Current store-mutation generation (see [[invalidateCaches]]). */
+  def generation: Long = generationCounter.get
+
   private def invalidate(dir: String): Unit = synchronized {
+    generationCounter.incrementAndGet()
     readCache.filterInPlace { case ((_, d), _) => !d.startsWith(dir) }
   }
 

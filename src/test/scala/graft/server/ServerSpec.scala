@@ -346,6 +346,103 @@ class ServerSpec extends SparkSuite {
     } finally s3.stop()
   }
 
+  test("plan cache: repeats hit, ingest invalidates, results stay fresh") {
+    import spark.implicits._
+    val dir = s"/root/repo/target/server_test/plancache-${System.nanoTime()}"
+    def add(ts: String, msg: String): Unit = {
+      val lines = Seq(s"""{"_time":"$ts","_msg":"$msg","app":"web"}""").toDF("value")
+      graft.streaming.Ingest.appendBatch(
+        graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"))
+    }
+    add("2024-01-01T10:00:00Z", "row one")
+    add("2024-01-02T10:00:00Z", "row two")
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    def getC(pq: String): (String, String) = {
+      val conn = new URI(s"http://127.0.0.1:$p2$pq").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+      val cache = conn.getHeaderField("X-Graft-Plan-Cache")
+      conn.disconnect(); (body, cache)
+    }
+    try {
+      val pq = s"/select/logsql/query?query=${enc("* | stats count() c")}"
+      val (b1, c1) = getC(pq)
+      assert(c1 == "miss", c1)
+      assert(b1.contains("\"c\":2"), b1)
+      val (b2, c2) = getC(pq)
+      assert(c2 == "hit", c2)
+      assert(b2 == b1)
+      // the lastN day-descent path caches too (the expensive serving shape)
+      val lq = s"/select/logsql/query?query=${enc("*")}&limit=1"
+      assert(getC(lq)._2 == "miss")
+      assert(getC(lq)._2 == "hit")
+      // ingest bumps the store generation: cached plans must NOT serve and
+      // the fresh result must include the new row
+      add("2024-01-03T10:00:00Z", "row three")
+      val (b3, c3) = getC(pq)
+      assert(c3 == "miss", "cache served across an ingest")
+      assert(b3.contains("\"c\":3"), b3)
+      // wall-clock-relative queries are never cached (resolve at parse)
+      val rel = s"/select/logsql/query?query=${enc("_time:5m | stats count() c")}"
+      assert(getC(rel)._2 == "bypass")
+      assert(getC(rel)._2 == "bypass")
+      // but a pinned evaluation timestamp makes them reproducible → cached
+      val pinned = rel + "&time=2024-01-03T10:01:00Z"
+      assert(getC(pinned)._2 == "miss")
+      assert(getC(pinned)._2 == "hit")
+    } finally s2.stop()
+  }
+
+  test("tail backfill conformance: late rows into closed windows drop, new rows deliver once") {
+    import spark.implicits._
+    val dir = s"/root/repo/target/server_test/tailback-${System.nanoTime()}"
+    def add(ts: String, msg: String): Unit = {
+      val lines = Seq(s"""{"_time":"$ts","_msg":"$msg","app":"web"}""").toDF("value")
+      graft.streaming.Ingest.appendBatch(
+        graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"))
+    }
+    add("2024-01-01T10:00:00Z", "base one")
+    add("2024-01-03T10:00:00Z", "base two")
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    try {
+      // stream the tail on a background thread, collecting lines live
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val t = new Thread(() => {
+        val conn = new URI(
+          s"http://127.0.0.1:$p2/select/logsql/tail?query=${enc("*")}&refresh_interval=200&max_polls=20")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, UTF_8))
+        var l = br.readLine()
+        while (l != null) { lines.add(l); l = br.readLine() }
+        conn.disconnect()
+      })
+      t.start()
+      Thread.sleep(800) // first polls deliver the base rows
+      // in-order append: newer than everything seen → must deliver, once
+      add("2024-01-04T10:00:00Z", "fresh row")
+      Thread.sleep(800)
+      // backfill INTO a closed poll window (older than the delivered max):
+      // the poll window advances to the max seen row time, so a
+      // late-written older row is DROPPED — same contract as the
+      // reference's live tail, which resumes from the last seen timestamp
+      // and cannot observe rows written behind it (logsql.go:497-660;
+      // clients needing backfill re-query with an explicit time range)
+      add("2024-01-02T10:00:00Z", "late backfill")
+      t.join(20000)
+      assert(!t.isAlive, "tail did not terminate")
+      val all = lines.toArray(Array.empty[String]).toSeq
+      assert(all.count(_.contains("base one")) == 1, all)
+      assert(all.count(_.contains("base two")) == 1, all)
+      assert(all.count(_.contains("fresh row")) == 1, all)
+      assert(all.count(_.contains("late backfill")) == 0, all)
+    } finally s2.stop()
+  }
+
   test("bad query returns a JSON error") {
     // `| nosuchpipe` is a valid bare FILTER pipe since the pipe.go:368-380
     // shorthand landed, so the 400 check needs input failing both bare
