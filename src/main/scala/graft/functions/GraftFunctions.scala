@@ -68,6 +68,10 @@ object GraftFunctions {
     ("graft_token_windows",
       "graft_token_windows(s, k) - rolling hashes of every k-token window",
       es => TokenWindowHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_entries_dedup",
+      "graft_entries_dedup(entries, lastWins) - entry array to map, " +
+        "defined duplicate-key precedence, one pass",
+      es => EntriesDedupExpr(es(0), es(1).eval().asInstanceOf[Boolean])),
     ("graft_band_hashes",
       "graft_band_hashes(sig, bands) - per-band LSH bucket ids",
       es => BandHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),

@@ -23,28 +23,29 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *    lines), implemented by dropping an entry when a later one carries
   *    the same key, so entry ORDER is preserved for duplicate-free input.
   *
-  * O(k²) per row in the entry count — entry lists here are log-record
-  * field sets (tens), not data-plane collections.
+  * One [[EntriesDedupExpr]] kernel pass per row — O(k) in the entry
+  * count, safe for wide client documents (hundreds of keys).
   */
 object MapOps {
 
-  // the (element, index) filter overload keeps the entry structs intact:
-  // repacking them through struct(...as(...)) inside a lambda loses the
-  // aliases under nested-lambda re-resolution (fields come back as the
-  // lambda variable's auto-name)
+  // both map through the EntriesDedupExpr kernel: one LinkedHashMap pass
+  // per row instead of the O(k²) interpreted filter/exists tower this
+  // started as (ingest CPU went quadratic in the entry count on wide
+  // client documents), and positional struct access instead of field
+  // names (repacking entries through struct(...as(...)) inside a lambda
+  // loses the aliases under nested-lambda re-resolution)
+
+  private def dedup(entries: Column, lastWins: Boolean): Column = {
+    GraftFunctions.ensure()
+    call_function("graft_entries_dedup", entries, lit(lastWins))
+  }
 
   /** Entry array → map, first occurrence of each key wins. */
-  def entriesFirstWins(entries: Column): Column =
-    map_from_entries(filter(entries, (e, i) =>
-      !exists(slice(entries, lit(1), i),
-        p => p.getField("key") === e.getField("key"))))
+  def entriesFirstWins(entries: Column): Column = dedup(entries, lastWins = false)
 
   /** Entry array → map, last occurrence of each key wins; order of the
     * surviving entries is their original position. */
-  def entriesLastWins(entries: Column): Column =
-    map_from_entries(filter(entries, (e, i) =>
-      !exists(slice(entries, i + lit(2), size(entries)),
-        p => p.getField("key") === e.getField("key"))))
+  def entriesLastWins(entries: Column): Column = dedup(entries, lastWins = true)
 
   /** Map (possibly carrying duplicate keys, e.g. straight out of
     * from_json) → map with unique keys, first wins. Null propagates. */

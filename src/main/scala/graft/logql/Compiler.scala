@@ -1090,21 +1090,24 @@ object Compiler {
         .filter(v => v >= 0 && v <= 32)
         .getOrElse(throw ParseException(s"bad IPv4 mask bucket '$bk'", 0))
       val sz = if (bits >= 32) 1L else 1L << (32 - bits)
-      // the reference routes IPv4 buckets through truncateUint32(n, size,
-      // OFFSET) too (block_result.go:1731-1745) — pmod keeps the floor
-      // semantics when n-off is negative
+      // truncateUint32 (block_result.go:1540-1553) via the ipv4 caller
+      // (block_result.go:1729-1737): the offset is canonicalized with
+      // uint32(int32(off)) — a NEGATIVE offset becomes a huge uint32 —
+      // and any offset LARGER than the address short-circuits to 0
+      // ('0.0.0.0'), it does not wrap modulo 2^32
       val off = b.offset
         .map(o => NumLit.parse(o).map(_.toLong).getOrElse(
           throw ParseException(s"bad bucket offset '$o'", 0)))
         .getOrElse(0L)
+      val offU32 = off.toInt.toLong & 0xFFFFFFFFL // uint32(int32(off))
       val s = strF(df, b.name)
       val n = ipv4Num(s)
-      // UINT32 arithmetic like truncateUint32: an offset above the
-      // address must wrap modulo 2^32 (rendering "255.255.255.x"), not
-      // produce negative octets
-      val u32 = 4294967296L
-      val m = pmod((pmod(n - lit(off), lit(u32)) / lit(sz)).cast(LongType) * sz
-        + lit(off), lit(u32))
+      val m =
+        if (offU32 == 0L) n - pmod(n, lit(sz))
+        else when(lit(offU32) > n, lit(0L)).otherwise {
+          val shifted = n - lit(offU32) // >= 0 here
+          shifted - pmod(shifted, lit(sz)) + lit(offU32)
+        }
       when(n.isNotNull,
         concat_ws(".", (m / 16777216 % 256).cast(LongType).cast(StringType),
           (m / 65536 % 256).cast(LongType).cast(StringType),

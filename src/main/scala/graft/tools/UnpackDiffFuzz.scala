@@ -76,26 +76,35 @@ object UnpackDiffFuzz {
       val mid = Seq.fill(nm)(mids(rnd.nextInt(mids.length)))
       val t = tails(rnd.nextInt(tails.length))
       val q = (h +: mid :+ t).mkString(" | ")
-      try {
-        val bounded = rows(q)
-        System.setProperty("graft.neededfields.disable", "1")
-        val full = try rows(q)
-        finally System.clearProperty("graft.neededfields.disable")
-        ran += 1
-        if (bounded != full) {
-          diverged += 1
-          println(s"DIVERGED: $q")
-          println(s"  bounded=${bounded.take(6)}")
-          println(s"  full   =${full.take(6)}")
+      // EACH path runs in its own try: a chain where exactly one path
+      // throws (e.g. bounded compile fails, full parse succeeds) is a
+      // DIVERGENCE, not a deliberate compile error — wrapping both runs
+      // in one try silently skipped that case when the bounded path
+      // failed first
+      def attempt(f: => Seq[String]): Either[Throwable, Seq[String]] =
+        try Right(f)
+        catch {
+          case e: graft.logql.ParseException => Left(e)
+          case e: UnsupportedOperationException => Left(e)
+          case e: org.apache.spark.sql.AnalysisException => Left(e)
         }
-      } catch {
-        // deliberate compile errors (e.g. a mid consumed a field the
-        // tail then can't find) are fine as long as BOTH paths agree;
-        // single-path errors would have shown as a throw above after the
-        // first path succeeded
-        case _: graft.logql.ParseException => ()
-        case _: UnsupportedOperationException => ()
-        case _: org.apache.spark.sql.AnalysisException => ()
+      val bounded = attempt(rows(q))
+      System.setProperty("graft.neededfields.disable", "1")
+      val full = try attempt(rows(q))
+      finally System.clearProperty("graft.neededfields.disable")
+      ran += 1
+      val same = (bounded, full) match {
+        case (Right(a), Right(b)) => a == b
+        // both erroring is agreement (deliberate compile errors), but the
+        // exception CLASS must match — a different failure mode diverges
+        case (Left(a), Left(b)) => a.getClass == b.getClass
+        case _ => false
+      }
+      if (!same) {
+        diverged += 1
+        println(s"DIVERGED: $q")
+        println(s"  bounded=${bounded.fold(e => s"ERR ${e.getClass.getSimpleName}", _.take(6).toString)}")
+        println(s"  full   =${full.fold(e => s"ERR ${e.getClass.getSimpleName}", _.take(6).toString)}")
       }
       if (i % 100 == 0) println(s"[unpackdiff] $i/$iters ran=$ran diverged=$diverged")
     }

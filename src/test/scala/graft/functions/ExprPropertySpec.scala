@@ -414,6 +414,53 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("EntriesDedup kernel agrees with the filter/exists HOF tower") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{filter => afilter, _}
+    val keyGen = org.scalacheck.Gen.oneOf("a", "b", "c", "k", "key", "日本", "")
+    val valGen = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.oneOf("1", "2", "", "x"), org.scalacheck.Gen.const(null: String))
+    val entryGen = org.scalacheck.Gen.zip(keyGen, valGen)
+    val rowGen = org.scalacheck.Gen.choose(0, 12)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, entryGen))
+    val inputs = org.scalacheck.Gen.listOfN(300, rowGen).sample.get
+    val schema = StructType(Seq(StructField("e",
+      ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType)))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        inputs.map(p => Row(p.map { case (k, v) => Row(k, v) })), 4),
+      schema)
+    // the tower this kernel replaced (field-name access is fine here —
+    // entries come straight from the schema, not a lambda repack)
+    def towerFirst(entries: org.apache.spark.sql.Column) =
+      map_from_entries(afilter(entries, (e, i) =>
+        !exists(slice(entries, lit(1), i),
+          p => p.getField("key") === e.getField("key"))))
+    def towerLast(entries: org.apache.spark.sql.Column) =
+      map_from_entries(afilter(entries, (e, i) =>
+        !exists(slice(entries, i + lit(2), size(entries)),
+          p => p.getField("key") === e.getField("key"))))
+    val got = df.select(
+      MapOps.entriesFirstWins(col("e")).as("kf"),
+      MapOps.entriesLastWins(col("e")).as("kl"),
+      towerFirst(col("e")).as("tf"),
+      towerLast(col("e")).as("tl"),
+      // ORDER is part of the contract — compare key sequences too
+      map_keys(MapOps.entriesFirstWins(col("e"))).as("kfo"),
+      map_keys(towerFirst(col("e"))).as("tfo"),
+      map_keys(MapOps.entriesLastWins(col("e"))).as("klo"),
+      map_keys(towerLast(col("e"))).as("tlo")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Map[String, String]]("kf") == r.getAs[Map[String, String]]("tf"), r.toString)
+      assert(r.getAs[Map[String, String]]("kl") == r.getAs[Map[String, String]]("tl"), r.toString)
+      assert(r.getAs[scala.collection.Seq[String]]("kfo").toSeq ==
+        r.getAs[scala.collection.Seq[String]]("tfo").toSeq, r.toString)
+      assert(r.getAs[scala.collection.Seq[String]]("klo").toSeq ==
+        r.getAs[scala.collection.Seq[String]]("tlo").toSeq, r.toString)
+    }
+  }
+
   test("TokenWindowHashes: rolling hashes ≡ token-window string equality") {
     // same pinned property as the char variant, at token granularity —
     // window count = max(tokens-k+1, 0) against the graft_tokens spec,

@@ -268,12 +268,19 @@ class CompilerSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(shifted == Seq(("10.1.2.1", 2L), ("10.1.3.1", 1L), ("not-an-ip", 1L)),
       shifted.toString)
-    // an offset ABOVE the address wraps uint32 like truncateUint32 —
-    // never a negative octet string
-    val wrapped = Compiler.run(Seq("0.0.0.5").toDF("ip"),
+    // an offset ABOVE the address short-circuits to 0.0.0.0
+    // (truncateUint32, block_result.go:1544-1546) — no modular wrap
+    val clamped = Compiler.run(Seq("0.0.0.5").toDF("ip"),
       "* | stats by (ip:/24 offset 200) count() hits", NOW)
       .collect().map(_.getString(0)).toSeq
-    assert(wrapped == Seq("255.255.255.200"), wrapped.toString)
+    assert(clamped == Seq("0.0.0.0"), clamped.toString)
+    // a NEGATIVE offset canonicalizes through uint32(int32(off))
+    // (block_result.go:1735) into a huge uint32, clamping nearly every
+    // address to 0.0.0.0 the same way
+    val negOff = Compiler.run(Seq("10.1.2.3").toDF("ip"),
+      "* | stats by (ip:/24 offset -4) count() hits", NOW)
+      .collect().map(_.getString(0)).toSeq
+    assert(negOff == Seq("0.0.0.0"), negOff.toString)
     // a mask bucket on the timestamp field is an error, not a silent
     // string-group of rendered timestamps
     intercept[Exception] {
