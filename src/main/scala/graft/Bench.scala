@@ -198,6 +198,11 @@ object Bench {
     // keeps only the tail of the output, and the full line (121+ per-query
     // entries) alone overflows it — this line always fits
     println(s"""{"metric":"totals","value":$total,"adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir"}""")
+    // quiesce streaming state machinery BEFORE tearing down SparkEnv — the
+    // StateStore maintenance thread otherwise races spark.stop() and logs
+    // "SparkEnv not active" warnings into the bench tail
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
   }
 

@@ -976,6 +976,33 @@ object SparkEntry {
         .groupBy("ch").agg(count(lit(1)).as("cnt"))
         .orderBy("ch")
     }),
+    // ---- MPEG-1 P-frame decode (forward motion compensation): planted
+    // per-MB vectors shift the I tiles, plus skip/intra/residual modes —
+    // per-clip mean luma over all frames is exact, so the rounded values
+    // are pinned ----
+    "q_multimodal_mpeg_p" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Mpeg1.PMb
+      val shiftLeft = Seq[PMb](PMb.Move(32, 0), PMb.Move(0, 0))
+      def clip(kind: Int): Array[Byte] = kind match {
+        // A: I [64,128] + P shift → frame means 96, 128
+        case 0 => graft.ops.Mpeg1.encodeIPStream(Seq(64, 128),
+          Seq(shiftLeft), 32, 16)
+        // B: I [200,40] + P shift → means 120, 40
+        case 1 => graft.ops.Mpeg1.encodeIPStream(Seq(200, 40),
+          Seq(shiftLeft), 32, 16)
+        // C: A plus a second P with an intra recode and a +1 residual
+        // (means 96, 128, 174.375)
+        case _ => graft.ops.Mpeg1.encodeIPStream(Seq(64, 128),
+          Seq(shiftLeft, Seq(PMb.Intra(220), PMb.Residual(true))), 32, 16)
+      }
+      val clips = (0 until 12).map(i => (i.toLong, "video", clip(i % 3)))
+      val df = clips.toDF("media_id", "media_type", "content")
+      graft.ops.Multimodal.extractFeatures(df, "content", dim = 3)
+        .select(round(col("features")(0) * 1000).cast(LongType).as("lum_mill"))
+        .groupBy("lum_mill").agg(count(lit(1)).as("cnt"))
+        .orderBy("lum_mill")
+    }),
     "q_stream_context" -> ((s, d) => {
       val dir = graft.store.LogStore.ensureFromEvents(s, d)
       val logs = graft.store.LogStore.read(s, dir)
@@ -1397,6 +1424,14 @@ object SparkEntry {
     "q_multimodal_mpeg" ->
       """SELECT * FROM (VALUES ('b', CAST(6 AS BIGINT)), ('g', CAST(6 AS BIGINT)),
          ('r', CAST(6 AS BIGINT))) AS t(ch, cnt) ORDER BY ch""",
+    // P-frame forward MC is exact over DC-flat tiles: per-clip all-frame
+    // mean luma/255 rounded to 1e-3 — A (96,128)→439, B (120,40)→314,
+    // C (96,128,174.375)→521; 4 clips each
+    "q_multimodal_mpeg_p" ->
+      """SELECT * FROM (VALUES (CAST(314 AS BIGINT), CAST(4 AS BIGINT)),
+         (CAST(439 AS BIGINT), CAST(4 AS BIGINT)),
+         (CAST(521 AS BIGINT), CAST(4 AS BIGINT))) AS t(lum_mill, cnt)
+         ORDER BY lum_mill""",
     // video decode is deterministic (solid-color MJPEG frames keep their
     // dominant channel through JPEG loss): pinned VALUES
     "q_multimodal_video" ->

@@ -3,19 +3,25 @@ package graft.ops
 import java.awt.image.BufferedImage
 import scala.collection.mutable.ArrayBuffer
 
-/** Pure-JVM MPEG-1 video (ISO/IEC 11172-2) INTRA-frame codec.
+/** Pure-JVM MPEG-1 video (ISO/IEC 11172-2) I/P-frame codec.
   *
-  * Decodes I-pictures of an MPEG-1 video elementary stream — sequence
-  * header (incl. loadable intra quantizer matrix), GOP/picture headers,
-  * slice layer, intra macroblocks with DC prediction, the dct_coeff VLC
-  * (common codes through the 13-bit group plus FULL escape coding — the
-  * rarer 14-16-bit tail codes abort the frame rather than misdecode;
-  * every run/level also has an escape encoding, so cooperating encoders
-  * lose nothing), dequantization with mismatch control, inverse zigzag,
-  * 8×8 IDCT, 4:2:0 upsample and BT.601-style YCbCr→RGB. P/B pictures
-  * are skipped (their motion compensation is the declared stub boundary,
-  * like H.264 in Multimodal): frame sampling over I-frames is exactly
-  * what a training-data pipeline wants from a video corpus anyway.
+  * Decodes I- and P-pictures of an MPEG-1 video elementary stream —
+  * sequence header (incl. loadable intra AND non-intra quantizer
+  * matrices), GOP/picture headers, slice layer, intra macroblocks with
+  * DC prediction, the dct_coeff VLC (common codes through the 13-bit
+  * group plus FULL escape coding — the rarer 14-16-bit tail codes abort
+  * the frame rather than misdecode; every run/level also has an escape
+  * encoding, so cooperating encoders lose nothing), dequantization with
+  * mismatch control (intra and non-intra forms), inverse zigzag, 8×8
+  * IDCT, 4:2:0 upsample and BT.601-style YCbCr→RGB. P-pictures decode
+  * with full forward motion compensation: motion VLC (table B.4) +
+  * f_code-scaled residuals with modulo wrap, half-pel bilinear
+  * interpolation, full_pel scaling, coded_block_pattern (table B.3),
+  * skipped-macroblock co-located copy, intra recode inside P, and
+  * signed non-intra residual blocks. B-pictures are skipped (backward/
+  * interpolated motion compensation is the remaining declared boundary,
+  * like H.264 in Multimodal): they predict from frames we already
+  * decode, so sampling I+P frames loses no reference content.
   *
   * The companion [[encodeIntra]] writes a spec-shaped I-only elementary
   * stream (used by tests/oracles as the deterministic fixture, the same
@@ -148,12 +154,47 @@ object Mpeg1 {
     "0000000011110" -> ((23, 1)), "0000000011101" -> ((24, 1)),
     "0000000011100" -> ((25, 1)), "0000000011011" -> ((26, 1)))
 
+  /** motion_code VLC (table B.4): structurally the address-increment
+    * table — code |m| is addr(2m) with its last bit replaced by the sign
+    * (0 positive, 1 negative); 0 is the lone '1'. Built from
+    * [[AddrIncTable]] so the two stay consistent. */
+  private val MotionTable: Map[String, Int] = {
+    val rev = AddrIncTable.map(_.swap)
+    Map("1" -> 0) ++ (1 to 16).flatMap { m =>
+      val base = rev(2 * m).dropRight(1)
+      Seq((base + "0") -> m, (base + "1") -> -m)
+    }
+  }
+
+  /** coded_block_pattern VLC (table B.3); bit 32>>i flags block i coded
+    * (4 luma, Cb, Cr). */
+  private val CbpTable: Map[String, Int] = Map(
+    "111" -> 60,
+    "1101" -> 4, "1100" -> 8, "1011" -> 16, "1010" -> 32,
+    "10011" -> 12, "10010" -> 48, "10001" -> 20, "10000" -> 40,
+    "01111" -> 28, "01110" -> 44, "01101" -> 52, "01100" -> 56,
+    "01011" -> 1, "01010" -> 61, "01001" -> 2, "01000" -> 62,
+    "001111" -> 24, "001110" -> 36, "001101" -> 3, "001100" -> 63,
+    "0010111" -> 5, "0010110" -> 9, "0010101" -> 17, "0010100" -> 33,
+    "0010011" -> 6, "0010010" -> 10, "0010001" -> 18, "0010000" -> 34,
+    "00011111" -> 7, "00011110" -> 11, "00011101" -> 19, "00011100" -> 35,
+    "00011011" -> 13, "00011010" -> 49, "00011001" -> 21, "00011000" -> 41,
+    "00010111" -> 14, "00010110" -> 50, "00010101" -> 22, "00010100" -> 42,
+    "00010011" -> 15, "00010010" -> 51, "00010001" -> 23, "00010000" -> 43,
+    "00001111" -> 25, "00001110" -> 37, "00001101" -> 26, "00001100" -> 38,
+    "00001011" -> 29, "00001010" -> 45, "00001001" -> 53, "00001000" -> 57,
+    "00000111" -> 30, "00000110" -> 46, "00000101" -> 31, "00000100" -> 47,
+    "000000111" -> 55, "000000110" -> 59, "000000101" -> 27, "000000100" -> 39,
+    "000000011" -> 58, "000000010" -> 54)
+
   // prefix-decoded views: length → (value → payload)
   private def byLength[V](m: Map[String, V]): Map[Int, Map[Int, V]] =
     m.groupBy(_._1.length).view.mapValues(_.map { case (k, v) =>
       Integer.parseInt(k, 2) -> v }.toMap).toMap
   private val AddrByLen = byLength(AddrIncTable)
   private val AcByLen = byLength(AcTable)
+  private val MotionByLen = byLength(MotionTable)
+  private val CbpByLen = byLength(CbpTable)
 
   private def decodePrefix[V](br: BitReader, byLen: Map[Int, Map[Int, V]],
                               maxLen: Int): Option[V] = {
@@ -183,8 +224,10 @@ object Mpeg1 {
     t
   }
 
-  /** f(x,y) = 1/4 ΣΣ C(u)C(v) F(u,v) cos.. — direct separable form. */
-  private def idct8x8(in: Array[Int], out: Array[Int]): Unit = {
+  /** f(x,y) = 1/4 ΣΣ C(u)C(v) F(u,v) cos.. — direct separable form.
+    * `lo` is 0 for intra blocks (samples) and -255 for non-intra blocks
+    * (signed residuals added onto a motion-compensated prediction). */
+  private def idct8x8(in: Array[Int], out: Array[Int], lo: Int = 0): Unit = {
     val tmp = new Array[Double](64)
     // rows: over u for each (v fixed) — first pass over x
     var v = 0
@@ -215,7 +258,7 @@ object Mpeg1 {
           vv += 1
         }
         val p = math.round(s / 4.0).toInt
-        out(y * 8 + x) = math.max(0, math.min(255, p))
+        out(y * 8 + x) = math.max(lo, math.min(255, p))
         x += 1
       }
       y += 1
@@ -239,34 +282,45 @@ object Mpeg1 {
       }
       var w = 0; var h = 0; var usPerFrame = 33333L
       var intraQ = DefaultIntraQ
+      var nonIntraQ: Array[Int] = Array.fill(64)(16)
       var mbW = 0; var mbH = 0
       var yPlane: Array[Int] = null
       var cbPlane: Array[Int] = null
       var crPlane: Array[Int] = null
-      var picIsIntra = false
+      // reference planes: the last fully-decoded I or P picture (decode
+      // order = display order without B-frames)
+      var refY: Array[Int] = null
+      var refCb: Array[Int] = null
+      var refCr: Array[Int] = null
+      var picType = 0 // 0 = skipped/none, 1 = I, 2 = P
+      var fullPel = false
+      var fCode = 1
       var picOk = false
       val frames = ArrayBuffer[BufferedImage]()
 
-      def emit(): Unit = if (picIsIntra && picOk && yPlane != null &&
-                             frames.size < maxFrames) {
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val yy = yPlane(y * (mbW * 16) + x)
-            val cb = cbPlane((y / 2) * (mbW * 8) + (x / 2))
-            val cr = crPlane((y / 2) * (mbW * 8) + (x / 2))
-            def cl(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
-            val r = cl(yy + 1.402 * (cr - 128))
-            val g = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-            val b = cl(yy + 1.772 * (cb - 128))
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
+      def emit(): Unit = if (picType != 0 && picOk && yPlane != null) {
+        if (frames.size < maxFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val yy = yPlane(y * (mbW * 16) + x)
+              val cb = cbPlane((y / 2) * (mbW * 8) + (x / 2))
+              val cr = crPlane((y / 2) * (mbW * 8) + (x / 2))
+              def cl(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+              val r = cl(yy + 1.402 * (cr - 128))
+              val g = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+              val b = cl(yy + 1.772 * (cb - 128))
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          frames += img
         }
-        frames += img
+        // a good picture becomes the prediction reference for the next P
+        refY = yPlane; refCb = cbPlane; refCr = crPlane
       }
 
       var ci = 0
@@ -286,8 +340,11 @@ object Mpeg1 {
             // already decoded
             if (nw.toLong * nh > MaxFramePixels) {
               emit() // flush the pending picture before going dead
-              picOk = false; picIsIntra = false; mbW = 0; mbH = 0
-            } else { w = nw; h = nh; mbW = (w + 15) / 16; mbH = (h + 15) / 16 }
+              picOk = false; picType = 0; mbW = 0; mbH = 0
+            } else {
+              if (nw != w || nh != h) { refY = null; refCb = null; refCr = null }
+              w = nw; h = nh; mbW = (w + 15) / 16; mbH = (h + 15) / 16
+            }
             br.read(4) // pel aspect
             val rate = br.read(4)
             if (rate >= 1 && rate <= 8) usPerFrame = RateUs(rate)
@@ -298,32 +355,59 @@ object Mpeg1 {
               while (k < 64) { q(Zigzag(k)) = br.read(8); k += 1 }
               intraQ = q
             }
+            if (br.bitsLeft > 0 && br.read(1) == 1) { // load_non_intra matrix
+              val q = new Array[Int](64)
+              var k = 0
+              while (k < 64) { q(Zigzag(k)) = br.read(8); k += 1 }
+              nonIntraQ = q
+            }
           case 0x00 => // picture header: emit the previous picture first
             emit()
             picOk = false
             br.read(10) // temporal reference
             val ptype = br.read(3)
-            picIsIntra = ptype == 1
+            picType = ptype match { case 1 => 1; case 2 => 2; case _ => 0 }
+            if (picType == 2) {
+              br.read(16) // vbv_delay
+              fullPel = br.read(1) == 1
+              fCode = br.read(3)
+              if (fCode < 1 || fCode > 7) picType = 0
+            }
             val pixelBudgetLeft =
               frames.size < maxFrames &&
                 (frames.size.toLong + 1) * w * h <= MaxTotalPixels
-            if (picIsIntra && mbW > 0 && pixelBudgetLeft) {
-              yPlane = new Array[Int](mbW * 16 * mbH * 16)
-              cbPlane = new Array[Int](mbW * 8 * mbH * 8)
-              crPlane = new Array[Int](mbW * 8 * mbH * 8)
-            } else picIsIntra = false // over budget: skip, keep what we have
+            if (picType != 0 && mbW > 0 && pixelBudgetLeft) {
+              // a P picture without a same-geometry reference can't decode
+              if (picType == 2 &&
+                  (refY == null || refY.length != mbW * 16 * mbH * 16)) {
+                picType = 0
+              } else {
+                yPlane = new Array[Int](mbW * 16 * mbH * 16)
+                cbPlane = new Array[Int](mbW * 8 * mbH * 8)
+                crPlane = new Array[Int](mbW * 8 * mbH * 8)
+                if (picType == 2) {
+                  // prefill with the reference: skipped macroblocks (and
+                  // MBs no slice covers) ARE the co-located reference MB
+                  System.arraycopy(refY, 0, yPlane, 0, refY.length)
+                  System.arraycopy(refCb, 0, cbPlane, 0, refCb.length)
+                  System.arraycopy(refCr, 0, crPlane, 0, refCr.length)
+                }
+              }
+            } else picType = 0 // over budget: skip, keep what we have
           case sc if sc >= 0x01 && sc <= 0xAF =>
-            if (picIsIntra && mbW > 0) {
+            if (picType != 0 && mbW > 0) {
               // a bad slice (unsupported VLC tail, malformed bits) aborts
               // THIS picture only — earlier frames already decoded stay,
               // later pictures still get their chance
               try {
-                decodeSlice(br, sc, mbW, mbH, intraQ, yPlane, cbPlane, crPlane)
+                decodeSlice(br, sc, mbW, mbH, intraQ, nonIntraQ,
+                  yPlane, cbPlane, crPlane, refY, refCb, refCr,
+                  isP = picType == 2, fullPel = fullPel, fCode = fCode)
                 picOk = true
               } catch {
                 case e: Exception =>
                   if (sys.props.contains("graft.mpeg1.debug")) e.printStackTrace()
-                  picOk = false; picIsIntra = false
+                  picOk = false; picType = 0
               }
             }
           case _ => () // GOP, user data, extensions, sequence end
@@ -341,13 +425,17 @@ object Mpeg1 {
   }
 
   private def decodeSlice(br: BitReader, sliceCode: Int, mbW: Int, mbH: Int,
-                          intraQ: Array[Int], yP: Array[Int],
-                          cbP: Array[Int], crP: Array[Int]): Unit = {
+                          intraQ: Array[Int], nonIntraQ: Array[Int],
+                          yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+                          refY: Array[Int], refCb: Array[Int],
+                          refCr: Array[Int], isP: Boolean,
+                          fullPel: Boolean, fCode: Int): Unit = {
     var qScale = br.read(5)
     // extra_information_slice: '1'-flagged bytes, then a consumed '0'
     while (br.peek(1) == 1) { br.read(9) }
     br.read(1)
     var dcY = 1024; var dcCb = 1024; var dcCr = 1024
+    var pmvX = 0; var pmvY = 0 // forward motion vector predictor (P)
     var mbAddr = (sliceCode - 1) * mbW - 1
     val coeffs = new Array[Int](64)
     val pix = new Array[Int](64)
@@ -436,7 +524,137 @@ object Mpeg1 {
       }
     }
 
-    var more = br.bitsLeft > 23 && br.peek(23) != 0
+    // ---------------------------------------------------- P-picture parts
+
+    /** Non-intra dct_coeff block: no DC prediction; the FIRST coefficient
+      * may be the 1-bit '1'+sign (run 0, level ±1 — '10' would otherwise
+      * collide with EOB, which cannot appear first), the rest use the
+      * shared table/escape. Fills `pix` with a SIGNED residual. */
+    def decodeResidualBlock(): Unit = {
+      java.util.Arrays.fill(coeffs, 0)
+      var idx = -1
+      var first = true
+      var done = false
+      while (!done) {
+        if (first && br.peek(1) == 1) {
+          br.read(1)
+          val sign = br.read(1)
+          idx = 0
+          coeffs(0) = dequantNonIntra(if (sign == 1) -1 else 1, qScale, nonIntraQ(0))
+        } else if (!first && br.peek(2) == 2) { br.read(2); done = true } // EOB
+        else if (br.peek(6) == 1) { // escape
+          br.read(6)
+          val run = br.read(6)
+          val l8 = br.read(8)
+          val level =
+            if (l8 == 0) br.read(8)
+            else if (l8 == 128) br.read(8) - 256
+            else if (l8 > 128) l8 - 256
+            else l8
+          idx += run + 1
+          if (idx > 63 || level == 0) throw new IllegalStateException("bad escape")
+          coeffs(Zigzag(idx)) = dequantNonIntra(level, qScale, nonIntraQ(Zigzag(idx)))
+        } else decodePrefix(br, AcByLen, 13) match {
+          case Some((run, lvl)) =>
+            val sign = br.read(1)
+            val level = if (sign == 1) -lvl else lvl
+            idx += run + 1
+            if (idx > 63) throw new IllegalStateException("coeff overflow")
+            coeffs(Zigzag(idx)) = dequantNonIntra(level, qScale, nonIntraQ(Zigzag(idx)))
+          case None =>
+            throw new IllegalStateException("unsupported dct_coeff VLC tail")
+        }
+        first = false
+      }
+      idct8x8(coeffs, pix, lo = -255)
+    }
+
+    /** One reconstructed forward-vector component (§2.4.4.2): VLC code,
+      * f_code-scaled residual, predictor add, modulo wrap into
+      * [-16f, 16f-1]. */
+    def readMvComponent(pred: Int): Int = {
+      val code = decodePrefix(br, MotionByLen, 11)
+        .getOrElse(throw new IllegalStateException("bad motion code"))
+      val rSize = fCode - 1
+      val f = 1 << rSize
+      val delta =
+        if (code == 0 || f == 1) code
+        else {
+          val r = br.read(rSize)
+          val m = (math.abs(code) - 1) * f + r + 1
+          if (code < 0) -m else m
+        }
+      var v = pred + delta
+      val max = 16 * f - 1
+      val min = -16 * f
+      if (v > max) v -= 32 * f else if (v < min) v += 32 * f
+      v
+    }
+
+    /** Motion-compensated prediction copy with half-pel bilinear rounding
+      * (§2.4.4.2): writes a size×size block into `dst` at (px, py) from
+      * `ref` displaced by (vx, vy) half-pels. Out-of-picture references
+      * are malformed-stream territory → loud abort. */
+    def mcCopy(ref: Array[Int], dst: Array[Int], stride: Int, rows: Int,
+               px: Int, py: Int, size: Int, vx: Int, vy: Int): Unit = {
+      val xi = vx >> 1; val xh = vx & 1
+      val yi = vy >> 1; val yh = vy & 1
+      if (px + xi < 0 || py + yi < 0 ||
+          px + xi + size - 1 + xh > stride - 1 ||
+          py + yi + size - 1 + yh > rows - 1)
+        throw new IllegalStateException("motion vector out of picture")
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          val sx = px + x + xi
+          val sy = py + y + yi
+          val a = ref(sy * stride + sx)
+          val v =
+            if (xh == 0 && yh == 0) a
+            else if (xh == 1 && yh == 0) (a + ref(sy * stride + sx + 1) + 1) >> 1
+            else if (xh == 0 && yh == 1) (a + ref((sy + 1) * stride + sx) + 1) >> 1
+            else (a + ref(sy * stride + sx + 1) + ref((sy + 1) * stride + sx) +
+                  ref((sy + 1) * stride + sx + 1) + 2) >> 2
+          dst((py + y) * stride + (px + x)) = v
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** Add `pix` (signed residual) onto the already-written prediction. */
+    def addResidual(plane: Array[Int], stride: Int, px: Int, py: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val i = (py + y) * stride + (px + x)
+          val v = plane(i) + pix(y * 8 + x)
+          plane(i) = math.max(0, math.min(255, v))
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** macroblock_type, P-pictures (table B.2b) →
+      * (quant, motionForward, coded, intra). */
+    def readPMbType(): (Boolean, Boolean, Boolean, Boolean) = {
+      if (br.read(1) == 1) (false, true, true, false) // '1'
+      else if (br.read(1) == 1) (false, false, true, false) // '01'
+      else if (br.read(1) == 1) (false, true, false, false) // '001'
+      else br.peek(2) match { // consumed '000'
+        case 3 => br.read(2); (false, false, false, true) // '00011'
+        case 2 => br.read(2); (true, true, true, false) // '00010'
+        case 1 => br.read(2); (true, false, true, false) // '00001'
+        case _ =>
+          if (br.peek(3) == 1) { br.read(3); (true, false, false, true) } // '000001'
+          else throw new IllegalStateException("bad P mb type")
+      }
+    }
+
+    var more = br.bitsLeft > 0 && br.peek(23) != 0 /* slice end: 23 zero bits (peek zero-fills past the end, so a tail MB shorter than 23 bits still decodes) */
     while (more) {
       // address increment: stuffing discarded, escapes accumulate
       var inc = 0
@@ -451,26 +669,90 @@ object Mpeg1 {
         }
       }
       mbAddr += inc
-      if (inc > 1) { dcY = 1024; dcCb = 1024; dcCr = 1024 } // skipped MBs reset DC pred
-      if (mbAddr >= mbW * mbH) throw new IllegalStateException("mb overflow")
-      // macroblock_type, I-pictures (table B.2a): 1=intra, 01=intra+quant
-      if (br.read(1) == 0) {
-        if (br.read(1) != 1) throw new IllegalStateException("bad mb type")
-        qScale = br.read(5)
+      if (inc > 1) {
+        // skipped MBs reset DC prediction AND (in P) the vector predictor;
+        // their pixels are the co-located reference MB — already in place
+        // via the picture-level prefill
+        dcY = 1024; dcCb = 1024; dcCr = 1024
+        pmvX = 0; pmvY = 0
       }
+      if (mbAddr >= mbW * mbH) throw new IllegalStateException("mb overflow")
       val mbX = mbAddr % mbW
       val mbY = mbAddr / mbW
-      var b = 0
-      while (b < 4) {
-        dcY = decodeBlock(isLuma = true, dcY)
-        place(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
-        b += 1
+      if (!isP) {
+        // macroblock_type, I-pictures (table B.2a): 1=intra, 01=intra+quant
+        if (br.read(1) == 0) {
+          if (br.read(1) != 1) throw new IllegalStateException("bad mb type")
+          qScale = br.read(5)
+        }
+        var b = 0
+        while (b < 4) {
+          dcY = decodeBlock(isLuma = true, dcY)
+          place(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
+          b += 1
+        }
+        dcCb = decodeBlock(isLuma = false, dcCb)
+        place(cbP, mbW * 8, mbX * 8, mbY * 8)
+        dcCr = decodeBlock(isLuma = false, dcCr)
+        place(crP, mbW * 8, mbX * 8, mbY * 8)
+      } else {
+        val (quant, mc, coded, intra) = readPMbType()
+        if (quant) qScale = br.read(5)
+        if (intra) {
+          // intra MB inside a P picture: same path as an I macroblock;
+          // resets the vector predictor
+          pmvX = 0; pmvY = 0
+          var b = 0
+          while (b < 4) {
+            dcY = decodeBlock(isLuma = true, dcY)
+            place(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
+            b += 1
+          }
+          dcCb = decodeBlock(isLuma = false, dcCb)
+          place(cbP, mbW * 8, mbX * 8, mbY * 8)
+          dcCr = decodeBlock(isLuma = false, dcCr)
+          place(crP, mbW * 8, mbX * 8, mbY * 8)
+        } else {
+          // every non-intra MB resets the DC predictors
+          dcY = 1024; dcCb = 1024; dcCr = 1024
+          if (mc) {
+            pmvX = readMvComponent(pmvX)
+            pmvY = readMvComponent(pmvY)
+          } else { pmvX = 0; pmvY = 0 }
+          // full_pel vectors count whole pels: scale for use, predictor
+          // keeps the unscaled reconstruction (§2.4.4.2)
+          val vx = if (fullPel) pmvX << 1 else pmvX
+          val vy = if (fullPel) pmvY << 1 else pmvY
+          mcCopy(refY, yP, mbW * 16, mbH * 16, mbX * 16, mbY * 16, 16, vx, vy)
+          // chroma vector = luma/2 with truncation toward zero, then the
+          // same integer+half split
+          val cvx = vx / 2
+          val cvy = vy / 2
+          mcCopy(refCb, cbP, mbW * 8, mbH * 8, mbX * 8, mbY * 8, 8, cvx, cvy)
+          mcCopy(refCr, crP, mbW * 8, mbH * 8, mbX * 8, mbY * 8, 8, cvx, cvy)
+          if (coded) {
+            val cbp = decodePrefix(br, CbpByLen, 9)
+              .getOrElse(throw new IllegalStateException("bad coded_block_pattern"))
+            var b = 0
+            while (b < 4) {
+              if ((cbp & (32 >> b)) != 0) {
+                decodeResidualBlock()
+                addResidual(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
+              }
+              b += 1
+            }
+            if ((cbp & 2) != 0) {
+              decodeResidualBlock()
+              addResidual(cbP, mbW * 8, mbX * 8, mbY * 8)
+            }
+            if ((cbp & 1) != 0) {
+              decodeResidualBlock()
+              addResidual(crP, mbW * 8, mbX * 8, mbY * 8)
+            }
+          }
+        }
       }
-      dcCb = decodeBlock(isLuma = false, dcCb)
-      place(cbP, mbW * 8, mbX * 8, mbY * 8)
-      dcCr = decodeBlock(isLuma = false, dcCr)
-      place(crP, mbW * 8, mbX * 8, mbY * 8)
-      more = br.bitsLeft > 23 && br.peek(23) != 0
+      more = br.bitsLeft > 0 && br.peek(23) != 0 /* slice end: 23 zero bits (peek zero-fills past the end, so a tail MB shorter than 23 bits still decodes) */
     }
   }
 
@@ -479,6 +761,16 @@ object Mpeg1 {
   private def dequantIntra(level: Int, qScale: Int, q: Int): Int = {
     var v = (2 * level * qScale * q) / 16
     if ((v & 1) == 0) v = if (v > 0) v - 1 else if (v < 0) v + 1 else 0
+    math.max(-2048, math.min(2047, v))
+  }
+
+  /** Non-intra reconstruction (§2.4.4.2): ((2·level + sign)·q_scale·q)/16
+    * with the same mismatch control and clamp. */
+  private def dequantNonIntra(level: Int, qScale: Int, q: Int): Int = {
+    if (level == 0) return 0
+    val sgn = if (level < 0) -1 else 1
+    var v = ((2 * level + sgn) * qScale * q) / 16
+    if ((v & 1) == 0) v = if (v > 0) v - 1 else v + 1
     math.max(-2048, math.min(2047, v))
   }
 
@@ -568,6 +860,167 @@ object Mpeg1 {
       }
     }
     bw.startCode(0xB7) // sequence end
+    bw.result()
+  }
+
+  // ----------------------------------------------- I+P fixture encoder
+
+  /** Per-macroblock P-picture coding mode for [[encodeIPStream]]. */
+  sealed trait PMb
+  object PMb {
+    /** '001' — motion-compensated, no residual: the MB becomes the
+      * reference block displaced by (dxHalf, dyHalf) half-pels. */
+    final case class Move(dxHalf: Int, dyHalf: Int) extends PMb
+    /** '01' — zero vector, one ±1 first-coefficient residual on luma
+      * block 0 (cbp = 32): exercises the non-intra dct path + dequant. */
+    final case class Residual(positive: Boolean) extends PMb
+    /** '00011' — intra recode with the given luma (chroma neutral). */
+    final case class Intra(luma: Int) extends PMb
+    /** address-increment gap: co-located copy from the reference. Must
+      * not be the first or last MB of a slice (spec). */
+    case object Skip extends PMb
+  }
+
+  private lazy val AddrCodeOf: Map[Int, String] = AddrIncTable.map(_.swap)
+  private lazy val MotionCodeOf: Map[Int, String] = MotionTable.map(_.swap)
+
+  /** Deterministic I+P elementary stream: one I picture of per-MB solid
+    * luma tiles (`iTiles`, raster order, chroma neutral 128), then one P
+    * picture per `pFrames` entry with per-MB modes — the planted-motion
+    * fixture for the forward-MC decode path. `fCode` bounds vectors to
+    * ±(16·2^(fCode-1) − 1) half-pels. */
+  def encodeIPStream(iTiles: Seq[Int], pFrames: Seq[Seq[PMb]],
+                     w: Int, h: Int, fCode: Int = 3,
+                     qScale: Int = 8): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0,
+      s"dimensions must be multiples of 16, got ${w}x$h")
+    val mbW = w / 16; val mbH = h / 16
+    require(iTiles.length == mbW * mbH, s"need ${mbW * mbH} I tiles")
+    val bw = new BitWriter
+    bw.startCode(0xB3)
+    bw.put(w, 12); bw.put(h, 12)
+    bw.put(1, 4); bw.put(5, 4)
+    bw.put(0x3FFFF, 18); bw.put(1, 1)
+    bw.put(0, 10); bw.put(0, 1)
+    bw.put(0, 1); bw.put(0, 1) // no loaded quantizer matrices
+    bw.startCode(0xB8)
+    bw.put(0, 25); bw.put(1, 1); bw.put(0, 1)
+
+    def putDc(diff: Int, luma: Boolean): Unit = {
+      val mag = math.abs(diff)
+      val size = 32 - Integer.numberOfLeadingZeros(mag)
+      if (luma) size match {
+        case 0 => bw.put(4, 3)
+        case 1 => bw.put(0, 2)
+        case 2 => bw.put(1, 2)
+        case 3 => bw.put(5, 3)
+        case 4 => bw.put(6, 3)
+        case n => bw.put((1 << (n - 1)) - 2, n - 1)
+      } else size match {
+        case 0 => bw.put(0, 2)
+        case 1 => bw.put(1, 2)
+        case 2 => bw.put(2, 2)
+        case n => bw.put((1 << n) - 2, n)
+      }
+      if (size > 0) {
+        val bits = if (diff > 0) diff else diff + (1 << size) - 1
+        bw.put(bits, size)
+      }
+    }
+    def putBits(s: String): Unit = s.foreach(c => bw.put(c - '0', 1))
+    def putAddrInc(inc0: Int): Unit = {
+      var inc = inc0
+      while (inc > 33) { putBits(AddrEscape); inc -= 33 }
+      putBits(AddrCodeOf(inc))
+    }
+    def putMv(delta: Int): Unit = {
+      val f = 1 << (fCode - 1)
+      if (delta == 0) putBits(MotionCodeOf(0))
+      else {
+        val m = math.abs(delta)
+        val c = (m + f - 1) / f
+        val r = m - (c - 1) * f - 1
+        require(c <= 16, s"delta $delta too large for fCode $fCode")
+        putBits(MotionCodeOf(if (delta < 0) -c else c))
+        if (f > 1) bw.put(r, fCode - 1)
+      }
+    }
+
+    // ---- I picture: per-MB luma tiles, DC prediction chained ----
+    bw.startCode(0x00)
+    bw.put(0, 10); bw.put(1, 3); bw.put(0xFFFF, 16); bw.put(0, 1)
+    bw.startCode(0x01)
+    bw.put(qScale, 5); bw.put(0, 1)
+    var prevY = 128; var prevCb = 128; var prevCr = 128
+    iTiles.foreach { tile =>
+      bw.put(1, 1) // addr inc 1
+      bw.put(1, 1) // intra
+      var blk = 0
+      while (blk < 6) {
+        val diff =
+          if (blk == 0) tile - prevY
+          else if (blk == 4) 128 - prevCb
+          else if (blk == 5) 128 - prevCr
+          else 0
+        putDc(diff, luma = blk < 4)
+        bw.put(2, 2) // EOB
+        blk += 1
+      }
+      prevY = tile; prevCb = 128; prevCr = 128
+    }
+
+    // ---- P pictures ----
+    pFrames.zipWithIndex.foreach { case (mbs, pi) =>
+      require(mbs.length == mbW * mbH, s"need ${mbW * mbH} P modes")
+      require(!mbs.head.isInstanceOf[PMb.Skip.type] &&
+        !mbs.last.isInstanceOf[PMb.Skip.type], "slice edges cannot skip")
+      bw.startCode(0x00)
+      bw.put((pi + 1) & 0x3FF, 10); bw.put(2, 3); bw.put(0xFFFF, 16)
+      bw.put(0, 1) // full_pel_forward_vector = 0
+      bw.put(fCode, 3)
+      bw.put(0, 1) // extra_bit_picture
+      bw.startCode(0x01)
+      bw.put(qScale, 5); bw.put(0, 1)
+      var pmvX = 0; var pmvY = 0
+      var dcPredY = 128
+      var pendingSkip = 0
+      mbs.foreach {
+        case PMb.Skip =>
+          pendingSkip += 1
+          pmvX = 0; pmvY = 0 // decoder resets on skip; keep the model in sync
+          dcPredY = 128
+        case PMb.Move(dx, dy) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("001") // MC, not coded
+          putMv(dx - pmvX); putMv(dy - pmvY)
+          pmvX = dx; pmvY = dy
+          dcPredY = 128
+        case PMb.Residual(pos) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("01") // no MC, coded
+          pmvX = 0; pmvY = 0
+          putBits("1010") // cbp = 32: luma block 0 only
+          bw.put(1, 1) // first coefficient '1'
+          bw.put(if (pos) 0 else 1, 1) // sign
+          bw.put(2, 2) // EOB
+          dcPredY = 128
+        case PMb.Intra(l) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("00011")
+          pmvX = 0; pmvY = 0
+          var blk = 0
+          while (blk < 6) {
+            val diff = if (blk == 0) l - dcPredY else 0
+            putDc(diff, luma = blk < 4)
+            bw.put(2, 2)
+            blk += 1
+          }
+          // DC prediction carries into an ADJACENT intra MB (no reset
+          // between consecutive intra MBs with increment 1)
+          dcPredY = l
+      }
+    }
+    bw.startCode(0xB7)
     bw.result()
   }
 }

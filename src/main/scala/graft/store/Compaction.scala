@@ -45,7 +45,8 @@ object Compaction {
                targetFileBytes: Long = 256L << 20,
                minFilesToCompact: Int = 2,
                dayPrefix: Option[String] = None,
-               skipAtTargetSize: Boolean = false): Unit = {
+               skipAtTargetSize: Boolean = false): Unit =
+      StoreLocks.compaction(dir).synchronized {
     val promoted = LogStore.promotedFields(dir).map(_._1)
     // /internal/force_merge?partition_prefix=YYYYMMDD scopes the merge to
     // matching day partitions (vlstorage/main.go:230); both 20240921 and
@@ -86,7 +87,8 @@ object Compaction {
     * filters on the promoted field push down to the parquet scan). One
     * deliberate full rewrite, like a reference forced-merge. */
   def materializePromotion(spark: SparkSession, dir: String,
-                           targetFileBytes: Long = 256L << 20): Unit = {
+                           targetFileBytes: Long = 256L << 20): Unit =
+      StoreLocks.compaction(dir).synchronized {
     val promoted = LogStore.promotedFields(dir).map(_._1)
     if (promoted.nonEmpty) {
       partitionDirs(dir).foreach { pdir =>
@@ -116,7 +118,7 @@ object Compaction {
                       minFilesToCompact: Int = 8,
                       maxStreamsFiles: Int = 16): AutoCloseable = {
     @volatile var closed = false
-    def tick(): Unit = {
+    def tick(): Unit = StoreLocks.compaction(dir).synchronized {
       val promoted = LogStore.promotedFields(dir).map(_._1)
       val compacted = partitionDirs(dir).count { pdir =>
         val files = dataFiles(pdir)
@@ -184,7 +186,8 @@ object Compaction {
     * `today` is overridable for tests. */
   def enforceRetention(spark: SparkSession, dir: String, retentionDays: Int,
                        today: java.time.LocalDate =
-                         java.time.LocalDate.now(java.time.ZoneOffset.UTC)): Seq[String] = {
+                         java.time.LocalDate.now(java.time.ZoneOffset.UTC)): Seq[String] =
+      StoreLocks.compaction(dir).synchronized {
     val cutoff = today.minusDays(retentionDays.toLong)
     val dropped = partitionDirs(dir).flatMap { pdir =>
       val day = pdir.getName.stripPrefix("_day=")

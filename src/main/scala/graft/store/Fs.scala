@@ -67,4 +67,26 @@ object StoreLocks {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def streams(dir: String): Object =
     locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
+
+  /** Serializes `<dir>/logs` APPEND jobs: Spark's FileOutputCommitter
+    * stages every concurrent append of one path under the same
+    * `_temporary/0`, and whichever job commits first recursively deletes
+    * it — nuking the other job's staged task output (TASK_WRITE_FAILED +
+    * partially-duplicated rows, reproduced by IngestSoakProbe running the
+    * jsonline group-committer and the syslog flusher together). Compaction
+    * is unaffected (it writes to a private tmp dir and renames). */
+  private val logLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def logsAppend(dir: String): Object =
+    logLocks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
+
+  /** Serializes whole compaction passes per store: the background tick,
+    * a one-shot optimize, /internal/force_merge, and retention all
+    * rewrite-and-swap the same partitions and the streams table — two
+    * passes racing can both claim the same source files (duplicate
+    * merged output + failed deletes) and a swap between one pass's
+    * plan-build and scan fails it with FILE_NOT_EXIST (reproduced by
+    * IngestSoakProbe running optimize beside the background compactor). */
+  private val compactionLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def compaction(dir: String): Object =
+    compactionLocks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
 }

@@ -209,7 +209,12 @@ object Ingest {
     // entirely, and when it does run it re-parses one micro-batch —
     // cheaper than serializing every flush's map-typed rows into the
     // block store
-    locally {
+    // serialized per store: concurrent appends of one path share the
+    // FileOutputCommitter staging dir and corrupt each other (see
+    // StoreLocks.logsAppend) — the group committer already serializes the
+    // HTTP protocols, this covers cross-path concurrency (syslog TCP/UDP
+    // flushers, test backfills) too
+    graft.store.StoreLocks.logsAppend(dir).synchronized {
       // the /metrics ingested-rows count AND the batch's distinct stream
       // ids ride along as observed metrics instead of costing separate jobs
       val obs = org.apache.spark.sql.Observation()

@@ -950,6 +950,75 @@ class OpsSpec extends SparkSuite {
       r.getAs[Array[Byte]]("frame")).isDefined))
   }
 
+  test("multimodal: MPEG-1 P-frames — forward MC, skips, intra recode, residual, half-pel") {
+    import Mpeg1.PMb
+    // 4×2 macroblock grid of distinct gray tiles (luma = RGB gray here:
+    // chroma is neutral so a pixel's red channel IS its luma)
+    val tiles = Seq(40, 80, 120, 160, 200, 60, 100, 140)
+    def lum(img: java.awt.image.BufferedImage, mbX: Int, mbY: Int,
+            ox: Int = 4, oy: Int = 4): Int =
+      (img.getRGB(mbX * 16 + ox, mbY * 16 + oy) >> 16) & 0xff
+    // P1: every MB takes its RIGHT neighbor via a +16px (32 half-pel)
+    // forward vector; the last column keeps itself (vector 0) — the
+    // per-row delta sequence +32, 0, 0, -32 exercises positive, zero and
+    // negative motion deltas with f_code=3 residual bits
+    val p1 = (0 until 8).map(i => if (i % 4 == 3) PMb.Move(0, 0) else PMb.Move(32, 0))
+    // P2 (predicts from P1): plain copy, a skipped MB, an intra recode,
+    // a +1 luma-block-0 residual, and a trailing copy
+    val p2 = Seq[PMb](PMb.Move(0, 0), PMb.Skip, PMb.Intra(220), PMb.Residual(true),
+      PMb.Move(0, 0), PMb.Skip, PMb.Skip, PMb.Move(0, 0))
+    val es = Mpeg1.encodeIPStream(tiles, Seq(p1, p2), w = 64, h = 32)
+    val v = Mpeg1.decode(es).get
+    assert(v.frames.length == 3, v.frames.length)
+    val Seq(i0, f1, f2) = v.frames.toSeq
+    // I frame: tiles as planted
+    for (r <- 0 until 2; c <- 0 until 4)
+      assert(math.abs(lum(i0, c, r) - tiles(r * 4 + c)) <= 1, s"I($c,$r)")
+    // P1: shifted-left-by-one-tile view of I (exact: DC-flat reference,
+    // integer vector — motion compensation is a pure copy)
+    for (r <- 0 until 2; c <- 0 until 4) {
+      val want = tiles(r * 4 + math.min(c + 1, 3))
+      assert(math.abs(lum(f1, c, r) - want) <= 1, s"P1($c,$r): ${lum(f1, c, r)} vs $want")
+    }
+    // P2 expectations against P1's tile map
+    val t1 = (0 until 8).map(i => tiles(i - i % 4 + math.min(i % 4 + 1, 3)))
+    assert(math.abs(lum(f2, 0, 0) - t1(0)) <= 1) // copy
+    assert(math.abs(lum(f2, 1, 0) - t1(1)) <= 1) // skipped → co-located
+    assert(math.abs(lum(f2, 2, 0) - 220) <= 1) // intra recode
+    // residual MB: +1 first coefficient → dequant (2·1+1)·8·16/16 = 24,
+    // mismatch → 23, DC-only IDCT → +round(23/8) = +3 on luma block 0 ONLY
+    assert(lum(f2, 3, 0, 2, 2) - t1(3) == 3,
+      s"residual block0: ${lum(f2, 3, 0, 2, 2)} vs ${t1(3)}")
+    assert(lum(f2, 3, 0, 10, 2) - t1(3) == 0, "residual must not leak to block 1")
+    for (i <- 4 until 8)
+      assert(math.abs(lum(f2, i % 4, 1) - t1(i)) <= 1, s"P2 tail $i")
+    // half-pel: +1 half-pel rightward vector averages each pixel with its
+    // right neighbor — interior pixels unchanged, the pixel just left of
+    // a tile boundary becomes the rounded mean of the two tiles
+    val ph = Seq.fill[PMb](8)(PMb.Move(1, 0)).updated(3, PMb.Move(0, 0))
+      .updated(7, PMb.Move(0, 0))
+    val vh = Mpeg1.decode(Mpeg1.encodeIPStream(tiles, Seq(ph), 64, 32)).get
+    val fh = vh.frames(1)
+    assert(math.abs(lum(fh, 0, 0) - tiles(0)) <= 1) // interior: avg of equals
+    val boundary = (fh.getRGB(15, 4) >> 16) & 0xff
+    assert(math.abs(boundary - ((tiles(0) + tiles(1) + 1) / 2)) <= 1,
+      s"half-pel boundary: $boundary")
+    // adversarial: byte flips over the P stream never throw
+    val rnd2 = new scala.util.Random(11)
+    for (_ <- 0 until 60) {
+      val b = es.clone()
+      b(rnd2.nextInt(b.length)) = rnd2.nextInt(256).toByte
+      Mpeg1.decode(b) // must not throw
+    }
+    for (cut <- Seq(8, es.length / 3, es.length / 2, es.length - 2))
+      Mpeg1.decode(java.util.Arrays.copyOf(es, cut))
+    // an out-of-picture vector aborts the P picture, keeps the I frame
+    val oob = (0 until 8).map(_ => PMb.Move(60, 0))
+    val kept = Mpeg1.decode(Mpeg1.encodeIPStream(tiles, Seq(oob), 64, 32))
+    assert(kept.isDefined && kept.get.frames.length == 1,
+      kept.map(_.frames.length).toString)
+  }
+
   test("multimodal: MPEG-1 AC coefficients — escape parse, zigzag, dequant, IDCT vs independent math") {
     // constants re-derived here from the standard, NOT imported from the
     // decoder, so a transcription slip on either side fails the compare
