@@ -138,6 +138,15 @@ object SparkEntry {
     "q_lql_bare_stats" -> ((s, d) =>
       lql(s, d,
         "* | event_type:purchase | by (event_type) count() hits, sum(event_id) s")),
+    // ---- docs-sweep grammar: format keep_original_fields /
+    // skip_empty_results, bare len_range filter, stats implicit by-list,
+    // bare head (pipe_format.go:297-306, pipe_limit.go:107,
+    // pipe_stats.go:1266) ----
+    "q_lql_format_opts" -> ((s, d) =>
+      lql(s, d,
+        """len_range(1, 1000000) | format "<nosuch>" as t1 skip_empty_results
+           | format "X" as event_type keep_original_fields
+           | stats (event_type) count() c, count_empty(t1) e""")),
     // ---- time bucketing via LogsQL (§2.3 grouping extras) ----
     "q_lql_time_stats" -> ((s, d) =>
       lql(s, d,
@@ -1207,6 +1216,13 @@ object SparkEntry {
     "q_lql_bare_stats" ->
       """SELECT event_type, count(*) AS hits, CAST(sum(event_id) AS DOUBLE) AS s
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    // skip_empty_results leaves the (missing → empty) t1 untouched, so
+    // every row counts as empty; keep_original_fields keeps the non-empty
+    // event_type, so groups are the original values; len_range(1, 1e6) on
+    // _msg passes every non-empty message
+    "q_lql_format_opts" ->
+      """SELECT event_type, count(*) AS c, count(*) AS e FROM events
+         WHERE length(props) >= 1 GROUP BY 1""",
     "q_lql_time_stats" ->
       """SELECT epoch(date_trunc('day', ts)) AS day_s, count(*) AS hits
          FROM events GROUP BY 1 ORDER BY 1""",

@@ -177,12 +177,17 @@ object Pipe {
   /** `format "tpl<fld>" as out` — template parts are Left(literal) or
     * Right((transform, field)); transform "" = raw (pipe_format.go). */
   final case class Format(parts: Seq[Either[String, (String, String)]],
-                          out: String, iff: Option[Filter] = None) extends Pipe
+                          out: String,
+                          keepOriginal: Boolean = false,
+                          skipEmpty: Boolean = false,
+                          iff: Option[Filter] = None) extends Pipe
   /** `extract "prefix<f1>sep<f2>" from field` (pipe_extract.go/pattern.go). */
   final case class Extract(steps: Seq[PatternStep], from: String,
                            keepOriginal: Boolean, skipEmpty: Boolean,
                            iff: Option[Filter] = None) extends Pipe
   final case class ExtractRegexp(re: String, from: String,
+                                 keepOriginal: Boolean = false,
+                                 skipEmpty: Boolean = false,
                                  iff: Option[Filter] = None) extends Pipe
   final case class Replace(oldS: String, newS: String, at: String,
                            limit: Long,
@@ -299,6 +304,38 @@ object MathExpr {
   final case class Bin(op: String, l: MathExpr, r: MathExpr) extends MathExpr
   final case class Neg(e: MathExpr) extends MathExpr
   final case class Call(fn: String, args: Seq[MathExpr]) extends MathExpr
+
+  /** Result-field name for a `| math expr` entry WITHOUT an `as` clause:
+    * the expression's own rendering (pipe_math.go parseMathEntry falls
+    * back to mathExpr.String(); parens mirror its priority rules). */
+  def render(e: MathExpr): String = {
+    def prio(op: String): Int = op match {
+      case "^" => 100
+      case "*" | "/" | "%" => 10
+      case _ => 1
+    }
+    e match {
+      case Num(v) => if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+      case FieldRef(n) => n
+      case Neg(inner) =>
+        val s = render(inner)
+        inner match {
+          case _: Bin => s"-($s)"
+          case _ => s"-$s"
+        }
+      case Bin(op, l, r) =>
+        val ls = l match {
+          case Bin(lop, _, _) if prio(lop) > prio(op) => s"(${render(l)})"
+          case _ => render(l)
+        }
+        val rs = r match {
+          case Bin(rop, _, _) if prio(rop) >= prio(op) => s"(${render(r)})"
+          case _ => render(r)
+        }
+        s"$ls $op $rs"
+      case Call(fn, args) => s"$fn(${args.map(render).mkString(", ")})"
+    }
+  }
 }
 
 final case class ParseException(msg: String, pos: Int)

@@ -560,16 +560,23 @@ object Compiler {
     case Pipe.Math(exprs) =>
       exprs.foldLeft(df)((d, ea) => d.withColumn(ea._2, mathCol(d, ea._1, ctx)))
 
-    case Pipe.Format(parts, out, iff) =>
+    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff) =>
       val cols = parts.map {
         case Left(litS) => lit(litS)
         case Right((tr, fld)) => formatTransform(tr, strF(df, fld))
       }
       val formatted = if (cols.isEmpty) lit("") else concat(cols: _*)
+      // keep_original_fields: a non-empty existing result field wins;
+      // skip_empty_results: an empty formatted value never overwrites
+      // (pipe_format.go:149-153: `(v == "" && skip) || keep -> vOrig`)
+      val withOpts =
+        if (keepOrig) when(nonEmpty(df, out), strF(df, out)).otherwise(formatted)
+        else if (skipEmpty) when(formatted =!= "", formatted).otherwise(strF(df, out))
+        else formatted
       val v = iff match {
         case Some(f) =>
-          when(compileFilter(df, f, ctx), formatted).otherwise(strF(df, out))
-        case None => formatted
+          when(compileFilter(df, f, ctx), withOpts).otherwise(strF(df, out))
+        case None => withOpts
       }
       df.withColumn(out, v)
 
@@ -1676,7 +1683,12 @@ object Compiler {
     applyUnpack(df, e.from, e.iff, ctx.copy(source = df)) { (d, cond) =>
       val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
       val writes = names.map { case (f, gi) =>
-        val v = element_at(groups, gi)
+        val v0 = element_at(groups, gi)
+        // same option semantics as extract (pipe_extract_regexp.go:180)
+        val v =
+          if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v0)
+          else if (e.skipEmpty) when(v0 =!= "", v0).otherwise(strF(d, f))
+          else v0
         f -> (cond match {
           case Some(c) => when(c, v).otherwise(strF(d, f))
           case None => v

@@ -155,14 +155,16 @@ object NeededFields {
     case Pipe.FieldNames(_) => None
     case Pipe.FieldValues(fd, _) => Some(Set(fd))
     case Pipe.Math(exprs) => plus(a, exprs.flatMap(e => mathRefs(e._1)))
-    case Pipe.Format(parts, out, iff) =>
+    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff) =>
       val reads = parts.collect { case Right((_, fd)) => fd }.toSet
-      // without `if`, `out` is overwritten unconditionally and its prior
-      // value is never read — the one subtraction that buys precision for
-      // the unpack→format→stats chain
-      a.map(s => (if (iff.isEmpty) s - out else s) ++ reads ++ iffFields(iff))
+      // without `if`/keep/skip, `out` is overwritten unconditionally and
+      // its prior value is never read — the one subtraction that buys
+      // precision for the unpack→format→stats chain. keep_original_fields
+      // and skip_empty_results READ the prior value (pipe_format.go:70).
+      a.map(s => (if (iff.isEmpty && !keepOrig && !skipEmpty) s - out else s)
+        ++ reads ++ iffFields(iff))
     case Pipe.Extract(_, from, _, _, iff) => plus(a, Set(from) ++ iffFields(iff))
-    case Pipe.ExtractRegexp(_, from, iff) => plus(a, Set(from) ++ iffFields(iff))
+    case Pipe.ExtractRegexp(_, from, _, _, iff) => plus(a, Set(from) ++ iffFields(iff))
     case Pipe.Replace(_, _, at, _, iff) => plus(a, Set(at) ++ iffFields(iff))
     case Pipe.ReplaceRegexp(_, _, at, _, iff) => plus(a, Set(at) ++ iffFields(iff))
     case Pipe.Len(fd, out) => a.map(s => (s - out) + fd)

@@ -286,6 +286,13 @@ final class Parser(input: String, now: Long) {
         if (consumeKeyword("not")) return Filter.Not(parseTerm(defaultField))
         val w = readWord()
         if (peekCh == ':') { pos += 1; parseFilterRhs(w) }
+        // bare filter functions apply to the default field —
+        // `seq("a", "b")`, `len_range(5, 10)`, `contains_all(foo, "x")`
+        // (LogsQL.md uses the fieldless forms throughout); same adjacency
+        // rule as the field-prefixed path: `word (group)` stays an AND
+        else if ((peekCh == '(' || (peekCh == '[' && w.equalsIgnoreCase("range"))) &&
+                 Parser.filterFuncs(w.toLowerCase))
+          parseFuncFilter(defaultField, w.toLowerCase)
         else wordFilter(defaultField, w)
     }
   }
@@ -780,7 +787,11 @@ final class Parser(input: String, now: Long) {
       case "copy" | "cp" => Pipe.Copy(parseAsPairs())
       case "rename" | "mv" => Pipe.Rename(parseAsPairs())
       case "filter" | "where" => Pipe.Where(parseOr("_msg"))
-      case "limit" | "head" => Pipe.Limit(readLong())
+      case "limit" | "head" =>
+        // N is optional; bare `| head` defaults to 10 (pipe_limit.go:107)
+        skipWs()
+        if (peekCh == '|' || peekCh == ')' || peekCh == '\u0000') Pipe.Limit(10L)
+        else Pipe.Limit(readLong())
       case "offset" | "skip" => Pipe.Offset(readLong())
       case "sample" => Pipe.Sample(readLong())
       case "sort" | "order" => parseSortPipe(descDefault = false)
@@ -803,7 +814,15 @@ final class Parser(input: String, now: Long) {
         val iff = parseOptIf()
         val re = readToken()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
-        Pipe.ExtractRegexp(re, from, iff)
+        // pipe_extract_regexp.go:298-307 trailing options
+        var keep = false; var skipE = false
+        var more = true
+        while (more) {
+          if (consumeKeyword("keep_original_fields")) keep = true
+          else if (consumeKeyword("skip_empty_results")) skipE = true
+          else more = false
+        }
+        Pipe.ExtractRegexp(re, from, keep, skipE, iff)
       case "replace" =>
         // `replace [if (...)] (old, new) [at field] [limit N]`
         // (pipe_replace.go:82-96)
@@ -866,7 +885,15 @@ final class Parser(input: String, now: Long) {
         }
         Pipe.UnpackSyslog(from, p, off, keep, iff)
       case "unpack_words" =>
-        val from = if (consumeKeyword("from")) readToken() else "_msg"
+        // optional source: `from f`, bare `f`, or absent (_msg) —
+        // pipe_unpack_words.go:139-148 treats `from` itself as optional
+        skipWs()
+        val from =
+          if (consumeKeyword("from")) readToken()
+          else if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000' &&
+                   !peekKeyword("as") && !peekKeyword("limit") &&
+                   !peekKeyword("drop_duplicates")) readToken()
+          else "_msg"
         val out = if (consumeKeyword("as")) readToken() else from
         val lim = if (consumeKeyword("limit")) readLong() else 0L
         // pipe_unpack_words.go:163-166; `limit` is this engine's extension
@@ -881,12 +908,10 @@ final class Parser(input: String, now: Long) {
         Pipe.BlocksCount(out)
       case "block_stats" => Pipe.BlockStats
       case "pack_json" =>
-        val out = if (consumeKeyword("as")) readToken() else "_msg"
-        val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
+        val (out, fl) = parsePackArgs()
         Pipe.PackJson(out, fl)
       case "pack_logfmt" =>
-        val out = if (consumeKeyword("as")) readToken() else "_msg"
-        val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
+        val (out, fl) = parsePackArgs()
         Pipe.PackLogfmt(out, fl)
       case "drop_empty_fields" => Pipe.DropEmptyFields
       case "decolorize" =>
@@ -1006,11 +1031,34 @@ final class Parser(input: String, now: Long) {
     (a, b)
   }
 
+  /** `pack_json [fields (...)] [as out]` — the reference accepts the
+    * clauses in either order (docs use `pack_json fields (a, b) as c`). */
+  private def parsePackArgs(): (String, Seq[String]) = {
+    var out = "_msg"
+    var fl: Seq[String] = Nil
+    var more = true
+    while (more) {
+      if (consumeKeyword("as")) out = readToken()
+      else if (peekKeyword("fields")) { pos += 6; fl = parseFieldList(parens = true) }
+      else more = false
+    }
+    (out, fl)
+  }
+
   private def parseFieldFnPipe(mk: (String, String) => Pipe, dflt: String): Pipe = {
-    expect('(')
+    // parens around the source field are optional
+    // (parseFieldNameWithOptionalParens), as is the `as` before the
+    // result name (pipe_json_array_len.go:172-183)
+    skipWs()
+    val hasParen = peekCh == '('
+    if (hasParen) pos += 1
     val f = readToken()
-    expect(')')
-    val out = if (consumeKeyword("as")) readToken() else dflt
+    if (hasParen) expect(')')
+    skipWs()
+    val out =
+      if (consumeKeyword("as")) readToken()
+      else if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000') readToken()
+      else dflt
     mk(f, out)
   }
 
@@ -1079,7 +1127,13 @@ final class Parser(input: String, now: Long) {
   }
 
   private def parseStatsPipe(): Pipe = {
-    val by = if (consumeKeyword("by")) parseByFields() else Nil
+    // `by` is optional before the field list (pipe_stats.go:1266-1269:
+    // `stats (host, path) count()` is legal)
+    skipWs()
+    val by =
+      if (consumeKeyword("by")) parseByFields()
+      else if (peekCh == '(') parseByFields()
+      else Nil
     val funcs = ArrayBuffer.empty[StatsFuncAs]
     var more = true
     while (more) {
@@ -1144,7 +1198,10 @@ final class Parser(input: String, now: Long) {
       case "sum_len" => { arg0("sum_len"); SumLen(args.toSeq) }
       case "values" => { arg0("values"); Values(args.toSeq, limit) }
       case "uniq_values" => { arg0("uniq_values"); UniqValues(args.toSeq, limit) }
-      case "json_values" => { arg0("json_values"); JsonValues(args.toSeq, limit) }
+      case "json_values" =>
+        // empty args = every field (parseStatsFuncFieldFilters maps an
+        // empty filter list to ["*"])
+        JsonValues(if (args.isEmpty) Seq("*") else args.toSeq, limit)
       case "row_any" => RowAny(args.toSeq.filter(_ != "*"))
       case "row_max" => RowMax(arg0("row_max"), args.tail.toSeq.filter(_ != "*"))
       case "row_min" => RowMin(arg0("row_min"), args.tail.toSeq.filter(_ != "*"))
@@ -1223,8 +1280,16 @@ final class Parser(input: String, now: Long) {
     var more = true
     while (more) {
       val e = parseMathExpr(0)
-      if (!consumeKeyword("as")) err("math: expected 'as'")
-      val out = readToken()
+      // the result name may be `as name`, a bare name, or ABSENT — then
+      // the field is named by the expression's own rendering
+      // (parseMathEntry, pipe_math.go:466-485: `| math errors / logs`
+      // yields a field literally called "errors / logs")
+      skipWs()
+      val out =
+        if (consumeKeyword("as")) readToken()
+        else if (peekCh != '|' && peekCh != ')' && peekCh != ',' &&
+                 peekCh != '\u0000') readToken()
+        else MathExpr.render(e)
       exprs += ((e, out))
       more = consume(',')
     }
@@ -1318,7 +1383,16 @@ final class Parser(input: String, now: Long) {
     val iff = parseOptIf()
     val tpl = readToken()
     val out = if (consumeKeyword("as")) readToken() else "_msg"
-    Pipe.Format(Parser.parseFormatTemplate(tpl), out, iff)
+    // pipe_format.go:297-306: one optional trailing option (we accept
+    // both, a superset of the reference's single-switch grammar)
+    var keep = false; var skipE = false
+    var more = true
+    while (more) {
+      if (consumeKeyword("keep_original_fields")) keep = true
+      else if (consumeKeyword("skip_empty_results")) skipE = true
+      else more = false
+    }
+    Pipe.Format(Parser.parseFormatTemplate(tpl), out, keep, skipE, iff)
   }
 
   private def parseExtractPipe(): Pipe = {

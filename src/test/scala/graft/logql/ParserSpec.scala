@@ -210,6 +210,56 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("docs-sweep grammar forms (every LogsQL.md example parses)") {
+    // bare fieldless function filters apply to _msg
+    assert(parse("seq(\"error\", \"open file\")").filter ==
+      Filter.Sequence("_msg", scala.Seq("error", "open file")))
+    assert(parse("len_range(5, 10)").filter == Filter.LenRange("_msg", 5, 10))
+    parse("contains_all(foo, \"bar baz\")").filter match {
+      case Filter.ContainsAll("_msg", vs) => assert(vs == scala.Seq("foo", "bar baz"))
+      case other => fail(other.toString)
+    }
+    // stats by-list without the `by` keyword
+    val st = parse("* | stats (host, path) count() c").pipes.head
+      .asInstanceOf[Pipe.Stats]
+    assert(st.by.map(_.name) == scala.Seq("host", "path"))
+    // bare `head` defaults to 10 (pipe_limit.go:107)
+    assert(parse("error | head").pipes.head == Pipe.Limit(10))
+    assert(parse("error | head 5").pipes.head == Pipe.Limit(5))
+    // format/extract_regexp trailing options
+    parse("* | format \"x\" as foo keep_original_fields").pipes.head match {
+      case f: Pipe.Format => assert(f.keepOriginal && !f.skipEmpty)
+      case other => fail(other.toString)
+    }
+    parse("* | format \"<a><b>\" as foo skip_empty_results").pipes.head match {
+      case f: Pipe.Format => assert(f.skipEmpty)
+      case other => fail(other.toString)
+    }
+    parse("* | extract_regexp \"(?P<ip>[0-9]+)\" keep_original_fields").pipes.head match {
+      case e: Pipe.ExtractRegexp => assert(e.keepOriginal)
+      case other => fail(other.toString)
+    }
+    // pack fields-list before `as`
+    assert(parse("* | pack_json fields (foo, bar) as baz").pipes.head ==
+      Pipe.PackJson("baz", scala.Seq("foo", "bar")))
+    assert(parse("* | pack_logfmt fields (a) as b").pipes.head ==
+      Pipe.PackLogfmt("b", scala.Seq("a")))
+    // unpack_words bare source field; json_array_len parens + bare out
+    assert(parse("* | unpack_words _msg as words").pipes.head ==
+      Pipe.UnpackWords("_msg", "words", 0, false))
+    assert(parse("* | json_array_len (words) as n").pipes.head ==
+      Pipe.JsonArrayLen("words", "n"))
+    assert(parse("* | len(_msg) msglen").pipes.head == Pipe.Len("_msg", "msglen"))
+    // math without `as`: the result field is the expression rendering
+    val m = parse("* | stats count() logs | math errors / logs").pipes(1)
+      .asInstanceOf[Pipe.Math]
+    assert(m.exprs.head._2 == "errors / logs", m.exprs.head._2)
+    // json_values() with no args = all fields
+    val jv = parse("* | stats json_values() as j").pipes.head
+      .asInstanceOf[Pipe.Stats].funcs.head.fn
+    assert(jv == StatsFunc.JsonValues(scala.Seq("*"), None), jv.toString)
+  }
+
   test("unknown pipe errors when both bare grammars fail") {
     assertThrows[ParseException](parse("* | :"))
     assertThrows[ParseException](parse("* | count(, )"))
