@@ -1012,6 +1012,31 @@ object SparkEntry {
         .groupBy("lum_mill").agg(count(lit(1)).as("cnt"))
         .orderBy("lum_mill")
     }),
+    // ---- MPEG-1 B-frame decode: bidirectional/interpolated prediction
+    // and display-order reorder — per-clip mean luma over the DISPLAY
+    // sequence (I, B, P) is exact ----
+    "q_multimodal_mpeg_b" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Mpeg1.{PMb, BMb}
+      val shiftP = Seq[PMb](PMb.Move(32, 0), PMb.Move(0, 0))
+      def clip(kind: Int): Array[Byte] = kind match {
+        // A: I [64,128], P [128,128], B [interp=96, bwd=128] → means 96,112,128
+        case 0 => graft.ops.Mpeg1.encodeIPBStream(Seq(64, 128), shiftP,
+          Seq(Seq(BMb.Interp(0, 0, 0, 0), BMb.Bwd(0, 0))), 32, 16)
+        // B: I [200,40], P [40,40], B [fwd=200, interp=40] → 120,120,40
+        case 1 => graft.ops.Mpeg1.encodeIPBStream(Seq(200, 40), shiftP,
+          Seq(Seq(BMb.Fwd(0, 0), BMb.Interp(0, 0, 0, 0))), 32, 16)
+        // C: B carries an intra recode → means 96, 174, 128
+        case _ => graft.ops.Mpeg1.encodeIPBStream(Seq(64, 128), shiftP,
+          Seq(Seq(BMb.Intra(220), BMb.Fwd(0, 0))), 32, 16)
+      }
+      val clips = (0 until 12).map(i => (i.toLong, "video", clip(i % 3)))
+      val df = clips.toDF("media_id", "media_type", "content")
+      graft.ops.Multimodal.extractFeatures(df, "content", dim = 3)
+        .select(round(col("features")(0) * 1000).cast(LongType).as("lum_mill"))
+        .groupBy("lum_mill").agg(count(lit(1)).as("cnt"))
+        .orderBy("lum_mill")
+    }),
     "q_stream_context" -> ((s, d) => {
       val dir = graft.store.LogStore.ensureFromEvents(s, d)
       val logs = graft.store.LogStore.read(s, dir)
@@ -1447,6 +1472,13 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(314 AS BIGINT), CAST(4 AS BIGINT)),
          (CAST(439 AS BIGINT), CAST(4 AS BIGINT)),
          (CAST(521 AS BIGINT), CAST(4 AS BIGINT))) AS t(lum_mill, cnt)
+         ORDER BY lum_mill""",
+    // B-frame conformance: display-order means A (96,112,128)->439,
+    // B (120,120,40)->366, C (96,174,128)->520; 4 clips each
+    "q_multimodal_mpeg_b" ->
+      """SELECT * FROM (VALUES (CAST(366 AS BIGINT), CAST(4 AS BIGINT)),
+         (CAST(439 AS BIGINT), CAST(4 AS BIGINT)),
+         (CAST(520 AS BIGINT), CAST(4 AS BIGINT))) AS t(lum_mill, cnt)
          ORDER BY lum_mill""",
     // video decode is deterministic (solid-color MJPEG frames keep their
     // dominant channel through JPEG loss): pinned VALUES

@@ -3,10 +3,10 @@ package graft.ops
 import java.awt.image.BufferedImage
 import scala.collection.mutable.ArrayBuffer
 
-/** Pure-JVM MPEG-1 video (ISO/IEC 11172-2) I/P-frame codec.
+/** Pure-JVM MPEG-1 video (ISO/IEC 11172-2) decoder — I, P, AND B
+  * pictures.
   *
-  * Decodes I- and P-pictures of an MPEG-1 video elementary stream —
-  * sequence header (incl. loadable intra AND non-intra quantizer
+  * Sequence header (incl. loadable intra AND non-intra quantizer
   * matrices), GOP/picture headers, slice layer, intra macroblocks with
   * DC prediction, the dct_coeff VLC (common codes through the 13-bit
   * group plus FULL escape coding — the rarer 14-16-bit tail codes abort
@@ -18,10 +18,13 @@ import scala.collection.mutable.ArrayBuffer
   * f_code-scaled residuals with modulo wrap, half-pel bilinear
   * interpolation, full_pel scaling, coded_block_pattern (table B.3),
   * skipped-macroblock co-located copy, intra recode inside P, and
-  * signed non-intra residual blocks. B-pictures are skipped (backward/
-  * interpolated motion compensation is the remaining declared boundary,
-  * like H.264 in Multimodal): they predict from frames we already
-  * decode, so sampling I+P frames loses no reference content.
+  * signed non-intra residual blocks. B-pictures add backward and
+  * interpolated (rounded-average) prediction from the two most recent
+  * reference pictures, per-direction motion predictors with their own
+  * f_codes, skip-repeats-previous-mode semantics (§2.4.4.4), and
+  * display-order reordering (decode order I P B B… emits as I B B P…
+  * via a hold-one reference buffer). The remaining declared stub
+  * boundary is modern codecs (H.264 etc.) in Multimodal.decodeStub.
   *
   * The companion [[encodeIntra]] writes a spec-shaped I-only elementary
   * stream (used by tests/oracles as the deterministic fixture, the same
@@ -287,40 +290,71 @@ object Mpeg1 {
       var yPlane: Array[Int] = null
       var cbPlane: Array[Int] = null
       var crPlane: Array[Int] = null
-      // reference planes: the last fully-decoded I or P picture (decode
-      // order = display order without B-frames)
+      // reference planes: B-pictures predict FORWARD from the older
+      // (refPrev*) and BACKWARD from the newer (refY*) of the two most
+      // recent I/P pictures; P-pictures predict from refY* (the most
+      // recent). Decode order is I0 P3 B1 B2 P6 B4 B5…, display order
+      // I0 B1 B2 P3 B4 B5 P6 — the hold-one reorder below restores it.
       var refY: Array[Int] = null
       var refCb: Array[Int] = null
       var refCr: Array[Int] = null
-      var picType = 0 // 0 = skipped/none, 1 = I, 2 = P
-      var fullPel = false
-      var fCode = 1
+      var refPrevY: Array[Int] = null
+      var refPrevCb: Array[Int] = null
+      var refPrevCr: Array[Int] = null
+      var picType = 0 // 0 = skipped/none, 1 = I, 2 = P, 3 = B
+      var fullPelF = false
+      var fCodeF = 1
+      var fullPelB = false
+      var fCodeB = 1
       var picOk = false
       val frames = ArrayBuffer[BufferedImage]()
+      // display-order reorder: each completed I/P is HELD and flushed when
+      // the next I/P completes (or at stream end); completed B pictures
+      // emit immediately — they display before the held reference
+      var heldImg: BufferedImage = null
+      var emitted = 0L // display-order pixel budget accounting
+
+      def render(): BufferedImage = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yy = yPlane(y * (mbW * 16) + x)
+            val cb = cbPlane((y / 2) * (mbW * 8) + (x / 2))
+            val cr = crPlane((y / 2) * (mbW * 8) + (x / 2))
+            def cl(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+            val r = cl(yy + 1.402 * (cr - 128))
+            val g = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+            val b = cl(yy + 1.772 * (cb - 128))
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+
+      def flushHeld(): Unit = if (heldImg != null) {
+        if (frames.size < maxFrames) frames += heldImg
+        heldImg = null
+      }
+
+      def budgetLeft: Boolean =
+        frames.size < maxFrames && emitted + w.toLong * h <= MaxTotalPixels
 
       def emit(): Unit = if (picType != 0 && picOk && yPlane != null) {
-        if (frames.size < maxFrames) {
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val yy = yPlane(y * (mbW * 16) + x)
-              val cb = cbPlane((y / 2) * (mbW * 8) + (x / 2))
-              val cr = crPlane((y / 2) * (mbW * 8) + (x / 2))
-              def cl(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
-              val r = cl(yy + 1.402 * (cr - 128))
-              val g = cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-              val b = cl(yy + 1.772 * (cb - 128))
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          frames += img
+        if (picType == 3) {
+          // B: display-order position is before the held reference
+          if (budgetLeft) { frames += render(); emitted += w.toLong * h }
+        } else {
+          flushHeld()
+          if (budgetLeft) { heldImg = render(); emitted += w.toLong * h }
+          // a good I/P becomes the backward reference; the previous one
+          // moves to the forward slot
+          refPrevY = refY; refPrevCb = refCb; refPrevCr = refCr
+          refY = yPlane; refCb = cbPlane; refCr = crPlane
         }
-        // a good picture becomes the prediction reference for the next P
-        refY = yPlane; refCb = cbPlane; refCr = crPlane
       }
 
       var ci = 0
@@ -342,7 +376,10 @@ object Mpeg1 {
               emit() // flush the pending picture before going dead
               picOk = false; picType = 0; mbW = 0; mbH = 0
             } else {
-              if (nw != w || nh != h) { refY = null; refCb = null; refCr = null }
+              if (nw != w || nh != h) {
+                refY = null; refCb = null; refCr = null
+                refPrevY = null; refPrevCb = null; refPrevCr = null
+              }
               w = nw; h = nh; mbW = (w + 15) / 16; mbH = (h + 15) / 16
             }
             br.read(4) // pel aspect
@@ -366,23 +403,34 @@ object Mpeg1 {
             picOk = false
             br.read(10) // temporal reference
             val ptype = br.read(3)
-            picType = ptype match { case 1 => 1; case 2 => 2; case _ => 0 }
-            if (picType == 2) {
+            picType = ptype match { case 1 => 1; case 2 => 2; case 3 => 3; case _ => 0 }
+            if (picType == 2 || picType == 3) {
               br.read(16) // vbv_delay
-              fullPel = br.read(1) == 1
-              fCode = br.read(3)
-              if (fCode < 1 || fCode > 7) picType = 0
+              fullPelF = br.read(1) == 1
+              fCodeF = br.read(3)
+              if (fCodeF < 1 || fCodeF > 7) picType = 0
+            }
+            if (picType == 3) {
+              fullPelB = br.read(1) == 1
+              fCodeB = br.read(3)
+              if (fCodeB < 1 || fCodeB > 7) picType = 0
             }
             val pixelBudgetLeft =
               frames.size < maxFrames &&
-                (frames.size.toLong + 1) * w * h <= MaxTotalPixels
+                emitted + w.toLong * h <= MaxTotalPixels
             if (picType != 0 && mbW > 0 && pixelBudgetLeft) {
-              // a P picture without a same-geometry reference can't decode
-              if (picType == 2 &&
-                  (refY == null || refY.length != mbW * 16 * mbH * 16)) {
-                picType = 0
-              } else {
-                yPlane = new Array[Int](mbW * 16 * mbH * 16)
+              val planeLen = mbW * 16 * mbH * 16
+              // P needs the most recent reference; B needs BOTH (forward
+              // from the older, backward from the newer) at this geometry
+              val refsOk = picType match {
+                case 2 => refY != null && refY.length == planeLen
+                case 3 => refY != null && refY.length == planeLen &&
+                          refPrevY != null && refPrevY.length == planeLen
+                case _ => true
+              }
+              if (!refsOk) picType = 0
+              else {
+                yPlane = new Array[Int](planeLen)
                 cbPlane = new Array[Int](mbW * 8 * mbH * 8)
                 crPlane = new Array[Int](mbW * 8 * mbH * 8)
                 if (picType == 2) {
@@ -391,6 +439,13 @@ object Mpeg1 {
                   System.arraycopy(refY, 0, yPlane, 0, refY.length)
                   System.arraycopy(refCb, 0, cbPlane, 0, refCb.length)
                   System.arraycopy(refCr, 0, crPlane, 0, refCr.length)
+                } else if (picType == 3) {
+                  // defensive prefill only — every legal B macroblock is
+                  // either decoded or skip-rendered with its predecessor's
+                  // mode+vectors; uncovered MBs fall back to forward copy
+                  System.arraycopy(refPrevY, 0, yPlane, 0, refPrevY.length)
+                  System.arraycopy(refPrevCb, 0, cbPlane, 0, refPrevCb.length)
+                  System.arraycopy(refPrevCr, 0, crPlane, 0, refPrevCr.length)
                 }
               }
             } else picType = 0 // over budget: skip, keep what we have
@@ -400,9 +455,16 @@ object Mpeg1 {
               // THIS picture only — earlier frames already decoded stay,
               // later pictures still get their chance
               try {
+                val pc = PicCtx(
+                  isP = picType == 2, isB = picType == 3,
+                  fullPelF = fullPelF, fCodeF = fCodeF,
+                  fullPelB = fullPelB, fCodeB = fCodeB,
+                  fwdY = if (picType == 3) refPrevY else refY,
+                  fwdCb = if (picType == 3) refPrevCb else refCb,
+                  fwdCr = if (picType == 3) refPrevCr else refCr,
+                  bwdY = refY, bwdCb = refCb, bwdCr = refCr)
                 decodeSlice(br, sc, mbW, mbH, intraQ, nonIntraQ,
-                  yPlane, cbPlane, crPlane, refY, refCb, refCr,
-                  isP = picType == 2, fullPel = fullPel, fCode = fCode)
+                  yPlane, cbPlane, crPlane, pc)
                 picOk = true
               } catch {
                 case e: Exception =>
@@ -415,6 +477,7 @@ object Mpeg1 {
         ci += 1
       }
       emit() // last picture
+      flushHeld()
       if (frames.isEmpty || w <= 0 || h <= 0) None
       else Some(Mpeg1Video(frames.toIndexedSeq, usPerFrame))
     } catch {
@@ -424,18 +487,32 @@ object Mpeg1 {
     }
   }
 
+  /** Per-picture prediction context for [[decodeSlice]]: picture kind,
+    * forward/backward vector ranges, and the reference planes each
+    * direction predicts from (for P, fwd == bwd == the newest I/P). */
+  private final case class PicCtx(isP: Boolean, isB: Boolean,
+                                  fullPelF: Boolean, fCodeF: Int,
+                                  fullPelB: Boolean, fCodeB: Int,
+                                  fwdY: Array[Int], fwdCb: Array[Int],
+                                  fwdCr: Array[Int],
+                                  bwdY: Array[Int], bwdCb: Array[Int],
+                                  bwdCr: Array[Int])
+
   private def decodeSlice(br: BitReader, sliceCode: Int, mbW: Int, mbH: Int,
                           intraQ: Array[Int], nonIntraQ: Array[Int],
                           yP: Array[Int], cbP: Array[Int], crP: Array[Int],
-                          refY: Array[Int], refCb: Array[Int],
-                          refCr: Array[Int], isP: Boolean,
-                          fullPel: Boolean, fCode: Int): Unit = {
+                          pc: PicCtx): Unit = {
+    import pc.{isP, isB}
     var qScale = br.read(5)
     // extra_information_slice: '1'-flagged bytes, then a consumed '0'
     while (br.peek(1) == 1) { br.read(9) }
     br.read(1)
     var dcY = 1024; var dcCb = 1024; var dcCr = 1024
-    var pmvX = 0; var pmvY = 0 // forward motion vector predictor (P)
+    var pmvX = 0; var pmvY = 0 // forward motion vector predictor
+    var pmvBX = 0; var pmvBY = 0 // backward predictor (B pictures)
+    // B skipped macroblocks repeat the PREVIOUS macroblock's prediction
+    // mode and vectors (§2.4.4.4) — track them
+    var prevMf = true; var prevMb = false
     var mbAddr = (sliceCode - 1) * mbW - 1
     val coeffs = new Array[Int](64)
     val pix = new Array[Int](64)
@@ -572,7 +649,7 @@ object Mpeg1 {
     /** One reconstructed forward-vector component (§2.4.4.2): VLC code,
       * f_code-scaled residual, predictor add, modulo wrap into
       * [-16f, 16f-1]. */
-    def readMvComponent(pred: Int): Int = {
+    def readMvComponent(pred: Int, fCode: Int): Int = {
       val code = decodePrefix(br, MotionByLen, 11)
         .getOrElse(throw new IllegalStateException("bad motion code"))
       val rSize = fCode - 1
@@ -638,6 +715,63 @@ object Mpeg1 {
       }
     }
 
+    var interpY: Array[Int] = null
+    var interpCb: Array[Int] = null
+    var interpCr: Array[Int] = null
+
+    /** Write this MB's motion-compensated prediction into the planes:
+      * forward, backward, or the rounded average of both (§2.4.4.3).
+      * Vectors are half-pels post-full_pel scaling. */
+    def renderPrediction(mbX: Int, mbY: Int, mf: Boolean, mb: Boolean,
+                         fvx: Int, fvy: Int, bvx: Int, bvy: Int): Unit = {
+      val lumaStride = mbW * 16; val lumaRows = mbH * 16
+      val chStride = mbW * 8; val chRows = mbH * 8
+      if (mf && mb) {
+        // interpolated: average the two predictions with //2 rounding
+        // (scratch planes allocated once per slice, lazily)
+        if (interpY == null) {
+          interpY = new Array[Int](lumaStride * lumaRows)
+          interpCb = new Array[Int](chStride * chRows)
+          interpCr = new Array[Int](chStride * chRows)
+        }
+        val tmpY = interpY
+        val tmpCb = interpCb
+        val tmpCr = interpCr
+        mcCopy(pc.fwdY, yP, lumaStride, lumaRows, mbX * 16, mbY * 16, 16, fvx, fvy)
+        mcCopy(pc.bwdY, tmpY, lumaStride, lumaRows, mbX * 16, mbY * 16, 16, bvx, bvy)
+        mcCopy(pc.fwdCb, cbP, chStride, chRows, mbX * 8, mbY * 8, 8, fvx / 2, fvy / 2)
+        mcCopy(pc.bwdCb, tmpCb, chStride, chRows, mbX * 8, mbY * 8, 8, bvx / 2, bvy / 2)
+        mcCopy(pc.fwdCr, crP, chStride, chRows, mbX * 8, mbY * 8, 8, fvx / 2, fvy / 2)
+        mcCopy(pc.bwdCr, tmpCr, chStride, chRows, mbX * 8, mbY * 8, 8, bvx / 2, bvy / 2)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val i = (mbY * 16 + y) * lumaStride + mbX * 16 + x
+            yP(i) = (yP(i) + tmpY(i) + 1) >> 1
+            if (y < 8 && x < 8) {
+              val j = (mbY * 8 + y) * chStride + mbX * 8 + x
+              cbP(j) = (cbP(j) + tmpCb(j) + 1) >> 1
+              crP(j) = (crP(j) + tmpCr(j) + 1) >> 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      } else if (mb) {
+        mcCopy(pc.bwdY, yP, lumaStride, lumaRows, mbX * 16, mbY * 16, 16, bvx, bvy)
+        mcCopy(pc.bwdCb, cbP, chStride, chRows, mbX * 8, mbY * 8, 8, bvx / 2, bvy / 2)
+        mcCopy(pc.bwdCr, crP, chStride, chRows, mbX * 8, mbY * 8, 8, bvx / 2, bvy / 2)
+      } else {
+        mcCopy(pc.fwdY, yP, lumaStride, lumaRows, mbX * 16, mbY * 16, 16, fvx, fvy)
+        mcCopy(pc.fwdCb, cbP, chStride, chRows, mbX * 8, mbY * 8, 8, fvx / 2, fvy / 2)
+        mcCopy(pc.fwdCr, crP, chStride, chRows, mbX * 8, mbY * 8, 8, fvx / 2, fvy / 2)
+      }
+    }
+
+    def scaledF(v: Int): Int = if (pc.fullPelF) v << 1 else v
+    def scaledB(v: Int): Int = if (pc.fullPelB) v << 1 else v
+
     /** macroblock_type, P-pictures (table B.2b) →
       * (quant, motionForward, coded, intra). */
     def readPMbType(): (Boolean, Boolean, Boolean, Boolean) = {
@@ -651,6 +785,30 @@ object Mpeg1 {
         case _ =>
           if (br.peek(3) == 1) { br.read(3); (true, false, false, true) } // '000001'
           else throw new IllegalStateException("bad P mb type")
+      }
+    }
+
+    /** macroblock_type, B-pictures (table B.2c) →
+      * (quant, motionForward, motionBackward, coded, intra). */
+    def readBMbType(): (Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      if (br.read(1) == 1) {
+        if (br.read(1) == 1) (false, true, true, true, false) // '11' interp+coded
+        else (false, true, true, false, false) // '10' interp
+      } else if (br.read(1) == 1) {
+        if (br.read(1) == 1) (false, false, true, true, false) // '011' bwd+coded
+        else (false, false, true, false, false) // '010' bwd
+      } else if (br.read(1) == 1) {
+        if (br.read(1) == 1) (false, true, false, true, false) // '0011' fwd+coded
+        else (false, true, false, false, false) // '0010' fwd
+      } else br.peek(2) match { // consumed '000'
+        case 3 => br.read(2); (false, false, false, false, true) // '00011' intra
+        case 2 => br.read(2); (true, true, true, true, false) // '00010' interp+coded+q
+        case _ => br.peek(3) match {
+          case 3 => br.read(3); (true, true, false, true, false) // '000011' fwd+coded+q
+          case 2 => br.read(3); (true, false, true, true, false) // '000010' bwd+coded+q
+          case 1 => br.read(3); (true, false, false, false, true) // '000001' intra+q
+          case _ => throw new IllegalStateException("bad B mb type")
+        }
       }
     }
 
@@ -668,18 +826,28 @@ object Mpeg1 {
           case None => throw new IllegalStateException("bad addr increment")
         }
       }
+      val prevAddr = mbAddr
       mbAddr += inc
-      if (inc > 1) {
-        // skipped MBs reset DC prediction AND (in P) the vector predictor;
-        // their pixels are the co-located reference MB — already in place
-        // via the picture-level prefill
-        dcY = 1024; dcCb = 1024; dcCr = 1024
-        pmvX = 0; pmvY = 0
-      }
       if (mbAddr >= mbW * mbH) throw new IllegalStateException("mb overflow")
+      if (inc > 1) {
+        // skipped MBs reset DC prediction everywhere. In P they ALSO
+        // reset the vector predictor and their pixels are the co-located
+        // reference MB (already in place via the picture-level prefill);
+        // in B they REUSE the previous macroblock's prediction mode and
+        // vectors (§2.4.4.4) and must be rendered explicitly
+        dcY = 1024; dcCb = 1024; dcCr = 1024
+        if (isB) {
+          var sk = prevAddr + 1
+          while (sk < mbAddr) {
+            renderPrediction(sk % mbW, sk / mbW, prevMf, prevMb,
+              scaledF(pmvX), scaledF(pmvY), scaledB(pmvBX), scaledB(pmvBY))
+            sk += 1
+          }
+        } else { pmvX = 0; pmvY = 0 }
+      }
       val mbX = mbAddr % mbW
       val mbY = mbAddr / mbW
-      if (!isP) {
+      if (!isP && !isB) {
         // macroblock_type, I-pictures (table B.2a): 1=intra, 01=intra+quant
         if (br.read(1) == 0) {
           if (br.read(1) != 1) throw new IllegalStateException("bad mb type")
@@ -695,6 +863,59 @@ object Mpeg1 {
         place(cbP, mbW * 8, mbX * 8, mbY * 8)
         dcCr = decodeBlock(isLuma = false, dcCr)
         place(crP, mbW * 8, mbX * 8, mbY * 8)
+      } else if (isB) {
+        val (quant, mf, mb, coded, intra) = readBMbType()
+        if (quant) qScale = br.read(5)
+        if (intra) {
+          // intra MB inside B: resets BOTH vector predictors (§2.4.4.4)
+          pmvX = 0; pmvY = 0; pmvBX = 0; pmvBY = 0
+          prevMf = true; prevMb = false
+          var b = 0
+          while (b < 4) {
+            dcY = decodeBlock(isLuma = true, dcY)
+            place(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
+            b += 1
+          }
+          dcCb = decodeBlock(isLuma = false, dcCb)
+          place(cbP, mbW * 8, mbX * 8, mbY * 8)
+          dcCr = decodeBlock(isLuma = false, dcCr)
+          place(crP, mbW * 8, mbX * 8, mbY * 8)
+        } else {
+          dcY = 1024; dcCb = 1024; dcCr = 1024
+          // unlike P, an absent direction keeps its predictor (a later MB
+          // reusing the mode continues from it); only read what's coded
+          if (mf) {
+            pmvX = readMvComponent(pmvX, pc.fCodeF)
+            pmvY = readMvComponent(pmvY, pc.fCodeF)
+          }
+          if (mb) {
+            pmvBX = readMvComponent(pmvBX, pc.fCodeB)
+            pmvBY = readMvComponent(pmvBY, pc.fCodeB)
+          }
+          prevMf = mf; prevMb = mb
+          renderPrediction(mbX, mbY, mf, mb,
+            scaledF(pmvX), scaledF(pmvY), scaledB(pmvBX), scaledB(pmvBY))
+          if (coded) {
+            val cbp = decodePrefix(br, CbpByLen, 9)
+              .getOrElse(throw new IllegalStateException("bad coded_block_pattern"))
+            var b = 0
+            while (b < 4) {
+              if ((cbp & (32 >> b)) != 0) {
+                decodeResidualBlock()
+                addResidual(yP, mbW * 16, mbX * 16 + (b % 2) * 8, mbY * 16 + (b / 2) * 8)
+              }
+              b += 1
+            }
+            if ((cbp & 2) != 0) {
+              decodeResidualBlock()
+              addResidual(cbP, mbW * 8, mbX * 8, mbY * 8)
+            }
+            if ((cbp & 1) != 0) {
+              decodeResidualBlock()
+              addResidual(crP, mbW * 8, mbX * 8, mbY * 8)
+            }
+          }
+        }
       } else {
         val (quant, mc, coded, intra) = readPMbType()
         if (quant) qScale = br.read(5)
@@ -716,20 +937,14 @@ object Mpeg1 {
           // every non-intra MB resets the DC predictors
           dcY = 1024; dcCb = 1024; dcCr = 1024
           if (mc) {
-            pmvX = readMvComponent(pmvX)
-            pmvY = readMvComponent(pmvY)
+            pmvX = readMvComponent(pmvX, pc.fCodeF)
+            pmvY = readMvComponent(pmvY, pc.fCodeF)
           } else { pmvX = 0; pmvY = 0 }
           // full_pel vectors count whole pels: scale for use, predictor
-          // keeps the unscaled reconstruction (§2.4.4.2)
-          val vx = if (fullPel) pmvX << 1 else pmvX
-          val vy = if (fullPel) pmvY << 1 else pmvY
-          mcCopy(refY, yP, mbW * 16, mbH * 16, mbX * 16, mbY * 16, 16, vx, vy)
-          // chroma vector = luma/2 with truncation toward zero, then the
-          // same integer+half split
-          val cvx = vx / 2
-          val cvy = vy / 2
-          mcCopy(refCb, cbP, mbW * 8, mbH * 8, mbX * 8, mbY * 8, 8, cvx, cvy)
-          mcCopy(refCr, crP, mbW * 8, mbH * 8, mbX * 8, mbY * 8, 8, cvx, cvy)
+          // keeps the unscaled reconstruction (§2.4.4.2); chroma vector =
+          // luma/2 with truncation toward zero (inside renderPrediction)
+          renderPrediction(mbX, mbY, mf = false, mb = false,
+            scaledF(pmvX), scaledF(pmvY), 0, 0)
           if (coded) {
             val cbp = decodePrefix(br, CbpByLen, 9)
               .getOrElse(throw new IllegalStateException("bad coded_block_pattern"))
@@ -881,6 +1096,22 @@ object Mpeg1 {
     case object Skip extends PMb
   }
 
+  /** Per-macroblock B-picture coding mode for [[encodeIPBStream]]. */
+  sealed trait BMb
+  object BMb {
+    /** '0010' — forward-only MC from the older reference. */
+    final case class Fwd(dxHalf: Int, dyHalf: Int) extends BMb
+    /** '010' — backward-only MC from the newer reference. */
+    final case class Bwd(dxHalf: Int, dyHalf: Int) extends BMb
+    /** '10' — interpolated: rounded average of both predictions. */
+    final case class Interp(fdx: Int, fdy: Int, bdx: Int, bdy: Int) extends BMb
+    /** '00011' — intra recode. */
+    final case class Intra(luma: Int) extends BMb
+    /** gap: repeats the PREVIOUS macroblock's mode and vectors
+      * (§2.4.4.4) — so only legal after a non-intra mode. */
+    case object Skip extends BMb
+  }
+
   private lazy val AddrCodeOf: Map[Int, String] = AddrIncTable.map(_.swap)
   private lazy val MotionCodeOf: Map[Int, String] = MotionTable.map(_.swap)
 
@@ -1022,5 +1253,112 @@ object Mpeg1 {
     }
     bw.startCode(0xB7)
     bw.result()
+  }
+
+  /** Deterministic I+P+B elementary stream in DECODE order (I, P, B…);
+    * display order is I, B…, P — the decoder's hold-one reorder is part
+    * of what the fixture pins. The I picture is per-MB solid luma tiles,
+    * the P picture per-MB [[PMb]] modes (forward ref = I), each B
+    * picture per-MB [[BMb]] modes (forward ref = I, backward ref = P). */
+  def encodeIPBStream(iTiles: Seq[Int], pMbs: Seq[PMb],
+                      bFrames: Seq[Seq[BMb]],
+                      w: Int, h: Int, fCode: Int = 3,
+                      qScale: Int = 8): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0,
+      s"dimensions must be multiples of 16, got ${w}x$h")
+    val mbW = w / 16; val mbH = h / 16
+    // reuse the I+P writer for the shared prefix, then strip its
+    // sequence-end code and append the B pictures
+    val prefix = encodeIPStream(iTiles, Seq(pMbs), w, h, fCode, qScale)
+    val bw = new BitWriter
+    def putBits(str: String): Unit = str.foreach(c => bw.put(c - '0', 1))
+    def putAddrInc(inc0: Int): Unit = {
+      var inc = inc0
+      while (inc > 33) { putBits(AddrEscape); inc -= 33 }
+      putBits(AddrCodeOf(inc))
+    }
+    def putMv(delta: Int): Unit = {
+      val f = 1 << (fCode - 1)
+      if (delta == 0) putBits(MotionCodeOf(0))
+      else {
+        val m = math.abs(delta)
+        val c = (m + f - 1) / f
+        val r = m - (c - 1) * f - 1
+        require(c <= 16, s"delta $delta too large for fCode $fCode")
+        putBits(MotionCodeOf(if (delta < 0) -c else c))
+        if (f > 1) bw.put(r, fCode - 1)
+      }
+    }
+    def putDcLuma(diff: Int): Unit = {
+      val mag = math.abs(diff)
+      val size = 32 - Integer.numberOfLeadingZeros(mag)
+      size match {
+        case 0 => bw.put(4, 3)
+        case 1 => bw.put(0, 2)
+        case 2 => bw.put(1, 2)
+        case 3 => bw.put(5, 3)
+        case 4 => bw.put(6, 3)
+        case n => bw.put((1 << (n - 1)) - 2, n - 1)
+      }
+      if (size > 0) {
+        val bits = if (diff > 0) diff else diff + (1 << size) - 1
+        bw.put(bits, size)
+      }
+    }
+    bFrames.zipWithIndex.foreach { case (mbs, bi) =>
+      require(mbs.length == mbW * mbH, s"need ${mbW * mbH} B modes")
+      require(mbs.head != BMb.Skip && mbs.last != BMb.Skip,
+        "slice edges cannot skip")
+      bw.startCode(0x00)
+      bw.put((bi + 2) & 0x3FF, 10); bw.put(3, 3); bw.put(0xFFFF, 16)
+      bw.put(0, 1); bw.put(fCode, 3) // forward: full_pel=0, f_code
+      bw.put(0, 1); bw.put(fCode, 3) // backward: full_pel=0, f_code
+      bw.put(0, 1) // extra_bit_picture
+      bw.startCode(0x01)
+      bw.put(qScale, 5); bw.put(0, 1)
+      var pmvFx = 0; var pmvFy = 0
+      var pmvBx = 0; var pmvBy = 0
+      var dcPredY = 128
+      var pendingSkip = 0
+      mbs.foreach {
+        case BMb.Skip =>
+          pendingSkip += 1 // predictors and mode repeat — nothing changes
+          dcPredY = 128
+        case BMb.Fwd(dx, dy) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("0010")
+          putMv(dx - pmvFx); putMv(dy - pmvFy)
+          pmvFx = dx; pmvFy = dy
+          dcPredY = 128
+        case BMb.Bwd(dx, dy) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("010")
+          putMv(dx - pmvBx); putMv(dy - pmvBy)
+          pmvBx = dx; pmvBy = dy
+          dcPredY = 128
+        case BMb.Interp(fdx, fdy, bdx, bdy) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("10")
+          putMv(fdx - pmvFx); putMv(fdy - pmvFy)
+          putMv(bdx - pmvBx); putMv(bdy - pmvBy)
+          pmvFx = fdx; pmvFy = fdy; pmvBx = bdx; pmvBy = bdy
+          dcPredY = 128
+        case BMb.Intra(l) =>
+          putAddrInc(1 + pendingSkip); pendingSkip = 0
+          putBits("00011")
+          pmvFx = 0; pmvFy = 0; pmvBx = 0; pmvBy = 0
+          var blk = 0
+          while (blk < 6) {
+            if (blk < 4) putDcLuma(if (blk == 0) l - dcPredY else 0)
+            else bw.put(0, 2) // chroma DC size 0 (diff 0)
+            bw.put(2, 2) // EOB
+            blk += 1
+          }
+          dcPredY = l
+      }
+    }
+    bw.put(0, 8); bw.put(0, 8); bw.put(1, 8); bw.put(0xB7, 8)
+    // prefix without ITS sequence-end (last 4 bytes) + the B pictures
+    prefix.dropRight(4) ++ bw.result()
   }
 }

@@ -430,12 +430,13 @@ object Multimodal {
     if (n == 0) None else Some(acc.map(x => (x / n).toFloat))
   }
 
-  /** STUB decoder for video codecs with inter-frame compression (H.264
-    * etc.). MJPEG, BI_RGB, MS-RLE, BI_BITFIELDS, and MPEG-1 I-frame
-    * streams decode for REAL above; real deployments replace this with an
-    * actual codec (JNI/javacv) — everything around it (batching, schema,
-    * nullability) stays identical. Deterministic: features derive from
-    * the byte content so tests can assert exact values. */
+  /** STUB decoder for MODERN video codecs (H.264/H.265/VP9/AV1).
+    * MJPEG, BI_RGB, MS-RLE, BI_BITFIELDS, and full MPEG-1 (I, P, AND B
+    * pictures with motion compensation) decode for REAL above; real
+    * deployments replace this with an actual codec (JNI/javacv) —
+    * everything around it (batching, schema, nullability) stays
+    * identical. Deterministic: features derive from the byte content so
+    * tests can assert exact values. */
   private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real inter-frame video codec goes here; deterministic fake below
     val out = new Array[Float](dim)
