@@ -148,16 +148,38 @@ object Compiler {
     else if (hasFieldsMap(df)) Some(element_at(col("fields"), name))
     else None
 
+  /** Canonical label rendering of a map-typed field — `{k="v",…}` with
+    * keys sorted, the reference's `_stream` string form (its docs and
+    * NDJSON output treat `_stream` AS that string, so sorting/grouping/
+    * projecting it operates on the label, not an opaque map). */
+  def mapLabel(c: Column): Column =
+    concat(lit("{"), concat_ws(",",
+      transform(array_sort(map_entries(c)),
+        e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))),
+      lit("}"))
+
+  // only `_stream` renders as a label string — the internal `fields`
+  // map is a storage detail whose raw form tests and the NDJSON writer
+  // rely on; the reference has no other map-valued fields
+  private def isMapField(df: DataFrame, name: String): Boolean =
+    name == "_stream" && fieldType(df, name).exists(_.isInstanceOf[MapType])
+
   /** String view with LogsQL missing≡"" semantics. */
   def strF(df: DataFrame, name: String): Column =
     rawField(df, name) match {
+      case Some(c) if isMapField(df, name) => coalesce(mapLabel(c), lit(""))
       case Some(c) => coalesce(c.cast(StringType), lit(""))
       case None => lit("")
     }
 
-  /** Native-typed view (for projections); missing → null string. */
+  /** Native-typed view (for projections); missing → null string. Map
+    * fields (`_stream`) surface as their label string — maps are neither
+    * orderable nor the reference's value model for them. */
   def anyF(df: DataFrame, name: String): Column =
-    rawField(df, name).getOrElse(lit(null).cast(StringType))
+    rawField(df, name) match {
+      case Some(c) if isMapField(df, name) => mapLabel(c)
+      case other => other.getOrElse(lit(null).cast(StringType))
+    }
 
   /** Numeric view: native numerics pass through, strings try-parse. */
   def numF(df: DataFrame, name: String): Column =
@@ -1005,7 +1027,10 @@ object Compiler {
                else df.columns.toSeq.map(SortKey(_, desc = false))
     val exprs = keys.flatMap(sortExprs(df, _))
     if (s.partitionBy.nonEmpty) {
-      val w = Window.partitionBy(s.partitionBy.map(quoteName).map(col): _*)
+      // strF, not raw col: a partition field the relation lacks reads as
+      // "" (one partition) instead of failing analysis, and map fields
+      // partition by their label string
+      val w = Window.partitionBy(s.partitionBy.map(f => strF(df, f)): _*)
         .orderBy(exprs: _*)
       val rn = s.rank.getOrElse("__rank")
       // keep row_number() un-cast and compare it to an int literal: that is
@@ -1471,8 +1496,18 @@ object Compiler {
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b
-        case "/" => a / b
-        case "%" => a % b
+        // Go float64 semantics (the reference computes all math in
+        // float64): x/0 is ±Inf or NaN, x%0 is NaN — never an ANSI error
+        case "/" =>
+          when(b =!= 0d, a / b)
+            .when(a > 0d, lit(Double.PositiveInfinity))
+            .when(a < 0d, lit(Double.NegativeInfinity))
+            .when(a === 0d, lit(Double.NaN))
+            .otherwise(lit(null).cast(DoubleType))
+        case "%" =>
+          when(b =!= 0d, a % b)
+            .when(a.isNotNull && b.isNotNull, lit(Double.NaN))
+            .otherwise(lit(null).cast(DoubleType))
         case "^" => pow(a, b)
         case "&" => (a.cast(LongType) bitwiseAND b.cast(LongType)).cast(DoubleType)
         case "|" => (a.cast(LongType) bitwiseOR b.cast(LongType)).cast(DoubleType)
