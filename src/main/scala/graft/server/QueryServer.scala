@@ -149,27 +149,35 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
               spark.sparkContext.cancelJobGroupAndFutureJobs(group)
             }
           }, capMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-          try f(ex, ps)
-          catch {
-            // a cancel that fires after the headers went out can only
-            // truncate the stream; the attempt to say so is best-effort
-            case _: Throwable if timedOut.get() =>
-              try respond(ex, 503,
-                s"""{"error":"query exceeded its deadline of ${capMs}ms; pass a larger 'timeout' arg"}""")
-              catch { case _: Exception => () }
-            // a lifecycle swap (compaction/retention) replaced files
-            // between this query's cached file index and its execution —
-            // the reference refcounts parts instead (datadb.go); with
-            // immutable parquet the contract is invalidate + retry once
-            // against the fresh listing. Only before the status line is
-            // committed (a retry after that could never be delivered)
-            // and only for store-backed sources (nothing to refresh
-            // otherwise — a bare retry would fail identically).
-            case e: Throwable
-                if isStaleFileError(e) && !committed(ex) && storeDir.isDefined =>
-              Metrics.staleIndexRetries.incrementAndGet()
-              storeDir.foreach(graft.store.LogStore.invalidateCaches)
-              f(ex, ps)
+          // a lifecycle swap (compaction/retention) replaced files between
+          // this query's cached file index and its execution — the
+          // reference refcounts parts instead (datadb.go); with immutable
+          // parquet the contract is invalidate + retry against the fresh
+          // listing. BOUNDED LOOP, not retry-once: under continuous
+          // background compaction a freshly re-planned query can straddle
+          // the NEXT swap too (ChaosProbe reproduced double-straddles at
+          // 3s compaction ticks). Only before the status line is committed
+          // (a later retry could never be delivered) and only for
+          // store-backed sources (nothing to refresh otherwise).
+          var staleRetries = 0
+          var doneReq = false
+          try while (!doneReq) {
+            try { f(ex, ps); doneReq = true }
+            catch {
+              // a cancel that fires after the headers went out can only
+              // truncate the stream; the attempt to say so is best-effort
+              case _: Throwable if timedOut.get() =>
+                try respond(ex, 503,
+                  s"""{"error":"query exceeded its deadline of ${capMs}ms; pass a larger 'timeout' arg"}""")
+                catch { case _: Exception => () }
+                doneReq = true
+              case e: Throwable
+                  if isStaleFileError(e) && !committed(ex) &&
+                     storeDir.isDefined && staleRetries < 3 =>
+                staleRetries += 1
+                Metrics.staleIndexRetries.incrementAndGet()
+                storeDir.foreach(graft.store.LogStore.invalidateCaches)
+            }
           }
           finally {
             cancel.cancel(false)

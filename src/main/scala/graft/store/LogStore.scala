@@ -95,7 +95,25 @@ object LogStore {
   /** Drop cached relations under `dir` after an external write. */
   def invalidateCaches(dir: String): Unit = invalidate(dir)
 
+  /** Canonical store schema for an EMPTY (not-yet-ingested) store: a
+    * query against a fresh server must return zero rows like the
+    * reference does, not a PATH_NOT_FOUND error (caught by ChaosProbe —
+    * every request 400'd until the first ingest landed). */
+  private def emptyRelation(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_time", TimestampType),
+      StructField("_msg", StringType),
+      StructField("fields", MapType(StringType, StringType)),
+      StructField("_stream", MapType(StringType, StringType)),
+      StructField("_stream_id", StringType),
+      StructField("tenant", StringType),
+      StructField("_day", DateType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame = synchronized {
+    if (!Fs.exists(s"$dir/logs")) return emptyRelation(spark)
     def build(): DataFrame = {
       val raw = spark.read.parquet(s"$dir/logs")
       val pf = promotedFields(dir)
@@ -113,21 +131,36 @@ object LogStore {
         applyPromotion(df, pf.filter(!_._2).map(_._1))
       }
     }
-    readCache.getOrElseUpdate((spark, s"$dir/logs"), {
-      // schema inference reads a footer chosen from a directory listing; a
-      // lifecycle swap (compaction/retention) can delete that exact file
-      // between the listing and the read. Files are immutable, so a fresh
-      // listing is consistent — retry the build once. No sleep: this runs
-      // under the object lock, and stalling every concurrent reader of
-      // every store is worse than the small chance the re-list still sees
-      // a mid-delete file (callers' withStaleRetry covers that tail).
-      try build()
-      catch {
-        case e: Throwable if isStaleFileError(e) =>
-          graft.server.Metrics.staleIndexRetries.incrementAndGet()
-          build()
-      }
-    })
+    readCache.get((spark, s"$dir/logs")) match {
+      case Some(df) => df
+      case None =>
+        // schema inference reads a footer chosen from a directory listing;
+        // a lifecycle swap (compaction/retention) can delete that exact
+        // file between the listing and the read. Files are immutable, so a
+        // fresh listing is consistent — retry the build once. No sleep:
+        // this runs under the object lock, and stalling every concurrent
+        // reader of every store is worse than the small chance the re-list
+        // still sees a mid-delete file (callers' withStaleRetry covers
+        // that tail).
+        val df =
+          try Some(build())
+          catch {
+            case e: Throwable if isStaleFileError(e) =>
+              graft.server.Metrics.staleIndexRetries.incrementAndGet()
+              Some(build())
+            case e: org.apache.spark.sql.AnalysisException
+                if String.valueOf(e.getMessage).contains("UNABLE_TO_INFER_SCHEMA") =>
+              // the dir exists but holds no committed parquet yet — the
+              // FIRST write's _temporary staging races this read (caught
+              // by ChaosProbe). The store is empty RIGHT NOW; do not
+              // cache, the next read re-lists after the write commits.
+              None
+          }
+        df match {
+          case Some(d) => readCache((spark, s"$dir/logs")) = d; d
+          case None => emptyRelation(spark)
+        }
+    }
   }
 
   /** The failure came from a file that a lifecycle swap deleted between a

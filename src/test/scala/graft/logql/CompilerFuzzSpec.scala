@@ -42,6 +42,8 @@ class CompilerFuzzSpec extends SparkSuite {
       "_msg:seq(msg, error)", "v:len_range(1, 4)", "level:eq_field(level)",
       "_msg:contains_any(error, warn)", "!level:debug",
       "(error or level:info)", "_time:day_range[00:00, 23:00)",
+      "seq(msg, error)", "len_range(1, 200)", "contains_any(error, warn)",
+      "in(* | fields _msg)", "range(0, 1e9)",
       "level:value_type(string)", "nosuchfield:foo", "_stream_id:abc",
       "v:in(* | fields v)",
       "options (ignore_global_time_filter=true) *",
@@ -105,6 +107,21 @@ class CompilerFuzzSpec extends SparkSuite {
       // stream-id subquery sets, offset ip-mask buckets
       "unpack_json from js | stats by (a) count() ja",
       "unpack_json from js result_prefix u_ | stats count_uniq(u_a) ua",
+      // round-9 surface: bare stats/filter pipe shorthand, docs-sweep
+      // grammar (implicit by-list, bare head, fields-before-as pack,
+      // bare unpack_words source, optional-paren field fns, format /
+      // extract_regexp options, as-less math naming, empty json_values)
+      "count() c2", "by (level) count() bc2", "level:info",
+      "v:>1 | count() gt1", "head", "head 4",
+      "stats (level) count() sc2", "stats json_values() limit 2 jall",
+      "pack_json fields (level, v) as pj2",
+      "unpack_words _msg as w2 limit 3",
+      "len(_msg) l2", "json_array_len (js) jl2",
+      "math v * 3", "math v / 0 as inf, v % 0 as nan",
+      "format \"<level>\" as lv keep_original_fields",
+      "format \"<nosuch>\" as lv2 skip_empty_results",
+      "extract_regexp \"code=(?P<code2>\\\\d+)\" keep_original_fields",
+      "sort by (v) partition by (nosuchpart) limit 2",
       "unpack_logfmt from kv | stats by (mode) count() mc",
       "unpack_json skip_empty_results from js | stats min(a) mn, max(a) mx",
       "stats by (v:/24 offset 1) count() oip")
