@@ -38,11 +38,11 @@ case class EntriesDedupExpr(child: Expression, lastWins: Boolean)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    EntriesDedupExpr.eval(input.asInstanceOf[ArrayData], lastWins)
+    EntriesDedupKernel.eval(input.asInstanceOf[ArrayData], lastWins)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.EntriesDedupExpr.eval($a, $lastWins);")
+      s"${ev.value} = graft.functions.EntriesDedupKernel.eval($a, $lastWins);")
 
   override protected def withNewChildInternal(newChild: Expression): EntriesDedupExpr =
     copy(child = newChild)
@@ -50,7 +50,14 @@ case class EntriesDedupExpr(child: Expression, lastWins: Boolean)
   override def prettyName: String = "graft_entries_dedup"
 }
 
-object EntriesDedupExpr {
+/** Standalone kernel object — NOT the expression's companion: Scala
+  * suppresses the static forwarder for a companion method whose name
+  * collides with a class member (`Expression.eval`), so generated Java
+  * calling `EntriesDedupExpr.eval(ArrayData, boolean)` failed to compile
+  * and every plan containing this expression fell back to interpreted
+  * whole-stage-codegen-off execution. A distinct object name keeps the
+  * static method visible to janino. */
+object EntriesDedupKernel {
   def eval(entries: ArrayData, lastWins: Boolean): MapData = {
     val n = entries.numElements()
     val m = new java.util.LinkedHashMap[UTF8String, UTF8String](n * 2)

@@ -498,4 +498,52 @@ class ExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("every custom expression's generated code compiles (no interpreted fallback)") {
+    // Whole-stage codegen catches janino failures and silently falls back
+    // to interpreted execution, so a doGenCode bug passes every value test
+    // while costing the codegen speedup everywhere (seen live: a kernel in
+    // the expression's own companion object gets no static forwarder
+    // because Expression.eval shadows the name). Generating a projection
+    // directly does NOT fall back — it throws.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val str    = BoundReference(0, StringType, nullable = true)
+    val entries = BoundReference(1,
+      ArrayType(StructType(Seq(StructField("k", StringType), StructField("v", StringType)))),
+      nullable = true)
+    val farr   = BoundReference(2, ArrayType(FloatType), nullable = true)
+    val code   = BoundReference(3, ArrayType(ByteType), nullable = true)
+    val book   = BoundReference(4, ArrayType(DoubleType), nullable = true)
+    val exprs = Seq(
+      CollapseNumsExpr(str, prettify = true),
+      CollapseNumsExpr(str, prettify = false),
+      EntriesDedupExpr(entries, lastWins = true),
+      EntriesDedupExpr(entries, lastWins = false),
+      ExtractGroupsExpr(str, "(a)(b+)"),
+      Ipv4ToLong(str),
+      JsonGetScalar(str, Seq("a", "b")),
+      LogfmtToMap(str),
+      MinHashSigExpr(ShinglesExpr(str, 3), 16),
+      BandHashesExpr(MinHashSigExpr(ShinglesExpr(str, 3), 16), 4),
+      SimHash64Expr(ShinglesExpr(str, 3)),
+      ShinglesExpr(str, 3),
+      TokensExpr(str),
+      CharWindowHashesExpr(str, 8),
+      TokenWindowHashesExpr(str, 4),
+      LangTextStatsExpr(str),
+      QualityCountsExpr(str),
+      WordMatchExpr(str, "err", prefixMode = false),
+      WordMatchExpr(str, "err", prefixMode = true),
+      SeqMatchExpr(str, Seq("a", "b")),
+      DotProduct(farr, farr),
+      CosineSim(farr, farr),
+      PqEncodeExpr(farr, book, 2),
+      PqCosineExpr(farr, code, book))
+    exprs.foreach { e =>
+      assert(e.checkInputDataTypes().isSuccess, s"${e.prettyName}: input types")
+      // throws CompileException (wrapped) if doGenCode emits broken Java
+      GenerateUnsafeProjection.generate(Seq(e))
+    }
+  }
 }
