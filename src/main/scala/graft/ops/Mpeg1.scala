@@ -8,10 +8,10 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Sequence header (incl. loadable intra AND non-intra quantizer
   * matrices), GOP/picture headers, slice layer, intra macroblocks with
-  * DC prediction, the dct_coeff VLC (common codes through the 13-bit
-  * group plus FULL escape coding — the rarer 14-16-bit tail codes abort
-  * the frame rather than misdecode; every run/level also has an escape
-  * encoding, so cooperating encoders lose nothing), dequantization with
+  * DC prediction, the COMPLETE dct_coeff VLC (table B.5 through the
+  * 16-bit tail groups — all 48 tail codes transcribed from the public
+  * ISO/IEC 11172-2 table, prefix-freeness machine-checked in OpsSpec —
+  * plus full escape coding), dequantization with
   * mismatch control (intra and non-intra forms), inverse zigzag, 8×8
   * IDCT, 4:2:0 upsample and BT.601-style YCbCr→RGB. P-pictures decode
   * with full forward motion compensation: motion VLC (table B.4) +
@@ -122,10 +122,11 @@ object Mpeg1 {
   private val AddrEscape = "00000001000" // +33, then another code
   private val AddrStuffing = "00000001111" // discarded
 
-  /** dct_coeff run/level codes WITHOUT the trailing sign bit (table B.5,
-    * through the 13-bit group; '10' = EOB and the escape '000001' are
-    * handled separately). */
-  private val AcTable: Map[String, (Int, Int)] = Map(
+  /** dct_coeff run/level codes WITHOUT the trailing sign bit — the
+    * COMPLETE table B.5 through the 16-bit groups; '10' = EOB and the
+    * escape '000001' are handled separately. `private[ops]` so OpsSpec
+    * can machine-check prefix-freeness and group structure. */
+  private[ops] val AcTable: Map[String, (Int, Int)] = Map(
     "11" -> ((0, 1)), "011" -> ((1, 1)),
     "0100" -> ((0, 2)), "0101" -> ((2, 1)),
     "00101" -> ((0, 3)), "00111" -> ((3, 1)), "00110" -> ((4, 1)),
@@ -155,7 +156,36 @@ object Mpeg1 {
     "0000000010010" -> ((5, 3)), "0000000010001" -> ((9, 2)),
     "0000000010000" -> ((10, 2)), "0000000011111" -> ((22, 1)),
     "0000000011110" -> ((23, 1)), "0000000011101" -> ((24, 1)),
-    "0000000011100" -> ((25, 1)), "0000000011011" -> ((26, 1)))
+    "0000000011100" -> ((25, 1)), "0000000011011" -> ((26, 1)),
+    // 14-bit group (table B.5g): run 0, levels 16-31 — suffix codes
+    // descend 11111..10000 as the level ascends
+    "00000000011111" -> ((0, 16)), "00000000011110" -> ((0, 17)),
+    "00000000011101" -> ((0, 18)), "00000000011100" -> ((0, 19)),
+    "00000000011011" -> ((0, 20)), "00000000011010" -> ((0, 21)),
+    "00000000011001" -> ((0, 22)), "00000000011000" -> ((0, 23)),
+    "00000000010111" -> ((0, 24)), "00000000010110" -> ((0, 25)),
+    "00000000010101" -> ((0, 26)), "00000000010100" -> ((0, 27)),
+    "00000000010011" -> ((0, 28)), "00000000010010" -> ((0, 29)),
+    "00000000010001" -> ((0, 30)), "00000000010000" -> ((0, 31)),
+    // 15-bit group (B.5h): run 1 levels 8-14, then run 0 levels 32-40
+    "000000000011111" -> ((1, 8)), "000000000011110" -> ((1, 9)),
+    "000000000011101" -> ((1, 10)), "000000000011100" -> ((1, 11)),
+    "000000000011011" -> ((1, 12)), "000000000011010" -> ((1, 13)),
+    "000000000011001" -> ((1, 14)), "000000000011000" -> ((0, 32)),
+    "000000000010111" -> ((0, 33)), "000000000010110" -> ((0, 34)),
+    "000000000010101" -> ((0, 35)), "000000000010100" -> ((0, 36)),
+    "000000000010011" -> ((0, 37)), "000000000010010" -> ((0, 38)),
+    "000000000010001" -> ((0, 39)), "000000000010000" -> ((0, 40)),
+    // 16-bit group (B.5i): runs 27-31 at level 1, runs 11-16 at level 2,
+    // (6,3), run 1 levels 15-18
+    "0000000000011111" -> ((27, 1)), "0000000000011110" -> ((28, 1)),
+    "0000000000011101" -> ((29, 1)), "0000000000011100" -> ((30, 1)),
+    "0000000000011011" -> ((31, 1)), "0000000000011010" -> ((11, 2)),
+    "0000000000011001" -> ((12, 2)), "0000000000011000" -> ((13, 2)),
+    "0000000000010111" -> ((14, 2)), "0000000000010110" -> ((15, 2)),
+    "0000000000010101" -> ((16, 2)), "0000000000010100" -> ((6, 3)),
+    "0000000000010011" -> ((1, 15)), "0000000000010010" -> ((1, 16)),
+    "0000000000010001" -> ((1, 17)), "0000000000010000" -> ((1, 18)))
 
   /** motion_code VLC (table B.4): structurally the address-increment
     * table — code |m| is addr(2m) with its last bit replaced by the sign
@@ -196,6 +226,8 @@ object Mpeg1 {
       Integer.parseInt(k, 2) -> v }.toMap).toMap
   private val AddrByLen = byLength(AddrIncTable)
   private val AcByLen = byLength(AcTable)
+  /** (run, |level|) → code, for the fixture encoder's VLC plant. */
+  private val AcInverse: Map[(Int, Int), String] = AcTable.map(_.swap)
   private val MotionByLen = byLength(MotionTable)
   private val CbpByLen = byLength(CbpTable)
 
@@ -573,7 +605,7 @@ object Mpeg1 {
           idx += run + 1
           if (idx > 63 || level == 0) throw new IllegalStateException("bad escape")
           coeffs(Zigzag(idx)) = dequantIntra(level, qScale, intraQ(Zigzag(idx)))
-        } else decodePrefix(br, AcByLen, 13) match {
+        } else decodePrefix(br, AcByLen, 16) match {
           case Some((run, lvl)) =>
             val sign = br.read(1)
             val level = if (sign == 1) -lvl else lvl
@@ -581,8 +613,9 @@ object Mpeg1 {
             if (idx > 63) throw new IllegalStateException("coeff overflow")
             coeffs(Zigzag(idx)) = dequantIntra(level, qScale, intraQ(Zigzag(idx)))
           case None =>
-            // a 14-16-bit tail code (see scaladoc): abort the frame loudly
-            throw new IllegalStateException("unsupported dct_coeff VLC tail")
+            // the table is complete through 16 bits; this is a malformed
+            // bitstream, not an unsupported code
+            throw new IllegalStateException("bad dct_coeff VLC")
         }
       }
       idct8x8(coeffs, pix)
@@ -631,7 +664,7 @@ object Mpeg1 {
           idx += run + 1
           if (idx > 63 || level == 0) throw new IllegalStateException("bad escape")
           coeffs(Zigzag(idx)) = dequantNonIntra(level, qScale, nonIntraQ(Zigzag(idx)))
-        } else decodePrefix(br, AcByLen, 13) match {
+        } else decodePrefix(br, AcByLen, 16) match {
           case Some((run, lvl)) =>
             val sign = br.read(1)
             val level = if (sign == 1) -lvl else lvl
@@ -639,7 +672,7 @@ object Mpeg1 {
             if (idx > 63) throw new IllegalStateException("coeff overflow")
             coeffs(Zigzag(idx)) = dequantNonIntra(level, qScale, nonIntraQ(Zigzag(idx)))
           case None =>
-            throw new IllegalStateException("unsupported dct_coeff VLC tail")
+            throw new IllegalStateException("bad dct_coeff VLC")
         }
         first = false
       }
@@ -1001,7 +1034,8 @@ object Mpeg1 {
     * zigzag placement, dequantization, and IDCT through a coefficient
     * pattern whose expected pixels a test can derive independently. */
   def encodeIntra(frameRgbs: Seq[Int], w: Int = 16, h: Int = 16,
-                  acPlantLuma: Option[(Int, Int)] = None): Array[Byte] = {
+                  acPlantLuma: Option[(Int, Int)] = None,
+                  acPlantViaVlc: Boolean = false): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0 && w > 0 && h > 0,
       s"dimensions must be multiples of 16, got ${w}x$h")
     val bw = new BitWriter
@@ -1064,9 +1098,20 @@ object Mpeg1 {
             require(run >= 0 && run < 63 && level != 0 &&
               level >= -127 && level <= 127 && level != -128,
               s"unplantable escape ($run, $level)")
-            bw.put(1, 6) // escape '000001'
-            bw.put(run, 6)
-            bw.put(level & 0xff, 8)
+            if (acPlantViaVlc) {
+              // emit the table-B.5 code + sign bit — the hook that drives
+              // the decoder's VLC path (incl. the 14-16-bit tail groups)
+              // for the SAME (run, level) the escape form plants, so a
+              // test can assert both encodings decode identically
+              val code = AcInverse.getOrElse((run, math.abs(level)),
+                sys.error(s"($run, $level) has no VLC code"))
+              bw.put(Integer.parseInt(code, 2), code.length)
+              bw.put(if (level < 0) 1 else 0, 1)
+            } else {
+              bw.put(1, 6) // escape '000001'
+              bw.put(run, 6)
+              bw.put(level & 0xff, 8)
+            }
           }
           bw.put(2, 2) // EOB '10'
           blk += 1

@@ -1126,6 +1126,57 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: MPEG-1 dct_coeff VLC tail (14-16 bit) — table structure and escape equivalence") {
+    // structure: the full table B.5 must be prefix-free, also against the
+    // contextual codes EOB '10' and escape '000001' — a transcription slip
+    // that breaks unique decodability fails here, not by misdecoding
+    val codes = Mpeg1.AcTable.keys.toSeq
+    val special = Seq("10", "000001")
+    for (a <- codes ++ special; b <- codes ++ special if a != b)
+      assert(!b.startsWith(a), s"'$a' is a prefix of '$b'")
+    // the three tail groups: 16 codes each at lengths 14/15/16, with the
+    // documented run/level coverage
+    val byLen = codes.groupBy(_.length)
+    for (len <- Seq(14, 15, 16)) assert(byLen(len).size == 16, s"len $len")
+    val tail = codes.filter(_.length >= 14).map(Mpeg1.AcTable)
+    assert(tail.distinct.size == 48, "duplicate run/level in tail")
+    assert(byLen(14).map(Mpeg1.AcTable).toSet ==
+      (16 to 31).map(l => (0, l)).toSet)
+    assert(byLen(15).map(Mpeg1.AcTable).toSet ==
+      ((32 to 40).map(l => (0, l)) ++ (8 to 14).map(l => (1, l))).toSet)
+    assert(byLen(16).map(Mpeg1.AcTable).toSet ==
+      ((27 to 31).map(r => (r, 1)) ++ (11 to 16).map(r => (r, 2)) ++
+        Seq((6, 3)) ++ (15 to 18).map(l => (1, l))).toSet)
+    // behavior: planting the SAME (run, level) via the tail VLC code and
+    // via escape coding must decode to identical frames — the escape path
+    // is pinned against independent pixel math above, so equality carries
+    // that pin onto every tail code exercised here (both signs)
+    for ((run, level) <- Seq((0, 16), (0, 31), (1, 8), (0, 40), (27, 1),
+                             (16, 2), (6, 3), (1, 18), (0, -20), (1, -15),
+                             (31, -1), (11, -2))) {
+      val viaVlc = Mpeg1.decode(Mpeg1.encodeIntra(Seq(0x808080), 16, 16,
+        acPlantLuma = Some((run, level)), acPlantViaVlc = true))
+      val viaEsc = Mpeg1.decode(Mpeg1.encodeIntra(Seq(0x808080), 16, 16,
+        acPlantLuma = Some((run, level))))
+      assert(viaVlc.isDefined && viaEsc.isDefined, s"($run, $level) failed")
+      val (a, b) = (viaVlc.get.frames.head, viaEsc.get.frames.head)
+      for (x <- 0 until 16; y <- 0 until 16)
+        assert(a.getRGB(x, y) == b.getRGB(x, y),
+          s"($run, $level) differs at ($x,$y)")
+      // and genuinely non-flat: the tail VLC path was actually driven
+      assert((for (x <- 0 until 8; y <- 0 until 8)
+        yield a.getRGB(x, y) & 0xff).distinct.size > 1, s"($run, $level) flat")
+    }
+    // shorter-group codes still decode through the raised maxLen (no
+    // regression from 13 -> 16 lookahead): re-run one 13-bit-group plant
+    val v13 = Mpeg1.decode(Mpeg1.encodeIntra(Seq(0x808080), 16, 16,
+      acPlantLuma = Some((22, 1)), acPlantViaVlc = true))
+    val e13 = Mpeg1.decode(Mpeg1.encodeIntra(Seq(0x808080), 16, 16,
+      acPlantLuma = Some((22, 1))))
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(v13.get.frames.head.getRGB(x, y) == e13.get.frames.head.getRGB(x, y))
+  }
+
   test("duplicateSpans flags cross-doc k-token windows, not in-doc repeats") {
     val shared = "one two three four five six seven eight nine ten"
     val df = docsDF(Seq(
