@@ -835,6 +835,16 @@ object SparkEntry {
           floor(col("dup_fraction") * 1000000).cast(LongType).as("dupfrac_micro"))
         .orderBy("doc_id")
     }),
+    // ---- C4-style unit dedup WITH reassembly (C4 §2.2 / Dolma paragraph
+    // dedup): 3-token units, drop those in >= 2 docs, rebuild the doc from
+    // survivors in order — the oracle re-derives the whole rewrite ----
+    "q_dedup_paragraph" -> ((s, d) => {
+      import graft.ops.Dedup
+      Dedup.paragraphDedup(
+          documents(s, d).filter(col("doc_id") < 80).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 3, minDocs = 2)
+        .orderBy("doc_id")
+    }),
     // ---- corpus-LM perplexity scoring (CCNet-style): unigram model
     // trained on the full table, per-doc mean NLL; the per-doc sum goes
     // through Decimal so partial-aggregation order can't move the floor ----
@@ -1878,6 +1888,30 @@ object SparkEntry {
          SELECT w.doc_id, count(*) AS n_windows, count(f.win) AS dup_windows,
            CAST(floor(CAST(count(f.win) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS dupfrac_micro
          FROM wins w LEFT JOIN freq f ON w.win = f.win
+         GROUP BY 1 ORDER BY 1""",
+    "q_dedup_paragraph" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS w
+           FROM documents WHERE doc_id < 80
+         ), c AS (
+           SELECT doc_id, w,
+             CASE WHEN len(w) <= 0 THEN 0
+                  WHEN len(w) <= 3 THEN 1
+                  ELSE 1 + CAST(ceil((len(w) - 3) / 3.0) AS BIGINT) END AS nc
+           FROM t
+         ), u AS (
+           SELECT doc_id, i AS chunk_idx,
+             array_to_string(list_slice(w, CAST(i*3+1 AS BIGINT), CAST(i*3+3 AS BIGINT)), ' ') AS chunk_text
+           FROM c, UNNEST(range(c.nc)) AS x(i)
+         ), f AS (
+           SELECT chunk_text, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, chunk_text FROM u) GROUP BY 1
+         )
+         SELECT u.doc_id,
+           count(*) AS n_units,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN f.df < 2 THEN u.chunk_text END, ' ' ORDER BY u.chunk_idx), '') AS kept_text
+         FROM u JOIN f USING (chunk_text)
          GROUP BY 1 ORDER BY 1""",
     "q_text_perplexity" ->
       """WITH toks AS (

@@ -578,6 +578,56 @@ object Dedup {
     spanRollup(wins, minDocs)
   }
 
+  /** C4-style duplicated-unit removal WITH document reassembly (C4,
+    * Raffel et al. arXiv:1910.10683 §2.2 drops any three-sentence span
+    * occurring more than once in the corpus; Dolma and RefinedWeb do the
+    * same at paragraph granularity). Unlike [[duplicateSpans]], which
+    * only FLAGS spans, this rewrites each document: it is segmented into
+    * non-overlapping `k`-token units ([[TextAnalysis.chunkDocuments]]
+    * segmentation — real corpora would split on newlines/sentences, but
+    * the unit-frequency/reassembly machinery is identical), a unit is
+    * dropped when its exact text occurs in ≥ `minDocs` distinct
+    * documents, and the survivors are re-joined in document order.
+    *
+    * Returns (idCol, n_units, n_dropped, kept_text). Documents that
+    * segment to zero units (empty text) produce no output row.
+    *
+    * Scale shape: the corpus-wide doc-frequency shuffle carries
+    * (id, xxhash64) pairs — never unit text; the per-unit join is
+    * hash-keyed (C4 itself deduplicates on hashes) and hot units are
+    * handled by the aggregate's map-side partial combine + AQE skew
+    * splits, the [[spanRollup]] argument. The reassembly collect_list is
+    * bounded by units-per-document (~tokens/k), not corpus size. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(k > 0 && minDocs >= 2,
+      s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
+    val units = TextAnalysis.chunkDocuments(
+        df.select(col(idCol), col(textCol)), textCol, chunkTokens = k)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__h"))
+    // distinct docs per unit: dedupe (id, h) then count rows per h —
+    // aggregate, not COUNT(DISTINCT) (partial-combined). The freq branch
+    // re-explodes the corpus but column pruning narrows it to (id, hash)
+    // before its exchange — the duplicateSpans trade: bounded extra map
+    // work, never a Window over a hot unit hash (forcing one shared
+    // full-width exchange via repartition was tried and Catalyst rightly
+    // prunes the branches apart, defeating ReuseExchange)
+    val docFreq = units.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val dropped = col("__df") >= minDocs
+    units.join(docFreq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        // survivors back in document order; the when() maps dropped units
+        // to null and collect_list skips nulls, so no post-filter needed
+        array_join(transform(array_sort(collect_list(
+          when(!dropped, struct(col("chunk_idx").as("i"), col("chunk_text").as("t"))))),
+          u => u("t")), " ").as("kept_text"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540): k-means
     * cluster the embedding space, then within each cluster drop every row

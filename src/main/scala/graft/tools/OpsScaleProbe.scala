@@ -110,6 +110,15 @@ object OpsScaleProbe {
         .filter(col("dup_windows") > 0).count()
     }
 
+    // 3d. C4-style unit dedup + reassembly: every planted dup doc shares
+    // ALL its units with its predecessor, so ~2× the planted count must
+    // come back shortened; hot shared units stress the same skew path
+    val (pdSec, pdShort) = time("paragraph_dedup_reassembly") {
+      Dedup.paragraphDedup(docs, "text", "doc_id", k = 8)
+        .filter(col("n_dropped") > 0).count()
+    }
+    println(f"OPSSCALE   -> paragraph dedup rewrote $pdShort docs, ${nDocs / pdSec / 1e3}%.0f k docs/s")
+
     // 4. connected components over the candidates — forced DISTRIBUTED
     // star rounds (maxLocalEdges=0 disables the driver union-find gate)
     time("cc_star_rounds_distributed") {

@@ -186,6 +186,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(countOf(p, "Generate explode") <= 2, p)
   }
 
+  test("paragraphDedup: skew-robust doc-frequency join and pruned freq branch") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta $i"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.paragraphDedup(docs, "text", "doc_id", k = 2))
+    // the duplicateSpans shape: doc frequency via aggregate + equi-join,
+    // never a Window over the unit hash (hot units — corpus-wide
+    // boilerplate, the op's target — would serialize into one task); the
+    // freq branch re-explodes but is pruned to (id, hash) before its
+    // exchange, so the extra cost is map-side, and unit TEXT crosses the
+    // wire exactly once (the join-side exchange)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+    assert(countOf(p, "Generate explode") <= 2, p)
+    // the pruned freq branch must NOT carry chunk_text through its
+    // exchange: the projection under it is hash-only
+    assert(!p.contains("Exchange hashpartitioning(chunk_text"), p)
+  }
+
   test("needed-fields-bounded bare unpack_json: per-key kernel, no full-map parse") {
     // `stats by (ip:/24)` back-propagates {ip} → {k} through format, so
     // the bare unpack must compile to the JsonGet kernel on key k — never

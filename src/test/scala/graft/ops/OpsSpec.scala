@@ -1177,6 +1177,27 @@ class OpsSpec extends SparkSuite {
       assert(v13.get.frames.head.getRGB(x, y) == e13.get.frames.head.getRGB(x, y))
   }
 
+  test("paragraphDedup drops cross-doc units and reassembles in order") {
+    // k=2 units; "dup one" + "dup two" shared by docs 1 and 2; doc 3
+    // repeats a unit only WITHIN itself (repetition, not duplication);
+    // doc 4 is entirely shared with doc 1's dup prefix -> empty rewrite
+    val df = docsDF(Seq(
+      (1L, "dup one dup two keep alpha keep bravo"),
+      (2L, "dup one dup two other charlie other delta"),
+      (3L, "solo pair solo pair solo pair"),
+      (4L, "dup one dup two")))
+    val out = Dedup.paragraphDedup(df, "text", "doc_id", k = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) == ((4L, 2L, "keep alpha keep bravo")), out(1L).toString)
+    assert(out(2L) == ((4L, 2L, "other charlie other delta")), out(2L).toString)
+    // in-doc repetition survives: one distinct doc holds "solo pair"
+    assert(out(3L) == ((3L, 0L, "solo pair solo pair solo pair")), out(3L).toString)
+    // everything dropped -> empty string, not null, and the row remains
+    assert(out(4L) == ((2L, 2L, "")), out(4L).toString)
+  }
+
   test("duplicateSpans flags cross-doc k-token windows, not in-doc repeats") {
     val shared = "one two three four five six seven eight nine ten"
     val df = docsDF(Seq(
