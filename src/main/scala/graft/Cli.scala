@@ -33,26 +33,75 @@ object Cli {
         graft.store.LogStore.read(spark, path)
       else spark.read.parquet(path)
 
+    // output modes, the vlogscli set (app/vlogscli/json_prettifier.go:15-39;
+    // \s \m \c \logfmt commands main.go:156-183). Formatting is per-field
+    // in the driver print loop, matching the reference's formatter
+    // contract: null-valued columns are absent fields.
+    def fmtJson(fields: Seq[(String, String)], multiline: Boolean): String = {
+      def js(s: String) = com.fasterxml.jackson.databind.node.TextNode
+        .valueOf(s).toString
+      if (fields.isEmpty) "{}"
+      else if (multiline)
+        fields.map { case (k, v) => s"  ${js(k)}: ${js(v)}" }
+          .mkString("{\n", ",\n", "\n}")
+      else fields.map { case (k, v) => s"${js(k)}:${js(v)}" }
+        .mkString("{", ",", "}")
+    }
+    def fmtLogfmt(fields: Seq[(String, String)]): String =
+      fields.map { case (k, v) =>
+        // quote when the value needs it (logfmt marshal contract)
+        if (v.isEmpty || v.exists(c => c <= ' ' || c == '"' || c == '='))
+          s"""$k=${com.fasterxml.jackson.databind.node.TextNode.valueOf(v)}"""
+        else s"$k=$v"
+      }.mkString(" ")
+    def fmtCompact(fields: Seq[(String, String)]): String = fields match {
+      case Seq((_, v)) => v // lone field: the value, no name
+      case Seq(a, b) if a._1 == "_time" => s"${a._2}\t${b._2}"
+      case Seq(a, b) if b._1 == "_time" => s"${b._2}\t${a._2}"
+      case fs => fmtLogfmt(fs) // reference falls back to logfmt
+    }
+    var mode: String = "m" // reference default: multiline JSON
+
     def run(q: String, limit: Int = 1000): Unit =
       try {
         val out = graft.logql.Compiler.run(source, q)
-        val json = out.limit(limit)
-          .select(to_json(struct(out.columns.map(c => col("`" + c + "`")).toSeq: _*)))
-        val it = json.toLocalIterator()
+        val cols = out.columns
+        val strs = out.limit(limit)
+          .select(cols.map(c => col("`" + c + "`").cast("string")).toSeq: _*)
+        val it = strs.toLocalIterator()
         var n = 0
-        while (it.hasNext) { println(it.next().getString(0)); n += 1 }
+        while (it.hasNext) {
+          val r = it.next()
+          val fields = cols.indices.collect {
+            case i if !r.isNullAt(i) => cols(i) -> r.getString(i)
+          }.toSeq
+          println(mode match {
+            case "m" => fmtJson(fields, multiline = true)
+            case "s" => fmtJson(fields, multiline = false)
+            case "c" => fmtCompact(fields)
+            case "logfmt" => fmtLogfmt(fields)
+          })
+          n += 1
+        }
         System.err.println(s"-- $n row(s)")
       } catch {
         case e: Exception => System.err.println(s"error: ${e.getMessage}")
       }
 
-    if (args.length > 1) run(args.drop(1).mkString(" "))
+    if (args.length > 1) { mode = "s"; run(args.drop(1).mkString(" ")) }
     else {
-      System.err.println("graft LogsQL shell — empty line or 'exit' quits")
+      System.err.println("graft LogsQL shell — empty line or 'exit' quits; " +
+        """\s \m \c \logfmt switch output mode""")
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
       var line = in.readLine()
       while (line != null && line.trim.nonEmpty && line.trim != "exit") {
-        run(line.trim)
+        line.trim match {
+          case """\s""" => mode = "s"; System.err.println("singleline json output mode")
+          case """\m""" => mode = "m"; System.err.println("multiline json output mode")
+          case """\c""" => mode = "c"; System.err.println("compact output mode")
+          case """\logfmt""" => mode = "logfmt"; System.err.println("logfmt output mode")
+          case q => run(q)
+        }
         line = in.readLine()
       }
     }
