@@ -173,6 +173,43 @@ object LogsGen {
     base.select(concat(concat(parts: _*), lit("}")).as("line"))
   }
 
+  /** POST the line DataFrame to a jsonline ingest endpoint — one
+    * chunked-streaming POST per partition (the reference generator's
+    * io.Pipe writer shape: no partition-sized buffer anywhere). Returns
+    * (rows, bytes) actually sent. */
+  def push(df: DataFrame, url: String): (Long, Long) = {
+    val target = url + (if (url.contains("?")) "&" else "?") +
+      "_stream_fields=host,worker_id"
+    val counts = df.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator((0L, 0L)) else {
+        val conn = new java.net.URL(target).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setChunkedStreamingMode(1 << 20)
+        val os = new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 20)
+        var n = 0L; var b = 0L
+        while (it.hasNext) {
+          val line = it.next().getString(0)
+          val bs = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          os.write(bs); os.write('\n')
+          n += 1; b += bs.length + 1
+        }
+        os.flush(); os.close()
+        val code = conn.getResponseCode
+        if (code / 100 != 2) {
+          val err = Option(conn.getErrorStream)
+            .map(s => new String(s.readAllBytes())).getOrElse("")
+          throw new IllegalStateException(
+            s"ingest POST failed: HTTP $code ${err.take(300)}")
+        }
+        conn.disconnect()
+        Iterator((n, b))
+      }
+    }.collect()
+    (counts.map(_._1).sum, counts.map(_._2).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val spark = SparkSession.builder()
@@ -195,34 +232,7 @@ object LogsGen {
         df.write.mode("overwrite").text(out)
         val n = spark.read.text(out).count()
         (n, new java.io.File(out).listFiles().map(_.length).sum)
-      case url =>
-        // one POST per partition, streamed (chunked) like the reference's
-        // io.Pipe writer — no partition-sized buffer on the executor
-        val target = url + (if (url.contains("?")) "&" else "?") +
-          "_stream_fields=host,worker_id"
-        val counts = df.rdd.mapPartitions { it =>
-          if (!it.hasNext) Iterator((0L, 0L)) else {
-            val conn = new java.net.URL(target).openConnection()
-              .asInstanceOf[java.net.HttpURLConnection]
-            conn.setRequestMethod("POST")
-            conn.setDoOutput(true)
-            conn.setChunkedStreamingMode(1 << 20)
-            val os = new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 20)
-            var n = 0L; var b = 0L
-            while (it.hasNext) {
-              val line = it.next().getString(0)
-              val bs = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              os.write(bs); os.write('\n')
-              n += 1; b += bs.length + 1
-            }
-            os.flush(); os.close()
-            val code = conn.getResponseCode
-            require(code / 100 == 2, s"ingest POST failed: HTTP $code")
-            conn.disconnect()
-            Iterator((n, b))
-          }
-        }.collect()
-        (counts.map(_._1).sum, counts.map(_._2).sum)
+      case url => push(df, url)
     }
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"tool":"logsgen","rows":$rows,"bytes":$bytes,"sec":$sec%.3f,""" +
