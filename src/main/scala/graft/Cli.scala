@@ -47,13 +47,15 @@ object Cli {
       else fields.map { case (k, v) => s"${js(k)}:${js(v)}" }
         .mkString("{", ",", "}")
     }
-    def fmtLogfmt(fields: Seq[(String, String)]): String =
-      fields.map { case (k, v) =>
-        // quote when the value needs it (logfmt marshal contract)
-        if (v.isEmpty || v.exists(c => c <= ' ' || c == '"' || c == '='))
-          s"""$k=${com.fasterxml.jackson.databind.node.TextNode.valueOf(v)}"""
-        else s"$k=$v"
-      }.mkString(" ")
+    def fmtLogfmt(fields: Seq[(String, String)]): String = {
+      // quote EITHER side that needs it (logfmt marshal contract — keys
+      // from unpack_json can contain spaces or '=' too)
+      def tok(s: String): String =
+        if (s.isEmpty || s.exists(c => c <= ' ' || c == '"' || c == '='))
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+        else s
+      fields.map { case (k, v) => s"${tok(k)}=${tok(v)}" }.mkString(" ")
+    }
     def fmtCompact(fields: Seq[(String, String)]): String = fields match {
       case Seq((_, v)) => v // lone field: the value, no name
       case Seq(a, b) if a._1 == "_time" => s"${a._2}\t${b._2}"
@@ -66,8 +68,19 @@ object Cli {
       try {
         val out = graft.logql.Compiler.run(source, q)
         val cols = out.columns
+        // timestamps render ISO-8601 like the HTTP path's to_json (a
+        // plain string cast would print '2024-01-01 10:00:00' — no 'T',
+        // no zone, sub-second dropped)
         val strs = out.limit(limit)
-          .select(cols.map(c => col("`" + c + "`").cast("string")).toSeq: _*)
+          .select(cols.map { c =>
+            val cc = col("`" + c + "`")
+            out.schema(c).dataType match {
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
+                date_format(cc, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              case _ => cc.cast("string")
+            }
+          }.toSeq: _*)
         val it = strs.toLocalIterator()
         var n = 0
         while (it.hasNext) {

@@ -64,7 +64,6 @@ object KernelBenchProbe {
       runs.sorted.apply(1) // median of 3 warm runs
     }
     def agg(c: Column): DataFrame = corpus.agg(sum(c).as("x"))
-    def aggS(c: Column): DataFrame = sliceDf.agg(sum(c).as("x"))
 
     println(f"KERNELBENCH corpus=$corpusN rows (towers on $sliceN, HOF towers on $tinyN)")
     println("KERNELBENCH op                         kernel_Mrows_s tower_Mrows_s speedup")

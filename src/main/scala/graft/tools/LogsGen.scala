@@ -96,8 +96,11 @@ object LogsGen {
     val nTs = ((spanNs + stepNs - 1) / stepNs).toInt
 
     val perWorker = nTs.toLong * cfg.activeStreams
-    val base = spark.range(0, cfg.workers * perWorker, 1,
-      math.max(cfg.workers, spark.sparkContext.defaultParallelism))
+    // exactly `workers` partitions: the flag is BOTH the worker_id
+    // cardinality and the true parallelism (one POST per partition in
+    // push()), like the reference's worker goroutines — more partitions
+    // would open more concurrent connections than the flag promises
+    val base = spark.range(0, cfg.workers * perWorker, 1, cfg.workers)
     val worker = (col("id") / perWorker).cast("long")
     val tsIdx = pmod(col("id"), lit(perWorker)) / cfg.activeStreams
     val slot = pmod(col("id"), lit(cfg.activeStreams.toLong)) // 0..active-1
@@ -187,6 +190,10 @@ object LogsGen {
         conn.setRequestMethod("POST")
         conn.setDoOutput(true)
         conn.setChunkedStreamingMode(1 << 20)
+        // a hung endpoint must fail the task, not pin the executor slot
+        // forever (default timeout 0 = infinite)
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(600000) // the server commits before replying
         val os = new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 20)
         var n = 0L; var b = 0L
         while (it.hasNext) {
@@ -195,15 +202,16 @@ object LogsGen {
           os.write(bs); os.write('\n')
           n += 1; b += bs.length + 1
         }
-        os.flush(); os.close()
-        val code = conn.getResponseCode
-        if (code / 100 != 2) {
-          val err = Option(conn.getErrorStream)
-            .map(s => new String(s.readAllBytes())).getOrElse("")
-          throw new IllegalStateException(
-            s"ingest POST failed: HTTP $code ${err.take(300)}")
-        }
-        conn.disconnect()
+        try {
+          os.flush(); os.close()
+          val code = conn.getResponseCode
+          if (code / 100 != 2) {
+            val err = Option(conn.getErrorStream)
+              .map(s => new String(s.readAllBytes())).getOrElse("")
+            throw new IllegalStateException(
+              s"ingest POST failed: HTTP $code ${err.take(300)}")
+          }
+        } finally conn.disconnect()
         Iterator((n, b))
       }
     }.collect()
@@ -224,9 +232,16 @@ object LogsGen {
     val df = lines(spark, cfg)
     val (rows, bytes) = cfg.addr match {
       case "stdout" =>
-        val all = df.limit(20).collect()
-        all.foreach(r => println(r.getString(0)))
-        (all.length.toLong, all.map(_.getString(0).length + 1L).sum)
+        // stream the WHOLE corpus (the reference pipes all workers to
+        // stdout); toLocalIterator keeps one partition in memory at a time
+        val it = df.toLocalIterator()
+        var rows = 0L; var bytes = 0L
+        while (it.hasNext) {
+          val line = it.next().getString(0)
+          println(line)
+          rows += 1; bytes += line.length + 1L
+        }
+        (rows, bytes)
       case d if d.startsWith("dir:") =>
         val out = d.stripPrefix("dir:")
         df.write.mode("overwrite").text(out)

@@ -34,10 +34,11 @@ object LogsGenIngestProbe {
     try {
       val cfg = LogsGen.Config(activeStreams = active, totalStreams = active * 2,
         logsPerStream = lps, workers = workers)
-      // the server commits through THIS SparkSession: coalesce so the
-      // blocking POST tasks leave executor slots free for the commit
-      // jobs (all-32-slots-held → group-commit starves → 400 timeout)
-      val df = LogsGen.lines(spark, cfg).coalesce(workers)
+      // lines() partitions = workers, so the blocking POST tasks leave
+      // executor slots free for the server's commit jobs (all slots held
+      // → group-commit starves → 400 timeout); keep workers < cores when
+      // pushing into the same SparkSession
+      val df = LogsGen.lines(spark, cfg)
       val t0 = System.nanoTime()
       val (rows, bytes) = LogsGen.push(df,
         s"http://127.0.0.1:$port/insert/jsonline")
