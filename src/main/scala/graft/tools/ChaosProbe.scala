@@ -3,13 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Reader/writer chaos: N concurrent query threads hammer the query API
-  * while jsonline ingest streams new rows and the background compactor
-  * rewrites partitions under them — the end-to-end drive of the
-  * stale-file-retry contract (LogStore.withStaleRetry + the handler's
-  * inline retry) and the plan cache's generation invalidation. PASS =
-  * zero 5xx responses, zero client errors, and every counted result
-  * consistent with the rows ingested so far (monotonically
-  * non-decreasing, never over the total posted).
+  * while jsonline ingest streams new rows, the background compactor
+  * rewrites partitions under them, AND (from halfway) retention deletes
+  * a whole live `_day=` directory every 2s — the end-to-end drive of
+  * the stale-file-retry contract (LogStore.withStaleRetry + the
+  * handler's inline retry) and the plan cache's generation
+  * invalidation, including invalidation on retention drops. PASS =
+  * zero 5xx responses, zero client errors, every counted result
+  * bounded by rows posted, retention actually fired, and the final
+  * count equals exactly the rows posted to the retained days.
   *
   * Usage: runMain graft.tools.ChaosProbe [seconds] [queryThreads]
   */
@@ -58,17 +60,38 @@ object ChaosProbe {
     }
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
 
-    // writer: a steady stream of small batches across 3 days
+    // writer: a steady stream of small batches across 3 days; per-day
+    // tallies let the final invariant survive the retention drop below
+    val postedByDay = Array.fill(4)(new java.util.concurrent.atomic.AtomicLong(0))
     val writer = new Thread(() => {
       var i = 0
       while (System.nanoTime() < deadline) {
-        val lines = (0 until 20).map { r =>
-          val d = (i + r) % 3 + 1
-          val ss = f"${(i + r) % 60}%02d"
-          s"""{"_time":"2024-06-0${d}T10:00:$ss.000Z","_msg":"chaos row ${i * 20 + r}","app":"a${i % 4}"}"""
-        }.mkString("\n")
-        if (post(lines) == 200) posted.addAndGet(20)
+        val byDay = (0 until 20).groupBy(r => (i + r) % 3 + 1)
+        byDay.foreach { case (d, rs) =>
+          val lines = rs.map { r =>
+            val ss = f"${(i + r) % 60}%02d"
+            s"""{"_time":"2024-06-0${d}T10:00:$ss.000Z","_msg":"chaos row ${i * 20 + r}","app":"a${i % 4}"}"""
+          }.mkString("\n")
+          if (post(lines) == 200) {
+            posted.addAndGet(rs.size)
+            postedByDay(d).addAndGet(rs.size)
+          }
+        }
         i += 1
+      }
+    })
+    // retention: halfway through, start dropping day 1 under the live
+    // readers — the whole `_day=2024-06-01` directory disappears while
+    // queries scan it, the stale-retry contract's hardest case
+    @volatile var retentionFired = false
+    val retainer = new Thread(() => {
+      val halfway = deadline - seconds * 500000000L
+      while (System.nanoTime() < halfway) Thread.sleep(200)
+      while (System.nanoTime() < deadline) {
+        val dropped = graft.store.Compaction.enforceRetention(spark, dir,
+          retentionDays = 1, today = java.time.LocalDate.parse("2024-06-03"))
+        if (dropped.nonEmpty) retentionFired = true
+        Thread.sleep(2000)
       }
     })
     // readers: mixed query shapes, including the cached lastN path
@@ -102,16 +125,21 @@ object ChaosProbe {
         }
       })
     }
-    writer.start(); readers.foreach(_.start())
-    writer.join(); readers.foreach(_.join())
+    writer.start(); readers.foreach(_.start()); retainer.start()
+    writer.join(); readers.foreach(_.join()); retainer.join()
     Thread.sleep(500)
+    // one final retention pass so the expected count is exact (the last
+    // writer batches may land in day 1 after the retainer's final tick)
+    graft.store.Compaction.enforceRetention(spark, dir,
+      retentionDays = 1, today = java.time.LocalDate.parse("2024-06-03"))
     val (fc, fb) = get(s"/select/logsql/query?query=${enc("chaos | stats count() c")}")
     val finalCount = """"c":"?(\d+)""".r.findFirstMatchIn(fb).map(_.group(1).toLong).getOrElse(-1L)
     compactor.close(); http.stop(0)
-    println(s"[chaos] duration=${seconds}s readers=$qThreads queries=${queriesRun.get} cache_hits=${hits.get} posted=${posted.get}")
-    println(s"[chaos] non200=${non200.get} errors=${errors.size} final_count=$finalCount (fc=$fc)")
+    val expected = postedByDay(2).get + postedByDay(3).get // day 1 retained out
+    println(s"[chaos] duration=${seconds}s readers=$qThreads queries=${queriesRun.get} cache_hits=${hits.get} posted=${posted.get} retention_fired=$retentionFired")
+    println(s"[chaos] non200=${non200.get} errors=${errors.size} final_count=$finalCount expected=$expected (fc=$fc)")
     errors.stream().limit(6).forEach(e => println(s"[chaos]   $e"))
-    val ok = non200.get == 0 && errors.isEmpty && finalCount == posted.get
+    val ok = non200.get == 0 && errors.isEmpty && finalCount == expected && retentionFired
     println(s"[chaos] ${if (ok) "PASS" else "FAIL"}")
     spark.stop()
     System.exit(if (ok) 0 else 1)
