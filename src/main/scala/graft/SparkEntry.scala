@@ -710,6 +710,20 @@ object SparkEntry {
              sum(col("__ts.n_tokens")).cast(LongType).as("toks"))
         .orderBy("lang")
     }),
+    // ---- Gopher rule-based quality filter (Rae et al. A1.1 thresholds);
+    // ratio columns floored to micros so double math hashes stably ----
+    "q_text_gopher" -> ((s, d) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.gopherRules(
+          documents(s, d).filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("g_word_count"),
+          floor(col("g_mean_word_len") * 1000000).cast(LongType).as("mwl_micro"),
+          floor(col("g_alpha_frac") * 1000000).cast(LongType).as("alpha_micro"),
+          col("g_stop_hits"),
+          floor(col("g_dup2_frac") * 1000000).cast(LongType).as("dup2_micro"),
+          col("g_pass").cast(LongType).as("pass_flag"))
+        .orderBy("doc_id")
+    }),
     // ---- set fingerprint ≡ distinct sorted token set (collision-free at
     // this scale) ----
     "q_text_fingerprint" -> ((s, d) => {
@@ -1913,6 +1927,33 @@ object SparkEntry {
            coalesce(string_agg(CASE WHEN f.df < 2 THEN u.chunk_text END, ' ' ORDER BY u.chunk_idx), '') AS kept_text
          FROM u JOIN f USING (chunk_text)
          GROUP BY 1 ORDER BY 1""",
+    "q_text_gopher" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+             list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 100
+         ), m AS (
+           SELECT doc_id, text, w, tk, len(w) AS nw,
+             CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) ELSE 0.0 END AS mwl,
+             CASE WHEN len(w) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE) / len(w) ELSE 0.0 END AS symr,
+             CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) ELSE 0.0 END AS alphaf,
+             len(list_filter(list_distinct(list_transform(w, x -> lower(x))), x -> x IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+             CASE WHEN regexp_matches(trim(text), '^[-*•‣▪]') THEN 1.0 ELSE 0.0 END AS bulletf,
+             CASE WHEN regexp_matches(trim(text), '(\.\.\.|…)$') THEN 1.0 ELSE 0.0 END AS ellipsisf,
+             CASE WHEN len(tk) >= 2 THEN 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) ELSE 0.0 END AS dup2
+           FROM t
+         )
+         SELECT doc_id, CAST(nw AS BIGINT) AS g_word_count,
+           CAST(floor(round(mwl, 6) * 1000000) AS BIGINT) AS mwl_micro,
+           CAST(floor(round(alphaf, 6) * 1000000) AS BIGINT) AS alpha_micro,
+           CAST(stop_hits AS BIGINT) AS g_stop_hits,
+           CAST(floor(round(dup2, 6) * 1000000) AS BIGINT) AS dup2_micro,
+           CAST(CASE WHEN nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+             AND symr <= 0.1 AND alphaf >= 0.8 AND stop_hits >= 2
+             AND bulletf <= 0.9 AND ellipsisf <= 0.3 AND dup2 <= 0.2
+             THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
+         FROM m ORDER BY doc_id""",
     "q_text_perplexity" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9_]+'), x -> x <> '')) AS token

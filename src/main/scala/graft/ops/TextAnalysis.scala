@@ -112,6 +112,63 @@ object TextAnalysis {
       .drop("__qc")
   }
 
+  /** The Gopher rule-based quality filter (Rae et al., "Scaling Language
+    * Models: ... Gopher", arXiv:2112.11446 Appendix A1.1) — the standard
+    * web-corpus pre-filter, with the published thresholds:
+    * word count in [50, 100k]; mean word length in [3, 10]; symbol-to-
+    * word ratio ('#' and '…') ≤ 0.1; ≥90%% of lines NOT starting with a
+    * bullet; ≤30%% of lines ending in '…'; ≥80%% of words contain an
+    * alphabetic character; ≥2 hits from the 8-stop-word list; plus the
+    * repetition gate adapted from [[dupNgramFraction]] (the paper counts
+    * duplicate-CHARACTER fractions; the distinct-gram fraction is the
+    * shuffle-free per-row form — documented adaptation) with the paper's
+    * top-2-gram threshold 0.20.
+    *
+    * "Words" are whitespace-split (not the alnum tokenizer — rule 5
+    * would be vacuous on alnum tokens). Everything is one projection —
+    * no UDF, no shuffle — but the array lambdas are CodegenFallback and
+    * interpret per element (KernelBenchProbe's ~500× lesson): fine for
+    * a filter evaluated once per document, and the swap point is a
+    * TextStatsKernel-style single-pass kernel if this lands on a
+    * 100 TB hot path. */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nW = size(words)
+    val meanLen = when(nW > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nW).otherwise(lit(0.0))
+    val nSym = (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("double")
+    val alphaFrac = when(nW > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nW)
+      .otherwise(lit(0.0))
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(array_distinct(transform(words, w => lower(w))),
+      w => w.isin(stopWords: _*)))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nL = size(lines)
+    val bulletFrac = when(nL > 0,
+      size(filter(lines, l => trim(l).rlike("^[-*•‣▪]")))
+        .cast("double") / nL).otherwise(lit(0.0))
+    val ellipsisFrac = when(nL > 0,
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nL).otherwise(lit(0.0))
+    val dup2 = dupNgramFraction(t, 2)
+    val symbolRatio = when(nW > 0, nSym / nW).otherwise(lit(0.0))
+    df.withColumn("g_word_count", nW.cast("long"))
+      .withColumn("g_mean_word_len", round(meanLen, 6))
+      .withColumn("g_symbol_ratio", round(symbolRatio, 6))
+      .withColumn("g_alpha_frac", round(alphaFrac, 6))
+      .withColumn("g_stop_hits", stopHits.cast("long"))
+      .withColumn("g_bullet_frac", round(bulletFrac, 6))
+      .withColumn("g_ellipsis_frac", round(ellipsisFrac, 6))
+      .withColumn("g_dup2_frac", round(dup2, 6))
+      .withColumn("g_pass",
+        nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2 &&
+        bulletFrac <= 0.9 && ellipsisFrac <= 0.3 && dup2 <= 0.2)
+  }
+
   // ---------------------------------------------------------- fingerprints
 
   /** Order-insensitive document fingerprint: hash of the sorted distinct

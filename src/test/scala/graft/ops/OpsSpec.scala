@@ -1177,6 +1177,35 @@ class OpsSpec extends SparkSuite {
       assert(v13.get.frames.head.getRGB(x, y) == e13.get.frames.head.getRGB(x, y))
   }
 
+  test("gopherRules: published thresholds pass clean prose, flag each violation") {
+    import graft.ops.TextAnalysis
+    // 60+ words with NO repeated 2-grams: the repetition gate is real
+    // (a sentence repeated 3x fails dup2 at 0.66 — correctly)
+    val clean = "the quick brown fox jumps over that lazy dog and " +
+      "runs away with some of the stolen food to be eaten later " +
+      "near an old stone bridge while evening light settles quietly " +
+      "across those distant hills where farmers have gathered their " +
+      "final harvest before winter storms arrive bringing heavy snow " +
+      "onto every rooftop in this small mountain village tonight"
+    val df = docsDF(Seq(
+      (1L, clean),
+      (2L, "too short to pass"),                       // word count < 50
+      (3L, ("of to be at in on as it an is " * 8).trim), // mean word len < 3
+      (4L, clean + " ##### ##### ##### ##### ##### ##### #####"), // symbols
+      (5L, ("word " * 60).trim)))                      // dup 2-grams + 1 stop word
+    val out = TextAnalysis.gopherRules(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("g_pass"), out(1L).toString)
+    assert(!out(2L).getAs[Boolean]("g_pass") &&
+      out(2L).getAs[Long]("g_word_count") < 50)
+    assert(!out(3L).getAs[Boolean]("g_pass") &&
+      out(3L).getAs[Double]("g_mean_word_len") < 3.0)
+    assert(!out(4L).getAs[Boolean]("g_pass") &&
+      out(4L).getAs[Double]("g_symbol_ratio") > 0.1)
+    assert(!out(5L).getAs[Boolean]("g_pass") &&
+      out(5L).getAs[Double]("g_dup2_frac") > 0.2)
+  }
+
   test("paragraphDedup drops cross-doc units and reassembles in order") {
     // k=2 units; "dup one" + "dup two" shared by docs 1 and 2; doc 3
     // repeats a unit only WITHIN itself (repetition, not duplication);
