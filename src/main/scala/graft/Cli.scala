@@ -77,7 +77,10 @@ object Cli {
             out.schema(c).dataType match {
               case org.apache.spark.sql.types.TimestampType |
                    org.apache.spark.sql.types.TimestampNTZType =>
-                date_format(cc, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+                graft.logql.Render.rfc3339(cc)
+              case org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType =>
+                graft.logql.Render.goDouble(cc)
               case _ => cc.cast("string")
             }
           }.toSeq: _*)

@@ -164,10 +164,20 @@ object Compiler {
   private def isMapField(df: DataFrame, name: String): Boolean =
     name == "_stream" && fieldType(df, name).exists(_.isInstanceOf[MapType])
 
-  /** String view with LogsQL missing≡"" semantics. */
+  /** String view with LogsQL missing≡"" semantics. Doubles render
+    * Go-style (strconv 'g' via the reference's marshalFloat64String):
+    * "+Inf"/"-Inf", not Java's "Infinity" — ±Inf is reachable through
+    * the math pipe's float64 division. */
   def strF(df: DataFrame, name: String): Column =
     rawField(df, name) match {
       case Some(c) if isMapField(df, name) => coalesce(mapLabel(c), lit(""))
+      case Some(c) if fieldType(df, name).exists(
+          t => t == DoubleType || t == FloatType) =>
+        coalesce(
+          when(c === Double.PositiveInfinity, lit("+Inf"))
+            .when(c === Double.NegativeInfinity, lit("-Inf"))
+            .otherwise(c.cast(StringType)),
+          lit(""))
       case Some(c) => coalesce(c.cast(StringType), lit(""))
       case None => lit("")
     }
@@ -1449,6 +1459,13 @@ object Compiler {
             val s = c0.cast(StringType)
             coalesce(
               s.try_cast("double"),
+              // strconv.ParseFloat accepts inf/infinity/nan in any case
+              // with optional sign — and the engine itself renders
+              // "+Inf", which must round-trip
+              when(lower(s).isin("inf", "+inf", "infinity", "+infinity"),
+                lit(Double.PositiveInfinity))
+                .when(lower(s).isin("-inf", "-infinity"),
+                  lit(Double.NegativeInfinity)),
               durationNanosCol(s).cast(DoubleType),
               bytesCol(s),
               when(s.rlike("^-?0[xX][0-9a-fA-F]+$"),
@@ -1512,7 +1529,11 @@ object Compiler {
         case "&" => (a.cast(LongType) bitwiseAND b.cast(LongType)).cast(DoubleType)
         case "|" => (a.cast(LongType) bitwiseOR b.cast(LongType)).cast(DoubleType)
         case "xor" => (a.cast(LongType) bitwiseXOR b.cast(LongType)).cast(DoubleType)
-        case "default" => coalesce(a, b)
+        // the reference's missing-value sentinel is NaN and `default`
+        // replaces it (mathFuncDefault, pipe_math.go:944-953); here
+        // missing parses to NULL, but genuine NaN still arises (0/0,
+        // x%0) and must be replaced too — coalesce alone kept it
+        case "default" => when(isnan(a), b).otherwise(coalesce(a, b))
       }
     case MathExpr.Call(fn, args) =>
       val as = args.map(mathCol(df, _, ctx))

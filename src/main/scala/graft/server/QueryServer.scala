@@ -488,6 +488,37 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     case other => other.toString
   }
 
+  /** Reference-shape NDJSON row column: every value a STRING (the
+    * reference's field model — a `count()` result reads `"c":"5"`, not
+    * `"c":5`), Go float rendering ([[Render.goDouble]]), `_stream` as
+    * its label string, `_time` RFC3339 with trailing fraction zeros
+    * trimmed, residual `fields`-map entries splatted top-level,
+    * empty/missing values skipped (MarshalFieldsToJSON, rows.go:144-162)
+    * and the store's internal partition columns hidden. */
+  private def refJson(df: DataFrame, names: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val hidden = Set("_day", "tenant", "fields")
+    val entries = names.filterNot(hidden).map { name =>
+      val cc = col("`" + name + "`")
+      val s = df.schema(name).dataType match {
+        case _: MapType => Compiler.mapLabel(cc)
+        case DoubleType | FloatType => Render.goDouble(cc)
+        case TimestampType | TimestampNTZType => Render.rfc3339(cc)
+        case _ => cc.cast(StringType)
+      }
+      struct(lit(name).as("key"), s.as("value"))
+    }
+    val base = map_from_entries(filter(array(entries: _*),
+      e => e.getField("value").isNotNull && e.getField("value") =!= ""))
+    val full =
+      if (!names.contains("fields") || !df.columns.contains("fields")) base
+      else graft.functions.MapOps.concatLastWins(
+        map_filter(coalesce(col("fields"),
+          map().cast("map<string,string>")), (_, v) => v.isNotNull && v =!= ""),
+        base) // top-level columns win on a key collision
+    to_json(full)
+  }
+
   // ------------------------------------------------------------ endpoints
 
   /** Above this, the lastN descent's driver-side materialization of the
@@ -513,7 +544,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         case (Some(n), _) => (runQ(ex, q).limit(n), None)
         case (None, _) => (runQ(ex, q), None)
       }
-      val json = df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*)))
+      val json = df.select(refJson(df, df.columns.toSeq))
       PlanCacheEntry(Some(json), days, None,
         bounded = one(ps, "limit").exists(n => n.toInt > 0 && n.toInt <= maxLastNLimit))
     } { entry =>
@@ -878,7 +909,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           val withT = df.withColumn("__tus",
             unix_micros(col("_time")))
           val outCols = df.columns.filter(c => !(stripTime && c == "_time"))
-          val rows = withT.select(to_json(struct(outCols.map(c => col("`" + c + "`")).toSeq: _*)), col("__tus"))
+          val rows = withT.select(refJson(withT, outCols.toSeq), col("__tus"))
             .collect()
           val (future, emit) = rows.partition(_.getLong(1) > hiUs)
           pendingFuture = future.nonEmpty

@@ -270,15 +270,15 @@ class IngestServerSpec extends SparkSuite {
       try {
         // JSON shorthand → exact filter on a fields-map entry
         assert(getQ("&extra_filters=" + enc("""{"lvl":"error"}"""))
-          .contains("\"c\":2"))
+          .contains("\"c\":\"2\""))
         // multi-value shorthand → in()
         assert(getQ("&extra_filters=" + enc("""{"lvl":["info","error"]}"""))
-          .contains("\"c\":3"))
+          .contains("\"c\":\"3\""))
         // raw LogsQL filter string
-        assert(getQ("&extra_filters=" + enc("lvl:=info")).contains("\"c\":1"))
+        assert(getQ("&extra_filters=" + enc("lvl:=info")).contains("\"c\":\"1\""))
         // stream shorthand scopes by stream label
         assert(getQ("&extra_stream_filters=" + enc("""{"app":"api"}"""))
-          .contains("\"c\":1"))
+          .contains("\"c\":\"1\""))
       } finally qs.stop()
     } finally srv.stop()
   }
@@ -307,9 +307,9 @@ class IngestServerSpec extends SparkSuite {
         conn.disconnect(); body
       }
       try {
-        assert(getQ(Map.empty).contains("\"c\":1"))
-        assert(getQ(Map("AccountID" -> "7", "ProjectID" -> "3")).contains("\"c\":1"))
-        assert(getQ(Map("AccountID" -> "9")).contains("\"c\":0"))
+        assert(getQ(Map.empty).contains("\"c\":\"1\""))
+        assert(getQ(Map("AccountID" -> "7", "ProjectID" -> "3")).contains("\"c\":\"1\""))
+        assert(getQ(Map("AccountID" -> "9")).contains("\"c\":\"0\""))
       } finally qs.stop()
     } finally srv.stop()
   }
@@ -331,7 +331,7 @@ class IngestServerSpec extends SparkSuite {
         conn.disconnect(); (code, body)
       }
       // populate the memoized relation's file index
-      assert(getQ("swap | stats count() c")._2.contains("\"c\":3"))
+      assert(getQ("swap | stats count() c")._2.contains("\"c\":\"3\""))
       // swap a file out from under the cached index WITHOUT invalidating —
       // what a compaction/retention rename does between plan and execution
       val victim = spark.read.parquet(s"$dir/logs").inputFiles.head
@@ -341,14 +341,14 @@ class IngestServerSpec extends SparkSuite {
       // file deletion doesn't bump the store generation (in-contract
       // lifecycle swaps invalidate, which does), so the memoized result
       // still answers — by design, and it can't touch the stale index
-      assert(getQ("swap | stats count() c")._2.contains("\"c\":3"))
+      assert(getQ("swap | stats count() c")._2.contains("\"c\":\"3\""))
       // a fresh compile (cache-missing request shape) must hit the stale
       // index, invalidate, and retry against the fresh listing — one day
       // partition is gone, the other two rows still answer
       val retriesBefore = Metrics.staleIndexRetries.get
       val (code, body) = getQ("swap app:a* | stats count() c")
       assert(code == 200, s"$code $body")
-      assert(body.contains("\"c\":2"), body)
+      assert(body.contains("\"c\":\"2\""), body)
       assert(Metrics.staleIndexRetries.get > retriesBefore)
     } finally http.stop(0)
   }
@@ -366,11 +366,11 @@ class IngestServerSpec extends SparkSuite {
         val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
         conn.disconnect(); body
       }
-      assert(getQ("unified | stats count() c").contains("\"c\":1"))
+      assert(getQ("unified | stats count() c").contains("\"c\":\"1\""))
       // second ingest on the SAME server is visible without a restart
       post(port, "/insert/jsonline?_stream_fields=app",
         """{"_time":"2024-01-05T11:00:00Z","_msg":"unified again","app":"web"}""")
-      assert(getQ("unified | stats count() c").contains("\"c\":2"))
+      assert(getQ("unified | stats count() c").contains("\"c\":\"2\""))
       // /metrics exposes Prometheus text with the ingest/select counters
       val conn = new URI(s"http://127.0.0.1:$port/metrics").toURL
         .openConnection().asInstanceOf[HttpURLConnection]

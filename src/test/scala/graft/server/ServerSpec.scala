@@ -37,6 +37,23 @@ class ServerSpec extends SparkSuite {
     assert(lines.forall(l => l.startsWith("{") && l.contains("\"event_type\":\"purchase\"")))
   }
 
+  test("NDJSON rows use the reference field model: all-string values, Go floats") {
+    // MarshalFieldsToJSON (rows.go:144-162): every value is a JSON
+    // STRING; floats render Go-style ("5" not 5.0, "+Inf"); _stream is
+    // its label string, not a nested object; empty values are skipped
+    val (c1, b1) = get(s"/select/logsql/query?query=${enc("* | fields event_id, value")}&limit=1")
+    assert(c1 == 200)
+    assert("""\"event_id\":\"\d+\"""".r.findFirstIn(b1).isDefined, b1)
+    assert(""""value":"[\d.]+"""".r.findFirstIn(b1).isDefined, b1)
+    val (c2, b2) = get(s"/select/logsql/query?query=${enc("* | math (0/0) default 5 as r, 1/0 as inf | fields r, inf")}&limit=1")
+    assert(c2 == 200)
+    assert(b2.contains(""""r":"5""""), b2) // NaN replaced by default; no ".0"
+    assert(b2.contains(""""inf":"+Inf""""), b2)
+    // stats values are strings too
+    val (c3, b3) = get(s"/select/logsql/query?query=${enc("* | stats count() c")}")
+    assert(c3 == 200 && """"c":"\d+"""".r.findFirstIn(b3).isDefined, b3)
+  }
+
   test("extra_filters scope the query and its subqueries") {
     def count(params: String): Long = {
       val (code, body) = get(
@@ -171,9 +188,9 @@ class ServerSpec extends SparkSuite {
     try {
       val q = s"/select/logsql/query?query=${enc("* | stats count() c")}"
       // default tenant 0:0 holds the data; a foreign tenant sees nothing
-      assert(getT(q, None).contains("\"c\":1000"))
-      assert(getT(q, Some("5")).contains("\"c\":0"))
-      assert(getT(q, Some("0")).contains("\"c\":1000"))
+      assert(getT(q, None).contains("\"c\":\"1000\""))
+      assert(getT(q, Some("5")).contains("\"c\":\"0\""))
+      assert(getT(q, Some("0")).contains("\"c\":\"1000\""))
     } finally s2.stop()
   }
 
@@ -225,7 +242,7 @@ class ServerSpec extends SparkSuite {
       hs.foreach { case (k, v) => conn.addRequestProperty(k, v) }
       val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
       conn.disconnect()
-      """"c":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      """"c":"?(\d+)"?""".r.findFirstMatchIn(body).get.group(1).toLong
     }
     try {
       assert(getT(Nil) == 3)                                   // headerless → 0:0
@@ -370,7 +387,7 @@ class ServerSpec extends SparkSuite {
       val pq = s"/select/logsql/query?query=${enc("* | stats count() c")}"
       val (b1, c1) = getC(pq)
       assert(c1 == "miss", c1)
-      assert(b1.contains("\"c\":2"), b1)
+      assert(b1.contains("\"c\":\"2\""), b1)
       val (b2, c2) = getC(pq)
       assert(c2 == "hit", c2)
       assert(b2 == b1)
@@ -383,7 +400,7 @@ class ServerSpec extends SparkSuite {
       add("2024-01-03T10:00:00Z", "row three")
       val (b3, c3) = getC(pq)
       assert(c3 == "miss", "cache served across an ingest")
-      assert(b3.contains("\"c\":3"), b3)
+      assert(b3.contains("\"c\":\"3\""), b3)
       // wall-clock-relative queries are never cached (resolve at parse)
       val rel = s"/select/logsql/query?query=${enc("_time:5m | stats count() c")}"
       assert(getC(rel)._2 == "bypass")
