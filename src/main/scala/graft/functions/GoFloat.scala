@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Go `strconv.AppendFloat(dst, f, 'f', -1, 64)` — the reference's single
+  * float renderer (marshalFloat64String, values_encoder.go:1404-1406, and
+  * every stats_*.go result marshal): FIXED notation always (never
+  * E-notation — 1e21 is "1000000000000000000000", 1e-7 is "0.0000001"),
+  * with the minimum digit count that round-trips, "+Inf"/"-Inf"/"NaN",
+  * and "-0" for negative zero.
+  *
+  * Java/Spark's double→string cast switches to E-notation outside
+  * [1e-3, 1e7) and always keeps a ".0" on integral values, so a plain
+  * cast diverges from the reference on every such value.
+  *
+  * Shortest-digits search: correctly-rounded p-significant-digit decimal
+  * (`%.pE`, exact HALF_UP conversion) for p = 0,1,2,… until the decimal
+  * parses back to the exact input — the same uniqueness rule strconv
+  * documents for precision -1. If any p-digit decimal round-trips, the
+  * correctly-rounded one does too (it is at least as close to the value,
+  * so it lies inside the same rounding interval), so the search finds the
+  * minimal length; 17 digits always round-trip and bound the loop.
+  */
+object GoFloat {
+
+  /** Column API (lazy temp-function registration like the other
+    * kernels). */
+  def render(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    GraftFunctions.ensure()
+    org.apache.spark.sql.functions.call_function("graft_go_float", c)
+  }
+
+  def format(d: Double): String = {
+    if (d != d) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    val neg = d < 0
+    val a = if (neg) -d else d
+    // integral doubles below 1e15: the integer IS the shortest repr
+    // (every added fractional digit is a longer string), and Long
+    // rendering skips the format/parse loop for the common count case
+    if (a < 1e15 && a == Math.floor(a))
+      return (if (neg) "-" else "") + java.lang.Long.toString(a.toLong)
+    var p = 0
+    while (p < 16) {
+      val s = String.format(java.util.Locale.ROOT, "%." + p + "E", java.lang.Double.valueOf(a))
+      if (java.lang.Double.parseDouble(s) == a) return fixed(neg, s)
+      p += 1
+    }
+    fixed(neg, String.format(java.util.Locale.ROOT, "%.16E", java.lang.Double.valueOf(a)))
+  }
+
+  /** Same rule against float32 round-trip (Go renders a float32 via
+    * FormatFloat(float64(f), 'f', -1, 32) — shortest digits that parse
+    * back to the float): keeps "14.3" instead of the widened double's
+    * "14.300000190734863". */
+  def formatFloat(f: Float): String = {
+    if (f != f) return "NaN"
+    if (f == Float.PositiveInfinity) return "+Inf"
+    if (f == Float.NegativeInfinity) return "-Inf"
+    if (f == 0.0f) return if (1.0f / f < 0) "-0" else "0"
+    val neg = f < 0
+    val a = if (neg) -f else f
+    if (a < 1e7f && a == Math.floor(a))
+      return (if (neg) "-" else "") + java.lang.Integer.toString(a.toInt)
+    val ad = a.toDouble
+    var p = 0
+    while (p < 8) {
+      val s = String.format(java.util.Locale.ROOT, "%." + p + "E", java.lang.Double.valueOf(ad))
+      if (java.lang.Float.parseFloat(s) == a) return fixed(neg, s)
+      p += 1
+    }
+    fixed(neg, String.format(java.util.Locale.ROOT, "%.8E", java.lang.Double.valueOf(ad)))
+  }
+
+  /** `%.pE` string ("1.43E+01") → fixed notation ("14.3"). */
+  private def fixed(neg: Boolean, sci: String): String = {
+    val ei = sci.indexOf('E')
+    val exp = java.lang.Integer.parseInt(sci.substring(ei + 1))
+    val raw = sci.substring(0, ei)
+    var digits =
+      if (raw.length > 1 && raw.charAt(1) == '.') raw.charAt(0) + raw.substring(2)
+      else raw
+    // the max-precision fallback can carry value-preserving trailing zeros
+    var end = digits.length
+    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
+    digits = digits.substring(0, end)
+    val n = digits.length
+    val sb = new java.lang.StringBuilder(n + math.abs(exp) + 3)
+    if (neg) sb.append('-')
+    if (exp >= n - 1) {
+      sb.append(digits)
+      var i = 0
+      while (i < exp - (n - 1)) { sb.append('0'); i += 1 }
+    } else if (exp >= 0) {
+      sb.append(digits, 0, exp + 1).append('.').append(digits, exp + 1, n)
+    } else {
+      sb.append("0.")
+      var i = 0
+      while (i < -exp - 1) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    }
+    sb.toString
+  }
+}
+
+/** double|float → Go-rendered string column ([[GoFloat]]). */
+case class GoFloatStrExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_go_float needs a double or float input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+
+  private def isFloat = child.dataType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      if (isFloat) GoFloat.formatFloat(input.asInstanceOf[Float])
+      else GoFloat.format(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val call =
+        if (isFloat) s"graft.functions.GoFloat.formatFloat($v)"
+        else s"graft.functions.GoFloat.format($v)"
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($call);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GoFloatStrExpr =
+    copy(child = newChild)
+}

@@ -99,6 +99,10 @@ object GraftFunctions {
       "graft_pq_cosine(qv, code, cb) - asymmetric cosine of an exact query " +
         "vector vs a product-quantized corpus code",
       es => PqCosineExpr(es(0), es(1), es(2))),
+    ("graft_go_float",
+      "graft_go_float(x) - Go strconv 'f'/-1 rendering of a double/float " +
+        "(fixed notation, shortest round-trip digits, +Inf/-Inf/NaN)",
+      es => GoFloatStrExpr(es(0))),
     ("graft_seq_match",
       "graft_seq_match(s, phrases) - ordered word-sequence match",
       es => {

@@ -164,20 +164,16 @@ object Compiler {
   private def isMapField(df: DataFrame, name: String): Boolean =
     name == "_stream" && fieldType(df, name).exists(_.isInstanceOf[MapType])
 
-  /** String view with LogsQL missing≡"" semantics. Doubles render
-    * Go-style (strconv 'g' via the reference's marshalFloat64String):
-    * "+Inf"/"-Inf", not Java's "Infinity" — ±Inf is reachable through
-    * the math pipe's float64 division. */
+  /** String view with LogsQL missing≡"" semantics. Doubles/floats
+    * render exactly like the reference's marshalFloat64String
+    * (strconv 'f'/-1 — [[graft.functions.GoFloat]]): "5" not "5.0",
+    * fixed notation always, "+Inf"/"-Inf"/"NaN". */
   def strF(df: DataFrame, name: String): Column =
     rawField(df, name) match {
       case Some(c) if isMapField(df, name) => coalesce(mapLabel(c), lit(""))
       case Some(c) if fieldType(df, name).exists(
           t => t == DoubleType || t == FloatType) =>
-        coalesce(
-          when(c === Double.PositiveInfinity, lit("+Inf"))
-            .when(c === Double.NegativeInfinity, lit("-Inf"))
-            .otherwise(c.cast(StringType)),
-          lit(""))
+        coalesce(graft.functions.GoFloat.render(c), lit(""))
       case Some(c) => coalesce(c.cast(StringType), lit(""))
       case None => lit("")
     }

@@ -480,11 +480,14 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     }
   }
 
-  /** Render a value like the reference's NDJSON writer: strings as-is,
-    * integral doubles without the trailing ".0". */
+  /** Render a driver-side value like the reference's marshalers:
+    * strings as-is, floats through Go strconv 'f'/-1
+    * ([[graft.functions.GoFloat]] — "5" not "5.0", fixed notation,
+    * "+Inf"). */
   private def render(v: Any): String = v match {
     case null => ""
-    case d: java.lang.Double if d == d.longValue().toDouble => d.longValue().toString
+    case d: java.lang.Double => graft.functions.GoFloat.format(d)
+    case f: java.lang.Float => graft.functions.GoFloat.formatFloat(f)
     case other => other.toString
   }
 

@@ -499,6 +499,45 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("GoFloat matches Go strconv 'f'/-1 pins and round-trips random doubles") {
+    // pins computed with Go: strconv.FormatFloat(x, 'f', -1, 64)
+    val pins = Seq(
+      5.0 -> "5", -5.0 -> "-5", 0.0 -> "0", -0.0 -> "-0",
+      14.3 -> "14.3", 0.1 -> "0.1", 0.3 -> "0.3", 100.0 -> "100",
+      50.05019 -> "50.05019", 1.25 -> "1.25",
+      1e21 -> "1000000000000000000000", 1e15 -> "1000000000000000",
+      1e-7 -> "0.0000001", 2.5e-10 -> "0.00000000025",
+      1.0 / 3.0 -> "0.3333333333333333",
+      9007199254740992.0 -> "9007199254740992",
+      123456789.12345679 -> "123456789.12345679",
+      Double.NaN -> "NaN", Double.PositiveInfinity -> "+Inf",
+      Double.NegativeInfinity -> "-Inf")
+    pins.foreach { case (d, want) =>
+      assert(GoFloat.format(d) == want, s"format($d)")
+    }
+    assert(GoFloat.formatFloat(14.3f) == "14.3")
+    assert(GoFloat.formatFloat(0.1f) == "0.1")
+    assert(GoFloat.formatFloat(1e10f) == "10000000000")
+    assert(GoFloat.formatFloat(-0.0f) == "-0")
+    // properties on random bit patterns: fixed notation only, exact
+    // round-trip, and no shorter correctly-rounded decimal round-trips
+    val rnd = new scala.util.Random(91521)
+    val doubles = Seq.fill(4000)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filter(d => d == d)
+    doubles.foreach { d =>
+      val s = GoFloat.format(d)
+      assert(!s.exists(c => c == 'e' || c == 'E'), s"E-notation: $d -> $s")
+      if (!d.isInfinite)
+        assert(java.lang.Double.parseDouble(s) == d, s"round-trip: $d -> $s")
+    }
+    // the kernel column path agrees with the JVM method (codegen identity)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(doubles.take(500).map(Row(_)), 2),
+      StructType(Seq(StructField("d", DoubleType))))
+    val got = df.select(GoFloat.render(col("d")).as("s"), col("d")).collect()
+    got.foreach(r => assert(r.getString(0) == GoFloat.format(r.getDouble(1))))
+  }
+
   test("every custom expression's generated code compiles (no interpreted fallback)") {
     // Whole-stage codegen catches janino failures and silently falls back
     // to interpreted execution, so a doGenCode bug passes every value test
@@ -515,6 +554,8 @@ class ExprPropertySpec extends SparkSuite {
     val farr   = BoundReference(2, ArrayType(FloatType), nullable = true)
     val code   = BoundReference(3, ArrayType(ByteType), nullable = true)
     val book   = BoundReference(4, ArrayType(DoubleType), nullable = true)
+    val dbl    = BoundReference(5, DoubleType, nullable = true)
+    val flt    = BoundReference(6, FloatType, nullable = true)
     val exprs = Seq(
       CollapseNumsExpr(str, prettify = true),
       CollapseNumsExpr(str, prettify = false),
@@ -539,7 +580,9 @@ class ExprPropertySpec extends SparkSuite {
       DotProduct(farr, farr),
       CosineSim(farr, farr),
       PqEncodeExpr(farr, book, 2),
-      PqCosineExpr(farr, code, book))
+      PqCosineExpr(farr, code, book),
+      GoFloatStrExpr(dbl),
+      GoFloatStrExpr(flt))
     exprs.foreach { e =>
       assert(e.checkInputDataTypes().isSuccess, s"${e.prettyName}: input types")
       // throws CompileException (wrapped) if doGenCode emits broken Java
