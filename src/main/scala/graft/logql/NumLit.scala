@@ -16,6 +16,12 @@ object NumLit {
       case ls if ls.startsWith("0x") =>
         try Some(java.lang.Long.parseLong(ls.drop(2), 16).toDouble)
         catch { case _: NumberFormatException => None }
+      case ls if ls.startsWith("0b") =>
+        try Some(java.lang.Long.parseLong(ls.drop(2), 2).toDouble)
+        catch { case _: NumberFormatException => None }
+      case ls if ls.startsWith("0o") =>
+        try Some(java.lang.Long.parseLong(ls.drop(2), 8).toDouble)
+        catch { case _: NumberFormatException => None }
       case _ =>
         sizeValue(s)
           .orElse(durationNanos(s).filter(_ => s.exists(_.isLetter)).map(_ / 1e9))
@@ -37,13 +43,32 @@ object NumLit {
     s.nonEmpty && s.count(_ == '.') <= 1 &&
       s.forall(c => c.isDigit || c == '.') && s.exists(_.isDigit)
 
+  /** Byte sizes, multi-group like the reference's tryParseBytes
+    * (values_encoder.go:~550): `22MB100KB` = 22e6+100e3, a trailing
+    * suffix-less group must be an integer (`1.5` alone is denied). */
   def sizeValue(s: String): Option[Double] = {
     val ls = s.toLowerCase
-    sizeSuffixes.collectFirst {
-      case (suf, mult) if ls.endsWith(suf) &&
-          isPlainNumber(ls.dropRight(suf.length)) =>
-        ls.dropRight(suf.length).toDouble * mult
+    if (ls.isEmpty || !ls(0).isDigit) return None
+    var i = 0
+    var total = 0d
+    var sawSuffix = false
+    while (i < ls.length) {
+      val numStart = i
+      while (i < ls.length && (ls(i).isDigit || ls(i) == '.')) i += 1
+      if (i == numStart || !isPlainNumber(ls.substring(numStart, i))) return None
+      val num = ls.substring(numStart, i).toDouble
+      if (i == ls.length) {
+        if (num != math.floor(num)) return None
+        total += num
+      } else {
+        val rest = ls.substring(i)
+        sizeSuffixes.find { case (suf, _) => rest.startsWith(suf) } match {
+          case Some((suf, mult)) => total += num * mult; i += suf.length; sawSuffix = true
+          case None => return None
+        }
+      }
     }
+    if (sawSuffix) Some(total) else None
   }
 
   /** Duration string → nanos; None if not a duration.

@@ -138,6 +138,39 @@ final class Parser(input: String, now: Long) {
     input.substring(start, pos).trim
   }
 
+  /** Compound-token read mirroring the reference lexer's gluing
+    * (getCompoundPhrase/getCompoundFuncArg/getCompoundToken,
+    * parser.go:1580-1676): consecutive raw tokens with NO intervening
+    * whitespace concatenate into one value, stopping only at the
+    * grammar-specific stop chars. `=`, `<`, `>`, `!`, `~`, `-`, `/`,
+    * `{`, `}` and embedded quotes all glue — `b<=a>z` is one phrase,
+    * `custom-Time` one field name, `bar:baz` one value after `field:`. */
+  private def readCompoundRaw(stops: String): String = {
+    skipWs()
+    val start = pos
+    while (pos < input.length && !input(pos).isWhitespace &&
+           stops.indexOf(input(pos)) < 0) pos += 1
+    input.substring(start, pos)
+  }
+
+  /** Compound token with quoted-first-token support: `'abc'` cooked,
+    * else raw gluing. Returns (value, wasQuoted). */
+  private def readCompoundQ(stops: String): (String, Boolean) = {
+    skipWs()
+    if (isQuote(peekCh)) (readQuoted(), true)
+    else {
+      val w = readCompoundRaw(stops)
+      if (w.isEmpty) err(s"compound token cannot start with '${peekCh}'")
+      (w, false)
+    }
+  }
+
+  // Stop sets per reference grammar production:
+  private val StopsPhrase    = "*,()[]|:" // getCompoundPhrase, field position
+  private val StopsPhraseVal = "*,()[]|"  // getCompoundPhrase, after `field:`
+  private val StopsFuncArg   = "*,()|"    // getCompoundFuncArg (=value, in-args)
+  private val StopsToken     = ",()[]|"   // getCompoundToken (regex, time, durations)
+
   // ------------------------------------------------------------------ query
 
   // pipe subqueries (join/union) recurse parseQuery→parsePipe→parseQuery
@@ -163,48 +196,67 @@ final class Parser(input: String, now: Long) {
     // is advisory (Spark's scheduler owns worker counts)
     val opts = scala.collection.mutable.Map.empty[String, String]
     if (peekKeyword("options")) {
-      // commit to the clause only for a genuine `(k=v, ...)` list — the
-      // word `options` followed by a paren FILTER group (`options (error
-      // or warn)`) must keep parsing as filters
-      val save = pos
+      // the `options` keyword commits unconditionally: a missing '(' or
+      // malformed contents are hard errors like the reference
+      // (parseQueryOptions, parser.go:1342-1400 — `options (error or
+      // warn)` errors with "missing '='"; searching for the word needs
+      // quotes: `"options" foo`)
       pos += "options".length
       skipWs()
-      var ok = false
-      if (peekCh == '(') {
-        try {
-          pos += 1
-          skipWs()
-          if (peekCh == ')') { pos += 1; ok = true }
-          else {
-            val k0 = readToken()
-            skipWs()
-            if (peekCh == '=') {
-              pos += 1
-              opts(k0) = readToken()
-              while (consume(',')) {
-                val k = readToken(); expect('='); opts(k) = readToken()
-              }
-              expect(')')
-              ok = true
-            }
-          }
-        } catch { case _: ParseException => ok = false }
+      if (peekCh != '(')
+        err("missing '(' after 'options' keyword; wrap 'options' into " +
+          "quotes if you are searching for this word")
+      pos += 1
+      skipWs()
+      var more = peekCh != ')'
+      while (more) {
+        val k = readToken()
+        expect('=')
+        val v = readToken() // repeated keys: last wins
+        k match {
+          case "concurrency" =>
+            if (parseUIntValue(v).isEmpty)
+              err(s"cannot parse 'concurrency=$v' as unsigned integer")
+          case "ignore_global_time_filter" =>
+            if (!Set("true", "false", "1", "0", "t", "f")(v.toLowerCase))
+              err(s"cannot parse 'ignore_global_time_filter=$v' as boolean")
+          case other => err(s"unknown query option '$other'")
+        }
+        opts(k) = v
+        skipWs()
+        if (consume(',')) { skipWs(); more = peekCh != ')' }
+        else more = false
       }
-      if (!ok) { pos = save; opts.clear() }
-      else opts.keys.find(k =>
-        k != "concurrency" && k != "ignore_global_time_filter").foreach(k =>
-        err(s"unknown query option '$k'")) // reference rejects unknown options
+      expect(')')
     }
     val effectiveOpts = inheritedOpts ++ opts.toMap
     val prevInherited = inheritedOpts
     inheritedOpts = effectiveOpts
     try {
-      val f = parseOr("_msg")
+      val f = parseFilterChecked()
       val pipes = ArrayBuffer.empty[Pipe]
       skipWs()
       while (consume('|')) { pipes += parsePipe(); skipWs() }
       Query(f, pipes.toSeq, effectiveOpts)
     } finally inheritedOpts = prevInherited
+  }
+
+  /** parseFilter (parser.go:1424-1441): the first unquoted token of a
+    * query filter must not be a pipe name — `filter foo:bar`, `count()`,
+    * `limit 10` as queries are rejected with a quote-it hint. */
+  private def parseFilterChecked(): Filter = {
+    skipWs()
+    if (peekCh == '|' || peekCh == ')' || eof) err("missing query")
+    // the check is against the first LEXER token (a token-rune run —
+    // letters/digits/_/.), matching lex.rawToken: `count-x` still rejects
+    var i = pos
+    while (i < input.length && (input(i).isLetterOrDigit ||
+           input(i) == '_' || input(i) == '.')) i += 1
+    val w = input.substring(pos, i)
+    if (w.nonEmpty && Parser.pipeNames(w.toLowerCase))
+      err(s"query filter cannot start with pipe keyword '$w'; " +
+        "put the first word of the filter into quotes")
+    parseOr("")
   }
 
   /** Parse a complete standalone query (must consume the whole input). */
@@ -223,19 +275,32 @@ final class Parser(input: String, now: Long) {
     c != '\u0000' && c != '|' && c != ')' && c != ',' && !peekKeyword("or")
   }
 
+  // `and`/`or`/`not` are operators only in OPERATOR position
+  // (parseFilterOr/parseFilterAnd, parser.go:1443-1492): a leading `and`
+  // is the phrase "and" (`f("and", "\"and\"")` in the reference tests),
+  // while a trailing `foo and` / `foo or` is a hard error.
   private def parseOr(defaultField: String): Filter = {
     val parts = ArrayBuffer(parseAnd(defaultField))
-    while (consumeKeyword("or")) parts += parseAnd(defaultField)
+    while (consumeKeyword("or")) {
+      if (!filterTermAhead) err("missing filter after 'or'")
+      parts += parseAnd(defaultField)
+    }
     if (parts.size == 1) parts.head else Filter.Or(parts.toSeq)
   }
 
   private def parseAnd(defaultField: String): Filter = {
-    val parts = ArrayBuffer.empty[Filter]
+    val parts = ArrayBuffer(parseTerm(defaultField))
     var continue = true
     while (continue) {
-      consumeKeyword("and") // explicit AND is optional noise
-      parts += parseTerm(defaultField)
-      continue = filterTermAhead
+      if (consumeKeyword("and")) {
+        // after an explicit operator the next term parses unconditionally
+        // (the word "or" is a phrase here, like the reference)
+        skipWs()
+        if (peekCh == '\u0000' || peekCh == '|' || peekCh == ')' || peekCh == ',')
+          err("missing filter after 'and'")
+        parts += parseTerm(defaultField)
+      } else if (filterTermAhead) parts += parseTerm(defaultField)
+      else continue = false
     }
     if (parts.size == 1) parts.head else Filter.And(parts.toSeq)
   }
@@ -254,93 +319,180 @@ final class Parser(input: String, now: Long) {
     try parseTerm0(defaultField) finally termDepth -= 1
   }
 
-  private def parseTerm0(defaultField: String): Filter = {
+  /** One filter term (parseGenericFilter, parser.go:1494-1578).
+    * `field` is "" at top level (field-name detection allowed) and the
+    * inherited field inside `field:(...)` groups, where colons glue into
+    * phrases instead (`foo:(_msg:a)` is foo:"_msg:a" in the reference).
+    */
+  private def parseTerm0(field: String): Filter = {
     skipWs()
     peekCh match {
-      case '!' => pos += 1; Filter.Not(parseTerm(defaultField))
-      case '-' if pos + 1 < input.length && !input(pos + 1).isDigit &&
-                  !input(pos + 1).isWhitespace =>
-        pos += 1; Filter.Not(parseTerm(defaultField))
+      case ':' => pos += 1; parseTerm(field) // empty/inherited field name
+      case '!' =>
+        if (pos + 1 < input.length && input(pos + 1) == '=') {
+          pos += 2; Filter.Not(parseExactRhs(fld(field)))
+        } else if (pos + 1 < input.length && input(pos + 1) == '~') {
+          pos += 2; Filter.Not(regexpFilter(fld(field)))
+        } else { pos += 1; Filter.Not(parseTerm(field)) }
+      case '-' => pos += 1; Filter.Not(parseTerm(field)) // `-foo` ≡ !foo
       case '(' =>
         pos += 1
-        val f = parseOr(defaultField)
+        val f = parseOr(field)
         expect(')')
         f
-      case '{' => parseStreamFilter()
+      case '{' =>
+        if (field.nonEmpty && field != "_stream")
+          err(s"stream filter cannot be applied to '$field' field")
+        parseStreamFilter()
       case '*' =>
         pos += 1
-        if (defaultField == "_msg") Filter.Noop else Filter.Prefix(defaultField, "")
-      case '=' => // `:=value` with defaultField propagated from `field:(...)`
+        skipWs()
+        if (peekCh == ':') err("cannot search for wildcard field name")
+        if (field.isEmpty) Filter.Noop else Filter.Prefix(field, "")
+      case '=' =>
         pos += 1
-        parseExactRhs(defaultField)
-      case '>' | '<' => parseCompareRhs(defaultField)
+        parseExactRhs(fld(field))
+      case '>' | '<' => parseCompareRhs(fld(field))
       case '~' =>
         pos += 1
-        Filter.Regexp(defaultField, readToken())
+        regexpFilter(fld(field))
       case c if isQuote(c) =>
         val s = readQuoted()
-        if (consume('*')) Filter.Prefix(defaultField, s)
-        else if (peekCh == ':') { pos += 1; parseFilterRhs(s) }
-        else Filter.Phrase(defaultField, s)
+        if (peekCh == '*') { // adjacent `'foo'*` → prefix (no space allowed)
+          pos += 1
+          skipWs()
+          if (peekCh == ':') err(s"field name prefix filter '$s*' isn't supported")
+          Filter.Prefix(fld(field), s)
+        } else {
+          skipWs()
+          if (field.isEmpty && peekCh == ':') { pos += 1; dispatchField(s) }
+          else Filter.Phrase(fld(field), s)
+        }
       case _ =>
-        if (consumeKeyword("not")) return Filter.Not(parseTerm(defaultField))
-        val w = readWord()
-        if (peekCh == ':') { pos += 1; parseFilterRhs(w) }
-        // bare filter functions apply to the default field —
-        // `seq("a", "b")`, `len_range(5, 10)`, `contains_all(foo, "x")`
-        // (LogsQL.md uses the fieldless forms throughout); same adjacency
-        // rule as the field-prefixed path: `word (group)` stays an AND
-        else if ((peekCh == '(' || (peekCh == '[' && w.equalsIgnoreCase("range"))) &&
-                 Parser.filterFuncs(w.toLowerCase))
-          parseFuncFilter(defaultField, w.toLowerCase)
-        else wordFilter(defaultField, w)
+        if (consumeKeyword("not")) return Filter.Not(parseTerm(field))
+        val stops = if (field.isEmpty) StopsPhrase else StopsPhraseVal
+        val w = readCompoundRaw(stops)
+        if (w.isEmpty) err(s"unexpected token '${peekCh}'")
+        wordTail(field, w)
     }
   }
 
-  private def wordFilter(field: String, w: String): Filter =
-    if (w == "*") Filter.Noop
-    else if (w.endsWith("*")) Filter.Prefix(field, w.dropRight(1))
-    else Filter.Phrase(field, w)
+  /** Continuation after an unquoted compound word at filter position:
+    * function call, prefix `w*`, `field:` detection, or plain phrase.
+    * Unknown name + ADJACENT '(' is the reference's "missing whitespace
+    * after the search word" error (parseGenericFilter, parser.go:1518);
+    * with a space between, the paren opens a new AND group instead. */
+  private def wordTail(field: String, w: String): Filter = {
+    val adjParen = pos < input.length && input(pos) == '('
+    val adjStar  = pos < input.length && input(pos) == '*'
+    skipWs()
+    if ((peekCh == '(' || (peekCh == '[' && w.equalsIgnoreCase("range"))) &&
+        Parser.filterFuncs(w.toLowerCase))
+      return parseFuncFilter(fld(field), w.toLowerCase)
+    if (adjParen)
+      err(s"missing whitespace after the search word '$w'")
+    if (adjStar) {
+      pos += 1
+      skipWs()
+      if (peekCh == ':') err(s"field name prefix filter '$w*' isn't supported")
+      return Filter.Prefix(fld(field), w)
+    }
+    if (field.isEmpty && peekCh == ':') { pos += 1; return dispatchField(w) }
+    Filter.Phrase(fld(field), w)
+  }
 
-  /** After `field:` — dispatch on the right-hand side. */
+  /** `name:` seen at top level — special names get their own grammar
+    * (parseFilterForPhrase, parser.go:1710-1724). */
+  private def dispatchField(name: String): Filter = name match {
+    case "_time" => parseTimeFilter()
+    case "_stream_id" => parseStreamIdFilter()
+    case "_stream" => { skipWs(); parseStreamFilter() }
+    case f => parseFilterRhs(f)
+  }
+
+  private def fld(f: String): String = if (f.isEmpty) "_msg" else f
+
+  /** After `field:` — dispatch on the right-hand side (parseGenericFilter
+    * with a non-empty fieldName: colons glue into the value). */
   private def parseFilterRhs(field: String): Filter = {
     skipWs()
-    if (field == "_time") return parseTimeFilter()
-    if (field == "_stream_id") return parseStreamIdFilter()
-    if (field == "_stream") return parseStreamFilter()
     peekCh match {
+      case ':' => pos += 1; parseFilterRhs(field)
+      case '!' =>
+        if (pos + 1 < input.length && input(pos + 1) == '=') {
+          pos += 2; Filter.Not(parseExactRhs(field))
+        } else if (pos + 1 < input.length && input(pos + 1) == '~') {
+          pos += 2; Filter.Not(regexpFilter(field))
+        } else { pos += 1; Filter.Not(parseFilterRhs(field)) }
+      case '-' => pos += 1; Filter.Not(parseFilterRhs(field))
       case '=' => pos += 1; parseExactRhs(field)
-      case '~' => pos += 1; Filter.Regexp(field, readToken())
+      case '~' => pos += 1; regexpFilter(field)
       case '>' | '<' => parseCompareRhs(field)
       case '(' => pos += 1; val f = parseOr(field); expect(')'); f
-      case '*' => pos += 1; Filter.Prefix(field, "")
+      case '{' => err(s"stream filter cannot be applied to '$field' field")
+      case '*' =>
+        pos += 1
+        Filter.Prefix(field, "")
       case c if isQuote(c) =>
         val s = readQuoted()
-        if (consume('*')) Filter.Prefix(field, s) else Filter.Phrase(field, s)
+        if (peekCh == '*') { pos += 1; Filter.Prefix(field, s) }
+        else Filter.Phrase(field, s)
+      case '\u0000' => err(s"missing filter after field name '$field'")
       case _ =>
-        val w = readWord()
-        // function form only when '(' is adjacent and the name is known —
-        // `f:word (other)` is an implicit AND with a group, not a call.
-        // range additionally accepts '[' (inclusive bound).
-        if ((peekCh == '(' || (peekCh == '[' && w.equalsIgnoreCase("range"))) &&
-            Parser.filterFuncs(w.toLowerCase))
-          parseFuncFilter(field, w.toLowerCase)
-        else wordFilter(field, w)
+        if (consumeKeyword("not")) return Filter.Not(parseFilterRhs(field))
+        val w = readCompoundRaw(StopsPhraseVal)
+        if (w.isEmpty) err(s"missing filter after field name '$field'")
+        wordTail(field, w)
     }
   }
 
+  /** `:=value` / `=value` / `!=value` — exact filter; the value is a
+    * compound func arg (getCompoundFuncArg: `=`, `<`, `>`, `:` glue, so
+    * `=foo=bar` is exact-match "foo=bar"), `*` adjacent → exact-prefix. */
   private def parseExactRhs(field: String): Filter = {
-    val (v, quoted) = readTokenQ()
-    if (consume('*')) Filter.ExactPrefix(field, v)
-    else if (!quoted && v.endsWith("*")) Filter.ExactPrefix(field, v.dropRight(1))
-    else Filter.Exact(field, v)
+    skipWs()
+    if (isQuote(peekCh)) {
+      val v = readQuoted()
+      if (peekCh == '*') { pos += 1; Filter.ExactPrefix(field, v) }
+      else Filter.Exact(field, v)
+    } else {
+      val v = readCompoundRaw(StopsFuncArg)
+      if (v.isEmpty) err("missing exact-filter value")
+      if (peekCh == '*') { pos += 1; Filter.ExactPrefix(field, v) }
+      else Filter.Exact(field, v)
+    }
+  }
+
+  /** `~regex` / `re(...)` — the pattern must compile (newFilterRegexp
+    * calls regexp.Compile at parse time; `~*` and re(`ab(`) are parse
+    * errors, not runtime 500s). */
+  private def regexpFilter(field: String): Filter = {
+    skipWs()
+    val re = if (isQuote(peekCh)) readQuoted() else {
+      val v = readCompoundRaw(StopsToken)
+      if (v.isEmpty) err("missing regexp")
+      v
+    }
+    validateRegexp(re)
+    Filter.Regexp(field, re)
+  }
+
+  private def validateRegexp(re: String): Unit = {
+    // same Go→Java translation the compile layer applies to rlike patterns
+    val javaRe = re.replace("(?P<", "(?<")
+    try java.util.regex.Pattern.compile(javaRe)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        err(s"invalid regexp '$re': ${e.getDescription}")
+    }
   }
 
   private def parseCompareRhs(field: String): Filter = {
     val op = new StringBuilder
     op += input(pos); pos += 1
     if (peekCh == '=') { op += '='; pos += 1 }
-    val raw = readToken()
+    skipWs()
+    val raw = if (isQuote(peekCh)) readQuoted() else readCompoundRaw(StopsToken)
     if (raw.isEmpty)
       err("missing comparison operand") // a truncated query must not
         // degrade into a match-nearly-everything string range
@@ -369,13 +521,19 @@ final class Parser(input: String, now: Long) {
     }
   }
 
-  /** Optional `if (<filters>)` clause on a pipe (if_filter.go:55). */
+  /** Optional `if (<filters>)` clause on a pipe (if_filter.go:55).
+    * `if ()` is the empty always-true filter (the reference parses it as
+    * a filterNoop — `stats count() if () rows` is valid). */
   private def parseOptIf(): Option[Filter] =
     if (consumeKeyword("if")) {
       expect('(')
-      val f = parseOr("_msg")
-      expect(')')
-      Some(f)
+      skipWs()
+      if (peekCh == ')') { pos += 1; Some(Filter.Noop) }
+      else {
+        val f = parseOr("")
+        expect(')')
+        Some(f)
+      }
     } else None
 
   /** Looks ahead for a top-level '|' inside the upcoming (...) group. */
@@ -401,38 +559,79 @@ final class Parser(input: String, now: Long) {
     false
   }
 
+  /** A value-producing subquery must END with `| fields <one field>` or
+    * `| uniq by (<one field>)` (getFieldNameFromPipes, parser.go:2978-
+    * 2996) — `in(x | limit 10)` and `in(x | fields a,b)` are parse
+    * errors in the reference. */
+  private def requireSingleFieldSubquery(sub: Query, fn: String): Query = {
+    sub.pipes.lastOption match {
+      case Some(Pipe.Fields(fs)) if fs.size == 1 && !fs.head.contains("*") => sub
+      case Some(Pipe.Uniq(fs, _, _)) if fs.size == 1 && !fs.head.contains("*") => sub
+      case _ => err(s"the '$fn(...)' subquery must end with a 'fields' or " +
+        "'uniq' pipe containing a single field name")
+    }
+  }
+
+  private def parseSubquery(fn: String): Query = {
+    expect('(')
+    val sub = parseQuery()
+    expect(')')
+    requireSingleFieldSubquery(sub, fn)
+  }
+
   /** Function-style filters: in(...), seq(...), range(...), etc. */
   private def parseFuncFilter(field: String, fn: String): Filter = fn match {
     case "in" =>
       // `in(subquery)` vs `in(v1, ..., vN)`: a '|' at paren depth 1 means a
       // piped subquery (reference distinguishes the same way — a query
-      // producing one result column via `| fields f`)
-      if (peeksLikeSubquery()) {
-        expect('(')
-        val sub = parseQuery()
-        expect(')')
-        Filter.InQuery(field, sub)
-      } else Filter.In(field, parseArgList())
+      // producing one result column via `| fields f`); `in(*)` is the
+      // match-all noop (TestParseFilterInStar)
+      if (peeksLikeSubquery()) Filter.InQuery(field, parseSubquery("in"))
+      else parseArgListOrStar() match {
+        case None => Filter.Noop
+        case Some(args) => Filter.In(field, args)
+      }
     case "contains_all" =>
-      if (peeksLikeSubquery()) {
-        expect('('); val sub = parseQuery(); expect(')')
-        Filter.ContainsQuery(field, sub, all = true)
-      } else Filter.ContainsAll(field, parseArgList())
+      if (peeksLikeSubquery())
+        Filter.ContainsQuery(field, parseSubquery("contains_all"), all = true)
+      else parseArgListOrStar() match {
+        case None => Filter.Noop // `contains_all(*)` matches all
+        case Some(args) => Filter.ContainsAll(field, args)
+      }
     case "contains_any" =>
-      if (peeksLikeSubquery()) {
-        expect('('); val sub = parseQuery(); expect(')')
-        Filter.ContainsQuery(field, sub, all = false)
-      } else Filter.ContainsAny(field, parseArgList())
+      if (peeksLikeSubquery())
+        Filter.ContainsQuery(field, parseSubquery("contains_any"), all = false)
+      else parseArgListOrStar() match {
+        case None => Filter.Noop
+        case Some(args) => Filter.ContainsAny(field, args)
+      }
     case "seq" => Filter.Sequence(field, parseArgList())
-    case "re" => val a = parseArgList(); Filter.Regexp(field, a.headOption.getOrElse(""))
+    case "re" =>
+      val a = parseArgList()
+      if (a.size != 1) err("re expects exactly 1 argument")
+      validateRegexp(a.head)
+      Filter.Regexp(field, a.head)
     case "i" =>
       expect('(')
-      val (v, quoted) = readTokenQ()
+      skipWs()
       val f =
-        if (consume('*')) Filter.AnyCasePrefix(field, v)
-        else if (!quoted && v.endsWith("*")) Filter.AnyCasePrefix(field, v.dropRight(1))
-        else if (v == "*") Filter.Prefix(field, "")
-        else Filter.AnyCasePhrase(field, v)
+        if (isQuote(peekCh)) {
+          val v = readQuoted()
+          if (peekCh == '*') { pos += 1; Filter.AnyCasePrefix(field, v) }
+          else Filter.AnyCasePhrase(field, v)
+        } else if (peekCh == '*') { pos += 1; Filter.Prefix(field, "") }
+        else {
+          val v = readCompoundRaw(StopsFuncArg)
+          if (v.isEmpty) err("missing i(...) argument")
+          if (peekCh == '*') { pos += 1; Filter.AnyCasePrefix(field, v) }
+          else Filter.AnyCasePhrase(field, v)
+        }
+      expect(')')
+      f
+    case "exact" =>
+      // `exact(foo)` / `exact(foo*)` (parseFilterExact) — one arg only
+      expect('(')
+      val f = parseExactRhs(field)
       expect(')')
       f
     case "range" =>
@@ -471,10 +670,15 @@ final class Parser(input: String, now: Long) {
       if (args.size != 2) err("string_range expects 2 args")
       Filter.StringRange(field, args(0), args(1))
     case "len_range" =>
+      // lengths are unsigned integers (parseFilterLenRange uses
+      // tryParseUint64 after size-suffix expansion): `len_range(1.2,
+      // 3.4)` is a parse error, `len_range(1.5KB, 10KB)` is 1500..10000
       val args = parseArgList()
       if (args.size != 2) err("len_range expects 2 args")
-      Filter.LenRange(field, parseNumberLiteral(args(0)).toLong,
-                      parseNumberLiteral(args(1)).toLong)
+      def lenArg(a: String): Long =
+        parseUIntValue(a) // inf/+inf → MaxValue like parseUint
+          .getOrElse(err(s"len_range expects non-negative integer lengths, got '$a'"))
+      Filter.LenRange(field, lenArg(args(0)), lenArg(args(1)))
     case "value_type" => Filter.ValueType(field, oneArg("value_type"))
     case "eq_field" => Filter.EqField(field, oneArg("eq_field"))
     case "le_field" => Filter.LeField(field, oneArg("le_field"))
@@ -491,16 +695,41 @@ final class Parser(input: String, now: Long) {
     args.head
   }
 
+  /** Filter-function argument list: compound func args (colons, slashes,
+    * dashes glue; `*` stops — `in(foo*)` and `in(foo|bar)` are parse
+    * errors like the reference), trailing comma tolerated. */
   private def parseArgList(): Seq[String] = {
     expect('(')
     val args = ArrayBuffer.empty[String]
     skipWs()
-    if (peekCh != ')') {
-      args += readToken()
-      while (consume(',')) args += readToken()
+    var more = peekCh != ')'
+    while (more) {
+      args += (if (isQuote(peekCh)) readQuoted() else {
+        val v = readCompoundRaw(StopsFuncArg)
+        if (v.isEmpty) err(s"unexpected token '${peekCh}' in argument list")
+        v
+      })
+      skipWs()
+      if (consume(',')) { skipWs(); more = peekCh != ')' }
+      else more = false
     }
     expect(')')
     args.toSeq
+  }
+
+  /** Like parseArgList but `(*)` returns None (match-all for in()). */
+  private def parseArgListOrStar(): Option[Seq[String]] = {
+    skipWs()
+    val save = pos
+    expect('(')
+    skipWs()
+    if (peekCh == '*') {
+      pos += 1
+      skipWs()
+      if (peekCh == ')') { pos += 1; return None }
+    }
+    pos = save
+    Some(parseArgList())
   }
 
   private def ipv4ToLong(s: String): Long = {
@@ -529,10 +758,10 @@ final class Parser(input: String, now: Long) {
   private def parseTimeFilter(): Filter = {
     val f = parseTimeFilterInner()
     // `_time:5m offset 1h` (parser.go:2598-2608): shift the whole window
-    // back by the duration. Without this the two words fell through to
-    // the _msg phrase parser and silently matched nothing.
+    // back by the duration; the offset may be negative/fractional
+    // (`offset -1.5d` — TestParseTimeDuration:396).
     if (consumeKeyword("offset")) {
-      val d = durationNanos(readTimeWord())
+      val d = signedDuration(readTimeWord())
         .getOrElse(err("bad duration after 'offset'"))
       f match {
         case Filter.TimeRange(lo, hi) =>
@@ -545,50 +774,102 @@ final class Parser(input: String, now: Long) {
     } else f
   }
 
+  /** Signed duration: `-1.5d`, `5m34s5ms` — DurationValue grammar
+    * (metricsql lexer.go: leading '-' negates the whole chain). */
+  private def signedDuration(w: String): Option[Long] =
+    if (w.startsWith("-")) NumLit.durationNanos(w.substring(1)).map(-_)
+    else NumLit.durationNanos(w)
+
+  /** `2d` is a duration operand, `2024...`/`now` a timestamp
+    * (isLikelyTimestamp, parser.go:2836: `now` or starts-with-year). */
+  private def likelyTimestamp(w: String): Boolean =
+    w == "now" || w.startsWith("now") ||
+      (w.length >= 4 && w.take(4).forall(_.isDigit))
+
   private def parseTimeFilterInner(): Filter = {
     skipWs()
+    // bare `_time:offset 1d` → (-inf, now] shifted (parser.go:2580-2592)
+    if (peekKeyword("offset")) return Filter.TimeRange(Long.MinValue, now + 1)
     peekCh match {
       case '[' | '(' =>
         val inclLo = peekCh == '['
         pos += 1
-        val loS = readUntil(",")
+        val loS = readTimeBoundToken(",")
         expect(',')
-        val hiS = readUntil(")]")
+        val hiS = readTimeBoundToken(")]")
         skipWs()
+        if (peekCh != ')' && peekCh != ']')
+          err("_time filter must end with ']' or ')'")
         val inclHi = peekCh == ']'
         pos += 1
         val (lo1, _) = parseTimeBound(loS)
         val (hi1, hi2) = parseTimeBound(hiS)
-        val lo = if (inclLo) lo1 else hi2min(parseTimeBound(loS)._2, Long.MaxValue)
+        // exclusive bounds are instant±1ns; an inclusive upper bound
+        // covers the full granularity of its string form
+        // (parseFilterTime, parser.go:2670-2686)
+        val lo = if (inclLo) lo1 else lo1 + 1
         val hi = if (inclHi) hi2 else hi1
         Filter.TimeRange(lo, hi)
       case '>' =>
+        // `_time:>dur` selects entries OLDER than now-dur
+        // (parseFilterTimeGt, parser.go:2697-2744); `>timestamp` is the
+        // open-ended newer-than range
         pos += 1
         val incl = consume('=')
-        val (b1, b2) = parseTimeBound(readTimeWord())
-        Filter.TimeRange(if (incl) b1 else b2, Long.MaxValue)
+        val w = readTimeWord()
+        if (!likelyTimestamp(w)) {
+          val d = signedDuration(w).map(math.abs)
+            .getOrElse(err(s"cannot parse duration '$w'"))
+          Filter.TimeRange(Long.MinValue, if (incl) now - d + 1 else now - d)
+        } else {
+          // `>ts` starts 1ns past the instant (parseFilterTimeGt:2715),
+          // NOT past the granularity window
+          val (b1, _) = parseTimeBound(w)
+          Filter.TimeRange(if (incl) b1 else b1 + 1, Long.MaxValue)
+        }
       case '<' =>
+        // `_time:<dur` selects entries NEWER than now-dur
+        // (parseFilterTimeLt, parser.go:2746-2794)
         pos += 1
         val incl = consume('=')
-        val (b1, b2) = parseTimeBound(readTimeWord())
-        Filter.TimeRange(Long.MinValue, if (incl) b2 else b1)
+        val w = readTimeWord()
+        if (!likelyTimestamp(w)) {
+          val d = signedDuration(w).map(math.abs)
+            .getOrElse(err(s"cannot parse duration '$w'"))
+          Filter.TimeRange(if (incl) now - d else now - d + 1, now + 1)
+        } else {
+          val (b1, b2) = parseTimeBound(w)
+          Filter.TimeRange(Long.MinValue, if (incl) b2 else b1)
+        }
       case _ =>
+        // `=` prefix is the explicit exact form (parseFilterTimeEq):
+        // `_time:=2024Z`, `_time:=2d`
+        consume('=')
         val w = readTimeWord()
         skipWs()
-        if (peekCh == '(' && w.equalsIgnoreCase("day_range")) return parseDayRange()
-        if (peekCh == '[' && w.equalsIgnoreCase("day_range")) return parseDayRange()
-        if (peekCh == '(' && w.equalsIgnoreCase("week_range")) return parseWeekRange()
-        if (peekCh == '[' && w.equalsIgnoreCase("week_range")) return parseWeekRange()
-        durationNanos(w) match {
-          case Some(d) => Filter.TimeRange(now - d, now + 1) // last-d window
-          case None =>
-            val (b1, b2) = parseTimeBound(w)
-            Filter.TimeRange(b1, b2)
+        if (peekCh == '(' || peekCh == '[') {
+          if (w.equalsIgnoreCase("day_range")) return parseDayRange()
+          if (w.equalsIgnoreCase("week_range")) return parseWeekRange()
+        }
+        if (!likelyTimestamp(w)) {
+          signedDuration(w).map(math.abs) match {
+            case Some(d) => Filter.TimeRange(now - d, now + 1) // last-d window
+            case None => err(s"cannot parse _time filter '$w'")
+          }
+        } else {
+          val (b1, b2) = parseTimeBound(w)
+          Filter.TimeRange(b1, b2)
         }
     }
   }
 
-  private def hi2min(a: Long, b: Long): Long = math.min(a, b)
+  /** One time bound inside `[lo, hi]` — quoted (`"2024-01-02+02:00"`)
+    * or raw up to the stop chars (getCompoundToken allows ':'/'-'). */
+  private def readTimeBoundToken(stops: String): String = {
+    skipWs()
+    if (isQuote(peekCh)) readQuoted()
+    else readUntil(stops).trim
+  }
 
   /** Time words may contain ':' so read raw until delimiter. */
   private def readTimeWord(): String = {
@@ -600,85 +881,124 @@ final class Parser(input: String, now: Long) {
     input.substring(start, pos)
   }
 
-  /** Parse an ISO8601-ish bound at its precision → [startNs, endNs) window. */
+  /** A time bound, following timeutil.ParseTimeAt (vendor lib/timeutil/
+    * time.go:39-150) exactly: returns (instant, matchingEndExclusive)
+    * where instant is the parsed nanosecond timestamp and the second
+    * component is getMatchingEndTime(instant, s)+1 (parser.go:2830-2860)
+    * — the exclusive end of the string's calendar granularity, used by
+    * inclusive upper bounds and the bare `_time:YYYY-MM-DD` form. */
   def parseTimeBound(s0: String): (Long, Long) = {
-    val s = s0.trim
-    if (s.isEmpty) err("empty time bound")
-    if (s.equalsIgnoreCase("now")) return (now, now)
-    durationNanos(s) match { // offset like `-1h` handled by caller; bare durations invalid here
-      case Some(_) if s(0).isDigit && !s.contains("-") && s.exists(_.isLetter) =>
-        err(s"unexpected duration '$s' as time bound")
-      case _ =>
-    }
-    // Unix seconds/millis/nanos
-    if (s.forall(c => c.isDigit) && s.length >= 10) {
-      val v = s.toLong
-      val ns = s.length match {
-        case 10 => v * 1000000000L
-        case 13 => v * 1000000L
-        case 16 => v * 1000L
-        case _ => v
-      }
-      return (ns, ns + 1)
-    }
-    // ISO8601 prefix: YYYY[-MM[-DD[THH[:MM[:SS[.sss]]]]]][Z|±hh:mm]
-    var str = s
-    var tzOffsetNs = 0L
-    if (str.endsWith("Z") || str.endsWith("z")) str = str.dropRight(1)
-    else {
-      val tzIdx = math.max(str.lastIndexOf('+'), str.indexOf('T') match {
-        case -1 => -1
-        case t => str.lastIndexOf('-') match { case i if i > t => i; case _ => -1 }
-      })
-      if (tzIdx > 0) {
-        val tz = str.substring(tzIdx)
-        val m = "([+-])(\\d{2}):?(\\d{2})".r
-        tz match {
-          case m(sign, hh, mm) =>
-            tzOffsetNs = (hh.toLong * 3600 + mm.toLong * 60) * 1000000000L
-            if (sign == "+") tzOffsetNs = -tzOffsetNs
-            str = str.substring(0, tzIdx)
-          case _ =>
-        }
-      }
-    }
     import java.time._
-    def ns(dt: LocalDateTime): Long =
-      dt.toEpochSecond(ZoneOffset.UTC) * 1000000000L + dt.getNano + tzOffsetNs
-    val datePart :: timeParts = str.split("T", 2).toList: @unchecked
-    val dp = datePart.split("-")
-    try {
-      (dp.length, timeParts) match {
-        case (1, Nil) =>
-          val y = dp(0).toInt
-          (ns(LocalDateTime.of(y, 1, 1, 0, 0)), ns(LocalDateTime.of(y + 1, 1, 1, 0, 0)))
-        case (2, Nil) =>
-          val d0 = LocalDateTime.of(dp(0).toInt, dp(1).toInt, 1, 0, 0)
-          (ns(d0), ns(d0.plusMonths(1)))
-        case (3, Nil) =>
-          val d0 = LocalDateTime.of(dp(0).toInt, dp(1).toInt, dp(2).toInt, 0, 0)
-          (ns(d0), ns(d0.plusDays(1)))
-        case (3, t :: Nil) =>
-          val tp = t.split(":")
-          val d = LocalDate.of(dp(0).toInt, dp(1).toInt, dp(2).toInt)
-          tp.length match {
-            case 1 =>
-              val d0 = d.atTime(tp(0).toInt, 0)
-              (ns(d0), ns(d0.plusHours(1)))
-            case 2 =>
-              val d0 = d.atTime(tp(0).toInt, tp(1).toInt)
-              (ns(d0), ns(d0.plusMinutes(1)))
-            case 3 if tp(2).contains(".") =>
-              val Array(sec, frac) = tp(2).split("\\.", 2)
-              val fracNs = (frac + "0" * (9 - frac.length)).take(9).toLong
-              val d0 = d.atTime(tp(0).toInt, tp(1).toInt, sec.toInt).plusNanos(fracNs)
-              (ns(d0), ns(d0.plusNanos(math.pow(10, 9 - frac.length).toLong)))
-            case _ =>
-              val d0 = d.atTime(tp(0).toInt, tp(1).toInt, tp(2).toInt)
-              (ns(d0), ns(d0.plusSeconds(1)))
-          }
-        case _ => err(s"bad time bound '$s0'")
+    val sOrig = s0.trim
+    if (sOrig.isEmpty) err("missing time bound")
+    if (sOrig == "now") return (now, now + 1)
+    var s = sOrig
+    var tzOffsetNs = 0L
+    var tzStripped = s // string with tz suffix removed, for granularity
+    // Timezone suffix rule (time.go:44-70): the LAST 6 chars are a tz
+    // offset iff they look like ±hh:mm — `2024-02:30` is year 2024 at
+    // -02:30, `2024-01-02:30` is year 2024-01 (sic: "2024-01" len 7)…
+    // actually "2024-01-02:30".dropRight(6) = "2024-01" — month at -02:30.
+    if (sOrig.length > 6) {
+      val tz = sOrig.takeRight(6)
+      if ((tz(0) == '-' || tz(0) == '+') && tz(3) == ':' &&
+          tz(1).isDigit && tz(2).isDigit && tz(4).isDigit && tz(5).isDigit) {
+        tzOffsetNs = (tz.substring(1, 3).toLong * 3600 +
+          tz.substring(4).toLong * 60) * 1000000000L
+        if (tz(0) == '+') tzOffsetNs = -tzOffsetNs
+        s = sOrig.dropRight(6)
+        tzStripped = s
+      } else if (!s.endsWith("Z")) {
+        // no explicit tz and no Z → local timezone (container runs UTC;
+        // the store is written/queried in the same zone, so offset 0)
+        tzOffsetNs = 0L
       }
+    }
+    if (s.endsWith("Z")) { s = s.dropRight(1); tzStripped = s }
+    // Relative to now (time.go:72-84): trailing non-digit, leading '-',
+    // or a `now±…` prefix parse as a duration offset back from now
+    if ((s.nonEmpty && (s.last > '9' || s(0) == '-')) || s.startsWith("now")) {
+      val d0 = signedDuration(s.stripPrefix("now"))
+        .getOrElse(err(s"bad time bound '$s0'"))
+      val d = if (d0 > 0) -d0 else d0
+      val t = now + d
+      return (t, t + 1)
+    }
+    def granEndExclusive(instant: Long): Long = {
+      // getMatchingEndTime+1: advance the instant by the granularity of
+      // the (tz-stripped) string form, preserving any intra-day offset
+      val dt = LocalDateTime.ofEpochSecond(
+        Math.floorDiv(instant, 1000000000L),
+        Math.floorMod(instant, 1000000000L).toInt, ZoneOffset.UTC)
+      def back(d: LocalDateTime): Long =
+        d.toEpochSecond(ZoneOffset.UTC) * 1000000000L + d.getNano
+      val n = tzStripped.length
+      if (n == 4) back(dt.plusYears(1))
+      else if (n == 7 && tzStripped(4) == '-') back(dt.plusMonths(1))
+      else if (n == 10 && tzStripped(4) == '-') instant + 86400L * 1000000000L
+      else if (n == 13 && tzStripped(4) == '-') instant + 3600L * 1000000000L
+      else if (n == 16 && tzStripped(4) == '-') instant + 60L * 1000000000L
+      else if (n == 19 && tzStripped(4) == '-') instant + 1000000000L
+      else if (n == 23 && tzStripped(4) == '-') instant + 1000000L
+      else instant + 1L
+    }
+    try {
+      // YYYY
+      if (s.length == 4 && s.forall(_.isDigit)) {
+        val y = s.toInt
+        if (y < 1970 || y > 2262) err(s"year in '$s0' must be in [1970, 2262]")
+        val t = LocalDateTime.of(y, 1, 1, 0, 0)
+          .toEpochSecond(ZoneOffset.UTC) * 1000000000L + tzOffsetNs
+        return (t, granEndExclusive(t))
+      }
+      // Numeric unix timestamp: seconds / millis / micros / nanos by
+      // magnitude (TryParseUnixTimestamp + getUnixTimestampNanoseconds);
+      // fractional forms like 1234567890.123 are seconds with a fraction
+      if (!sOrig.contains("-")) {
+        val t =
+          if (sOrig.forall(_.isDigit)) {
+            val v = sOrig.toLong
+            if (v < (1L << 31)) v * 1000000000L
+            else if (v < 1000L * (1L << 31)) v * 1000000L
+            else if (v < 1000000L * (1L << 31)) v * 1000L
+            else v
+          } else if (sOrig.matches("\\d+\\.\\d+([eE]\\d+)?") ||
+                     sOrig.matches("\\d+[eE]\\d+")) {
+            val sec = sOrig.toDouble
+            if (sec < (1L << 31)) (sec * 1e9).round
+            else if (sec < 1000d * (1L << 31)) (sec * 1e6).round
+            else if (sec < 1000000d * (1L << 31)) (sec * 1e3).round
+            else sec.round
+          } else err(s"bad time bound '$s0'")
+        return (t, t + 1L)
+      }
+      def utcNs(dt: LocalDateTime): Long =
+        dt.toEpochSecond(ZoneOffset.UTC) * 1000000000L + dt.getNano + tzOffsetNs
+      val t = s.length match {
+        case 7 => // YYYY-MM
+          val Array(y, m) = s.split("-", 2)
+          utcNs(LocalDateTime.of(y.toInt, m.toInt, 1, 0, 0))
+        case 10 => // YYYY-MM-DD
+          utcNs(LocalDate.parse(s).atStartOfDay())
+        case 13 => // YYYY-MM-DDTHH
+          utcNs(LocalDate.parse(s.take(10)).atTime(s.substring(11).toInt, 0))
+        case 16 => // YYYY-MM-DDTHH:MM
+          utcNs(LocalDateTime.parse(s))
+        case 19 => // YYYY-MM-DDTHH:MM:SS
+          utcNs(LocalDateTime.parse(s))
+        case _ =>
+          // full RFC3339 — requires an explicit timezone (time.go:144:
+          // `2023-01-02T04:05:06.789` with no tz is a PARSE ERROR), and
+          // the offset must be Z or ±hh:mm (Go rejects bare `+12`, which
+          // java.time would accept)
+          if (!sOrig.endsWith("Z") &&
+              !sOrig.takeRight(6).matches("[+-]\\d{2}:\\d{2}"))
+            err(s"bad time bound '$s0'")
+          OffsetDateTime.parse(sOrig).toInstant match {
+            case i => i.getEpochSecond * 1000000000L + i.getNano
+          }
+      }
+      (t, granEndExclusive(t))
     } catch {
       case _: NumberFormatException | _: DateTimeException => err(s"bad time bound '$s0'")
     }
@@ -692,6 +1012,8 @@ final class Parser(input: String, now: Long) {
     expect(',')
     val b = readUntil(")]")
     skipWs()
+    if (peekCh != ']' && peekCh != ')')
+      err("day_range must end with ']' or ')'")
     val inclEnd = peekCh == ']'
     pos += 1
     def minutes(s: String): Int = {
@@ -711,6 +1033,8 @@ final class Parser(input: String, now: Long) {
     expect(',')
     val b = readUntil(")]")
     skipWs()
+    if (peekCh != ']' && peekCh != ')')
+      err("week_range must end with ']' or ')'")
     val inclEnd = peekCh == ']'
     pos += 1
     def dow(s: String): Int = s.trim.toLowerCase.take(3) match {
@@ -730,9 +1054,23 @@ final class Parser(input: String, now: Long) {
       // top-level conjunct → semi-join, nested → capped materialization
       if (peeksLikeSubquery()) {
         expect('('); val sub = parseQuery(); expect(')')
-        Filter.InQuery("_stream_id", sub)
-      } else Filter.StreamId(parseArgList())
-    } else Filter.StreamId(Seq(readToken()))
+        Filter.InQuery("_stream_id",
+          requireSingleFieldSubquery(sub, "_stream_id:in"))
+      } else parseArgListOrStar() match {
+        case None => Filter.Noop // `_stream_id:in(*)` matches all
+        case Some(ids) => Filter.StreamId(ids.map(checkStreamId))
+      }
+    } else Filter.StreamId(Seq(checkStreamId(readToken())))
+  }
+
+  /** Stream ids are hex strings (the reference unmarshals a 128-bit
+    * (u128) id, filter_stream_id.go; this store uses 64-bit xxhash ids —
+    * both shapes are hex, anything else is a parse error, not an
+    * always-false filter). */
+  private def checkStreamId(s: String): String = {
+    if (s.isEmpty || !s.forall(c => Character.digit(c, 16) >= 0))
+      err(s"cannot parse _stream_id '$s': must be a hex string")
+    s
   }
 
   private def parseStreamFilter(): Filter = {
@@ -762,7 +1100,11 @@ final class Parser(input: String, now: Long) {
         val v = readToken()
         cur += StreamMatcher(label, op, v)
         skipWs()
-        if (consumeKeyword("or")) { groups += cur.toSeq; cur.clear() }
+        if (consumeKeyword("or")) {
+          skipWs()
+          if (peekCh == '}') err("missing stream matcher after 'or'")
+          groups += cur.toSeq; cur.clear()
+        }
         else consume(',')
       }
     }
@@ -786,26 +1128,46 @@ final class Parser(input: String, now: Long) {
       case "delete" | "del" | "drop" | "rm" => Pipe.Delete(parseFieldList())
       case "copy" | "cp" => Pipe.Copy(parseAsPairs())
       case "rename" | "mv" => Pipe.Rename(parseAsPairs())
-      case "filter" | "where" => Pipe.Where(parseOr("_msg"))
+      case "filter" | "where" =>
+        // parsePipeFilter parses with an EMPTY field name (colon splits
+        // `level:error` into field+value, same grammar as the query head)
+        // and the same leading-pipe-keyword rejection (`filter stats` is
+        // a parse error with a quote-it hint, parser.go:1424-1441)
+        Pipe.Where(parseFilterChecked())
       case "limit" | "head" =>
         // N is optional; bare `| head` defaults to 10 (pipe_limit.go:107)
         skipWs()
         if (peekCh == '|' || peekCh == ')' || peekCh == '\u0000') Pipe.Limit(10L)
-        else Pipe.Limit(readLong())
-      case "offset" | "skip" => Pipe.Offset(readLong())
-      case "sample" => Pipe.Sample(readLong())
+        else Pipe.Limit(readUInt("limit"))
+      case "offset" | "skip" => Pipe.Offset(readUInt("offset"))
+      case "sample" =>
+        val n = readUInt("sample")
+        if (n <= 0) err(s"sample must be bigger than 0, got $n")
+        Pipe.Sample(n)
       case "sort" | "order" => parseSortPipe(descDefault = false)
       case "first" => parseFirstLast(desc = false)
       case "last" => parseFirstLast(desc = true)
-      case "stats" => parseStatsPipe()
+      // `stats_remote` is the cluster-internal spelling of `stats`
+      // (pipe.go:307 dispatches both to parsePipeStats) — same semantics
+      // on a single store; Spark's distribution replaces the remote split
+      case "stats" | "stats_remote" => parseStatsPipe()
       case "top" => parseTopPipe()
       case "uniq" => parseUniqPipe()
       case "field_names" =>
-        val out = if (consumeKeyword("as")) readToken() else "name"
+        // result name may follow bare (`field_names y`) or with `as`
+        // (parsePipeFieldNames, pipe_field_names.go)
+        val out =
+          if (consumeKeyword("as")) readToken()
+          else if ({ skipWs(); peekCh != '|' && peekCh != ')' && peekCh != '\u0000' })
+            readToken()
+          else "name"
         Pipe.FieldNames(out)
       case "field_values" =>
-        val f = readToken()
-        val lim = if (consumeKeyword("limit")) Some(readLong()) else None
+        // the field may be parenthesized: `field_values (x)`
+        // (parseFieldNameWithOptionalParens)
+        val f = if (consume('(')) { val t = readToken(); expect(')'); t }
+                else readToken()
+        val lim = if (consumeKeyword("limit")) Some(readUInt("limit")) else None
         Pipe.FieldValues(f, lim)
       case "math" | "eval" => parseMathPipe()
       case "format" => parseFormatPipe()
@@ -894,8 +1256,14 @@ final class Parser(input: String, now: Long) {
                    !peekKeyword("as") && !peekKeyword("limit") &&
                    !peekKeyword("drop_duplicates")) readToken()
           else "_msg"
-        val out = if (consumeKeyword("as")) readToken() else from
-        val lim = if (consumeKeyword("limit")) readLong() else 0L
+        // dst may follow bare (`unpack_words x y`) or with `as`
+        val out =
+          if (consumeKeyword("as")) readToken()
+          else if ({ skipWs(); peekCh != '|' && peekCh != ')' && peekCh != '\u0000' &&
+                     !peekKeyword("limit") && !peekKeyword("drop_duplicates") })
+            readToken()
+          else from
+        val lim = if (consumeKeyword("limit")) readUInt("limit") else 0L
         // pipe_unpack_words.go:163-166; `limit` is this engine's extension
         val dd = consumeKeyword("drop_duplicates")
         Pipe.UnpackWords(from, out, lim, dd)
@@ -904,7 +1272,11 @@ final class Parser(input: String, now: Long) {
         consumeKeyword("by")
         Pipe.Unroll(parseFieldList(parens = true), iff)
       case "blocks_count" =>
-        val out = if (consumeKeyword("as")) readToken() else "blocks_count"
+        val out =
+          if (consumeKeyword("as")) readToken()
+          else if ({ skipWs(); peekCh != '|' && peekCh != ')' && peekCh != '\u0000' })
+            readToken()
+          else "blocks_count"
         Pipe.BlocksCount(out)
       case "block_stats" => Pipe.BlockStats
       case "pack_json" =>
@@ -926,8 +1298,11 @@ final class Parser(input: String, now: Long) {
         val pretty = consumeKeyword("prettify")
         Pipe.CollapseNums(at, pretty, iff)
       case "join" =>
-        consumeKeyword("by")
+        // `by` and `on` are interchangeable (parsePipeJoin, pipe_join.go:166)
+        if (!consumeKeyword("by")) consumeKeyword("on")
         val by = parseFieldList(parens = true)
+        if (by.isEmpty) err("'by(...)' at 'join' must contain at least one field")
+        if (by.contains("*")) err("join by '*' isn't supported")
         expect('(')
         val sub = parseQuery()
         expect(')')
@@ -986,13 +1361,37 @@ final class Parser(input: String, now: Long) {
       catch { case _: ParseException | _: NumberFormatException => None }
     }
     attempt(parseStatsPipe())
-      .orElse(attempt(Pipe.Where(parseOr("_msg"))))
+      .orElse(attempt(Pipe.Where(parseFilterChecked())))
       .getOrElse { pos = start; err(s"unknown pipe $shown") }
   }
 
   private def readLong(): Long = {
     val w = readToken()
     parseNumberLiteral(w).toLong
+  }
+
+  /** Non-negative integer count per the reference's parseUint
+    * (parser.go:3183): plain/0x/0b/0o integers with `_` separators,
+    * `inf` → MaxValue, byte sizes (1KiB) and durations as counts.
+    * Floats without a suffix and negatives are parse errors — `limit
+    * -123` / `limit 12.34` must be 400s, not silent truncations. */
+  private def readUInt(what: String): Long =
+    parseUIntValue(readToken())
+      .getOrElse(err(s"cannot parse $what as unsigned integer"))
+
+  private def parseUIntValue(w0: String): Option[Long] = {
+    val w = w0.replace("_", "")
+    val lw = w.toLowerCase
+    def radix(prefix: String, r: Int): Option[Long] =
+      try Some(java.lang.Long.parseLong(lw.stripPrefix(prefix), r))
+      catch { case _: NumberFormatException => None }
+    if (lw == "inf" || lw == "+inf") Some(Long.MaxValue)
+    else if (w.nonEmpty && w.forall(_.isDigit)) w.toLongOption
+    else if (lw.startsWith("0x")) radix("0x", 16)
+    else if (lw.startsWith("0b")) radix("0b", 2)
+    else if (lw.startsWith("0o")) radix("0o", 8)
+    else NumLit.sizeValue(w).filter(_ >= 0).map(_.toLong)
+      .orElse(NumLit.durationNanos(w).filter(_ >= 0))
   }
 
   private def parseFieldList(parens: Boolean = false): Seq[String] = {
@@ -1003,18 +1402,24 @@ final class Parser(input: String, now: Long) {
     skipWs()
     if (!(hasParen && peekCh == ')')) {
       fs += readToken()
-      while (consume(',')) fs += readToken()
+      while (consume(',')) {
+        skipWs()
+        if (hasParen && peekCh == ')') return { pos += 1; fs.toSeq } // trailing ','
+        fs += readToken()
+      }
     }
     if (hasParen) expect(')')
     fs.toSeq
   }
 
   private def parseAsPairs(): Seq[(String, String)] = {
+    // `copy a as b` and `copy a b` are equivalent — the `as` keyword is
+    // optional noise (parsePipeCopy/parsePipeRename)
     val ps = ArrayBuffer.empty[(String, String)]
     var more = true
     while (more) {
       val a = readToken()
-      if (!consumeKeyword("as")) err("expected 'as'")
+      consumeKeyword("as")
       val b = readToken()
       ps += ((a, b))
       more = consume(',')
@@ -1063,22 +1468,31 @@ final class Parser(input: String, now: Long) {
   }
 
   private def parseSortPipe(descDefault: Boolean): Pipe = {
-    consumeKeyword("by")
+    // `sort by` REQUIRES the parenthesized key list; bare `sort` (no
+    // `by`) sorts by all fields (parsePipeSort → parseBySortFields)
+    val sawBy = consumeKeyword("by")
+    skipWs()
+    if (sawBy && peekCh != '(') err("missing '(' after 'sort by'")
     val keys = parseSortKeys()
     var desc = false
     var limit: Option[Long] = None
-    var offset = 0L
+    var offset: Option[Long] = None
     var rank: Option[String] = None
     var partitionBy: Seq[String] = Nil
     var more = true
     while (more) {
       if (consumeKeyword("desc")) desc = true
       else if (consumeKeyword("asc")) ()
-      else if (consumeKeyword("limit")) limit = Some(readLong())
-      else if (consumeKeyword("offset")) offset = readLong()
-      else if (consumeKeyword("rank")) {
-        rank = Some(if (consumeKeyword("as")) readToken() else "rank")
+      else if (consumeKeyword("limit")) {
+        // duplicate limit/offset clauses are parse errors (pipe_sort.go)
+        if (limit.isDefined) err("duplicate 'limit' in sort pipe")
+        limit = Some(readUInt("limit"))
       }
+      else if (consumeKeyword("offset")) {
+        if (offset.isDefined) err("duplicate 'offset' in sort pipe")
+        offset = Some(readUInt("offset"))
+      }
+      else if (consumeKeyword("rank")) rank = Some(parseRankName())
       else if (consumeKeyword("partition")) {
         consumeKeyword("by")
         partitionBy = parseFieldList(parens = true)
@@ -1086,8 +1500,20 @@ final class Parser(input: String, now: Long) {
       else more = false
     }
     val keys2 = if (desc) keys.map(k => k.copy(desc = !k.desc)) else keys
-    Pipe.Sort(keys2, limit, offset, rank, partitionBy)
+    Pipe.Sort(keys2, limit, offset.getOrElse(0L), rank, partitionBy)
   }
+
+  /** `rank`, `rank as name`, or `rank name` (pipe_sort.go:623-640). */
+  private def parseRankName(): String =
+    if (consumeKeyword("as")) readToken()
+    else {
+      skipWs()
+      val bare = peekCh != '|' && peekCh != ')' && peekCh != ',' &&
+        peekCh != '\u0000' &&
+        !Seq("desc", "asc", "limit", "offset", "partition", "rank")
+          .exists(peekKeyword)
+      if (bare) readToken() else "rank"
+    }
 
   private def parseSortKeys(): Seq[SortKey] = {
     skipWs()
@@ -1095,15 +1521,13 @@ final class Parser(input: String, now: Long) {
     pos += 1
     val ks = ArrayBuffer.empty[SortKey]
     skipWs()
-    if (peekCh != ')') {
-      var more = true
-      while (more) {
-        val f = readToken()
-        val d = if (consumeKeyword("desc")) true
-                else { consumeKeyword("asc"); false }
-        ks += SortKey(f, d)
-        more = consume(',')
-      }
+    while (peekCh != ')' && peekCh != '\u0000') {
+      val f = readToken()
+      val d = if (consumeKeyword("desc")) true
+              else { consumeKeyword("asc"); false }
+      ks += SortKey(f, d)
+      if (!consume(',')) { expect(')'); return ks.toSeq }
+      skipWs() // trailing ',' before ')' allowed
     }
     expect(')')
     ks.toSeq
@@ -1119,7 +1543,7 @@ final class Parser(input: String, now: Long) {
     var partitionBy: Seq[String] = Nil
     var more = true
     while (more) {
-      if (consumeKeyword("rank")) rank = Some(if (consumeKeyword("as")) readToken() else "rank")
+      if (consumeKeyword("rank")) rank = Some(parseRankName())
       else if (consumeKeyword("partition")) { consumeKeyword("by"); partitionBy = parseFieldList(parens = true) }
       else more = false
     }
@@ -1140,6 +1564,16 @@ final class Parser(input: String, now: Long) {
       funcs += parseStatsFunc()
       more = consume(',')
     }
+    // result names must be unique and must not shadow a 'by' field
+    // (parsePipeStats seenByFields/seenResultNames, pipe_stats.go)
+    val byNames = by.map(_.name).toSet
+    val seen = scala.collection.mutable.Set.empty[String]
+    funcs.foreach { f =>
+      if (byNames(f.as))
+        err(s"'${f.as}' is used as 'by' field, so it cannot be a result name")
+      if (!seen.add(f.as))
+        err(s"duplicate result name '${f.as}' in stats pipe")
+    }
     Pipe.Stats(by, funcs.toSeq)
   }
 
@@ -1147,17 +1581,33 @@ final class Parser(input: String, now: Long) {
     expect('(')
     val bs = ArrayBuffer.empty[ByField]
     skipWs()
-    if (peekCh != ')') {
-      var more = true
-      while (more) {
-        val name = readToken()
-        var bucket: Option[String] = None
-        var offset: Option[String] = None
-        if (consume(':')) bucket = Some(readToken())
-        if (consumeKeyword("offset")) offset = Some(readToken())
-        bs += ByField(name, bucket, offset)
-        more = consume(',')
+    while (peekCh != ')' && peekCh != '\u0000') {
+      val name = readToken()
+      var bucket: Option[String] = None
+      var offset: Option[String] = None
+      if (consume(':')) {
+        val b = readToken()
+        // bucket size must be year/month, /N ipv4 mask, a duration, or a
+        // number/byte-size — `foo:bar` and negative sizes are parse
+        // errors (parseByStatsFields + tryParseBucketSize)
+        val ok = Parser.wordBucketSizes(b) ||
+          (b.startsWith("/") && b.drop(1).nonEmpty &&
+            b.drop(1).forall(_.isDigit)) ||
+          durationNanos(b).exists(_ >= 0) ||
+          NumLit.parse(b).exists(_ >= 0)
+        if (!ok) err(s"cannot parse bucket size for field '$name': '$b'")
+        bucket = Some(b)
       }
+      if (consumeKeyword("offset")) {
+        val o = readToken()
+        val mag = if (o.startsWith("-")) o.drop(1) else o
+        if (durationNanos(mag).isEmpty && NumLit.parse(mag).isEmpty)
+          err(s"cannot parse bucket offset for field '$name': '$o'")
+        offset = Some(o)
+      }
+      bs += ByField(name, bucket, offset)
+      if (!consume(',')) { expect(')'); return bs.toSeq } // no trailing ','
+      skipWs() // trailing ',' before ')' is allowed
     }
     expect(')')
     bs.toSeq
@@ -1166,20 +1616,23 @@ final class Parser(input: String, now: Long) {
   private def parseStatsFunc(): StatsFuncAs = {
     val name = readWord().toLowerCase
     expect('(')
-    // args: possibly empty; quantile has a leading number
+    // args: possibly empty; quantile has a leading number; trailing ','
+    // before ')' is tolerated like every parenthesized list
     val args = ArrayBuffer.empty[String]
     skipWs()
-    if (peekCh != ')') {
+    while (peekCh != ')' && peekCh != '\u0000') {
       args += readToken()
-      while (consume(',')) args += readToken()
+      if (!consume(',')) { skipWs(); if (peekCh != ')') err("expected ',' or ')'") }
+      else skipWs()
     }
     expect(')')
     var limit: Option[Long] = None
-    if (consumeKeyword("limit")) limit = Some(readLong())
+    if (consumeKeyword("limit")) limit = Some(readUInt("limit"))
     import StatsFunc._
-    // `.head` on an empty arg list must be a parse error, not a
-    // NoSuchElementException 500 — and the aggregates that need a source
-    // field fail the same way when called with none
+    // an empty field-filter list means every field
+    // (parseStatsFuncFieldFilters maps [] to ["*"] — `sum()` ≡ `sum(*)`)
+    def fieldsOrStar: Seq[String] =
+      if (args.isEmpty) Seq("*") else args.toSeq
     def arg0(fname: String): String = {
       if (args.isEmpty) err(s"$fname expects at least 1 argument")
       args.head
@@ -1187,48 +1640,64 @@ final class Parser(input: String, now: Long) {
     val fn: StatsFunc = name match {
       case "count" => Count(args.toSeq.filter(_ != "*"))
       case "count_empty" => CountEmpty(args.toSeq)
-      case "count_uniq" => { arg0("count_uniq"); CountUniq(args.toSeq, limit) }
-      case "count_uniq_hash" => { arg0("count_uniq_hash"); CountUniqHash(args.toSeq) }
-      case "sum" => { arg0("sum"); Sum(args.toSeq) }
-      case "avg" => { arg0("avg"); Avg(args.toSeq) }
-      case "min" => { arg0("min"); Min(args.toSeq) }
-      case "max" => { arg0("max"); Max(args.toSeq) }
-      case "median" => Median(Seq(arg0("median")) ++ args.tail)
-      case "quantile" => Quantile(parseNumberLiteral(arg0("quantile")), args.tail.toSeq)
-      case "sum_len" => { arg0("sum_len"); SumLen(args.toSeq) }
-      case "values" => { arg0("values"); Values(args.toSeq, limit) }
-      case "uniq_values" => { arg0("uniq_values"); UniqValues(args.toSeq, limit) }
-      case "json_values" =>
-        // empty args = every field (parseStatsFuncFieldFilters maps an
-        // empty filter list to ["*"])
-        JsonValues(if (args.isEmpty) Seq("*") else args.toSeq, limit)
+      case "count_uniq" => CountUniq(fieldsOrStar, limit)
+      case "count_uniq_hash" => CountUniqHash(fieldsOrStar)
+      case "sum" => Sum(fieldsOrStar)
+      case "avg" => Avg(fieldsOrStar)
+      case "min" => Min(fieldsOrStar)
+      case "max" => Max(fieldsOrStar)
+      case "median" => Median(fieldsOrStar)
+      case "quantile" =>
+        // phi is a plain float in [0..1] (parseStatsQuantile); the field
+        // list after it may be empty → every field
+        val phiStr = arg0("quantile")
+        val phi = phiStr.toDoubleOption
+          .getOrElse(err(s"quantile phi must be a number, got '$phiStr'"))
+        if (phi < 0 || phi > 1)
+          err(s"quantile phi must be in [0..1], got '$phiStr'")
+        Quantile(phi, if (args.tail.isEmpty) Seq("*") else args.tail.toSeq)
+      case "sum_len" => SumLen(fieldsOrStar)
+      case "values" => Values(fieldsOrStar, limit)
+      case "uniq_values" => UniqValues(fieldsOrStar, limit)
+      case "json_values" => JsonValues(fieldsOrStar, limit)
       case "row_any" => RowAny(args.toSeq.filter(_ != "*"))
       case "row_max" => RowMax(arg0("row_max"), args.tail.toSeq.filter(_ != "*"))
       case "row_min" => RowMin(arg0("row_min"), args.tail.toSeq.filter(_ != "*"))
       case "rate" => Rate()
-      case "rate_sum" => { arg0("rate_sum"); RateSum(args.toSeq) }
-      case "histogram" => Histogram(arg0("histogram"))
+      case "rate_sum" => RateSum(fieldsOrStar)
+      case "histogram" =>
+        // exactly one non-wildcard field (parseStatsHistogram)
+        if (args.size != 1)
+          err(s"histogram accepts exactly one field, got ${args.size}")
+        if (args.head.contains("*"))
+          err("histogram does not accept wildcard field filters")
+        Histogram(args.head)
       case other => err(s"unknown stats function '$other'")
     }
-    // optional `if (filter)`
-    val iff = if (consumeKeyword("if")) {
-      expect('(')
-      val f = parseOr("_msg")
-      expect(')')
-      Some(f)
-    } else None
+    // optional `if (filter)` — same grammar as the pipe-level clause
+    skipWs()
+    val iffStart = pos
+    val iff = parseOptIf()
+    // the reference's default result name includes the if-clause text
+    // (pipe_stats.go: resultName = sf.String() + " " + iff.String()), so
+    // `count(), count() if (foo)` do NOT collide
+    val iffRaw = if (iff.isDefined) " " + input.substring(iffStart, pos).trim else ""
     // optional alias: `as name` or bare name
     skipWs()
     val as =
       if (consumeKeyword("as")) readToken()
       else if (peekCh != '\u0000' && peekCh != '|' && peekCh != ',' && peekCh != ')' &&
                !peekKeyword("if")) readToken()
-      else defaultStatsName(name, args.toSeq)
+      else defaultStatsName(name, args.toSeq) + iffRaw
     StatsFuncAs(fn, as, iff)
   }
 
+  /** Default result/column name = the canonical func string, like the
+    * reference's sf.String(): an empty field-filter list prints as `*`
+    * (`count()` → column "count(*)"); `rate()` keeps its empty parens. */
   private def defaultStatsName(name: String, args: Seq[String]): String =
-    s"$name(${args.mkString(", ")})"
+    if (args.isEmpty && name != "rate") s"$name(*)"
+    else s"$name(${args.mkString(", ")})"
 
   private def parseTopPipe(): Pipe = {
     skipWs()
@@ -1253,8 +1722,22 @@ final class Parser(input: String, now: Long) {
   }
 
   private def parseUniqPipe(): Pipe = {
-    consumeKeyword("by")
-    val fields = parseFieldList(parens = true)
+    // fields: `by (...)`, bare `(...)`, or bare comma-separated names —
+    // but `with`/`hits`/`limit` are option keywords, never field names,
+    // and at least one field is required (parsePipeUniq, pipe_uniq.go)
+    val sawBy = consumeKeyword("by")
+    skipWs()
+    val fields =
+      if (peekCh == '(') parseFieldList(parens = true)
+      else if (peekCh != '|' && peekCh != ')' && peekCh != ' ' &&
+               !Seq("with", "hits", "limit").exists(peekKeyword)) {
+        val fs = ArrayBuffer(readToken())
+        while (consume(',')) fs += readToken()
+        fs.toSeq
+      }
+      else if (sawBy) err("missing fields after 'by'")
+      else Nil
+    if (fields.isEmpty) err("missing fields after 'uniq'")
     var withHits = false
     var limit: Option[Long] = None
     var more = true
@@ -1267,7 +1750,7 @@ final class Parser(input: String, now: Long) {
         withHits = true
       }
       else if (consumeKeyword("hits")) withHits = true
-      else if (consumeKeyword("limit")) limit = Some(readLong())
+      else if (consumeKeyword("limit")) limit = Some(readUInt("limit"))
       else more = false
     }
     Pipe.Uniq(fields, withHits, limit)
@@ -1397,7 +1880,26 @@ final class Parser(input: String, now: Long) {
 
   private def parseExtractPipe(): Pipe = {
     val iff = parseOptIf()
-    val pat = readToken()
+    // the pattern may be unquoted: `extract foo<bar>baz from x` reads as
+    // one compound token (getCompoundToken); '<'/'>' glue
+    val pat = {
+      skipWs()
+      if (isQuote(peekCh)) readQuoted() else readCompoundRaw(StopsToken)
+    }
+    val steps = Parser.parsePatternSteps(pat)
+    // parsePattern validation (pattern.go:163-198): non-first steps need
+    // a delimiter, no wildcard fields, at least one NAMED field (`<_>`
+    // and `<*>` are anonymous skips)
+    steps.zipWithIndex.foreach { case (s, i) =>
+      if (i > 0 && s.prefix.isEmpty && steps(i - 1).field.isDefined && s.field.isDefined)
+        err(s"missing delimiter between <${steps(i - 1).field.get}> and <${s.field.get}>")
+      s.field.foreach { n =>
+        if (n.nonEmpty && n != "*" && n.endsWith("*"))
+          err(s"wildcard field '<$n>' isn't supported in extract pattern")
+      }
+    }
+    if (!steps.exists(_.field.exists(n => n.nonEmpty && n != "_" && n != "*")))
+      err(s"pattern '$pat' must contain at least one named field <field_name>")
     val from = if (consumeKeyword("from")) readToken() else "_msg"
     var keepOrig = false
     var skipEmpty = false
@@ -1407,7 +1909,7 @@ final class Parser(input: String, now: Long) {
       else if (consumeKeyword("skip_empty_results")) skipEmpty = true
       else more = false
     }
-    Pipe.Extract(Parser.parsePatternSteps(pat), from, keepOrig, skipEmpty, iff)
+    Pipe.Extract(steps, from, keepOrig, skipEmpty, iff)
   }
 }
 
@@ -1419,7 +1921,34 @@ object Parser {
   val filterFuncs: Set[String] = Set(
     "in", "contains_all", "contains_any", "seq", "re", "i", "range",
     "ipv4_range", "string_range", "len_range", "eq_field", "le_field",
-    "lt_field", "value_type")
+    "lt_field", "value_type", "exact")
+
+  /** Every pipe name + alias (pipe.go:406-455) plus the stats function
+    * names (usable without the `stats` keyword) — a query FILTER may not
+    * start with any of these unquoted (parseFilter, parser.go:1429-1435),
+    * which is what rejects `filter foo:bar`, `count()`, `foo | count`. */
+  /** Word-form bucket sizes (tryParseBucketSize, pipe_stats.go:1620-1645
+    * + year/month specials). */
+  val wordBucketSizes: Set[String] = Set(
+    "year", "month", "week", "day", "hour", "minute", "second",
+    "millisecond", "microsecond", "nanosecond")
+
+  val pipeNames: Set[String] = Set(
+    "block_stats", "blocks_count", "collapse_nums", "copy", "cp",
+    "decolorize", "delete", "del", "rm", "drop", "drop_empty_fields",
+    "extract", "extract_regexp", "facets", "field_names", "field_values",
+    "fields", "keep", "filter", "where", "first", "format", "join",
+    "json_array_len", "hash", "last", "len", "limit", "head", "math",
+    "eval", "offset", "skip", "pack_json", "pack_logfmt", "rename", "mv",
+    "replace", "replace_regexp", "sample", "sort", "order", "stats",
+    "stats_remote", "by", "stream_context", "top", "union", "uniq",
+    "unpack_json", "unpack_logfmt", "unpack_syslog", "unpack_words",
+    "unroll",
+    // stats names (pipe_stats.go:1467-1488)
+    "avg", "count", "count_empty", "count_uniq", "count_uniq_hash",
+    "histogram", "json_values", "max", "median", "min", "quantile",
+    "rate", "rate_sum", "row_any", "row_max", "row_min", "sum",
+    "sum_len", "uniq_values", "values")
 
   /** Literal `<`/`>`/`&` in format/extract templates are html-escaped
     * (LogsQL.md:1849-1854: `&lt;` matches a literal `<`). Returns the

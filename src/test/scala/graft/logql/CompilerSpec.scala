@@ -935,11 +935,13 @@ class CompilerSpec extends SparkSuite {
       "options (concurrency=4, ignore_global_time_filter=true) error | stats count() c", NOW)
     assert(q.options == Map("concurrency" -> "4",
       "ignore_global_time_filter" -> "true"))
-    // a bare word `options` stays an ordinary filter term
-    assert(run("options | stats count() c").collect().head.getLong(0) == 0)
-    // `options` followed by a paren FILTER group keeps filter semantics
-    val qf = run("options (error or warn) | stats count() c")
-    assert(qf.collect().head.getLong(0) == 0) // word 'options' matches nothing
+    // the `options` keyword commits unconditionally (parseQueryOptions,
+    // parser.go:1342): searching for the literal word requires quotes,
+    // and a paren group after it is a malformed clause, not a filter
+    intercept[ParseException](Parser.parse("options | stats count() c", NOW))
+    intercept[ParseException](
+      Parser.parse("options (error or warn) | stats count() c", NOW))
+    assert(run("\"options\" | stats count() c").collect().head.getLong(0) == 0)
     // unknown keys in a committed options clause fail loudly
     intercept[ParseException](
       Parser.parse("options (concurrencyy=4) * | stats count() c", NOW))
@@ -958,8 +960,9 @@ class CompilerSpec extends SparkSuite {
     intercept[ParseException](Parser.parse("ip:ipv4_range(10.0.0.0/x)", NOW))
     intercept[ParseException](Parser.parse("ip:ipv4_range(1.2.3.999)", NOW))
     // empty-arg stats/filter functions used to NoSuchElementException
+    // (`sum()` is now valid — it means sum(*) like the reference)
     intercept[ParseException](Parser.parse("* | stats quantile() q", NOW))
-    intercept[ParseException](Parser.parse("* | stats sum() s", NOW))
+    intercept[ParseException](Parser.parse("* | stats histogram() h", NOW))
     intercept[ParseException](Parser.parse("* | stats row_min() m", NOW))
     intercept[ParseException](Parser.parse("v:value_type()", NOW))
     // zero/sub-microsecond buckets used to null-collapse every group
