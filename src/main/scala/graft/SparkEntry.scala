@@ -1397,14 +1397,15 @@ object SparkEntry {
     "q_lql_facets" ->
       """SELECT field_name, field_value, hits FROM (
            SELECT field_name, field_value, hits,
-                  row_number() OVER (PARTITION BY field_name ORDER BY hits DESC, field_value ASC) AS rn
+                  row_number() OVER (PARTITION BY field_name ORDER BY hits DESC, field_value ASC) AS rn,
+                  count(*) OVER (PARTITION BY field_name) AS nv
            FROM (
              SELECT 'event_type' AS field_name, event_type AS field_value, count(*) AS hits
              FROM events GROUP BY 2
              UNION ALL
              SELECT 'user_id', CAST(user_id AS VARCHAR), count(*) FROM events GROUP BY 2
            )
-         ) WHERE rn <= 3 ORDER BY field_name, field_value""",
+         ) WHERE rn <= 3 AND nv <= 1000 ORDER BY field_name, field_value""",
     "q_lql_count_empty" ->
       "SELECT count(*) AS ce, CAST(0 AS BIGINT) AS cz, count(*) AS total FROM events",
     "q_lql_uniq_hash" ->

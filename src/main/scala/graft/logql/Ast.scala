@@ -112,13 +112,16 @@ object Filter {
   final case class Regexp(field: String, re: String) extends Filter
   /** `field:range(lo, hi)`, `field:>x` etc. (filter_range.go). */
   final case class Range(field: String, lo: Double, hi: Double,
-                         inclLo: Boolean, inclHi: Boolean) extends Filter
+                         inclLo: Boolean, inclHi: Boolean,
+                         repr: String = "") extends Filter
   /** `field:ipv4_range(lo, hi)` — bounds as uint32 (filter_ipv4_range.go). */
   final case class Ipv4Range(field: String, lo: Long, hi: Long) extends Filter
   /** `field:string_range(a, b)` — a <= v < b (filter_string_range.go). */
-  final case class StringRange(field: String, lo: String, hi: String) extends Filter
+  final case class StringRange(field: String, lo: String, hi: String,
+                               repr: String = "") extends Filter
   /** `field:len_range(lo, hi)` — value length inclusive (filter_len_range.go). */
-  final case class LenRange(field: String, lo: Long, hi: Long) extends Filter
+  final case class LenRange(field: String, lo: Long, hi: Long,
+                            repr: String = "") extends Filter
   /** `field:value_type(t)` — rows whose storage type is t
     * (filter_value_type.go:67). In the Spark layout the physical type is
     * per-column (per-relation), not per-block. */
@@ -129,15 +132,18 @@ object Filter {
   final case class LeField(field: String, other: String) extends Filter
   final case class LtField(field: String, other: String) extends Filter
   /** `_time:[a, b)` resolved to epoch-nanos half-open range (filter_time.go). */
-  final case class TimeRange(loNs: Long, hiNs: Long) extends Filter
+  final case class TimeRange(loNs: Long, hiNs: Long,
+                             repr: String = "") extends Filter
   /** `_time:day_range[08:00, 18:00)` — minutes of day (filter_day_range.go). */
   final case class DayRange(startMin: Int, endMin: Int,
                             inclStart: Boolean, inclEnd: Boolean,
-                            offsetNs: Long = 0L) extends Filter
+                            offsetNs: Long = 0L,
+                            repr: String = "") extends Filter
   /** `_time:week_range[Mon, Fri]` — day of week 0=Sun (filter_week_range.go). */
   final case class WeekRange(startDay: Int, endDay: Int,
                              inclStart: Boolean, inclEnd: Boolean,
-                             offsetNs: Long = 0L) extends Filter
+                             offsetNs: Long = 0L,
+                             repr: String = "") extends Filter
   /** `{label=~"re", ...}` — stream label matchers, OR of AND-groups
     * (filter_stream.go, stream_filter.go). */
   final case class Stream(orGroups: Seq[Seq[StreamMatcher]]) extends Filter
@@ -165,8 +171,12 @@ object Pipe {
   /** keep each row with probability 1/n (pipe_sample.go). */
   final case class Sample(n: Long) extends Pipe
   final case class Sort(keys: Seq[SortKey], limit: Option[Long], offset: Long,
-                        rank: Option[String], partitionBy: Seq[String]) extends Pipe
-  final case class Stats(by: Seq[ByField], funcs: Seq[StatsFuncAs]) extends Pipe
+                        rank: Option[String], partitionBy: Seq[String],
+                        canon: Option[SortCanon] = None) extends Pipe
+  /** `remote` marks the `stats_remote` spelling (pipe.go:307) — same
+    * local semantics; kept for canonical rendering. */
+  final case class Stats(by: Seq[ByField], funcs: Seq[StatsFuncAs],
+                         remote: Boolean = false) extends Pipe
   final case class Top(n: Long, fields: Seq[String], hitsAs: String,
                        rankAs: Option[String]) extends Pipe
   final case class Uniq(fields: Seq[String], withHits: Boolean,
@@ -180,11 +190,13 @@ object Pipe {
                           out: String,
                           keepOriginal: Boolean = false,
                           skipEmpty: Boolean = false,
-                          iff: Option[Filter] = None) extends Pipe
+                          iff: Option[Filter] = None,
+                          src: String = "") extends Pipe
   /** `extract "prefix<f1>sep<f2>" from field` (pipe_extract.go/pattern.go). */
   final case class Extract(steps: Seq[PatternStep], from: String,
                            keepOriginal: Boolean, skipEmpty: Boolean,
-                           iff: Option[Filter] = None) extends Pipe
+                           iff: Option[Filter] = None,
+                           src: String = "") extends Pipe
   final case class ExtractRegexp(re: String, from: String,
                                  keepOriginal: Boolean = false,
                                  skipEmpty: Boolean = false,
@@ -247,6 +259,14 @@ object Pipe {
 
 /** `sort by (f desc)` key. */
 final case class SortKey(field: String, desc: Boolean)
+
+/** Canonical-rendering metadata for a sort pipe: the surface form the
+  * user wrote (`sort`, `order`, `first`, `last` — first/last print in
+  * their own shape, parser_test canonicals), the keys BEFORE the global
+  * `desc`/first-last flip was folded in, and the explicit N if any.
+  * Semantics live in [[Pipe.Sort]]'s own fields; this is display-only. */
+final case class SortCanon(form: String, n: Option[Long],
+                           keys: Seq[SortKey], desc: Boolean)
 
 /** `by (name:bucket offset o)` group key (pipe_stats.go:1495-1605).
   * bucket examples: "1h" (duration), "10" (numeric), "1KiB" (size). */

@@ -112,7 +112,7 @@ object Compiler {
     // also fires for `partition by (...)`: the fused limit lets applySort
     // emit the Filter-over-row_number shape Catalyst's InferWindowGroupLimit
     // rewrites into partial+final per-group top-k (no full per-group sort)
-    case (s: Pipe.Sort) :: (w @ Pipe.Where(Filter.Range(f, _, hi, _, inclHi)))
+    case (s: Pipe.Sort) :: (w @ Pipe.Where(Filter.Range(f, _, hi, _, inclHi, _)))
         :: rest
         if s.limit.isEmpty && s.rank.contains(f) &&
            !hi.isInfinite && !hi.isNaN =>
@@ -125,7 +125,7 @@ object Compiler {
 
   /** Span of the query's top-level `_time` filter — feeds `rate()`. */
   private def timeSpanSeconds(f: Filter): Option[Double] = f match {
-    case Filter.TimeRange(lo, hi) if lo != Long.MinValue && hi != Long.MaxValue =>
+    case Filter.TimeRange(lo, hi, _) if lo != Long.MinValue && hi != Long.MaxValue =>
       Some((hi - lo) / 1e9)
     case Filter.And(fs) => fs.flatMap(timeSpanSeconds).headOption
     case _ => None
@@ -297,7 +297,7 @@ object Compiler {
     case Filter.Sequence(fld, ps) => TextMatch.matchSequence(strF(df, fld), ps)
     case Filter.Regexp(fld, re) => strF(df, fld).rlike(re)
 
-    case Filter.Range(fld, lo, hi, inclLo, inclHi) =>
+    case Filter.Range(fld, lo, hi, inclLo, inclHi, _) =>
       val n = numF(df, fld)
       val loC =
         if (lo.isNegInfinity) lit(true)
@@ -310,12 +310,12 @@ object Compiler {
     case Filter.Ipv4Range(fld, lo, hi) =>
       val n = ipv4Num(strF(df, fld))
       n.isNotNull && n >= lo && n <= hi
-    case Filter.StringRange(fld, lo, hi) =>
+    case Filter.StringRange(fld, lo, hi, _) =>
       // the sentinel means "no upper bound": there is no literal max string
       // under binary UTF-8 ordering (supplementary planes sort above U+FFFF)
       if (hi == Filter.MaxStringRange) strF(df, fld) >= lo
       else strF(df, fld) >= lo && strF(df, fld) < hi
-    case Filter.LenRange(fld, lo, hi) =>
+    case Filter.LenRange(fld, lo, hi, _) =>
       octet_length(strF(df, fld)).between(lo, hi)
     case Filter.ValueType(fld, t) =>
       // per-relation physical type (the Spark analogue of the per-block
@@ -331,7 +331,7 @@ object Compiler {
     case Filter.LeField(fld, other) => cmpFields(df, fld, other, strict = false)
     case Filter.LtField(fld, other) => cmpFields(df, fld, other, strict = true)
 
-    case Filter.TimeRange(lo, hi) =>
+    case Filter.TimeRange(lo, hi, _) =>
       val t = timeMicros(df)
       val conds = Seq(
         if (lo == Long.MinValue) None else Some(t >= ceilDivNs(lo)),
@@ -349,12 +349,12 @@ object Compiler {
         (base +: dayConds).reduce(_ && _)
       } else base
 
-    case Filter.DayRange(s, e, inclS, inclE, offNs) =>
+    case Filter.DayRange(s, e, inclS, inclE, offNs, _) =>
       val t = shiftedTime(df, offNs)
       val m = hour(t) * 60 + minute(t)
       (if (inclS) m >= s else m > s) && (if (inclE) m <= e else m < e)
 
-    case Filter.WeekRange(s, e, inclS, inclE, offNs) =>
+    case Filter.WeekRange(s, e, inclS, inclE, offNs, _) =>
       val d = dayofweek(shiftedTime(df, offNs)) - 1 // 0 = Sunday
       (if (inclS) d >= s else d > s) && (if (inclE) d <= e else d < e)
 
@@ -588,7 +588,7 @@ object Compiler {
     case Pipe.Math(exprs) =>
       exprs.foldLeft(df)((d, ea) => d.withColumn(ea._2, mathCol(d, ea._1, ctx)))
 
-    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff) =>
+    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff, _) =>
       val cols = parts.map {
         case Left(litS) => lit(litS)
         case Right((tr, fld)) => formatTransform(tr, strF(df, fld))
@@ -914,11 +914,17 @@ object Compiler {
                 octet_length(col("field_value")) <= maxValueLen)
       val counted = long.groupBy("field_name", "field_value")
         .agg(count(lit(1)).as("hits"))
+      // fields with more than maxValuesPerField unique values are
+      // dropped entirely (pipe_facets.go:393-397 "Ignore fields with too
+      // many unique values"), NOT capped; N caps the rows per kept field
       val w = Window.partitionBy("field_name")
         .orderBy(col("hits").desc, col("field_value").asc)
-      val ranked = counted.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= math.min(n, maxPerField))
-        .drop("__rn")
+      val wc = Window.partitionBy("field_name")
+      val ranked = counted
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__nv", count(lit(1)).over(wc))
+        .filter(col("__rn") <= n && col("__nv") <= maxPerField)
+        .drop("__rn", "__nv")
       // default: drop fields constant across every row — one distinct
       // value covering as many rows as the most-populated field
       // (pipe_facets.go keep_const_fields option)

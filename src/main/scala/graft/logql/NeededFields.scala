@@ -67,17 +67,17 @@ object NeededFields {
     case Filter.ContainsQuery(fd, _, _) => Set(fd)
     case Filter.Sequence(fd, _) => Set(fd)
     case Filter.Regexp(fd, _) => Set(fd)
-    case Filter.Range(fd, _, _, _, _) => Set(fd)
+    case Filter.Range(fd, _, _, _, _, _) => Set(fd)
     case Filter.Ipv4Range(fd, _, _) => Set(fd)
-    case Filter.StringRange(fd, _, _) => Set(fd)
-    case Filter.LenRange(fd, _, _) => Set(fd)
+    case Filter.StringRange(fd, _, _, _) => Set(fd)
+    case Filter.LenRange(fd, _, _, _) => Set(fd)
     case Filter.ValueType(fd, _) => Set(fd)
     case Filter.EqField(a, b) => Set(a, b)
     case Filter.LeField(a, b) => Set(a, b)
     case Filter.LtField(a, b) => Set(a, b)
-    case Filter.TimeRange(_, _) => Set("_time", "ts")
-    case Filter.DayRange(_, _, _, _, _) => Set("_time", "ts")
-    case Filter.WeekRange(_, _, _, _, _) => Set("_time", "ts")
+    case _: Filter.TimeRange => Set("_time", "ts")
+    case _: Filter.DayRange => Set("_time", "ts")
+    case _: Filter.WeekRange => Set("_time", "ts")
     case Filter.Stream(gs) => gs.flatten.map(_.label).toSet + "_stream"
     case Filter.StreamId(_) => Set("_stream_id", "_stream")
   }
@@ -139,7 +139,7 @@ object NeededFields {
     case Pipe.Sample(_) => None
     case s: Pipe.Sort =>
       plus(a, s.keys.map(_.field) ++ s.partitionBy)
-    case Pipe.Stats(by, funcs) =>
+    case Pipe.Stats(by, funcs, _) =>
       val byNeeded: Seq[Needed] = by.map { b =>
         if (isWild(b.name)) None
         else if (b.name == "_time") Some(Set("_time", "ts"))
@@ -155,7 +155,7 @@ object NeededFields {
     case Pipe.FieldNames(_) => None
     case Pipe.FieldValues(fd, _) => Some(Set(fd))
     case Pipe.Math(exprs) => plus(a, exprs.flatMap(e => mathRefs(e._1)))
-    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff) =>
+    case Pipe.Format(parts, out, keepOrig, skipEmpty, iff, _) =>
       val reads = parts.collect { case Right((_, fd)) => fd }.toSet
       // without `if`/keep/skip, `out` is overwritten unconditionally and
       // its prior value is never read — the one subtraction that buys
@@ -163,7 +163,7 @@ object NeededFields {
       // and skip_empty_results READ the prior value (pipe_format.go:70).
       a.map(s => (if (iff.isEmpty && !keepOrig && !skipEmpty) s - out else s)
         ++ reads ++ iffFields(iff))
-    case Pipe.Extract(_, from, _, _, iff) => plus(a, Set(from) ++ iffFields(iff))
+    case Pipe.Extract(_, from, _, _, iff, _) => plus(a, Set(from) ++ iffFields(iff))
     case Pipe.ExtractRegexp(_, from, _, _, iff) => plus(a, Set(from) ++ iffFields(iff))
     case Pipe.Replace(_, _, at, _, iff) => plus(a, Set(at) ++ iffFields(iff))
     case Pipe.ReplaceRegexp(_, _, at, _, iff) => plus(a, Set(at) ++ iffFields(iff))

@@ -302,7 +302,9 @@ final class Parser(input: String, now: Long) {
       } else if (filterTermAhead) parts += parseTerm(defaultField)
       else continue = false
     }
-    if (parts.size == 1) parts.head else Filter.And(parts.toSeq)
+    val kept = parts.filterNot(_ == Filter.Noop)
+    val fs = if (kept.isEmpty) parts.take(1) else kept
+    if (fs.size == 1) fs.head else Filter.And(fs.toSeq)
   }
 
   // every recursion cycle of the filter grammar (parens, !-chains,
@@ -319,6 +321,33 @@ final class Parser(input: String, now: Long) {
     try parseTerm0(defaultField) finally termDepth -= 1
   }
 
+  /** After a quoted token read at [start, pos): if the very next char
+    * continues the compound token (no whitespace, not a stop), the WHOLE
+    * run reverts to its raw source text, quotes included — the reference
+    * lexer glues adjacent tokens by their raw representation
+    * (getCompoundPhrase: `"foo"bar` is the 8-char phrase "foo"bar). */
+  private def glueQuotedRaw(start: Int, stops: String): Option[String] = {
+    if (pos >= input.length || input(pos).isWhitespace ||
+        input(pos) == '#' || // '#' opens a comment outside quotes
+        stops.indexOf(input(pos)) >= 0) return None
+    pos = start
+    val sb = new StringBuilder
+    while (pos < input.length && !input(pos).isWhitespace &&
+           input(pos) != '#' && stops.indexOf(input(pos)) < 0) {
+      if (isQuote(input(pos))) {
+        val q = input(pos); sb += q; pos += 1
+        while (pos < input.length && input(pos) != q) {
+          if (input(pos) == '\\' && q != '`' && pos + 1 < input.length) {
+            sb += input(pos); sb += input(pos + 1); pos += 2
+          } else { sb += input(pos); pos += 1 }
+        }
+        if (pos >= input.length) err("unterminated quoted string")
+        sb += q; pos += 1
+      } else { sb += input(pos); pos += 1 }
+    }
+    Some(sb.result())
+  }
+
   /** One filter term (parseGenericFilter, parser.go:1494-1578).
     * `field` is "" at top level (field-name detection allowed) and the
     * inherited field inside `field:(...)` groups, where colons glue into
@@ -330,11 +359,11 @@ final class Parser(input: String, now: Long) {
       case ':' => pos += 1; parseTerm(field) // empty/inherited field name
       case '!' =>
         if (pos + 1 < input.length && input(pos + 1) == '=') {
-          pos += 2; Filter.Not(parseExactRhs(fld(field)))
+          pos += 2; negate(parseExactRhs(fld(field)))
         } else if (pos + 1 < input.length && input(pos + 1) == '~') {
-          pos += 2; Filter.Not(regexpFilter(fld(field)))
-        } else { pos += 1; Filter.Not(parseTerm(field)) }
-      case '-' => pos += 1; Filter.Not(parseTerm(field)) // `-foo` ≡ !foo
+          pos += 2; negate(regexpFilter(fld(field)))
+        } else { pos += 1; negate(parseTerm(field)) }
+      case '-' => pos += 1; negate(parseTerm(field)) // `-foo` ≡ !foo
       case '(' =>
         pos += 1
         val f = parseOr(field)
@@ -357,7 +386,12 @@ final class Parser(input: String, now: Long) {
         pos += 1
         regexpFilter(fld(field))
       case c if isQuote(c) =>
+        val qStart = pos
         val s = readQuoted()
+        glueQuotedRaw(qStart,
+            if (field.isEmpty) StopsPhrase else StopsPhraseVal) match {
+          case Some(glued) => Filter.Phrase(fld(field), glued)
+          case None =>
         if (peekCh == '*') { // adjacent `'foo'*` → prefix (no space allowed)
           pos += 1
           skipWs()
@@ -368,8 +402,9 @@ final class Parser(input: String, now: Long) {
           if (field.isEmpty && peekCh == ':') { pos += 1; dispatchField(s) }
           else Filter.Phrase(fld(field), s)
         }
+        }
       case _ =>
-        if (consumeKeyword("not")) return Filter.Not(parseTerm(field))
+        if (consumeKeyword("not")) return negate(parseTerm(field))
         val stops = if (field.isEmpty) StopsPhrase else StopsPhraseVal
         val w = readCompoundRaw(stops)
         if (w.isEmpty) err(s"unexpected token '${peekCh}'")
@@ -420,11 +455,11 @@ final class Parser(input: String, now: Long) {
       case ':' => pos += 1; parseFilterRhs(field)
       case '!' =>
         if (pos + 1 < input.length && input(pos + 1) == '=') {
-          pos += 2; Filter.Not(parseExactRhs(field))
+          pos += 2; negate(parseExactRhs(field))
         } else if (pos + 1 < input.length && input(pos + 1) == '~') {
-          pos += 2; Filter.Not(regexpFilter(field))
-        } else { pos += 1; Filter.Not(parseFilterRhs(field)) }
-      case '-' => pos += 1; Filter.Not(parseFilterRhs(field))
+          pos += 2; negate(regexpFilter(field))
+        } else { pos += 1; negate(parseFilterRhs(field)) }
+      case '-' => pos += 1; negate(parseFilterRhs(field))
       case '=' => pos += 1; parseExactRhs(field)
       case '~' => pos += 1; regexpFilter(field)
       case '>' | '<' => parseCompareRhs(field)
@@ -434,12 +469,17 @@ final class Parser(input: String, now: Long) {
         pos += 1
         Filter.Prefix(field, "")
       case c if isQuote(c) =>
+        val qStart = pos
         val s = readQuoted()
-        if (peekCh == '*') { pos += 1; Filter.Prefix(field, s) }
-        else Filter.Phrase(field, s)
+        glueQuotedRaw(qStart, StopsPhraseVal) match {
+          case Some(glued) => Filter.Phrase(field, glued)
+          case None =>
+            if (peekCh == '*') { pos += 1; Filter.Prefix(field, s) }
+            else Filter.Phrase(field, s)
+        }
       case '\u0000' => err(s"missing filter after field name '$field'")
       case _ =>
-        if (consumeKeyword("not")) return Filter.Not(parseFilterRhs(field))
+        if (consumeKeyword("not")) return negate(parseFilterRhs(field))
         val w = readCompoundRaw(StopsPhraseVal)
         if (w.isEmpty) err(s"missing filter after field name '$field'")
         wordTail(field, w)
@@ -466,6 +506,13 @@ final class Parser(input: String, now: Long) {
   /** `~regex` / `re(...)` — the pattern must compile (newFilterRegexp
     * calls regexp.Compile at parse time; `~*` and re(`ab(`) are parse
     * errors, not runtime 500s). */
+  /** Build a NOT filter, collapsing double negation like the reference
+    * (`not !x` parses to x — TestParseQuery canonical pins). */
+  private def negate(f: Filter): Filter = f match {
+    case Filter.Not(inner) => inner
+    case other => Filter.Not(other)
+  }
+
   private def regexpFilter(field: String): Filter = {
     skipWs()
     val re = if (isQuote(peekCh)) readQuoted() else {
@@ -474,7 +521,12 @@ final class Parser(input: String, now: Long) {
       v
     }
     validateRegexp(re)
-    Filter.Regexp(field, re)
+    // Grafana-style trivial regexps optimize at parse time
+    // (newFilterRegexp, parser.go:2041-2050): ""/".*" match everything,
+    // ".+" is the any-non-empty-value prefix filter
+    if (re == "" || re == ".*") Filter.Noop
+    else if (re == ".+") Filter.Prefix(fld(field), "")
+    else Filter.Regexp(field, re)
   }
 
   private def validateRegexp(re: String): Unit = {
@@ -497,11 +549,13 @@ final class Parser(input: String, now: Long) {
       err("missing comparison operand") // a truncated query must not
         // degrade into a match-nearly-everything string range
     NumLit.parse(raw) match {
-      case Some(n) => op.result() match {
-        case ">"  => Filter.Range(field, n, Double.PositiveInfinity, inclLo = false, inclHi = true)
-        case ">=" => Filter.Range(field, n, Double.PositiveInfinity, inclLo = true, inclHi = true)
-        case "<"  => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = false)
-        case "<=" => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = true)
+      case Some(n) =>
+        val rp = op.result() + raw // canonical keeps the source token
+        op.result() match {
+        case ">"  => Filter.Range(field, n, Double.PositiveInfinity, inclLo = false, inclHi = true, rp)
+        case ">=" => Filter.Range(field, n, Double.PositiveInfinity, inclLo = true, inclHi = true, rp)
+        case "<"  => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = false, rp)
+        case "<=" => Filter.Range(field, Double.NegativeInfinity, n, inclLo = true, inclHi = true, rp)
         case o    => err(s"unsupported comparison '$o'")
       }
       case None =>
@@ -511,11 +565,12 @@ final class Parser(input: String, now: Long) {
         // the "unbounded" max mirrors maxStringRangeValue's best-effort
         // sentinel, filter_string_range.go:9)
         val MaxStr = Filter.MaxStringRange
+        val rp = op.result() + Canon.quoteStringToken(raw)
         op.result() match {
-          case ">"  => Filter.StringRange(field, raw + "\u0000", MaxStr)
-          case ">=" => Filter.StringRange(field, raw, MaxStr)
-          case "<"  => Filter.StringRange(field, "", raw)
-          case "<=" => Filter.StringRange(field, "", raw + "\u0000")
+          case ">"  => Filter.StringRange(field, raw + "\u0000", MaxStr, rp)
+          case ">=" => Filter.StringRange(field, raw, MaxStr, rp)
+          case "<"  => Filter.StringRange(field, "", raw, rp)
+          case "<=" => Filter.StringRange(field, "", raw + "\u0000", rp)
           case o    => err(s"unsupported comparison '$o'")
         }
     }
@@ -619,7 +674,7 @@ final class Parser(input: String, now: Long) {
           val v = readQuoted()
           if (peekCh == '*') { pos += 1; Filter.AnyCasePrefix(field, v) }
           else Filter.AnyCasePhrase(field, v)
-        } else if (peekCh == '*') { pos += 1; Filter.Prefix(field, "") }
+        } else if (peekCh == '*') { pos += 1; Filter.AnyCasePrefix(field, "") }
         else {
           val v = readCompoundRaw(StopsFuncArg)
           if (v.isEmpty) err("missing i(...) argument")
@@ -638,15 +693,21 @@ final class Parser(input: String, now: Long) {
       skipWs()
       val inclLo = peekCh == '['
       if (peekCh != '(' && peekCh != '[') err("range expects ( or [")
+      val open = peekCh
       pos += 1
-      val lo = parseNumberToken()
+      val loTok = readToken()
+      val lo = parseNumberLiteral(loTok)
       expect(',')
-      val hi = parseNumberToken()
+      val hiTok = readToken()
+      val hi = parseNumberLiteral(hiTok)
+      consume(',') // trailing comma tolerated
       skipWs()
       val inclHi = peekCh == ']'
       if (peekCh != ')' && peekCh != ']') err("range expects ) or ]")
+      val close = peekCh
       pos += 1
-      Filter.Range(field, lo, hi, inclLo, inclHi)
+      Filter.Range(field, lo, hi, inclLo, inclHi,
+        s"range$open$loTok, $hiTok$close")
     case "ipv4_range" =>
       val args = parseArgList()
       args match {
@@ -668,7 +729,8 @@ final class Parser(input: String, now: Long) {
     case "string_range" =>
       val args = parseArgList()
       if (args.size != 2) err("string_range expects 2 args")
-      Filter.StringRange(field, args(0), args(1))
+      Filter.StringRange(field, args(0), args(1),
+        s"string_range(${args.map(Canon.quoteToken).mkString(", ")})")
     case "len_range" =>
       // lengths are unsigned integers (parseFilterLenRange uses
       // tryParseUint64 after size-suffix expansion): `len_range(1.2,
@@ -678,7 +740,8 @@ final class Parser(input: String, now: Long) {
       def lenArg(a: String): Long =
         parseUIntValue(a) // inf/+inf → MaxValue like parseUint
           .getOrElse(err(s"len_range expects non-negative integer lengths, got '$a'"))
-      Filter.LenRange(field, lenArg(args(0)), lenArg(args(1)))
+      Filter.LenRange(field, lenArg(args(0)), lenArg(args(1)),
+        s"len_range(${args.mkString(", ")})")
     case "value_type" => Filter.ValueType(field, oneArg("value_type"))
     case "eq_field" => Filter.EqField(field, oneArg("eq_field"))
     case "le_field" => Filter.LeField(field, oneArg("le_field"))
@@ -761,14 +824,18 @@ final class Parser(input: String, now: Long) {
     // back by the duration; the offset may be negative/fractional
     // (`offset -1.5d` — TestParseTimeDuration:396).
     if (consumeKeyword("offset")) {
-      val d = signedDuration(readTimeWord())
+      val w = readTimeWord()
+      val d = signedDuration(w)
         .getOrElse(err("bad duration after 'offset'"))
+      def withOff(repr: String): String =
+        if (repr.isEmpty) s"offset $w" else s"$repr offset $w"
       f match {
-        case Filter.TimeRange(lo, hi) =>
-          Filter.TimeRange(if (lo == Long.MinValue) lo else lo - d,
-                           if (hi == Long.MaxValue) hi else hi - d)
-        case dr: Filter.DayRange => dr.copy(offsetNs = d)
-        case wr: Filter.WeekRange => wr.copy(offsetNs = d)
+        case tr @ Filter.TimeRange(lo, hi, rp) =>
+          tr.copy(loNs = if (lo == Long.MinValue) lo else lo - d,
+                  hiNs = if (hi == Long.MaxValue) hi else hi - d,
+                  repr = withOff(rp))
+        case dr: Filter.DayRange => dr.copy(offsetNs = d, repr = withOff(dr.repr))
+        case wr: Filter.WeekRange => wr.copy(offsetNs = d, repr = withOff(wr.repr))
         case other => other
       }
     } else f
@@ -809,7 +876,9 @@ final class Parser(input: String, now: Long) {
         // (parseFilterTime, parser.go:2670-2686)
         val lo = if (inclLo) lo1 else lo1 + 1
         val hi = if (inclHi) hi2 else hi1
-        Filter.TimeRange(lo, hi)
+        val ob = if (inclLo) "[" else "("
+        val cb = if (inclHi) "]" else ")"
+        Filter.TimeRange(lo, hi, s"$ob$loS,$hiS$cb")
       case '>' =>
         // `_time:>dur` selects entries OLDER than now-dur
         // (parseFilterTimeGt, parser.go:2697-2744); `>timestamp` is the
@@ -820,12 +889,14 @@ final class Parser(input: String, now: Long) {
         if (!likelyTimestamp(w)) {
           val d = signedDuration(w).map(math.abs)
             .getOrElse(err(s"cannot parse duration '$w'"))
-          Filter.TimeRange(Long.MinValue, if (incl) now - d + 1 else now - d)
+          Filter.TimeRange(Long.MinValue, if (incl) now - d + 1 else now - d,
+            (if (incl) ">=" else ">") + w)
         } else {
           // `>ts` starts 1ns past the instant (parseFilterTimeGt:2715),
           // NOT past the granularity window
           val (b1, _) = parseTimeBound(w)
-          Filter.TimeRange(if (incl) b1 else b1 + 1, Long.MaxValue)
+          Filter.TimeRange(if (incl) b1 else b1 + 1, Long.MaxValue,
+            (if (incl) ">=" else ">") + w)
         }
       case '<' =>
         // `_time:<dur` selects entries NEWER than now-dur
@@ -836,15 +907,17 @@ final class Parser(input: String, now: Long) {
         if (!likelyTimestamp(w)) {
           val d = signedDuration(w).map(math.abs)
             .getOrElse(err(s"cannot parse duration '$w'"))
-          Filter.TimeRange(if (incl) now - d else now - d + 1, now + 1)
+          Filter.TimeRange(if (incl) now - d else now - d + 1, now + 1,
+            (if (incl) "<=" else "<") + w)
         } else {
           val (b1, b2) = parseTimeBound(w)
-          Filter.TimeRange(Long.MinValue, if (incl) b2 else b1)
+          Filter.TimeRange(Long.MinValue, if (incl) b2 else b1,
+            (if (incl) "<=" else "<") + w)
         }
       case _ =>
         // `=` prefix is the explicit exact form (parseFilterTimeEq):
         // `_time:=2024Z`, `_time:=2d`
-        consume('=')
+        val eq = if (consume('=')) "=" else ""
         val w = readTimeWord()
         skipWs()
         if (peekCh == '(' || peekCh == '[') {
@@ -853,12 +926,12 @@ final class Parser(input: String, now: Long) {
         }
         if (!likelyTimestamp(w)) {
           signedDuration(w).map(math.abs) match {
-            case Some(d) => Filter.TimeRange(now - d, now + 1) // last-d window
+            case Some(d) => Filter.TimeRange(now - d, now + 1, eq + w) // last-d window
             case None => err(s"cannot parse _time filter '$w'")
           }
         } else {
           val (b1, b2) = parseTimeBound(w)
-          Filter.TimeRange(b1, b2)
+          Filter.TimeRange(b1, b2, eq + w)
         }
     }
   }
@@ -1022,7 +1095,8 @@ final class Parser(input: String, now: Long) {
         x.toIntOption.getOrElse(err(s"bad day_range time '$s'"))
       num(p(0)) * 60 + (if (p.length > 1) num(p(1)) else 0)
     }
-    Filter.DayRange(minutes(a), minutes(b), inclStart, inclEnd)
+    Filter.DayRange(minutes(a), minutes(b), inclStart, inclEnd,
+      repr = s"${if (inclStart) "[" else "("}$a, $b${if (inclEnd) "]" else ")"}")
   }
 
   private def parseWeekRange(): Filter = {
@@ -1042,7 +1116,8 @@ final class Parser(input: String, now: Long) {
       case "thu" => 4; case "fri" => 5; case "sat" => 6
       case other => err(s"bad day of week '$other'")
     }
-    Filter.WeekRange(dow(a), dow(b), inclStart, inclEnd)
+    Filter.WeekRange(dow(a), dow(b), inclStart, inclEnd,
+      repr = s"${if (inclStart) "[" else "("}$a, $b${if (inclEnd) "]" else ")"}")
   }
 
   private def parseStreamIdFilter(): Filter = {
@@ -1150,7 +1225,8 @@ final class Parser(input: String, now: Long) {
       // `stats_remote` is the cluster-internal spelling of `stats`
       // (pipe.go:307 dispatches both to parsePipeStats) — same semantics
       // on a single store; Spark's distribution replaces the remote split
-      case "stats" | "stats_remote" => parseStatsPipe()
+      case "stats" => parseStatsPipe()
+      case "stats_remote" => parseStatsPipe(remote = true)
       case "top" => parseTopPipe()
       case "uniq" => parseUniqPipe()
       case "field_names" =>
@@ -1199,9 +1275,12 @@ final class Parser(input: String, now: Long) {
         val at = if (consumeKeyword("at")) readToken() else "_msg"
         val lim = if (consumeKeyword("limit")) readLong() else 0L
         Pipe.ReplaceRegexp(a, b, at, lim, iff)
-      case "len" => parseFieldFnPipe(Pipe.Len, "len")
-      case "hash" => parseFieldFnPipe(Pipe.Hash, "hash")
-      case "json_array_len" => parseFieldFnPipe(Pipe.JsonArrayLen, "json_array_len")
+      // the default result field is _msg for all three (pipe_len.go:156,
+      // pipe_hash.go:164, pipe_json_array_len.go:173) — the value
+      // OVERWRITES the message unless `as out` is given
+      case "len" => parseFieldFnPipe(Pipe.Len, "_msg")
+      case "hash" => parseFieldFnPipe(Pipe.Hash, "_msg")
+      case "json_array_len" => parseFieldFnPipe(Pipe.JsonArrayLen, "_msg")
       case "unpack_json" =>
         val iff = parseOptIf()
         val from = if (consumeKeyword("from")) readToken() else "_msg"
@@ -1333,7 +1412,11 @@ final class Parser(input: String, now: Long) {
       case "facets" =>
         skipWs()
         val n = if (peekCh.isDigit) readLong() else 10L
-        var maxPerField = n
+        if (n < 1) err("facets N must be bigger than 0")
+        // defaults from pipe_facets.go:17-24: fields with more than
+        // maxValuesPerField unique values are SKIPPED (too noisy), they
+        // are not capped — independent of N
+        var maxPerField = 1000L
         var maxLen = 128L
         var keepConst = false
         var more = true
@@ -1394,6 +1477,9 @@ final class Parser(input: String, now: Long) {
       .orElse(NumLit.durationNanos(w).filter(_ >= 0))
   }
 
+  /** getCanonicalColumnName: the empty field name is _msg. */
+  private def canonField(s: String): String = if (s.isEmpty) "_msg" else s
+
   private def parseFieldList(parens: Boolean = false): Seq[String] = {
     skipWs()
     val hasParen = peekCh == '('
@@ -1401,11 +1487,11 @@ final class Parser(input: String, now: Long) {
     val fs = ArrayBuffer.empty[String]
     skipWs()
     if (!(hasParen && peekCh == ')')) {
-      fs += readToken()
+      fs += canonField(readToken())
       while (consume(',')) {
         skipWs()
         if (hasParen && peekCh == ')') return { pos += 1; fs.toSeq } // trailing ','
-        fs += readToken()
+        fs += canonField(readToken())
       }
     }
     if (hasParen) expect(')')
@@ -1500,7 +1586,8 @@ final class Parser(input: String, now: Long) {
       else more = false
     }
     val keys2 = if (desc) keys.map(k => k.copy(desc = !k.desc)) else keys
-    Pipe.Sort(keys2, limit, offset.getOrElse(0L), rank, partitionBy)
+    Pipe.Sort(keys2, limit, offset.getOrElse(0L), rank, partitionBy,
+      Some(SortCanon("sort", None, keys, desc)))
   }
 
   /** `rank`, `rank as name`, or `rank name` (pipe_sort.go:623-640). */
@@ -1535,7 +1622,8 @@ final class Parser(input: String, now: Long) {
 
   private def parseFirstLast(desc: Boolean): Pipe = {
     skipWs()
-    val n = if (peekCh.isDigit) readLong() else 1L
+    val explicitN = peekCh.isDigit
+    val n = if (explicitN) readLong() else 1L
     consumeKeyword("by")
     val keys0 = parseSortKeys()
     val keys = if (desc) keys0.map(k => k.copy(desc = !k.desc)) else keys0
@@ -1547,10 +1635,12 @@ final class Parser(input: String, now: Long) {
       else if (consumeKeyword("partition")) { consumeKeyword("by"); partitionBy = parseFieldList(parens = true) }
       else more = false
     }
-    Pipe.Sort(keys, Some(n), 0L, rank, partitionBy)
+    Pipe.Sort(keys, Some(n), 0L, rank, partitionBy,
+      Some(SortCanon(if (desc) "last" else "first",
+        if (explicitN) Some(n) else None, keys0, desc = false)))
   }
 
-  private def parseStatsPipe(): Pipe = {
+  private def parseStatsPipe(remote: Boolean = false): Pipe = {
     // `by` is optional before the field list (pipe_stats.go:1266-1269:
     // `stats (host, path) count()` is legal)
     skipWs()
@@ -1574,7 +1664,7 @@ final class Parser(input: String, now: Long) {
       if (!seen.add(f.as))
         err(s"duplicate result name '${f.as}' in stats pipe")
     }
-    Pipe.Stats(by, funcs.toSeq)
+    Pipe.Stats(by, funcs.toSeq, remote)
   }
 
   private def parseByFields(): Seq[ByField] = {
@@ -1621,7 +1711,7 @@ final class Parser(input: String, now: Long) {
     val args = ArrayBuffer.empty[String]
     skipWs()
     while (peekCh != ')' && peekCh != '\u0000') {
-      args += readToken()
+      args += canonField(readToken())
       if (!consume(',')) { skipWs(); if (peekCh != ')') err("expected ',' or ')'") }
       else skipWs()
     }
@@ -1655,7 +1745,10 @@ final class Parser(input: String, now: Long) {
           .getOrElse(err(s"quantile phi must be a number, got '$phiStr'"))
         if (phi < 0 || phi > 1)
           err(s"quantile phi must be in [0..1], got '$phiStr'")
-        Quantile(phi, if (args.tail.isEmpty) Seq("*") else args.tail.toSeq)
+        // a '*' anywhere in the field list means every field, printed as
+        // the bare `quantile(phi)` form (parseStatsQuantile)
+        val qf = args.tail.toSeq
+        Quantile(phi, if (qf.isEmpty || qf.contains("*")) Seq("*") else qf)
       case "sum_len" => SumLen(fieldsOrStar)
       case "values" => Values(fieldsOrStar, limit)
       case "uniq_values" => UniqValues(fieldsOrStar, limit)
@@ -1685,9 +1778,9 @@ final class Parser(input: String, now: Long) {
     // optional alias: `as name` or bare name
     skipWs()
     val as =
-      if (consumeKeyword("as")) readToken()
+      if (consumeKeyword("as")) canonField(readToken())
       else if (peekCh != '\u0000' && peekCh != '|' && peekCh != ',' && peekCh != ')' &&
-               !peekKeyword("if")) readToken()
+               !peekKeyword("if")) canonField(readToken())
       else defaultStatsName(name, args.toSeq) + iffRaw
     StatsFuncAs(fn, as, iff)
   }
@@ -1875,7 +1968,7 @@ final class Parser(input: String, now: Long) {
       else if (consumeKeyword("skip_empty_results")) skipE = true
       else more = false
     }
-    Pipe.Format(Parser.parseFormatTemplate(tpl), out, keep, skipE, iff)
+    Pipe.Format(Parser.parseFormatTemplate(tpl), out, keep, skipE, iff, src = tpl)
   }
 
   private def parseExtractPipe(): Pipe = {
@@ -1909,13 +2002,13 @@ final class Parser(input: String, now: Long) {
       else if (consumeKeyword("skip_empty_results")) skipEmpty = true
       else more = false
     }
-    Pipe.Extract(steps, from, keepOrig, skipEmpty, iff)
+    Pipe.Extract(steps, from, keepOrig, skipEmpty, iff, src = pat)
   }
 }
 
 object Parser {
   def parse(q: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Query =
-    new Parser(q, nowNs).parseQueryFull().copy(evalNs = nowNs)
+    Optimize(new Parser(q, nowNs).parseQueryFull()).copy(evalNs = nowNs)
 
   /** Function-style filter names (parse dispatch parser.go:1425-1568). */
   val filterFuncs: Set[String] = Set(

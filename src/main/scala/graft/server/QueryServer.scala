@@ -448,7 +448,12 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       } catch { case _: Exception => false }
     }
     if (!invariant) return None
-    val sig = ps.toSeq.sortBy(_._1)
+    // key on the CANONICAL query text (Canon.query) so spacing/quoting
+    // variants of the same query share one plan entry
+    val canonText =
+      try graft.logql.Canon.query(Parser.parse(text, 1700000000000000000L))
+      catch { case _: Exception => text }
+    val sig = (ps + ("query" -> Seq(canonText))).toSeq.sortBy(_._1)
       .map { case (k, vs) => k + "=" + vs.mkString("\u0001") }
       .mkString("\u0002")
     Some(kind + "\u0003" + tenantsOf(ex).mkString(",") + "\u0003" +
@@ -630,7 +635,9 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def handleFacets(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val n = one(ps, "limit").map(_.toLong).getOrElse(10L)
-    val maxPerField = one(ps, "max_values_per_field").map(_.toLong).getOrElse(n)
+    // default 1000 like the parser/pipe (pipe_facets.go:21) — fields with
+    // more unique values than this are skipped, independent of `limit`
+    val maxPerField = one(ps, "max_values_per_field").map(_.toLong).getOrElse(1000L)
     val maxLen = one(ps, "max_value_len").map(_.toLong).getOrElse(128L)
     // keep_const_fields=1 keeps fields whose value is constant across all
     // matching rows (dropped by default as non-discriminating; logsql.go:56)

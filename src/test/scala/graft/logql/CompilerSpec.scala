@@ -765,8 +765,11 @@ class CompilerSpec extends SparkSuite {
     // bracket groups; the old partition-less const-drop window had two
     val plan = out.queryExecution.executedPlan.toString
     val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    // every Window must be PARTITIONED by field_name (the unique-count
+    // window has no ORDER BY, which is fine — the funnel smell is a
+    // missing partition spec, not a missing ordering)
     assert(windowLines.nonEmpty &&
-      windowLines.forall(_.split("\\], \\[").length >= 3), plan)
+      windowLines.forall(_.contains("windowspecdefinition(field_name")), plan)
     // the constant field is dropped, the varying one kept
     val fields = out.collect().map(_.getString(0)).toSet
     assert(fields == Set("k"))

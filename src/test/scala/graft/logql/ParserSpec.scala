@@ -43,18 +43,18 @@ class ParserSpec extends AnyFunSuite {
     assert(parse("x:~\"a.*b\"").filter == Regexp("x", "a.*b"))
     assert(parse("x:i(err)").filter == AnyCasePhrase("x", "err"))
     assert(parse("x:i(err*)").filter == AnyCasePrefix("x", "err"))
-    assert(parse("x:string_range(a, b)").filter == StringRange("x", "a", "b"))
-    assert(parse("x:len_range(2, 10)").filter == LenRange("x", 2, 10))
+    assert(parse("x:string_range(a, b)").filter == StringRange("x", "a", "b", "string_range(a, b)"))
+    assert(parse("x:len_range(2, 10)").filter == LenRange("x", 2, 10, "len_range(2, 10)"))
     assert(parse("x:eq_field(y)").filter == EqField("x", "y"))
     assert(parse("x:lt_field(y)").filter == LtField("x", "y"))
   }
 
   test("range filters") {
-    assert(parse("v:>10").filter == Range("v", 10, Double.PositiveInfinity, inclLo = false, inclHi = true))
-    assert(parse("v:<=5.5").filter == Range("v", Double.NegativeInfinity, 5.5, inclLo = true, inclHi = true))
-    assert(parse("v:range(1, 10)").filter == Range("v", 1, 10, inclLo = false, inclHi = false))
-    assert(parse("v:range[1, 10)").filter == Range("v", 1, 10, inclLo = true, inclHi = false))
-    assert(parse("v:range[1KiB, 2KiB]").filter == Range("v", 1024, 2048, inclLo = true, inclHi = true))
+    assert(parse("v:>10").filter == Range("v", 10, Double.PositiveInfinity, inclLo = false, inclHi = true, ">10"))
+    assert(parse("v:<=5.5").filter == Range("v", Double.NegativeInfinity, 5.5, inclLo = true, inclHi = true, "<=5.5"))
+    assert(parse("v:range(1, 10)").filter == Range("v", 1, 10, inclLo = false, inclHi = false, "range(1, 10)"))
+    assert(parse("v:range[1, 10)").filter == Range("v", 1, 10, inclLo = true, inclHi = false, "range[1, 10)"))
+    assert(parse("v:range[1KiB, 2KiB]").filter == Range("v", 1024, 2048, inclLo = true, inclHi = true, "range[1KiB, 2KiB]"))
   }
 
   test("ipv4_range") {
@@ -82,9 +82,10 @@ class ParserSpec extends AnyFunSuite {
 
   test("day_range and week_range") {
     assert(parse("_time:day_range[08:00, 18:00)").filter ==
-      DayRange(480, 1080, inclStart = true, inclEnd = false))
+      DayRange(480, 1080, inclStart = true, inclEnd = false,
+        0L, "[08:00, 18:00)"))
     assert(parse("_time:week_range[Mon, Fri]").filter ==
-      WeekRange(1, 5, inclStart = true, inclEnd = true))
+      WeekRange(1, 5, inclStart = true, inclEnd = true, 0L, "[Mon, Fri]"))
   }
 
   test("stream filter") {
@@ -96,12 +97,14 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("pipes chain") {
+    // `| limit 5` merges into the sort (optimizeSortLimitPipes — the
+    // lower limit wins); the trailing offset stays separate because the
+    // sort already carries a limit
     val q = parse("error | fields a, b | where v:>5 | sort by (a desc) limit 10 | limit 5 | offset 2")
-    assert(q.pipes.size == 5)
+    assert(q.pipes.size == 4)
     assert(q.pipes(0) == Pipe.Fields(Seq("a", "b")))
-    assert(q.pipes(2) == Pipe.Sort(Seq(SortKey("a", desc = true)), Some(10), 0, None, Nil))
-    assert(q.pipes(3) == Pipe.Limit(5))
-    assert(q.pipes(4) == Pipe.Offset(2))
+    assert(q.pipes(2).asInstanceOf[Pipe.Sort].copy(canon = None) == Pipe.Sort(Seq(SortKey("a", desc = true)), Some(5), 0, None, Nil))
+    assert(q.pipes(3) == Pipe.Offset(2))
   }
 
   test("stats pipe with buckets and aliases") {
@@ -157,9 +160,9 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("first/last desugar to sort") {
-    assert(parse("* | first 3 by (x)").pipes.head ==
+    assert(parse("* | first 3 by (x)").pipes.head.asInstanceOf[Pipe.Sort].copy(canon = None) ==
       Pipe.Sort(Seq(SortKey("x", desc = false)), Some(3), 0, None, Nil))
-    assert(parse("* | last 3 by (x)").pipes.head ==
+    assert(parse("* | last 3 by (x)").pipes.head.asInstanceOf[Pipe.Sort].copy(canon = None) ==
       Pipe.Sort(Seq(SortKey("x", desc = true)), Some(3), 0, None, Nil))
   }
 
@@ -197,24 +200,23 @@ class ParserSpec extends AnyFunSuite {
       case Pipe.Where(_) => ()
       case other => fail(s"expected Where, got $other")
     }
-    // bare words become a word-AND filter pipe (reference parsePipeFilter
-    // without keyword), NOT an unknown-pipe error
-    parse("* | bogus_pipe x").pipes.head match {
-      case Pipe.Where(_) => ()
-      case other => fail(s"expected Where, got $other")
-    }
+    // bare words become a filter pipe (reference parsePipeFilter without
+    // keyword) which, in FIRST position, merges into the query filter
+    // (optimizeNoSubqueries) — NOT an unknown-pipe error
+    val bq = parse("* | bogus_pipe x")
+    assert(bq.pipes.isEmpty, bq)
+    assert(bq.filter == Filter.And(Seq(Phrase("_msg", "bogus_pipe"), Phrase("_msg", "x"))))
     // non-word pipe heads fall through to the filter too
-    parse("* | \"exact phrase\"").pipes.head match {
-      case Pipe.Where(_) => ()
-      case other => fail(s"expected Where, got $other")
-    }
+    val pq = parse("* | \"exact phrase\"")
+    assert(pq.pipes.isEmpty, pq)
+    assert(pq.filter == Phrase("_msg", "exact phrase"))
   }
 
   test("docs-sweep grammar forms (every LogsQL.md example parses)") {
     // bare fieldless function filters apply to _msg
     assert(parse("seq(\"error\", \"open file\")").filter ==
       Filter.Sequence("_msg", scala.Seq("error", "open file")))
-    assert(parse("len_range(5, 10)").filter == Filter.LenRange("_msg", 5, 10))
+    assert(parse("len_range(5, 10)").filter == Filter.LenRange("_msg", 5, 10, "len_range(5, 10)"))
     parse("contains_all(foo, \"bar baz\")").filter match {
       case Filter.ContainsAll("_msg", vs) => assert(vs == scala.Seq("foo", "bar baz"))
       case other => fail(other.toString)

@@ -58,14 +58,26 @@ def parse_go_string(src, i):
                 j += 1
 
 
-def extract(body):
-    """Yield first-argument strings of every f(...) call in body."""
+def extract(body, pairs=False):
+    """Yield first-argument strings (or (first, second) pairs) of every
+    f(...) call in body."""
     for m in re.finditer(r'(?m)^\tf\(', body):
         i = m.end()
         while body[i] in ' \t\n':
             i += 1
-        val, _ = parse_go_string(body, i)
-        yield val
+        val, j = parse_go_string(body, i)
+        if not pairs:
+            yield val
+            continue
+        while body[j] in ' \t\n':
+            j += 1
+        if body[j] != ',':
+            raise ValueError(f"expected ',' after first arg at {j}")
+        j += 1
+        while body[j] in ' \t\n':
+            j += 1
+        want, _ = parse_go_string(body, j)
+        yield val, want
 
 
 def func_body(src, name):
@@ -88,6 +100,15 @@ def main():
             for v in vals:
                 fh.write(json.dumps(v, ensure_ascii=False) + "\n")
         print(f"{out}: {len(vals)} cases")
+    # (input, canonical) pairs for the renderer conformance spec
+    vals = list(extract(func_body(src, "TestParseQuery_Success"), pairs=True))
+    path = os.path.join(OUT, "parser_canonical.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# [input, canonical] pairs from TestParseQuery_Success "
+                 "(parser_test.go) by tools/extract_parser_corpus.py\n")
+        for v in vals:
+            fh.write(json.dumps(list(v), ensure_ascii=False) + "\n")
+    print(f"parser_canonical.txt: {len(vals)} pairs")
 
 
 if __name__ == "__main__":
