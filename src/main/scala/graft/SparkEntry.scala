@@ -1371,9 +1371,11 @@ object SparkEntry {
       """SELECT event_type,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS sk
          FROM events GROUP BY 1 ORDER BY 1""",
+    // pack_json marshals the all-string field model: every value is a
+    // JSON STRING (rows.go MarshalFieldsToJSON), so numbers are quoted
     "q_lql_pack" ->
       """SELECT count(*) AS hits,
-         CAST(min(length('{"event_id":' || event_id || ',"event_type":"signup"}')) AS BIGINT) AS mn
+         CAST(min(length('{"event_id":"' || event_id || '","event_type":"signup"}')) AS BIGINT) AS mn
          FROM events WHERE event_type = 'signup'""",
     "q_lql_replace" ->
       """SELECT CAST(sum(length(regexp_replace(replace(text, 'spark', 'sparkle'), 'jo\w+n', 'J', 'g'))) AS BIGINT) AS sl
@@ -1552,13 +1554,14 @@ object SparkEntry {
     // hash pipe emits the engine's xxhash64 — deterministic, so the five
     // (event_type, h) pairs are pinned as constants (same trick as
     // q_multimodal_decode: a VALUES oracle for engine-internal values)
+    // xxhash64 seed 0 & (2^53-1) — getFloat64CompatibleHash, pipe_hash.go:142
     "q_lql_hash" ->
       """SELECT * FROM (VALUES
-         ('click',    CAST(7851395633440214954 AS BIGINT)),
-         ('error',    CAST(6881330540950751673 AS BIGINT)),
-         ('purchase', CAST(7798363455734685992 AS BIGINT)),
-         ('signup',   CAST(-317780457380059067 AS BIGINT)),
-         ('view',     CAST(4012769036056163235 AS BIGINT))
+         ('click',    CAST(8116660387191972 AS BIGINT)),
+         ('error',    CAST(5451198409777667 AS BIGINT)),
+         ('purchase', CAST(3108017262890927 AS BIGINT)),
+         ('signup',   CAST(8194024391161702 AS BIGINT)),
+         ('view',     CAST(2845674644794839 AS BIGINT))
          ) AS t(event_type, h) ORDER BY event_type""",
     // sample is deterministic content-hash 1-in-n (Compiler.Sample), so
     // the surviving-row count per scale factor is a pinned constant —

@@ -46,55 +46,112 @@ case class CollapseNumsExpr(child: Expression, prettify: Boolean)
 
 object CollapseNums {
 
-  private val uuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val hexRe = "\\b0[xX][0-9a-fA-F]+\\b|\\b[0-9a-fA-F]{16,}\\b"
-  private val numRe = "\\b\\d+(?:\\.\\d+)?\\b"
+  // --- the reference scan, rune for rune (appendCollapseNums,
+  // pipe_collapse_nums.go:123-160): a decimal/hex run starting after a
+  // non-token char (or one of the special unit/format runes) collapses
+  // to <N> when it ends before a non-token char (or a special end rune)
+  // and passes the hex plausibility gate.
 
-  // Fewer passes than the chain, but NOT one: merging passes is only
-  // sound when no later-pass match can (a) overlap an earlier-pass match
-  // that starts later — a uuid at offset 8 of a 16-hex run beats the hex
-  // at offset 0; an ip at "1.2.3.4" of "1234.1.2.3.4" beats the num at
-  // "1234.1" — or (b) depend on a boundary the earlier REPLACEMENT
-  // creates: uuid has no trailing \b, so it can end mid-word-run and its
-  // "<uuid>" text manufactures the boundary the ip/num behind it needs
-  // ("…-12345678901210.0.255.1"). uuid and ip therefore stay separate
-  // passes. hex|num merge safely: both anchor whole word runs (overlap ⇒
-  // same start, where alternation order = pass order) and end at real
-  // boundaries — except num's fraction, which can cross a dot into a
-  // ≥16-digit run the hex pass would have claimed; capping the fraction
-  // at 15 digits makes num decline exactly those, and the hex
-  // alternative claims them at their own run start.
-  private val uuidPass = java.util.regex.Pattern.compile(s"($uuidRe)")
-  private val ipPass = java.util.regex.Pattern.compile(s"($ipRe)")
-  private val numCappedRe = "\\b\\d+(?:\\.\\d{1,15}\\b)?\\b"
-  private val passB = java.util.regex.Pattern.compile(s"($hexRe)|($numCappedRe)")
+  private def isDecimalOrHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || isHex(c)
 
-  private def runPass(s: String, p: java.util.regex.Pattern,
-                      rep1: String, rep2: String): String = {
-    val m = p.matcher(s)
-    if (!m.find()) return s
+  private def isHex(c: Char): Boolean =
+    (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def isTokenChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private def isSpecialStart(c: Char): Boolean =
+    c == 'T' || c == 'X' || c == 'x' || c == 'v' || c == 's' || c == 'h' || c == 'm'
+
+  private def isSpecialEnd(c: Char): Boolean =
+    c == 'T' || c == 'Z' || c == 's' || c == 'm' || c == 'h' ||
+      c == 'μ' || c == 'u' || c == 'n'
+
+  /** canBeTreatedAsNum: decimal-only runs always; runs with hex letters
+    * only when >= 4 chars and even length (filters "be", "ad", "abc"). */
+  private def canBeNum(s: String, from: Int, until: Int): Boolean = {
+    var hasHex = false
+    var i = from
+    while (i < until) { if (isHex(s.charAt(i))) hasHex = true; i += 1 }
+    if (!hasHex) true
+    else { val n = until - from; n >= 4 && n % 2 == 0 }
+  }
+
+  private def collapse(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
-    var last = 0
-    do {
-      sb.append(s, last, m.start)
-      sb.append(if (m.start(1) >= 0) rep1 else rep2)
-      last = m.end
-    } while (m.find())
-    sb.append(s, last, s.length)
+    var start = 0
+    var numStart = -1
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isDecimalOrHex(c)) {
+        if (numStart < 0 &&
+            (i == 0 || isSpecialStart(s.charAt(i - 1)) || !isTokenChar(s.charAt(i - 1))))
+          numStart = i
+      } else if (numStart >= 0) {
+        sb.append(s, start, numStart)
+        if ((!isSpecialEnd(c) && isTokenChar(c)) || !canBeNum(s, numStart, i))
+          sb.append(s, numStart, i)
+        else sb.append("<N>")
+        start = i
+        numStart = -1
+      }
+      i += 1
+    }
+    if (numStart >= 0 && canBeNum(s, numStart, n)) {
+      sb.append(s, start, numStart)
+      sb.append("<N>")
+    } else sb.append(s, start, n)
     sb.toString
+  }
+
+  // --- prettify (appendPrettifyCollapsedNums, :197-207): sequential
+  // literal replaces, each optionally eating a tail right after a match.
+
+  private def replaceAll(s: String, old: String, rep: String,
+                         skipTail: String => String): String = {
+    var idx = s.indexOf(old)
+    if (idx < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var rest = s
+    while (idx >= 0) {
+      sb.append(rest, 0, idx)
+      sb.append(rep)
+      rest = rest.substring(idx + old.length)
+      if (skipTail != null) rest = skipTail(rest)
+      idx = rest.indexOf(old)
+    }
+    sb.append(rest)
+    sb.toString
+  }
+
+  private val skipSubsecs: String => String = s =>
+    if (s.startsWith(".<N>") || s.startsWith(",<N>")) s.substring(4) else s
+
+  private val skipTimezone: String => String = s =>
+    if (s.startsWith("Z")) s.substring(1)
+    else if (s.startsWith("-<N>:<N>") || s.startsWith("+<N>:<N>")) s.substring(8)
+    else s
+
+  private def prettifyStr(s0: String): String = {
+    var s = s0
+    s = replaceAll(s, "<N>-<N>-<N>-<N>-<N>", "<UUID>", null)
+    s = replaceAll(s, "<N>.<N>.<N>.<N>", "<IP4>", null)
+    s = replaceAll(s, "<N>:<N>:<N>", "<TIME>", skipSubsecs)
+    s = replaceAll(s, "<N>-<N>-<N>", "<DATE>", null)
+    s = replaceAll(s, "<N>/<N>/<N>", "<DATE>", null)
+    s = replaceAll(s, "<DATE>T<TIME>", "<DATETIME>", skipTimezone)
+    s = replaceAll(s, "<DATE> <TIME>", "<DATETIME>", skipTimezone)
+    s
   }
 
   def eval(text: UTF8String, prettify: Boolean): UTF8String = {
     val s0 = text.toString
-    val s1 =
-      if (prettify) runPass(s0, uuidPass, "<uuid>", "<uuid>")
-      else runPass(s0, uuidPass, "<N>-<N>-<N>-<N>-<N>", "")
-    val s2 = if (prettify) runPass(s1, ipPass, "<ip4>", "<ip4>") else s1
-    val s3 =
-      if (prettify) runPass(s2, passB, "<hex>", "<N>")
-      else runPass(s2, passB, "<N>", "<N>")
-    if (s3 eq s0) text else UTF8String.fromString(s3)
+    val s1 = collapse(s0)
+    val s2 = if (prettify) prettifyStr(s1) else s1
+    if (s2 == s0) text else UTF8String.fromString(s2)
   }
 
   private def ensureRegistered(): Unit = GraftFunctions.ensure()

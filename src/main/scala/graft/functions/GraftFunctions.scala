@@ -43,6 +43,22 @@ object GraftFunctions {
     ("graft_logfmt",
       "graft_logfmt(s) - parse a logfmt line into a map<string,string>",
       es => LogfmtToMap(es.head)),
+    ("graft_xxhash64_seed0",
+      "graft_xxhash64_seed0(s) - xxHash64 with seed 0 (Go xxhash.Sum64; " +
+        "Spark's xxhash64 seeds with 42)",
+      es => org.apache.spark.sql.catalyst.expressions.XxHash64(es, 0L)),
+    ("graft_pattern_apply",
+      "graft_pattern_apply(s, steps) - extract-pattern capture array " +
+        "(pattern.go apply semantics)",
+      es => PatternApplyExpr(es.head, PatternApplyExpr.decodeSteps(str(es(1))))),
+    ("graft_go_round",
+      "graft_go_round(x, nearest) - round to nearest with the reference's " +
+        "decimal-truncation algorithm",
+      es => GoRoundExpr(es(0), es(1))),
+    ("graft_json_flatten",
+      "graft_json_flatten(s) - JSON object to a flattened map " +
+        "(nested objects become dot-separated keys, reference logjson shape)",
+      es => JsonFlattenExpr(es.head)),
     ("graft_json_get",
       "graft_json_get(json, seg, ...) - scalar JSON field lookup; " +
         "sentinel for object/array values",

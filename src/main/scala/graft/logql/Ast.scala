@@ -273,9 +273,12 @@ final case class SortCanon(form: String, n: Option[Long],
 final case class ByField(name: String, bucket: Option[String],
                          offset: Option[String])
 
-/** One step of an `extract` pattern: capture into `field` (None = literal
-  * only), then match literal `sep` (empty = capture to end). */
-final case class PatternStep(prefix: String, field: Option[String])
+/** One step of an `extract` pattern: after literal `prefix`, capture
+  * into `field` (None = trailing literal, Some("") = anonymous skip);
+  * `opt` is the `<opt:name>` modifier — "plain" disables quote-aware
+  * capture (pattern.go patternStep). */
+final case class PatternStep(prefix: String, field: Option[String],
+                             opt: String = "")
 
 // ---------------------------------------------------------------------------
 // Stats functions (reference: lib/logstorage/stats_*.go, SURVEY.md §2.3)
@@ -319,23 +322,36 @@ object StatsFunc {
 sealed trait MathExpr
 
 object MathExpr {
-  final case class Num(v: Double) extends MathExpr
+  /** `repr` keeps the source token (`10m5s`, `0x1234`, a quoted
+    * timestamp) for canonical rendering — the VALUE is resolved at parse
+    * like the reference's mathExpr consts (parseMathNumber). */
+  final case class Num(v: Double, repr: String = "") extends MathExpr
   final case class FieldRef(name: String) extends MathExpr
   final case class Bin(op: String, l: MathExpr, r: MathExpr) extends MathExpr
   final case class Neg(e: MathExpr) extends MathExpr
   final case class Call(fn: String, args: Seq[MathExpr]) extends MathExpr
 
   /** Result-field name for a `| math expr` entry WITHOUT an `as` clause:
-    * the expression's own rendering (pipe_math.go parseMathEntry falls
-    * back to mathExpr.String(); parens mirror its priority rules). */
+    * the expression's own rendering (pipe_math.go mathExpr.String() —
+    * priorities from mathBinaryOps, lower binds tighter: pow, then
+    * mul/div/mod, then add/sub, then and, xor, or, default; a LEFT child
+    * parenthesizes when strictly looser, a RIGHT child when
+    * equal-or-looser). */
   def render(e: MathExpr): String = {
     def prio(op: String): Int = op match {
-      case "^" => 100
-      case "*" | "/" | "%" => 10
-      case _ => 1
+      case "^" => 1
+      case "*" | "/" | "%" => 2
+      case "+" | "-" => 3
+      case "&" => 4
+      case "xor" => 5
+      case "or" | "|" => 6
+      case "default" => 10
+      case _ => 10
     }
     e match {
-      case Num(v) => if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+      case Num(v, repr) =>
+        if (repr.nonEmpty) repr
+        else if (v == v.toLong.toDouble) v.toLong.toString else v.toString
       case FieldRef(n) => n
       case Neg(inner) =>
         val s = render(inner)

@@ -642,10 +642,17 @@ object Compiler {
       df.withColumn(out, octet_length(strF(df, fld)).cast(LongType))
 
     case Pipe.Hash(fld, out) =>
-      df.withColumn(out, xxhash64(strF(df, fld)))
+      // getFloat64CompatibleHash (pipe_hash.go:142): xxhash64 with SEED 0
+      // (Go xxhash.Sum64; Spark's builtin seeds with 42), truncated to 53
+      // bits so the value survives float64 round-trips
+      df.withColumn(out,
+        graft.functions.JsonFlattenExpr.xxhash64Seed0(strF(df, fld))
+          .bitwiseAND(lit((1L << 53) - 1)))
 
     case Pipe.JsonArrayLen(fld, out) =>
-      df.withColumn(out, json_array_length(strF(df, fld)).cast(LongType))
+      // non-array / missing values count as 0 (pipe_json_array_len.go)
+      df.withColumn(out,
+        coalesce(json_array_length(strF(df, fld)).cast(LongType), lit(0L)))
 
     case Pipe.UnpackJson(from, fieldsList, prefix, keep, skipE, iff) =>
       applyUnpack(df, from, iff, ctx) { (d, cond) =>
@@ -672,7 +679,7 @@ object Compiler {
           val folded = wild.foldLeft(d1) { (dd, w) =>
             val p = w.dropRight(1)
             val parsed = map_filter(
-              dedupKeysFirst(from_json(src(dd), MapType(StringType, StringType))),
+              graft.functions.JsonFlattenExpr.flattenCol(src(dd)),
               (k, _) => k.startsWith(p))
             mergeIntoFields(dd, parsed, prefix, keep, skipE, cond)
           }
@@ -680,22 +687,22 @@ object Compiler {
         } else boundedUnpackTargets(ctx, prefix) match {
           case Some(targets) =>
             // Needed-fields-bounded bare unpack: downstream reads only
-            // `targets`, so extract per-key with the JsonGet kernel
-            // instead of materializing every document key as a map and
-            // merging it (the reference prunes the same way via
-            // updateNeededFields, pipe.go:11-55). A non-object root
-            // yields no fields, like the full from_json(Map) parse.
-            // Micro-deviation: an explicit JSON null entry reads back as
-            // a missing key here, while the full parse merges a null
-            // entry that masks an earlier value (both render as ""
-            // unless the key pre-existed non-empty).
-            val src = strF(d, from)
-            val isObj = startswith(ltrim(src, " \t\n\r"), lit("{"))
-            applyBoundedUnpack(d, targets, prefix, keep, skipE, cond,
-              k => when(isObj, graft.functions.JsonGet.scalarOrJson(src, k)))
+            // `targets`, so the flattened map is built ONCE per row and
+            // only those keys are written — no per-document fields-map
+            // merge reaches the plan (the reference prunes the same way
+            // via updateNeededFields, pipe.go:11-55). Sharing the SAME
+            // JsonFlatten kernel as the unbounded path makes the two
+            // byte-identical by construction (pinned by the differential
+            // fuzz in NeededFieldsSpec).
+            val flat = graft.functions.JsonFlattenExpr.flattenCol(strF(d, from))
+            val d0 = d.withColumn("__unpack_flat", flat)
+            val out = applyBoundedUnpack(d0, targets, prefix, keep, skipE, cond,
+              k => element_at(col("__unpack_flat"), k))
+            out.drop("__unpack_flat")
           case None =>
-            val parsed = dedupKeysFirst(
-              from_json(strF(d, from), MapType(StringType, StringType)))
+            // reference logjson shape: nested objects flatten into
+            // dot-separated keys, first duplicate wins, NaN tolerated
+            val parsed = graft.functions.JsonFlattenExpr.flattenCol(strF(d, from))
             mergeIntoFields(d, parsed, prefix, keep, skipE, cond)
         }
       }
@@ -747,16 +754,39 @@ object Compiler {
       df.withColumn(out, to_json(limited))
 
     case Pipe.Unroll(fields, iff) =>
-      // rows failing the `if` keep their original (un-unrolled) value
+      // rows failing the `if` keep their original (un-unrolled) value.
+      // Multiple fields unroll in LOCKSTEP (pipe_unroll.go zips the i-th
+      // elements together, padding the shorter arrays with empty), NOT
+      // as a cross product; an explicit JSON null element becomes the
+      // string "null" while a missing element stays empty.
       val cond = iff.map(f => compileFilter(df, f, ctx))
-      fields.foldLeft(df) { (d, f) =>
-        val parsed = from_json(strF(d, f), ArrayType(StringType))
+      val arrCols = fields.map { f =>
+        val parsed0 = from_json(strF(df, f), ArrayType(StringType),
+          Map("allowNonNumericNumbers" -> "true"))
+        // Spark string-coerces the non-standard NaN/Infinity JSON tokens
+        // WITH quote marks; the reference yields the bare token
+        val parsed = transform(parsed0, x =>
+          regexp_replace(x, "^\"(NaN|[+-]?Infinity)\"$", "$1"))
         val arr = cond match {
-          case Some(c) => when(c, parsed).otherwise(array(strF(d, f)))
+          case Some(c) => when(c, parsed).otherwise(array(strF(df, f)))
           case None => parsed
         }
-        d.withColumn(f, explode_outer(arr))
+        f -> coalesce(arr, array().cast(ArrayType(StringType)))
       }
+      val withArrs = arrCols.foldLeft(df) { case (d, (f, a)) =>
+        d.withColumn("__arr_" + f, a)
+      }
+      val maxLen = greatest(
+        (lit(0) +: fields.map(f => size(col("__arr_" + f)))): _*)
+      val idx = withArrs.withColumn("__i",
+        explode_outer(when(maxLen > 0, sequence(lit(0), maxLen - 1))))
+      val out = fields.foldLeft(idx) { (d, f) =>
+        val a = col("__arr_" + f)
+        d.withColumn(f,
+          when(col("__i").isNotNull && col("__i") < size(a),
+            coalesce(element_at(a, col("__i") + 1), lit("null"))))
+      }
+      out.drop("__i").drop(fields.map("__arr_" + _): _*)
 
     case Pipe.BlocksCount(out) =>
       // project the file name BEFORE aggregating: count_distinct over the
@@ -770,25 +800,46 @@ object Compiler {
         .agg(count(lit(1)).as("rows"))
 
     case Pipe.PackJson(out, fieldsList) =>
-      val names = if (fieldsList.nonEmpty) fieldsList
-                  else df.columns.toSeq
-      df.withColumn(out,
-        to_json(struct(names.map(n => anyF(df, n).as(n)): _*)))
+      df.withColumn(out, to_json(packMap(df, fieldsList)))
 
     case Pipe.PackLogfmt(out, fieldsList) =>
-      val names = if (fieldsList.nonEmpty) fieldsList else df.columns.toSeq
-      df.withColumn(out, concat_ws(" ",
-        names.map(n => concat(lit(n + "="), strF(df, n))): _*))
+      // logfmt marshalling quotes a value only when it contains chars
+      // <= 0x20, '"' or '\\' (rows.go isLogfmtSpecialChar); the JSON
+      // escape of to_json(array(v)) provides the exact quoting
+      val entries = map_entries(packMap(df, fieldsList))
+      val line = array_join(transform(entries, e => {
+        val v = e.getField("value")
+        concat(e.getField("key"), lit("="),
+          when(v.rlike("[\\x00-\\x20\"\\\\]"),
+            regexp_replace(to_json(array(v)), "^\\[|\\]$", ""))
+            .otherwise(v))
+      }), " ")
+      df.withColumn(out, line)
 
     case Pipe.DropEmptyFields =>
-      if (hasFieldsMap(df))
-        df.withColumn("fields",
-          map_filter(col("fields"), (_, v) => v.isNotNull && v =!= ""))
-      else df
+      // rows where EVERY field is empty are dropped entirely
+      // (pipe_drop_empty_fields.go: "skip rows with empty fields")
+      val d1 =
+        if (hasFieldsMap(df))
+          df.withColumn("fields",
+            map_filter(col("fields"), (_, v) => v.isNotNull && v =!= ""))
+        else df
+      val nonEmptyCols = d1.schema.fields.toSeq.map { fd =>
+        val c = col(quoteName(fd.name))
+        fd.dataType match {
+          case _: MapType => size(c) > 0
+          case _ => c.isNotNull && c.cast(StringType) =!= ""
+        }
+      }
+      d1.filter(nonEmptyCols.reduce(_ || _))
 
     case Pipe.Decolorize(fld) =>
+      // the reference strips WHOLE ANSI CSI sequences (color_sequence.go:
+      // parameter bytes 0x30-0x3f, intermediate 0x20-0x2f, one final byte
+      // 0x30-0x7e), not just SGR color codes
       df.withColumn(fld,
-        regexp_replace(strF(df, fld), "\u001b\\[[0-9;]*m", ""))
+        regexp_replace(strF(df, fld),
+          "\u001b\\[[0-9:;<=>?]*[ -/]*[0-~]?", ""))
 
     case Pipe.CollapseNums(fld, prettify, iff) =>
       val collapsed = collapseNums(strF(df, fld), prettify)
@@ -1034,9 +1085,51 @@ object Compiler {
     if (k.desc) cols.map(_.desc) else cols.map(_.asc)
   }
 
+  /** The (name -> non-empty value) map a pack_json/pack_logfmt row
+    * carries: explicit field filters expand `p*` wildcards over columns
+    * AND dynamic map entries; no filters = every field. Empty values are
+    * skipped — the reference packs the block's own columns, and in the
+    * uniform relation "present" is "non-empty" (pipe_pack.go). */
+  private def packMap(df: DataFrame, fieldsList: Seq[String]): Column = {
+    val hasMap = hasFieldsMap(df)
+    val topNames =
+      if (fieldsList.nonEmpty) expandWildcards(df, fieldsList).filter(n => !(n == "fields" && hasMap))
+      else df.columns.toSeq.filter(n => !(n == "fields" && hasMap))
+    val static =
+      if (topNames.isEmpty) map().cast(MapType(StringType, StringType))
+      else map(topNames.flatMap(n => Seq(lit(n), strF(df, n))): _*)
+    val full =
+      if (!hasMap) static
+      else {
+        val tops = topNames.map(lit(_))
+        val wilds = fieldsList.filter(isWildcardField).map(_.dropRight(1))
+        val plains = fieldsList.filterNot(isWildcardField).toSet
+        val dynWanted =
+          if (fieldsList.isEmpty) map_filter(col("fields"), (k, _) =>
+            if (tops.isEmpty) lit(true) else !k.isin(topNames.map(x => x: Any): _*))
+          else map_filter(col("fields"), (k, _) => {
+            val byWild = wilds.map(p => k.startsWith(p))
+            val byPlain =
+              if (plains.isEmpty) Nil
+              else Seq(k.isin(plains.toSeq.map(x => x: Any): _*))
+            val matches = (byWild ++ byPlain).reduceOption(_ || _).getOrElse(lit(false))
+            if (topNames.isEmpty) matches
+            else matches && !k.isin(topNames.map(x => x: Any): _*)
+          })
+        map_concat(static, dynWanted)
+      }
+    map_filter(full, (_, v) => v.isNotNull && v =!= "")
+  }
+
   private def applySort(df: DataFrame, s: Pipe.Sort): DataFrame = {
+    // no explicit keys = sort by ALL fields; `last` / `sort ... desc`
+    // flip the default direction (pipe_sort.go byFields==nil compares
+    // whole rows; the flip arrives via canon since the key list is
+    // resolved only here, where the relation's columns are known)
+    val defaultDesc = s.canon.exists(c =>
+      c.form == "last" || (c.keys.isEmpty && c.desc))
     val keys = if (s.keys.nonEmpty) s.keys
-               else df.columns.toSeq.map(SortKey(_, desc = false))
+               else df.columns.toSeq.map(SortKey(_, desc = defaultDesc))
     val exprs = keys.flatMap(sortExprs(df, _))
     if (s.partitionBy.nonEmpty) {
       // strF, not raw col: a partition field the relation lacks reads as
@@ -1456,7 +1549,8 @@ object Compiler {
       case Some(t) if !t.isInstanceOf[StringType] => numF(df, name)
       case _ =>
         rawField(df, name) match {
-          case None => lit(null).cast(DoubleType)
+          // parseMathNumber never fails: a missing field is NaN
+          case None => lit(Double.NaN)
           case Some(c0) =>
             val s = c0.cast(StringType)
             coalesce(
@@ -1479,7 +1573,9 @@ object Compiler {
                     .cast(DoubleType))),
               when(s.rlike("^\\d{4}-\\d{2}-\\d{2}T"),
                 unix_micros(s.try_cast("timestamp")).cast(DoubleType) * 1e3),
-              ipv4Num(s).cast(DoubleType))
+              ipv4Num(s).cast(DoubleType),
+              // parseMathNumber never fails: anything else is NaN
+              lit(Double.NaN))
         }
     }
 
@@ -1506,7 +1602,7 @@ object Compiler {
   }
 
   private def mathCol(df: DataFrame, e: MathExpr, ctx: Ctx): Column = e match {
-    case MathExpr.Num(v) => lit(v)
+    case MathExpr.Num(v, _) => lit(v)
     case MathExpr.FieldRef(n) => mathNumF(df, n)
     case MathExpr.Neg(x) => -mathCol(df, x, ctx)
     case MathExpr.Bin(op, l, r) =>
@@ -1528,9 +1624,18 @@ object Compiler {
             .when(a.isNotNull && b.isNotNull, lit(Double.NaN))
             .otherwise(lit(null).cast(DoubleType))
         case "^" => pow(a, b)
-        case "&" => (a.cast(LongType) bitwiseAND b.cast(LongType)).cast(DoubleType)
+        case "&" =>
+          when(isnan(a) || isnan(b), lit(Double.NaN))
+            .otherwise((a.cast(LongType) bitwiseAND b.cast(LongType)).cast(DoubleType))
         case "|" => (a.cast(LongType) bitwiseOR b.cast(LongType)).cast(DoubleType)
-        case "xor" => (a.cast(LongType) bitwiseXOR b.cast(LongType)).cast(DoubleType)
+        case "xor" =>
+          when(isnan(a) || isnan(b), lit(Double.NaN))
+            .otherwise((a.cast(LongType) bitwiseXOR b.cast(LongType)).cast(DoubleType))
+        // `or` is the keyword spelling of bitwise OR in math context
+        // (mathFuncOr, pipe_math.go:862; NaN operands poison to NaN)
+        case "or" =>
+          when(isnan(a) || isnan(b), lit(Double.NaN))
+            .otherwise((a.cast(LongType) bitwiseOR b.cast(LongType)).cast(DoubleType))
         // the reference's missing-value sentinel is NaN and `default`
         // replaces it (mathFuncDefault, pipe_math.go:944-953); here
         // missing parses to NULL, but genuine NaN still arises (0/0,
@@ -1542,14 +1647,28 @@ object Compiler {
       fn match {
         case "abs" => abs(as.head)
         case "exp" => exp(as.head)
-        case "ln" => log(as.head)
+        case "ln" =>
+          // Go math.Log: Log(0) = -Inf, Log(x<0) = NaN, Log(NaN) = NaN —
+          // Spark's log() nulls all three
+          val x = as.head
+          when(x > 0d, log(x))
+            .when(x === 0d, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN))
         case "max" => greatest(as: _*)
         case "min" => least(as: _*)
-        case "ceil" => ceil(as.head).cast(DoubleType)
-        case "floor" => floor(as.head).cast(DoubleType)
+        case "ceil" =>
+          when(isnan(as.head) || as.head.isNull, lit(Double.NaN))
+            .otherwise(ceil(as.head).cast(DoubleType))
+        case "floor" =>
+          when(isnan(as.head) || as.head.isNull, lit(Double.NaN))
+            .otherwise(floor(as.head).cast(DoubleType))
         case "round" =>
-          if (as.size <= 1) round(as.head, 0).cast(DoubleType)
-          else (round(as.head / as(1), 0) * as(1)).cast(DoubleType)
+          // 1-arg: Go math.Round (half away from zero = Spark round);
+          // 2-arg: the reference's decimal-truncating nearest-round
+          if (as.size <= 1)
+            when(isnan(as.head), lit(Double.NaN))
+              .otherwise(round(as.head, 0).cast(DoubleType))
+          else graft.functions.GoRound.roundCol(as.head, as(1))
         // Unix NANOS, not seconds (pipe_math.go:1030 uses UnixNano; the
         // format pipe's <time:...> unit auto-detection round-trips it)
         case "now" => lit(ctx.nowNs.toDouble)
@@ -1566,7 +1685,11 @@ object Compiler {
     case "uc" => upper(c)
     case "lc" => lower(c)
     case "base64encode" => base64(c.cast(BinaryType))
-    case "base64decode" => unbase64(c).cast(StringType)
+    case "base64decode" =>
+      // decode failures keep the original value (pipe_format.go:183-189);
+      // Spark's unbase64 is lenient, so gate on strict std-encoding shape
+      when(c.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})?$"),
+        unbase64(c).cast(StringType)).otherwise(c)
     case "hexencode" => hex(c.cast(BinaryType))
     case "hexdecode" => unhex(c).cast(StringType)
     case "hexnumencode" =>
@@ -1675,28 +1798,17 @@ object Compiler {
   // -------------------------------------------------------------- extract
 
   private def applyExtract(df: DataFrame, e: Pipe.Extract, ctx: Ctx): DataFrame = {
-    // steps → one regex; each <field> becomes a capture group. Non-greedy
-    // before a literal separator, greedy at the end (pattern.go semantics).
-    val sb = new StringBuilder("(?s)")
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    e.steps.zipWithIndex.foreach { case (st, i) =>
-      sb.append(java.util.regex.Pattern.quote(st.prefix))
-      st.field.foreach { f =>
-        names += f
-        val isLast = i == e.steps.size - 1 ||
-          e.steps.drop(i + 1).forall(s2 => s2.prefix.isEmpty && s2.field.isDefined)
-        sb.append(if (isLast) "(.*)" else "(.*?)")
-      }
-    }
-    val re = sb.result()
-    // one regex execution per row (all groups at once) and one simultaneous
-    // projection: the previous per-field regexp_extract fold re-ran the
-    // regex N times per row AND let the if-condition / keep-original reads
-    // resolve against already-overwritten columns (torn rows)
+    // One PatternApplyExpr execution per row (pattern.go apply semantics:
+    // quote-aware captures, progressive partial matches) and one
+    // simultaneous projection — per-field folds would tear rows under
+    // keep_original / if-condition reads.
+    val stepSpec = e.steps.map(st => (st.prefix, st.opt))
     applyUnpack(df, e.from, e.iff, ctx.copy(source = df)) { (d, cond) =>
-      val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
-      val writes = names.zipWithIndex.collect {
-        case (f, i) if f != "_" =>
+      val groups =
+        graft.functions.PatternApplyExpr.patternApply(strF(d, e.from), stepSpec)
+      val writes = e.steps.zipWithIndex.collect {
+        case (st, i) if st.field.exists(_.nonEmpty) =>
+          val f = st.field.get
           val v = element_at(groups, i + 1)
           val v2 =
             if (e.keepOriginal) when(nonEmpty(d, f), strF(d, f)).otherwise(v)
@@ -1713,14 +1825,18 @@ object Compiler {
 
   private def applyExtractRegexp(df: DataFrame, e: Pipe.ExtractRegexp, ctx: Ctx): DataFrame = {
     val re = e.re.replace("(?P<", "(?<")
-    // capture-group names with their group indexes
+    // capture-group names with their group indexes; named groups are
+    // REWRITTEN to plain groups for the JVM matcher (Java rejects names
+    // Go allows, like `(?P<_msg>...)` — names starting with '_')
     val names = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val plain = new StringBuilder
     var idx = 0
     var i = 0
     var inClass = false // '(' inside [...] is a literal, not a group
     while (i < re.length) {
       val escaped = i > 0 && re(i - 1) == '\\' &&
         (i < 2 || re(i - 2) != '\\') // "\\(": the paren IS a group opener
+      var consumed = false
       if (!escaped && !inClass && re(i) == '[') inClass = true
       else if (!escaped && inClass && re(i) == ']') inClass = false
       else if (re(i) == '(' && !escaped && !inClass) {
@@ -1733,13 +1849,17 @@ object Compiler {
               throw ParseException(
                 s"unterminated named capture group in regexp '$re'", i)
             names += ((re.substring(i + 3, end), idx))
+            plain.append('(')
+            i = end + 1
+            consumed = true
           }
         } else idx += 1
       }
-      i += 1
+      if (!consumed) { plain.append(re(i)); i += 1 }
     }
+    val reJava = plain.result()
     applyUnpack(df, e.from, e.iff, ctx.copy(source = df)) { (d, cond) =>
-      val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), re)
+      val groups = graft.functions.ExtractGroups.extractGroups(strF(d, e.from), reJava)
       val writes = names.map { case (f, gi) =>
         val v0 = element_at(groups, gi)
         // same option semantics as extract (pipe_extract_regexp.go:180)
@@ -1783,9 +1903,13 @@ object Compiler {
     // A/B kill switch (perf probes, field debugging): forces the full
     // from_json path even when the needed set is known
     if (sys.props.contains("graft.neededfields.disable")) return None
+    // dotted keys are fine: the bounded path reads the SAME flattened map
+    // the full path merges, so `a.b` resolves identically (literal key
+    // first, nested path otherwise — JsonFlattenExpr first-wins order)
     def plainKey(k: String): Boolean =
       k.nonEmpty &&
-        k.forall(ch => Character.isLetterOrDigit(ch) || ch == '_' || ch == '-')
+        k.forall(ch => Character.isLetterOrDigit(ch) || ch == '_' ||
+          ch == '-' || ch == '.')
     ctx.neededAfter.flatMap { s =>
       val targets = s.toSeq.sorted
       val extractable = targets.filter(_.startsWith(prefix))
@@ -1987,10 +2111,30 @@ object Compiler {
           concat(date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), lit(suffix)))
           .otherwise(raw3164)
       }
+    // keyword companions (syslog_parser.go:126-135 + the keyword tables):
+    // facility_keyword (kern..local7), level (severity name), format
+    val facilityKw = Seq(
+      "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+      "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+      "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+      "local5", "local6", "local7")
+    val severityKw = Seq(
+      "emerg", "alert", "critical", "error", "warning", "notice", "info",
+      "debug")
+    def kwOf(n: Column, table: Seq[String]): Column =
+      table.zipWithIndex.foldLeft(lit("unknown")) { case (acc, (kw, i)) =>
+        when(n === i, kw).otherwise(acc)
+      }
     val cols = Seq(
       f("priority", pri.cast(StringType)),
       f("facility", (pri / 8).cast(LongType).cast(StringType)),
       f("severity", (pri % 8).cast(LongType).cast(StringType)),
+      f("facility_keyword", when(pri.isNotNull,
+        kwOf((pri / 8).cast(LongType), facilityKw))),
+      f("level", when(pri.isNotNull,
+        kwOf((pri % 8).cast(LongType), severityKw))),
+      f("format", when(src === "" || src.isNull, lit(null))
+        .when(is5424, lit("rfc5424")).otherwise(lit("rfc3164"))),
       f("timestamp", when(is5424, regexp_extract(src, rfc5424, 3))
         .otherwise(ts3164)),
       f("hostname", when(is5424, regexp_extract(src, rfc5424, 4))
@@ -2001,7 +2145,11 @@ object Compiler {
         .otherwise(regexp_extract(src, rfc3164, 5))),
       f("msg_id", when(is5424, regexp_extract(src, rfc5424, 7)).otherwise(lit(""))),
       f("message", when(is5424, regexp_extract(src, rfc5424, 9))
-        .otherwise(regexp_extract(src, rfc3164, 6))))
+        .when(regexp_extract(src, rfc3164, 1) =!= "",
+          regexp_extract(src, rfc3164, 6))
+        // headerless messages: the whole text is the message, parsed as
+        // an (empty-header) rfc3164 line (syslog_parser.go parseNoHeader)
+        .otherwise(src)))
     cols.foldLeft(df)((d, nc) =>
       d.withColumn(nc._1,
         unpackTarget(d, nc._1, nc._2, keepOriginal, skipEmpty = false, cond)))
@@ -2052,6 +2200,27 @@ object Compiler {
         out = out.withColumn("fields",
           mapPrefixRewrite(col("fields"), srcP, dstP, keepOld))
       out
+    } else if (isWildcardField(src)) {
+      // wildcard src with a PLAIN dst: every matching field copies into
+      // the one destination in order, so the LAST match wins; rename
+      // additionally removes all the matching sources (pipe_copy.go /
+      // pipe_rename.go with mixed filters)
+      val srcP = src.dropRight(1)
+      val tops = d.columns.toSeq
+        .filter(c => c.startsWith(srcP) && !(c == "fields" && hasFieldsMap(d)))
+      if (tops.isEmpty) d
+      else {
+        val v = anyF(d, tops.last)
+        val d1 = d.withColumn(dst, v)
+        if (keepOld) d1
+        else {
+          val d2 = d1.drop(tops.filter(_ != dst): _*)
+          if (hasFieldsMap(d2))
+            d2.withColumn("fields",
+              map_filter(col("fields"), (k, _) => !k.startsWith(srcP)))
+          else d2
+        }
+      }
     } else if (keepOld) d.withColumn(dst, anyF(d, src))
     else {
       // rename REMOVES the source (pipe_rename.go; reading it afterwards

@@ -83,7 +83,7 @@ object NeededFields {
   }
 
   private def mathRefs(e: MathExpr): Set[String] = e match {
-    case MathExpr.Num(_) => Set.empty
+    case _: MathExpr.Num => Set.empty
     case MathExpr.FieldRef(n) => Set(n)
     case MathExpr.Bin(_, l, r) => mathRefs(l) ++ mathRefs(r)
     case MathExpr.Neg(x) => mathRefs(x)

@@ -811,6 +811,25 @@ final class Parser(input: String, now: Long) {
     * tryParseBytes, :2440 parseDuration): 5KiB, 10M, 1h30m, inf. */
   private def parseNumberToken(): Double = parseNumberLiteral(readToken())
 
+  /** parseMathNumber (pipe_math.go:1065): number (durations are NANOS in
+    * math context), RFC3339 timestamp -> unix nanos, IPv4 -> uint32,
+    * anything else NaN — math never fails to parse a constant. */
+  def parseMathNumber(raw: String): Double = {
+    val s = raw.trim
+    NumLit.sizeValue(s)
+      .orElse(NumLit.durationNanos(s).filter(_ => s.exists(_.isLetter)).map(_.toDouble))
+      .orElse(NumLit.parse(s).filter(_ => !s.exists(c => c.isLetter && "eExX".indexOf(c) < 0)))
+      .orElse(try Some((new Parser(s, 0L)).parseTimeBound(s)._1.toDouble)
+              catch { case _: Exception => None })
+      .orElse(try {
+        val parts = s.split("\\.")
+        if (parts.length == 4 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit) && p.toInt <= 255))
+          Some(parts.foldLeft(0L)((acc, p) => (acc << 8) | p.toInt).toDouble)
+        else None
+      } catch { case _: Exception => None })
+      .getOrElse(Double.NaN)
+  }
+
   def parseNumberLiteral(raw: String): Double =
     NumLit.parse(raw).getOrElse(err(s"bad number '$raw'"))
 
@@ -1283,7 +1302,8 @@ final class Parser(input: String, now: Long) {
       case "json_array_len" => parseFieldFnPipe(Pipe.JsonArrayLen, "_msg")
       case "unpack_json" =>
         val iff = parseOptIf()
-        val from = if (consumeKeyword("from")) readToken() else "_msg"
+        val from = parseUnpackFrom(Seq(
+          "fields", "result_prefix", "keep_original_fields", "skip_empty_results"))
         val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
         var p = ""; var keep = false; var skipE = false
         var more = true
@@ -1296,7 +1316,8 @@ final class Parser(input: String, now: Long) {
         Pipe.UnpackJson(from, fl, p, keep, skipE, iff)
       case "unpack_logfmt" =>
         val iff = parseOptIf()
-        val from = if (consumeKeyword("from")) readToken() else "_msg"
+        val from = parseUnpackFrom(Seq(
+          "fields", "result_prefix", "keep_original_fields", "skip_empty_results"))
         val fl = if (peekKeyword("fields")) { pos += 6; parseFieldList(parens = true) } else Nil
         var p = ""; var keep = false; var skipE = false
         var more = true
@@ -1309,7 +1330,8 @@ final class Parser(input: String, now: Long) {
         Pipe.UnpackLogfmt(from, fl, p, keep, skipE, iff)
       case "unpack_syslog" =>
         val iff = parseOptIf()
-        val from = if (consumeKeyword("from")) readToken() else "_msg"
+        val from = parseUnpackFrom(Seq(
+          "offset", "result_prefix", "keep_original_fields"))
         // `offset <duration>` interprets zone-less RFC3164 timestamps in a
         // fixed zone (pipe_unpack_syslog.go:140-156)
         val off = if (consumeKeyword("offset")) {
@@ -1529,11 +1551,26 @@ final class Parser(input: String, now: Long) {
     var fl: Seq[String] = Nil
     var more = true
     while (more) {
-      if (consumeKeyword("as")) out = readToken()
+      skipWs()
+      if (consumeKeyword("as")) out = canonField(readToken())
       else if (peekKeyword("fields")) { pos += 6; fl = parseFieldList(parens = true) }
+      else if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000') {
+        out = canonField(readToken()) // bare result name (pipe_pack_json.go)
+      }
       else more = false
     }
     (out, fl)
+  }
+
+  /** unpack_* source field: `from f`, bare `f`, or absent → _msg
+    * (parsePipeUnpackJSON etc.: any token that is not an option keyword
+    * is the source, `from` itself optional). */
+  private def parseUnpackFrom(fences: Seq[String]): String = {
+    skipWs()
+    if (peekCh == '|' || peekCh == ')' || peekCh == '\u0000') return "_msg"
+    if (fences.exists(peekKeyword)) return "_msg"
+    consumeKeyword("from")
+    canonField(readToken())
   }
 
   private def parseFieldFnPipe(mk: (String, String) => Pipe, dflt: String): Pipe = {
@@ -1795,22 +1832,40 @@ final class Parser(input: String, now: Long) {
   private def parseTopPipe(): Pipe = {
     skipWs()
     val n = if (peekCh.isDigit) readLong() else 10L
-    consumeKeyword("by")
-    val fields = parseFieldList(parens = true)
+    if (n < 1) err("top N must be bigger than 0")
+    val sawBy = consumeKeyword("by")
+    skipWs()
+    // fields: parenthesized, or bare comma-separated fenced by the
+    // option keywords (parsePipeTop, pipe_top.go)
+    val fields =
+      if (peekCh == '(') parseFieldList(parens = true)
+      else if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000' &&
+               !Seq("hits", "rank").exists(peekKeyword)) {
+        val fs = ArrayBuffer(canonField(readToken()))
+        while (consume(',')) fs += canonField(readToken())
+        fs.toSeq
+      }
+      else if (sawBy) err("missing fields after 'by'")
+      else Nil
+    if (fields.isEmpty) err("expecting at least a single field in top 'by(...)'")
     var hitsAs = "hits"
     var rankAs: Option[String] = None
     var more = true
     while (more) {
-      // `hits` and `rank` both take an optional `as <name>` (pipe_top.go:
-      // 634-671); bare forms keep the default output names
+      // `hits` and `rank` both take an optional `as <name>` or a bare
+      // name (pipe_top.go:634-671)
       if (consumeKeyword("hits")) {
-        if (consumeKeyword("as")) hitsAs = readToken()
+        consumeKeyword("as")
+        skipWs()
+        if (peekCh != '|' && peekCh != ')' && peekCh != '\u0000' &&
+            !peekKeyword("rank")) hitsAs = readToken()
       }
-      else if (consumeKeyword("rank")) {
-        rankAs = Some(if (consumeKeyword("as")) readToken() else "rank")
-      }
+      else if (consumeKeyword("rank")) rankAs = Some(parseRankName())
       else more = false
     }
+    // the hits column must not collide with a by-field (pipe_top.go:
+    // `top by (hits)` outputs "hitss")
+    while (fields.contains(hitsAs)) hitsAs += "s"
     Pipe.Top(n, fields, hitsAs, rankAs)
   }
 
@@ -1873,9 +1928,11 @@ final class Parser(input: String, now: Long) {
   }
 
   /** Pratt parser; precedence per pipe_math.go:152-191. */
+  // climbing precedence, higher binds tighter — the inverse order of the
+  // reference's mathBinaryOps priorities (pipe_math.go:153-193)
   private val mathPrec = Map(
-    "default" -> 1, "|" -> 2, "xor" -> 2, "&" -> 3,
-    "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+    "default" -> 1, "or" -> 2, "|" -> 2, "xor" -> 3, "&" -> 4,
+    "+" -> 5, "-" -> 5, "*" -> 6, "/" -> 6, "%" -> 6, "^" -> 7)
 
   private def peekMathOp(): Option[String] = {
     skipWs()
@@ -1889,6 +1946,7 @@ final class Parser(input: String, now: Long) {
       case _ =>
         if (peekKeyword("default")) Some("default")
         else if (peekKeyword("xor")) Some("xor")
+        else if (peekKeyword("or")) Some("or") // bitwise uint64 OR
         else None
     }
   }
@@ -1933,9 +1991,14 @@ final class Parser(input: String, now: Long) {
       case '-' =>
         pos += 1
         MathExpr.Neg(parseMathAtom())
-      case c if isQuote(c) => MathExpr.FieldRef(readQuoted())
+      case c if isQuote(c) =>
+        // a quoted token is a CONSTANT resolved by parseMathNumber
+        // (number / RFC3339 timestamp -> nanos / IPv4 -> uint32 / NaN)
+        val v = readQuoted()
+        MathExpr.Num(parseMathNumber(v), Canon.quoteToken(v))
       case c if c.isDigit || c == '.' =>
-        MathExpr.Num(parseNumberLiteral(readMathWord()))
+        val w = readMathWord()
+        MathExpr.Num(parseMathNumber(w), w)
       case _ =>
         val w = readMathWord()
         skipWs()
@@ -1991,7 +2054,8 @@ final class Parser(input: String, now: Long) {
           err(s"wildcard field '<$n>' isn't supported in extract pattern")
       }
     }
-    if (!steps.exists(_.field.exists(n => n.nonEmpty && n != "_" && n != "*")))
+    // anonymous skips parse to Some(""); at least one NAMED field required
+    if (!steps.exists(_.field.exists(_.nonEmpty)))
       err(s"pattern '$pat' must contain at least one named field <field_name>")
     val from = if (consumeKeyword("from")) readToken() else "_msg"
     var keepOrig = false
@@ -2092,26 +2156,46 @@ object Parser {
 
   /** `extract` pattern `"prefix<f1>sep<f2>"` → steps (pattern.go). */
   def parsePatternSteps(pat: String): Seq[PatternStep] = {
-    val steps = ArrayBuffer.empty[PatternStep]
-    var i = 0
-    val lit = new StringBuilder
-    while (i < pat.length) {
-      htmlEntityAt(pat, i) match {
-        case Some((ch, n)) => lit += ch; i += n
-        case None =>
-      if (pat(i) == '<') {
-        val end = pat.indexOf('>', i)
-        if (end < 0) { lit += pat(i); i += 1 }
-        else {
-          val name = pat.substring(i + 1, end)
-          steps += PatternStep(lit.result(), Some(name))
-          lit.clear()
-          i = end + 1
+    // reference order (pattern.go parsePatternSteps): split on RAW '<'/'>'
+    // first, html-unescape the PREFIXES after, then pull the `opt:` part
+    // out of each field and trim; `<_>`/`<*>` are anonymous skips
+    def unesc(str: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < str.length) {
+        htmlEntityAt(str, i) match {
+          case Some((ch, n)) => sb += ch; i += n
+          case None => sb += str(i); i += 1
         }
-      } else { lit += pat(i); i += 1 }
+      }
+      sb.result()
+    }
+    if (pat.isEmpty) return Nil
+    val steps = ArrayBuffer.empty[PatternStep]
+    var s = pat
+    var n = s.indexOf('<')
+    if (n < 0) return Seq(PatternStep(unesc(pat), None))
+    var prefix = s.substring(0, n)
+    s = s.substring(n + 1)
+    var done = false
+    while (!done) {
+      val e = s.indexOf('>')
+      if (e < 0) throw ParseException(s"missing '>' for <$s", 0)
+      var raw = s.substring(0, e)
+      s = s.substring(e + 1)
+      if (raw == "_" || raw == "*") raw = ""
+      val ci = raw.indexOf(':')
+      val (opt, fname) =
+        if (ci >= 0) (raw.substring(0, ci).trim, raw.substring(ci + 1).trim)
+        else ("", raw.trim)
+      steps += PatternStep(unesc(prefix), Some(fname), opt)
+      if (s.isEmpty) done = true
+      else {
+        n = s.indexOf('<')
+        if (n < 0) { steps += PatternStep(unesc(s), None); done = true }
+        else { prefix = s.substring(0, n); s = s.substring(n + 1) }
       }
     }
-    if (lit.nonEmpty) steps += PatternStep(lit.result(), None)
     steps.toSeq
   }
 }

@@ -205,20 +205,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning(chunk_text"), p)
   }
 
-  test("needed-fields-bounded bare unpack_json: per-key kernel, no full-map parse") {
+  test("needed-fields-bounded bare unpack_json: one flatten, no fields-map merge") {
     // `stats by (ip:/24)` back-propagates {ip} → {k} through format, so
-    // the bare unpack must compile to the JsonGet kernel on key k — never
-    // a from_json(Map) of every document key (updateNeededFields,
-    // pipe.go:11-55)
+    // the bare unpack compiles to ONE JsonFlatten per row with only the
+    // needed key projected out — the fields-MAP merge (map_concat /
+    // map_filter over every document key) must not reach the plan
+    // (updateNeededFields, pipe.go:11-55)
     val p = plan(Compiler.run(logs,
       """* | unpack_json from _msg | format "10.1.<k>.9" as ip
          | stats by (ip:/24) count() hits | sort by (ip)"""))
-    assert(p.contains("graft_json_get"), p)
-    assert(!p.contains("from_json"), p)
-    // an unbounded tail (whole-row consumer) must keep the full parse
+    assert(p.contains("graft_json_flatten"), p)
+    assert(!p.contains("map_concat") && !p.contains("map_filter"), p)
+    // an unbounded tail (whole-row consumer) must keep the full merge
     val q = plan(Compiler.run(logs,
       "* | unpack_json from _msg | facets 3"))
-    assert(q.contains("from_json") || q.contains("entries"), q)
+    assert(q.contains("graft_json_flatten") || q.contains("entries"), q)
   }
 
   test("dead columns are pruned below wide pipes (Catalyst ColumnPruning)") {

@@ -270,40 +270,42 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
-  test("CollapseNums kernel agrees with the chained regexp_replace spec") {
-    def spec(c: Column, prettify: Boolean): Column = {
-      val uuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val hexRe = "\\b0[xX][0-9a-fA-F]+\\b|\\b[0-9a-fA-F]{16,}\\b"
-      val numRe = "\\b\\d+(?:\\.\\d+)?\\b"
-      if (prettify)
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-          uuidRe, "<uuid>"), ipRe, "<ip4>"), hexRe, "<hex>"), numRe, "<N>")
-      else
-        regexp_replace(regexp_replace(regexp_replace(c,
-          uuidRe, "<N>-<N>-<N>-<N>-<N>"), hexRe, "<N>"), numRe, "<N>")
-    }
-    val frag = Gen.oneOf("123", "3.14", "0xDEADbeef", "deadbeefdeadbeef",
-      "deadbeefdeadbeefdeadbeef", "12345678-1234-abcd-ABCD-123456789012",
-      "10.0.255.1", "1234.1.2.3", "abc", "x1y", "v2", "_", "ff", "0x",
-      "9999999999999999", "err code", "1.2", "..", "", "café", "12345678",
-      "a12345678-1234-abcd-ABCD-123456789012b", "256.300.1.2", "1e5",
-      "deadbeefdeadbeef.5", "0xff123", "abc123", "123abc")
-    val sep = Gen.oneOf(" ", "", ":", "-", ".", ", ", "=", "[", "]", "/")
-    val textGenC = Gen.listOfN(7, Gen.zip(frag, sep).map(p => p._1 + p._2))
-      .map(_.mkString)
-    val inputs = Gen.listOfN(400, textGenC).sample.get ++
-      Seq("", "no digits here", "0x 0x1 00x2",
-        "uuid 12345678-1234-abcd-ABCD-123456789012 tail",
-        "ip 1.2.3.4:8080 port", "12 1.2.3.4")
-    for (prettify <- Seq(false, true)) {
-      val got = evalBatch(inputs,
+  test("CollapseNums kernel matches the reference scan rules") {
+    // pinned against appendCollapseNums/appendPrettifyCollapsedNums
+    // (pipe_collapse_nums.go) — boundary rules, hex plausibility gate,
+    // special start/end runes, and the prettify composite tokens; the
+    // execution-level corpus (PipeExecConformanceSpec) pins the pipe
+    def run1(in: String, prettify: Boolean): String =
+      evalBatch(Seq(in),
         c => graft.functions.CollapseNums.collapseNums(c, prettify))
-      val want = evalBatch(inputs, c => spec(c, prettify))
-      inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
-        assert(g == w,
-          s"collapse mismatch for input '$in' prettify=$prettify: got $g want $w")
-      }
+        .head.asInstanceOf[String]
+    val plain = Seq(
+      "1234" -> "<N>",
+      "a_bc_def" -> "a_bc_def",                       // token-embedded digits stay
+      "abc123" -> "<N>",                              // even-length hex-ish run
+      "abcz123" -> "abcz123",                         // 'z' splits: odd hex + embedded digits
+      "x123" -> "x<N>",                               // 'x' is a special START rune
+      "took 4.5ms" -> "took <N>.<N>ms",               // 'm' is a special END rune
+      "2004-10-12T43:23:12Z" -> "<N>-<N>-<N>T<N>:<N>:<N>Z", // T/Z special
+      "be ad" -> "be ad",                             // short hex words stay
+      "cafe" -> "<N>",                                // 4 even hex chars collapse
+      "deadbeefdeadbeef" -> "<N>",
+      "abcde" -> "abcde",                             // odd-length hex stays
+      "ip: 10.0.255.1" -> "ip: <N>.<N>.<N>.<N>",
+      "12345678-1234-abcd-ABCD-123456789012" -> "<N>-<N>-<N>-<N>-<N>")
+    plain.foreach { case (in, want) =>
+      assert(run1(in, prettify = false) == want, s"plain <<$in>>")
+    }
+    val pretty = Seq(
+      "2004-10-12T43:23:12Z" -> "<DATETIME>",
+      "2004-10-12 43:23:12.456" -> "<DATETIME>",      // subsecs eaten
+      "2004-10-12T43:23:12+02:30" -> "<DATETIME>",    // tz eaten
+      "ip: 10.0.255.1" -> "ip: <IP4>",
+      "12345678-1234-abcd-ABCD-123456789012" -> "<UUID>",
+      "43:23:12" -> "<TIME>",
+      "2004/10/12" -> "<DATE>")
+    pretty.foreach { case (in, want) =>
+      assert(run1(in, prettify = true) == want, s"prettify <<$in>>")
     }
   }
 

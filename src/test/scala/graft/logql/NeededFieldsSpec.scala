@@ -92,11 +92,13 @@ class NeededFieldsSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
   }
 
-  /** The pre-optimization semantics, spelled out by hand: full-map parse,
+  /** The unbounded semantics, spelled out by hand: one flattened-map
+    * parse (the JsonFlatten kernel IS the field-model definition, pinned
+    * against the reference's own goldens in PipeExecConformanceSpec),
     * fields-map entry for k (missing key groups as SQL null, like the
     * engine's anyF group key for a map-resident field). */
   private def fullParseGroups(skipEmpty: Boolean): Map[Option[String], Long] = {
-    val m = from_json(col("_msg"), MapType(StringType, StringType))
+    val m = graft.functions.JsonFlattenExpr.flattenCol(col("_msg"))
     val raw = element_at(m, "k")
     val v =
       if (skipEmpty) when(raw.isNotNull && raw =!= "", raw)
@@ -124,16 +126,18 @@ class NeededFieldsSpec extends SparkSuite {
     val got = boundedGroups(
       """* | unpack_json if (level:error) from _msg result_prefix "p_"
          | stats by (p_k) count() c""")
-    val m = from_json(col("_msg"), MapType(StringType, StringType))
+    val m = graft.functions.JsonFlattenExpr.flattenCol(col("_msg"))
     val v = when(col("level") === "error", element_at(m, "k"))
     val want = jsonLogs.groupBy(v.as("k")).agg(count(lit(1)).as("c"))
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(got == want, got)
   }
 
-  test("dotted needed keys fall back to the literal-key full parse") {
-    // "a.b" is a literal top-level key to the map parse; the kernel would
-    // descend — the guard must route this shape to the full parse
+  test("dotted needed keys resolve through the flattened field map") {
+    // the reference flattens nested objects into dot-paths (logjson), so
+    // `a.b` hits the LITERAL key when present (first-wins over the
+    // flattened nested one) and the nested path otherwise — identically
+    // on the bounded and full paths, which share the JsonFlatten kernel
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row("""{"a.b":"literal","a":{"b":"nested"}}"""), Row("""{"a":{"b":"x"}}""")), 1),
@@ -141,7 +145,7 @@ class NeededFieldsSpec extends SparkSuite {
     val got = Compiler.run(df,
       "* | unpack_json from _msg | stats by (`a.b`) count() c", 0L)
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
-    assert(got == Map(Some("literal") -> 1L, None -> 1L), got)
+    assert(got == Map(Some("literal") -> 1L, Some("x") -> 1L), got)
   }
 
   test("differential fuzz: bounded and full unpack paths agree on whole result sets") {

@@ -133,7 +133,7 @@ class ParserSpec extends AnyFunSuite {
     val q = parse("* | math a + b * 2 as x")
     val m = q.pipes.head.asInstanceOf[Pipe.Math]
     import MathExpr._
-    assert(m.exprs.head._1 == Bin("+", FieldRef("a"), Bin("*", FieldRef("b"), Num(2))))
+    assert(m.exprs.head._1 == Bin("+", FieldRef("a"), Bin("*", FieldRef("b"), Num(2, "2"))))
   }
 
   test("format template parses") {
