@@ -295,10 +295,14 @@ object Compiler {
     case Filter.ContainsQuery(fld, sub, all) =>
       containsSet(df, fld, materializeInValues(ctx, sub), all)
     case Filter.Sequence(fld, ps) => TextMatch.matchSequence(strF(df, fld), ps)
-    case Filter.Regexp(fld, re) => strF(df, fld).rlike(re)
+    case Filter.Regexp(fld, re) => strF(df, fld).rlike(goReFlags(re))
 
     case Filter.Range(fld, lo, hi, inclLo, inclHi, _) =>
-      val n = numF(df, fld)
+      // values parse like parseMathNumber (matchStringByRange: numbers,
+      // durations, byte sizes, IPv4 -> uint32, RFC3339 -> nanos); NaN
+      // must not match (Spark sorts NaN ABOVE every number)
+      val n0 = mathNumF(df, fld)
+      val n = when(!isnan(n0), n0)
       val loC =
         if (lo.isNegInfinity) lit(true)
         else if (inclLo) n >= lo else n > lo
@@ -387,15 +391,68 @@ object Compiler {
 
   /** Storage-type name of a column (values_encoder.go:19-59 valueType
     * names, mapped from the promoted Spark types). */
+  /** Go's `(?i)` folds Unicode case (RE2); Java needs the additional
+    * UNICODE_CASE flag — add 'u' to every inline flag group carrying
+    * 'i' so Cyrillic/Greek case-insensitive patterns match like Go. */
+  private def goReFlags(re: String): String =
+    re.replaceAll("\\(\\?([a-tv-z]*i[a-tv-z]*)([:)])", "(?$1u$2")
+
   private def valueTypeOf(df: DataFrame, fld: String): String =
     fieldType(df, fld) match {
       case Some(TimestampType) => if (fld == "_time") "time" else "iso8601"
       case Some(DateType) => "iso8601"
       case Some(LongType | IntegerType | ShortType | ByteType) => "int64"
       case Some(DoubleType | FloatType) => "float64"
+      case Some(_: StringType) => stringValueType(df, fld)
       case Some(_) => "string"
-      case None => if (hasFieldsMap(df)) "string" else "" // missing: no match
+      case None =>
+        // a MISSING column matches no value_type (the block never stored
+        // it — filter corpus: bar:value_type(const) over absent bar is
+        // empty); with a dynamic fields map the value varies per row, so
+        // classify the data
+        if (hasFieldsMap(df)) stringValueType(df, fld) else "" // no match
     }
+
+  /** Data-driven per-relation classification mirroring the reference's
+    * encode() chain (values_encoder.go:106-150): const (one distinct
+    * value), dict (<= 8 distinct, <= 256 total bytes), uint8/16/32/64,
+    * int64, float64, ipv4, iso8601, string. The per-block decision
+    * becomes per-relation here — one bounded aggregate per value_type
+    * filter at compile time (diagnostic filters, not a hot path). */
+  private def stringValueType(df: DataFrame, fld: String): String = {
+    val sCol = strF(df, fld)
+    val distinct9 = df.select(sCol.as("v")).distinct().limit(9)
+      .collect().map(_.getString(0)).toSeq
+    if (distinct9.size <= 1) return "const"
+    if (distinct9.size <= 8 && distinct9.map(_.length).sum <= 256)
+      return "dict"
+    val uintRe = "^(?:0|[1-9][0-9]{0,19})$"
+    val intRe = "^-?(?:0|[1-9][0-9]{0,18})$"
+    val floatRe = "^-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?$"
+    val isoRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}Z$"
+    def allMatch(c: Column): Column =
+      coalesce(min(c.cast(IntegerType)), lit(0)) === 1
+    val r = df.agg(
+      allMatch(sCol.rlike(uintRe)).as("u"),
+      max(when(sCol.rlike(uintRe), sCol.cast("decimal(20,0)"))).as("umax"),
+      allMatch(sCol.rlike(intRe)).as("i"),
+      allMatch(sCol.rlike(floatRe) && sCol.try_cast("double").isNotNull).as("f"),
+      allMatch(ipv4Num(sCol).isNotNull).as("ip"),
+      allMatch(sCol.rlike(isoRe)).as("iso")).collect().head
+    if (r.getBoolean(0)) {
+      val mx = Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      if (mx <= 255) "uint8"
+      else if (mx <= 65535) "uint16"
+      else if (mx <= BigDecimal("4294967295")) "uint32"
+      else if (mx <= BigDecimal("18446744073709551615")) "uint64"
+      else "string"
+    }
+    else if (r.getBoolean(2)) "int64"
+    else if (r.getBoolean(3)) "float64"
+    else if (r.getBoolean(4)) "ipv4"
+    else if (r.getBoolean(5)) "iso8601"
+    else "string"
+  }
 
   /** rate()/rate_sum() divisor: the query's explicit `_time:` span, else
     * the source's actual min/max `_time` span (the reference divides by
@@ -422,6 +479,16 @@ object Compiler {
   private def containsSet(df: DataFrame, fld: String, vs: Seq[String],
                           all: Boolean): Column = {
     if (vs.isEmpty) return if (all) lit(true) else lit(false)
+    // the empty phrase is contained in EVERY value (filter corpus:
+    // contains_any("") matches all rows; contains_all drops "" terms)
+    if (!all && vs.contains("")) return lit(true)
+    if (all && vs.forall(_.isEmpty)) return lit(true)
+    val vsNe = vs.filter(_.nonEmpty)
+    return containsSet0(df, fld, if (all) vsNe else vs, all)
+  }
+
+  private def containsSet0(df: DataFrame, fld: String, vs: Seq[String],
+                           all: Boolean): Column = {
     val c = strF(df, fld)
     def isWordValue(v: String): Boolean =
       v.nonEmpty && v.codePoints().allMatch(cp =>
@@ -471,9 +538,13 @@ object Compiler {
   /** Numeric-aware field comparison (reference sorts/compares values
     * numerically when both sides parse — pipe_sort.go:683). */
   private def cmpFields(df: DataFrame, a: String, b: String, strict: Boolean): Column = {
-    val (na, nb) = (numF(df, a), numF(df, b))
+    // leValuesString (filter_le_field.go:284): both sides parse through
+    // parseMathNumber (numbers, durations, byte sizes, RFC3339
+    // timestamps, IPv4) -> float compare; otherwise PLAIN string compare
+    val (na, nb) = (mathNumF(df, a), mathNumF(df, b))
     val (sa, sb) = (strF(df, a), strF(df, b))
-    when(na.isNotNull && nb.isNotNull, if (strict) na < nb else na <= nb)
+    when(!isnan(na) && !isnan(nb) && na.isNotNull && nb.isNotNull,
+      if (strict) na < nb else na <= nb)
       .otherwise(if (strict) sa < sb else sa <= sb)
   }
 
