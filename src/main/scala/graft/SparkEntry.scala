@@ -1252,9 +1252,12 @@ object SparkEntry {
       """SELECT count(*) AS cnt,
          CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type = 'purchase' AND value > 100""",
+    // median/quantile are the reference's nearest-rank ELEMENT:
+    // sorted[int(phi*n)] (stats_quantile.go histogram), not interpolation
     "q_quantile" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
-         quantile_cont(l_quantity, 0.9) AS p90_qty
+      """SELECT l_returnflag,
+         (list(l_quantity ORDER BY l_quantity))[CAST(floor(0.5 * count(*)) AS BIGINT) + 1] AS median_qty,
+         (list(l_quantity ORDER BY l_quantity))[CAST(floor(0.9 * count(*)) AS BIGINT) + 1] AS p90_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_count_uniq" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users
@@ -1419,7 +1422,9 @@ object SparkEntry {
       """SELECT (SELECT max(event_id) FROM events WHERE value = (SELECT max(value) FROM events)) AS best_event,
          max(value) AS mx FROM events""",
     "q_lql_median" ->
-      """SELECT event_type, quantile_cont(value, 0.5) AS med, quantile_cont(value, 0.9) AS p90
+      """SELECT event_type,
+         (list(value ORDER BY value))[CAST(floor(0.5 * count(*)) AS BIGINT) + 1] AS med,
+         (list(value ORDER BY value))[CAST(floor(0.9 * count(*)) AS BIGINT) + 1] AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_lql_first" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 3",
@@ -1455,8 +1460,10 @@ object SparkEntry {
     "q_lql_row_any" ->
       """SELECT event_type, '{"event_type":"' || event_type || '"}' AS ra
          FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1""",
+    // row JSON values are STRINGS (the all-string field model,
+    // stats_row_min.go output)
     "q_lql_row_min" ->
-      """SELECT '{"event_id":' || event_id || ',"value":' || value || '}' AS rm
+      """SELECT '{"event_id":"' || event_id || '","value":"' || value || '"}' AS rm
          FROM events WHERE event_id = (SELECT min(event_id) FROM events)""",
     "q_lql_sort_rank" ->
       """SELECT event_id, r FROM (

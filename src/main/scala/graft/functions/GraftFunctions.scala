@@ -55,6 +55,27 @@ object GraftFunctions {
       "graft_go_round(x, nearest) - round to nearest with the reference's " +
         "decimal-truncation algorithm",
       es => GoRoundExpr(es(0), es(1))),
+    ("graft_row_min",
+      "graft_row_min(src, rowJson) - row JSON minimizing src",
+      es => RowMinMaxAgg(es(0), es(1), isMin = true)),
+    ("graft_row_max",
+      "graft_row_max(src, rowJson) - row JSON maximizing src",
+      es => RowMinMaxAgg(es(0), es(1), isMin = false)),
+    ("graft_min_value",
+      "graft_min_value(arr) - min over the reference value collation",
+      es => MinMaxValueAgg(es.head, isMin = true)),
+    ("graft_max_value",
+      "graft_max_value(arr) - max over the reference value collation",
+      es => MinMaxValueAgg(es.head, isMin = false)),
+    ("graft_quantile_value",
+      "graft_quantile_value(arr, phi) - sampling nearest-rank quantile " +
+        "over the reference value collation",
+      es => QuantileValueAgg(es(0),
+        es(1).eval() match {
+          case d: java.lang.Double => d.doubleValue
+          case de: org.apache.spark.sql.types.Decimal => de.toDouble
+          case other => other.toString.toDouble
+        })),
     ("graft_json_flatten",
       "graft_json_flatten(s) - JSON object to a flattened map " +
         "(nested objects become dot-separated keys, reference logjson shape)",
@@ -144,6 +165,9 @@ object GraftFunctions {
 
   /** Lazy Column-API route: cover both sessions the Column could
     * resolve against. */
+  /** Public alias for ensure() — compiler-side call sites. */
+  def touch(): Unit = ensure()
+
   private[functions] def ensure(): Unit = {
     SparkSession.getActiveSession.foreach(register)
     SparkSession.getDefaultSession.foreach(register)

@@ -292,7 +292,7 @@ object StatsFunc {
   final case class Count(fields: Seq[String]) extends StatsFunc
   final case class CountEmpty(fields: Seq[String]) extends StatsFunc
   final case class CountUniq(fields: Seq[String], limit: Option[Long]) extends StatsFunc
-  final case class CountUniqHash(fields: Seq[String]) extends StatsFunc
+  final case class CountUniqHash(fields: Seq[String], limit: Option[Long] = None) extends StatsFunc
   final case class Sum(fields: Seq[String]) extends StatsFunc
   final case class Avg(fields: Seq[String]) extends StatsFunc
   final case class Min(fields: Seq[String]) extends StatsFunc

@@ -163,7 +163,7 @@ object Canon {
       case CountEmpty(fs) =>
         if (fs.isEmpty || fs == Seq("*")) "count_empty(*)" else ff("count_empty", fs)
       case CountUniq(fs, l) => lim(ff("count_uniq", fs), l)
-      case CountUniqHash(fs) => ff("count_uniq_hash", fs)
+      case CountUniqHash(fs, l) => lim(ff("count_uniq_hash", fs), l)
       case Sum(fs) => ff("sum", fs)
       case Avg(fs) => ff("avg", fs)
       case Min(fs) => ff("min", fs)

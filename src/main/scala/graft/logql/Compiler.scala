@@ -1413,42 +1413,57 @@ object Compiler {
         count(iff(when(!anyNonEmpty(fields), lit(1))))
       case CountUniq(fields, limitN) =>
         // `limit N` caps the reported count (stats_count_uniq.go:77-270
-        // stops counting at the cap; the capped *result* is identical)
+        // stops counting at the cap; the capped *result* is identical).
+        // Multi-field = unique TUPLES, skipping only the all-empty tuple
+        // (updateStatsForAllRows keyBuf loop) — a tuple with SOME empty
+        // components still counts
         rejectWildcard("count_uniq", fields)
-        val cs = fields.map(f => iff(nullIfEmpty(df, f)))
-        val cd = count_distinct(cs.head, cs.tail: _*)
+        val cd =
+          if (fields.size == 1) count_distinct(iff(nullIfEmpty(df, fields.head)))
+          else count_distinct(iff(when(anyNonEmpty(fields),
+            struct(fields.map(f => strF(df, f)): _*))))
         limitN.map(l => least(cd, lit(l))).getOrElse(cd)
-      case CountUniqHash(fields) =>
+      case CountUniqHash(fields, limitN) =>
         rejectWildcard("count_uniq_hash", fields)
-        val cs = fields.map(f => iff(nullIfEmpty(df, f)))
-        count_distinct(xxhash64(cs: _*))
+        val cdh =
+          if (fields.size == 1)
+            count_distinct(iff(when(nullIfEmpty(df, fields.head).isNotNull,
+              xxhash64(strF(df, fields.head)))))
+          else count_distinct(iff(when(anyNonEmpty(fields),
+            xxhash64(fields.map(f => strF(df, f)): _*))))
+        limitN.map(l => least(cdh, lit(l))).getOrElse(cdh)
+      // sum/avg of NO parseable values is NaN, not SQL null — the
+      // reference initializes the accumulator to NaN (stats_sum.go) and
+      // the all-string output renders it as "NaN"
       case Sum(fields) =>
-        if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
-        else nAgg(fields, f => sum(iff(numF(df, f))))
+        val s0 =
+          if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
+          else nAgg(fields, f => sum(iff(numF(df, f))))
+        coalesce(s0, lit(Double.NaN))
       case Avg(fields) =>
-        if (hasWildcardField(fields))
-          sum(iff(rowNumSum(fields))) /
-            sum(iff(size(numFieldVals(df, fields)).cast(DoubleType)))
-        else if (fields.size == 1) avg(iff(numF(df, fields.head)))
-        else nAgg(fields, f => sum(iff(numF(df, f)))) /
-             nAgg(fields, f => count(iff(numF(df, f))))
+        val a0 =
+          if (hasWildcardField(fields))
+            sum(iff(rowNumSum(fields))) /
+              sum(iff(size(numFieldVals(df, fields)).cast(DoubleType)))
+          else if (fields.size == 1) avg(iff(numF(df, fields.head)))
+          else nAgg(fields, f => sum(iff(numF(df, f)))) /
+               nAgg(fields, f => count(iff(numF(df, f))))
+        coalesce(a0, lit(Double.NaN))
       case Min(fields) =>
         if (hasWildcardField(fields)) valsMinMax(df, fields, iff, isMin = true)
         else minMaxAgg(df, fields, iff, isMin = true)
       case Max(fields) =>
         if (hasWildcardField(fields)) valsMinMax(df, fields, iff, isMin = false)
         else minMaxAgg(df, fields, iff, isMin = false)
-      case Median(fields) =>
-        if (hasWildcardField(fields)) quantileOfVals(df, fields, 0.5, iff)
-        else call_function("percentile", iff(numF(df, fields.head)), lit(0.5))
-      case Quantile(phi, fields) =>
-        if (hasWildcardField(fields)) quantileOfVals(df, fields, phi, iff)
-        else call_function("percentile", iff(numF(df, fields.head)), lit(phi))
+      case Median(fields) => quantileAgg(df, fields, 0.5, iff)
+      case Quantile(phi, fields) => quantileAgg(df, fields, phi, iff)
       case SumLen(fields) =>
+        coalesce(
         if (hasWildcardField(fields))
           sum(iff(aggregate(transform(fieldVals(df, fields),
             v => octet_length(v).cast(LongType)), lit(0L), _ + _)))
         else nAgg(fields, f => sum(iff(octet_length(strF(df, f)).cast(LongType))))
+        , lit(0L)) // sum_len counts bytes: an empty group is 0, never null
       case Values(fields, limitN) =>
         // with a limit, accumulation is capped (bounded state per group —
         // stats_values.go); without one, the codegen'd builtin collects all.
@@ -1494,32 +1509,28 @@ object Compiler {
       // row_any/row_max/row_min: aggregate the raw struct/map and render
       // JSON once per GROUP, after the aggregate — serializing every input
       // row only to discard all but one was the hot cost of these stats
+      // row_* JSON carries only the row's NON-EMPTY fields (the block
+      // model never stores empties) and always emits an object — an
+      // unmatched/filtered group reads {} (stats_row_any golden tables)
       case RowAny(fields) =>
-        val v =
-          if (fields.isEmpty)
-            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
-          else mapOfMatching(df, fields)
-        to_json(any_value(iff(v), lit(true)))
+        rowJson(any_value(iff(rowMapOf(df, fields)), lit(true)))
       case RowMax(f, fields) =>
         rejectWildcard("the row_max source field", Seq(f))
-        val v =
-          if (fields.isEmpty)
-            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
-          else mapOfMatching(df, fields)
-        to_json(max_by(v, iff(numF(df, f))))
+        graft.functions.GraftFunctions.touch()
+        coalesce(call_function("graft_row_max",
+          iff(strF(df, f)), to_json(rowMapOf(df, fields))), lit("{}"))
       case RowMin(f, fields) =>
         rejectWildcard("the row_min source field", Seq(f))
-        val v =
-          if (fields.isEmpty)
-            struct(df.columns.map(c => col(quoteName(c))).toSeq: _*)
-          else mapOfMatching(df, fields)
-        to_json(min_by(v, iff(numF(df, f))))
+        graft.functions.GraftFunctions.touch()
+        coalesce(call_function("graft_row_min",
+          iff(strF(df, f)), to_json(rowMapOf(df, fields))), lit("{}"))
       case Rate() =>
         count(iff(lit(1))).cast(DoubleType) / lit(rateSpanSeconds(ctx))
       case RateSum(fields) =>
         val s = if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
                 else nAgg(fields, f => sum(iff(numF(df, f))))
-        s / lit(rateSpanSeconds(ctx))
+        // like sum: no parseable values -> NaN (NaN/span stays NaN)
+        coalesce(s, lit(Double.NaN)) / lit(rateSpanSeconds(ctx))
       case Histogram(f) =>
         rejectWildcard("histogram", Seq(f))
         graft.functions.VmHistogram.column(iff(numF(df, f)))
@@ -1558,6 +1569,10 @@ object Compiler {
     * order by a (tier, number, string) struct key and return the original
     * value. Multi-field variants take the per-row min/max ACROSS fields
     * first (least/greatest), then aggregate. */
+  /** min/max = the winning VALUE under the reference collation
+    * (stats_min.go / lessString), empties skipped. Fields that are all
+    * native numeric columns keep the typed fast path (identical result,
+    * typed output — the DuckDB oracles compare dtypes). */
   private def minMaxAgg(df: DataFrame, fields: Seq[String],
                         iff: Column => Column, isMin: Boolean): Column = {
     def pick(cs: Seq[Column]): Column =
@@ -1567,45 +1582,34 @@ object Compiler {
       val c = iff(pick(fields.map(f => col(quoteName(f)))))
       if (isMin) min(c) else max(c)
     } else {
-      def key(f: String): Column = {
-        val s = strF(df, f)
-        val n = s.try_cast("double")
-        struct(when(s === "", 0).when(n.isNotNull, 1).otherwise(2).as("t"),
-               coalesce(n, lit(0d)).as("n"), s.as("s"))
-      }
-      val c = iff(pick(fields.map(key)))
-      (if (isMin) min(c) else max(c)).getField("s")
+      graft.functions.GraftFunctions.touch()
+      val arr = iff(array(fields.map(f => strF(df, f)): _*))
+      call_function(if (isMin) "graft_min_value" else "graft_max_value", arr)
     }
   }
 
-  /** min/max over wildcard field filters: per-row pick across the matching
-    * value array via array_min/array_max on the same (tier, number, string)
-    * collation key minMaxAgg uses, then aggregate. */
+  /** min/max over wildcard field filters: same value agg over the per-row
+    * matching-value array. */
   private def valsMinMax(df: DataFrame, fields: Seq[String],
                          iff: Column => Column, isMin: Boolean): Column = {
-    val keys = transform(fieldVals(df, fields), s => {
-      val n = s.try_cast("double")
-      struct(when(s === "", 0).when(n.isNotNull, 1).otherwise(2).as("t"),
-             coalesce(n, lit(0d)).as("n"), s.as("s"))
-    })
-    val rowPick = if (isMin) array_min(keys) else array_max(keys)
-    (if (isMin) min(iff(rowPick)) else max(iff(rowPick))).getField("s")
+    graft.functions.GraftFunctions.touch()
+    call_function(if (isMin) "graft_min_value" else "graft_max_value",
+      iff(fieldValsForOrder(df, fields)))
   }
 
-  /** Exact interpolated quantile over every numeric value matching wildcard
-    * field filters — the multiset spans fields, so flatten per-row arrays
-    * and interpolate like `percentile` does over single values. Group state
-    * holds the group's numeric values, same bound as percentile itself. */
-  private def quantileOfVals(df: DataFrame, fields: Seq[String], phi: Double,
-                             iff: Column => Column): Column = {
-    val a = array_sort(flatten(collect_list(iff(numFieldVals(df, fields)))))
-    val n = size(a)
-    val h = (n.cast(DoubleType) - 1d) * lit(phi)
-    val lo = floor(h).cast(IntegerType)
-    val base = element_at(a, lo + 1)
-    val next = element_at(a, least(lo + lit(2), n))
-    when(n === 0, lit(null).cast(DoubleType))
-      .otherwise(base + (h - lo.cast(DoubleType)) * (next - base))
+  /** median/quantile = the reference's sampling nearest-rank element
+    * (stats_quantile.go histogram: sorted[int(phi*n)] under the value
+    * collation, first 10k samples, empties skipped). All-numeric-typed
+    * field lists cast the winning element back to double so typed
+    * relations keep numeric output columns. */
+  private def quantileAgg(df: DataFrame, fields: Seq[String], phi: Double,
+                          iff: Column => Column): Column = {
+    graft.functions.GraftFunctions.touch()
+    val arr = iff(fieldValsForOrder(df, fields))
+    val q = call_function("graft_quantile_value", arr, lit(phi))
+    if (fields.forall(f => !isWildcardField(f) && isNativeOrderable(df, f)))
+      q.try_cast("double")
+    else q
   }
 
   // ----------------------------------------------------------------- math
@@ -2342,6 +2346,20 @@ object Compiler {
     * parseStatsFuncFieldFilters, lib/prefixfilter): matching top-level
     * columns plus matching `fields`-map entries. Stays a single codegen'd
     * array expression — no explode, no cardinality change. */
+  /** Per-row candidate values for the ORDERED stats (min/max/median/
+    * quantile): an explicitly named field contributes its value even when
+    * empty (a missing column reads as the "" const column, which CAN win
+    * min/median — stats_min/stats_quantile golden tables), while a
+    * wildcard contributes only the values that exist (the block model
+    * materializes no empties for pattern matches). */
+  private def fieldValsForOrder(df: DataFrame, pats: Seq[String]): Column = {
+    val parts: Seq[Column] = pats.map { f =>
+      if (isWildcardField(f)) filter(fieldVals(df, Seq(f)), v => v =!= "")
+      else array(strF(df, f))
+    }
+    if (parts.size == 1) parts.head else concat(parts: _*)
+  }
+
   private def fieldVals(df: DataFrame, pats: Seq[String]): Column = {
     val parts: Seq[Column] = pats.map { f =>
       if (isWildcardField(f)) {
@@ -2376,6 +2394,27 @@ object Compiler {
   /** Ordered (name → string value) map of the fields matching `pats` —
     * the pre-serialization form of jsonOfMatching, so aggregates can keep
     * the raw map and render JSON once per group instead of per row. */
+  /** The (field -> non-empty value) map a row contributes to row_any /
+    * row_min / row_max JSON. */
+  private def rowMapOf(df: DataFrame, fields: Seq[String]): Column = {
+    val m =
+      if (fields.isEmpty) {
+        val tops = df.columns.toSeq
+          .filter(c => !(c == "fields" && hasFieldsMap(df)))
+        val static =
+          if (tops.isEmpty) map().cast(MapType(StringType, StringType))
+          else map(tops.flatMap(c => Seq(lit(c), strF(df, c))): _*)
+        if (hasFieldsMap(df)) map_concat(
+          static, map_filter(col("fields"), (k, _) =>
+            if (tops.isEmpty) lit(true)
+            else !k.isin(tops.map(x => x: Any): _*)))
+        else static
+      } else mapOfMatching(df, fields)
+    map_filter(m, (_, v) => v.isNotNull && v =!= "")
+  }
+
+  private def rowJson(c: Column): Column = coalesce(to_json(c), lit("{}"))
+
   private def mapOfMatching(df: DataFrame, pats: Seq[String]): Column = {
     val entryMaps: Seq[Column] = pats.flatMap { f =>
       if (isWildcardField(f)) {

@@ -99,7 +99,7 @@ object NeededFields {
       case StatsFunc.Count(fs) => fromList(fs)
       case StatsFunc.CountEmpty(fs) => fromList(fs)
       case StatsFunc.CountUniq(fs, _) => fromList(fs)
-      case StatsFunc.CountUniqHash(fs) => fromList(fs)
+      case StatsFunc.CountUniqHash(fs, _) => fromList(fs)
       case StatsFunc.Sum(fs) => fromList(fs)
       case StatsFunc.Avg(fs) => fromList(fs)
       case StatsFunc.Min(fs) => fromList(fs)

@@ -1768,7 +1768,7 @@ final class Parser(input: String, now: Long) {
       case "count" => Count(args.toSeq.filter(_ != "*"))
       case "count_empty" => CountEmpty(args.toSeq)
       case "count_uniq" => CountUniq(fieldsOrStar, limit)
-      case "count_uniq_hash" => CountUniqHash(fieldsOrStar)
+      case "count_uniq_hash" => CountUniqHash(fieldsOrStar, limit)
       case "sum" => Sum(fieldsOrStar)
       case "avg" => Avg(fieldsOrStar)
       case "min" => Min(fieldsOrStar)

@@ -149,10 +149,12 @@ class CompilerSpec extends SparkSuite {
   test("stats count/sum/avg with group") {
     val df = run("* | stats by (level) count() hits, sum(v) s | sort by (level)")
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
-    assert(rows == Seq(
+    assert(rows.take(2) == Seq(
       ("error", 2L, Some(17.0)),
-      ("info", 2L, Some(2.5)),
-      ("warn", 1L, None))) // "n/a" doesn't parse
+      ("info", 2L, Some(2.5))))
+    // "n/a" doesn't parse: sum of no values is NaN (stats_sum.go), not null
+    assert(rows(2)._1 == "warn" && rows(2)._2 == 1L &&
+      rows(2)._3.exists(_.asInstanceOf[Double].isNaN))
   }
 
   test("rename removes the source field, map-resident included") {
@@ -304,9 +306,14 @@ class CompilerSpec extends SparkSuite {
   }
 
   test("median / quantile") {
+    // nearest-rank ELEMENT over the value collation (stats_quantile.go);
+    // v is a string column, and empty/missing values participate for an
+    // explicitly named field: ["", "10", "2.5", "7", "n/a"] sorted by
+    // lessString -> ["", "2.5", "7", "10", "n/a"]; median = idx 2 = "7";
+    // phi>=1 returns the max ("n/a" sorts above numbers)
     val r = run("* | stats median(v) m, quantile(1.0, v) q").collect().head
-    assert(r.getDouble(0) == 7.0)
-    assert(r.getDouble(1) == 10.0)
+    assert(r.getString(0) == "7")
+    assert(r.getString(1) == "n/a")
   }
 
   test("values / uniq_values") {
@@ -324,8 +331,13 @@ class CompilerSpec extends SparkSuite {
   }
 
   test("row_max") {
+    // the source compares under the value collation: "n/a" (a string)
+    // sorts above every number, so the warn row wins (lessString)
     val r = run("* | stats row_max(v) rm").collect().head
-    assert(r.getString(0).contains("connection error"))
+    assert(r.getString(0).contains("errors piling up"), r.getString(0))
+    // excluding the non-numeric value, the numeric max (v=10) row wins
+    val r2 = run("""-v:="n/a" | stats row_max(v) rm""").collect().head
+    assert(r2.getString(0).contains("connection error"), r2.getString(0))
   }
 
   test("top pipe") {
@@ -832,12 +844,12 @@ class CompilerSpec extends SparkSuite {
     assert(r.getLong(2) == 2L)
     assert(r.getLong(3) == 0L)
     assert(r.getLong(4) == 12L)              // bytes across all values
-    assert(r.getDouble(5) == 3.0)
+    assert(r.getString(5) == "4.0")          // nearest-rank element
   }
 
-  test("wildcard sum over a group with no parseable values is null, not 0") {
-    // mirrors the scalar path: sum over all-null is null. Group "a" has
-    // numeric x_* values, group "n" has none — its sum/avg must be null
+  test("wildcard sum over a group with no parseable values is NaN, not 0") {
+    // group "a" has numeric x_* values, group "n" has none — its sum is
+    // NaN (the reference's accumulator init, stats_sum.go), never 0
     val schema = StructType(Seq(
       StructField("k", StringType),
       StructField("x_a", StringType)))
@@ -845,23 +857,26 @@ class CompilerSpec extends SparkSuite {
     val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     val out = run("* | stats by (k) sum(x_*) as s | sort by (k)", d).collect()
     assert(out(0).getDouble(1) == 5.0)
-    assert(out(1).isNullAt(1))
+    assert(out(1).getDouble(1).isNaN)
   }
 
   test("wildcard stats: min/max use value collation, values/uniq_values flatten") {
     val r = run("* | stats min(x_*) as mn, max(x_*) as mx, " +
       "uniq_values(x_*) as uv", wildDf).collect().head
-    assert(r.getString(0) == "")             // empty sorts lowest
+    // wildcards see only EXISTING values (the block model materializes
+    // no empties for pattern matches), so "" cannot win min
+    assert(r.getString(0) == "1.0", r.getString(0))
     assert(r.getString(1) == "bad")          // strings above numbers
     assert(r.getSeq[String](2) == Seq("1.0", "2", "3", "4.0", "6", "bad"))
   }
 
   test("row_any/row_max field filters limit the returned JSON") {
     val r = run("* | stats row_max(x_a, x_*) as r", wildDf).collect().head
-    assert(r.getString(0) == """{"x_a":"4.0","x_b":"bad","x_d":"6","x_e":""}""")
+    // row JSON omits empty values (the block model never stores them)
+    assert(r.getString(0) == """{"x_a":"4.0","x_b":"bad","x_d":"6"}""")
     val ra = run("* | stats by (k) row_any(x_b, x_c) as r | sort by (k)", wildDf)
       .collect().map(_.getString(1)).toSeq
-    assert(ra == Seq("""{"x_b":"2","x_c":"3"}""", """{"x_b":"bad","x_c":""}"""))
+    assert(ra == Seq("""{"x_b":"2","x_c":"3"}""", """{"x_b":"bad"}"""))
   }
 
   test("copy/rename prefix* rewrites top-level columns and map keys") {

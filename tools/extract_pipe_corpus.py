@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Extract the reference's table-driven pipe execution tests.
 
-Scans /root/reference/lib/logstorage/pipe_*_test.go for Test functions
+Scans /root/reference/lib/logstorage/*_test.go (pipes, stats functions,
+and any other file using the expectPipeResults helper) for Test functions
 that define the canonical helper
 
     f := func(pipeStr string, rows, rowsExpected [][]Field) {
@@ -158,7 +159,7 @@ def extract_file(path):
 def main():
     all_cases = []
     for path in sorted(glob.glob(
-            "/root/reference/lib/logstorage/pipe_*_test.go")):
+            "/root/reference/lib/logstorage/*_test.go")):
         all_cases.extend(extract_file(path))
     with open(OUT, "w", encoding="utf-8") as fh:
         fh.write("# extracted from lib/logstorage/pipe_*_test.go "
