@@ -80,6 +80,10 @@ object GraftFunctions {
       "graft_json_flatten(s) - JSON object to a flattened map " +
         "(nested objects become dot-separated keys, reference logjson shape)",
       es => JsonFlattenExpr(es.head)),
+    ("graft_json_flatten_strict",
+      "graft_json_flatten_strict(s) - like graft_json_flatten but NULL " +
+        "for malformed/non-object input",
+      es => JsonFlattenExpr(es.head, nullForNonObject = true)),
     ("graft_json_get",
       "graft_json_get(json, seg, ...) - scalar JSON field lookup; " +
         "sentinel for object/array values",

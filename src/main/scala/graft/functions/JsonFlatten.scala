@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * LogfmtToMap kernel's CodegenFallback shape — one streaming pass per
   * row with no intermediate tree.
   */
-case class JsonFlattenExpr(child: Expression)
+case class JsonFlattenExpr(child: Expression,
+                           nullForNonObject: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -36,9 +37,13 @@ case class JsonFlattenExpr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     var pairs = JsonFlattenExpr.flatten(s)
-    // a non-object root yields no fields; an EMPTY map (not null) keeps
-    // downstream map_concat/map_filter codegen null-free
-    if (pairs == null) pairs = new java.util.LinkedHashMap[String, String]()
+    // a non-object root yields no fields. Unpack paths want an EMPTY map
+    // (keeps downstream map_concat/map_filter codegen null-free); ingest
+    // wants NULL so malformed lines stay distinguishable from {}
+    if (pairs == null) {
+      if (nullForNonObject) return null
+      pairs = new java.util.LinkedHashMap[String, String]()
+    }
     val keys = new Array[Any](pairs.size)
     val vals = new Array[Any](pairs.size)
     var idx = 0
@@ -157,6 +162,12 @@ object JsonFlattenExpr {
   def flattenCol(c: Column): Column = {
     GraftFunctions.ensure()
     call_function("graft_json_flatten", c)
+  }
+
+  /** Like flattenCol but NULL for malformed / non-object input. */
+  def flattenColStrict(c: Column): Column = {
+    GraftFunctions.ensure()
+    call_function("graft_json_flatten_strict", c)
   }
 
   /** xxHash64 with seed 0, 53-bit truncated upstream (hash pipe). */

@@ -24,11 +24,11 @@ object Ingest {
     * drops; keeping is the safer default for data pipelines). */
   def parseJsonline(lines: DataFrame, timeField: String = "_time",
                     msgField: String = "_msg"): DataFrame = {
-    // first-wins dedup: duplicate JSON keys in a client line would throw
-    // DUPLICATED_MAP_KEY when map_filter rebuilds the map below, failing
-    // the whole batch (graft.functions.MapOps scaladoc)
-    val m = graft.functions.MapOps.dedupKeysFirst(
-      from_json(col("value"), MapType(StringType, StringType)))
+    // reference logjson shape (json_parser.go appendLogFields): nested
+    // objects flatten into dot-separated field names, duplicate keys
+    // first-wins, arrays keep their raw JSON — the same JsonFlatten
+    // kernel unpack_json uses, so ingest and query agree byte-for-byte
+    val m = graft.functions.JsonFlattenExpr.flattenColStrict(col("value"))
     lines.select(
       coalesce(element_at(m, timeField).try_cast("timestamp"),
         current_timestamp()).as("_time"),

@@ -30,6 +30,18 @@ class IngestSpec extends SparkSuite {
     assert(byMsg.contains("not json at all")) // raw line preserved as _msg
   }
 
+  test("jsonline ingest flattens nested objects into dot-path fields") {
+    // json_parser.go appendLogFields: {"k8s":{"pod":{"name":"x"}}} is
+    // stored as the single field k8s.pod.name=x; arrays keep raw JSON
+    import spark.implicits._
+    val lines = Seq(
+      """{"_msg":"m","k8s":{"pod":{"name":"x"},"labels":["a","b"]}}""")
+      .toDF("value")
+    val f = Ingest.parseJsonline(lines).collect().head
+      .getAs[Map[String, String]]("fields")
+    assert(f == Map("k8s.pod.name" -> "x", "k8s.labels" -> """["a","b"]"""), f)
+  }
+
   test("syslog parser: RFC3164 and RFC5424") {
     import spark.implicits._
     val lines = Seq(
