@@ -1805,13 +1805,12 @@ final class Parser(input: String, now: Long) {
       case other => err(s"unknown stats function '$other'")
     }
     // optional `if (filter)` — same grammar as the pipe-level clause
-    skipWs()
-    val iffStart = pos
     val iff = parseOptIf()
-    // the reference's default result name includes the if-clause text
-    // (pipe_stats.go: resultName = sf.String() + " " + iff.String()), so
-    // `count(), count() if (foo)` do NOT collide
-    val iffRaw = if (iff.isDefined) " " + input.substring(iffStart, pos).trim else ""
+    // the reference's default result name includes the CANONICAL
+    // if-clause text (pipe_stats.go: resultName = sf.String() + " " +
+    // iff.String()), so `count(), count() if (foo)` do NOT collide and
+    // the column name matches the reference's exactly
+    val iffRaw = iff.map(f => s" if (${Canon.filter(f)})").getOrElse("")
     // optional alias: `as name` or bare name
     skipWs()
     val as =
