@@ -850,9 +850,16 @@ final class Parser(input: String, now: Long) {
         if (repr.isEmpty) s"offset $w" else s"$repr offset $w"
       f match {
         case tr @ Filter.TimeRange(lo, hi, rp) =>
-          tr.copy(loNs = if (lo == Long.MinValue) lo else lo - d,
-                  hiNs = if (hi == Long.MaxValue) hi else hi - d,
-                  repr = withOff(rp))
+          // the reference subtracts from BOTH bounds with plain int64
+          // WRAPPING (parser.go:2606-2607) — `<X offset 30m5s` wraps
+          // MinInt64 into a huge positive min and matches nothing, and
+          // the open upper bound becomes MaxInt64-offset. The bare
+          // `_time:offset 1d` form shifts only the upper bound (:2580).
+          val bare = rp.isEmpty
+          tr.copy(
+            loNs = if (bare) lo else lo - d,
+            hiNs = if (hi == Long.MaxValue) Long.MaxValue - d + 1 else hi - d,
+            repr = withOff(rp))
         case dr: Filter.DayRange => dr.copy(offsetNs = d, repr = withOff(dr.repr))
         case wr: Filter.WeekRange => wr.copy(offsetNs = d, repr = withOff(wr.repr))
         case other => other
@@ -1018,15 +1025,32 @@ final class Parser(input: String, now: Long) {
     }
     def granEndExclusive(instant: Long): Long = {
       // getMatchingEndTime+1: advance the instant by the granularity of
-      // the (tz-stripped) string form, preserving any intra-day offset
+      // the (tz-stripped) string form, preserving any intra-day offset.
+      // Year/month ends mirror the reference's time.Date(y, m+1, d=0)
+      // normalization: a tz-shifted instant landing on day != 1 ends on
+      // the LAST day of the next month, not a clamped plusMonths
       val dt = LocalDateTime.ofEpochSecond(
         Math.floorDiv(instant, 1000000000L),
         Math.floorMod(instant, 1000000000L).toInt, ZoneOffset.UTC)
       def back(d: LocalDateTime): Long =
         d.toEpochSecond(ZoneOffset.UTC) * 1000000000L + d.getNano
+      val nsecOfDay = dt.toLocalTime.toNanoOfDay
+      def goDate(y: Int, m: Int, d: Int): LocalDateTime = {
+        // Go time.Date normalizes out-of-range fields: month 13 rolls
+        // into the next year, day 0 is the last day of month-1
+        var ld = LocalDate.of(y, 1, 1).plusMonths(m - 1L)
+        ld = ld.plusDays(d - 1L)
+        ld.atStartOfDay.plusNanos(nsecOfDay)
+      }
       val n = tzStripped.length
-      if (n == 4) back(dt.plusYears(1))
-      else if (n == 7 && tzStripped(4) == '-') back(dt.plusMonths(1))
+      if (n == 4)
+        back(goDate(dt.getYear + 1, dt.getMonthValue, dt.getDayOfMonth))
+      else if (n == 7 && tzStripped(4) == '-') {
+        val (m2, d2) =
+          if (dt.getDayOfMonth != 1) (dt.getMonthValue + 2, 0)
+          else (dt.getMonthValue + 1, 1)
+        back(goDate(dt.getYear, m2, d2))
+      }
       else if (n == 10 && tzStripped(4) == '-') instant + 86400L * 1000000000L
       else if (n == 13 && tzStripped(4) == '-') instant + 3600L * 1000000000L
       else if (n == 16 && tzStripped(4) == '-') instant + 60L * 1000000000L
@@ -1054,8 +1078,28 @@ final class Parser(input: String, now: Long) {
             else if (v < 1000L * (1L << 31)) v * 1000000L
             else if (v < 1000000L * (1L << 31)) v * 1000L
             else v
-          } else if (sOrig.matches("\\d+\\.\\d+([eE]\\d+)?") ||
-                     sOrig.matches("\\d+[eE]\\d+")) {
+          } else if (sOrig.matches("\\d+\\.\\d+")) {
+            // integer math like tryParseFractionalNumberForUnixTimestamp:
+            // float multiplication would lose sub-millisecond digits
+            val Array(ip, fp0) = sOrig.split("\\.", 2)
+            var unit = ip.toLong
+            var fp = fp0
+            while (fp.length % 3 != 0) fp += "0"
+            var frac = 0L
+            var scale = 0
+            fp.grouped(3).foreach { g => frac = frac * 1000 + g.toLong; scale += 3 }
+            val base =
+              if (unit < (1L << 31)) unit * 1000000000L
+              else if (unit < 1000L * (1L << 31)) unit * 1000000L
+              else if (unit < 1000000L * (1L << 31)) unit * 1000L
+              else unit
+            val mult =
+              if (unit < (1L << 31)) 1000000000L
+              else if (unit < 1000L * (1L << 31)) 1000000L
+              else if (unit < 1000000L * (1L << 31)) 1000L
+              else 1L
+            base + frac * mult / math.pow(10, scale).toLong
+          } else if (sOrig.matches("\\d+(\\.\\d+)?[eE]\\d+")) {
             val sec = sOrig.toDouble
             if (sec < (1L << 31)) (sec * 1e9).round
             else if (sec < 1000d * (1L << 31)) (sec * 1e6).round
