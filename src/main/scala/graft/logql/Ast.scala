@@ -17,6 +17,38 @@ final case class Query(filter: Filter, pipes: Seq[Pipe],
                        evalNs: Long = 0L)
 
 object Query {
+  /** The reference's Query.AddTimeFilter (parser.go:530-545): conjoin
+    * the GLOBAL [startNs, endNs] (both INCLUSIVE) onto this query and
+    * every nested subquery, skipping queries that opted out via
+    * options(ignore_global_time_filter=true). The injected filter
+    * carries the reference's canonical repr (`[rfc3339,rfc3339]`). */
+  def addTimeFilter(q: Query, startNs: Long, endNs: Long): Query = {
+    def rfc(ns: Long): String = {
+      val i = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+      base.replaceAll("\\.?0+$", "") + "Z" // RFC3339Nano trims zeros
+    }
+    def ignores(sub: Query): Boolean =
+      sub.options.get("ignore_global_time_filter")
+        // Go strconv.ParseBool spellings
+        .exists(v => Set("1", "t", "T", "TRUE", "true", "True").contains(v))
+    val repr = s"[${rfc(startNs)},${rfc(endNs)}]"
+    // inclusive end -> this AST's exclusive upper bound
+    val hi = if (endNs == Long.MaxValue) Long.MaxValue else endNs + 1
+    val tr = Filter.TimeRange(startNs, hi, repr)
+    transformWithSubqueries(q) { sub =>
+      if (ignores(sub)) sub
+      else sub.copy(filter = sub.filter match {
+        case Filter.Noop => Filter.And(Seq(tr, Filter.Noop))
+        case Filter.And(fs) => Filter.And(tr +: fs)
+        case other => Filter.And(Seq(tr, other))
+      })
+    }
+  }
+
   /** Rewrite `q` AND every nested subquery with `f` — in(subquery),
     * contains_all/any(subquery), join/union pipes, and the if(...)
     * conditions of pipes and stats functions, innermost first. This is

@@ -263,25 +263,19 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       .orElse(one(ps, "end").map(parseTime))
       .getOrElse(nowNs) - 1
     val q0 = Parser.parse(text, evalNs)
-    // options(ignore_global_time_filter=true) suppresses the HTTP-level
-    // [start, end) conjunct (parser.go AddTimeFilter gate), checked per
-    // query — a subquery can opt out independently of its parent
-    def ignoresGlobal(q: Query): Boolean =
-      q.options.get("ignore_global_time_filter")
-        // Go strconv.ParseBool's accepted spellings (the reference parser)
-        .exists(v => Set("1", "t", "T", "TRUE", "true", "True").contains(v))
     val q1 = (one(ps, "start"), one(ps, "end")) match {
       case (None, None) => q0
       case (lo, hi) =>
-        val tr = Filter.TimeRange(lo.map(parseTime).getOrElse(Long.MinValue),
-                                  hi.map(parseTime).getOrElse(Long.MaxValue))
-        // AddTimeFilter reaches subqueries too (parser.go:537-541): a
-        // join/in() subquery over years of retention is bounded exactly
-        // like its parent instead of scanning all history
-        Query.transformWithSubqueries(q0) { q =>
-          if (ignoresGlobal(q)) q
-          else q.copy(filter = Filter.And(Seq(tr, q.filter)))
-        }
+        // Query.addTimeFilter reaches subqueries too (parser.go:537-541):
+        // a join/in() subquery over years of retention is bounded exactly
+        // like its parent instead of scanning all history. The `end` arg
+        // is EXCLUSIVE at the HTTP layer (this server's [start, end)
+        // contract), so the inclusive AddTimeFilter gets end-1.
+        val startNs = lo.map(parseTime).getOrElse(Long.MinValue)
+        val endNs = hi.map(parseTime)
+          .map(e => if (e == Long.MaxValue) e else e - 1)
+          .getOrElse(Long.MaxValue)
+        Query.addTimeFilter(q0, startNs, endNs)
     }
     val extras =
       ps.getOrElse("extra_filters", Nil).filter(_.nonEmpty)

@@ -45,6 +45,29 @@ class CanonConformanceSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"\n${bad.size} canonical mismatches:\n" + bad.mkString("\n"))
   }
 
+  test("AddTimeFilter injection matches the reference canonicals") {
+    // TestQuery_AddTimeFilter: AddTimeFilter(2024-12-25T14:56:43Z,
+    // 2025-01-13T12:45:34Z) conjoined onto the query and every
+    // non-opted-out subquery, rendered canonically
+    val start = java.time.Instant.parse("2024-12-25T14:56:43Z")
+    val end = java.time.Instant.parse("2025-01-13T12:45:34Z")
+    val startNs = start.getEpochSecond * 1000000000L
+    val endNs = end.getEpochSecond * 1000000000L
+    val in = getClass.getResourceAsStream("/conformance/add_time_filter.txt")
+    require(in != null, "missing add_time_filter.txt")
+    val bad = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#")).flatMap { l =>
+        val a = mapper.readValue(l, classOf[Array[String]])
+        try {
+          val got = Canon.query(
+            Query.addTimeFilter(Parser.parse(a(0), NOW), startNs, endNs))
+          if (got != a(1)) Some(s"<<${a(0)}>>\n  want <<${a(1)}>>\n  got  <<$got>>")
+          else None
+        } catch { case e: Exception => Some(s"<<${a(0)}>> !! ${e.getMessage}") }
+      }.toList
+    assert(bad.isEmpty, s"\n${bad.size} injection mismatches:\n" + bad.mkString("\n"))
+  }
+
   test("canonical rendering is a fixed point under re-parse") {
     val bad = pairs.filterNot { case (in, _) => allowlist.contains(in) }
       .flatMap { case (_, want) =>

@@ -109,6 +109,17 @@ def main():
         for v in vals:
             fh.write(json.dumps(list(v), ensure_ascii=False) + "\n")
     print(f"parser_canonical.txt: {len(vals)} pairs")
+    # (input, canonical-after-AddTimeFilter(2024-12-25T14:56:43Z,
+    # 2025-01-13T12:45:34Z)) pairs for the injection conformance spec
+    vals = list(extract(func_body(src, "TestQuery_AddTimeFilter"), pairs=True))
+    path = os.path.join(OUT, "add_time_filter.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# [input, canonical after AddTimeFilter] pairs from "
+                 "TestQuery_AddTimeFilter (parser_test.go) by "
+                 "tools/extract_parser_corpus.py\n")
+        for v in vals:
+            fh.write(json.dumps(list(v), ensure_ascii=False) + "\n")
+    print(f"add_time_filter.txt: {len(vals)} pairs")
 
 
 if __name__ == "__main__":
