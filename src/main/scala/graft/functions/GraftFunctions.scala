@@ -76,6 +76,11 @@ object GraftFunctions {
           case de: org.apache.spark.sql.types.Decimal => de.toDouble
           case other => other.toString.toDouble
         })),
+    ("graft_syslog_parse",
+      "graft_syslog_parse(s, year, tzMinutes) - progressive syslog " +
+        "parser (RFC3164/RFC5424 + structured data) to a field map",
+      es => SyslogParseExpr(es(0),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     ("graft_json_flatten",
       "graft_json_flatten(s) - JSON object to a flattened map " +
         "(nested objects become dot-separated keys, reference logjson shape)",

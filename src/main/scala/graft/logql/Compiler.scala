@@ -2158,76 +2158,19 @@ object Compiler {
   private[graft] def applyUnpackSyslog(df: DataFrame, from: String,
       prefix: String, offsetNs: Long = 0L,
       keepOriginal: Boolean = false,
-      cond: Option[Column] = None): DataFrame = {
-    val src = strF(df, from)
-    // RFC5424: <pri>VER TS HOST APP PROCID MSGID [SD] MSG (syslog_parser.go)
-    val rfc5424 = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\])|-) ?(.*)$"
-    // RFC3164: <pri>MMM dd HH:mm:ss HOST TAG[PID]: MSG
-    val rfc3164 = "^<(\\d+)>([A-Z][a-z]{2} [ \\d]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ([^:\\[ ]+)(?:\\[(\\d+)\\])?:? ?(.*)$"
-    val is5424 = src.rlike("^<\\d+>\\d+ ")
-    def f(name: String, c: Column): (String, Column) = (prefix + name, c)
-    val pri = when(is5424, regexp_extract(src, rfc5424, 1))
-      .otherwise(regexp_extract(src, rfc3164, 1)).try_cast("long")
-    // RFC3164 timestamps carry no zone: with `offset <dur>` they render as
-    // RFC3339 wall time in that fixed zone, current year injected
-    // (pipe_unpack_syslog.go:140-156 + GetSyslogParser); without it the
-    // raw string passes through (documented default)
-    val raw3164 = regexp_extract(src, rfc3164, 2)
-    val ts3164 =
-      if (offsetNs == 0L) raw3164
-      else {
-        val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
-        val norm = regexp_replace(raw3164, "\\s+", " ")
-        val wall = to_timestamp(concat(lit(s"$year "), norm), "yyyy MMM d HH:mm:ss")
-        val totalMin = (offsetNs / 60000000000L).toInt
-        val sign = if (totalMin < 0) "-" else "+"
-        val suffix = f"$sign${math.abs(totalMin) / 60}%02d:${math.abs(totalMin) % 60}%02d"
-        when(wall.isNotNull,
-          concat(date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), lit(suffix)))
-          .otherwise(raw3164)
-      }
-    // keyword companions (syslog_parser.go:126-135 + the keyword tables):
-    // facility_keyword (kern..local7), level (severity name), format
-    val facilityKw = Seq(
-      "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
-      "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
-      "solaris-cron", "local0", "local1", "local2", "local3", "local4",
-      "local5", "local6", "local7")
-    val severityKw = Seq(
-      "emerg", "alert", "critical", "error", "warning", "notice", "info",
-      "debug")
-    def kwOf(n: Column, table: Seq[String]): Column =
-      table.zipWithIndex.foldLeft(lit("unknown")) { case (acc, (kw, i)) =>
-        when(n === i, kw).otherwise(acc)
-      }
-    val cols = Seq(
-      f("priority", pri.cast(StringType)),
-      f("facility", (pri / 8).cast(LongType).cast(StringType)),
-      f("severity", (pri % 8).cast(LongType).cast(StringType)),
-      f("facility_keyword", when(pri.isNotNull,
-        kwOf((pri / 8).cast(LongType), facilityKw))),
-      f("level", when(pri.isNotNull,
-        kwOf((pri % 8).cast(LongType), severityKw))),
-      f("format", when(src === "" || src.isNull, lit(null))
-        .when(is5424, lit("rfc5424")).otherwise(lit("rfc3164"))),
-      f("timestamp", when(is5424, regexp_extract(src, rfc5424, 3))
-        .otherwise(ts3164)),
-      f("hostname", when(is5424, regexp_extract(src, rfc5424, 4))
-        .otherwise(regexp_extract(src, rfc3164, 3))),
-      f("app_name", when(is5424, regexp_extract(src, rfc5424, 5))
-        .otherwise(regexp_extract(src, rfc3164, 4))),
-      f("proc_id", when(is5424, regexp_extract(src, rfc5424, 6))
-        .otherwise(regexp_extract(src, rfc3164, 5))),
-      f("msg_id", when(is5424, regexp_extract(src, rfc5424, 7)).otherwise(lit(""))),
-      f("message", when(is5424, regexp_extract(src, rfc5424, 9))
-        .when(regexp_extract(src, rfc3164, 1) =!= "",
-          regexp_extract(src, rfc3164, 6))
-        // headerless messages: the whole text is the message, parsed as
-        // an (empty-header) rfc3164 line (syslog_parser.go parseNoHeader)
-        .otherwise(src)))
-    cols.foldLeft(df)((d, nc) =>
-      d.withColumn(nc._1,
-        unpackTarget(d, nc._1, nc._2, keepOriginal, skipEmpty = false, cond)))
+      cond: Option[Column] = None,
+      yearOverride: Option[Int] = None): DataFrame = {
+    // one progressive-parser kernel pass per row (syslog_parser.go port,
+    // functions/SyslogParse.scala) — priority header + keyword
+    // companions, RFC5424 tokens + STRUCTURED DATA (`sd@id.key` fields),
+    // RFC3164 with the year-injected millisecond ISO8601 timestamp in
+    // the `offset` zone (default UTC). Dynamic SD keys land in the
+    // fields map via the same merge unpack_json uses.
+    val year = yearOverride.getOrElse(
+      java.time.Year.now(java.time.ZoneOffset.UTC).getValue)
+    val tzMin = (offsetNs / 60000000000L).toInt
+    val parsed = graft.functions.SyslogParse.parseCol(strF(df, from), year, tzMin)
+    mergeIntoFields(df, parsed, prefix, keepOriginal, skipEmpty = false, cond)
   }
 
   // -------------------------------------------------------- collapse_nums

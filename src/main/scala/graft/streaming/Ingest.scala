@@ -41,18 +41,17 @@ object Ingest {
   /** Syslog RFC3164/RFC5424 lines via the unpack_syslog expressions
     * (syslog_parser.go; app/vlinsert/syslog/syslog.go:38-60). */
   def parseSyslog(lines: DataFrame): DataFrame = {
+    // the progressive parser yields a field MAP (incl. dynamic
+    // structured-data keys — they all ingest as fields)
     val unpacked = graft.logql.Compiler.applyUnpackSyslog(
       lines.withColumnRenamed("value", "_msg"), "_msg", "")
+    val f = col("fields")
     unpacked.select(
-      coalesce(col("timestamp").try_cast("timestamp"),
+      coalesce(element_at(f, "timestamp").try_cast("timestamp"),
         current_timestamp()).as("_time"),
-      col("message").as("_msg"),
-      map(
-        lit("hostname"), col("hostname"),
-        lit("app_name"), col("app_name"),
-        lit("proc_id"), col("proc_id"),
-        lit("severity"), col("severity"),
-        lit("facility"), col("facility")).as("fields"))
+      coalesce(element_at(f, "message"), lit("")).as("_msg"),
+      map_filter(f, (k, _) =>
+        k =!= "timestamp" && k =!= "message").as("fields"))
   }
 
   /** Elasticsearch bulk payload (app/vlinsert/elasticsearch/

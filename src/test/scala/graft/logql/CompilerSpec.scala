@@ -433,7 +433,12 @@ class CompilerSpec extends SparkSuite {
       Row("<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed"),
       Row("<165>1 2023-08-24T05:14:15.000003Z host.example app 1234 ID47 - An app event"))),
       schema)
-    val out = Compiler.run(df, "* | unpack_syslog from _msg", NOW).collect()
+    // unpacked fields land in the dynamic fields map (structured-data
+    // keys make the set dynamic); field resolution reads through it
+    val out = Compiler.run(df,
+      """* | unpack_syslog from _msg
+         | fields app_name, priority, severity, hostname, message, proc_id""",
+      NOW).collect()
     val r3164 = out.find(_.getAs[String]("app_name") == "su").get
     assert(r3164.getAs[String]("priority") == "34")
     assert(r3164.getAs[String]("severity") == "2")
@@ -719,14 +724,15 @@ class CompilerSpec extends SparkSuite {
     val schema = StructType(Seq(StructField("_msg", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row("<13>Jan  5 10:11:12 host2 cron[123]: scheduled run"))), schema)
-    val out = Compiler.run(df, "* | unpack_syslog offset 5h30m", NOW)
-      .select("timestamp").collect().head.getString(0)
+    val out = Compiler.run(df, "* | unpack_syslog offset 5h30m | fields timestamp", NOW)
+      .collect().head.getString(0)
     val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
-    assert(out == s"$year-01-05T10:11:12+05:30")
-    // without offset the raw string passes through unchanged
-    val raw = Compiler.run(df, "* | unpack_syslog", NOW)
-      .select("timestamp").collect().head.getString(0)
-    assert(raw == "Jan  5 10:11:12")
+    assert(out == s"$year-01-05T10:11:12.000+05:30")
+    // without offset the timestamp converts in UTC (syslog_parser.go
+    // GetSyslogParser default zone; millisecond ISO8601 rendering)
+    val utc = Compiler.run(df, "* | unpack_syslog | fields timestamp", NOW)
+      .collect().head.getString(0)
+    assert(utc == s"$year-01-05T10:11:12.000Z")
   }
 
   test("math operands auto-parse durations, hex, byte sizes, ipv4") {
