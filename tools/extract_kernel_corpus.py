@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Extract kernel-level golden tables:
+
+- json_parser_test.go TestJSONParserSuccess: f(json, []Field{...}) and
+  TestJSONParserFailure: f(json) → conformance/json_parser.txt
+  {"in":..., "out":[[k,v],...] | null}  (null = must fail)
+- tokenizer_test.go TestTokenizeStrings: f([]string{...}, []string{...})
+  → conformance/tokenizer.txt {"in":[...], "out":[...]}
+"""
+import json
+import os
+import re
+import sys
+
+DIR = "/root/reference/lib/logstorage"
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test",
+                   "resources", "conformance")
+
+
+def parse_go_string(src, i):
+    c = src[i]
+    if c == '`':
+        j = src.index('`', i + 1)
+        return src[i + 1:j], j + 1
+    assert c == '"', src[i:i+30]
+    out = []
+    j = i + 1
+    while True:
+        ch = src[j]
+        if ch == '\\':
+            nxt = src[j + 1]
+            m = {'n': '\n', 't': '\t', 'r': '\r', '\\': '\\', '"': '"'}
+            if nxt in m:
+                out.append(m[nxt]); j += 2
+            elif nxt == 'x':
+                out.append(chr(int(src[j + 2:j + 4], 16))); j += 4
+            elif nxt == 'u':
+                out.append(chr(int(src[j + 2:j + 6], 16))); j += 6
+            else:
+                raise ValueError(f"escape {nxt}")
+        elif ch == '"':
+            return ''.join(out), j + 1
+        else:
+            out.append(ch); j += 1
+
+
+def skip_ws(src, i):
+    while True:
+        while i < len(src) and src[i] in ' \t\n':
+            i += 1
+        if src.startswith("//", i):
+            i = src.index('\n', i)
+            continue
+        return i
+
+
+def body_of(src, name):
+    start = src.index(f"func {name}(t *testing.T) {{")
+    end = src.find("\nfunc ", start + 10)
+    return src[start:end] if end > 0 else src[start:]
+
+
+def parse_fields(src, i):
+    """[]Field{ {Name: ..., Value: ...} | {"n", "v"}, ... } or nil."""
+    i = skip_ws(src, i)
+    if src.startswith("nil", i):
+        return [], i + 3
+    m = re.match(r'\[\]Field\{', src[i:])
+    assert m, src[i:i+30]
+    i += m.end()
+    out = []
+    while True:
+        i = skip_ws(src, i)
+        if src[i] == '}':
+            return out, i + 1
+        assert src[i] == '{'
+        i = skip_ws(src, i + 1)
+        name = value = None
+        while src[i] != '}':
+            fm = re.match(r'(Name|Value)\s*:', src[i:])
+            if fm:
+                i = skip_ws(src, i + fm.end())
+                v, i = parse_go_string(src, i)
+                if fm.group(1) == "Name":
+                    name = v
+                else:
+                    value = v
+            else:
+                v, i = parse_go_string(src, i)
+                if name is None:
+                    name = v
+                else:
+                    value = v
+            i = skip_ws(src, i)
+            if src[i] == ',':
+                i = skip_ws(src, i + 1)
+        i += 1
+        out.append([name, value])
+        i = skip_ws(src, i)
+        if src[i] == ',':
+            i += 1
+
+
+def extract_json_parser():
+    src = open(f"{DIR}/json_parser_test.go", encoding="utf-8").read()
+    cases = []
+    body = body_of(src, "TestJSONParserFailure")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        v, _ = parse_go_string(body, skip_ws(body, m.end()))
+        cases.append({"in": v, "out": None})
+    body = body_of(src, "TestJSONParserSuccess")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        v, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        fields, _ = parse_fields(body, i + 1)
+        cases.append({"in": v, "out": fields})
+    path = os.path.join(OUT, "json_parser.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from json_parser_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"json_parser.txt: {len(cases)} cases")
+
+
+def parse_string_list(src, i):
+    i = skip_ws(src, i)
+    if src.startswith("nil", i):
+        return [], i + 3
+    m = re.match(r'(?:\[\]string\{|strings\.Split\()', src[i:])
+    assert m, src[i:i+40]
+    if src[i:].startswith("strings.Split("):
+        i += len("strings.Split(")
+        s, i = parse_go_string(src, skip_ws(src, i))
+        i = skip_ws(src, i)
+        assert src[i] == ','
+        sep, i = parse_go_string(src, skip_ws(src, i + 1))
+        i = skip_ws(src, i)
+        assert src[i] == ')'
+        return s.split(sep), i + 1
+    i += m.end()
+    vals = []
+    while True:
+        i = skip_ws(src, i)
+        if src[i] == '}':
+            return vals, i + 1
+        v, i = parse_go_string(src, i)
+        vals.append(v)
+        i = skip_ws(src, i)
+        if src[i] == ',':
+            i += 1
+
+
+def extract_tokenizer():
+    src = open(f"{DIR}/tokenizer_test.go", encoding="utf-8").read()
+    body = body_of(src, "TestTokenizeStrings")
+    cases = []
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        ins, i = parse_string_list(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        outs, _ = parse_string_list(body, i + 1)
+        cases.append({"in": ins, "out": outs})
+    path = os.path.join(OUT, "tokenizer.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from tokenizer_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"tokenizer.txt: {len(cases)} cases")
+
+
+if __name__ == "__main__":
+    extract_json_parser()
+    extract_tokenizer()
+    sys.exit(0)
