@@ -293,7 +293,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     * JSON shorthand — exact/in() filters for the plain variant, stream
     * label matchers for the stream variant. Every query the UI issues
     * carries its selected-filter state this way. */
-  private def extraFilter(s: String, stream: Boolean, evalNs: Long): Filter = {
+  private[server] def extraFilter(s: String, stream: Boolean, evalNs: Long): Filter = {
     val trimmed = s.trim
     def quote(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -304,14 +304,20 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(trimmed)
         val kvs = node.fields().asScala.toSeq.map { e =>
           val vals =
-            if (e.getValue.isArray) e.getValue.elements().asScala.map(_.asText()).toSeq
+            if (e.getValue.isArray) e.getValue.elements().asScala.toSeq.map { el =>
+              // the reference REJECTS non-string array members
+              // (parseExtraFiltersJSON, logsql.go:1290+)
+              if (!el.isTextual) throw new IllegalArgumentException(
+                s"extra filter values for '${e.getKey}' must be strings")
+              el.asText()
+            }
             else Seq(e.getValue.asText())
           e.getKey -> vals
-        }
+        }.filter(_._2.nonEmpty) // empty arrays constrain nothing — skipped
         if (stream)
           kvs.map { case (k, vals) =>
             if (vals.size == 1) s"${quote(k)}=${quote(vals.head)}"
-            else s"${quote(k)}=~${quote(vals.map(java.util.regex.Pattern.quote).mkString("|"))}"
+            else s"${quote(k)}=~${quote(vals.map(goRegexQuote).mkString("|"))}"
           }.mkString("{", ",", "}")
         else
           kvs.map { case (k, vals) =>
@@ -319,7 +325,26 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
             else s"${quote(k)}:in(${vals.map(quote).mkString(",")})"
           }.mkString(" ")
       }
-    Parser.parse(text, evalNs).filter
+    if (text.trim.isEmpty) return Filter.Noop
+    val q = Parser.parse(text, evalNs)
+    // parseExtraFilters uses ParseFilter: pipes are an error, never
+    // silently dropped (`foo | count()` as an extra filter is a 400)
+    if (q.pipes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unexpected pipes in extra filter '$s'")
+    q.filter
+  }
+
+  /** Go regexp.QuoteMeta: escape regex specials with a backslash (the
+    * JVM's Pattern.quote emits \\Q..\\E markers, which the canonical
+    * strings don't carry). */
+  private def goRegexQuote(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if ("\\.+*?()|[]{}^$".indexOf(c) >= 0) sb += '\\'
+      sb += c
+    }
+    sb.result()
   }
 
   /** Request tenants (tenant_id.go:15-21): missing headers default to 0:0 —

@@ -173,7 +173,36 @@ def extract_tokenizer():
     print(f"tokenizer.txt: {len(cases)} cases")
 
 
+def extract_extra_filters():
+    src = open("/root/reference/app/vlselect/logsql/logsql_test.go",
+               encoding="utf-8").read()
+    cases = []
+    for fn, stream, ok in (
+            ("TestParseExtraFilters_Success", False, True),
+            ("TestParseExtraFilters_Failure", False, False),
+            ("TestParseExtraStreamFilters_Success", True, True),
+            ("TestParseExtraStreamFilters_Failure", True, False)):
+        body = body_of(src, fn)
+        for m in re.finditer(r'(?m)^\tf\(', body):
+            i = skip_ws(body, m.end())
+            v, i = parse_go_string(body, i)
+            out = None
+            if ok:
+                i = skip_ws(body, i)
+                assert body[i] == ','
+                out, _ = parse_go_string(body, skip_ws(body, i + 1))
+            cases.append({"in": v, "stream": stream, "out": out})
+    path = os.path.join(OUT, "extra_filters.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from app/vlselect/logsql/logsql_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"extra_filters.txt: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     extract_json_parser()
     extract_tokenizer()
+    extract_extra_filters()
     sys.exit(0)
