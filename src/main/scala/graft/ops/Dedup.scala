@@ -641,7 +641,12 @@ object Dedup {
     * vectors always co-cluster (identical points share a nearest
     * centroid), so true duplicates are removed regardless of how k-means
     * carves the space; borderline semantic pairs split across clusters are
-    * missed — the approximation the paper makes by design. */
+    * missed — the approximation the paper makes by design.
+    *
+    * Degenerate-cluster safety: byte-identical vectors collapse via one
+    * window pass BEFORE the in-cluster join (result-identical, see phase 1
+    * below), and clusters still above `maxClusterSize` distinct vectors
+    * are capped at the join (excess members conservatively kept). */
   // memoized cluster assignment per (corpus plan, cols, k, seed, iters):
   // like the IVF index, the clustering is precomputed corpus state — a
   // repeated dedup over the same corpus must not re-fit k-means. Keyed by
@@ -679,16 +684,55 @@ object Dedup {
 
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     k: Int, threshold: Double, seed: Long = 7L,
-                    maxIter: Int = 10): DataFrame = {
+                    maxIter: Int = 10,
+                    maxClusterSize: Int = 5000): DataFrame = {
     val cells = semCells(df, vecCol, k, seed, maxIter)
-    val a = cells.select(col("cluster"), col(idCol).as("__id_a"),
+    // ---- phase 1: exact-vector collapse (linear). The target workload is
+    // duplicate-HEAVY corpora, where one k-means cell fills up with
+    // byte-identical vectors and the in-cluster join below would go
+    // quadratic in exactly the common case. Identical nonzero vectors have
+    // cosine 1 >= threshold and always co-cluster, so every non-minimal id
+    // of an identical-vector group is a dup by the join's own definition —
+    // computable with ONE window over (cluster, vector), no pair ever
+    // materialized. Zero vectors are excluded (cosine is NaN -> the join
+    // never marks them), as is threshold > 1 (nothing reaches it) and
+    // threshold == 1.0 exactly, where the fused cosine kernel's fp
+    // rounding (dot vs sqrt(dot)² in the norm product) decides pair
+    // membership and the collapse must not pre-judge it.
+    // NaN-bearing vectors group as equal under Spark's NaN-normalizing
+    // partitioning but cosine to anything is NaN (never >= threshold), so
+    // they must not collapse either.
+    val collapsible = lit(threshold < 1.0) &&
+      exists(col(vecCol), x => x =!= lit(0.0f)) &&
+      !exists(col(vecCol), x => isnan(x))
+    val vw = Window.partitionBy(col("cluster"), col(vecCol))
+    val tagged = cells.withColumn("__rep",
+      when(collapsible, min(col(idCol)).over(vw)).otherwise(col(idCol)))
+    val exactDups = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("__dup"))
+    // ---- phase 2: pairwise cosine among the per-vector representatives.
+    // Equivalent to joining all rows: cos(u_i, v_j) is the same for every
+    // member of an identical-vector group, and rep ids are group minima,
+    // so "exists lower-id mate above threshold" is preserved exactly.
+    // A residual degenerate cluster (mass NEAR-identical but distinct
+    // vectors) is hard-capped at maxClusterSize join participants per
+    // cluster (lowest ids first — deterministic); excess members are
+    // conservatively KEPT, never marked dup, bounding the join at
+    // O(maxClusterSize²) per cluster. The paper's k ≈ √n·c keeps healthy
+    // clusters far below the cap; the cap only disarms adversarial cells.
+    val cw = Window.partitionBy(col("cluster")).orderBy(col(idCol))
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+      .withColumn("__rank", row_number().over(cw))
+      .filter(col("__rank") <= maxClusterSize)
+    val a = reps.select(col("cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__v_a"))
-    val b = cells.select(col("cluster"), col(idCol).as("__id_b"),
+    val b = reps.select(col("cluster"), col(idCol).as("__id_b"),
       col(vecCol).as("__v_b"))
-    val dups = a.join(b, "cluster")
+    val pairDups = a.join(b, "cluster")
       .filter(col("__id_a") < col("__id_b"))
       .filter(Similarity.cosine(col("__v_a"), col("__v_b")) >= threshold)
-      .select(col("__id_b").as("__dup")).distinct()
+      .select(col("__id_b").as("__dup"))
+    val dups = exactDups.union(pairDups).distinct()
     cells.join(dups, col(idCol) === col("__dup"), "left_anti")
   }
 
@@ -701,14 +745,32 @@ object Dedup {
     * dedup-grade thresholds (>= 0.9) is high. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, dim: Int,
-                       bits: Int = 8, probes: Int = 4): DataFrame = {
+                       bits: Int = 8, probes: Int = 4,
+                       maxBucketSize: Int = 10000): DataFrame = {
     val bucket = Similarity.lshBucket(col(vecCol), bits, dim)
     val probeCols = bucket +: (0 until math.min(math.max(probes - 1, 0), bits))
       .map(i => bucket.bitwiseXOR(1L << i))
+    // two-phase hot-bucket cap, same shape as minhashLSH above: a corpus
+    // with mass-identical embeddings (exact dupes, zero/boilerplate
+    // vectors) lands them all in ONE hyperplane bucket and the equi-join
+    // below goes quadratic in that bucket. A codegen'd COUNT over the base
+    // bucket assignment finds oversized buckets first; they are dropped
+    // from BOTH join sides (probe rows included), bounding fan-out at
+    // maxBucketSize² per bucket. Members of a dropped bucket are exact or
+    // trivial duplicates in practice — exactDedup collapses them in one
+    // linear pass, after which the shrunken bucket re-qualifies here.
+    // The bucket-id domain is 2^bits (256 at the default), so the allowed
+    // set is tiny and AQE broadcasts the semi-joins.
+    val cold = df.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBucketSize)
+      .select("bucket")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       explode(array(probeCols: _*)).as("bucket"))
+      .join(cold, Seq("bucket"), "left_semi")
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       bucket.as("bucket"))
+      .join(cold, Seq("bucket"), "left_semi")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

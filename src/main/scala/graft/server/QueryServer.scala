@@ -30,6 +30,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
                         maxSeriesPoints: Int = 200000,
                         storeDir: Option[String] = None,
                         maxQueryDurationMs: Long = 30000L) {
+  import QueryServer.extraFilter
 
   /** Fixed-relation convenience constructor (tests, ad-hoc views). A
     * log-store caller should pass `() => LogStore.read(spark, dir)` so
@@ -286,65 +287,6 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     // AddExtraFilters visits subqueries the same way (parser.go:567-576)
     else Query.transformWithSubqueries(q1)(q =>
       q.copy(filter = Filter.And(extras ++ Seq(q.filter))))
-  }
-
-  /** `extra_filters` / `extra_stream_filters` args (logsql.go:1191-1283):
-    * either a raw LogsQL filter string, or `{"field":"v"|["v1","v2"]}`
-    * JSON shorthand — exact/in() filters for the plain variant, stream
-    * label matchers for the stream variant. Every query the UI issues
-    * carries its selected-filter state this way. */
-  private[server] def extraFilter(s: String, stream: Boolean, evalNs: Long): Filter = {
-    val trimmed = s.trim
-    def quote(v: String): String =
-      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val text =
-      if (!trimmed.startsWith("{\"")) trimmed
-      else {
-        import scala.jdk.CollectionConverters._
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(trimmed)
-        val kvs = node.fields().asScala.toSeq.map { e =>
-          val vals =
-            if (e.getValue.isArray) e.getValue.elements().asScala.toSeq.map { el =>
-              // the reference REJECTS non-string array members
-              // (parseExtraFiltersJSON, logsql.go:1290+)
-              if (!el.isTextual) throw new IllegalArgumentException(
-                s"extra filter values for '${e.getKey}' must be strings")
-              el.asText()
-            }
-            else Seq(e.getValue.asText())
-          e.getKey -> vals
-        }.filter(_._2.nonEmpty) // empty arrays constrain nothing — skipped
-        if (stream)
-          kvs.map { case (k, vals) =>
-            if (vals.size == 1) s"${quote(k)}=${quote(vals.head)}"
-            else s"${quote(k)}=~${quote(vals.map(goRegexQuote).mkString("|"))}"
-          }.mkString("{", ",", "}")
-        else
-          kvs.map { case (k, vals) =>
-            if (vals.size == 1) s"${quote(k)}:=${quote(vals.head)}"
-            else s"${quote(k)}:in(${vals.map(quote).mkString(",")})"
-          }.mkString(" ")
-      }
-    if (text.trim.isEmpty) return Filter.Noop
-    val q = Parser.parse(text, evalNs)
-    // parseExtraFilters uses ParseFilter: pipes are an error, never
-    // silently dropped (`foo | count()` as an extra filter is a 400)
-    if (q.pipes.nonEmpty)
-      throw new IllegalArgumentException(
-        s"unexpected pipes in extra filter '$s'")
-    q.filter
-  }
-
-  /** Go regexp.QuoteMeta: escape regex specials with a backslash (the
-    * JVM's Pattern.quote emits \\Q..\\E markers, which the canonical
-    * strings don't carry). */
-  private def goRegexQuote(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach { c =>
-      if ("\\.+*?()|[]{}^$".indexOf(c) >= 0) sb += '\\'
-      sb += c
-    }
-    sb.result()
   }
 
   /** Request tenants (tenant_id.go:15-21): missing headers default to 0:0 —
@@ -963,5 +905,68 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         if (polls < maxPolls) Thread.sleep(refreshMs)
       }
     } catch { case _: java.io.IOException => /* client hung up */ }
+  }
+}
+
+object QueryServer {
+  /** `extra_filters` / `extra_stream_filters` args (logsql.go:1191-1283):
+    * either a raw LogsQL filter string, or `{"field":"v"|["v1","v2"]}`
+    * JSON shorthand — exact/in() filters for the plain variant, stream
+    * label matchers for the stream variant. Every query the UI issues
+    * carries its selected-filter state this way. Pure function of
+    * (text, variant, eval time) — lives on the companion so conformance
+    * suites can call it without standing up a server. */
+  private[server] def extraFilter(s: String, stream: Boolean, evalNs: Long): Filter = {
+    val trimmed = s.trim
+    def quote(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val text =
+      if (!trimmed.startsWith("{\"")) trimmed
+      else {
+        import scala.jdk.CollectionConverters._
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(trimmed)
+        val kvs = node.fields().asScala.toSeq.map { e =>
+          val vals =
+            if (e.getValue.isArray) e.getValue.elements().asScala.toSeq.map { el =>
+              // the reference REJECTS non-string array members
+              // (parseExtraFiltersJSON, logsql.go:1290+)
+              if (!el.isTextual) throw new IllegalArgumentException(
+                s"extra filter values for '${e.getKey}' must be strings")
+              el.asText()
+            }
+            else Seq(e.getValue.asText())
+          e.getKey -> vals
+        }.filter(_._2.nonEmpty) // empty arrays constrain nothing — skipped
+        if (stream)
+          kvs.map { case (k, vals) =>
+            if (vals.size == 1) s"${quote(k)}=${quote(vals.head)}"
+            else s"${quote(k)}=~${quote(vals.map(goRegexQuote).mkString("|"))}"
+          }.mkString("{", ",", "}")
+        else
+          kvs.map { case (k, vals) =>
+            if (vals.size == 1) s"${quote(k)}:=${quote(vals.head)}"
+            else s"${quote(k)}:in(${vals.map(quote).mkString(",")})"
+          }.mkString(" ")
+      }
+    if (text.trim.isEmpty) return Filter.Noop
+    val q = Parser.parse(text, evalNs)
+    // parseExtraFilters uses ParseFilter: pipes are an error, never
+    // silently dropped (`foo | count()` as an extra filter is a 400)
+    if (q.pipes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unexpected pipes in extra filter '$s'")
+    q.filter
+  }
+
+  /** Go regexp.QuoteMeta: escape regex specials with a backslash (the
+    * JVM's Pattern.quote emits \\Q..\\E markers, which the canonical
+    * strings don't carry). */
+  private def goRegexQuote(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if ("\\.+*?()|[]{}^$".indexOf(c) >= 0) sb += '\\'
+      sb += c
+    }
+    sb.result()
   }
 }

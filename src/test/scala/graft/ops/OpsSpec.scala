@@ -1282,4 +1282,58 @@ class OpsSpec extends SparkSuite {
       .select("cluster").distinct().collect().map(_.getInt(0)).toSet
     assert(clusters.forall(c => c >= 0 && c < 4))
   }
+
+  test("semanticDedup survives a planted mass-duplicate cluster (collapse + cap)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val hot = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // 50k byte-identical vectors land in ONE k-means cell; the old
+    // uncapped in-cluster join was 50k² = 2.5e9 pairs. The exact-vector
+    // collapse makes this linear; the spec's cap (200) bounds anything
+    // the collapse leaves behind.
+    val mass = (0L until 50000L).map(i => (i, hot))
+    val distinct = (0L until 30L).map(i =>
+      (100000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = (mass ++ distinct).toDF("vec_id", "embedding").repartition(8)
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id",
+        k = 4, threshold = 0.95, maxClusterSize = 200)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // exactly one survivor (the lowest id) of the identical-vector mass
+    assert(kept.contains(0L) && !(1L until 50000L).exists(kept.contains),
+      "mass duplicates must collapse to the lowest id")
+    // distinct random 16-d gaussians are far apart — all kept
+    assert((0L until 30L).forall(i => kept.contains(100000L + i)))
+  }
+
+  test("embeddingNearDup caps a degenerate hot bucket (mass-identical vectors)") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val hot = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    // 50k identical vectors share one hyperplane bucket: uncapped, the
+    // equi-join emits 50k²/2 pairs; with maxBucketSize=1000 the bucket is
+    // dropped from both sides and the run stays linear. Planted near-dups
+    // in OTHER (cold) buckets must still be found.
+    val rows = (0L until 50000L).map(i => Row(i, hot)) ++
+      (0 until 20).map(i => Row(200000L + i, vec(i))) ++
+      (0 until 5).map { i =>
+        Row(300000L + i, vec(i).map(x => x + rnd.nextGaussian().toFloat * 0.005f))
+      }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+    val out = Dedup.embeddingNearDup(df, "v", "id", threshold = 0.99, dim = dim,
+      maxBucketSize = 1000)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair from the dropped hot bucket…
+    assert(!pairs.exists { case (a, b) => a < 50000L && b < 50000L },
+      "hot bucket must be capped out")
+    // …but cold-bucket planted near-dups are still recalled
+    val found = (0 until 5).count(i =>
+      pairs.contains((200000L + i, 300000L + i)))
+    assert(found >= 4, s"cold-bucket recall too low after cap: $found/5")
+  }
 }
