@@ -754,26 +754,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     one(ps, "limit").map(l => df.limit(l.toInt)).getOrElse(df)
 
   /** Live tail (logsql.go:497-660): poll loop re-running the query over
-    * `(lastSeen, now]`, streaming new rows as NDJSON. `max_polls` bounds
-    * the loop (tests); production clients just hang up. */
-  /** canLiveTail gate (pipe.go:30; logsql.go:497 rejects non-tailable
-    * queries with 400): a poll loop re-runs the query over successive time
-    * windows, so only stateless per-row transforms keep their semantics —
-    * a pipe that aggregates, reorders, samples, or changes cardinality
-    * across the whole relation would silently recompute over each window
-    * instead (a `| stats` tail re-aggregating every second is not a tail). */
-  private def canLiveTail(p: Pipe): Boolean = p match {
-    case Pipe.BlockStats | _: Pipe.BlocksCount | _: Pipe.Facets |
-         _: Pipe.FieldNames | _: Pipe.FieldValues | _: Pipe.Join |
-         _: Pipe.Limit | _: Pipe.Offset | _: Pipe.Sample | _: Pipe.Sort |
-         _: Pipe.Stats | _: Pipe.StreamContext | _: Pipe.Top |
-         _: Pipe.Union | _: Pipe.Uniq => false
-    case _ => true
-  }
-
+    * `[lastSeen, now-offset]`, streaming new rows as NDJSON with
+    * per-stream timestamp dedup ([[TailState]]). `max_polls` bounds the
+    * loop (tests); production clients just hang up. The tailability gate
+    * is [[QueryServer.canLiveTail]]. */
   private def handleTail(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val q0 = parseQ(ex, ps)
-    q0.pipes.find(!canLiveTail(_)).foreach { p =>
+    q0.pipes.find(!QueryServer.canLiveTail(_)).foreach { p =>
       throw new IllegalArgumentException(
         s"cannot tail results of query with pipe ${p.getClass.getSimpleName
           .toLowerCase}: it aggregates or reorders the whole result set")
@@ -834,10 +821,11 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     ex.getResponseHeaders.set("Content-Type", "application/stream+json")
     ex.sendResponseHeaders(200, 0)
     val out = ex.getResponseBody
-    // rows sharing the max timestamp can arrive across polls: window from
-    // lastSeen INCLUSIVE and dedup boundary rows by identity hash — the
-    // reference dedups re-delivered rows by timestamp+fields the same way
-    // (logsql.go:497-660)
+    // poll windows overlap at the boundary (window from lastSeen
+    // INCLUSIVE); re-delivered rows are skipped per stream by timestamp —
+    // the reference's tailProcessor semantics (logsql.go:581-689), now in
+    // [[TailState]] (conformance-tested against a verbatim transcription
+    // of the Go algorithm in TailConformanceSpec)
     // start_offset: how far back the first poll reaches (reference default
     // 5s; here the default tails from the beginning — friendlier for a
     // batch store and for tests — and the arg opts into reference
@@ -848,7 +836,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     var lastSeenUs = startOffsetMs
       .map(so => (System.currentTimeMillis() - so) * 1000L)
       .getOrElse(Long.MinValue)
-    var seenAtLast = Set.empty[Int]
+    val tail = new TailState
     var polls = 0
     // idle-poll elision: a poll can only surface new rows if the store
     // mutated since the last executed poll (generation bump) OR the
@@ -880,25 +868,26 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           val withT = df.withColumn("__tus",
             unix_micros(col("_time")))
           val outCols = df.columns.filter(c => !(stripTime && c == "_time"))
-          val rows = withT.select(refJson(withT, outCols.toSeq), col("__tus"))
+          // per-stream delivery state keys on _stream_id when the row
+          // carries one ("" otherwise), exactly like the reference's
+          // tailProcessor.writeBlock (logsql.go:633-645)
+          val sidCol =
+            if (df.columns.contains("_stream_id"))
+              coalesce(col("_stream_id").cast("string"), lit(""))
+            else lit("")
+          val rows = withT
+            .select(refJson(withT, outCols.toSeq), col("__tus"), sidCol.as("__sid"))
             .collect()
           val (future, emit) = rows.partition(_.getLong(1) > hiUs)
           pendingFuture = future.nonEmpty
           lastGen = gen
-          var maxUs = lastSeenUs
-          var atMax = if (emit.exists(_.getLong(1) > lastSeenUs)) Set.empty[Int] else seenAtLast
-          emit.sortBy(_.getLong(1)).foreach { r =>
-            val tus = r.getLong(1)
-            val h = scala.util.hashing.MurmurHash3.stringHash(r.getString(0))
-            val dup = tus == lastSeenUs && seenAtLast.contains(h)
-            if (!dup) {
-              out.write(r.getString(0).getBytes(UTF_8)); out.write('\n')
-            }
-            if (tus > maxUs) { maxUs = tus; atMax = Set(h) }
-            else if (tus == maxUs) atMax += h
+          tail.advance(emit.toSeq.map(r =>
+            (r.getString(2), r.getLong(1), r.getString(0)))
+          ).foreach { case (_, _, json) =>
+            out.write(json.getBytes(UTF_8)); out.write('\n')
           }
-          lastSeenUs = maxUs
-          seenAtLast = atMax
+          if (emit.nonEmpty)
+            lastSeenUs = math.max(lastSeenUs, emit.map(_.getLong(1)).max)
           out.flush()
         }
         polls += 1
@@ -909,6 +898,24 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 }
 
 object QueryServer {
+  /** canLiveTail gate (pipe.go:24; logsql.go:506 rejects non-tailable
+    * queries with 400): a poll loop re-runs the query over successive time
+    * windows, so only per-row transforms keep their semantics — a pipe
+    * that aggregates, reorders, or windows over the whole relation would
+    * silently recompute per poll instead. The per-pipe verdicts mirror the
+    * reference's canLiveTail methods exactly (conformance: the
+    * TestQueryCanLiveTail golden table, parser_test.go:2922) — note `join`
+    * and `sample` ARE tailable there (pipe_join.go:49, pipe_sample.go:32):
+    * both are per-row w.r.t. the streamed side. */
+  private[server] def canLiveTail(p: Pipe): Boolean = p match {
+    case Pipe.BlockStats | _: Pipe.BlocksCount | _: Pipe.Facets |
+         _: Pipe.FieldNames | _: Pipe.FieldValues |
+         _: Pipe.Limit | _: Pipe.Offset | _: Pipe.Sort |
+         _: Pipe.Stats | _: Pipe.StreamContext | _: Pipe.Top |
+         _: Pipe.Union | _: Pipe.Uniq => false
+    case _ => true
+  }
+
   /** `extra_filters` / `extra_stream_filters` args (logsql.go:1191-1283):
     * either a raw LogsQL filter string, or `{"field":"v"|["v1","v2"]}`
     * JSON shorthand — exact/in() filters for the plain variant, stream

@@ -7,12 +7,17 @@ matched-work subset (oracle >= 20ms, excluding rows-only entries with no
 oracle). Spark seconds are floor-adjusted the same way adjusted_total is:
 per-query noop plus marginal job floor for extra jobs.
 
-Usage: python3 tools/duckbench.py <sfDir> <oracle_sql.json> <bench.json>
+Usage: python3 tools/duckbench.py <sfDir> <oracle_sql.json> <bench.json> [out.json]
+
+With the optional 4th arg, the per-query report and the matched-work
+summary are also written as JSON (the committed DUCKBENCH_r{N}.json
+artifact that makes the <=2x gate auditable without a re-run).
 """
 import json, sys, time, os
 
 def main():
     sf, oracle_path, bench_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    out_path = sys.argv[4] if len(sys.argv) > 4 else None
     import duckdb
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -54,6 +59,33 @@ def main():
               f"ratio_adj={sadj/sduck:.2f} ratio_raw={sraw/sduck:.2f}")
     print(f"== all {len(rows)} oracle-timed queries: duck={sum(r[1] for r in rows):.2f}s "
           f"spark_adj={sum(r[3] for r in rows):.2f}s")
+    if out_path:
+        report = {
+            "sf": sf,
+            "bench": os.path.basename(bench_path),
+            "overhead_per_query": noop,
+            "overhead_per_extra_job": jf,
+            "queries": {
+                name: {"duck_s": duck, "spark_raw_s": raw, "spark_adj_s": adj,
+                       "jobs": jobs.get(name, 1),
+                       "ratio_adj": adj / max(duck, 1e-9)}
+                for name, duck, raw, adj in rows
+            },
+            "matched_subset": {
+                "min_oracle_s": 0.02,
+                "n": len(matched),
+                "duck_s": sum(r[1] for r in matched),
+                "spark_raw_s": sum(r[2] for r in matched),
+                "spark_adj_s": sum(r[3] for r in matched),
+                "ratio_adj": (sum(r[3] for r in matched) /
+                              max(sum(r[1] for r in matched), 1e-9)),
+                "ratio_raw": (sum(r[2] for r in matched) /
+                              max(sum(r[1] for r in matched), 1e-9)),
+            },
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
 
 if __name__ == "__main__":
     main()
