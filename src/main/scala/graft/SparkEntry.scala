@@ -1003,6 +1003,20 @@ object SparkEntry {
       graft.store.MsgBloom.ensure(s, dir)
       graft.store.MsgBloom.query(s, dir, "\"89\" | stats count() hits")
     }),
+    // ---- write-time value_type metadata (§2.1 #16): the store's ingest
+    // wrote per-(tenant,day) value types (ValueTypeMeta sidecar, the
+    // columnHeader.valueType analogue), so these filters compile to
+    // constants/partition predicates with NO classification scan.
+    // event_type is dict-or-const per day (<=8 distinct everywhere);
+    // value is a promoted double column (static float64) ----
+    "q_store_value_type" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val logs = graft.store.LogStore.read(s, dir)
+      graft.logql.Compiler.run(logs,
+        """{event_type="purchase"} value:value_type(float64)
+           (event_type:value_type(dict) OR event_type:value_type(const))
+           | stats count() hits""")
+    }),
     // ---- stream_context pipe over the store (§2.2 #33) ----
     // ---- stateful Structured-Streaming ops, batch-bounded so the final
     //      state-store output gates against a batch SQL oracle
@@ -2028,6 +2042,10 @@ object SparkEntry {
     "q_store_bloom" ->
       """SELECT count(*) AS hits FROM events
          WHERE regexp_matches(props, '\b89\b')""",
+    // every store part types event_type as dict or const and value as
+    // float64, so the value_type filters pass everything: a plain count
+    "q_store_value_type" ->
+      """SELECT count(*) AS hits FROM events WHERE event_type = 'purchase'""",
     // streaming dedup ≡ first-per-(type,user): aggregated it is a
     // distinct count; sessions ≡ per-type count/min/max once the gap
     // exceeds the fixture span

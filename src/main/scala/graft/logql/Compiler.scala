@@ -322,9 +322,11 @@ object Compiler {
     case Filter.LenRange(fld, lo, hi, _) =>
       octet_length(strF(df, fld)).between(lo, hi)
     case Filter.ValueType(fld, t) =>
-      // per-relation physical type (the Spark analogue of the per-block
-      // valueType — filter_value_type.go:67): constant true/false predicate
-      lit(valueTypeOf(df, fld) == t)
+      // write-time metadata first (ValueTypeMeta sidecar — the
+      // columnHeader.valueType analogue, per-part when parts disagree);
+      // data-driven classification only for relations the engine didn't
+      // write (filter_value_type.go:67)
+      valueTypePredicate(df, fld, t)
 
     case Filter.EqField(fld, other) =>
       // numeric-aware like le/lt_field: both sides parse → numeric equality
@@ -397,62 +399,63 @@ object Compiler {
   private def goReFlags(re: String): String =
     re.replaceAll("\\(\\?([a-tv-z]*i[a-tv-z]*)([:)])", "(?$1u$2")
 
-  private def valueTypeOf(df: DataFrame, fld: String): String =
+  /** `fld:value_type(want)` predicate. Typed/promoted columns answer
+    * statically from the schema. String (and dynamic fields-map) columns
+    * consult the store's write-time sidecar first — the reference's
+    * per-block columnHeader.valueType (values_encoder.go:19-59) at
+    * (tenant, _day)-part granularity, yielding a constant or a
+    * partition-prunable per-part predicate with NO data scan — and only
+    * relations the engine didn't write fall back to a data-driven
+    * per-relation classification (one bounded aggregate, memoized per
+    * (relation, field)). */
+  private def valueTypePredicate(df: DataFrame, fld: String, want: String): Column =
+    staticValueType(df, fld) match {
+      case Some(t) => lit(t == want)
+      case None =>
+        graft.store.ValueTypeMeta.predicate(df, fld, want)
+          .getOrElse(lit(stringValueType(df, fld) == want))
+    }
+
+  private def staticValueType(df: DataFrame, fld: String): Option[String] =
     fieldType(df, fld) match {
-      case Some(TimestampType) => if (fld == "_time") "time" else "iso8601"
-      case Some(DateType) => "iso8601"
-      case Some(LongType | IntegerType | ShortType | ByteType) => "int64"
-      case Some(DoubleType | FloatType) => "float64"
-      case Some(_: StringType) => stringValueType(df, fld)
-      case Some(_) => "string"
+      case Some(TimestampType) => Some(if (fld == "_time") "time" else "iso8601")
+      case Some(DateType) => Some("iso8601")
+      case Some(LongType | IntegerType | ShortType | ByteType) => Some("int64")
+      case Some(DoubleType | FloatType) => Some("float64")
+      case Some(_: StringType) => None // classify (sidecar or scan)
+      case Some(_) => Some("string")
       case None =>
         // a MISSING column matches no value_type (the block never stored
         // it — filter corpus: bar:value_type(const) over absent bar is
         // empty); with a dynamic fields map the value varies per row, so
         // classify the data
-        if (hasFieldsMap(df)) stringValueType(df, fld) else "" // no match
+        if (hasFieldsMap(df)) None else Some("") // "" matches no type
     }
 
+  // fallback classification memo: one bounded-state aggregate per
+  // (relation, field), reused across query compiles (a dashboard refresh
+  // must not re-scan the column per request)
+  private val vtMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), String]
+  private val MaxVtEntries = 64
+
   /** Data-driven per-relation classification mirroring the reference's
-    * encode() chain (values_encoder.go:106-150): const (one distinct
-    * value), dict (<= 8 distinct, <= 256 total bytes), uint8/16/32/64,
-    * int64, float64, ipv4, iso8601, string. The per-block decision
-    * becomes per-relation here — one bounded aggregate per value_type
-    * filter at compile time (diagnostic filters, not a hot path). */
-  private def stringValueType(df: DataFrame, fld: String): String = {
-    val sCol = strF(df, fld)
-    val distinct9 = df.select(sCol.as("v")).distinct().limit(9)
-      .collect().map(_.getString(0)).toSeq
-    if (distinct9.size <= 1) return "const"
-    if (distinct9.size <= 8 && distinct9.map(_.length).sum <= 256)
-      return "dict"
-    val uintRe = "^(?:0|[1-9][0-9]{0,19})$"
-    val intRe = "^-?(?:0|[1-9][0-9]{0,18})$"
-    val floatRe = "^-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?$"
-    val isoRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}Z$"
-    def allMatch(c: Column): Column =
-      coalesce(min(c.cast(IntegerType)), lit(0)) === 1
-    val r = df.agg(
-      allMatch(sCol.rlike(uintRe)).as("u"),
-      max(when(sCol.rlike(uintRe), sCol.cast("decimal(20,0)"))).as("umax"),
-      allMatch(sCol.rlike(intRe)).as("i"),
-      allMatch(sCol.rlike(floatRe) && sCol.try_cast("double").isNotNull).as("f"),
-      allMatch(ipv4Num(sCol).isNotNull).as("ip"),
-      allMatch(sCol.rlike(isoRe)).as("iso")).collect().head
-    if (r.getBoolean(0)) {
-      val mx = Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-      if (mx <= 255) "uint8"
-      else if (mx <= 65535) "uint16"
-      else if (mx <= BigDecimal("4294967295")) "uint32"
-      else if (mx <= BigDecimal("18446744073709551615")) "uint64"
-      else "string"
+    * encode() chain (values_encoder.go:106-150) — the shared kernel lives
+    * in [[graft.store.ValueTypeMeta.classify]] (one job: capped distinct
+    * sample + format flags in a single aggregate). */
+  private def stringValueType(df: DataFrame, fld: String): String =
+    synchronized {
+      val key = (df.queryExecution.optimizedPlan.canonicalized, fld)
+      vtMemo.get(key) match {
+        case Some(t) => t
+        case None =>
+          val t = graft.store.ValueTypeMeta
+            .classify(df, Seq(fld -> strF(df, fld)))(fld)
+          vtMemo.put(key, t)
+          while (vtMemo.size > MaxVtEntries) vtMemo.remove(vtMemo.head._1)
+          t
+      }
     }
-    else if (r.getBoolean(2)) "int64"
-    else if (r.getBoolean(3)) "float64"
-    else if (r.getBoolean(4)) "ipv4"
-    else if (r.getBoolean(5)) "iso8601"
-    else "string"
-  }
 
   /** rate()/rate_sum() divisor: the query's explicit `_time:` span, else
     * the source's actual min/max `_time` span (the reference divides by

@@ -69,6 +69,9 @@ object LogStore {
       .write.mode("overwrite")
       .option("compression", LogStore.ParquetCodec)
       .parquet(s"$dir/streams")
+    // write-time value-type metadata (the columnHeader.valueType
+    // analogue): exact per-part classification for the bulk path
+    ValueTypeMeta.recordBatchByPart(withMeta, dir, overwrite = true)
     invalidate(dir)
   }
 
@@ -389,7 +392,8 @@ object LogStore {
     // bump the version segment whenever the layout changes — stale stores
     // from previous builds must not satisfy the marker check
     // v2: bulk loads end with a small-file merge (below)
-    val dir = s"/root/repo/target/graft_store/v2/$name"
+    // v3: ingest writes the value-type sidecar (ValueTypeMeta)
+    val dir = s"/root/repo/target/graft_store/v3/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
       // merge the write-parallelism salt's small files per day partition —

@@ -1,0 +1,281 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-time value-type metadata — the Spark analogue of the reference's
+  * per-block `columnHeader.valueType` (values_encoder.go:19-59, decided by
+  * `encode()` while blocks are written; filter_value_type.go:67 reads it
+  * back at query time).
+  *
+  * Granularity: one verdict per string field per (tenant, _day) part.
+  * Bulk loads ([[LogStore.ingest]]) classify each part exactly; streaming
+  * appends (Ingest.appendBatch) classify the whole micro-batch in the
+  * write pass itself (an `observe()` ride-along — no extra job) and stamp
+  * every part the batch touched, so a batch spanning midnight records its
+  * union verdict on both days. Conflicting appends into one part record
+  * `mixed`. Verdicts merge into `<dir>/logs/_value_types.json`.
+  *
+  * Query side: `value_type()` over a store-backed relation answers from
+  * the sidecar — constant when every part agrees, a partition-prunable
+  * (tenant, _day) predicate when they disagree — and only falls back to
+  * data-driven classification (one bounded aggregate, memoized) for
+  * fields or relations the engine didn't write. Documented deviation from
+  * the reference: block → part granularity (SURVEY §8).
+  */
+object ValueTypeMeta {
+
+  // ---------------------------------------------------------------------
+  // classification — the encode() chain (values_encoder.go:106-150):
+  // const, dict (<=8 distinct, <=256 total bytes), uint8/16/32/64, int64,
+  // float64, ipv4, iso8601, string. One aggregate struct per field; all
+  // fields classify in a single pass.
+  // ---------------------------------------------------------------------
+
+  private val uintRe = "^(?:0|[1-9][0-9]{0,19})$"
+  private val intRe = "^-?(?:0|[1-9][0-9]{0,18})$"
+  private val floatRe = "^-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?$"
+  private val isoRe =
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}Z$"
+
+  private def allMatch(c: Column): Column =
+    coalesce(min(c.cast(IntegerType)), lit(0)) === 1
+
+  /** Aggregate struct classifying one normalized (non-null) string
+    * column. Bounded state: the distinct sample caps at 9 values. */
+  def classifyAgg(c: Column): Column = struct(
+    graft.functions.CappedCollect.cappedSet(c, 9).as("vals"),
+    allMatch(c.rlike(uintRe)).as("u"),
+    max(when(c.rlike(uintRe), c.cast("decimal(20,0)"))).as("umax"),
+    allMatch(c.rlike(intRe)).as("i"),
+    allMatch(c.rlike(floatRe) && c.try_cast("double").isNotNull).as("f"),
+    allMatch(graft.functions.Ipv4Parse.ipv4ToLong(c).isNotNull).as("ip"),
+    allMatch(c.rlike(isoRe)).as("iso"))
+
+  /** Decide the value type from a [[classifyAgg]] result struct. */
+  def decide(r: Row): String = {
+    val vals = r.getSeq[String](0)
+    if (vals.size <= 1) return "const"
+    if (vals.size <= 8 && vals.map(_.length).sum <= 256) return "dict"
+    if (r.getBoolean(1)) {
+      val mx = Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      if (mx <= 255) "uint8"
+      else if (mx <= 65535) "uint16"
+      else if (mx <= BigDecimal("4294967295")) "uint32"
+      else if (mx <= BigDecimal("18446744073709551615")) "uint64"
+      else "string"
+    }
+    else if (r.getBoolean(3)) "int64"
+    else if (r.getBoolean(4)) "float64"
+    else if (r.getBoolean(5)) "ipv4"
+    else if (r.getBoolean(6)) "iso8601"
+    else "string"
+  }
+
+  /** Whole-relation classification of several fields in ONE aggregate
+    * job. Columns must be null-free (callers normalize with
+    * `coalesce(_, "")`, like Compiler.strF). */
+  def classify(df: DataFrame, fields: Seq[(String, Column)]): Map[String, String] = {
+    if (fields.isEmpty) return Map.empty
+    val aggs = fields.map { case (n, c) => classifyAgg(c).as(s"__vt_$n") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    fields.zipWithIndex.map { case ((n, _), i) =>
+      n -> decide(row.getStruct(i))
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------------
+  // sidecar file
+  // ---------------------------------------------------------------------
+
+  private def sidecarPath(dir: String) = s"$dir/logs/_value_types.json"
+
+  /** part key, e.g. "tenant=0:0/_day=2024-01-05" (matching the on-disk
+    * partition directory names). */
+  def partKey(tenant: String, day: String): String = s"tenant=$tenant/_day=$day"
+
+  private def parseKey(k: String): (String, String) = {
+    val i = k.lastIndexOf("/_day=")
+    (k.substring("tenant=".length, i), k.substring(i + "/_day=".length))
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Merge per-part verdicts into the sidecar. `overwrite` replaces the
+    * file (bulk loads, mode=overwrite); otherwise conflicting verdicts
+    * for one (part, field) degrade to "mixed" — the part now holds blocks
+    * of both types and only a scan can split them. Serialized by the
+    * caller's store write lock; the write is tmp + rename. */
+  def record(dir: String, perPart: Map[String, Map[String, String]],
+             overwrite: Boolean): Unit = {
+    if (perPart.isEmpty && !overwrite) return
+    val base: Map[String, Map[String, String]] =
+      if (overwrite) Map.empty else load(dir)
+    val merged = (base.keySet ++ perPart.keySet).map { part =>
+      val old = base.getOrElse(part, Map.empty)
+      val add = perPart.getOrElse(part, Map.empty)
+      part -> (old.keySet ++ add.keySet).map { f =>
+        f -> ((old.get(f), add.get(f)) match {
+          case (Some(a), Some(b)) if a == b => a
+          case (Some(_), Some(_)) => "mixed"
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) => "mixed" // unreachable
+        })
+      }.toMap
+    }.toMap
+    val node = mapper.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (part, fs) =>
+      val pn = node.putObject(part)
+      fs.toSeq.sortBy(_._1).foreach { case (f, t) => pn.put(f, t) }
+    }
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+    val tmp = sidecarPath(dir) + s".tmp-${System.nanoTime()}"
+    Fs.writeAll(tmp, bytes)
+    // rename refuses an existing destination — delete first. Writers are
+    // serialized by the store's write lock; a reader hitting the gap just
+    // sees no sidecar and classifies by scan (safe fallback).
+    Fs.delete(sidecarPath(dir))
+    Fs.rename(tmp, sidecarPath(dir))
+  }
+
+  // tiny mtime-keyed read cache: the sidecar is consulted per value_type()
+  // compile; re-parsing a small JSON per query would still be cheap, the
+  // cache just avoids the filesystem round-trip on plan-cache misses
+  private val loadCache = scala.collection.mutable.Map.empty[
+    String, (Long, Long, Map[String, Map[String, String]])]
+
+  def load(dir: String): Map[String, Map[String, String]] = synchronized {
+    val p = sidecarPath(dir)
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    if (!f.exists()) return Map.empty
+    val (len, mt) = (f.length(), f.lastModified())
+    loadCache.get(dir) match {
+      case Some((l, m, v)) if l == len && m == mt => v
+      case _ =>
+        val v =
+          try {
+            import scala.jdk.CollectionConverters._
+            val node = mapper.readTree(Fs.readAll(p))
+            node.fields().asScala.map { e =>
+              e.getKey -> e.getValue.fields().asScala
+                .map(fe => fe.getKey -> fe.getValue.asText()).toMap
+            }.toMap
+          } catch { case _: Exception => Map.empty[String, Map[String, String]] }
+        loadCache(dir) = (len, mt, v)
+        v
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // write-side helpers
+  // ---------------------------------------------------------------------
+
+  /** String fields of a store batch worth classifying: top-level string
+    * columns minus layout internals (the dynamic `fields` map is not
+    * tracked — map-resident fields fall back to classification). */
+  def classifiableFields(df: DataFrame): Seq[String] = {
+    val internal = Set("tenant", "_day")
+    df.schema.fields.collect {
+      case f if f.dataType == StringType && !internal(f.name) => f.name
+    }.toSeq
+  }
+
+  /** Bulk-load path: exact per-(tenant, _day) classification of `batch`
+    * — one groupBy job — then sidecar write. */
+  def recordBatchByPart(batch: DataFrame, dir: String,
+                        overwrite: Boolean): Unit = {
+    val fields = classifiableFields(batch)
+    if (fields.isEmpty) return
+    val aggs = fields.map(f =>
+      classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
+    val rows = batch.groupBy(col("tenant"), col("_day").cast(StringType).as("__d"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val perPart = rows.map { r =>
+      partKey(r.getString(0), r.getString(1)) ->
+        fields.zipWithIndex.map { case (f, i) =>
+          f -> decide(r.getStruct(2 + i))
+        }.toMap
+    }.toMap
+    record(dir, perPart, overwrite)
+  }
+
+  /** Streaming-append path, phase 1: observe() aggregate columns that
+    * ride the write pass (no extra job over the micro-batch). Order:
+    * one collect_set of touched parts, then one classify struct per
+    * field of [[classifiableFields]]. */
+  def observeAggs(batch: DataFrame): Seq[Column] = {
+    val fields = classifiableFields(batch)
+    collect_set(concat(lit("tenant="), col("tenant"),
+      lit("/_day="), col("_day").cast(StringType))).as("__vt_parts") +:
+      fields.map(f => classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
+  }
+
+  /** Streaming-append path, phase 2: decode the observed metrics and
+    * merge into the sidecar — the batch's union verdict stamps every part
+    * it touched (batch × part granularity; a same-day follow-up batch
+    * with a different verdict degrades that part to "mixed"). */
+  def recordObserved(dir: String, batch: DataFrame,
+                     get: String => Any): Unit = {
+    val fields = classifiableFields(batch)
+    if (fields.isEmpty) return
+    val parts = get("__vt_parts").asInstanceOf[Seq[_]].map(String.valueOf)
+    if (parts.isEmpty) return
+    val verdicts = fields.map { f =>
+      f -> decide(get(s"__vt_$f").asInstanceOf[Row])
+    }.toMap
+    record(dir, parts.map(_ -> verdicts).toMap, overwrite = false)
+  }
+
+  // ---------------------------------------------------------------------
+  // query side
+  // ---------------------------------------------------------------------
+
+  /** The store dir behind `df`, when df is a single-root scan of a
+    * `<dir>/logs` tree that has a sidecar. */
+  def storeDirOf(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.analyzed.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.distinct
+    roots match {
+      case Seq(one) if one.endsWith("/logs") =>
+        val dir = one.stripSuffix("/logs")
+        if (new java.io.File(sidecarPath(dir)).exists()) Some(dir) else None
+      case _ => None
+    }
+  }
+
+  /** Sidecar-backed predicate for `fld:value_type(want)` over `df`, or
+    * None when the sidecar can't answer (no sidecar, a part missing the
+    * field, or a "mixed" part) — callers then classify by scan. */
+  def predicate(df: DataFrame, fld: String, want: String): Option[Column] =
+    storeDirOf(df).flatMap { dir =>
+      val parts = load(dir)
+      val types = parts.map { case (k, m) => k -> m.get(fld) }
+      // usable only when EVERY part carries a definite verdict for fld
+      if (parts.isEmpty ||
+          types.values.exists(v => v.isEmpty || v.contains("mixed"))) None
+      else {
+        val matching = types.collect {
+          case (k, Some(t)) if t == want => k
+        }.toSeq
+        if (matching.isEmpty) Some(lit(false))
+        else if (matching.size == types.size) Some(lit(true))
+        else {
+          // partition-column predicate: prunable at planning time, the
+          // per-part analogue of the reference skipping non-matching
+          // blocks by their header (filter_value_type.go:79-87)
+          val byTenant = matching.map(parseKey).groupBy(_._1)
+          Some(byTenant.map { case (t, ps) =>
+            col("tenant") === lit(t) && col("_day").isin(ps.map(_._2): _*)
+          }.reduce(_ || _))
+        }
+      }
+    }
+}
