@@ -143,6 +143,52 @@ object OpsScaleProbe {
       }
     }
 
+    // 4c. embedding mass-duplicate stress (round-10 cap,
+    // Dedup.embeddingNearDup maxBucketSize): 10% of vectors are ONE
+    // identical embedding — a single hyperplane bucket holds all of them,
+    // and without the two-phase count cap the bucket equi-join emits
+    // ~(n/10)²/2 cosine pairs. With the cap the bucket drops from BOTH
+    // sides and the run stays linear; planted exact-copy pairs among the
+    // cold 90% must still be found via their own buckets.
+    locally {
+      val stressN = math.min(nVecs, 200000L)
+      val plantN = 500L
+      def vecOf(c: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(xxhash64(c, j), lit(2000)) - 1000) / 1000.0)
+            .cast("float"))
+      val isPlant = col("vec_id") >= stressN // ids stressN..stressN+plantN
+      val base = spark.range(0, stressN + plantN, 1, 32)
+        .select(col("id").as("vec_id"),
+          when(col("id") % 10 === 0 && col("id") < stressN,
+            vecOf(lit(-1L))) // the shared hot vector
+            .when(isPlant, vecOf((col("vec_id") - stressN) * 10 + 1)) // copy of a cold id
+            .otherwise(vecOf(col("vec_id"))).as("embedding"))
+      val (enSec, enFound) = time("embed_neardup_mass_stress") {
+        graft.ops.Dedup.embeddingNearDup(base, "embedding", "vec_id",
+            threshold = 0.999, dim = 64, maxBucketSize = 10000)
+          .filter(col("id_b") >= stressN &&
+            col("id_a") === (col("id_b") - stressN) * 10 + 1)
+          .count()
+      }
+      println(f"OPSSCALE   -> cold-bucket exact-copy recall ${enFound * 100.0 / plantN}%.1f%% of $plantN planted, hot bucket capped, ${stressN / enSec / 1e3}%.0f k vecs/s")
+
+      // 4d. SemDeDup mass-duplicate stress (round-10 exact-vector
+      // collapse + per-cluster cap): the 20k identical hot vectors land
+      // in ONE k-means cell; the (cluster, vector) window collapses them
+      // to a single representative before the in-cluster cosine join, so
+      // the join is quadratic only in DISTINCT vectors per cell (further
+      // hard-capped at maxClusterSize).
+      val (sdSec, kept) = time("semantic_dedup_mass_stress") {
+        graft.ops.Dedup.semanticDedup(base, "embedding", "vec_id",
+          k = 32, threshold = 0.999, maxIter = 5, maxClusterSize = 2000)
+          .count()
+      }
+      // survivors: the hot mass keeps exactly 1 of ~stressN/10; each
+      // planted copy-pair keeps one of its two ids
+      println(f"OPSSCALE   -> semantic dedup kept $kept of ${stressN + plantN} (expect ${stressN * 9 / 10 + 1}), ${stressN / sdSec / 1e3}%.0f k vecs/s")
+    }
+
     // 5. decontamination against a 1k-doc benchmark slice
     time("decontaminate_vs_1k_bench") {
       graft.ops.TextAnalysis // (kept import used)
