@@ -342,8 +342,14 @@ object StatsFunc {
   final case class RowAny(fields: Seq[String]) extends StatsFunc
   final case class RowMax(field: String, fields: Seq[String]) extends StatsFunc
   final case class RowMin(field: String, fields: Seq[String]) extends StatsFunc
-  final case class Rate() extends StatsFunc
-  final case class RateSum(fields: Seq[String]) extends StatsFunc
+  /** `stepSec` is the /select/logsql/stats_query_range divisor override
+    * (initRateFuncs, pipe_stats.go:298): the range endpoint injects
+    * `_time:step` grouping and rates divide by the step, not the query's
+    * whole time span. None = derive from the time filter / storage span.
+    * Not rendered (the reference's String() omits it too). */
+  final case class Rate(stepSec: Option[Double] = None) extends StatsFunc
+  final case class RateSum(fields: Seq[String],
+                           stepSec: Option[Double] = None) extends StatsFunc
   final case class Histogram(field: String) extends StatsFunc
 }
 

@@ -179,8 +179,8 @@ object Canon {
       case RowAny(fs) => if (fs.isEmpty) "row_any()" else ff("row_any", fs)
       case RowMax(f0, fs) => s"row_max(${fieldNames(f0 +: fs)})"
       case RowMin(f0, fs) => s"row_min(${fieldNames(f0 +: fs)})"
-      case Rate() => "rate()"
-      case RateSum(fs) => ff("rate_sum", fs)
+      case Rate(_) => "rate()"
+      case RateSum(fs, _) => ff("rate_sum", fs)
       case Histogram(f0) => s"histogram(${quoteToken(f0)})"
     }
   }

@@ -1359,7 +1359,12 @@ object Compiler {
           }
           val stepUs = wordUs
             .orElse(NumLit.durationNanos(bk).map(_ / 1000L))
-            .orElse(NumLit.parse(bk).map(s => (s * 1e6).toLong))
+            // a PLAIN NUMBER time bucket is NANOSECONDS (the reference's
+            // timestamps are int64 ns and a numeric bucketSize applies to
+            // them directly, block_result.go truncateTimestamp) — this is
+            // the form GetStatsByFieldsAddGroupingByTime injects
+            // (`_time:86400000000000`, parser_test.go:3024+)
+            .orElse(NumLit.parse(bk).map(s => (s / 1e3).toLong))
             // a sub-microsecond or zero step would divide by a zero literal,
             // which Spark nulls out — every row would silently collapse into
             // one null bucket instead of erroring
@@ -1527,13 +1532,15 @@ object Compiler {
         graft.functions.GraftFunctions.touch()
         coalesce(call_function("graft_row_min",
           iff(strF(df, f)), to_json(rowMapOf(df, fields))), lit("{}"))
-      case Rate() =>
-        count(iff(lit(1))).cast(DoubleType) / lit(rateSpanSeconds(ctx))
-      case RateSum(fields) =>
+      case Rate(step) =>
+        count(iff(lit(1))).cast(DoubleType) /
+          lit(step.getOrElse(rateSpanSeconds(ctx)))
+      case RateSum(fields, step) =>
         val s = if (hasWildcardField(fields)) sum(iff(rowNumSum(fields)))
                 else nAgg(fields, f => sum(iff(numF(df, f))))
         // like sum: no parseable values -> NaN (NaN/span stays NaN)
-        coalesce(s, lit(Double.NaN)) / lit(rateSpanSeconds(ctx))
+        coalesce(s, lit(Double.NaN)) /
+          lit(step.getOrElse(rateSpanSeconds(ctx)))
       case Histogram(f) =>
         rejectWildcard("histogram", Seq(f))
         graft.functions.VmHistogram.column(iff(numF(df, f)))

@@ -116,8 +116,8 @@ object NeededFields {
         if (fs.isEmpty) None else fromList(fd +: fs)
       case StatsFunc.RowMin(fd, fs) =>
         if (fs.isEmpty) None else fromList(fd +: fs)
-      case StatsFunc.Rate() => Some(Set("_time", "ts"))
-      case StatsFunc.RateSum(fs) => fromList(fs).map(_ ++ Set("_time", "ts"))
+      case StatsFunc.Rate(_) => Some(Set("_time", "ts"))
+      case StatsFunc.RateSum(fs, _) => fromList(fs).map(_ ++ Set("_time", "ts"))
       case StatsFunc.Histogram(fd) => Some(Set(fd))
     }
     base.map(_ ++ iffFields(fa.iff))

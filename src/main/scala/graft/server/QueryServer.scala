@@ -620,7 +620,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   /** Query must end in `| stats ...`; emits a Prometheus instant vector. */
   private def handleStatsQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val q = parseQ(ex, ps)
-    val (byFields, statCols) = lastStatsInfo(q)
+    val (byFields, statCols) = statsInfo(q)
     val t = one(ps, "time").map(parseTime).getOrElse(nowNs) / 1e9
     val rows = runQ(ex, q).collect()
     val items = rows.flatMap { r =>
@@ -634,18 +634,24 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
       s"""{"status":"success","data":{"resultType":"vector","result":[${items.mkString(",")}]}}""")
   }
 
-  /** Injects `_time:step` into the final stats `by(...)` clause
-    * (GetStatsByFieldsAddGroupingByTime, parser.go:748). */
+  /** Injects `_time:step` grouping into every stats pipe, step-divided
+    * rate funcs, and per-step sort partitioning
+    * (GetStatsByFieldsAddGroupingByTime, parser.go:748 — conformance:
+    * StatsByFieldsConformanceSpec). */
   private def handleStatsQueryRange(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    val step = one(ps, "step").getOrElse("1d")
+    val stepStr = one(ps, "step").getOrElse("1d")
+    // duration string ("1d", "5m") or a Prometheus-style plain number of
+    // seconds; must be positive (logsql.go:712-719)
+    val stepNs = graft.logql.NumLit.durationNanos(stepStr)
+      .orElse(graft.logql.NumLit.parse(stepStr).map(s => (s * 1e9).toLong))
+      .filter(_ > 0L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse 'step' arg '$stepStr'"))
     val q0 = parseQ(ex, ps)
-    val (byFields, statCols) = lastStatsInfo(q0)
-    val pipes = q0.pipes.zipWithIndex.map {
-      case (st: Pipe.Stats, i) if i == q0.pipes.length - 1 =>
-        st.copy(by = st.by :+ ByField("_time", Some(step), None))
-      case (p, _) => p
-    }
-    val rows = collectBounded(runQ(ex, Query(q0.filter, pipes)), "stats_query_range")
+    val (q2, byAll, statCols) = StatsByFields.addGroupingByTime(q0, stepNs)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val byFields = byAll.filterNot(_ == "_time")
+    val rows = collectBounded(runQ(ex, q2), "stats_query_range")
     val series = rows.flatMap { r =>
       val t = r.getAs[java.sql.Timestamp]("_time").getTime / 1000.0
       statCols.map { sc =>
@@ -678,11 +684,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     rows
   }
 
-  private def lastStatsInfo(q: Query): (Seq[String], Seq[String]) =
-    q.pipes.lastOption match {
-      case Some(st: Pipe.Stats) => (st.by.map(_.name), st.funcs.map(_.as))
-      case _ => throw new IllegalArgumentException("query must end with '| stats ...'")
-    }
+  /** (labels, metrics) of the query's stats output — the reference's
+    * GetStatsByFields contract (parser.go:741; StatsByFields), so
+    * trailing sort/filter/math/keep/drop/copy/mv/format pipes after the
+    * stats pipe are accepted exactly like the reference. */
+  private def statsInfo(q: Query): (Seq[String], Seq[String]) =
+    StatsByFields.get(q)
+      .fold(e => throw new IllegalArgumentException(e), identity)
 
   private def valuesWithHits(df: DataFrame, valueIdx: Int, hitsIdx: Int): String = {
     val items = df.collect().map(r =>

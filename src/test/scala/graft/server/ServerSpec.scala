@@ -135,6 +135,46 @@ class ServerSpec extends SparkSuite {
     assert(body.contains(""""values":[["""))
   }
 
+  test("stats_query accepts trailing pipes after stats (GetStatsByFields)") {
+    // sort/limit after stats pass the gate (reference parser.go:782+);
+    // the optimizer fuses `sort | limit` into the sort pipe
+    val (code, body) = get(
+      s"/select/logsql/stats_query?query=${
+        enc("* | stats by (event_type) count() hits | sort by (hits) desc | limit 2")}&time=2024-02-01")
+    assert(code == 200, body)
+    assert(body.contains(""""__name__":"hits""""), body)
+    // mv renames the label: the series must carry the NEW label name
+    val (c2, b2) = get(
+      s"/select/logsql/stats_query?query=${
+        enc("* | stats by (event_type) count() hits | mv event_type as et")}&time=2024-02-01")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""et":"purchase""""), b2)
+    // a pipe that breaks chartability is a 400, not a silent wrong answer
+    val (c3, b3) = get(
+      s"/select/logsql/stats_query?query=${
+        enc("* | stats by (event_type) count() hits | delete event_type")}")
+    assert(c3 == 400, b3)
+  }
+
+  test("stats_query_range rate() divides by the step, not the whole span") {
+    // events span ~30 days; with step=1d each bucket's rate must be
+    // bucket_count/86400 — the whole-span divisor would be ~30x smaller
+    val (code, body) = get(
+      s"/select/logsql/stats_query_range?query=${enc("* | stats count() hits, rate() rps")}&step=1d")
+    assert(code == 200, body)
+    // parse one bucket's hits and rps and check rps == hits/86400
+    val hits = """"__name__":"hits".*?"values":\[\[([0-9.E]+),"([0-9.]+)"""".r
+    val rps = """"__name__":"rps".*?"values":\[\[([0-9.E]+),"([0-9.eE+-]+)"""".r
+    (hits.findFirstMatchIn(body), rps.findFirstMatchIn(body)) match {
+      case (Some(h), Some(r)) =>
+        assert(h.group(1) == r.group(1), "same first bucket")
+        val expect = h.group(2).toDouble / 86400.0
+        assert(math.abs(r.group(2).toDouble - expect) < 1e-9,
+          s"rps ${r.group(2)} vs hits/86400 $expect")
+      case other => fail(s"series not found: $other\n$body")
+    }
+  }
+
   test("field_names and field_values endpoints") {
     val (c1, names) = get(s"/select/logsql/field_names?query=${enc("*")}")
     assert(c1 == 200)
