@@ -285,7 +285,15 @@ object LogStore {
     * number of days actually scanned. */
   /** CanReturnLastNResults gate (parser.go:470-500): pipes that aggregate,
     * reorder, or change cardinality make an early return over a partial
-    * newest-days window silently WRONG — those queries must full-scan. */
+    * newest-days window silently WRONG — those queries must full-scan.
+    * Conformance: the reference's TestQueryCanReturnLastNResults table
+    * (LastNConformanceSpec); deliberately STRICTER than the reference on
+    * bare unpack_json/unpack_logfmt (dynamic keys can overwrite `_time`,
+    * and this descent re-sorts by the _time COLUMN after pipes run,
+    * whereas the reference orders by the storage timestamp). */
+  private[graft] def canReturnLastN(q: graft.logql.Query): Boolean =
+    q.pipes.forall(lastNSafe)
+
   private def lastNSafe(p: graft.logql.Pipe): Boolean = {
     import graft.logql.Pipe._
     def matchesTime(fs: Seq[String]): Boolean =
@@ -358,7 +366,7 @@ object LogStore {
     // sorted prefix instead of being re-ordered by _time
     def fullScan(): org.apache.spark.sql.DataFrame =
       graft.logql.Compiler.run(logs, q, nowNs).limit(n)
-    if (!q.pipes.forall(lastNSafe)) return (fullScan(), days.length)
+    if (!canReturnLastN(q)) return (fullScan(), days.length)
     var take = 1
     while (take < days.length) {
       val window = days.take(take)
