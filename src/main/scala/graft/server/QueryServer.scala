@@ -604,9 +604,13 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     // matching rows (dropped by default as non-discriminating; logsql.go:56)
     val keepConst = one(ps, "keep_const_fields")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    // "Pipes must be dropped, since it is expected facets are obtained
+    // from the real logs stored in the database" (logsql.go:58-60;
+    // DropAllPipes, parser.go:366 — leading `| filter` pipes were already
+    // folded into the query filter by Optimize, like the reference)
     val base = parseQ(ex, ps)
     val rows = runQ(ex, Query(base.filter,
-      base.pipes :+ Pipe.Facets(n, maxPerField, maxLen, keepConst)))
+      Seq(Pipe.Facets(n, maxPerField, maxLen, keepConst))))
       .collect()
     val byField = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val body = byField.map { case (fname, rs) =>
@@ -699,17 +703,20 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   }
 
   private def handleFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    // pipes dropped: field names come from the real stored logs
+    // (logsql.go:298-300)
     val q = parseQ(ex, ps)
     respond(ex, 200,
-      valuesWithHits(runQ(ex, Query(q.filter, q.pipes :+ Pipe.FieldNames("name"))), 0, 1))
+      valuesWithHits(runQ(ex, Query(q.filter, Seq(Pipe.FieldNames("name")))), 0, 1))
   }
 
   private def handleFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
     val lim = one(ps, "limit").map(_.toLong)
+    // pipes dropped like field_names (logsql.go:341-343)
     val q = parseQ(ex, ps)
     respond(ex, 200,
-      valuesWithHits(runQ(ex, Query(q.filter, q.pipes :+ Pipe.FieldValues(fld, lim))), 0, 1))
+      valuesWithHits(runQ(ex, Query(q.filter, Seq(Pipe.FieldValues(fld, lim)))), 0, 1))
   }
 
   // stream metadata discovery (Storage.GetStreams / GetStreamFieldNames /
@@ -722,7 +729,8 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(ex, parseQ(ex, ps))
+    // pipes dropped across the stream-metadata family (logsql.go:369-481)
+    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
     val canon = concat(lit("{"), concat_ws(",",
       transform(array_sort(map_entries(col("_stream"))),
         e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))), lit("}"))
@@ -733,7 +741,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def handleStreamIds(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(ex, parseQ(ex, ps))
+    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
     val out = df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("v"))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -741,7 +749,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def handleStreamFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(ex, parseQ(ex, ps))
+    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
     val out = df.select(explode(map_keys(col("_stream"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
@@ -750,13 +758,18 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   private def handleStreamFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
-    val df = runQ(ex, parseQ(ex, ps))
+    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
     val out = df.select(element_at(col("_stream"), fld).as("v"))
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("v"))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
   }
+
+  /** Query.DropAllPipes (parser.go:366): metadata endpoints read the
+    * stored logs, not pipe output. Leading `| filter` pipes were already
+    * folded into the filter at parse (Optimize), so they survive. */
+  private def dropPipes(q: Query): Query = q.copy(pipes = Nil)
 
   private def limited(df: DataFrame, ps: Map[String, Seq[String]]): DataFrame =
     one(ps, "limit").map(l => df.limit(l.toInt)).getOrElse(df)

@@ -81,4 +81,21 @@ class CanonConformanceSpec extends AnyFunSuite {
       }
     assert(bad.isEmpty, s"\n${bad.size} non-fixed-points:\n" + bad.mkString("\n"))
   }
+
+  test("DropAllPipes goldens (parser_test.go TestQueryDropAllPipes)") {
+    // pipes cleared; a leading `| filter` survives because Optimize
+    // folded it into the query filter at parse, like the reference —
+    // the contract the metadata endpoints (facets/field_names/streams)
+    // rely on when they drop pipes
+    val goldens = Seq(
+      "*" -> "*",
+      "foo | stats count()" -> "foo",
+      "foo or bar and baz | top 5 by (x)" -> "foo or bar baz",
+      "foo | filter bar:baz | stats by (x) min(y)" -> "foo bar:baz")
+    val bad = goldens.flatMap { case (in, want) =>
+      val got = Canon.query(Parser.parse(in, NOW).copy(pipes = Nil))
+      if (got == want) None else Some(s"<<$in>> got <<$got>> want <<$want>>")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
