@@ -35,13 +35,27 @@ object LogStore {
     * slightly cheaper decode. */
   val ParquetCodec = "zstd"
 
-  /** Canonical "k1=v1,k2=v2" (keys sorted) — stream_tags.go canonical form. */
+  /** Canonical "k1=v1,k2=v2" (keys sorted) — stream_tags.go canonical
+    * form. Absent/empty fields are OMITTED, not rendered as empty labels:
+    * in the reference's data model an empty value IS a missing field
+    * (keyconcepts.md; apptest key_concepts case 3 pins `{foo="bar"}` for
+    * a row missing the other configured stream fields). */
   def canonicalStream(streamFields: Seq[String]): Column =
-    concat_ws(",", streamFields.sorted.map(f =>
-      concat(lit(f + "="), coalesce(col(f).cast(StringType), lit("")))): _*)
+    concat_ws(",", streamFields.sorted.map { f =>
+      val v = col(f).cast(StringType)
+      when(v.isNotNull && v =!= "", concat(lit(f + "="), v))
+    }: _*) // concat_ws skips the nulls of absent fields
 
   def streamIdCol(streamFields: Seq[String]): Column =
     lower(hex(xxhash64(canonicalStream(streamFields))))
+
+  /** The `_stream` label map, absent/empty fields omitted (see
+    * [[canonicalStream]]). */
+  def streamMapCol(streamFields: Seq[String]): Column =
+    map_filter(
+      map(streamFields.sorted.flatMap(f =>
+        Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*),
+      (_, v) => v =!= "")
 
   /** Batch-ingest `df` (must carry `_time` TimestampType + the stream label
     * columns) into the layout. `filesPerDay` spreads each day partition
@@ -51,8 +65,7 @@ object LogStore {
              tenant: String = "0:0", filesPerDay: Int = 4): Unit = {
     val sorted = streamFields.sorted
     val withMeta = applyPromotion(df, promotedFields(dir).map(_._1))
-      .withColumn("_stream", map(sorted.flatMap(f =>
-        Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
+      .withColumn("_stream", streamMapCol(sorted))
       .withColumn("_stream_id", streamIdCol(sorted))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))

@@ -23,18 +23,38 @@ object Ingest {
     * to parse are kept with the raw line as `_msg` (the reference logs and
     * drops; keeping is the safer default for data pipelines). */
   def parseJsonline(lines: DataFrame, timeField: String = "_time",
-                    msgField: String = "_msg"): DataFrame = {
+                    msgField: String = "_msg"): DataFrame =
+    parseJsonlineMulti(lines, splitFields(timeField), splitFields(msgField))
+
+  /** `_time_field`/`_msg_field` accept comma-separated FALLBACK lists
+    * (insertutil common_params.go:55-60 GetArray; apptest key_concepts
+    * cases 2 and 4): per row, the first listed field that is present
+    * wins and is consumed; the others stay ordinary fields. */
+  private[graft] def splitFields(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  def parseJsonlineMulti(lines: DataFrame, timeFields: Seq[String],
+                         msgFields: Seq[String]): DataFrame = {
     // reference logjson shape (json_parser.go appendLogFields): nested
     // objects flatten into dot-separated field names, duplicate keys
     // first-wins, arrays keep their raw JSON — the same JsonFlatten
     // kernel unpack_json uses, so ingest and query agree byte-for-byte
     val m = graft.functions.JsonFlattenExpr.flattenColStrict(col("value"))
+    // per-row winner key: the first candidate present in the row
+    def winner(keys: Seq[String]): org.apache.spark.sql.Column =
+      keys.foldRight(lit(null).cast(StringType)) { (k, acc) =>
+        when(element_at(m, k).isNotNull, lit(k)).otherwise(acc)
+      }
+    val tKey = winner(timeFields)
+    val mKey = winner(msgFields)
     lines.select(
-      coalesce(element_at(m, timeField).try_cast("timestamp"),
+      coalesce(element_at(m, tKey).try_cast("timestamp"),
         current_timestamp()).as("_time"),
-      coalesce(element_at(m, msgField), when(m.isNull, col("value")), lit(""))
+      coalesce(element_at(m, mKey), when(m.isNull, col("value")), lit(""))
         .as("_msg"),
-      coalesce(map_filter(m, (k, _) => k =!= timeField && k =!= msgField),
+      // null-safe <=>: with no winner (tKey/mKey null) a plain === would
+      // yield null for every key and map_filter would drop the whole map
+      coalesce(map_filter(m, (k, _) => !(k <=> tKey) && !(k <=> mKey)),
         map().cast(MapType(StringType, StringType))).as("fields"))
   }
 
@@ -198,8 +218,7 @@ object Ingest {
     val withMeta = graft.store.LogStore.applyPromotion(
         promote(bounded, sorted),
         graft.store.LogStore.promotedFields(dir).map(_._1))
-      .withColumn("_stream", map(sorted.flatMap(f =>
-        Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*))
+      .withColumn("_stream", LogStore.streamMapCol(sorted))
       .withColumn("_stream_id", LogStore.streamIdCol(sorted))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))
