@@ -49,6 +49,26 @@ object Query {
     }
   }
 
+  /** GetFilterTimeRange (parser.go:504-525): the intersection of the
+    * TOP-LEVEL `_time` range filters (a direct filter or AND members;
+    * day_range/week_range and nested OR structure don't bound it), as
+    * INCLUSIVE ns bounds — this AST's TimeRange carries an exclusive
+    * upper bound, so it converts back here. */
+  def filterTimeRange(q: Query): (Long, Long) = {
+    def bounds(f: Filter): Option[(Long, Long)] = f match {
+      case Filter.TimeRange(lo, hi, _) =>
+        Some((lo, if (hi == Long.MaxValue) Long.MaxValue else hi - 1))
+      case _ => None
+    }
+    q.filter match {
+      case Filter.And(fs) =>
+        fs.flatMap(bounds).foldLeft((Long.MinValue, Long.MaxValue)) {
+          case ((lo, hi), (l, h)) => (math.max(lo, l), math.min(hi, h))
+        }
+      case f => bounds(f).getOrElse((Long.MinValue, Long.MaxValue))
+    }
+  }
+
   /** Rewrite `q` AND every nested subquery with `f` — in(subquery),
     * contains_all/any(subquery), join/union pipes, and the if(...)
     * conditions of pipes and stats functions, innermost first. This is

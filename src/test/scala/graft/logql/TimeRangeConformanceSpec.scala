@@ -35,4 +35,21 @@ class TimeRangeConformanceSpec extends AnyFunSuite {
       }.toList
     assert(bad.isEmpty, s"\n${bad.size} time-range mismatches:\n" + bad.mkString("\n"))
   }
+
+  test("GetFilterTimeRange goldens (parser_test.go TestQueryGetFilterTimeRange)") {
+    // intersection of top-level _time filters, inclusive ns bounds;
+    // day_range does not bound the range
+    val goldens = Seq(
+      ("*", Long.MinValue, Long.MaxValue),
+      ("_time:2024-05-31T10:20:30.456789123Z",
+        1717150830456789123L, 1717150830456789123L),
+      ("_time:2024-05-31Z", 1717113600000000000L, 1717199999999999999L),
+      ("_time:2024-05-31Z _time:day_range[08:00, 16:00]",
+        1717113600000000000L, 1717199999999999999L))
+    val bad = goldens.flatMap { case (q, lo, hi) =>
+      val got = Query.filterTimeRange(Parser.parse(q, NOW))
+      if (got == (lo, hi)) None else Some(s"<<$q>> got $got want ($lo, $hi)")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
