@@ -254,6 +254,22 @@ object Compaction {
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.option("compression", LogStore.ParquetCodec).parquet(tmp.toString)
+    // exact whole-part value-type verdict on the data being rewritten
+    // (BEFORE the source files are deleted — `df` still reads them); the
+    // background merge is where the reference decides block types too
+    try {
+      // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
+      // decode so the key matches the raw-value keys the bulk path writes
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+      val partKey = s"${unescapePathName(pdir.getParent.getName)}/" +
+        unescapePathName(pdir.getName)
+      val storeDir = pdir.getParent.getParent.getParent.toUri.getPath
+      ValueTypeMeta.recordPart(df, storeDir, partKey)
+    } catch { case e: Exception =>
+      // metadata is an optimization; on failure value_type falls back to
+      // the scan classification
+      System.err.println(s"[compact] value-type classify failed: ${e.getMessage}")
+    }
     val newFiles = dataFiles(tmp)
     // unique part names: move-in before delete-old, so a crash leaves
     // duplicates (re-converged by the next run), never data loss

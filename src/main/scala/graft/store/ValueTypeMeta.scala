@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * back at query time).
   *
   * Granularity: one verdict per string field per (tenant, _day) part.
-  * Bulk loads ([[LogStore.ingest]]) classify each part exactly; streaming
-  * appends (Ingest.appendBatch) classify the whole micro-batch in the
-  * write pass itself (an `observe()` ride-along — no extra job) and stamp
-  * every part the batch touched, so a batch spanning midnight records its
-  * union verdict on both days. Conflicting appends into one part record
-  * `mixed`. Verdicts merge into `<dir>/logs/_value_types.json`.
+  * Bulk loads ([[LogStore.ingest]]) classify each part exactly (one
+  * groupBy over the batch being written). Streaming appends stay OFF the
+  * hot path: they only INVALIDATE the parts they touch (the part list
+  * rides the existing write-pass observe() — measured: classifying in
+  * the flush itself cost ~35% of ingest throughput), and background
+  * compaction re-classifies each part it rewrites EXACTLY (whole-part
+  * verdict on data it is already reading) — the analogue of the
+  * reference deciding types as its merges write blocks (datadb.go
+  * background merges). Verdicts live in `<dir>/logs/_value_types.json`.
   *
   * Query side: `value_type()` over a store-backed relation answers from
   * the sidecar — constant when every part agrees, a partition-prunable
@@ -102,31 +105,23 @@ object ValueTypeMeta {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Merge per-part verdicts into the sidecar. `overwrite` replaces the
-    * file (bulk loads, mode=overwrite); otherwise conflicting verdicts
-    * for one (part, field) degrade to "mixed" — the part now holds blocks
-    * of both types and only a scan can split them. Serialized by the
-    * caller's store write lock; the write is tmp + rename. */
+  /** Write per-part verdicts into the sidecar. `overwrite` replaces the
+    * whole file (bulk loads, mode=overwrite); otherwise each carried part
+    * REPLACES its entry (writers classify whole parts exactly — there is
+    * no partial-part merge). Serialized by the caller's store write lock;
+    * the write is tmp + rename. */
   def record(dir: String, perPart: Map[String, Map[String, String]],
              overwrite: Boolean): Unit = {
     if (perPart.isEmpty && !overwrite) return
     val base: Map[String, Map[String, String]] =
       if (overwrite) Map.empty else load(dir)
-    val merged = (base.keySet ++ perPart.keySet).map { part =>
-      val old = base.getOrElse(part, Map.empty)
-      val add = perPart.getOrElse(part, Map.empty)
-      part -> (old.keySet ++ add.keySet).map { f =>
-        f -> ((old.get(f), add.get(f)) match {
-          case (Some(a), Some(b)) if a == b => a
-          case (Some(_), Some(_)) => "mixed"
-          case (Some(a), None) => a
-          case (None, Some(b)) => b
-          case (None, None) => "mixed" // unreachable
-        })
-      }.toMap
-    }.toMap
+    writeSidecar(dir, base ++ perPart)
+  }
+
+  private def writeSidecar(dir: String,
+                           all: Map[String, Map[String, String]]): Unit = {
     val node = mapper.createObjectNode()
-    merged.toSeq.sortBy(_._1).foreach { case (part, fs) =>
+    all.toSeq.sortBy(_._1).foreach { case (part, fs) =>
       val pn = node.putObject(part)
       fs.toSeq.sortBy(_._1).foreach { case (f, t) => pn.put(f, t) }
     }
@@ -201,31 +196,39 @@ object ValueTypeMeta {
     record(dir, perPart, overwrite)
   }
 
-  /** Streaming-append path, phase 1: observe() aggregate columns that
-    * ride the write pass (no extra job over the micro-batch). Order:
-    * one collect_set of touched parts, then one classify struct per
-    * field of [[classifiableFields]]. */
-  def observeAggs(batch: DataFrame): Seq[Column] = {
-    val fields = classifiableFields(batch)
+  /** Streaming-append path, phase 1: the touched-parts set rides the
+    * existing write-pass observe() — one tiny collect_set, nothing
+    * classified on the flush path. */
+  def partsAgg: Column =
     collect_set(concat(lit("tenant="), col("tenant"),
-      lit("/_day="), col("_day").cast(StringType))).as("__vt_parts") +:
-      fields.map(f => classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
-  }
+      lit("/_day="), col("_day").cast(StringType))).as("__vt_parts")
 
-  /** Streaming-append path, phase 2: decode the observed metrics and
-    * merge into the sidecar — the batch's union verdict stamps every part
-    * it touched (batch × part granularity; a same-day follow-up batch
-    * with a different verdict degrades that part to "mixed"). */
-  def recordObserved(dir: String, batch: DataFrame,
-                     get: String => Any): Unit = {
-    val fields = classifiableFields(batch)
-    if (fields.isEmpty) return
+  /** Streaming-append path, phase 2: an append makes a part's recorded
+    * verdict stale — DROP its entry; value_type() falls back to the
+    * memoized scan classification until compaction re-classifies the
+    * part exactly. */
+  def invalidateParts(dir: String, get: String => Any): Unit = {
     val parts = get("__vt_parts").asInstanceOf[Seq[_]].map(String.valueOf)
     if (parts.isEmpty) return
-    val verdicts = fields.map { f =>
-      f -> decide(get(s"__vt_$f").asInstanceOf[Row])
+    val base = load(dir)
+    val pruned = base -- parts
+    if (pruned.size != base.size) writeSidecar(dir, pruned)
+  }
+
+  /** Compaction path: classify one just-rewritten partition EXACTLY and
+    * replace its sidecar entry (one aggregate over data the compactor is
+    * already rewriting — the reference's merges decide block types the
+    * same way). */
+  def recordPart(partDf: DataFrame, dir: String, partKey: String): Unit = {
+    val fields = classifiableFields(partDf)
+    if (fields.isEmpty) return
+    val aggs = fields.map(f =>
+      classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
+    val row = partDf.agg(aggs.head, aggs.tail: _*).collect().head
+    val verdicts = fields.zipWithIndex.map { case (f, i) =>
+      f -> decide(row.getStruct(i))
     }.toMap
-    record(dir, parts.map(_ -> verdicts).toMap, overwrite = false)
+    record(dir, Map(partKey -> verdicts), overwrite = false)
   }
 
   // ---------------------------------------------------------------------

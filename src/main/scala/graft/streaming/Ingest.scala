@@ -236,14 +236,15 @@ object Ingest {
       // the /metrics ingested-rows count AND the batch's distinct stream
       // ids ride along as observed metrics instead of costing separate jobs
       val obs = org.apache.spark.sql.Observation()
-      // value-type verdicts ride the same observe: the write pass itself
-      // classifies the batch's string fields (no extra job), recorded
-      // into the sidecar after the commit (ValueTypeMeta)
-      val obsAggs = Seq(count(lit(1)).as("rows"),
-        collect_set(col("_stream_id")).as("sids")) ++
-        graft.store.ValueTypeMeta.observeAggs(withMeta)
+      // the touched-part set rides the same observe (one tiny
+      // collect_set): an append STALES those parts' value-type verdicts,
+      // which are invalidated after the commit and re-classified exactly
+      // by the next compaction of the part (ValueTypeMeta — classifying
+      // here cost ~35% of flush throughput, measured)
       withMeta
-        .observe(obs, obsAggs.head, obsAggs.tail: _*)
+        .observe(obs, count(lit(1)).as("rows"),
+          collect_set(col("_stream_id")).as("sids"),
+          graft.store.ValueTypeMeta.partsAgg)
         // writer width: the encode+zstd stage is the CPU-bound part of a
         // flush, so salt across the session's shuffle width (≈ cluster
         // write slots), not filesPerDay — a 4-way salt left 28 of 32
@@ -264,7 +265,7 @@ object Ingest {
       // observed action completes
       graft.server.Metrics.rowsIngested.addAndGet(
         obs.get("rows").asInstanceOf[Long])
-      graft.store.ValueTypeMeta.recordObserved(dir, withMeta, obs.get(_))
+      graft.store.ValueTypeMeta.invalidateParts(dir, obs.get(_))
       val sids = obs.get("sids").asInstanceOf[Seq[_]].map(String.valueOf)
       // steady-state flushes carry only already-registered streams — skip
       // the per-flush streams-table job entirely then. The in-memory set

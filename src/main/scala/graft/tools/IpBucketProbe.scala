@@ -45,7 +45,16 @@ object IpBucketProbe {
     time("full_query") { graft.logql.Compiler.run(ev, q).collect(); 0L }
     time("full_query_build_only") { graft.logql.Compiler.run(ev, q); 0L }
     val prebuilt = graft.logql.Compiler.run(ev, q)
+    // collect() on ONE Dataset reuses its QueryExecution (AQE replays
+    // materialized shuffle stages — measures only the final stage);
+    // count() builds a fresh QueryExecution per call — the honest
+    // re-execution the bench measures through the plan memo
     time("full_query_exec_only") { prebuilt.collect(); 0L }
+    time("prebuilt_fresh_count") { prebuilt.count() }
+    time("scan_count_fresh") {
+      ev.select(org.apache.spark.sql.functions.length(col("_msg")).as("l"))
+        .agg(sum(col("l"))).count()
+    }
     spark.stop()
   }
 }

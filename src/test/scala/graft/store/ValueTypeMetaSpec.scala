@@ -135,24 +135,35 @@ class ValueTypeMetaSpec extends SparkSuite {
     assert(!plan.contains("2024-01-06"), "non-matching day should be pruned")
   }
 
-  test("streaming appends ride observe(); conflicting appends degrade to mixed") {
+  test("appends invalidate part verdicts; compaction re-classifies exactly") {
     val dir = s"/root/repo/target/vtmeta_spec/${System.nanoTime()}"
+    val part = "tenant=0:0/_day=2024-02-01"
     def append(msgs: Seq[String]): Unit = {
       val lines = msgs.map(m =>
         s"""{"_time":"2024-02-01T10:00:00Z","_msg":"$m","app":"web"}""").toDF("value")
       graft.streaming.Ingest.appendBatch(
         graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"))
     }
+    // flushes never classify (hot path); the part has no verdict yet
+    // (two flushes: compaction's min-file gate skips 1-file parts)
     append((0 until 20).map(i => (i % 200).toString))
-    assert(ValueTypeMeta.load(dir)("tenant=0:0/_day=2024-02-01")("_msg") == "uint8")
-    // same-day append with a different verdict → mixed → fallback classify
+    append((20 until 40).map(i => (i % 200).toString))
+    assert(!ValueTypeMeta.load(dir).contains(part))
+    // background compaction classifies the whole part exactly
+    Compaction.optimize(spark, dir)
+    assert(ValueTypeMeta.load(dir)(part)("_msg") == "uint8",
+      ValueTypeMeta.load(dir))
+    // a same-day append STALES the verdict → entry dropped
     append((0 until 20).map(i => s"alpha $i beta"))
-    assert(ValueTypeMeta.load(dir)("tenant=0:0/_day=2024-02-01")("_msg") == "mixed")
+    assert(!ValueTypeMeta.load(dir).contains(part), ValueTypeMeta.load(dir))
+    // fallback classifies the union (60 rows, mixed content → string)
     val logs = LogStore.read(spark, dir)
-    // fallback classifies the union (40 rows, mixed content → string):
-    // every row matches value_type(string), none match uint8
     val str = graft.logql.Compiler.run(logs,
       "_msg:value_type(string) | stats count() c").collect().head.getLong(0)
-    assert(str == 40)
+    assert(str == 60)
+    // re-compaction restores an exact verdict for the merged part
+    Compaction.optimize(spark, dir)
+    assert(ValueTypeMeta.load(dir)(part)("_msg") == "string",
+      ValueTypeMeta.load(dir))
   }
 }
