@@ -33,7 +33,7 @@ object Compiler {
   }
 
   def run(source: DataFrame, q: Query, nowNs: Long): DataFrame = {
-    val ctx = Ctx(source, nowNs, timeSpanSeconds(q.filter))
+    val ctx = Ctx(source, nowNs, timeSpanSeconds(q))
     // top-level in(subquery) conjuncts become distributed semi-joins (no
     // driver materialization, no value-count cap); everything else stays a
     // scan predicate. Under or/not the collect path still applies — a
@@ -123,12 +123,14 @@ object Compiler {
     case Nil => Nil
   }
 
-  /** Span of the query's top-level `_time` filter — feeds `rate()`. */
-  private def timeSpanSeconds(f: Filter): Option[Double] = f match {
-    case Filter.TimeRange(lo, hi, _) if lo != Long.MinValue && hi != Long.MaxValue =>
-      Some((hi - lo) / 1e9)
-    case Filter.And(fs) => fs.flatMap(timeSpanSeconds).headOption
-    case _ => None
+  /** Span of the query's global `_time` filter — feeds `rate()` like the
+    * reference's initStatsRateFuncsFromTimeFilter (parser.go:1219:
+    * step = end - start + 1 over GetFilterTimeRange's INTERSECTION of
+    * top-level time filters). */
+  private def timeSpanSeconds(q: Query): Option[Double] = {
+    val (lo, hi) = Query.filterTimeRange(q) // inclusive ns bounds
+    if (lo != Long.MinValue && hi != Long.MaxValue) Some((hi - lo + 1) / 1e9)
+    else None
   }
 
   // --------------------------------------------------------- field access
