@@ -33,35 +33,7 @@ object Cli {
         graft.store.LogStore.read(spark, path)
       else spark.read.parquet(path)
 
-    // output modes, the vlogscli set (app/vlogscli/json_prettifier.go:15-39;
-    // \s \m \c \logfmt commands main.go:156-183). Formatting is per-field
-    // in the driver print loop, matching the reference's formatter
-    // contract: null-valued columns are absent fields.
-    def fmtJson(fields: Seq[(String, String)], multiline: Boolean): String = {
-      def js(s: String) = com.fasterxml.jackson.databind.node.TextNode
-        .valueOf(s).toString
-      if (fields.isEmpty) "{}"
-      else if (multiline)
-        fields.map { case (k, v) => s"  ${js(k)}: ${js(v)}" }
-          .mkString("{\n", ",\n", "\n}")
-      else fields.map { case (k, v) => s"${js(k)}:${js(v)}" }
-        .mkString("{", ",", "}")
-    }
-    def fmtLogfmt(fields: Seq[(String, String)]): String = {
-      // quote EITHER side that needs it (logfmt marshal contract — keys
-      // from unpack_json can contain spaces or '=' too)
-      def tok(s: String): String =
-        if (s.isEmpty || s.exists(c => c <= ' ' || c == '"' || c == '='))
-          com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
-        else s
-      fields.map { case (k, v) => s"${tok(k)}=${tok(v)}" }.mkString(" ")
-    }
-    def fmtCompact(fields: Seq[(String, String)]): String = fields match {
-      case Seq((_, v)) => v // lone field: the value, no name
-      case Seq(a, b) if a._1 == "_time" => s"${a._2}\t${b._2}"
-      case Seq(a, b) if b._1 == "_time" => s"${b._2}\t${a._2}"
-      case fs => fmtLogfmt(fs) // reference falls back to logfmt
-    }
+    import CliFormat.{fmtCompact, fmtJson, fmtLogfmt}
     var mode: String = "m" // reference default: multiline JSON
 
     def run(q: String, limit: Int = 1000): Unit =
@@ -88,9 +60,11 @@ object Cli {
         var n = 0
         while (it.hasNext) {
           val r = it.next()
+          // the reference prettifier sorts fields by name before every
+          // formatter (json_prettifier.go:95-97)
           val fields = cols.indices.collect {
             case i if !r.isNullAt(i) => cols(i) -> r.getString(i)
-          }.toSeq
+          }.toSeq.sortBy(_._1)
           println(mode match {
             case "m" => fmtJson(fields, multiline = true)
             case "s" => fmtJson(fields, multiline = false)
@@ -122,5 +96,48 @@ object Cli {
       }
     }
     spark.stop()
+  }
+}
+
+/** vlogscli output formatters (app/vlogscli/json_prettifier.go:15-245 and
+  * lib/logstorage/rows.go:81-124), reference-exact:
+  *
+  *   - JSON modes quote through a JSON string marshal with HTML escapes
+  *     undone (getJSONString + jsonHTMLReplacer — Jackson never HTML-
+  *     escapes, so TextNode matches the post-replace form);
+  *   - logfmt keys print RAW (an empty key prints as `_msg`); values
+  *     quote iff they contain a char <= 0x20, '"' or '\\' — '=' inside a
+  *     VALUE stays raw, and the empty value prints as bare `k=`;
+  *   - compact: a lone field prints its value; exactly (_time, other)
+  *     prints `time<TAB>other`; anything else falls back to logfmt.
+  *
+  * Callers pass fields already name-sorted (the prettifier sorts every
+  * row before formatting, json_prettifier.go:95-97). */
+object CliFormat {
+  private def js(s: String): String =
+    com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+
+  def fmtJson(fields: Seq[(String, String)], multiline: Boolean): String =
+    if (fields.isEmpty) "{}"
+    else if (multiline)
+      fields.map { case (k, v) => s"  ${js(k)}: ${js(v)}" }
+        .mkString("{\n", ",\n", "\n}")
+    else fields.map { case (k, v) => s"${js(k)}:${js(v)}" }
+      .mkString("{", ",", "}")
+
+  def fmtLogfmt(fields: Seq[(String, String)]): String = {
+    def needQuoting(s: String): Boolean =
+      s.exists(c => c <= 0x20 || c == '"' || c == '\\')
+    fields.map { case (k, v) =>
+      val name = if (k.isEmpty) "_msg" else k
+      s"$name=${if (needQuoting(v)) js(v) else v}"
+    }.mkString(" ")
+  }
+
+  def fmtCompact(fields: Seq[(String, String)]): String = fields match {
+    case Seq((_, v)) => v // lone field: the value, no name
+    case Seq(a, b) if a._1 == "_time" => s"${a._2}\t${b._2}"
+    case Seq(a, b) if b._1 == "_time" => s"${b._2}\t${a._2}"
+    case fs => fmtLogfmt(fs) // reference falls back to logfmt
   }
 }
