@@ -254,22 +254,25 @@ object Compaction {
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.option("compression", LogStore.ParquetCodec).parquet(tmp.toString)
-    // exact whole-part value-type verdict on the data being rewritten
-    // (BEFORE the source files are deleted — `df` still reads them); the
-    // background merge is where the reference decides block types too
-    try {
-      // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
-      // decode so the key matches the raw-value keys the bulk path writes
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-      val partKey = s"${unescapePathName(pdir.getParent.getName)}/" +
-        unescapePathName(pdir.getName)
-      val storeDir = pdir.getParent.getParent.getParent.toUri.getPath
-      ValueTypeMeta.recordPart(df, storeDir, partKey)
-    } catch { case e: Exception =>
-      // metadata is an optimization; on failure value_type falls back to
-      // the scan classification
-      System.err.println(s"[compact] value-type classify failed: ${e.getMessage}")
-    }
+    // exact whole-part value-type verdict, classified on the data being
+    // rewritten BEFORE the source files are deleted (`df` still reads
+    // them); the background merge is where the reference decides block
+    // types too. The verdict is held back until the post-swap check below.
+    val verdict: Option[(String, String, Map[String, String])] =
+      try {
+        // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
+        // decode so the key matches the raw-value keys the bulk path writes
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+        val partKey = s"${unescapePathName(pdir.getParent.getName)}/" +
+          unescapePathName(pdir.getName)
+        val storeDir = pdir.getParent.getParent.getParent.toUri.getPath
+        Some((storeDir, partKey, ValueTypeMeta.classifyPart(df)))
+      } catch { case e: Exception =>
+        // metadata is an optimization; on failure value_type falls back to
+        // the scan classification
+        System.err.println(s"[compact] value-type classify failed: ${e.getMessage}")
+        None
+      }
     val newFiles = dataFiles(tmp)
     // unique part names: move-in before delete-old, so a crash leaves
     // duplicates (re-converged by the next run), never data loss
@@ -279,6 +282,21 @@ object Compaction {
     }
     files.foreach(f => Fs.delete(f.getPath.toString))
     Fs.delete(tmp.toString)
+    // record the verdict ONLY if the part still holds exactly the files
+    // this pass wrote: an append that landed mid-compaction added a file
+    // the classification never saw, and a stale whole-part verdict would
+    // be a wrong answer, not a missed optimization. Serialized against
+    // appends (their invalidate runs under the same per-dir append lock),
+    // so the check can't race a concurrent flush's sidecar write.
+    verdict.foreach { case (storeDir, partKey, fieldTypes) =>
+      StoreLocks.logsAppend(storeDir).synchronized {
+        val now = dataFiles(pdir).map(_.getPath.getName).toSet
+        val written = newFiles.map(_.getPath.getName).toSet
+        if (fieldTypes.nonEmpty && now == written)
+          ValueTypeMeta.record(storeDir, Map(partKey -> fieldTypes),
+            overwrite = false)
+      }
+    }
   }
 
   /** Output file count for a streams rewrite, sized from the input bytes —

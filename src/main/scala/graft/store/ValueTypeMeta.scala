@@ -215,20 +215,19 @@ object ValueTypeMeta {
     if (pruned.size != base.size) writeSidecar(dir, pruned)
   }
 
-  /** Compaction path: classify one just-rewritten partition EXACTLY and
-    * replace its sidecar entry (one aggregate over data the compactor is
-    * already rewriting — the reference's merges decide block types the
-    * same way). */
-  def recordPart(partDf: DataFrame, dir: String, partKey: String): Unit = {
+  /** Compaction path: classify one partition EXACTLY (one aggregate over
+    * data the compactor is already rewriting — the reference's merges
+    * decide block types the same way). The caller records the result
+    * after its post-swap file-set check. */
+  def classifyPart(partDf: DataFrame): Map[String, String] = {
     val fields = classifiableFields(partDf)
-    if (fields.isEmpty) return
+    if (fields.isEmpty) return Map.empty
     val aggs = fields.map(f =>
       classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
     val row = partDf.agg(aggs.head, aggs.tail: _*).collect().head
-    val verdicts = fields.zipWithIndex.map { case (f, i) =>
+    fields.zipWithIndex.map { case (f, i) =>
       f -> decide(row.getStruct(i))
     }.toMap
-    record(dir, Map(partKey -> verdicts), overwrite = false)
   }
 
   // ---------------------------------------------------------------------
