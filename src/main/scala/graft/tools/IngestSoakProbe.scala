@@ -67,12 +67,16 @@ object IngestSoakProbe {
       else None
     val maxFilesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val sampler = new Thread(() => {
-      while (!Thread.currentThread().isInterrupted) {
+      // no `return` here: inside a lambda it throws NonLocalReturnControl,
+      // which escapes (the enclosing frame is on another thread's stack)
+      // and kills the sampler with a noisy stack trace
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
         try {
           val f = filesPerDay()
           if (f.nonEmpty) maxFilesSeen.getAndUpdate(m => math.max(m, f.max))
           Thread.sleep(2000)
-        } catch { case _: InterruptedException => return }
+        } catch { case _: InterruptedException => live = false }
       }
     })
     if (bg) sampler.start()
