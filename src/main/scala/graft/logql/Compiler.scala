@@ -327,8 +327,11 @@ object Compiler {
       // write-time metadata first (ValueTypeMeta sidecar — the
       // columnHeader.valueType analogue, per-part when parts disagree);
       // data-driven classification only for relations the engine didn't
-      // write (filter_value_type.go:67)
-      valueTypePredicate(df, fld, t)
+      // write (filter_value_type.go:67). The sidecar describes the STORED
+      // values, so it only answers for the source relation itself — a
+      // `| filter x:value_type(...)` over mid-pipeline rows (which pipes
+      // may have rewritten) classifies the data it actually sees.
+      valueTypePredicate(df, fld, t, useMeta = df eq ctx.source)
 
     case Filter.EqField(fld, other) =>
       // numeric-aware like le/lt_field: both sides parse → numeric equality
@@ -410,11 +413,13 @@ object Compiler {
     * relations the engine didn't write fall back to a data-driven
     * per-relation classification (one bounded aggregate, memoized per
     * (relation, field)). */
-  private def valueTypePredicate(df: DataFrame, fld: String, want: String): Column =
+  private def valueTypePredicate(df: DataFrame, fld: String, want: String,
+                                 useMeta: Boolean): Column =
     staticValueType(df, fld) match {
       case Some(t) => lit(t == want)
       case None =>
-        graft.store.ValueTypeMeta.predicate(df, fld, want)
+        (if (useMeta) graft.store.ValueTypeMeta.predicate(df, fld, want)
+         else None)
           .getOrElse(lit(stringValueType(df, fld) == want))
     }
 

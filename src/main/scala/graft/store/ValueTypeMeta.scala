@@ -269,6 +269,8 @@ object ValueTypeMeta {
         }.toSeq
         if (matching.isEmpty) Some(lit(false))
         else if (matching.size == types.size) Some(lit(true))
+        else if (!df.columns.contains("tenant") || !df.columns.contains("_day"))
+          None // partition predicate needs the partition columns
         else {
           // partition-column predicate: prunable at planning time, the
           // per-part analogue of the reference skipping non-matching
