@@ -414,7 +414,9 @@ object LogStore {
     // from previous builds must not satisfy the marker check
     // v2: bulk loads end with a small-file merge (below)
     // v3: ingest writes the value-type sidecar (ValueTypeMeta)
-    val dir = s"/root/repo/target/graft_store/v3/$name"
+    // v4: _stream/_stream_id omit absent/empty stream fields
+    //     (canonicalStream/streamMapCol — key-concepts conformance)
+    val dir = s"/root/repo/target/graft_store/v4/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
       // merge the write-parallelism salt's small files per day partition —
