@@ -76,6 +76,15 @@ object GraftFunctions {
           case de: org.apache.spark.sql.types.Decimal => de.toDouble
           case other => other.toString.toDouble
         })),
+    ("graft_quantile_double",
+      "graft_quantile_double(v, phi) - numeric fast path of " +
+        "graft_quantile_value for native numeric fields",
+      es => QuantileDoubleAgg(es(0),
+        es(1).eval() match {
+          case d: java.lang.Double => d.doubleValue
+          case de: org.apache.spark.sql.types.Decimal => de.toDouble
+          case other => other.toString.toDouble
+        })),
     ("graft_syslog_parse",
       "graft_syslog_parse(s, year, tzMinutes) - progressive syslog " +
         "parser (RFC3164/RFC5424 + structured data) to a field map",

@@ -283,3 +283,136 @@ object QuantileState {
     st
   }
 }
+
+/** Numeric fast path of [[QuantileValueAgg]] for single native-numeric
+  * fields: the string agg renders every value through GoFloat and
+  * re-parses it in the value collation PER ROW (interpreted — measured
+  * 108s for a by-day P99 over 20M rows vs 1s for the typed min/max);
+  * for numbers the collation IS numeric order with NaN last (rendered
+  * numerics always take the both-numbers branch; "NaN" sorts after
+  * every digit/sign-leading string under the natural fallback), which
+  * is exactly java.lang.Double.compare's order. Same 10k first-arrival
+  * sample, same nearest-rank pick, double output — the string path cast
+  * its result back to double for native fields anyway. */
+case class QuantileDoubleAgg(child: Expression, phi: Double,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileDoubleState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantile_double needs double, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): QuantileDoubleState =
+    new QuantileDoubleState
+
+  override def update(st: QuantileDoubleState, input: InternalRow): QuantileDoubleState = {
+    val v = child.eval(input)
+    if (v != null) st.add(v.asInstanceOf[Double])
+    st
+  }
+
+  override def merge(a: QuantileDoubleState, b: QuantileDoubleState): QuantileDoubleState = {
+    a.mergeFrom(b); a
+  }
+
+  override def eval(st: QuantileDoubleState): Any = st.quantile(phi)
+
+  override def serialize(st: QuantileDoubleState): Array[Byte] = st.toBytes
+  override def deserialize(bytes: Array[Byte]): QuantileDoubleState =
+    QuantileDoubleState.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileDoubleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileDoubleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): QuantileDoubleAgg = copy(child = cs.head)
+  override def prettyName: String = "graft_quantile_double"
+}
+
+/** Mirrors [[QuantileState]] with primitive doubles: first-10k-arrivals
+  * sample, running min/max under Double.compare (NaN greatest, like the
+  * string collation's natural-order fallback places "NaN"). */
+final class QuantileDoubleState extends Serializable {
+  import QuantileState.MaxSamples
+  var samples: Array[Double] = new Array[Double](64)
+  var n: Int = 0
+  var min: Double = 0d
+  var max: Double = 0d
+  var count: Long = 0L
+
+  def add(v: Double): Unit = {
+    if (count == 0 || java.lang.Double.compare(v, min) < 0) min = v
+    if (count == 0 || java.lang.Double.compare(max, v) < 0) max = v
+    count += 1
+    if (n < MaxSamples) {
+      if (n == samples.length)
+        samples = java.util.Arrays.copyOf(samples,
+          math.min(samples.length * 2, MaxSamples))
+      samples(n) = v
+      n += 1
+    }
+  }
+
+  def mergeFrom(o: QuantileDoubleState): Unit = {
+    if (o.count > 0) {
+      if (count == 0 || java.lang.Double.compare(o.min, min) < 0) min = o.min
+      if (count == 0 || java.lang.Double.compare(max, o.max) < 0) max = o.max
+      count += o.count
+      var i = 0
+      while (i < o.n && n < MaxSamples) {
+        if (n == samples.length)
+          samples = java.util.Arrays.copyOf(samples,
+            math.min(samples.length * 2, MaxSamples))
+        samples(n) = o.samples(i)
+        n += 1; i += 1
+      }
+    }
+  }
+
+  def quantile(phi: Double): Any = {
+    if (n == 0) return null
+    if (n == 1) return samples(0)
+    if (phi <= 0) return min
+    if (phi >= 1) return max
+    val sorted = java.util.Arrays.copyOf(samples, n)
+    java.util.Arrays.sort(sorted) // NaN last, like the string collation
+    val idx = (phi * n).toInt
+    if (idx >= n) max else sorted(idx)
+  }
+
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(count)
+    out.writeDouble(min); out.writeDouble(max)
+    out.writeInt(n)
+    var i = 0
+    while (i < n) { out.writeDouble(samples(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object QuantileDoubleState {
+  def fromBytes(bytes: Array[Byte]): QuantileDoubleState = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val st = new QuantileDoubleState
+    st.count = in.readLong()
+    st.min = in.readDouble(); st.max = in.readDouble()
+    val k = in.readInt()
+    st.samples = new Array[Double](math.max(k, 1))
+    var i = 0
+    while (i < k) { st.samples(i) = in.readDouble(); i += 1 }
+    st.n = k
+    st
+  }
+}

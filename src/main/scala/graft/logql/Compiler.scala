@@ -1622,11 +1622,24 @@ object Compiler {
   private def quantileAgg(df: DataFrame, fields: Seq[String], phi: Double,
                           iff: Column => Column): Column = {
     graft.functions.GraftFunctions.touch()
-    val arr = iff(fieldValsForOrder(df, fields))
-    val q = call_function("graft_quantile_value", arr, lit(phi))
-    if (fields.forall(f => !isWildcardField(f) && isNativeOrderable(df, f)))
-      q.try_cast("double")
-    else q
+    // single native-NUMERIC field: the value collation over rendered
+    // numbers IS numeric order (NaN last), and the string path would cast
+    // its result back to double anyway — skip the per-row GoFloat render
+    // + collation re-parse (measured 108s -> ~1s for a by-day P99 over
+    // 20M rows; QuantileDoubleAgg). Timestamps/dates/booleans keep the
+    // string path: their collation is not plain double order.
+    val numericNative = fields.size == 1 && !isWildcardField(fields.head) &&
+      fieldType(df, fields.head).exists(_.isInstanceOf[NumericType])
+    if (numericNative)
+      call_function("graft_quantile_double",
+        iff(numF(df, fields.head).cast(DoubleType)), lit(phi))
+    else {
+      val arr = iff(fieldValsForOrder(df, fields))
+      val q = call_function("graft_quantile_value", arr, lit(phi))
+      if (fields.forall(f => !isWildcardField(f) && isNativeOrderable(df, f)))
+        q.try_cast("double")
+      else q
+    }
   }
 
   // ----------------------------------------------------------------- math
