@@ -76,6 +76,14 @@ object GraftFunctions {
           case de: org.apache.spark.sql.types.Decimal => de.toDouble
           case other => other.toString.toDouble
         })),
+    ("graft_row_min_d",
+      "graft_row_min_d(srcDouble, rowJson) - row JSON minimizing a " +
+        "native-numeric src",
+      es => RowMinMaxDoubleAgg(es(0), es(1), isMin = true)),
+    ("graft_row_max_d",
+      "graft_row_max_d(srcDouble, rowJson) - row JSON maximizing a " +
+        "native-numeric src",
+      es => RowMinMaxDoubleAgg(es(0), es(1), isMin = false)),
     ("graft_quantile_double",
       "graft_quantile_double(v, phi) - numeric fast path of " +
         "graft_quantile_value for native numeric fields",

@@ -1531,14 +1531,10 @@ object Compiler {
         rowJson(any_value(iff(rowMapOf(df, fields)), lit(true)))
       case RowMax(f, fields) =>
         rejectWildcard("the row_max source field", Seq(f))
-        graft.functions.GraftFunctions.touch()
-        coalesce(call_function("graft_row_max",
-          iff(strF(df, f)), to_json(rowMapOf(df, fields))), lit("{}"))
+        rowMinMaxAgg(df, f, fields, iff, isMin = false)
       case RowMin(f, fields) =>
         rejectWildcard("the row_min source field", Seq(f))
-        graft.functions.GraftFunctions.touch()
-        coalesce(call_function("graft_row_min",
-          iff(strF(df, f)), to_json(rowMapOf(df, fields))), lit("{}"))
+        rowMinMaxAgg(df, f, fields, iff, isMin = true)
       case Rate(step) =>
         count(iff(lit(1))).cast(DoubleType) /
           lit(step.getOrElse(rateSpanSeconds(ctx)))
@@ -1619,6 +1615,25 @@ object Compiler {
     * collation, first 10k samples, empties skipped). All-numeric-typed
     * field lists cast the winning element back to double so typed
     * relations keep numeric output columns. */
+  /** row_min/row_max: the row JSON whose source-field value wins under
+    * the value collation (stats_row_min.go / stats_row_max.go). A native
+    * NUMERIC source key compares as a primitive double (same rationale
+    * and order-equivalence as [[quantileAgg]]'s fast path — the rendered
+    * key was only ever compared, never returned); either variant renders
+    * the row JSON lazily, winners only. */
+  private def rowMinMaxAgg(df: DataFrame, f: String, fields: Seq[String],
+                           iff: Column => Column, isMin: Boolean): Column = {
+    graft.functions.GraftFunctions.touch()
+    val rowJson = to_json(rowMapOf(df, fields))
+    val fn =
+      if (fieldType(df, f).exists(_.isInstanceOf[NumericType]))
+        (if (isMin) "graft_row_min_d" else "graft_row_max_d",
+          iff(numF(df, f).cast(DoubleType)))
+      else
+        (if (isMin) "graft_row_min" else "graft_row_max", iff(strF(df, f)))
+    coalesce(call_function(fn._1, fn._2, rowJson), lit("{}"))
+  }
+
   private def quantileAgg(df: DataFrame, fields: Seq[String], phi: Double,
                           iff: Column => Column): Column = {
     graft.functions.GraftFunctions.touch()

@@ -38,6 +38,14 @@ object DayQuantileProbe {
       graft.logql.Compiler.run(logs,
         "* | stats by (_time:1d) max(value) m").collect()
     }
+    time("row_max_by_day") {
+      graft.logql.Compiler.run(logs,
+        "* | stats by (_time:1d) row_max(value) rm").collect()
+    }
+    time("min_string_field") {
+      graft.logql.Compiler.run(logs,
+        "* | stats by (_time:1d) min(_msg) m").collect()
+    }
     spark.stop()
   }
 }

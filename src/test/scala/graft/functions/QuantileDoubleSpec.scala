@@ -54,4 +54,33 @@ class QuantileDoubleSpec extends SparkSuite {
     val vals = Seq.fill(80000)(rnd.nextDouble() * 1000)
     compare(vals, Seq(0.5, 0.99))
   }
+
+  test("RowMinMaxDoubleAgg agrees with the string-key row agg") {
+    GraftFunctions.ensure()
+    val rnd = new scala.util.Random(41)
+    // repeats force ties (first wins in both paths), NaN keys sort last
+    val df = Seq.fill(4000)((rnd.nextInt(5), rnd.nextInt(200).toDouble,
+        rnd.nextInt(1000)))
+      .map { case (g, v, p) => (g, if (p == 0) Double.NaN else v, s"p$p") }
+      .toDF("g", "v", "payload")
+      .repartition(4, col("g"))
+    val rowJson = to_json(map(lit("payload"), col("payload"),
+      lit("v"), GoFloat.render(col("v"))))
+    for (isMin <- Seq(true, false)) {
+      val (fast, slow) =
+        if (isMin) ("graft_row_min_d", "graft_row_min")
+        else ("graft_row_max_d", "graft_row_max")
+      val rows = df.groupBy("g").agg(
+        call_function(fast, col("v"), rowJson).as("f"),
+        call_function(slow, GoFloat.render(col("v")), rowJson).as("s"))
+        .collect()
+      rows.foreach { r =>
+        // key ties keep the first arrival in both; only the chosen V must
+        // agree (payload of equal-keyed rows is arrival-determined the
+        // same way in both paths over the same partitioning)
+        assert(r.getAs[String]("f") == r.getAs[String]("s"),
+          s"isMin=$isMin g=${r.get(0)}: ${r.getAs[String]("f")} vs ${r.getAs[String]("s")}")
+      }
+    }
+  }
 }
