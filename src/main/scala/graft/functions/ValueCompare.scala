@@ -73,6 +73,15 @@ object ValueCompare {
   def tryNumber(s: String): Double = {
     if (s.isEmpty) return Double.NaN
     val t = s.trim
+    if (t.isEmpty) return Double.NaN
+    // every parseable form starts with a digit, sign, dot, or inf/NaN —
+    // ordinary log text shorts out here instead of walking the
+    // size/duration/number Option chain per comparison (the value
+    // collation runs per ROW in min/max/sort over string fields)
+    val c0 = t.charAt(0)
+    if (!((c0 >= '0' && c0 <= '9') || c0 == '-' || c0 == '+' || c0 == '.' ||
+          c0 == 'i' || c0 == 'I' || c0 == 'n' || c0 == 'N'))
+      return Double.NaN
     graft.logql.NumLit.sizeValue(t)
       .orElse(graft.logql.NumLit.durationNanos(t)
         .filter(_ => t.exists(_.isLetter)).map(_.toDouble))
