@@ -79,8 +79,9 @@ object PatternApplyExpr {
   }
 
   /** Go strconv.QuotedPrefix + Unquote for `"..."` and backquoted
-    * strings; returns (value, consumedLen) or null. */
-  private def tryUnquote(s: String, opt: String): (String, Int) = {
+    * strings; returns (value, consumedLen) or null. Shared with the
+    * logfmt kernel (logfmt_parser.go calls the same tryUnquoteString). */
+  private[functions] def tryUnquote(s: String, opt: String): (String, Int) = {
     if (opt == "plain" || s.isEmpty) return null
     s.charAt(0) match {
       case '`' =>

@@ -186,14 +186,16 @@ object Filter {
   /** `_time:[a, b)` resolved to epoch-nanos half-open range (filter_time.go). */
   final case class TimeRange(loNs: Long, hiNs: Long,
                              repr: String = "") extends Filter
-  /** `_time:day_range[08:00, 18:00)` — minutes of day (filter_day_range.go). */
-  final case class DayRange(startMin: Int, endMin: Int,
-                            inclStart: Boolean, inclEnd: Boolean,
+  /** `_time:day_range[08:00, 18:00)` — nanosecond offsets within the day,
+    * inclusive both ends; bound exclusivity is folded into ±1ns at parse
+    * like the reference (parser.go parseFilterDayRange;
+    * filter_day_range.go:13-20 keeps start/end as day-offset nanos). */
+  final case class DayRange(startNs: Long, endNs: Long,
                             offsetNs: Long = 0L,
                             repr: String = "") extends Filter
-  /** `_time:week_range[Mon, Fri]` — day of week 0=Sun (filter_week_range.go). */
+  /** `_time:week_range[Mon, Fri]` — day of week 0=Sun, inclusive both
+    * ends; exclusivity folds into ±1 day at parse (filter_week_range.go). */
   final case class WeekRange(startDay: Int, endDay: Int,
-                             inclStart: Boolean, inclEnd: Boolean,
                              offsetNs: Long = 0L,
                              repr: String = "") extends Filter
   /** `{label=~"re", ...}` — stream label matchers, OR of AND-groups

@@ -214,12 +214,15 @@ object Compiler {
   private def nonEmpty(df: DataFrame, name: String): Column =
     strF(df, name) =!= ""
 
-  /** `_time` shifted back by an `offset` duration (filter_day_range.go
-    * applies the offset to the timestamp before extracting day/week). */
-  private def shiftedTime(df: DataFrame, offsetNs: Long): Column = {
-    val t = timeCol(df)
-    if (offsetNs == 0L) t
-    else timestamp_micros(unix_micros(t) - lit(offsetNs / 1000L))
+  /** The `_time` column as nanos since epoch — exact when the relation
+    * carries a native nanosecond Long column; micros×1000 otherwise. */
+  private def timeNanos(df: DataFrame): Column = {
+    val name = if (hasCol(df, "_time")) "_time" else "ts"
+    fieldType(df, name) match {
+      case Some(LongType) => col(name)
+      case Some(TimestampType) => unix_micros(col(name)) * lit(1000L)
+      case _ => unix_micros(strF(df, name).try_cast("timestamp")) * lit(1000L)
+    }
   }
 
   /** The `_time` column as micros since epoch. */
@@ -343,11 +346,21 @@ object Compiler {
     case Filter.LtField(fld, other) => cmpFields(df, fld, other, strict = true)
 
     case Filter.TimeRange(lo, hi, _) =>
-      val t = timeMicros(df)
-      val conds = Seq(
-        if (lo == Long.MinValue) None else Some(t >= ceilDivNs(lo)),
-        if (hi == Long.MaxValue) None else Some(t < ceilDivNs(hi))).flatten
-      val base = conds.reduceOption(_ && _).getOrElse(lit(true))
+      val tname = if (hasCol(df, "_time")) "_time" else "ts"
+      val base = if (fieldType(df, tname).contains(LongType)) {
+        // native nanosecond column: exact bounds, no micro rounding
+        val t = col(tname)
+        Seq(
+          if (lo == Long.MinValue) None else Some(t >= lit(lo)),
+          if (hi == Long.MaxValue) None else Some(t < lit(hi))).flatten
+          .reduceOption(_ && _).getOrElse(lit(true))
+      } else {
+        val t = timeMicros(df)
+        Seq(
+          if (lo == Long.MinValue) None else Some(t >= ceilDivNs(lo)),
+          if (hi == Long.MaxValue) None else Some(t < ceilDivNs(hi))).flatten
+          .reduceOption(_ && _).getOrElse(lit(true))
+      }
       // day-partition pruning (storage_search.go:1070-1081): when the
       // relation carries the log-store `_day` partition column, conjoin a
       // predicate on it so the scan prunes whole day directories
@@ -360,14 +373,31 @@ object Compiler {
         (base +: dayConds).reduce(_ && _)
       } else base
 
-    case Filter.DayRange(s, e, inclS, inclE, offNs, _) =>
-      val t = shiftedTime(df, offNs)
-      val m = hour(t) * 60 + minute(t)
-      (if (inclS) m >= s else m > s) && (if (inclE) m <= e else m < e)
+    case Filter.DayRange(s, e, offNs, _) =>
+      // dayOffset = (ts - offset) % nsecsPerDay with Go's truncated `%`
+      // (filter_day_range.go:116-124); start>end matches nothing, the
+      // whole day matches everything — both short-circuit the scan
+      val nsPerDay = 86400000000000L
+      if (s > e) lit(false)
+      else if (s == 0L && e == nsPerDay - 1) lit(true)
+      else {
+        val dayOff = (timeNanos(df) - lit(offNs)) % lit(nsPerDay)
+        dayOff >= lit(s) && dayOff <= lit(e)
+      }
 
-    case Filter.WeekRange(s, e, inclS, inclE, offNs, _) =>
-      val d = dayofweek(shiftedTime(df, offNs)) - 1 // 0 = Sunday
-      (if (inclS) d >= s else d > s) && (if (inclE) d <= e else d < e)
+    case Filter.WeekRange(s, e, offNs, _) =>
+      // UTC weekday of (ts - offset), 0=Sunday (filter_week_range.go:
+      // 118-126). pmod keeps the 7-day cycle position nonnegative (Go's
+      // time.Unix is floor-based); the remaining division operand is
+      // < 7 days in nanos, exact in double.
+      if (s > e) lit(false)
+      else if (s <= 0 && e >= 6) lit(true)
+      else {
+        val cyc = pmod(timeNanos(df) - lit(offNs), lit(7L * 86400000000000L))
+        val d = floor(cyc / lit(86400000000000L)).cast("int")
+        val dow = pmod(d + lit(4), lit(7)) // epoch day 0 = Thursday
+        dow >= lit(s) && dow <= lit(e)
+      }
 
     case Filter.Stream(groups) =>
       // prefer the promoted label column: a plain-column predicate reaches

@@ -1152,13 +1152,20 @@ final class Parser(input: String, now: Long) {
       err("day_range must end with ']' or ')'")
     val inclEnd = peekCh == ']'
     pos += 1
-    def minutes(s: String): Int = {
+    // hh:mm → nanoseconds within the day, clamped to the last nano like
+    // the reference (getDayRangeArg: offset >= nsecsPerDay → nsecsPerDay-1);
+    // exclusive braces fold into ±1ns (parseFilterDayRange)
+    def nanos(s: String): Long = {
       val p = s.trim.split(":")
       def num(x: String): Int =
         x.toIntOption.getOrElse(err(s"bad day_range time '$s'"))
-      num(p(0)) * 60 + (if (p.length > 1) num(p(1)) else 0)
+      val ns = num(p(0)) * 3600000000000L +
+        (if (p.length > 1) num(p(1)) else 0) * 60000000000L
+      if (ns >= 86400000000000L) 86400000000000L - 1 else ns
     }
-    Filter.DayRange(minutes(a), minutes(b), inclStart, inclEnd,
+    Filter.DayRange(
+      nanos(a) + (if (inclStart) 0L else 1L),
+      nanos(b) - (if (inclEnd) 0L else 1L),
       repr = s"${if (inclStart) "[" else "("}$a, $b${if (inclEnd) "]" else ")"}")
   }
 
@@ -1179,7 +1186,10 @@ final class Parser(input: String, now: Long) {
       case "thu" => 4; case "fri" => 5; case "sat" => 6
       case other => err(s"bad day of week '$other'")
     }
-    Filter.WeekRange(dow(a), dow(b), inclStart, inclEnd,
+    // exclusive braces fold into ±1 day (parseFilterWeekRange)
+    Filter.WeekRange(
+      dow(a) + (if (inclStart) 0 else 1),
+      dow(b) - (if (inclEnd) 0 else 1),
       repr = s"${if (inclStart) "[" else "("}$a, $b${if (inclEnd) "]" else ")"}")
   }
 

@@ -89,9 +89,30 @@ object FilterExecProbe {
           Filter.LtField(field, str("otherFieldName"))
         else Filter.LeField(field, str("otherFieldName"))
       case "filterNot" => Filter.Not(buildFilter(f.get("f")))
+      case "filterAnd" | "filterOr" =>
+        val kids = Option(f.get("filters")).map { a =>
+          (0 until a.size).map(i => buildFilter(a.get(i)))
+        }.getOrElse(Nil)
+        if (n.get("type").asText == "filterAnd") Filter.And(kids)
+        else Filter.Or(kids)
+      case "filterTime" =>
+        // struct bounds are INCLUSIVE nanos (filter_time.go); the AST is
+        // half-open on the high side
+        val (lo, hi) = (lng2(f, "minTimestamp"), lng2(f, "maxTimestamp"))
+        Filter.TimeRange(lo, if (hi == Long.MaxValue) hi else hi + 1,
+          repr = s"[$lo, $hi]")
+      case "filterDayRange" =>
+        Filter.DayRange(lng2(f, "start"), lng2(f, "end"),
+          lng2(f, "offset"), repr = s"[${lng2(f, "start")}, ${lng2(f, "end")}]")
+      case "filterWeekRange" =>
+        Filter.WeekRange(lng2(f, "startDay").toInt, lng2(f, "endDay").toInt,
+          lng2(f, "offset"), repr = s"[${lng2(f, "startDay")}, ${lng2(f, "endDay")}]")
       case other => throw new IllegalArgumentException(s"filter type $other")
     }
   }
+
+  private def lng2(f: JsonNode, k: String): Long =
+    Option(f.get(k)).map(_.asLong).getOrElse(0L)
 
   def buildInput(spark: SparkSession, c: Case): DataFrame = {
     val names = c.columns.map(_._1) ++
@@ -129,6 +150,76 @@ object FilterExecProbe {
     }
   }
 
+  // ---- filter_query_exec.txt: ParseQuery-based and timestamp-struct cases
+  // (filter_and/or_test.go + filter_time/day_range/week_range_test.go)
+
+  sealed trait QCase { def src: String; def expected: Seq[Int] }
+  case class QueryCase(src: String, query: String,
+                       columns: Seq[(String, Seq[String])],
+                       resultField: String, expected: Seq[Int]) extends QCase
+  case class TsCase(src: String, timestamps: Seq[Long],
+                    filterJson: JsonNode, expected: Seq[Int]) extends QCase
+
+  def loadQueryCases(): Seq[QCase] = {
+    val in = Option(getClass.getResourceAsStream(
+      "/conformance/filter_query_exec.txt"))
+      .map(scala.io.Source.fromInputStream(_, "UTF-8"))
+      .getOrElse(scala.io.Source.fromFile(
+        "src/test/resources/conformance/filter_query_exec.txt", "UTF-8"))
+    in.getLines().filterNot(_.startsWith("#")).map { l =>
+      val n = mapper.readTree(l)
+      val exp = (0 until n.get("expected_rows").size)
+        .map(i => n.get("expected_rows").get(i).asInt)
+      n.get("kind").asText match {
+        case "query" =>
+          val cols = (0 until n.get("columns").size).map { i =>
+            val c = n.get("columns").get(i)
+            (c.get(0).asText,
+              (0 until c.get(1).size).map(j => c.get(1).get(j).asText))
+          }
+          QueryCase(n.get("src").asText, n.get("query").asText, cols,
+            n.get("result_field").asText, exp)
+        case "timestamps" =>
+          val ts = (0 until n.get("timestamps").size)
+            .map(i => n.get("timestamps").get(i).asLong)
+          TsCase(n.get("src").asText, ts, n.get("filter"), exp)
+      }
+    }.toList
+  }
+
+  def runQCase(spark: SparkSession, c: QCase): Option[String] = {
+    try {
+      val (df, q) = c match {
+        case QueryCase(_, query, columns, rf, _) =>
+          val base = buildInput(spark,
+            Case(c.src, mapper.createObjectNode(), columns, rf, c.expected))
+          (base, graft.logql.Parser.parse(s"$query | fields __idx", 0L))
+        case TsCase(_, ts, fj, _) =>
+          // native nanosecond _time column, like the reference's storage
+          val schema = StructType(Seq(
+            StructField("__idx", IntegerType), StructField("_time", LongType),
+            StructField("_msg", StringType)))
+          val rows = ts.zipWithIndex.map { case (t, i) =>
+            Row(i, t, s"some value for row $i")
+          }
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2), schema)
+          (df, graft.logql.Query(buildFilter(fj),
+            graft.logql.Parser.parse("* | fields __idx", 0L).pipes))
+      }
+      val out = Compiler.run(df, q, 0L)
+      val got = out.collect().map(_.getAs[Any]("__idx").toString.toInt)
+        .toSeq.sorted
+      if (got == c.expected.sorted) None
+      else Some(s"${c.src}\n  want ${c.expected.sorted.mkString(",")}" +
+        s"\n  got  ${got.mkString(",")}")
+    } catch {
+      case e: Exception =>
+        Some(s"${c.src} !! ${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val only = args.headOption
     val spark = SparkSession.builder()
@@ -147,6 +238,12 @@ object FilterExecProbe {
     }
     println(f"== filter-exec: ${cases.size - bad}/${cases.size} match " +
       f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+    val qcases = loadQueryCases().filter(c => only.forall(c.src.contains))
+    var qbad = 0
+    qcases.foreach { c =>
+      runQCase(spark, c).foreach { m => qbad += 1; println(m) }
+    }
+    println(f"== filter-query-exec: ${qcases.size - qbad}/${qcases.size} match")
     spark.stop()
   }
 }

@@ -23,17 +23,64 @@ class ExprPropertySpec extends SparkSuite {
       p.getItem(3).cast(LongType))
   }
 
-  private def regexLogfmt(c: Column): Column = {
-    val pairRe = """([\p{L}\p{N}_.\-]+)=("(?:[^"\\]|\\.)*"|\S*)"""
-    val pairs = regexp_extract_all(c, lit(pairRe), lit(0))
-    map_from_entries(transform(pairs, p => {
-      val k = regexp_extract(p, "^([^=]+)=", 1)
-      val raw = regexp_replace(p, "^[^=]+=", "")
-      val unq = when(raw.startsWith("\"") && raw.endsWith("\"") && octet_length(raw) >= 2,
-        regexp_replace(raw.substr(lit(2), octet_length(raw) - 2), """\\(.)""", "$1"))
-        .otherwise(raw)
-      struct(k.as("key"), unq.as("value"))
-    }))
+  /** Direct Scala transcription of the reference logfmtParser.parse
+    * (logfmt_parser.go:28-73) — the semantic spec the kernel must match.
+    * Returns parse-ordered pairs; names space-trimmed, "" name = _msg. */
+  private def goLogfmtParse(s0: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    def add(name0: String, value: String): Unit = {
+      val name = name0.trim
+      if (!(name.isEmpty && value.isEmpty))
+        out += ((if (name.isEmpty) "_msg" else name) -> value)
+    }
+    def goUnquote(s: String): Option[(String, Int)] = {
+      if (s.isEmpty || (s.charAt(0) != '"' && s.charAt(0) != '`')) return None
+      if (s.charAt(0) == '`') {
+        val e = s.indexOf('`', 1)
+        return if (e < 0) None else Some((s.substring(1, e), e + 1))
+      }
+      val sb = new StringBuilder
+      var i = 1
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"' => return Some((sb.toString, i + 1))
+          case '\\' if i + 1 < s.length =>
+            val m = Map('n' -> '\n', 't' -> '\t', 'r' -> '\r',
+              '\\' -> '\\', '"' -> '"', '\'' -> '\'', 'a' -> '\u0007',
+              'b' -> '\b', 'f' -> '\f', 'v' -> '\u000b')
+            m.get(s.charAt(i + 1)) match {
+              case Some(ch) => sb.append(ch); i += 2
+              case None => return None
+            }
+          case '\n' => return None
+          case c => sb.append(c); i += 1
+        }
+      }
+      None
+    }
+    var s = s0
+    while (true) {
+      val n = s.indexWhere(c => c == '=' || c == ' ')
+      if (n < 0) { add(s, ""); return out.result() }
+      val name = s.substring(0, n)
+      val eq = s.charAt(n) == '='
+      s = s.substring(n + 1)
+      if (!eq) add(name, "")
+      else if (s.isEmpty) { add(name, ""); return out.result() }
+      else goUnquote(s) match {
+        case Some((v, off)) =>
+          add(name, v)
+          s = s.substring(off)
+          if (s.isEmpty || s.charAt(0) != ' ') return out.result()
+          s = s.substring(1)
+        case None =>
+          val sp = s.indexOf(' ')
+          if (sp < 0) { add(name, s); return out.result() }
+          add(name, s.substring(0, sp))
+          s = s.substring(sp + 1)
+      }
+    }
+    out.result()
   }
 
   private def evalBatch(inputs: Seq[String], expr: Column => Column): Seq[Any] = {
@@ -76,23 +123,17 @@ class ExprPropertySpec extends SparkSuite {
     Gen.listOfN(5, Gen.oneOf(pair, junk)).map(_.mkString(" "))
   }
 
-  test("LogfmtToMap agrees with the regex spec on generated inputs") {
-    // the regex form throws on duplicate keys (Spark map policy); keep
-    // generated keys per-line distinct by deduping inputs that would clash
-    val inputs = Gen.listOfN(200, logfmtGen).sample.get.distinct
-      .filter { s =>
-        val ks = """([\p{L}\p{N}_.\-]+)=""".r.findAllMatchIn(s).map(_.group(1)).toSeq
-        ks.distinct.size == ks.size
-      }
+  test("LogfmtToMap agrees with the Go-parser transcription on generated inputs") {
+    val inputs = Gen.listOfN(300, logfmtGen).sample.get.distinct
     assert(inputs.size > 50)
     val got = evalBatch(inputs, c => LogfmtParse.logfmtToMap(c))
       .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
-    val want = evalBatch(inputs, regexLogfmt)
-      .map(_.asInstanceOf[scala.collection.Map[String, String]].toMap)
+    val want = inputs.map(goLogfmtParse(_).toMap) // last value wins per key
     inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
       assert(g == w, s"logfmt mismatch for '$in': got $g want $w")
     }
   }
+
 
   private val textGen: Gen[String] = {
     // includes \p{No} (²) and \p{Nl} (Ⅻ) word chars — they are part of the

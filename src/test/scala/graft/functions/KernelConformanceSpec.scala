@@ -65,4 +65,27 @@ class KernelConformanceSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"\n${bad.size} tokenizer mismatches:\n" + bad.mkString("\n"))
   }
+
+  test("logfmt kernel matches every logfmt_parser_test golden") {
+    // parse with the LogfmtToMap kernel, re-render with the CLI's
+    // MarshalFieldsToLogfmt analogue (empty name prints as _msg —
+    // the kernel already normalizes it)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.MapData
+    import org.apache.spark.sql.types.StringType
+    val bad = lines("logfmt_parser.txt").flatMap { l =>
+      val n = mapper.readTree(l)
+      val in = n.get("in").asText
+      val want = n.get("out").asText
+      val m = LogfmtToMap(Literal.create(in, StringType))
+        .eval(null).asInstanceOf[MapData]
+      val fields = (0 until m.numElements()).map { i =>
+        (m.keyArray().getUTF8String(i).toString,
+          m.valueArray().getUTF8String(i).toString)
+      }
+      val got = graft.CliFormat.fmtLogfmt(fields)
+      if (got == want) None else Some(s"<<$in>>\n  want $want\n  got  $got")
+    }
+    assert(bad.isEmpty, s"\n${bad.size} logfmt mismatches:\n" + bad.mkString("\n"))
+  }
 }

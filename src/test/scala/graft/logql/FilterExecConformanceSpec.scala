@@ -19,10 +19,21 @@ class FilterExecConformanceSpec extends SparkSuite {
   test("every reference filter golden table matches") {
     val cases = FilterExecProbe.loadCases()
       .filterNot(c => allowlist.contains((c.src, c.filterJson.toString)))
-    assert(cases.size >= 1370, s"corpus shrank: ${cases.size}")
+    assert(cases.size >= 1380, s"corpus shrank: ${cases.size}")
     val bad = cases.flatMap(c => FilterExecProbe.runCase(spark, c))
     assert(bad.isEmpty,
       s"\n${bad.size}/${cases.size} filter golden mismatches:\n" +
+        bad.take(40).mkString("\n"))
+  }
+
+  test("query-string and timestamp-struct filter goldens match") {
+    // filter_and/or_test.go ParseQuery tables + the nanosecond
+    // timestamp tables from filter_time/day_range/week_range_test.go
+    val cases = FilterExecProbe.loadQueryCases()
+    assert(cases.size >= 69, s"corpus shrank: ${cases.size}")
+    val bad = cases.flatMap(c => FilterExecProbe.runQCase(spark, c))
+    assert(bad.isEmpty,
+      s"\n${bad.size}/${cases.size} filter query golden mismatches:\n" +
         bad.take(40).mkString("\n"))
   }
 }

@@ -81,11 +81,12 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("day_range and week_range") {
+    // bounds are day-offset nanos, ')' folds into -1ns like the reference
     assert(parse("_time:day_range[08:00, 18:00)").filter ==
-      DayRange(480, 1080, inclStart = true, inclEnd = false,
+      DayRange(8L * 3600000000000L, 18L * 3600000000000L - 1,
         0L, "[08:00, 18:00)"))
     assert(parse("_time:week_range[Mon, Fri]").filter ==
-      WeekRange(1, 5, inclStart = true, inclEnd = true, 0L, "[Mon, Fri]"))
+      WeekRange(1, 5, 0L, "[Mon, Fri]"))
   }
 
   test("stream filter") {

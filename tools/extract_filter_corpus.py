@@ -84,6 +84,25 @@ def parse_string_list(src, i):
             i += 1
 
 
+def parse_filter_list(src, i, env):
+    """[]filter{ &filterX{...}, ... } starting at '[' — nested boolean
+    combinator children (filterAnd/filterOr)."""
+    m = re.match(r'\[\]filter\{', src[i:])
+    if not m:
+        raise ValueError("not []filter")
+    i += m.end()
+    out = []
+    while True:
+        i = skip_ws(src, i)
+        if src[i] == '}':
+            return out, i + 1
+        st, i = parse_struct(src, i, env)
+        out.append(st)
+        i = skip_ws(src, i)
+        if src[i] == ',':
+            i += 1
+
+
 def parse_value(src, i, env):
     """A struct field value: string, number, bool, []string, wrapped
     regex, or a variable reference into env."""
@@ -92,6 +111,8 @@ def parse_value(src, i, env):
         return parse_go_string(src, i)
     if src.startswith("[]string{", i):
         return parse_string_list(src, i)
+    if src.startswith("[]filter{", i):
+        return parse_filter_list(src, i, env)
     m = re.match(r'mustCompileRegex\(', src[i:])
     if m:
         v, j = parse_go_string(src, skip_ws(src, i + m.end()))
@@ -288,8 +309,12 @@ def extract_file(path):
 def main():
     all_cases = []
     total_skipped = 0
-    for path in sorted(glob.glob(
-            "/root/reference/lib/logstorage/filter_*_test.go")):
+    paths = sorted(glob.glob(
+        "/root/reference/lib/logstorage/filter_*_test.go"))
+    # TestComplexFilters (nested and/or/not combinators) lives in
+    # filter_test.go, which the filter_*_test.go glob does not match
+    paths.append("/root/reference/lib/logstorage/filter_test.go")
+    for path in paths:
         cases, skipped = extract_file(path)
         all_cases.extend(cases)
         total_skipped += skipped

@@ -201,8 +201,31 @@ def extract_extra_filters():
     print(f"extra_filters.txt: {len(cases)} cases")
 
 
+def extract_logfmt_parser():
+    """logfmt_parser_test.go TestLogfmtParser: f(s, resultExpected) where
+    the expectation is the MarshalFieldsToLogfmt re-rendering."""
+    src = open(f"{DIR}/logfmt_parser_test.go", encoding="utf-8").read()
+    body = body_of(src, "TestLogfmtParser")
+    cases = []
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        s, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        out, _ = parse_go_string(body, skip_ws(body, i + 1))
+        cases.append({"in": s, "out": out})
+    path = os.path.join(OUT, "logfmt_parser.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from logfmt_parser_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"logfmt_parser.txt: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     extract_json_parser()
     extract_tokenizer()
     extract_extra_filters()
+    extract_logfmt_parser()
     sys.exit(0)
