@@ -43,6 +43,10 @@ object GraftFunctions {
     ("graft_logfmt",
       "graft_logfmt(s) - parse a logfmt line into a map<string,string>",
       es => LogfmtToMap(es.head)),
+    ("graft_value_meta",
+      "graft_value_meta(s) - values_encoder.go parse-family classification " +
+        "struct (uint/int/float/ipv4/iso8601 + uint value)",
+      es => GoValueMetaExpr(es.head)),
     ("graft_xxhash64_seed0",
       "graft_xxhash64_seed0(s) - xxHash64 with seed 0 (Go xxhash.Sum64; " +
         "Spark's xxhash64 seeds with 42)",

@@ -36,31 +36,35 @@ object ValueTypeMeta {
   // fields classify in a single pass.
   // ---------------------------------------------------------------------
 
-  private val uintRe = "^(?:0|[1-9][0-9]{0,19})$"
-  private val intRe = "^-?(?:0|[1-9][0-9]{0,18})$"
-  private val floatRe = "^-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?$"
-  private val isoRe =
-    "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}Z$"
-
   private def allMatch(c: Column): Column =
     coalesce(min(c.cast(IntegerType)), lit(0)) === 1
 
   /** Aggregate struct classifying one normalized (non-null) string
-    * column. Bounded state: the distinct sample caps at 9 values. */
-  def classifyAgg(c: Column): Column = struct(
-    graft.functions.CappedCollect.cappedSet(c, 9).as("vals"),
-    allMatch(c.rlike(uintRe)).as("u"),
-    max(when(c.rlike(uintRe), c.cast("decimal(20,0)"))).as("umax"),
-    allMatch(c.rlike(intRe)).as("i"),
-    allMatch(c.rlike(floatRe) && c.try_cast("double").isNotNull).as("f"),
-    allMatch(graft.functions.Ipv4Parse.ipv4ToLong(c).isNotNull).as("ip"),
-    allMatch(c.rlike(isoRe)).as("iso"))
+    * column. Bounded state: the distinct sample caps at 9 values.
+    * Parse families come from the exact values_encoder.go ports
+    * (functions/GoValues.scala) — underscore digit groups, no leading
+    * zeros, exponent-free floats, lenient date-uint octets — so part
+    * verdicts match the reference's per-block decisions. */
+  def classifyAgg(c: Column): Column = {
+    val m = graft.functions.GoValues.metaCol(c)
+    struct(
+      graft.functions.CappedCollect.cappedSet(c, 9).as("vals"),
+      allMatch(m.getField("u")).as("u"),
+      max(m.getField("uval")).as("umax"),
+      allMatch(m.getField("i")).as("i"),
+      allMatch(m.getField("f")).as("f"),
+      allMatch(m.getField("ip")).as("ip"),
+      allMatch(m.getField("iso")).as("iso"))
+  }
 
   /** Decide the value type from a [[classifyAgg]] result struct. */
   def decide(r: Row): String = {
     val vals = r.getSeq[String](0)
     if (vals.size <= 1) return "const"
-    if (vals.size <= 8 && vals.map(_.length).sum <= 256) return "dict"
+    // dict caps: <= 8 distinct values, <= 256 total BYTES (consts.go:65-70)
+    if (vals.size <= 8 &&
+      vals.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+        .sum <= 256) return "dict"
     if (r.getBoolean(1)) {
       val mx = Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
       if (mx <= 255) "uint8"

@@ -223,9 +223,81 @@ def extract_logfmt_parser():
     print(f"logfmt_parser.txt: {len(cases)} cases")
 
 
+def extract_values_encoder():
+    """values_encoder_test.go tryParseXxx golden tables: ipv4 / iso8601
+    string-roundtrip successes and failures, float64-exact / uint64 /
+    int64 successes (with expected values) and failures."""
+    src = open(f"{DIR}/values_encoder_test.go", encoding="utf-8").read()
+    cases = []
+
+    def grab_expr(body, i):
+        """Text of the argument up to the call's closing ')' or next ','
+        at depth 0."""
+        depth = 0
+        j = i
+        while True:
+            c = body[j]
+            if c == '(':
+                depth += 1
+            elif c == ')':
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ',' and depth == 0:
+                break
+            j += 1
+        return body[i:j].strip(), j
+
+    def num_expr(body, i):
+        """Constant Go int expression: digits, parens, <<, +, -, *."""
+        txt, j = grab_expr(body, i)
+        txt = txt.replace('_', '')
+        assert re.fullmatch(r'[0-9()<>+\-* ]+', txt), txt
+        return eval(txt), j  # arithmetic over ints only
+
+    def flt_expr(body, i):
+        txt, j = grab_expr(body, i)
+        txt = txt.replace('_', '')
+        assert re.fullmatch(r'[0-9()<>+\-*. ]+', txt), txt
+        return float(eval(txt)), j
+
+    tables = [
+        ("TestTryParseIPv4String_Success", "ipv4_ok", None),
+        ("TestTryParseIPv4_Failure", "ipv4_bad", None),
+        ("TestTryParseTimestampISO8601String_Success", "iso_ok", None),
+        ("TestTryParseTimestampISO8601_Failure", "iso_bad", None),
+        ("TestTryParseFloat64Exact_Success", "f64x_ok", flt_expr),
+        ("TestTryParseFloat64Exact_Failure", "f64x_bad", None),
+        ("TestTryParseUint64_Success", "u64_ok", num_expr),
+        ("TestTryParseUint64_Failure", "u64_bad", None),
+        ("TestTryParseInt64_Success", "i64_ok", num_expr),
+        ("TestTryParseInt64_Failure", "i64_bad", None),
+    ]
+    for tname, kind, expr_fn in tables:
+        body = body_of(src, tname)
+        for m in re.finditer(r'(?m)^\tf\(', body):
+            i = skip_ws(body, m.end())
+            s, i = parse_go_string(body, i)
+            c = {"t": kind, "in": s}
+            if expr_fn is not None:
+                i = skip_ws(body, i)
+                assert body[i] == ','
+                v, _ = expr_fn(body, skip_ws(body, i + 1))
+                c["out"] = str(v)
+            cases.append(c)
+    path = os.path.join(OUT, "values_encoder.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from values_encoder_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"values_encoder.txt: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     extract_json_parser()
     extract_tokenizer()
     extract_extra_filters()
     extract_logfmt_parser()
+    extract_values_encoder()
     sys.exit(0)
