@@ -218,4 +218,62 @@ class NeededFieldsSpec extends SparkSuite {
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(got == Map(Some("two words") -> 1L, Some("") -> 1L, None -> 3L), got)
   }
+
+  test("bounded sets cover the reference model on the whole parser corpus") {
+    // Safety differential against NeededFieldsRef (the 674-golden
+    // transcription of the reference's updateNeededFields): wherever
+    // this engine's analysis claims a BOUNDED needed set — the license
+    // for the bounded per-key unpack path — every field the reference
+    // model still requires must be inside it. An uncovered field would
+    // mean the bounded unpack extracts too few keys.
+    val in = getClass.getResourceAsStream("/conformance/parser_success.txt")
+    require(in != null)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val queries = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#"))
+      .map(l => mapper.readTree(l).asText).toList
+    assert(queries.size >= 600)
+    // raw corpus queries rarely bound their tail (no projection pipe), so
+    // ALSO run each with a literal projection appended — every position
+    // upstream of it then carries a bounded set to check
+    val augmented = queries ++ queries.map(_ + " | fields f1, x, _time")
+    var checked = 0
+    val bad = augmented.flatMap { q =>
+      scala.util.Try(Parser.parse(q, 0L)).toOption.toSeq.flatMap { parsed =>
+        val pipes = parsed.pipes
+        val ours = NeededFields.afterSets(pipes)
+        val pf = new PrefixFilter
+        pf.addAllowFilter("*")
+        val errs = Seq.newBuilder[String]
+        var i = pipes.length - 1
+        while (i >= 0) {
+          // pf now holds what the reference model needs AFTER pipe i
+          ours(i).foreach { s =>
+            checked += 1
+            val uncovered = pf.getAllowFilters.filterNot { f =>
+              if (PrefixFilter.isWildcardFilter(f))
+                s.exists(PrefixFilter.matchFilter(f, _)) || {
+                  // a wildcard need can't be covered by a finite set
+                  // unless the engine lists at least its witnesses; the
+                  // bounded path only matters for literal needs, so a
+                  // wildcard claim must not be bounded at all
+                  false
+                }
+              else s.contains(f) ||
+                // the engine lists both `_time` and `ts` for time needs
+                (f == "_time" && s.contains("ts"))
+            }
+            if (uncovered.nonEmpty)
+              errs += s"<<$q>> pipe $i: bounded=$s misses $uncovered"
+          }
+          NeededFieldsRef.updatePipe(pipes(i), pf)
+          i -= 1
+        }
+        errs.result()
+      }
+    }
+    assert(checked > 50, s"differential exercised only $checked bounded sets")
+    assert(bad.isEmpty, s"\n${bad.size} coverage holes:\n" +
+      bad.take(20).mkString("\n"))
+  }
 }
