@@ -2071,7 +2071,8 @@ object SparkEntry {
                ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS bmax
            FROM m
          )
-         SELECT count(*) AS nrows, CAST(sum(event_id) AS DOUBLE) AS ids FROM w
+         SELECT count(*) + (SELECT count(*) FROM m WHERE m = 1) AS nrows,
+                CAST(sum(event_id) AS DOUBLE) AS ids FROM w
          WHERE (amin IS NOT NULL AND amin - tsu <= 2419200000000)
             OR (bmax IS NOT NULL AND tsu - bmax <= 2419200000000)""",
   )

@@ -1117,19 +1117,66 @@ object Compiler {
     * (pipe_stream_context.go's per-stream before/after row collection). */
   private def streamContextWindow(marked: DataFrame, before: Int, after: Int,
                                   twNs: Long): DataFrame = {
-    val t = timeMicros(marked)
-    val win = Window.partitionBy(strF(marked, "_stream_id"))
-      .orderBy(t, monotonically_increasing_id())
-    val mT = when(col("__m"), t)
-    val twUs = twNs / 1000L
+    // native nanosecond columns keep nano precision through the window;
+    // timestamp columns work in micros
+    val tname = if (hasCol(marked, "_time")) "_time" else "ts"
+    val nanosNative = fieldType(marked, tname).contains(LongType)
+    val t0 = if (nanosNative) timeNanos(marked) else timeMicros(marked)
+    val twU = if (nanosNative) twNs else twNs / 1000L
+    // snapshot helper columns: the window exprs and the delimiter rollup
+    // below must see identical values (monotonically_increasing_id is
+    // nondeterministic per evaluation)
+    val d0 = marked
+      .withColumn("__sid", strF(marked, "_stream_id"))
+      .withColumn("__t", t0)
+      .withColumn("__rid", monotonically_increasing_id())
+    val win = Window.partitionBy(col("__sid"))
+      .orderBy(col("__t"), col("__rid"))
+    val mT = when(col("__m"), col("__t"))
     val aheadMin = min(mT).over(win.rowsBetween(0, before.toLong))
     val behindMax = max(mT).over(win.rowsBetween(-after.toLong, 0))
-    marked
-      .withColumn("__keep",
-        (aheadMin.isNotNull && aheadMin - t <= twUs) ||
-        (behindMax.isNotNull && t - behindMax <= twUs))
-      .filter(col("__keep"))
-      .drop("__m", "__keep")
+    // __grp = the timestamp of the match whose context claims this row
+    // (the reference partitions a stream's rows among its matches by
+    // strict timestamp boundaries, pipe_stream_context.go:301-310; rows
+    // claimable by two adjacent contexts keep the upcoming one)
+    val kept = d0
+      .withColumn("__ahead", when(aheadMin - col("__t") <= twU, aheadMin))
+      .withColumn("__behind", when(col("__t") - behindMax <= twU, behindMax))
+      .filter(col("__ahead").isNotNull || col("__behind").isNotNull)
+      .withColumn("__grp", coalesce(col("__ahead"), col("__behind")))
+    // Delimiter rows (pipe_stream_context.go:688-692, 737-757): after each
+    // matched row's context group the reference emits a `_msg="---"` row
+    // stamped just past the group's last timestamp, UNLESS the whole
+    // result is a single group of a single stream. One delimiter per
+    // MATCHED ROW (same-timestamp matches share a group but keep their
+    // own delimiters). The rollup is human-scale by the operator's
+    // contract (the reference hard-caps at 100 streams × 1000 rows).
+    val hasStream = hasCol(marked, "_stream")
+    val aggs = Seq(
+      max(col("__t")).as("__lastT"),
+      sum(when(col("__m"), 1L).otherwise(0L)).as("__nm")) ++
+      (if (hasStream) Seq(first(col("_stream"), ignoreNulls = true).as("__stream"))
+       else Nil)
+    val groups = kept.groupBy(col("__sid"), col("__grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val totals = groups.agg(sum(col("__nm")).as("__totm"),
+      count_distinct(col("__sid")).as("__nsid"))
+    val delimTime =
+      if (nanosNative) (col("__lastT") + lit(1L)).as("_time")
+      else timestamp_micros(col("__lastT") + lit(1L)).as("_time")
+    val delimCols = Seq(
+      delimTime,
+      col("__sid").as("_stream_id"),
+      lit("---").as("_msg")) ++
+      (if (hasStream) Seq(col("__stream").as("_stream")) else Nil)
+    val delims = groups.crossJoin(broadcast(totals))
+      .filter((col("__totm") > 1 || col("__nsid") > 1) && col("__nm") > 0)
+      .select(delimCols :+
+        explode(sequence(lit(1L), col("__nm"))).as("__i"): _*)
+      .drop("__i")
+    val rows = kept.drop("__m", "__sid", "__t", "__rid",
+      "__ahead", "__behind", "__grp")
+    rows.unionByName(delims, allowMissingColumns = true)
   }
 
   /** Fast path for the canonical `filters | stream_context ...` shape: the

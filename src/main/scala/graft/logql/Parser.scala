@@ -114,6 +114,17 @@ final class Parser(input: String, now: Long) {
     if (peekCh == c) { pos += 1; true } else false
   }
 
+  /** Go regexp.QuoteMeta: backslash-escape the RE2 specials. */
+  private def goQuoteMeta(s: String): String = {
+    val special = "\\.+*?()|[]{}^$"
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (special.indexOf(c.toInt) >= 0) sb.append('\\')
+      sb.append(c)
+    }
+    sb.toString
+  }
+
   private def expect(c: Char): Unit =
     if (!consume(c)) err(s"expected '$c', got '${peekCh}'")
 
@@ -1232,26 +1243,60 @@ final class Parser(input: String, now: Long) {
       else {
         val label = readToken()
         skipWs()
-        val op = peekCh match {
-          case '=' =>
-            pos += 1
-            if (peekCh == '~') { pos += 1; "=~" } else "="
-          case '!' =>
-            pos += 1
-            peekCh match {
-              case '=' => pos += 1; "!="
-              case '~' => pos += 1; "!~"
-              case _ => err("bad stream matcher op")
+        // `label in (v1, v2)` / `label not_in (...)` desugar AT PARSE to
+        // anchored regex matchers like the reference (stream_filter.go:
+        // 185-203: QuoteMeta-escaped args joined with '|'; a lone `*`
+        // becomes `.*`); `=`/`!=`/`=~`/`!~` pass through
+        val op0 =
+          if (peekKeyword("not_in")) { pos += "not_in".length; "not_in" }
+          else if (peekKeyword("in")) { pos += 2; "in" }
+          else peekCh match {
+            case '=' =>
+              pos += 1
+              if (peekCh == '~') { pos += 1; "=~" } else "="
+            case '!' =>
+              pos += 1
+              peekCh match {
+                case '=' => pos += 1; "!="
+                case '~' => pos += 1; "!~"
+                case _ => err("bad stream matcher op")
+              }
+            case _ => err("bad stream matcher op")
+          }
+        if (op0 == "in" || op0 == "not_in") {
+          skipWs()
+          expect('(')
+          val args = ArrayBuffer.empty[String]
+          var more = true
+          while (more) {
+            skipWs()
+            if (peekCh == ')') { pos += 1; more = false }
+            else {
+              args += readToken()
+              skipWs()
+              if (peekCh == ',') pos += 1
+              else { expect(')'); more = false }
             }
-          case _ => err("bad stream matcher op")
+          }
+          val value =
+            if (args.length == 1 && args.head == "*") ".*"
+            else args.map(goQuoteMeta).mkString("|")
+          cur += StreamMatcher(label,
+            if (op0 == "in") "=~" else "!~", value)
+        } else {
+          val v = readToken()
+          cur += StreamMatcher(label, op0, v)
         }
-        val v = readToken()
-        cur += StreamMatcher(label, op, v)
         skipWs()
         if (consumeKeyword("or")) {
           skipWs()
           if (peekCh == '}') err("missing stream matcher after 'or'")
           groups += cur.toSeq; cur.clear()
+        }
+        // `and` between matchers is the same as ',' (stream_filter.go:164)
+        else if (consumeKeyword("and")) {
+          skipWs()
+          if (peekCh == '}') err("missing stream matcher after 'and'")
         }
         else consume(',')
       }
