@@ -43,6 +43,10 @@ object GraftFunctions {
     ("graft_logfmt",
       "graft_logfmt(s) - parse a logfmt line into a map<string,string>",
       es => LogfmtToMap(es.head)),
+    ("graft_time_parse",
+      "graft_time_parse(s) - ingest timestamp parse (RFC3339Nano or " +
+        "magnitude-inferred unix; ''/'0'/'-' mean now; null on error)",
+      es => GoTimestampParse(es.head)),
     ("graft_value_meta",
       "graft_value_meta(s) - values_encoder.go parse-family classification " +
         "struct (uint/int/float/ipv4/iso8601 + uint value)",

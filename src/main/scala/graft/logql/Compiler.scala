@@ -70,6 +70,20 @@ object Compiler {
     }
   }
 
+  /** Columns that are LOGICAL fields of the relation: everything except
+    * the dynamic `fields` map and — on store-shaped relations — the
+    * internal (tenant, _day) partition columns, which the serving layer
+    * hides the same way (QueryServer.refJson). GetFieldNames/facets over
+    * storage list only real fields (storage_search_test.go
+    * field_names-all golden). */
+  private def logicalTopCols(df: DataFrame): Seq[String] = {
+    val internal =
+      if (hasCol(df, "_stream_id") && hasCol(df, "tenant") && hasCol(df, "_day"))
+        Set("tenant", "_day")
+      else Set.empty[String]
+    df.columns.toSeq.filter(c => c != "fields" && !internal(c))
+  }
+
   private def splitConjuncts(f: Filter): Seq[Filter] = f match {
     case Filter.And(fs) => fs.flatMap(splitConjuncts)
     case other => Seq(other)
@@ -671,7 +685,7 @@ object Compiler {
       limit.map(l => out.limit(clampInt(l))).getOrElse(out)
 
     case Pipe.FieldNames(out) =>
-      val topCols = df.columns.filter(_ != "fields")
+      val topCols = logicalTopCols(df)
       val counts = df.agg(
         count(lit(1)).as("__total"),
         topCols.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
@@ -971,8 +985,10 @@ object Compiler {
       val left = materializeKeys(df)
       val right0 = materializeKeys(right0raw)
       val pfx = prefix.getOrElse("")
-      // prefix non-key columns; resolve collisions in favor of the subquery
-      // for matched rows (reference pipe_join.go merges subquery fields in)
+      // prefix non-key columns; on collisions an existing NON-EMPTY field
+      // wins and only empty/missing originals take the subquery value —
+      // the reference writes joined fields with keepOriginalFields=true
+      // (pipe_join.go:108 wctx.init(..., true, true, br))
       val right = right0.columns.foldLeft(right0) { (d, c) =>
         if (keys.contains(c)) d
         else d.withColumnRenamed(c, pfx + c)
@@ -991,8 +1007,9 @@ object Compiler {
         if (small) left.join(broadcast(renamedRight), keys, joinType)
         else left.join(renamedRight, keys, joinType)
       collisions.foldLeft(joined) { (d, c) =>
-        d.withColumn(c, coalesce(col("__r_" + c).cast(StringType),
-                                 col(quoteName(c)).cast(StringType)))
+        val l = col(quoteName(c)).cast(StringType)
+        val r = col("__r_" + c).cast(StringType)
+        d.withColumn(c, when(l.isNotNull && l =!= "", l).otherwise(r))
           .drop("__r_" + c)
       }
 
@@ -1053,7 +1070,7 @@ object Compiler {
       streamContextWindow(marked, before, after, twNs)
 
     case Pipe.Facets(n, maxPerField, maxValueLen, keepConst) =>
-      val topCols = df.columns.filter(_ != "fields")
+      val topCols = logicalTopCols(df)
       // ONE scan: per-row (field_name, field_value) entry array — top-level
       // columns plus `fields`-map entries — exploded once. The previous
       // unpivot ∪ explode union read the source twice per consumer; at

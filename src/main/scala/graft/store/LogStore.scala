@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
   * - Partitioning by (tenant, day(_time)) mirrors partition.go's per-day
   *   partitions (storage_search.go:1070-1081 prunes by day) — `_time:`
   *   filters compile to `_day` partition predicates (Compiler.TimeRange).
-  * - `_stream_id` = xxhash64 hex of the canonical sorted label string
-  *   (stream_id.go:11 uses a 128-bit hash of canonicalized stream tags;
-  *   64-bit is a documented deviation, collision-safe at per-tenant stream
+  * - `_stream_id` = tenant hex prefix + xxhash64 hex of the canonical
+  *   sorted label string (stream_id.go:12-24 embeds TenantID next to a
+  *   128-bit hash of canonicalized stream tags; the 64-bit name hash is a
+  *   documented deviation, collision-safe at per-tenant stream
   *   cardinalities).
   * - Rows are sorted by (_stream_id, _time) within each file so parquet
   *   row-group min/max stats prune stream- and time-scoped scans inside a
@@ -46,8 +47,29 @@ object LogStore {
       when(v.isNotNull && v =!= "", concat(lit(f + "="), v))
     }: _*) // concat_ws skips the nulls of absent fields
 
-  def streamIdCol(streamFields: Seq[String]): Column =
-    lower(hex(xxhash64(canonicalStream(streamFields))))
+  /** Stream id string: hex8(accountID) + hex8(projectID) + hex16(xxhash64
+    * of the canonical stream name). The reference's streamID embeds the
+    * TenantID next to the 128-bit name hash and marshals the same way
+    * (stream_id.go:12-24, marshalString) — the tenant PREFIX is what
+    * keeps equal label sets in different tenants distinct (cross-tenant
+    * stream_context and `_stream_id:in(...)` must not leak). 64-bit name
+    * hash width is the documented deviation (SURVEY §8). */
+  def streamIdCol(streamFields: Seq[String], tenant: String): Column =
+    concat(lit(tenantHexPrefix(tenant)),
+      lower(hex(xxhash64(canonicalStream(streamFields)))))
+
+  /** `acct:proj` → 16 hex chars; a non-numeric segment falls back to its
+    * 32-bit string hash so exotic tenant names still get distinct ids. */
+  def tenantHexPrefix(tenant: String): String = {
+    def part(s: String): Long =
+      s.toLongOption.filter(v => v >= 0 && v <= 0xFFFFFFFFL)
+        .getOrElse(s.hashCode.toLong & 0xFFFFFFFFL)
+    val (a, p) = tenant.split(":", 2) match {
+      case Array(x, y) => (part(x), part(y))
+      case _ => (part(tenant), 0L)
+    }
+    f"$a%08x$p%08x"
+  }
 
   /** The `_stream` label map, absent/empty fields omitted (see
     * [[canonicalStream]]). */
@@ -66,7 +88,7 @@ object LogStore {
     val sorted = streamFields.sorted
     val withMeta = applyPromotion(df, promotedFields(dir).map(_._1))
       .withColumn("_stream", streamMapCol(sorted))
-      .withColumn("_stream_id", streamIdCol(sorted))
+      .withColumn("_stream_id", streamIdCol(sorted, tenant))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))
     withMeta
@@ -416,7 +438,9 @@ object LogStore {
     // v3: ingest writes the value-type sidecar (ValueTypeMeta)
     // v4: _stream/_stream_id omit absent/empty stream fields
     //     (canonicalStream/streamMapCol — key-concepts conformance)
-    val dir = s"/root/repo/target/graft_store/v4/$name"
+    // v5: _stream_id carries the tenant hex prefix (stream_id.go:12-24 —
+    //     equal label sets in different tenants must not share an id)
+    val dir = s"/root/repo/target/graft_store/v5/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
       // merge the write-parallelism salt's small files per day partition —

@@ -48,7 +48,12 @@ object Ingest {
     val tKey = winner(timeFields)
     val mKey = winner(msgFields)
     lines.select(
-      coalesce(element_at(m, tKey).try_cast("timestamp"),
+      // reference-exact ingest timestamp parse (insertutil.parseTimestamp:
+      // RFC3339Nano incl. SQL datetimes + magnitude-inferred unix values —
+      // try_cast silently dropped unix timestamps to ingestion time);
+      // unparseable values still degrade to now (lenient deviation: the
+      // reference 400s the request)
+      coalesce(graft.functions.GoTime.parseCol(element_at(m, tKey)),
         current_timestamp()).as("_time"),
       coalesce(element_at(m, mKey), when(m.isNull, col("value")), lit(""))
         .as("_msg"),
@@ -155,7 +160,7 @@ object Ingest {
     payloads
       .select(explode(from_json(col("value"), ArrayType(item))).as("r"))
       .select(
-        coalesce(col("r.timestamp").try_cast("timestamp"),
+        coalesce(graft.functions.GoTime.parseCol(col("r.timestamp")),
           current_timestamp()).as("_time"),
         coalesce(col("r.message"), lit("")).as("_msg"),
         // LAST_WIN precedence: a repeated tag or a tag shadowing
@@ -195,9 +200,17 @@ object Ingest {
 
   /** Promote stream label fields out of the `fields` map so LogStore can
     * derive `_stream_id` from them. */
-  private def promote(df: DataFrame, streamFields: Seq[String]): DataFrame =
-    streamFields.foldLeft(df)((d, f) =>
+  private def promote(df: DataFrame, streamFields: Seq[String]): DataFrame = {
+    val withCols = streamFields.foldLeft(df)((d, f) =>
       d.withColumn(f, coalesce(element_at(col("fields"), f), lit(""))))
+    // the labels now live in real columns; keeping the map copy would
+    // store every label twice AND double-count it in field_names (the
+    // reference stores a stream field once — storage_search_test.go
+    // field_names-all pins hits == rows for stream fields)
+    if (streamFields.isEmpty) withCols
+    else withCols.withColumn("fields",
+      map_filter(col("fields"), (k, _) => !k.isin(streamFields: _*)))
+  }
 
   /** Append one parsed micro-batch into the store layout (the streaming
     * counterpart of LogStore.ingest, mode=append). Rows beyond
@@ -219,7 +232,7 @@ object Ingest {
         promote(bounded, sorted),
         graft.store.LogStore.promotedFields(dir).map(_._1))
       .withColumn("_stream", LogStore.streamMapCol(sorted))
-      .withColumn("_stream_id", LogStore.streamIdCol(sorted))
+      .withColumn("_stream_id", LogStore.streamIdCol(sorted, tenant))
       .withColumn("tenant", lit(tenant))
       .withColumn("_day", to_date(col("_time")))
     // withMeta is deliberately NOT cached: the only second consumer (the

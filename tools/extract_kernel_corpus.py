@@ -65,7 +65,7 @@ def parse_fields(src, i):
     i = skip_ws(src, i)
     if src.startswith("nil", i):
         return [], i + 3
-    m = re.match(r'\[\]Field\{', src[i:])
+    m = re.match(r'\[\](?:logstorage\.)?Field\{', src[i:])
     assert m, src[i:i+30]
     i += m.end()
     out = []
@@ -294,10 +294,70 @@ def extract_values_encoder():
     print(f"values_encoder.txt: {len(cases)} cases")
 
 
+def extract_timestamp_parse():
+    """RFC3339Nano roundtrip/failure tables (values_encoder_test.go) +
+    ingest ExtractTimestampFromFields tables
+    (app/vlinsert/insertutil/timestamp_test.go)."""
+    cases = []
+
+    src = open(f"{DIR}/values_encoder_test.go", encoding="utf-8").read()
+    body = body_of(src, "TestTryParseTimestampRFC3339NanoString_Success")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        s, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        out, _ = parse_go_string(body, skip_ws(body, i + 1))
+        cases.append({"t": "rfc_rt", "in": s, "out": out})
+    src = open(f"{DIR}/values_encoder_test.go", encoding="utf-8").read()
+    body = body_of(src, "TestTryParseTimestampRFC3339Nano_Failure")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        s, _ = parse_go_string(body, skip_ws(body, m.end()))
+        cases.append({"t": "rfc_bad", "in": s})
+
+    tsrc = open("/root/reference/app/vlinsert/insertutil/timestamp_test.go",
+                encoding="utf-8").read()
+    body = body_of(tsrc, "TestExtractTimestampFromFields_Success")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        time_field, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        fields, i = parse_fields(body, skip_ws(body, i + 1))
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        m2 = re.match(r'\s*(-?\d+)', body[i + 1:])
+        nsecs = int(m2.group(1))
+        val = dict(fields)[time_field]
+        cases.append({"t": "ingest_ok", "in": val, "out": str(nsecs)})
+    body = body_of(tsrc, "TestExtractTimestampFromFields_Now")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        time_field, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        fields, _ = parse_fields(body, skip_ws(body, i + 1))
+        cases.append({"t": "ingest_now", "in": dict(fields)[time_field]})
+    body = body_of(tsrc, "TestExtractTimestampFromFields_Error")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        s, _ = parse_go_string(body, skip_ws(body, m.end()))
+        cases.append({"t": "ingest_bad", "in": s})
+
+    path = os.path.join(OUT, "timestamp_parse.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from values_encoder_test.go (RFC3339Nano) and "
+                 "app/vlinsert/insertutil/timestamp_test.go by "
+                 "tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"timestamp_parse.txt: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     extract_json_parser()
     extract_tokenizer()
     extract_extra_filters()
     extract_logfmt_parser()
     extract_values_encoder()
+    extract_timestamp_parse()
     sys.exit(0)
