@@ -89,10 +89,11 @@ object GoValues {
     1.0 / tab(-n)
   }
 
-  /** tryParseFloat64Exact: boxed value, null on failure. Combines the
+  /** tryParseFloat64Internal: boxed value, null on failure. Combines the
     * fraction with FMA exactly like the reference (values_encoder.go:843:
-    * f = FMA(nFrac, Pow10(-len(sFrac)), nInt)). */
-  def parseFloat64Exact(s0: String): java.lang.Double = {
+    * f = FMA(nFrac, Pow10(-len(sFrac)), nInt)); `exact` adds the 2^53
+    * integer round-trip cap. */
+  def parseFloat64Internal(s0: String, exact: Boolean): java.lang.Double = {
     val n0 = s0.length
     if (n0 == 0 || n0 > 27) return null // len("-18_446_744_073_709_551_615")
     val minus = s0.charAt(0) == '-'
@@ -102,7 +103,8 @@ object GoValues {
       val n = parseUint64(s)
       if (n == null) return null
       // integers >= 2^53 can't round-trip through float64
-      if (n.compareTo(java.math.BigInteger.ONE.shiftLeft(53)) >= 0) return null
+      if (exact &&
+        n.compareTo(java.math.BigInteger.ONE.shiftLeft(53)) >= 0) return null
       val f = n.doubleValue()
       return java.lang.Double.valueOf(if (minus) -f else f)
     }
@@ -118,6 +120,13 @@ object GoValues {
     val f = Math.fma(nFrac.doubleValue(), p10, nInt.doubleValue())
     java.lang.Double.valueOf(if (minus) -f else f)
   }
+
+  def parseFloat64Exact(s: String): java.lang.Double =
+    parseFloat64Internal(s, exact = true)
+
+  /** tryParseFloat64 — the lossy variant the duration/bytes parsers use. */
+  def parseFloat64(s: String): java.lang.Double =
+    parseFloat64Internal(s, exact = false)
 
   def parseFloat64ExactOk(s: String): Boolean = parseFloat64Exact(s) != null
 

@@ -1,9 +1,15 @@
 package graft.logql
 
+import graft.functions.GoValues
+
 /** Shared parsing of LogsQL number literals: plain numbers, underscores,
-  * hex, short sizes (5KiB — reference parser.go:3192 tryParseBytes) and
-  * durations (1h30m — parser.go:2440 parseDuration, → seconds in numeric
-  * contexts). */
+  * hex, short byte sizes and durations — the size and duration parsers
+  * are exact ports of the reference's tryParseBytes / tryParseDuration
+  * (values_encoder.go), pinned by their golden tables in
+  * DurationBytesConformanceSpec. Both are CASE-SENSITIVE like the
+  * reference: duration units are lowercase (`1m` = one minute), byte
+  * suffixes are uppercase (`1M` = 10^6), which is how the reference
+  * disambiguates the two. */
 object NumLit {
   def parse(raw: String): Option[Double] = {
     val s0 = raw.trim.replace("_", "")
@@ -30,76 +36,97 @@ object NumLit {
     v.map(x => if (neg) -x else x)
   }
 
-  private val sizeSuffixes = Seq(
-    "kib" -> 1024d, "mib" -> math.pow(1024, 2), "gib" -> math.pow(1024, 3),
-    "tib" -> math.pow(1024, 4), "kb" -> 1e3, "mb" -> 1e6, "gb" -> 1e9,
-    "tb" -> 1e12, "ki" -> 1024d, "mi" -> math.pow(1024, 2),
-    "gi" -> math.pow(1024, 3), "ti" -> math.pow(1024, 4),
-    "k" -> 1e3, "m" -> 1e6, "g" -> 1e9, "t" -> 1e12)
+  /** addInt64NoOverflow (values_encoder.go:968): per-group float→int64
+    * truncation, MaxInt64 clamp on overflow or negative group. */
+  private def addNoOverflow(n: Long, f: Double): Long = {
+    val x = f.toLong // saturates like Go's clamp path resolves to
+    if (n < 0 || x < 0 || x > Long.MaxValue - n) Long.MaxValue else n + x
+  }
 
-  /** Digits with at most one dot — "1..2".toDouble throws, and a raw
-    * NumberFormatException would escape the ParseException/400 contract. */
-  private def isPlainNumber(s: String): Boolean =
-    s.nonEmpty && s.count(_ == '.') <= 1 &&
-      s.forall(c => c.isDigit || c == '.') && s.exists(_.isDigit)
+  /** tryParseFloat64Prefix: the leading digits/dot/underscore run parsed
+    * as a lossy float. Returns (value, restIdx) or null. */
+  private def floatPrefix(s: String, from: Int): (java.lang.Double, Int) = {
+    var i = from
+    while (i < s.length && {
+      val c = s.charAt(i); (c >= '0' && c <= '9') || c == '.' || c == '_'
+    }) i += 1
+    if (i == from) return (null, from)
+    (GoValues.parseFloat64(s.substring(from, i)), i)
+  }
 
-  /** Byte sizes, multi-group like the reference's tryParseBytes
-    * (values_encoder.go:~550): `22MB100KB` = 22e6+100e3, a trailing
-    * suffix-less group must be an integer (`1.5` alone is denied). */
-  def sizeValue(s: String): Option[Double] = {
-    val ls = s.toLowerCase
-    if (ls.isEmpty || !ls(0).isDigit) return None
+  /** Byte sizes — exact tryParseBytes port (values_encoder.go:~550):
+    * case-sensitive `B K M G T KB.. KiB.. Ki..` suffix groups, each group
+    * float-parsed then int64-truncated, MaxInt64 clamp; a suffix-less
+    * group must be an integer; leading minus negates the clamped sum. */
+  def sizeLong(str: String): Option[Long] = {
+    if (str.isEmpty) return None
+    val minus = str.charAt(0) == '-'
+    val s = if (minus) str.substring(1) else str
+    if (s.isEmpty) return None
+    var n = 0L
     var i = 0
-    var total = 0d
-    var sawSuffix = false
-    while (i < ls.length) {
-      val numStart = i
-      while (i < ls.length && (ls(i).isDigit || ls(i) == '.')) i += 1
-      if (i == numStart || !isPlainNumber(ls.substring(numStart, i))) return None
-      val num = ls.substring(numStart, i).toDouble
-      if (i == ls.length) {
-        if (num != math.floor(num)) return None
-        total += num
+    val sufs = Seq( // longest first, like the reference's length ladder
+      "KiB" -> 1024d, "MiB" -> math.pow(1024, 2), "GiB" -> math.pow(1024, 3),
+      "TiB" -> math.pow(1024, 4),
+      "Ki" -> 1024d, "Mi" -> math.pow(1024, 2), "Gi" -> math.pow(1024, 3),
+      "Ti" -> math.pow(1024, 4),
+      "KB" -> 1e3, "MB" -> 1e6, "GB" -> 1e9, "TB" -> 1e12,
+      "B" -> 1d, "K" -> 1e3, "M" -> 1e6, "G" -> 1e9, "T" -> 1e12)
+    while (i < s.length) {
+      val (f, j) = floatPrefix(s, i)
+      if (f == null) return None
+      i = j
+      if (i == s.length) {
+        // deny floating-point numbers without any suffix
+        if (f.doubleValue() != math.floor(f.doubleValue())) return None
+        n = addNoOverflow(n, f)
       } else {
-        val rest = ls.substring(i)
-        sizeSuffixes.find { case (suf, _) => rest.startsWith(suf) } match {
-          case Some((suf, mult)) => total += num * mult; i += suf.length; sawSuffix = true
+        sufs.find { case (suf, _) => s.startsWith(suf, i) } match {
+          case Some((suf, mult)) =>
+            n = addNoOverflow(n, f * mult); i += suf.length
           case None => return None
         }
       }
     }
-    if (sawSuffix) Some(total) else None
+    Some(if (minus) -n else n)
   }
 
-  /** Duration string → nanos; None if not a duration.
-    * Units: ns µs ms s m h d w y; combinations like `1h30m`. */
+  /** Suffix-REQUIRED wrapper for callers that use byte sizes to DETECT
+    * size literals (bare integers go down the plain-number path) —
+    * tryParseBytes itself accepts bare integers, which [[sizeLong]]
+    * preserves for conformance. */
+  def sizeValue(s: String): Option[Double] =
+    if (s.exists(_.isLetter)) sizeLong(s).map(_.toDouble) else None
+
+  /** Duration string → nanos — exact tryParseDuration port
+    * (values_encoder.go:900+): case-sensitive lowercase units
+    * (ns µs ms s m h d w y), per-group float parse then int64
+    * truncation, MaxInt64 clamp (so the negated minimum is
+    * -MaxInt64), leading minus negates the sum. */
   def durationNanos(str: String): Option[Long] = {
-    val s = str.toLowerCase.replace("_", "")
-    if (s.isEmpty || !s(0).isDigit) return None
+    if (str.isEmpty) return None
+    val minus = str.charAt(0) == '-'
+    val s = if (minus) str.substring(1) else str
+    if (s.isEmpty) return None
+    var nsecs = 0L
     var i = 0
-    var total = 0d
     while (i < s.length) {
-      val numStart = i
-      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
-      if (i == numStart) return None
-      if (!isPlainNumber(s.substring(numStart, i))) return None
-      val num = s.substring(numStart, i).toDouble
-      val unitStart = i
-      while (i < s.length && !s(i).isDigit) i += 1
-      val mult: Double = s.substring(unitStart, i) match {
-        case "ns" => 1
-        case "µs" | "us" => 1e3
-        case "ms" => 1e6
-        case "s" => 1e9
-        case "m" => 60 * 1e9
-        case "h" => 3600 * 1e9
-        case "d" => 86400 * 1e9
-        case "w" => 7 * 86400 * 1e9
-        case "y" => 365 * 86400 * 1e9
-        case _ => return None
-      }
-      total += num * mult
+      val (f, j) = floatPrefix(s, i)
+      if (f == null) return None
+      i = j
+      if (i >= s.length) return None // a unit suffix is mandatory
+      if (s.startsWith("µs", i)) { nsecs = addNoOverflow(nsecs, f * 1e3); i += 2 }
+      else if (s.startsWith("us", i)) { nsecs = addNoOverflow(nsecs, f * 1e3); i += 2 }
+      else if (s.startsWith("ms", i)) { nsecs = addNoOverflow(nsecs, f * 1e6); i += 2 }
+      else if (s.startsWith("ns", i)) { nsecs = addNoOverflow(nsecs, f); i += 2 }
+      else if (s.startsWith("y", i)) { nsecs = addNoOverflow(nsecs, f * 365d * 86400 * 1e9); i += 1 }
+      else if (s.startsWith("w", i)) { nsecs = addNoOverflow(nsecs, f * 7d * 86400 * 1e9); i += 1 }
+      else if (s.startsWith("d", i)) { nsecs = addNoOverflow(nsecs, f * 86400 * 1e9); i += 1 }
+      else if (s.startsWith("h", i)) { nsecs = addNoOverflow(nsecs, f * 3600 * 1e9); i += 1 }
+      else if (s.startsWith("m", i)) { nsecs = addNoOverflow(nsecs, f * 60 * 1e9); i += 1 }
+      else if (s.startsWith("s", i)) { nsecs = addNoOverflow(nsecs, f * 1e9); i += 1 }
+      else return None
     }
-    Some(total.toLong)
+    Some(if (minus) -nsecs else nsecs)
   }
 }

@@ -353,6 +353,87 @@ def extract_timestamp_parse():
     print(f"timestamp_parse.txt: {len(cases)} cases")
 
 
+def extract_duration_bytes():
+    """tryParseDuration / tryParseBytes / marshalDurationString golden
+    tables (values_encoder_test.go). Numeric expectations are Go constant
+    expressions over the nsecsPerXxx constants — evaluated exactly with
+    Fractions."""
+    from fractions import Fraction
+
+    CONSTS = {
+        "nsecsPerYear": 365 * 24 * 3600 * 10**9,
+        "nsecsPerWeek": 7 * 24 * 3600 * 10**9,
+        "nsecsPerDay": 24 * 3600 * 10**9,
+        "nsecsPerHour": 3600 * 10**9,
+        "nsecsPerMinute": 60 * 10**9,
+        "nsecsPerSecond": 10**9,
+        "nsecsPerMillisecond": 10**6,
+        "nsecsPerMicrosecond": 10**3,
+    }
+
+    def grab_expr(body, i):
+        depth = 0
+        j = i
+        while True:
+            c = body[j]
+            if c == '(':
+                depth += 1
+            elif c == ')':
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == ',' and depth == 0:
+                break
+            j += 1
+        return body[i:j].strip(), j
+
+    def eval_expr(txt):
+        # exact: Fractions for decimals, ints elsewhere; << as *2**
+        t = txt.replace('_', '')
+        for k, v in CONSTS.items():
+            t = t.replace(k, str(v))
+        t = re.sub(r'(\d+\.\d+)', r'F("\1")', t)
+        t = t.replace('<<', '*2**')
+        v = eval(t, {"F": Fraction})
+        assert v == int(v), txt
+        return int(v)
+
+    src = open(f"{DIR}/values_encoder_test.go", encoding="utf-8").read()
+    cases = []
+    for tname, kind, has_out, str_out in (
+            ("TestTryParseDuration_Success", "dur_ok", True, False),
+            ("TestTryParseDuration_Failure", "dur_bad", False, False),
+            ("TestTryParseBytes_Success", "bytes_ok", True, False),
+            ("TestTryParseBytes_Failure", "bytes_bad", False, False)):
+        body = body_of(src, tname)
+        for m in re.finditer(r'(?m)^\tf\(', body):
+            i = skip_ws(body, m.end())
+            s, i = parse_go_string(body, i)
+            c = {"t": kind, "in": s}
+            if has_out:
+                i = skip_ws(body, i)
+                assert body[i] == ','
+                txt, _ = grab_expr(body, skip_ws(body, i + 1))
+                c["out"] = str(eval_expr(txt))
+            cases.append(c)
+    # marshalDurationString: f(nsecs, resultExpected)
+    body = body_of(src, "TestMarshalDurationString")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        txt, i = grab_expr(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        s, _ = parse_go_string(body, skip_ws(body, i + 1))
+        cases.append({"t": "dur_str", "in": str(eval_expr(txt)), "out": s})
+    path = os.path.join(OUT, "duration_bytes.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("# extracted from values_encoder_test.go (duration/bytes "
+                 "tables) by tools/extract_kernel_corpus.py\n")
+        for c in cases:
+            fh.write(json.dumps(c, ensure_ascii=False) + "\n")
+    print(f"duration_bytes.txt: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     extract_json_parser()
     extract_tokenizer()
@@ -360,4 +441,5 @@ if __name__ == "__main__":
     extract_logfmt_parser()
     extract_values_encoder()
     extract_timestamp_parse()
+    extract_duration_bytes()
     sys.exit(0)
