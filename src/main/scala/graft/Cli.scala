@@ -114,8 +114,30 @@ object Cli {
   * Callers pass fields already name-sorted (the prettifier sorts every
   * row before formatting, json_prettifier.go:95-97). */
 object CliFormat {
-  private def js(s: String): String =
-    com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+  /** Reference-exact JSON string quoting (quicktemplate
+    * AppendJSONString, the writer MarshalFieldsToJSON uses): standard
+    * short escapes; `<` and `'` become unicode escapes; remaining
+    * control chars are LOWERCASE u00xx (Jackson emits uppercase hex,
+    * which is why this is hand-rolled). */
+  private[graft] def js(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '<' => sb.append("\\u003c")
+      case '\'' => sb.append("\\u0027")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
 
   def fmtJson(fields: Seq[(String, String)], multiline: Boolean): String =
     if (fields.isEmpty) "{}"

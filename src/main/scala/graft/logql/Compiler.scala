@@ -1166,34 +1166,44 @@ object Compiler {
     // stamped just past the group's last timestamp, UNLESS the whole
     // result is a single group of a single stream. One delimiter per
     // MATCHED ROW (same-timestamp matches share a group but keep their
-    // own delimiters). The rollup is human-scale by the operator's
-    // contract (the reference hard-caps at 100 streams × 1000 rows).
-    val hasStream = hasCol(marked, "_stream")
-    val aggs = Seq(
-      max(col("__t")).as("__lastT"),
-      sum(when(col("__m"), 1L).otherwise(0L)).as("__nm")) ++
-      (if (hasStream) Seq(first(col("_stream"), ignoreNulls = true).as("__stream"))
-       else Nil)
-    val groups = kept.groupBy(col("__sid"), col("__grp"))
-      .agg(aggs.head, aggs.tail: _*)
-    val totals = groups.agg(sum(col("__nm")).as("__totm"),
-      count_distinct(col("__sid")).as("__nsid"))
+    // own delimiters). Everything derives INSIDE the one kept-row
+    // pipeline — a group window for the last timestamp, a global window
+    // for the single-group gate, and a per-row explode that makes each
+    // match emit its delimiter — so the scan+window pipeline executes
+    // once, not once per rollup subtree. The global window is bounded by
+    // the operator's contract (the reference hard-caps stream_context at
+    // 100 streams × 1000 rows/stream — it is a human-inspection pipe).
+    val gwin = Window.partitionBy(col("__sid"), col("__grp"))
+    val wAll = Window.partitionBy()
+    val sidGrp = struct(col("__sid"), col("__grp"))
+    // one stream AND one context group AND one matched row — same-ts
+    // matches share a __grp key but are separate reference groups, so the
+    // match count guards them
+    val single = min(sidGrp).over(wAll) === max(sidGrp).over(wAll) &&
+      sum(when(col("__m"), 1L).otherwise(0L)).over(wAll) === 1L
+    val emitted = kept
+      .withColumn("__lastT", max(col("__t")).over(gwin))
+      .withColumn("__single", single) // windows can't nest in a generator
+      .withColumn("__delim",
+        explode(when(col("__m") && !col("__single"),
+          array(lit(false), lit(true))).otherwise(array(lit(false)))))
     val delimTime =
-      if (nanosNative) (col("__lastT") + lit(1L)).as("_time")
-      else timestamp_micros(col("__lastT") + lit(1L)).as("_time")
-    val delimCols = Seq(
-      delimTime,
-      col("__sid").as("_stream_id"),
-      lit("---").as("_msg")) ++
-      (if (hasStream) Seq(col("__stream").as("_stream")) else Nil)
-    val delims = groups.crossJoin(broadcast(totals))
-      .filter((col("__totm") > 1 || col("__nsid") > 1) && col("__nm") > 0)
-      .select(delimCols :+
-        explode(sequence(lit(1L), col("__nm"))).as("__i"): _*)
-      .drop("__i")
-    val rows = kept.drop("__m", "__sid", "__t", "__rid",
-      "__ahead", "__behind", "__grp")
-    rows.unionByName(delims, allowMissingColumns = true)
+      if (nanosNative) col("__lastT") + lit(1L)
+      else timestamp_micros(col("__lastT") + lit(1L))
+    val helperCols = Set("__m", "__sid", "__t", "__rid", "__ahead",
+      "__behind", "__grp", "__lastT", "__single", "__delim")
+    val outCols = emitted.columns.filterNot(helperCols).map { c =>
+      val cc = col(quoteName(c))
+      val delimVal: Column = c match {
+        case "_time" => delimTime
+        case "_msg" => lit("---")
+        case "_stream_id" => col("__sid")
+        case "_stream" => cc // same stream as the group's rows
+        case _ => lit(null).cast(emitted.schema(c).dataType)
+      }
+      when(col("__delim"), delimVal).otherwise(cc).as(c)
+    }
+    emitted.select(outCols.toSeq: _*)
   }
 
   /** Fast path for the canonical `filters | stream_context ...` shape: the

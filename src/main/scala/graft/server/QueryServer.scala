@@ -233,16 +233,9 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     ex.getResponseBody.write(bytes)
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  // reference-exact JSON string quoting (quicktemplate AppendJSONString —
+  // shared with the CLI formatter)
+  private def jsonStr(s: String): String = graft.CliFormat.js(s)
 
   private def nowNs: Long = System.currentTimeMillis() * 1000000L
 

@@ -28,6 +28,19 @@ class CliFormatSpec extends AnyFunSuite {
     assert(fmtLogfmt(Seq("" -> "hello")) == "_msg=hello")
   }
 
+  test("reference MarshalFieldsToJSON/Logfmt goldens (rows_test.go:29-91)") {
+    assert(fmtJson(Nil, multiline = false) == "{}")
+    assert(fmtJson(Seq("foo" -> "bar"), multiline = false) == """{"foo":"bar"}""")
+    // control chars escape as lowercase \u00xx like Go's quicktemplate
+    assert(fmtJson(Seq("foo\nbar" -> "  \u001b[32m ", "  \u001b[11m " -> "АБв"),
+      multiline = false) ==
+      "{\"foo\\nbar\":\"  \\u001b[32m \",\"  \\u001b[11m \":\"АБв\"}")
+    assert(fmtLogfmt(Nil) == "")
+    assert(fmtLogfmt(Seq("foo" -> "bar")) == "foo=bar")
+    assert(fmtLogfmt(Seq("foo" -> "  \u001b[32m ", "bar" -> "АБв")) ==
+      "foo=\"  \\u001b[32m \" bar=АБв")
+  }
+
   test("compact: lone value; (_time, other) as time<TAB>value; else logfmt") {
     assert(fmtCompact(Seq("_msg" -> "just text")) == "just text")
     assert(fmtCompact(Seq("_time" -> "T1", "_msg" -> "m")) == "T1\tm")
