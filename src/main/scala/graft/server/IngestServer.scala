@@ -280,7 +280,7 @@ final class IngestServer(spark: SparkSession, storeDir: String,
   private def tenantOf(ex: HttpExchange): String = {
     val acct = Option(ex.getRequestHeaders.getFirst("AccountID")).getOrElse("0")
     val proj = Option(ex.getRequestHeaders.getFirst("ProjectID")).getOrElse("0")
-    s"$acct:$proj"
+    QueryServer.canonTenant(s"$acct:$proj")
   }
 
   /** Transparent request-body decompression by Content-Encoding, matching

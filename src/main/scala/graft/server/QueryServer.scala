@@ -334,7 +334,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
           }
         }
       }
-    tenants.distinct
+    tenants.map(QueryServer.canonTenant).distinct
   }
 
   /** Tenant scoping happens on the SOURCE relation, before Compiler.run:
@@ -912,6 +912,27 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 }
 
 object QueryServer {
+
+  /** Canonical `acct:proj` tenant string: empty numeric segments read as
+    * 0, like the reference's ParseTenantID ("123:" → 123:0, ":456" →
+    * 0:456, "123" → 123:0 — tenant_id.go GetTenantIDFromString). Tenants
+    * with non-numeric segments pass through unchanged. */
+  def canonTenant(t: String): String = {
+    def seg(s: String): Option[String] =
+      if (s.isEmpty) Some("0")
+      else if (s.forall(_.isDigit)) Some(s.dropWhile(_ == '0') match {
+        case "" => "0"; case x => x
+      })
+      else None
+    val (a, p) = t.split(":", 2) match {
+      case Array(x, y) => (x.trim, y.trim)
+      case _ => (t.trim, "")
+    }
+    (seg(a), seg(p)) match {
+      case (Some(x), Some(y)) => s"$x:$y"
+      case _ => t
+    }
+  }
   /** canLiveTail gate (pipe.go:24; logsql.go:506 rejects non-tailable
     * queries with 400): a poll loop re-runs the query over successive time
     * windows, so only per-row transforms keep their semantics — a pipe

@@ -625,7 +625,9 @@ class ExprPropertySpec extends SparkSuite {
       PqEncodeExpr(farr, book, 2),
       PqCosineExpr(farr, code, book),
       GoFloatStrExpr(dbl),
-      GoFloatStrExpr(flt))
+      GoFloatStrExpr(flt),
+      GoValueMetaExpr(str),
+      GoTimestampParse(str))
     exprs.foreach { e =>
       assert(e.checkInputDataTypes().isSuccess, s"${e.prettyName}: input types")
       // throws CompileException (wrapped) if doGenCode emits broken Java

@@ -29,6 +29,15 @@ class ServerSpec extends SparkSuite {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, UTF_8)
 
+  test("tenant strings canonicalize like ParseTenantID (tenant_id_test.go:126)") {
+    assert(QueryServer.canonTenant("") == "0:0")
+    assert(QueryServer.canonTenant("123") == "123:0")
+    assert(QueryServer.canonTenant("123:456") == "123:456")
+    assert(QueryServer.canonTenant("123:") == "123:0")
+    assert(QueryServer.canonTenant(":456") == "0:456")
+    assert(QueryServer.canonTenant("007:08") == "7:8") // numeric, not octal
+  }
+
   test("query endpoint streams NDJSON rows") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("event_type:purchase | fields event_id, event_type")}&limit=5")
     assert(code == 200)
