@@ -64,15 +64,24 @@ final class IngestServer(spark: SparkSession, storeDir: String,
     route("/insert/jsonline") { (ex, ps, bytes) =>
       val tf = arg(ex, ps, "_time_field", "VL-Time-Field").getOrElse("_time")
       val mf = arg(ex, ps, "_msg_field", "VL-Msg-Field").getOrElse("_msg")
-      append(ex, ps, s"jsonline|$tf|$mf",
-        GroupCommitter.Lines(splitLines(new String(bytes, UTF_8))),
+      val lines = splitLines(new String(bytes, UTF_8))
+      // reference jsonline.go: invalid lines among valid ones are logged
+      // and dropped, but a payload where NOTHING parses is a client error
+      // ("return an error if no logs were processed and there were errors")
+      val nonEmpty = lines.filter(_.trim.nonEmpty)
+      if (nonEmpty.nonEmpty &&
+          !nonEmpty.exists(l => graft.functions.JsonFlattenExpr.flatten(l) != null))
+        throw new IllegalArgumentException(
+          s"cannot parse any log line in the /insert/jsonline request " +
+          s"(${nonEmpty.size} lines, all malformed)")
+      append(ex, ps, s"jsonline|$tf|$mf", GroupCommitter.Lines(lines),
         Ingest.parseJsonline(_, tf, mf))
       respond(ex, 200, """{"status":"ok"}""")
     }
     route("/insert/elasticsearch/_bulk") { (ex, ps, bytes) =>
       append(ex, ps, "esbulk",
         GroupCommitter.Lines(splitLines(new String(bytes, UTF_8))),
-        Ingest.parseElasticsearchBulk)
+        Ingest.parseElasticsearchBulk(_))
       // minimal bulk-API response the clients check (elasticsearch.go)
       respond(ex, 200, """{"took":0,"errors":false}""")
     }

@@ -19,9 +19,9 @@ object Ingest {
 
   /** JSON-lines payload (app/vlinsert/jsonline/jsonline.go): one object
     * per line; `_time`/`_msg` are special, everything else lands in the
-    * `fields` map (keyConcepts.md:16-120 schemaless model). Rows that fail
-    * to parse are kept with the raw line as `_msg` (the reference logs and
-    * drops; keeping is the safer default for data pipelines). */
+    * `fields` map (keyConcepts.md:16-120 schemaless model). Lines that
+    * fail to parse are logged and DROPPED like the reference
+    * (jsonline_test.go "invalid lines among valid lines" golden). */
   def parseJsonline(lines: DataFrame, timeField: String = "_time",
                     msgField: String = "_msg"): DataFrame =
     parseJsonlineMulti(lines, splitFields(timeField), splitFields(msgField))
@@ -47,7 +47,7 @@ object Ingest {
       }
     val tKey = winner(timeFields)
     val mKey = winner(msgFields)
-    lines.select(
+    lines.filter(m.isNotNull).select(
       // reference-exact ingest timestamp parse (insertutil.parseTimestamp:
       // RFC3339Nano incl. SQL datetimes + magnitude-inferred unix values —
       // try_cast silently dropped unix timestamps to ingestion time);
@@ -55,8 +55,7 @@ object Ingest {
       // reference 400s the request)
       coalesce(graft.functions.GoTime.parseCol(element_at(m, tKey)),
         current_timestamp()).as("_time"),
-      coalesce(element_at(m, mKey), when(m.isNull, col("value")), lit(""))
-        .as("_msg"),
+      coalesce(element_at(m, mKey), lit("")).as("_msg"),
       // null-safe <=>: with no winner (tKey/mKey null) a plain === would
       // yield null for every key and map_filter would drop the whole map
       coalesce(map_filter(m, (k, _) => !(k <=> tKey) && !(k <=> mKey)),
@@ -82,16 +81,26 @@ object Ingest {
   /** Elasticsearch bulk payload (app/vlinsert/elasticsearch/
     * elasticsearch.go): action metadata lines are dropped, document lines
     * parse like jsonline with `@timestamp`/`message` as the specials. */
-  def parseElasticsearchBulk(lines: DataFrame): DataFrame = {
+  def parseElasticsearchBulk(lines: DataFrame,
+                             timeField: String = "@timestamp",
+                             msgField: String = "message"): DataFrame = {
     val isAction = col("value").rlike(
       """^\s*\{\s*"(index|create|update|delete)"\s*:""")
-    parseJsonline(lines.filter(!isAction), "@timestamp", "message")
+    parseJsonline(lines.filter(!isAction), timeField, msgField)
   }
 
-  /** Loki push JSON payload (app/vlinsert/loki/loki.go):
-    * `{"streams":[{"stream":{labels},"values":[["<ns>","line"],...]}]}` —
-    * one input row per POST body, exploded to one row per log line. */
+  /** Loki push JSON payload (app/vlinsert/loki/loki_json.go):
+    * `{"streams":[{"stream":{labels},"values":[["<ts>","line",{meta}],
+    * ...]}]}` — one input row per POST body, exploded to one row per log
+    * line. Timestamps parse with the reference's lenient unix parser
+    * (parseLokiTimestamp → timeutil.TryParseUnixTimestamp: plain nanos,
+    * fractional seconds like "1686026123.62", scientific "147.78369e9";
+    * empty → ingestion time). The optional third tuple element is
+    * Loki structured metadata — its keys merge into the fields after the
+    * stream labels (loki_json.go:156-170). */
   def parseLokiJson(payloads: DataFrame): DataFrame = {
+    // the third tuple element is a JSON OBJECT; with a StringType target
+    // Spark's JSON parser captures it as its raw JSON text
     val schema = StructType(Seq(StructField("streams", ArrayType(StructType(Seq(
       StructField("stream", MapType(StringType, StringType)),
       StructField("values", ArrayType(ArrayType(StringType)))))))))
@@ -99,12 +108,17 @@ object Ingest {
       .select(explode(from_json(col("value"), schema).getField("streams")).as("s"))
       // duplicate label keys inside one stream object: dedup first-wins
       // so the stored fields map never poisons later map rebuilds
-      .select(graft.functions.MapOps.dedupKeysFirst(col("s.stream")).as("fields"),
+      .select(graft.functions.MapOps.dedupKeysFirst(col("s.stream")).as("labels"),
         explode(col("s.values")).as("v"))
       .select(
-        timestamp_micros((col("v").getItem(0).cast(LongType) / 1000L).cast(LongType)).as("_time"),
-        col("v").getItem(1).as("_msg"),
-        col("fields"))
+        coalesce(graft.functions.GoTime.parseCol(coalesce(
+          col("v").getItem(0), lit(""))), current_timestamp()).as("_time"),
+        coalesce(col("v").getItem(1), lit("")).as("_msg"),
+        graft.functions.MapOps.concatLastWins(
+          col("labels"),
+          coalesce(
+            from_json(get(col("v"), lit(2)), MapType(StringType, StringType)),
+            map().cast(MapType(StringType, StringType)))).as("fields"))
   }
 
   /** OpenTelemetry logs JSON payload (app/vlinsert/opentelemetry/
@@ -151,32 +165,51 @@ object Ingest {
   /** DataDog logs JSON payload (app/vlinsert/datadog/datadog.go): an array
     * of `{message, ddtags, hostname, service, ...}` objects. */
   def parseDatadogJson(payloads: DataFrame): DataFrame = {
-    val item = StructType(Seq(
-      StructField("message", StringType),
-      StructField("ddtags", StringType),
-      StructField("hostname", StringType),
-      StructField("service", StringType),
-      StructField("timestamp", StringType)))
+    // Each record keeps ALL its keys as fields verbatim (datadog.go:185-250
+    // default branch — ddsource/hostname/service/anything); specials:
+    //  - message: a string becomes _msg; the serverless nested-object form
+    //    maps message.message → _msg, message.status → status, and
+    //    message.lamdba.* → bare lambda keys (appendMsgFields, :114-170);
+    //  - timestamp: millis (>0) replace the ingestion time;
+    //  - ddtags "k:v,k2:v2": split on ','/':'; a value-less tag reads
+    //    "no_label_value".
+    // Records parse as raw JSON strings and flatten with the shared
+    // logjson kernel, so nested shapes need no fixed schema.
+    val m = graft.functions.JsonFlattenExpr.flattenColStrict(col("r"))
+    val emptyMap = map().cast(MapType(StringType, StringType))
+    val ddtags = coalesce(
+      graft.functions.MapOps.entriesLastWins(transform(
+        filter(split(coalesce(element_at(m, "ddtags"), lit("")), ","),
+          t => t =!= ""),
+        t => struct(
+          substring_index(t, ":", 1).as("key"),
+          when(t.contains(":"), regexp_replace(t, "^[^:]*:", ""))
+            .otherwise(lit("no_label_value")).as("value")))),
+      emptyMap)
+    val lambdaFields = graft.functions.MapOps.entriesLastWins(
+      filter(transform(map_entries(m), e =>
+        struct(
+          when(e.getField("key").startsWith("message.lamdba."),
+            substring(e.getField("key"), 16, Int.MaxValue)).as("key"),
+          e.getField("value").as("value"))),
+        e => e.getField("key").isNotNull))
+    val statusMap = when(element_at(m, "message.status").isNotNull,
+      map(lit("status"), element_at(m, "message.status"))).otherwise(emptyMap)
+    val others = map_filter(m, (k, _) =>
+      k =!= "message" && !k.startsWith("message.") &&
+      k =!= "timestamp" && k =!= "ddtags")
     payloads
-      .select(explode(from_json(col("value"), ArrayType(item))).as("r"))
+      .select(explode(from_json(col("value"), ArrayType(StringType))).as("r"))
       .select(
-        coalesce(graft.functions.GoTime.parseCol(col("r.timestamp")),
+        coalesce(
+          when(element_at(m, "timestamp").try_cast("long") > 0,
+            timestamp_micros(element_at(m, "timestamp").try_cast("long") * 1000L)),
           current_timestamp()).as("_time"),
-        coalesce(col("r.message"), lit("")).as("_msg"),
-        // LAST_WIN precedence: a repeated tag or a tag shadowing
-        // hostname/service is defined (tag wins) instead of a
-        // DUPLICATED_MAP_KEY batch failure
+        coalesce(element_at(m, "message.message"),
+          element_at(m, "message"), lit("")).as("_msg"),
         graft.functions.MapOps.concatLastWins(
-          map(lit("hostname"), coalesce(col("r.hostname"), lit("")),
-              lit("service"), coalesce(col("r.service"), lit(""))),
-          // ddtags "k:v,k2:v2" → map entries (tag name prefixed like the
-          // reference's tag fields)
-          coalesce(
-            graft.functions.MapOps.entriesLastWins(transform(
-              filter(split(coalesce(col("r.ddtags"), lit("")), ","), t => t.contains(":")),
-              t => struct(substring_index(t, ":", 1).as("key"),
-                          substring_index(t, ":", -1).as("value")))),
-            map().cast(MapType(StringType, StringType)))).as("fields"))
+          others, statusMap, coalesce(lambdaFields, emptyMap), ddtags)
+          .as("fields"))
   }
 
   /** journald export format (app/vlinsert/journald/journald.go): entries
@@ -382,7 +415,7 @@ object Ingest {
     val parser: DataFrame => DataFrame = format match {
       case "jsonline" => parseJsonline(_)
       case "syslog" => parseSyslog(_)
-      case "elasticsearch" => parseElasticsearchBulk
+      case "elasticsearch" => parseElasticsearchBulk(_)
       case "loki" => parseLokiJson
       case "otlp" => parseOtlpJson
       case "datadog" => parseDatadogJson

@@ -139,17 +139,22 @@ class IngestServerSpec extends SparkSuite {
         // binary/structured failures must be client errors — never 5xx
         assert(c < 500, s"$path returned $c")
       }
-      // jsonline garbage text is LENIENT by design: the raw line becomes
-      // _msg with ingest-time _time (the reference keeps malformed lines
-      // queryable rather than dropping data)
+      // jsonline garbage: an ALL-invalid payload is a client error like
+      // the reference (jsonline.go: "errors > 0 && n == errors" -> 400);
+      // invalid lines MIXED with valid ones are logged and dropped
       val (cj, _) = post(port, "/insert/jsonline", "not json at all")
-      assert(cj == 200)
+      assert(cj == 400)
+      val (cmix, _) = post(port, "/insert/jsonline",
+        "garbage line\n{\"_time\":\"2024-01-05T10:00:01Z\",\"_msg\":\"mixed ok\"}")
+      assert(cmix == 200)
+      assert(count(dir, "\"mixed ok\" | stats count() c") == 1)
+      assert(count(dir, "\"garbage line\" | stats count() c") == 0)
       // and the server still ingests normally after all of the above
       val (ok, _) = post(port, "/insert/jsonline",
         """{"_time":"2024-01-05T10:00:00Z","_msg":"after the storm"}""")
       assert(ok == 200)
       assert(count(dir, "\"after the storm\" | stats count() c") == 1)
-      assert(count(dir, "\"not json at all\" | stats count() c") == 1)
+      assert(count(dir, "\"not json at all\" | stats count() c") == 0)
     } finally srv.stop()
   }
 

@@ -15,7 +15,7 @@ class IngestSpec extends SparkSuite {
     d
   }
 
-  test("jsonline parser: specials split from fields map, bad lines kept") {
+  test("jsonline parser: specials split from fields map, bad lines dropped") {
     import spark.implicits._
     val lines = Seq(
       """{"_time":"2024-01-05T10:00:00Z","_msg":"hello","app":"web","level":"info"}""",
@@ -27,7 +27,10 @@ class IngestSpec extends SparkSuite {
       == "2024-01-05T10:00:00Z")
     assert(byMsg("hello").getAs[Map[String, String]]("fields") ==
       Map("app" -> "web", "level" -> "info"))
-    assert(byMsg.contains("not json at all")) // raw line preserved as _msg
+    // malformed lines are logged and dropped like the reference
+    // (jsonline_test.go "invalid lines among valid lines")
+    assert(!byMsg.contains("not json at all"))
+    assert(out.length == 2)
   }
 
   test("jsonline ingest flattens nested objects into dot-path fields") {
