@@ -203,16 +203,19 @@ final class IngestServer(spark: SparkSession, storeDir: String,
           val conn = sock.accept()
           new Thread(() => {
             try {
-              val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
-                conn.getInputStream, UTF_8))
-              var line = rd.readLine()
-              while (line != null) {
+              // RFC 6587 framing: octet-counted ("48 <165>...") AND
+              // newline-delimited frames, like the reference's
+              // syslogLineReader (SyslogLineReader port)
+              val rd = new graft.streaming.SyslogLineReader(conn.getInputStream)
+              while (rd.nextLine()) {
+                val line = rd.line
                 if (line.nonEmpty) {
                   pending.put(line)
                   if (pending.size >= maxPending) flush()
                 }
-                line = rd.readLine()
               }
+              rd.error.foreach(e =>
+                System.err.println(s"[syslog-tcp] read error: $e"))
             } catch { case _: java.io.IOException => /* sender hung up */ }
             finally conn.close()
           }, "graft-syslog-conn").start()
