@@ -118,11 +118,20 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       respond(ex, 202, "{}")
     }
     route("/insert/journald/upload") { (ex, ps, bytes) =>
-      // entries are blank-line-separated FIELD=value blocks (journald.go)
-      val blocks = new String(bytes, UTF_8)
-        .split("\n\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      append(ex, ps, "journald", GroupCommitter.Lines(blocks),
-        Ingest.parseJournaldExport)
+      // byte-exact Journal Export Format parse (JournaldExport): binary
+      // length-prefixed fields may contain newlines and blank lines, so
+      // the body must NOT be split on text boundaries
+      val rows = graft.streaming.JournaldExport.parse(bytes).map { e =>
+        val inst =
+          if (e.tsNanos == 0L) java.time.Instant.now()
+          else java.time.Instant.ofEpochSecond(
+            Math.floorDiv(e.tsNanos, 1000000000L),
+            Math.floorMod(e.tsNanos, 1000000000L))
+        val msg = e.fields.find(_._1 == "_msg").map(_._2).getOrElse("")
+        (java.sql.Timestamp.from(inst), msg,
+          e.fields.filter(_._1 != "_msg").toMap)
+      }
+      append(ex, ps, "journald", GroupCommitter.Rows(rows), identity)
       respondEmpty(ex, 200)
     }
     route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }

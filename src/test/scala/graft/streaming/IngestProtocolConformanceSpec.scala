@@ -65,9 +65,23 @@ class IngestProtocolConformanceSpec extends SparkSuite {
 
   test("every app/vlinsert protocol golden parses identically") {
     val cases = loadCases()
-    assert(cases.size >= 18, s"corpus shrank: ${cases.size}")
+    assert(cases.size >= 30, s"corpus shrank: ${cases.size}")
     val bad = cases.zipWithIndex.flatMap { case (c, ci) =>
       try {
+        if (c.proto == "journald") {
+          // byte-level parser, nanosecond-exact (no store truncation)
+          val entries = JournaldExport.parse(
+            c.in.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val got = entries.map(e =>
+            (e.tsNanos, e.fields.toMap.filter(_._2.nonEmpty)))
+          val want = c.ts.zip(c.rows.map(_.filter(_._2.nonEmpty)))
+          if (got.map(_._1) != c.ts)
+            Some(s"[$ci journald] ts got ${got.map(_._1)} want ${c.ts}")
+          else if (got.map(_._2) != want.map(_._2))
+            Some(s"[$ci journald] fields\n  got  ${got.map(_._2)}" +
+              s"\n  want ${want.map(_._2)}")
+          else None
+        } else {
         val parsed = c.proto match {
           case "jsonline" => Ingest.parseJsonlineMulti(linesDf(c.in),
             Ingest.splitFields(c.timeField), Ingest.splitFields(c.msgField))
@@ -101,6 +115,7 @@ class IngestProtocolConformanceSpec extends SparkSuite {
             else Some(s"[$ci ${c.proto}] fields\n  got  $gotF\n  want $want")
           }
           tsBad.orElse(fieldsBad)
+        }
         }
       } catch {
         case e: Exception =>

@@ -243,12 +243,30 @@ def extract_datadog(cases):
                           "rows": [l for l in res.split("\n") if l]})
 
 
+def extract_journald(cases):
+    src = open("/root/reference/app/vlinsert/journald/journald_test.go",
+               encoding="utf-8").read()
+    body = body_of(src, "TestPushJournald_Success")
+    for m in re.finditer(r'(?m)^\tf\(', body):
+        i = skip_ws(body, m.end())
+        data, i = parse_go_string(body, i)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        ts, i = parse_int_list(body, i + 1)
+        i = skip_ws(body, i)
+        assert body[i] == ','
+        res, _ = parse_go_string(body, skip_ws(body, i + 1))
+        cases.append({"proto": "journald", "in": data, "ts": ts,
+                      "rows": [l for l in res.split("\n") if l]})
+
+
 def main():
     cases = []
     extract_jsonline(cases)
     extract_elasticsearch(cases)
     extract_loki(cases)
     extract_datadog(cases)
+    extract_journald(cases)
     with open(OUT, "w", encoding="utf-8") as fh:
         fh.write("# extracted from app/vlinsert/{jsonline,elasticsearch,"
                  "loki,datadog} tests by tools/extract_protocol_corpus.py\n")
