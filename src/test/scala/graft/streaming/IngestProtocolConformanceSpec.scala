@@ -126,4 +126,13 @@ class IngestProtocolConformanceSpec extends SparkSuite {
     assert(bad.isEmpty, s"\n${bad.size}/${cases.size} protocol mismatches:\n" +
       bad.mkString("\n"))
   }
+
+  test("journald field-name validation goldens (TestIsValidFieldName)") {
+    val cases = Seq("" -> false, "a" -> false, "1" -> false, "_" -> true,
+      "X" -> true, "Xa" -> false, "X_343" -> true,
+      "X_0123456789_AZ" -> true, "SDDFD sdf" -> false)
+    cases.foreach { case (n, want) =>
+      assert(JournaldExport.isValidFieldName(n) == want, s"<<$n>>")
+    }
+  }
 }
