@@ -150,6 +150,28 @@ object Bench {
     }
     val failed = resultsAll.collect { case (n, _, _, Some(err)) => (n, err) }
     val results = resultsAll.collect { case (n, sec, jobs, None) => n -> (sec, jobs) }
+    // WARM re-execution: build the DataFrame once, act on the SAME object
+    // three times, take the median of the re-runs. Re-using one DataFrame
+    // re-uses its analyzed/optimized plan and its materialized AQE stages,
+    // so this isolates steady-state execution from the per-request
+    // plan-construction floor — the serving path's plan cache gives
+    // dashboards exactly this number (QueryServer.planCache), and the
+    // DuckDB comparison reports it per matched query (ratio_warm) so
+    // fixed-cost residue is pinned in the artifact, not in prose.
+    val warmResults = results.map { case (n, _) =>
+      val t =
+        try {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          df.count() // materialize plan + AQE stages
+          val ts = Seq.fill(3) {
+            val t0 = System.nanoTime()
+            df.count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          ts(1)
+        } catch { case _: Throwable => -1d }
+      n -> t
+    }.filter(_._2 >= 0d)
     noopAcc ++= noopSamples(5)
     noopShufAcc ++= noopShuffleSamples(5)
     val noopAll = noopAcc.toSeq.sorted
@@ -172,6 +194,8 @@ object Bench {
       .mkString("{", ",", "}")
     val jobsJson = results.map { case (k, (_, j)) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
+    val warmJson = warmResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalJobs = results.map(_._2._2).sum
     val adjusted = total - noop * results.size
@@ -193,7 +217,7 @@ object Bench {
     val comp = if (storeB > 0) rawB.toDouble / storeB else 0d
     val scanGbps =
       if (scanSec > 0) scanBytes / scanSec / (1L << 30).toDouble else 0d
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows_per_sec_warmjvm":$ingestRps2,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"queries_warm":$warmJson,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_rows_per_sec_warmjvm":$ingestRps2,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays}""")
     // second COMPACT totals line, after the full line: artifact capture
     // keeps only the tail of the output, and the full line (121+ per-query
     // entries) alone overflows it — this line always fits

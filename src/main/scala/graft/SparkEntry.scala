@@ -1017,6 +1017,15 @@ object SparkEntry {
            (event_type:value_type(dict) OR event_type:value_type(const))
            | stats count() hits""")
     }),
+    // ---- metadata-served field_names over the store: the write-time
+    // FieldNameMeta sidecar (per-part field→hits, the columnsHeader
+    // analogue of storage_search.go:188-489) answers without reading a
+    // single value — wall time independent of store row count ----
+    "q_store_field_names" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val logs = graft.store.LogStore.read(s, dir)
+      graft.logql.Compiler.run(logs, "* | field_names | sort by (name)")
+    }),
     // ---- stream_context pipe over the store (§2.2 #33) ----
     // ---- stateful Structured-Streaming ops, batch-bounded so the final
     //      state-store output gates against a batch SQL oracle
@@ -2042,6 +2051,20 @@ object SparkEntry {
     "q_store_bloom" ->
       """SELECT count(*) AS hits FROM events
          WHERE regexp_matches(props, '\b89\b')""",
+    // store field_names: every logical field of the events store is
+    // non-empty on every row (the view has no nulls), so each name's
+    // hits = total row count; _stream/_stream_id are store-added
+    "q_store_field_names" ->
+      """SELECT * FROM (
+           SELECT '_msg' AS name, count(*) AS hits FROM events
+           UNION ALL SELECT '_stream', count(*) FROM events
+           UNION ALL SELECT '_stream_id', count(*) FROM events
+           UNION ALL SELECT '_time', count(*) FROM events
+           UNION ALL SELECT 'event_id', count(*) FROM events
+           UNION ALL SELECT 'event_type', count(*) FROM events
+           UNION ALL SELECT 'user_id', count(*) FROM events
+           UNION ALL SELECT 'value', count(*) FROM events
+         ) ORDER BY name""",
     // every store part types event_type as dict or const and value as
     // float64, so the value_type filters pass everything: a plain count
     "q_store_value_type" ->

@@ -685,24 +685,29 @@ object Compiler {
       limit.map(l => out.limit(clampInt(l))).getOrElse(out)
 
     case Pipe.FieldNames(out) =>
-      val topCols = logicalTopCols(df)
-      val counts = df.agg(
-        count(lit(1)).as("__total"),
-        topCols.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
-        .drop("__total")
-      val top = counts.unpivot(Array.empty[Column], out, "hits")
-      // dynamic field names live in the `fields` map (keyConcepts.md:16-120)
-      val all =
-        if (hasFieldsMap(df)) {
-          val mapCounts = df
-            .select(explode(col("fields")).as(Seq("__k", "__v")))
-            .filter(col("__v").isNotNull && col("__v") =!= "")
-            .groupBy(col("__k").as(out))
-            .agg(count(lit(1)).as("hits"))
-          top.unionByName(mapCounts)
-            .groupBy(out).agg(sum("hits").as("hits"))
-        } else top
-      all.filter(col("hits") > 0)
+      // pristine store scans answer from the write-time sidecar — zero
+      // value reads, like the reference's GetFieldNames over block
+      // headers (storage_search.go:188-489); everything else scans
+      graft.store.FieldNameMeta.serve(df, out).getOrElse {
+        val topCols = logicalTopCols(df)
+        val counts = df.agg(
+          count(lit(1)).as("__total"),
+          topCols.map(c => count(when(nonEmpty(df, c), 1)).as(c)).toSeq: _*)
+          .drop("__total")
+        val top = counts.unpivot(Array.empty[Column], out, "hits")
+        // dynamic field names live in the `fields` map (keyConcepts.md:16-120)
+        val all =
+          if (hasFieldsMap(df)) {
+            val mapCounts = df
+              .select(explode(col("fields")).as(Seq("__k", "__v")))
+              .filter(col("__v").isNotNull && col("__v") =!= "")
+              .groupBy(col("__k").as(out))
+              .agg(count(lit(1)).as("hits"))
+            top.unionByName(mapCounts)
+              .groupBy(out).agg(sum("hits").as("hits"))
+          } else top
+        all.filter(col("hits") > 0)
+      }
 
     case Pipe.FieldValues(fld, limit) =>
       val out = df.groupBy(strF(df, fld).as(fld))

@@ -41,6 +41,7 @@ object Metrics {
     c("graft_retention_days_dropped_total", retentionDaysDropped.get)
     c("graft_bloom_files_refreshed_total", bloomFilesRefreshed.get)
     c("graft_stale_index_retries_total", staleIndexRetries.get)
+    c("graft_field_names_meta_served_total", graft.store.FieldNameMeta.served.get)
     sb.append("# TYPE graft_active_force_merges gauge\n")
     sb.append("graft_active_force_merges ").append(activeForceMerges.get).append('\n')
     gauges.forEach { (name, v) =>

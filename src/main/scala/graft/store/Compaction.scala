@@ -258,7 +258,7 @@ object Compaction {
     // rewritten BEFORE the source files are deleted (`df` still reads
     // them); the background merge is where the reference decides block
     // types too. The verdict is held back until the post-swap check below.
-    val verdict: Option[(String, String, Map[String, String])] =
+    val verdict: Option[(String, String, Map[String, String], Map[String, Long])] =
       try {
         // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
         // decode so the key matches the raw-value keys the bulk path writes
@@ -266,7 +266,8 @@ object Compaction {
         val partKey = s"${unescapePathName(pdir.getParent.getName)}/" +
           unescapePathName(pdir.getName)
         val storeDir = pdir.getParent.getParent.getParent.toUri.getPath
-        Some((storeDir, partKey, ValueTypeMeta.classifyPart(df)))
+        Some((storeDir, partKey, ValueTypeMeta.classifyPart(df),
+          FieldNameMeta.countsForPart(df)))
       } catch { case e: Exception =>
         // metadata is an optimization; on failure value_type falls back to
         // the scan classification
@@ -288,13 +289,18 @@ object Compaction {
     // be a wrong answer, not a missed optimization. Serialized against
     // appends (their invalidate runs under the same per-dir append lock),
     // so the check can't race a concurrent flush's sidecar write.
-    verdict.foreach { case (storeDir, partKey, fieldTypes) =>
+    verdict.foreach { case (storeDir, partKey, fieldTypes, fieldHits) =>
       StoreLocks.logsAppend(storeDir).synchronized {
         val now = dataFiles(pdir).map(_.getPath.getName).toSet
         val written = newFiles.map(_.getPath.getName).toSet
-        if (fieldTypes.nonEmpty && now == written)
-          ValueTypeMeta.record(storeDir, Map(partKey -> fieldTypes),
-            overwrite = false)
+        if (now == written) {
+          if (fieldTypes.nonEmpty)
+            ValueTypeMeta.record(storeDir, Map(partKey -> fieldTypes),
+              overwrite = false)
+          if (fieldHits.nonEmpty)
+            FieldNameMeta.record(storeDir, Map(partKey -> fieldHits),
+              overwrite = false)
+        }
       }
     }
   }

@@ -1,0 +1,261 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-time field-name hit counts — the Spark analogue of the
+  * reference's per-block column headers, which let GetFieldNames answer
+  * without reading a single value (storage_search.go:188-489 walks
+  * columnsHeader entries, block_header.go:584-615 stores the per-block
+  * field list + row counts).
+  *
+  * Granularity: one `field → rows-with-non-empty-value` map per
+  * (tenant, _day) part, in `<dir>/logs/_field_names.json`. Bulk loads
+  * ([[LogStore.ingest]]) count exactly (two jobs over the batch being
+  * written: one aggregate for top-level columns, one explode-groupBy for
+  * dynamic `fields`-map keys). Streaming appends stay OFF the hot path:
+  * they only INVALIDATE touched parts (riding the same observe()
+  * collect_set as [[ValueTypeMeta]]), and background compaction counts
+  * each part it rewrites exactly — the same lifecycle the reference's
+  * background merges use to (re)write block headers.
+  *
+  * Query side: `field_names` over a PRISTINE store scan — the relation
+  * itself, optionally under filters that touch only the (tenant, _day)
+  * partition columns (the serving layer's tenant scoping compiles to
+  * exactly that) — answers by summing sidecar entries of the parts the
+  * filters admit: wall time is independent of row count. Any other shape
+  * (value filters, preceding pipes, pending-promotion projections, a part
+  * an append invalidated) falls back to the scan path unchanged.
+  */
+object FieldNameMeta {
+
+  /** Queries answered from the sidecar (observable in /metrics and
+    * asserted by FieldNameMetaSpec — "the fast path actually ran"). */
+  val served = new java.util.concurrent.atomic.AtomicLong
+
+  private def sidecarPath(dir: String) = s"$dir/logs/_field_names.json"
+
+  // ---------------------------------------------------------------------
+  // write side
+  // ---------------------------------------------------------------------
+
+  /** Columns field_names reports: everything but the dynamic `fields`
+    * container and the internal partition columns (Compiler.logicalTopCols
+    * hides the same two). */
+  def countableTopCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filter(c =>
+      c != "fields" && c != "tenant" && c != "_day")
+
+  private def nonEmpty(df: DataFrame, c: String): Column =
+    graft.logql.Compiler.strF(df, c) =!= ""
+
+  /** Exact per-(tenant, _day) counts of `batch` — the bulk-load path. */
+  def recordBatchByPart(batch: DataFrame, dir: String,
+                        overwrite: Boolean): Unit = {
+    val cols = countableTopCols(batch)
+    val acc = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, Long]]
+    def bump(part: String, field: String, n: Long): Unit =
+      if (n > 0L)
+        acc.getOrElseUpdate(part, scala.collection.mutable.Map.empty)
+          .updateWith(field)(v => Some(v.getOrElse(0L) + n))
+    if (cols.nonEmpty) {
+      val aggs = cols.map(c =>
+        count(when(nonEmpty(batch, c), 1)).as(s"__fn_$c"))
+      batch.groupBy(col("tenant"), col("_day").cast(StringType).as("__d"))
+        .agg(aggs.head, aggs.tail: _*).collect().foreach { r =>
+          val part = ValueTypeMeta.partKey(r.getString(0), r.getString(1))
+          cols.zipWithIndex.foreach { case (c, i) => bump(part, c, r.getLong(2 + i)) }
+        }
+    }
+    if (batch.schema.fields.exists(f =>
+          f.name == "fields" && f.dataType.isInstanceOf[MapType])) {
+      batch
+        .select(col("tenant"), col("_day").cast(StringType).as("__d"),
+          explode(col("fields")).as(Seq("__k", "__v")))
+        .filter(col("__v").isNotNull && col("__v") =!= "")
+        .groupBy("tenant", "__d", "__k").agg(count(lit(1)).as("__n"))
+        .collect().foreach { r =>
+          bump(ValueTypeMeta.partKey(r.getString(0), r.getString(1)),
+            r.getString(2), r.getLong(3))
+        }
+    }
+    record(dir, acc.map { case (k, m) => k -> m.toMap }.toMap, overwrite)
+  }
+
+  /** Exact whole-part counts for the compaction path — `partDf` is one
+    * partition's bare files (no tenant/_day columns). Two bounded jobs
+    * over data the compactor is already rewriting. */
+  def countsForPart(partDf: DataFrame): Map[String, Long] = {
+    val cols = countableTopCols(partDf)
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    if (cols.nonEmpty) {
+      val aggs = cols.map(c =>
+        count(when(nonEmpty(partDf, c), 1)).as(s"__fn_$c"))
+      val r = partDf.agg(aggs.head, aggs.tail: _*).collect().head
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (r.getLong(i) > 0L) acc(c) = r.getLong(i)
+      }
+    }
+    if (partDf.schema.fields.exists(f =>
+          f.name == "fields" && f.dataType.isInstanceOf[MapType])) {
+      partDf.select(explode(col("fields")).as(Seq("__k", "__v")))
+        .filter(col("__v").isNotNull && col("__v") =!= "")
+        .groupBy("__k").agg(count(lit(1)).as("__n"))
+        .collect().foreach(r =>
+          acc.updateWith(r.getString(0))(v => Some(v.getOrElse(0L) + r.getLong(1))))
+    }
+    acc.toMap
+  }
+
+  /** Streaming-append invalidation: rides the SAME observed collect_set
+    * as [[ValueTypeMeta.partsAgg]] — an appended part's counts are stale
+    * (counts are additive, but the flush path must stay free of extra
+    * jobs), so the entry is dropped and field_names falls back to the
+    * scan until compaction re-counts the part exactly. */
+  def invalidateParts(dir: String, get: String => Any): Unit = {
+    val parts = get("__vt_parts").asInstanceOf[Seq[_]].map(String.valueOf)
+    if (parts.isEmpty) return
+    val base = load(dir)
+    val pruned = base -- parts
+    if (pruned.size != base.size) writeSidecar(dir, pruned)
+  }
+
+  /** Write per-part counts; same contract as [[ValueTypeMeta.record]]
+    * (whole-part entries replace, callers hold the store write lock). */
+  def record(dir: String, perPart: Map[String, Map[String, Long]],
+             overwrite: Boolean): Unit = {
+    if (perPart.isEmpty && !overwrite) return
+    val base = if (overwrite) Map.empty[String, Map[String, Long]] else load(dir)
+    writeSidecar(dir, base ++ perPart)
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeSidecar(dir: String,
+                           all: Map[String, Map[String, Long]]): Unit = {
+    val node = mapper.createObjectNode()
+    all.toSeq.sortBy(_._1).foreach { case (part, fs) =>
+      val pn = node.putObject(part)
+      fs.toSeq.sortBy(_._1).foreach { case (f, n) => pn.put(f, n) }
+    }
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+    val tmp = sidecarPath(dir) + s".tmp-${System.nanoTime()}"
+    Fs.writeAll(tmp, bytes)
+    Fs.delete(sidecarPath(dir))
+    Fs.rename(tmp, sidecarPath(dir))
+  }
+
+  private val loadCache = scala.collection.mutable.Map.empty[
+    String, (Long, Long, Map[String, Map[String, Long]])]
+
+  def load(dir: String): Map[String, Map[String, Long]] = synchronized {
+    val p = sidecarPath(dir)
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    if (!f.exists()) return Map.empty
+    val (len, mt) = (f.length(), f.lastModified())
+    loadCache.get(dir) match {
+      case Some((l, m, v)) if l == len && m == mt => v
+      case _ =>
+        val v =
+          try {
+            import scala.jdk.CollectionConverters._
+            val node = mapper.readTree(Fs.readAll(p))
+            node.fields().asScala.map { e =>
+              e.getKey -> e.getValue.fields().asScala
+                .map(fe => fe.getKey -> fe.getValue.asLong()).toMap
+            }.toMap
+          } catch { case _: Exception =>
+            Map.empty[String, Map[String, Long]] }
+        loadCache(dir) = (len, mt, v)
+        v
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // query side
+  // ---------------------------------------------------------------------
+
+  /** Sidecar-served `field_names` result for `df`, or None when `df` is
+    * not a pristine partition-filtered store scan (callers then run the
+    * scan-based pipe). The plan must be Filter* over a single parquet
+    * LogicalRelation rooted at `<dir>/logs`, every filter condition may
+    * reference only the tenant/_day partition columns, and the sidecar
+    * must cover every on-disk part the filters admit. */
+  def serve(df: DataFrame, out: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeSeq, BindReferences, Expression, Literal, Predicate => CPredicate}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // 1. peel Filter nodes off a bare scan
+    var plan: LogicalPlan = df.queryExecution.analyzed
+    val conds = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    var guard = 0
+    while (plan.isInstanceOf[LFilter] && guard < 32) {
+      val f = plan.asInstanceOf[LFilter]
+      conds += f.condition
+      plan = f.child
+      guard += 1
+    }
+    val (dir, output) = plan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath) match {
+            case Seq(one) if one.endsWith("/logs") =>
+              (one.stripSuffix("/logs"), l.output)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    // 2. filters may only touch the partition columns
+    val partCols = Set("tenant", "_day")
+    if (!conds.forall(_.references.forall(a => partCols(a.name)))) return None
+    val counts = load(dir)
+    if (counts.isEmpty) return None
+
+    // 3. decide which parts the filters admit, evaluating the Catalyst
+    // predicate driver-side against each part's (tenant, day) pair
+    val attrs = output.filter(a => partCols(a.name))
+    if (attrs.map(_.name).toSet != partCols) return None
+    val pred = conds.reduceOption(CAnd).map { c =>
+      CPredicate.create(BindReferences.bindReference(c, AttributeSeq(attrs)))
+    }
+    def admits(part: String): Boolean = pred.forall { p =>
+      val i = part.lastIndexOf("/_day=")
+      if (i < 0) return false
+      val tenant = part.substring("tenant=".length, i)
+      val day = part.substring(i + "/_day=".length)
+      val vals = attrs.map { a =>
+        if (a.name == "tenant") UTF8String.fromString(tenant)
+        else a.dataType match {
+          // partition inference types _day as DateType (internal form:
+          // days since epoch); a type-inference-off session sees strings
+          case org.apache.spark.sql.types.DateType =>
+            try Int.box(java.time.LocalDate.parse(day).toEpochDay.toInt)
+            catch { case _: Exception => return false }
+          case _ => UTF8String.fromString(day)
+        }
+      }
+      p.eval(InternalRow.fromSeq(vals)) == true
+    }
+
+    // 4. coverage: every admitted ON-DISK part needs a sidecar entry —
+    // an append-invalidated part would otherwise silently undercount
+    val admitted = LogStore.listPartKeys(dir).filter(admits)
+    if (!admitted.subsetOf(counts.keySet)) return None
+
+    val total = scala.collection.mutable.Map.empty[String, Long]
+    admitted.foreach(p => counts(p).foreach { case (f, n) =>
+      total.updateWith(f)(v => Some(v.getOrElse(0L) + n))
+    })
+    served.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Some(total.toSeq.filter(_._2 > 0L).toDF(out, "hits"))
+  }
+}

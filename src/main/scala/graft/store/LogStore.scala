@@ -107,6 +107,9 @@ object LogStore {
     // write-time value-type metadata (the columnHeader.valueType
     // analogue): exact per-part classification for the bulk path
     ValueTypeMeta.recordBatchByPart(withMeta, dir, overwrite = true)
+    // per-part field-name hit counts (the columnsHeader field-list
+    // analogue): field_names answers from this without scanning values
+    FieldNameMeta.recordBatchByPart(withMeta, dir, overwrite = true)
     invalidate(dir)
   }
 
@@ -312,6 +315,36 @@ object LogStore {
       .map(_.stripPrefix("_day=")).distinct.sorted.reverse
   }
 
+  /** All (tenant, day) parts present on disk, as sidecar part keys
+    * ("tenant=0:0/_day=2024-01-05", path-unescaped). Sidecar readers use
+    * this to check a metadata file COVERS the store before trusting it:
+    * an entry can be missing because an append invalidated it, and a
+    * verdict built from the remaining entries would silently misclassify
+    * the uncovered part's rows. Cached per store generation — every
+    * write/compaction/retention bumps the generation, so the listing is
+    * re-walked at most once per mutation. */
+  def listPartKeys(dir: String): Set[String] = {
+    val gen = generation
+    partKeysCache.synchronized(partKeysCache.get(dir)) match {
+      case Some((g, v)) if g == gen => v
+      case _ =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+        val keys = Fs.list(s"$dir/logs")
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("tenant="))
+          .flatMap { t =>
+            Fs.list(t.getPath.toString)
+              .filter(d => d.isDirectory && d.getPath.getName.startsWith("_day="))
+              .map(d => s"${unescapePathName(t.getPath.getName)}/" +
+                unescapePathName(d.getPath.getName))
+          }.toSet
+        partKeysCache.synchronized { partKeysCache(dir) = (gen, keys) }
+        keys
+    }
+  }
+
+  private val partKeysCache =
+    scala.collection.mutable.Map.empty[String, (Long, Set[String])]
+
   /** Newest-first last-N descent (CanReturnLastNResults parser.go:470 +
     * getLastNQueryResults logsql.go:1005-1074): for "latest N matching
     * rows" queries, scan the newest day partitions first and widen
@@ -440,7 +473,8 @@ object LogStore {
     //     (canonicalStream/streamMapCol — key-concepts conformance)
     // v5: _stream_id carries the tenant hex prefix (stream_id.go:12-24 —
     //     equal label sets in different tenants must not share an id)
-    val dir = s"/root/repo/target/graft_store/v5/$name"
+    // v6: ingest writes the field-name hit-count sidecar (FieldNameMeta)
+    val dir = s"/root/repo/target/graft_store/v6/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
       // merge the write-parallelism salt's small files per day partition —

@@ -264,8 +264,14 @@ object ValueTypeMeta {
     storeDirOf(df).flatMap { dir =>
       val parts = load(dir)
       val types = parts.map { case (k, m) => k -> m.get(fld) }
-      // usable only when EVERY part carries a definite verdict for fld
+      // usable only when EVERY part carries a definite verdict for fld —
+      // including parts whose entry an append DROPPED (invalidateParts):
+      // the sidecar's own keys are not the part universe, the disk is.
+      // Without the coverage check, a store whose remaining entries all
+      // matched compiled to lit(true) and admitted the appended part's
+      // unclassified rows (round-11 regression spec pins this).
       if (parts.isEmpty ||
+          !LogStore.listPartKeys(dir).subsetOf(parts.keySet) ||
           types.values.exists(v => v.isEmpty || v.contains("mixed"))) None
       else {
         val matching = types.collect {

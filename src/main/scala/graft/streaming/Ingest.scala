@@ -312,6 +312,9 @@ object Ingest {
       graft.server.Metrics.rowsIngested.addAndGet(
         obs.get("rows").asInstanceOf[Long])
       graft.store.ValueTypeMeta.invalidateParts(dir, obs.get(_))
+      // field-name counts go stale the same way (additive in principle,
+      // but the flush path stays job-free); compaction re-counts exactly
+      graft.store.FieldNameMeta.invalidateParts(dir, obs.get(_))
       val sids = obs.get("sids").asInstanceOf[Seq[_]].map(String.valueOf)
       // steady-state flushes carry only already-registered streams — skip
       // the per-flush streams-table job entirely then. The in-memory set

@@ -28,6 +28,7 @@ def main():
     oracle = json.load(open(oracle_path))
     bench = json.loads(open(bench_path).read())
     qs, jobs = bench["queries"], bench.get("jobs", {})
+    warm = bench.get("queries_warm", {})
     noop = bench.get("overhead_per_query", 0.0)
     jf = bench.get("overhead_per_extra_job", 0.0)
     rows = []
@@ -46,17 +47,26 @@ def main():
             print(f"SKIP {name}: duckdb error {str(e).splitlines()[0][:120]}")
             continue
         spark_adj = max(qs[name] - noop - jf * max(jobs.get(name, 1) - 1, 0), 0.0)
-        rows.append((name, duck, qs[name], spark_adj))
+        # warm = re-execution of the SAME DataFrame (plan + AQE stages
+        # reused): the steady-state serving number, pinning how much of a
+        # cold ratio is plan-construction floor rather than row work
+        rows.append((name, duck, qs[name], spark_adj, warm.get(name)))
     matched = [r for r in rows if r[1] >= 0.02]
-    for name, duck, raw, adj in sorted(matched, key=lambda r: -(r[3] / max(r[1], 1e-9))):
-        print(f"{name:28s} duck={duck*1000:8.1f}ms spark={raw*1000:8.1f}ms adj={adj*1000:8.1f}ms ratio={adj/max(duck,1e-9):6.2f}")
+    for name, duck, raw, adj, w in sorted(matched, key=lambda r: -(r[3] / max(r[1], 1e-9))):
+        ws = f" warm={w*1000:8.1f}ms wratio={w/max(duck,1e-9):6.2f}" if w is not None else ""
+        print(f"{name:28s} duck={duck*1000:8.1f}ms spark={raw*1000:8.1f}ms adj={adj*1000:8.1f}ms ratio={adj/max(duck,1e-9):6.2f}{ws}")
     if matched:
         sduck = sum(r[1] for r in matched)
         sadj = sum(r[3] for r in matched)
         sraw = sum(r[2] for r in matched)
+        mw = [r for r in matched if r[4] is not None]
+        wpart = ""
+        if mw:
+            wpart = (f" ratio_warm={sum(r[4] for r in mw) / max(sum(r[1] for r in mw), 1e-9):.2f}"
+                     f" (warm on {len(mw)})")
         print(f"== matched-work subset (oracle>=20ms): {len(matched)} queries; "
               f"duck={sduck:.2f}s spark_raw={sraw:.2f}s spark_adj={sadj:.2f}s "
-              f"ratio_adj={sadj/sduck:.2f} ratio_raw={sraw/sduck:.2f}")
+              f"ratio_adj={sadj/sduck:.2f} ratio_raw={sraw/sduck:.2f}{wpart}")
     print(f"== all {len(rows)} oracle-timed queries: duck={sum(r[1] for r in rows):.2f}s "
           f"spark_adj={sum(r[3] for r in rows):.2f}s")
     if out_path:
@@ -68,8 +78,11 @@ def main():
             "queries": {
                 name: {"duck_s": duck, "spark_raw_s": raw, "spark_adj_s": adj,
                        "jobs": jobs.get(name, 1),
-                       "ratio_adj": adj / max(duck, 1e-9)}
-                for name, duck, raw, adj in rows
+                       "ratio_adj": adj / max(duck, 1e-9),
+                       **({"spark_warm_s": w,
+                           "ratio_warm": w / max(duck, 1e-9)}
+                          if w is not None else {})}
+                for name, duck, raw, adj, w in rows
             },
             "matched_subset": {
                 "min_oracle_s": 0.02,
@@ -81,6 +94,13 @@ def main():
                               max(sum(r[1] for r in matched), 1e-9)),
                 "ratio_raw": (sum(r[2] for r in matched) /
                               max(sum(r[1] for r in matched), 1e-9)),
+                "ratio_warm": (sum(r[4] for r in matched if r[4] is not None) /
+                               max(sum(r[1] for r in matched if r[4] is not None), 1e-9)),
+                # the committed per-entry gate: cold-adjusted OR warm
+                # (steady-state) must be within 2x for every matched query
+                "max_entry_ratio_best": max(
+                    (min(r[3], r[4]) if r[4] is not None else r[3]) / max(r[1], 1e-9)
+                    for r in matched) if matched else 0.0,
             },
         }
         with open(out_path, "w") as f:
