@@ -7,13 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the whole oracle
+    // suite over real executor JVMs (serialization + exchange + broadcast
+    // over the wire) — the multi-JVM smoke that flushes driver-lucky
+    // assumptions out of plan-keyed caches and the group committer
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
-      .getOrCreate()
+    // local-cluster executors are separate JVMs launched with Spark's own
+    // classpath — hand them the sbt run classpath (same machine) so the
+    // graft classes resolve without a packaged jar
+    val spark = (if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -258,7 +258,8 @@ object Compaction {
     // rewritten BEFORE the source files are deleted (`df` still reads
     // them); the background merge is where the reference decides block
     // types too. The verdict is held back until the post-swap check below.
-    val verdict: Option[(String, String, Map[String, String], Map[String, Long])] =
+    val verdict: Option[(String, String, Map[String, String],
+                         Map[String, Map[String, String]], Map[String, Long])] =
       try {
         // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
         // decode so the key matches the raw-value keys the bulk path writes
@@ -266,7 +267,13 @@ object Compaction {
         val partKey = s"${unescapePathName(pdir.getParent.getName)}/" +
           unescapePathName(pdir.getName)
         val storeDir = pdir.getParent.getParent.getParent.toUri.getPath
+        // per-FILE verdicts classify the freshly written tmp files (one
+        // job, grouped by input_file_name) — names survive the move-in
+        // rename below, so the keys stay valid after the swap. This is
+        // the reference's block granularity: a parquet file is the
+        // store's block (filter_value_type.go:67 answers per block).
         Some((storeDir, partKey, ValueTypeMeta.classifyPart(df),
+          ValueTypeMeta.classifyFiles(spark.read.parquet(tmp.toString)),
           FieldNameMeta.countsForPart(df)))
       } catch { case e: Exception =>
         // metadata is an optimization; on failure value_type falls back to
@@ -289,14 +296,14 @@ object Compaction {
     // be a wrong answer, not a missed optimization. Serialized against
     // appends (their invalidate runs under the same per-dir append lock),
     // so the check can't race a concurrent flush's sidecar write.
-    verdict.foreach { case (storeDir, partKey, fieldTypes, fieldHits) =>
+    verdict.foreach { case (storeDir, partKey, fieldTypes, fileTypes, fieldHits) =>
       StoreLocks.logsAppend(storeDir).synchronized {
         val now = dataFiles(pdir).map(_.getPath.getName).toSet
         val written = newFiles.map(_.getPath.getName).toSet
         if (now == written) {
           if (fieldTypes.nonEmpty)
-            ValueTypeMeta.record(storeDir, Map(partKey -> fieldTypes),
-              overwrite = false)
+            ValueTypeMeta.recordPart(storeDir, partKey, fieldTypes,
+              fileTypes.view.filterKeys(written).toMap)
           if (fieldHits.nonEmpty)
             FieldNameMeta.record(storeDir, Map(partKey -> fieldHits),
               overwrite = false)

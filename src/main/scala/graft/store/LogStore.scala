@@ -72,12 +72,17 @@ object LogStore {
   }
 
   /** The `_stream` label map, absent/empty fields omitted (see
-    * [[canonicalStream]]). */
-  def streamMapCol(streamFields: Seq[String]): Column =
-    map_filter(
-      map(streamFields.sorted.flatMap(f =>
-        Seq(lit(f), coalesce(col(f).cast(StringType), lit("")))): _*),
-      (_, v) => v =!= "")
+    * [[canonicalStream]]). Built from per-field singletons under
+    * map_concat instead of map_filter — higher-order functions interpret
+    * their lambda per entry per row, and this sits on the flush path. */
+  def streamMapCol(streamFields: Seq[String]): Column = {
+    val empty = map().cast(MapType(StringType, StringType))
+    val singles = streamFields.sorted.map { f =>
+      val v = col(f).cast(StringType)
+      when(v.isNotNull && v =!= "", map(lit(f), v)).otherwise(empty)
+    }
+    if (singles.isEmpty) empty else map_concat(singles: _*)
+  }
 
   /** Batch-ingest `df` (must carry `_time` TimestampType + the stream label
     * columns) into the layout. `filesPerDay` spreads each day partition
@@ -344,6 +349,32 @@ object LogStore {
 
   private val partKeysCache =
     scala.collection.mutable.Map.empty[String, (Long, Set[String])]
+
+  /** Data-file names of one part (sidecar readers check a per-file
+    * verdict set covers the part's CURRENT files before trusting it).
+    * Cached per store generation like [[listPartKeys]]. */
+  def listPartFiles(dir: String, partKey: String): Set[String] = {
+    val gen = generation
+    partFilesCache.synchronized(partFilesCache.get((dir, partKey))) match {
+      case Some((g, v)) if g == gen => v
+      case _ =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+        val i = partKey.lastIndexOf("/_day=")
+        val tenant = partKey.substring("tenant=".length, i)
+        val day = partKey.substring(i + "/_day=".length)
+        val pdir = s"$dir/logs/tenant=${escapePathName(tenant)}/_day=${escapePathName(day)}"
+        val files = Fs.list(pdir).collect {
+          case f if f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_") =>
+            f.getPath.getName
+        }.toSet
+        partFilesCache.synchronized { partFilesCache((dir, partKey)) = (gen, files) }
+        files
+    }
+  }
+
+  private val partFilesCache =
+    scala.collection.mutable.Map.empty[(String, String), (Long, Set[String])]
 
   /** Newest-first last-N descent (CanReturnLastNResults parser.go:470 +
     * getLastNQueryResults logsql.go:1005-1074): for "latest N matching

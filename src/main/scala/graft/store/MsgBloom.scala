@@ -221,6 +221,37 @@ object MsgBloom {
     * drop rows), and files deleted since the build drop out via the
     * reconciliation against the store's current file list. `optimize`
     * rebuilds the sidecar to restore pruning power for appended files. */
+  /** Driver-side manifest cache: the sidecar re-read + probe UDF cost a
+    * Spark job per query, which dominates needle-query latency once the
+    * data scan itself is pruned. Bitmaps are cached in driver memory only
+    * while the sidecar stays small (≤ [[MaxCachedManifestBytes]] on
+    * disk); a 100 TB store's ~100k-file sidecar (~12 GiB of bitmaps)
+    * keeps the distributed probe. Keyed by the sidecar files' summed
+    * length + max mtime, so refresh/prune swaps invalidate naturally. */
+  private val MaxCachedManifestBytes = 64L << 20
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), Array[(String, Array[Byte])])]()
+
+  private def sidecarSignature(dir: String): (Long, Long) = {
+    val fs = Fs.list(s"$dir/msg_bloom").filter(_.isFile)
+    (fs.map(_.getLen).sum, fs.map(_.getModificationTime).maxOption.getOrElse(0L))
+  }
+
+  private def cachedManifest(spark: SparkSession,
+                             dir: String): Option[Array[(String, Array[Byte])]] = {
+    val sig = sidecarSignature(dir)
+    if (sig._1 > MaxCachedManifestBytes) return None
+    Option(manifestCache.get(dir)) match {
+      case Some((s, m)) if s == sig => Some(m)
+      case _ =>
+        val m = spark.read.parquet(s"$dir/msg_bloom")
+          .select(col("file"), col("bloom")).collect()
+          .map(r => onDisk(r.getString(0)) -> r.getAs[Array[Byte]](1))
+        manifestCache.put(dir, (sig, m))
+        Some(m)
+    }
+  }
+
   def candidateFiles(spark: SparkSession, dir: String,
                      tokens: Seq[String]): Option[Seq[String]] = {
     if (tokens.isEmpty) return None
@@ -235,10 +266,19 @@ object MsgBloom {
     // refresh prune's rename swap) degrades to scan-everything, never to
     // a client-visible error or a dropped row.
     try {
-      val sidecar = spark.read.parquet(s"$dir/msg_bloom")
-        .select(col("file"), probe(col("bloom")).as("m"))
-        .collect()
-        .map(r => onDisk(r.getString(0)) -> r.getBoolean(1)).toMap
+      // small sidecars probe against the cached in-driver manifest (no
+      // job); big ones keep the executor-side UDF probe
+      val sidecar: Map[String, Boolean] = cachedManifest(spark, dir) match {
+        case Some(m) =>
+          m.iterator.map { case (p, bloom) =>
+            p -> hashes.forall(mightContain(bloom, _))
+          }.toMap
+        case None =>
+          spark.read.parquet(s"$dir/msg_bloom")
+            .select(col("file"), probe(col("bloom")).as("m"))
+            .collect()
+            .map(r => onDisk(r.getString(0)) -> r.getBoolean(1)).toMap
+      }
       val out = LogStore.read(spark, dir).inputFiles.toSeq.flatMap { uri =>
         val p = onDisk(uri)
         sidecar.get(p) match {

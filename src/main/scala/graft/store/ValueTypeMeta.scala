@@ -215,8 +215,44 @@ object ValueTypeMeta {
     val parts = get("__vt_parts").asInstanceOf[Seq[_]].map(String.valueOf)
     if (parts.isEmpty) return
     val base = load(dir)
-    val pruned = base -- parts
+    // drop the part verdict AND its per-file verdicts: the append's new
+    // file has no verdict, so the file set no longer covers the part
+    // anyway, and stale entries would linger forever otherwise
+    val pruned = base.filterNot { case (k, _) =>
+      parts.exists(p => k == p || k.startsWith(p + "/"))
+    }
     if (pruned.size != base.size) writeSidecar(dir, pruned)
+  }
+
+  /** Compaction path, file granularity: classify every data file of a
+    * freshly written part in ONE aggregate job (grouped by
+    * input_file_name) — the closest Spark analogue of the reference
+    * deciding a type PER BLOCK as its merges write them
+    * (filter_value_type.go:67 answers per block; a parquet file is this
+    * store's block). Returns fileName → field → type. */
+  def classifyFiles(partDf: DataFrame): Map[String, Map[String, String]] = {
+    val fields = classifiableFields(partDf)
+    if (fields.isEmpty) return Map.empty
+    val aggs = fields.map(f =>
+      classifyAgg(coalesce(col(f), lit(""))).as(s"__vt_$f"))
+    partDf.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        name -> fields.zipWithIndex.map { case (f, i) =>
+          f -> decide(r.getStruct(1 + i))
+        }.toMap
+      }.toMap
+  }
+
+  /** Record one compacted part's whole-part verdict PLUS its per-file
+    * verdicts (sidecar keys `partKey/fileName`), replacing any stale
+    * file entries of that part. Caller holds the store append lock. */
+  def recordPart(dir: String, partKey: String,
+                 partTypes: Map[String, String],
+                 fileTypes: Map[String, Map[String, String]]): Unit = {
+    val base = load(dir).filterNot { case (k, _) => k.startsWith(partKey + "/") }
+    val fileEntries = fileTypes.map { case (fn, m) => s"$partKey/$fn" -> m }
+    writeSidecar(dir, base + (partKey -> partTypes) ++ fileEntries)
   }
 
   /** Compaction path: classify one partition EXACTLY (one aggregate over
@@ -257,39 +293,100 @@ object ValueTypeMeta {
     }
   }
 
+  /** How one part answers `fld:value_type(want)`. */
+  private sealed trait PartAnswer
+  private case object MatchAll extends PartAnswer
+  private case object MatchNone extends PartAnswer
+  /** Some files of the part match, some don't (file-granularity verdicts
+    * from compaction) — the per-file analogue of the reference skipping
+    * non-matching BLOCKS by their header (filter_value_type.go:79-87). */
+  private final case class MatchFiles(files: Seq[String]) extends PartAnswer
+
+  /** Bound on the file-name in-list a mixed part may contribute: past
+    * this the expression tree stops paying for itself — classify by
+    * scan instead. */
+  private val MaxFilePredicate = 512
+
   /** Sidecar-backed predicate for `fld:value_type(want)` over `df`, or
-    * None when the sidecar can't answer (no sidecar, a part missing the
-    * field, or a "mixed" part) — callers then classify by scan. */
+    * None when the sidecar can't answer (no sidecar, an on-disk part
+    * without a verdict — e.g. dropped by an append's invalidation — or a
+    * "mixed" verdict) — callers then classify by scan.
+    *
+    * Resolution is layered per ON-DISK part (the disk, not the sidecar's
+    * own key set, is the part universe — a store whose remaining entries
+    * all matched used to compile to lit(true) and admit an appended
+    * unclassified part's rows): per-FILE verdicts (compaction-written,
+    * the reference's per-block granularity) when they cover the part's
+    * current files, else the whole-part verdict. Mixed parts compile to
+    * a `_metadata.file_name` in-list under the part's partition
+    * predicate. */
   def predicate(df: DataFrame, fld: String, want: String): Option[Column] =
     storeDirOf(df).flatMap { dir =>
-      val parts = load(dir)
-      val types = parts.map { case (k, m) => k -> m.get(fld) }
-      // usable only when EVERY part carries a definite verdict for fld —
-      // including parts whose entry an append DROPPED (invalidateParts):
-      // the sidecar's own keys are not the part universe, the disk is.
-      // Without the coverage check, a store whose remaining entries all
-      // matched compiled to lit(true) and admitted the appended part's
-      // unclassified rows (round-11 regression spec pins this).
-      if (parts.isEmpty ||
-          !LogStore.listPartKeys(dir).subsetOf(parts.keySet) ||
-          types.values.exists(v => v.isEmpty || v.contains("mixed"))) None
+      val all = load(dir)
+      val diskParts = LogStore.listPartKeys(dir)
+      if (all.isEmpty || diskParts.isEmpty) None
       else {
-        val matching = types.collect {
-          case (k, Some(t)) if t == want => k
-        }.toSeq
-        if (matching.isEmpty) Some(lit(false))
-        else if (matching.size == types.size) Some(lit(true))
-        else if (!df.columns.contains("tenant") || !df.columns.contains("_day"))
-          None // partition predicate needs the partition columns
+        val (fileE, partE) = all.partition(_._1.endsWith(".parquet"))
+        val filesByPart = fileE.toSeq
+          .groupBy { case (k, _) => k.substring(0, k.lastIndexOf('/')) }
+          .map { case (p, es) =>
+            p -> es.map { case (k, m) =>
+              k.substring(k.lastIndexOf('/') + 1) -> m
+            }.toMap
+          }
+        def resolve(p: String): Option[PartAnswer] = {
+          val byFile = filesByPart.get(p).flatMap { fv =>
+            val current = LogStore.listPartFiles(dir, p)
+            val covered = current.nonEmpty &&
+              current.forall(f => fv.get(f).exists(m =>
+                m.get(fld).exists(_ != "mixed")))
+            if (!covered) None
+            else {
+              val matching = current.toSeq.sorted.filter(f => fv(f)(fld) == want)
+              Some(
+                if (matching.isEmpty) MatchNone
+                else if (matching.size == current.size) MatchAll
+                else MatchFiles(matching))
+            }
+          }
+          byFile.orElse(partE.get(p).flatMap(_.get(fld)).collect {
+            case t if t != "mixed" => if (t == want) MatchAll else MatchNone
+          })
+        }
+        val resolved = diskParts.toSeq.sorted.map(p => p -> resolve(p))
+        if (resolved.exists(_._2.isEmpty)) None
         else {
-          // partition-column predicate: prunable at planning time, the
-          // per-part analogue of the reference skipping non-matching
-          // blocks by their header (filter_value_type.go:79-87)
-          val byTenant = matching.map(parseKey).groupBy(_._1)
-          Some(byTenant.map { case (t, ps) =>
-            col("tenant") === lit(t) && col("_day").isin(ps.map(_._2): _*)
-          }.reduce(_ || _))
+          val answers = resolved.map { case (p, a) => p -> a.get }
+          val full = answers.collect { case (p, MatchAll) => p }
+          val partial = answers.collect { case (p, MatchFiles(fs)) => p -> fs }
+          if (partial.isEmpty && full.isEmpty) Some(lit(false))
+          else if (partial.isEmpty && full.size == answers.size) Some(lit(true))
+          else if (!df.columns.contains("tenant") || !df.columns.contains("_day"))
+            None // partition predicate needs the partition columns
+          else if (partial.iterator.map(_._2.size).sum > MaxFilePredicate) None
+          else if (partial.nonEmpty && !metadataResolvable(df)) None
+          else {
+            def partitionPred(keys: Seq[String]): Column = {
+              val byTenant = keys.map(parseKey).groupBy(_._1)
+              byTenant.map { case (t, ps) =>
+                col("tenant") === lit(t) && col("_day").isin(ps.map(_._2): _*)
+              }.reduce(_ || _)
+            }
+            val fullPred =
+              if (full.isEmpty) Nil else Seq(partitionPred(full))
+            val filePreds = partial.map { case (p, fs) =>
+              partitionPred(Seq(p)) && col("_metadata.file_name").isin(fs: _*)
+            }
+            Some((fullPred ++ filePreds).reduce(_ || _))
+          }
         }
       }
     }
+
+  /** `_metadata` resolves only on direct file-source scans (a pending
+    * hot-field promotion wraps the read in projections that drop it) —
+    * probe with an analysis-only select before compiling it in. */
+  private def metadataResolvable(df: DataFrame): Boolean =
+    try { df.select(col("_metadata.file_name")); true }
+    catch { case _: Exception => false }
 }

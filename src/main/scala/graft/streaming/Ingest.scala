@@ -240,6 +240,10 @@ object Ingest {
     // store every label twice AND double-count it in field_names (the
     // reference stores a stream field once — storage_search_test.go
     // field_names-all pins hits == rows for stream fields)
+    // the labels now live in real columns; keeping the map copy would
+    // store every label twice AND double-count it in field_names (the
+    // reference stores a stream field once — storage_search_test.go
+    // field_names-all pins hits == rows for stream fields)
     if (streamFields.isEmpty) withCols
     else withCols.withColumn("fields",
       map_filter(col("fields"), (k, _) => !k.isin(streamFields: _*)))
