@@ -131,8 +131,30 @@ object Bench {
     val noopShufAcc = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
     noopAcc ++= noopSamples(5)
     noopShufAcc ++= noopShuffleSamples(5)
+    // WARM re-execution: collect() twice on the SAME Dataset. The second
+    // collect reuses the cached queryExecution — optimized plan, codegen,
+    // and every AQE stage already materialized — so only the final stage
+    // re-runs: the steady state a dashboard hits through the serving
+    // path's plan cache (QueryServer.planCache re-serves the same
+    // DataFrame object the same way). count() would NOT measure this (it
+    // wraps the plan in a fresh Dataset per call and re-executes from the
+    // scan up). Measured inline per query, not at the end of the suite —
+    // late-JVM GC debris would otherwise inflate every warm number ~2.5x.
+    def warmOnce(n: String): Double =
+      if (SparkEntry.isEffectful(n)) -1d
+      else try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.collect() // materialize plan + AQE stages
+        val ts = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          df.collect()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      } catch { case _: Throwable => -1d }
     val resultsAll = names.zipWithIndex.map { case (n, i) =>
       val runs = Seq.fill(3)(once(n))
+      val warm = if (runs.exists(_._3.isDefined)) -1d else warmOnce(n)
       if (i % 10 == 9) {
         // Spark's ContextCleaner reclaims broadcast vars and shuffle files
         // only when the JVM GCs their references; 350+ plan executions in
@@ -146,32 +168,12 @@ object Bench {
       // steady-state job count = min across runs: the first run may pay
       // one-off jobs (lazy store build, cache population) that the median
       // time doesn't include; repeat runs of the same plan agree exactly
-      (n, ts(1), runs.map(_._2).min, runs.flatMap(_._3).headOption)
+      (n, ts(1), runs.map(_._2).min, runs.flatMap(_._3).headOption, warm)
     }
-    val failed = resultsAll.collect { case (n, _, _, Some(err)) => (n, err) }
-    val results = resultsAll.collect { case (n, sec, jobs, None) => n -> (sec, jobs) }
-    // WARM re-execution: build the DataFrame once, act on the SAME object
-    // three times, take the median of the re-runs. Re-using one DataFrame
-    // re-uses its analyzed/optimized plan and its materialized AQE stages,
-    // so this isolates steady-state execution from the per-request
-    // plan-construction floor — the serving path's plan cache gives
-    // dashboards exactly this number (QueryServer.planCache), and the
-    // DuckDB comparison reports it per matched query (ratio_warm) so
-    // fixed-cost residue is pinned in the artifact, not in prose.
-    val warmResults = results.map { case (n, _) =>
-      val t =
-        try {
-          val df = SparkEntry.queries(n)(spark, sfDir)
-          df.count() // materialize plan + AQE stages
-          val ts = Seq.fill(3) {
-            val t0 = System.nanoTime()
-            df.count()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          ts(1)
-        } catch { case _: Throwable => -1d }
-      n -> t
-    }.filter(_._2 >= 0d)
+    val failed = resultsAll.collect { case (n, _, _, Some(err), _) => (n, err) }
+    val results = resultsAll.collect { case (n, sec, jobs, None, _) => n -> (sec, jobs) }
+    val warmResults = resultsAll.collect {
+      case (n, _, _, None, w) if w >= 0d => n -> w }
     noopAcc ++= noopSamples(5)
     noopShufAcc ++= noopShuffleSamples(5)
     val noopAll = noopAcc.toSeq.sorted

@@ -55,6 +55,10 @@ object SparkEntry {
     "q_stream_dedup", "q_stream_neardup", "q_stream_sessions",
     "q_sim_ivf_persist")
 
+  /** Entries excluded from the plan memo (imperative work per call) —
+    * the bench skips warm re-execution for these too. */
+  def isEffectful(name: String): Boolean = effectfulQueries(name)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     buildQueries.map { case (n, f) =>
       if (effectfulQueries(n)) n -> f
