@@ -332,7 +332,7 @@ object Bench {
     } finally srv.stop()
   }
 
-  private def ingestBench(threads: Int = 16, posts: Int = 48,
+  private def ingestBench(threads: Int = 16, posts: Int = 96,
       linesPerPost: Int = 5000): (Long, Double, Long, Long, Long, Long) = {
     val spark = SparkSession.active
     val dir = s"/root/repo/target/bench_ingest-${System.nanoTime()}"
@@ -351,8 +351,14 @@ object Bench {
       def body(i: Int): Array[Byte] = (0 until linesPerPost).map { j =>
         s"""{"_time":"2024-01-05T10:${f"${j % 60}%02d"}:00Z","_msg":"bench ingest row $i $j from generator","app":"app${i % 8}"}"""
       }.mkString("\n").getBytes("UTF-8")
-      post(body(-1)) // warmup: first append pays parquet/committer init
+      // warmup: one full concurrent wave, not a lone post — the lone post
+      // leaves the multi-slice parse/shuffle/write path cold, so the first
+      // timed flush paid ~1.8s of JIT that a sustained workload never sees
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      (0 until threads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = post(body(-1 - i)) })
+      }.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
       val t0 = System.nanoTime()
       val futs = (0 until posts).map { i =>
         pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = post(body(i)) })
@@ -360,9 +366,9 @@ object Bench {
       val ok = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS)).count(_ == 200)
       val sec = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      // raw payload bytes (incl. the warmup post) vs what the store holds
+      // raw payload bytes (incl. the warmup wave) vs what the store holds
       val rawBytes = (0 until posts).map(i => body(i).length.toLong).sum +
-        body(-1).length.toLong
+        (0 until threads).map(i => body(-1 - i).length.toLong).sum
       def du(f: java.io.File): Long =
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty).map(du).sum

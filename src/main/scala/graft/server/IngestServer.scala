@@ -134,6 +134,41 @@ final class IngestServer(spark: SparkSession, storeDir: String,
       append(ex, ps, "journald", GroupCommitter.Rows(rows), identity)
       respondEmpty(ex, 200)
     }
+    // cluster-internal native insert (app/vlinsert/internalinsert/
+    // internalinsert.go): a reference vlinsert front forwarding rows to
+    // this engine as a storage node. Body = concatenated InsertRows
+    // (log_rows.go:684), zstd-compressed per Content-Encoding (the
+    // shared `decompress` already handles it). Tenant and stream
+    // identity are PER ROW here (unlike the public protocols' request
+    // args), so rows group by (tenant, tag names) before the committer.
+    route("/internal/insert") { (ex, ps, bytes) =>
+      val version = ps.get("version").flatMap(_.headOption).getOrElse("")
+      if (version != InternalProto.InsertProtocolVersion)
+        throw new IllegalArgumentException(
+          s"unsupported protocol version=$version; want ${InternalProto.InsertProtocolVersion}")
+      val rows = InternalProto.parseInsertRows(bytes)
+      rows.groupBy(r => (r.tenant, r.tags.map(_._1).sorted)).foreach {
+        case ((tenant, tagNames), group) =>
+          val payload = group.map { r =>
+            val inst =
+              if (r.tsNs == 0L) java.time.Instant.now()
+              else java.time.Instant.ofEpochSecond(
+                Math.floorDiv(r.tsNs, 1000000000L),
+                Math.floorMod(r.tsNs, 1000000000L))
+            // an empty field name means _msg on the native protocol, as
+            // everywhere else in the reference
+            val named = r.fields.map { case (k, v) =>
+              (if (k.isEmpty) "_msg" else k) -> v }
+            val msg = named.find(_._1 == "_msg").map(_._2).getOrElse("")
+            (java.sql.Timestamp.from(inst), msg,
+              (named.filter(_._1 != "_msg") ++ r.tags).toMap)
+          }
+          committer.append(GroupCommitter.Rows(payload),
+            s"internalinsert|$tenant|tags=${tagNames.mkString(",")}",
+            identity, tagNames, tenant)
+      }
+      respondEmpty(ex, 200)
+    }
     route("/insert/ready") { (ex, _, _) => respond(ex, 200, """{"status":"ok"}""") }
     // storage admin endpoints (vlstorage/main.go:211-213): force_merge
     // kicks a scoped compaction in the background and returns immediately;

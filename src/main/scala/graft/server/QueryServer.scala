@@ -3,6 +3,7 @@ package graft.server
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -65,6 +66,16 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     server.createContext("/select/logsql/stream_ids", handler(handleStreamIds))
     server.createContext("/select/logsql/stream_field_names", handler(handleStreamFieldNames))
     server.createContext("/select/logsql/stream_field_values", handler(handleStreamFieldValues))
+    // cluster-internal select protocol (internalselect.go:44-52): a
+    // reference vlselect front can fan out to this engine as a storage
+    // node — same admission gate and deadline as the public endpoints
+    server.createContext("/internal/select/query", handler(handleInternalQuery))
+    server.createContext("/internal/select/field_names", handler(handleInternalFieldNames))
+    server.createContext("/internal/select/field_values", handler(handleInternalFieldValues))
+    server.createContext("/internal/select/streams", handler(handleInternalStreams))
+    server.createContext("/internal/select/stream_ids", handler(handleInternalStreamIds))
+    server.createContext("/internal/select/stream_field_names", handler(handleInternalStreamFieldNames))
+    server.createContext("/internal/select/stream_field_values", handler(handleInternalStreamFieldValues))
     // Prometheus text exposition, like the reference binary's /metrics
     Metrics.registerGauge("graft_select_concurrent",
       () => (maxConcurrentQueries - querySem.availablePermits).toLong)
@@ -457,7 +468,15 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     * trimmed, residual `fields`-map entries splatted top-level,
     * empty/missing values skipped (MarshalFieldsToJSON, rows.go:144-162)
     * and the store's internal partition columns hidden. */
-  private def refJson(df: DataFrame, names: Seq[String]): org.apache.spark.sql.Column = {
+  private def refJson(df: DataFrame, names: Seq[String]): org.apache.spark.sql.Column =
+    to_json(refMap(df, names))
+
+  /** The flattened field map behind every row-shaped response: top-level
+    * columns canonically stringified (Go float/RFC3339 rendering), the
+    * `fields` map folded in underneath, store internals hidden. The NDJSON
+    * endpoint JSON-encodes it; /internal/select/query columnarizes it
+    * into native DataBlocks. */
+  private def refMap(df: DataFrame, names: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     val hidden = Set("_day", "tenant", "fields")
     val entries = names.filterNot(hidden).map { name =>
@@ -478,7 +497,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         map_filter(coalesce(col("fields"),
           map().cast("map<string,string>")), (_, v) => v.isNotNull && v =!= ""),
         base) // top-level columns win on a key collision
-    to_json(full)
+    full
   }
 
   // ------------------------------------------------------------ endpoints
@@ -720,43 +739,233 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     if (!source.columns.contains("_stream"))
       throw new IllegalArgumentException("source has no _stream column (not a log-store view)")
 
-  private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
-    requireStream()
-    // pipes dropped across the stream-metadata family (logsql.go:369-481)
-    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
+  // the (value, hits) plans behind the stream-metadata family, shared by
+  // the public JSON endpoints and the native /internal/select/* encodings
+  private def streamsAgg(df: DataFrame): DataFrame = {
     val canon = concat(lit("{"), concat_ws(",",
       transform(array_sort(map_entries(col("_stream"))),
         e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\"")))), lit("}"))
-    val out = df.groupBy(canon.as("v")).agg(count(lit(1)).as("hits"))
+    df.groupBy(canon.as("v")).agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("v"))
+  }
+
+  private def streamIdsAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("v"))
+
+  private def streamFieldNamesAgg(df: DataFrame): DataFrame =
+    df.select(explode(map_keys(col("_stream"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
+
+  private def streamFieldValuesAgg(df: DataFrame, fld: String): DataFrame =
+    df.select(element_at(col("_stream"), fld).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("v"))
+
+  private def handleStreams(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    // pipes dropped across the stream-metadata family (logsql.go:369-481)
+    val out = streamsAgg(runQ(ex, dropPipes(parseQ(ex, ps))))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
   }
 
   private def handleStreamIds(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
-    val out = df.groupBy(col("_stream_id").as("v")).agg(count(lit(1)).as("hits"))
-      .orderBy(col("hits").desc, col("v"))
+    val out = streamIdsAgg(runQ(ex, dropPipes(parseQ(ex, ps))))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
   }
 
   private def handleStreamFieldNames(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
-    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
-    val out = df.select(explode(map_keys(col("_stream"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("hits")).orderBy("v")
+    val out = streamFieldNamesAgg(runQ(ex, dropPipes(parseQ(ex, ps))))
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
   }
 
   private def handleStreamFieldValues(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
     requireStream()
     val fld = one(ps, "field").getOrElse(throw new IllegalArgumentException("missing 'field' arg"))
-    val df = runQ(ex, dropPipes(parseQ(ex, ps)))
-    val out = df.select(element_at(col("_stream"), fld).as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("hits"))
-      .orderBy(col("hits").desc, col("v"))
+    val out = streamFieldValuesAgg(runQ(ex, dropPipes(parseQ(ex, ps))), fld)
     respond(ex, 200, valuesWithHits(limited(out, ps), 0, 1))
+  }
+
+  // ------------------------------------------- cluster-internal endpoints
+  // app/vlselect/internalselect/internalselect.go: the native protocol a
+  // reference vlselect front uses to fan a query out to storage nodes.
+  // Args arrive as URL query params (netselect.go:234 getCommonArgs);
+  // `tenant_ids` is RAW BINARY (u32be pairs) URL-escaped, so it must be
+  // percent-decoded to bytes — the UTF-8 form decoder would mangle it.
+
+  private def urlDecodeBytes(s: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '%' if i + 2 < s.length =>
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+        case '+' => out.write(' '); i += 1
+        case c => out.write(c.toInt); i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  private def rawArg(ex: HttpExchange, name: String): Option[Array[Byte]] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").iterator
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name => urlDecodeBytes(v) }
+
+  private final case class InternalParams(tenants: Seq[String], q: Query,
+                                          compress: Boolean)
+
+  private def internalParams(ex: HttpExchange,
+                             ps: Map[String, Seq[String]]): InternalParams = {
+    val version = one(ps, "version").getOrElse("")
+    if (version != InternalProto.SelectProtocolVersion)
+      throw new IllegalArgumentException(
+        s"unexpected version=$version; want ${InternalProto.SelectProtocolVersion}")
+    val tenants = InternalProto.parseTenantIds(
+        rawArg(ex, "tenant_ids").getOrElse(Array.emptyByteArray))
+      .map(QueryServer.canonTenant).distinct
+    val ts = one(ps, "timestamp").getOrElse(
+      throw new IllegalArgumentException("cannot parse timestamp")).toLong
+    val text = one(ps, "query").getOrElse(
+      throw new IllegalArgumentException("missing 'query' arg"))
+    // ParseQueryAtTimestamp: relative time filters resolve at the
+    // timestamp the FRONT pinned, not this node's clock
+    val q = Parser.parse(text, ts)
+    val compress = !one(ps, "disable_compression").getOrElse(
+      throw new IllegalArgumentException("cannot parse disable_compression"))
+      .toBoolean
+    InternalParams(tenants, q, compress)
+  }
+
+  /** Tenant scoping by explicit list (the internal protocol carries
+    * tenants as an arg, not headers). Zero tenants select zero rows. */
+  private def tenantScopeT(tenants: Seq[String])(df: DataFrame): DataFrame =
+    if (!df.columns.contains("tenant")) df
+    else if (tenants.isEmpty) df.filter(lit(false))
+    else df.filter(col("tenant").isin(tenants: _*))
+
+  private def runQT(tenants: Seq[String], q: Query): DataFrame =
+    Compiler.run(tenantScopeT(tenants)(source), q,
+      if (q.evalNs != 0L) q.evalNs else nowNs)
+
+  private def respondVH(ex: HttpExchange, df: DataFrame, compress: Boolean,
+                        limit: Option[Long]): Unit = {
+    val bounded = limit.filter(_ > 0)
+      .map(l => df.limit(math.min(l, Int.MaxValue.toLong).toInt)).getOrElse(df)
+    val rows = collectBounded(bounded, "values")
+    val b = new ByteArrayOutputStream()
+    InternalProto.marshalValuesWithHits(b,
+      rows.toSeq.map(r => String.valueOf(r.get(0)) -> r.getLong(1)))
+    val data = if (compress) InternalProto.zstdCompress(b.toByteArray)
+               else b.toByteArray
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    if (data.isEmpty) ex.sendResponseHeaders(200, -1)
+    else {
+      ex.sendResponseHeaders(200, data.length.toLong)
+      ex.getResponseBody.write(data)
+    }
+  }
+
+  private def requiredLimit(ps: Map[String, Seq[String]]): Option[Long] =
+    Some(one(ps, "limit").getOrElse(
+      throw new IllegalArgumentException("cannot parse limit")).toLong)
+
+  private def handleInternalQuery(ex: HttpExchange,
+                                  ps: Map[String, Seq[String]]): Unit = {
+    val ip = internalParams(ex, ps)
+    val df = runQT(ip.tenants, ip.q)
+    val rows = df.select(refMap(df, df.columns.toSeq).as("m"))
+    // force the first partition's job BEFORE committing the 200 (compile
+    // errors map to a real error status, like the NDJSON endpoint)
+    val li = rows.toLocalIterator()
+    li.hasNext
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    val buf = new ByteArrayOutputStream()
+    def flushBuf(): Unit = if (buf.size() > 0) {
+      val data = if (ip.compress) InternalProto.zstdCompress(buf.toByteArray)
+                 else buf.toByteArray
+      val lenB = new ByteArrayOutputStream(8)
+      InternalProto.putU64(lenB, data.length.toLong)
+      out.write(lenB.toByteArray)
+      out.write(data)
+      buf.reset()
+    }
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    def flushChunk(): Unit = if (chunk.nonEmpty) {
+      // columnarize: the chunk's field-name union, first-seen order;
+      // a row lacking a field carries "" (VL's missing == empty)
+      val keys = chunk.iterator.flatMap(_.keys).toSeq.distinct
+      val cols = keys.map(k => chunk.map(_.getOrElse(k, "")).toArray)
+      InternalProto.marshalDataBlock(buf, keys, cols, chunk.size)
+      chunk.clear()
+      // 1 MiB send threshold, like internalselect.go:106
+      if (buf.size() >= (1 << 20)) flushBuf()
+    }
+    while (li.hasNext) {
+      val r = li.next()
+      chunk += (if (r.isNullAt(0)) Map.empty[String, String]
+                else r.getMap[String, String](0).toMap)
+      if (chunk.size >= 4096) flushChunk()
+    }
+    flushChunk()
+    flushBuf()
+  }
+
+  private def handleInternalFieldNames(ex: HttpExchange,
+                                       ps: Map[String, Seq[String]]): Unit = {
+    val ip = internalParams(ex, ps)
+    respondVH(ex,
+      runQT(ip.tenants, Query(ip.q.filter, Seq(Pipe.FieldNames("name")))),
+      ip.compress, None)
+  }
+
+  private def handleInternalFieldValues(ex: HttpExchange,
+                                        ps: Map[String, Seq[String]]): Unit = {
+    val ip = internalParams(ex, ps)
+    val fld = one(ps, "field").getOrElse("")
+    val lim = requiredLimit(ps)
+    respondVH(ex,
+      runQT(ip.tenants,
+        Query(ip.q.filter, Seq(Pipe.FieldValues(fld, lim.filter(_ > 0))))),
+      ip.compress, None)
+  }
+
+  private def handleInternalStreams(ex: HttpExchange,
+                                    ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val ip = internalParams(ex, ps)
+    respondVH(ex, streamsAgg(runQT(ip.tenants, dropPipes(ip.q))),
+      ip.compress, requiredLimit(ps))
+  }
+
+  private def handleInternalStreamIds(ex: HttpExchange,
+                                      ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val ip = internalParams(ex, ps)
+    respondVH(ex, streamIdsAgg(runQT(ip.tenants, dropPipes(ip.q))),
+      ip.compress, requiredLimit(ps))
+  }
+
+  private def handleInternalStreamFieldNames(ex: HttpExchange,
+                                             ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val ip = internalParams(ex, ps)
+    respondVH(ex, streamFieldNamesAgg(runQT(ip.tenants, dropPipes(ip.q))),
+      ip.compress, None)
+  }
+
+  private def handleInternalStreamFieldValues(ex: HttpExchange,
+                                              ps: Map[String, Seq[String]]): Unit = {
+    requireStream()
+    val ip = internalParams(ex, ps)
+    val fld = one(ps, "field").getOrElse("")
+    respondVH(ex, streamFieldValuesAgg(runQT(ip.tenants, dropPipes(ip.q)), fld),
+      ip.compress, requiredLimit(ps))
   }
 
   /** Query.DropAllPipes (parser.go:366): metadata endpoints read the

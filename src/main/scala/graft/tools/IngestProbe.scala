@@ -16,7 +16,7 @@ object IngestProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val threads = 16
-    val posts = 48
+    val posts = 96
     val linesPerPost = 5000
     val dir = s"/root/repo/target/probe_ingest-${System.nanoTime()}"
     val srv = new graft.server.IngestServer(spark, dir)
@@ -34,8 +34,12 @@ object IngestProbe {
       def body(i: Int): Array[Byte] = (0 until linesPerPost).map { j =>
         s"""{"_time":"2024-01-05T10:${f"${j % 60}%02d"}:00Z","_msg":"bench ingest row $i $j from generator","app":"app${i % 8}"}"""
       }.mkString("\n").getBytes("UTF-8")
-      post(body(-1))
+      // warmup: one full concurrent wave (matches Bench.ingestBench)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      (0 until threads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = post(body(-1 - i)) })
+      }.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
       val t0 = System.nanoTime()
       val futs = (0 until posts).map { i =>
         pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = post(body(i)) })
