@@ -76,6 +76,15 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
     server.createContext("/internal/select/stream_ids", handler(handleInternalStreamIds))
     server.createContext("/internal/select/stream_field_names", handler(handleInternalStreamFieldNames))
     server.createContext("/internal/select/stream_field_values", handler(handleInternalStreamFieldValues))
+    // built-in query UI (the reference serves its vmui bundle here)
+    server.createContext("/select/vmui", (ex: HttpExchange) => {
+      try {
+        val bytes = WebUi.html.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
     // Prometheus text exposition, like the reference binary's /metrics
     Metrics.registerGauge("graft_select_concurrent",
       () => (maxConcurrentQueries - querySem.availablePermits).toLong)

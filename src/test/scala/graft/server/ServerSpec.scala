@@ -38,6 +38,13 @@ class ServerSpec extends SparkSuite {
     assert(QueryServer.canonTenant("007:08") == "7:8") // numeric, not octal
   }
 
+  test("built-in query UI is served at /select/vmui") {
+    val (code, body) = get("/select/vmui")
+    assert(code == 200)
+    assert(body.contains("<!doctype html>") &&
+      body.contains("/select/logsql/query"))
+  }
+
   test("query endpoint streams NDJSON rows") {
     val (code, body) = get(s"/select/logsql/query?query=${enc("event_type:purchase | fields event_id, event_type")}&limit=5")
     assert(code == 200)
