@@ -1,0 +1,110 @@
+package graft.server
+
+import graft.SparkSuite
+import graft.logql.Compiler
+import graft.store.LogStore
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+/** The shipper half of the cluster story (vlagent, app/vlagent): edge
+  * ingest → disk-backed queue → native /internal/insert forward, with
+  * at-least-once delivery across storage outages and agent restarts. */
+class LogAgentSpec extends SparkSuite {
+
+  private def tmp(name: String): String = {
+    val d = s"/root/repo/target/agent_test/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def post(port: Int, path: String, body: String,
+                   headers: Map[String, String] = Map.empty): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.getOutputStream.write(body.getBytes(UTF_8))
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  private def count(dir: String, q: String): Long =
+    LogStore.withStaleRetry(dir) {
+      Compiler.run(LogStore.read(spark, dir), q).collect().head.getLong(0)
+    }
+
+  private def await(what: String, timeoutMs: Long = 30000L)(ok: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!ok) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        fail(s"timed out waiting for $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("agent forwards jsonline and es-bulk to storage over the native protocol") {
+    val storeDir = tmp("fwd-store")
+    val storage = new IngestServer(spark, storeDir)
+    val storagePort = storage.start()
+    val agent = new LogAgent(tmp("fwd-queue"),
+      Seq(s"http://127.0.0.1:$storagePort"), flushIntervalMs = 50L)
+    val agentPort = agent.start()
+    try {
+      val (c0, _) = post(agentPort,
+        "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T10:00:00Z","_msg":"agent row one","app":"web","level":"info"}
+          |{"_time":"2024-01-05T10:01:00Z","_msg":"agent row two","app":"api"}""".stripMargin)
+      assert(c0 == 200)
+      val (c1, bulk) = post(agentPort, "/insert/elasticsearch/_bulk?_stream_fields=app",
+        """{"index":{"_index":"logs"}}
+          |{"@timestamp":"2024-01-05T11:00:00Z","message":"agent es doc","app":"api"}""".stripMargin)
+      assert(c1 == 200 && bulk.contains("\"errors\":false"))
+
+      await("rows forwarded")(agent.backlog() == 0 &&
+        (try count(storeDir, "agent | stats count() c") == 3L
+         catch { case _: Throwable => false }))
+      // field/stream fidelity through the native hop
+      assert(count(storeDir, """level:info {app="web"} | stats count() c""") == 1)
+      assert(count(storeDir, """"agent es doc" {app="api"} | stats count() c""") == 1)
+      // timestamps survived (not replaced by ingestion time)
+      assert(count(storeDir,
+        """_time:[2024-01-05T10:00:00Z, 2024-01-05T11:00:00Z] | stats count() c""") == 3)
+    } finally { agent.stop(); storage.stop() }
+  }
+
+  test("storage outage queues durably; recovery and agent restart lose nothing") {
+    val storeDir = tmp("outage-store")
+    val queueDir = tmp("outage-queue")
+    // no storage yet: every send fails, blocks pile up on disk
+    val agent = new LogAgent(queueDir, Seq("http://127.0.0.1:1"),
+      flushIntervalMs = 50L, maxBackoffMs = 100L)
+    val agentPort = agent.start()
+    val (c0, _) = post(agentPort, "/insert/jsonline?_stream_fields=app",
+      """{"_time":"2024-01-05T10:00:00Z","_msg":"queued during outage","app":"web"}""")
+    assert(c0 == 200)
+    await("block persisted")(agent.backlog() > 0)
+    agent.stop() // drains the buffer; queued blocks stay on disk
+
+    // storage comes up; a NEW agent process resumes the same queue dir
+    val storage = new IngestServer(spark, storeDir)
+    val storagePort = storage.start()
+    val agent2 = new LogAgent(queueDir, Seq(s"http://127.0.0.1:$storagePort"),
+      flushIntervalMs = 50L, maxBackoffMs = 100L)
+    val agent2Port = agent2.start()
+    try {
+      val (c1, _) = post(agent2Port, "/insert/jsonline?_stream_fields=app",
+        """{"_time":"2024-01-05T10:05:00Z","_msg":"sent after recovery","app":"web"}""")
+      assert(c1 == 200)
+      await("backlog drained")(agent2.backlog() == 0 &&
+        (try count(storeDir, "* | stats count() c") == 2L
+         catch { case _: Throwable => false }))
+      assert(count(storeDir, "queued | stats count() c") == 1)
+      assert(count(storeDir, "recovery | stats count() c") == 1)
+    } finally { agent2.stop(); storage.stop() }
+  }
+}
