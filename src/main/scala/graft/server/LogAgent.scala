@@ -31,7 +31,8 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
                      port: Int = 0,
                      flushIntervalMs: Long = 200L,
                      maxBlockRows: Int = 10000,
-                     maxBackoffMs: Long = 2000L) {
+                     maxBackoffMs: Long = 2000L,
+                     maxQueueBytes: Long = 1L << 30) {
   import InternalProto._
 
   @volatile private var stopped = false
@@ -101,6 +102,23 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
       Files.write(tmp, block)
       Files.move(tmp, dir.resolve(f"block-$n%019d.bin"),
         StandardCopyOption.ATOMIC_MOVE)
+      // bounded disk (remotewrite -remoteWrite.maxDiskUsagePerURL): a
+      // long outage must not fill the edge box — drop the OLDEST blocks
+      // (like the reference's persistent queue) and say so loudly
+      // the sender deletes concurrently — treat a vanished file as size 0
+      def sizeOf(p: Path): Long =
+        try Files.size(p) catch { case _: Exception => 0L }
+      var blocks = listBlocks()
+      var total = blocks.map(sizeOf).sum
+      while (total > maxQueueBytes && blocks.size > 1) {
+        val victim = blocks.head
+        val sz = sizeOf(victim)
+        System.err.println(
+          s"[agent] queue $dir over ${maxQueueBytes}B: dropping oldest ${victim.getFileName}")
+        Files.deleteIfExists(victim)
+        blocks = blocks.tail
+        total -= sz
+      }
     }
 
     def backlog(): Int = listBlocks().size

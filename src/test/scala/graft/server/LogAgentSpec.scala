@@ -77,6 +77,34 @@ class LogAgentSpec extends SparkSuite {
     } finally { agent.stop(); storage.stop() }
   }
 
+  test("queue disk usage is bounded: overflow drops the OLDEST blocks") {
+    val queueDir = tmp("cap-queue")
+    val agent = new LogAgent(queueDir, Seq("http://127.0.0.1:1"),
+      flushIntervalMs = 3600000L, // manual flushes only
+      maxBackoffMs = 200L, maxQueueBytes = 2048L)
+    val agentPort = agent.start()
+    try {
+      // each flush = one ~1-2KB zstd block (incompressible payload);
+      // a 2048B cap holds ~1-2 blocks, so 5 pushes must drop the oldest
+      val rnd = new scala.util.Random(7)
+      for (i <- 1 to 5) {
+        val payload = rnd.alphanumeric.take(2000).mkString
+        val (c, _) = post(agentPort, "/insert/jsonline",
+          s"""{"_time":"2024-01-05T10:0$i:00Z","_msg":"block $i $payload"}""")
+        assert(c == 200)
+        agent.flush()
+      }
+      assert(agent.backlog() <= 2, s"cap did not hold: ${agent.backlog()} blocks")
+      // survivors are the NEWEST blocks (highest sequence numbers)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(Paths.get(queueDir, "q0"))
+      val names = try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("block-")).toSeq.sorted finally s.close()
+      assert(names.nonEmpty && names.last.contains("5"),
+        s"newest block missing from survivors: $names")
+    } finally agent.stop()
+  }
+
   test("storage outage queues durably; recovery and agent restart lose nothing") {
     val storeDir = tmp("outage-store")
     val queueDir = tmp("outage-queue")
