@@ -707,6 +707,14 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // ---- BM25 top-k retrieval: per-doc tf as COLUMNS over one scan (no
+    // corpus explode), corpus stats in one broadcast agg row, TakeOrdered
+    // top-k — the targeted-selection primitive for data curation ----
+    "q_text_bm25" -> ((s, d) => {
+      graft.ops.TextAnalysis.bm25TopK(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "text", "doc_id", Seq("customer", "vector", "merge"), k = 15)
+    }),
     // ---- deterministic shuffled-shard export assignment: hash sharding
     // is a pure function of (id, seed), so per-shard counts are pinned ----
     "q_export_shards" -> ((s, d) => {
@@ -1783,6 +1791,35 @@ object SparkEntry {
          FROM (VALUES (0, 43, 577), (1, 56, 648), (2, 69, 637), (3, 64, 652),
                       (4, 75, 625), (5, 74, 600), (6, 58, 606), (7, 61, 655)
          ) AS t(shard, small, big) ORDER BY shard""",
+    // BM25: identical tokenization, identical float op order, scores
+    // pinned at 1e-6 so a last-ulp ln() difference cannot flip the hash
+    "q_text_bm25" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS dl,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'customer')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x = 'merge')) AS DOUBLE) AS tf2
+           FROM documents
+         ), s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                  sum(CAST(tf0 > 0 AS DOUBLE)) AS df0,
+                  sum(CAST(tf1 > 0 AS DOUBLE)) AS df1,
+                  sum(CAST(tf2 > 0 AS DOUBLE)) AS df2
+           FROM t
+         )
+         SELECT doc_id, CAST(floor((
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 1e6) AS BIGINT) AS score_x1m
+         FROM t, s
+         WHERE floor((
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 1e6) > 0
+         ORDER BY score_x1m DESC, doc_id LIMIT 15""",
     // packing is the chunk CTE + a sharded cumulative sum both sides
     "q_text_pack" ->
       """WITH t AS (

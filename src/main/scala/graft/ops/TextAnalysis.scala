@@ -334,4 +334,51 @@ object TextAnalysis {
         floor((col("__cum") - col(tokenCountCol)) / contextTokens))
       .drop("__cum")
   }
+
+  /** BM25 top-k retrieval over a document corpus — the relevance-scoring
+    * primitive data-curation pipelines use for targeted selection and
+    * eval-set retrieval (Robertson/Spärck Jones BM25, the Okapi
+    * formulation with the standard k1/b defaults).
+    *
+    * Scale shape, deliberately: per-document term frequencies for the
+    * (few) query terms compute as COLUMNS over one scan — the corpus is
+    * never exploded and never shuffled for tf. Corpus statistics (N,
+    * avgdl, per-term document frequencies) roll up in one tiny global
+    * aggregate whose single row broadcasts back via crossJoin. The only
+    * data movement for 100 TB of documents is that one partial-agg
+    * rollup plus a TakeOrdered(k) — no joins, no windows.
+    *
+    * Tokenization is the SQL-mirrorable canonical form (lower +
+    * split on non-alphanumeric) so the DuckDB oracle reproduces scores
+    * bit-for-bit; scores are reported as `floor(score * 1e6)` to pin
+    * the comparison against last-ulp float drift across engines. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase)
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === t)).cast("double").as(s"__tf$i") }
+    val withTf = df.select(
+      (col(idCol) +: size(toks).cast("double").as("__dl") +: tfCols): _*)
+    val dfCols = terms.indices.map(i =>
+      sum((col(s"__tf$i") > 0).cast("double")).as(s"__df$i"))
+    val statsRow = withTf.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (avg(col("__dl")).as("__avgdl") +: dfCols): _*)
+    val scored = withTf.crossJoin(broadcast(statsRow))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored
+      .select(col(idCol), floor(score * 1e6).cast("long").as("score_x1m"))
+      .filter(col("score_x1m") > 0)
+      .orderBy(col("score_x1m").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -47,7 +47,7 @@ object FieldNameMeta {
     df.columns.toSeq.filter(c =>
       c != "fields" && c != "tenant" && c != "_day")
 
-  private def nonEmpty(df: DataFrame, c: String): Column =
+  private[store] def nonEmpty(df: DataFrame, c: String): Column =
     graft.logql.Compiler.strF(df, c) =!= ""
 
   /** Exact per-(tenant, _day) counts of `batch` — the bulk-load path. */

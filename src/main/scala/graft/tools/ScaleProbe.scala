@@ -49,8 +49,11 @@ object ScaleProbe {
           col("user_id"), col("event_type"), col("app"), col("value")))
         .select("_time", "_msg", "event_type", "user_id", "value", "app")
       LogStore.ingest(df, dir, Seq("app"), filesPerDay = 8)
+      val tIngest = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE build phase: ingest ${tIngest}%.0fs")
       graft.store.Compaction.optimize(spark, dir, minFilesToCompact = 2,
         skipAtTargetSize = true)
+      println(f"SCALE build phase: compact ${(System.nanoTime() - t0) / 1e9 - tIngest}%.0fs")
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
 

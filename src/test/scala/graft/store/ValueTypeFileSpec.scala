@@ -90,4 +90,20 @@ class ValueTypeFileSpec extends SparkSuite {
     assert(!after.contains(part))
     assert(!after.keySet.exists(_.startsWith(part + "/")), after.keySet)
   }
+
+  test("fused compactionStats equals the three separate passes it replaced") {
+    val dir = s"/root/repo/target/vtfile_spec/${System.nanoTime()}"
+    val day = "2024-04-03"
+    // two streams, mixed types, map fields AND empty values in play
+    append(dir, day, "numbers", (0 until 15).map(i => (i % 128).toString))
+    append(dir, day, "words", (0 until 7).map(i => s"gamma $i"))
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val pdir = s"$dir/logs/tenant=${escapePathName("0:0")}/_day=$day"
+    val partDf = spark.read.parquet(pdir)
+    val (partTypes, fileTypes, hits) = ValueTypeMeta.compactionStats(partDf)
+    assert(partTypes == ValueTypeMeta.classifyPart(partDf))
+    assert(fileTypes == ValueTypeMeta.classifyFiles(partDf))
+    assert(hits == FieldNameMeta.countsForPart(partDf))
+    assert(hits("_msg") == 22L, hits) // sanity: not vacuously equal
+  }
 }
