@@ -50,39 +50,8 @@ object FieldNameMeta {
   private[store] def nonEmpty(df: DataFrame, c: String): Column =
     graft.logql.Compiler.strF(df, c) =!= ""
 
-  /** Exact per-(tenant, _day) counts of `batch` — the bulk-load path. */
-  def recordBatchByPart(batch: DataFrame, dir: String,
-                        overwrite: Boolean): Unit = {
-    val cols = countableTopCols(batch)
-    val acc = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.Map[String, Long]]
-    def bump(part: String, field: String, n: Long): Unit =
-      if (n > 0L)
-        acc.getOrElseUpdate(part, scala.collection.mutable.Map.empty)
-          .updateWith(field)(v => Some(v.getOrElse(0L) + n))
-    if (cols.nonEmpty) {
-      val aggs = cols.map(c =>
-        count(when(nonEmpty(batch, c), 1)).as(s"__fn_$c"))
-      batch.groupBy(col("tenant"), col("_day").cast(StringType).as("__d"))
-        .agg(aggs.head, aggs.tail: _*).collect().foreach { r =>
-          val part = ValueTypeMeta.partKey(r.getString(0), r.getString(1))
-          cols.zipWithIndex.foreach { case (c, i) => bump(part, c, r.getLong(2 + i)) }
-        }
-    }
-    if (batch.schema.fields.exists(f =>
-          f.name == "fields" && f.dataType.isInstanceOf[MapType])) {
-      batch
-        .select(col("tenant"), col("_day").cast(StringType).as("__d"),
-          explode(col("fields")).as(Seq("__k", "__v")))
-        .filter(col("__v").isNotNull && col("__v") =!= "")
-        .groupBy("tenant", "__d", "__k").agg(count(lit(1)).as("__n"))
-        .collect().foreach { r =>
-          bump(ValueTypeMeta.partKey(r.getString(0), r.getString(1)),
-            r.getString(2), r.getLong(3))
-        }
-    }
-    record(dir, acc.map { case (k, m) => k -> m.toMap }.toMap, overwrite)
-  }
+  // The bulk-load path's counts come fused with the value-type verdicts
+  // from ValueTypeMeta.batchStats (one entries job for both sidecars).
 
   /** Exact whole-part counts for the compaction path — `partDf` is one
     * partition's bare files (no tenant/_day columns). Two bounded jobs

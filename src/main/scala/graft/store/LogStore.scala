@@ -109,12 +109,15 @@ object LogStore {
       .write.mode("overwrite")
       .option("compression", LogStore.ParquetCodec)
       .parquet(s"$dir/streams")
-    // write-time value-type metadata (the columnHeader.valueType
-    // analogue): exact per-part classification for the bulk path
-    ValueTypeMeta.recordBatchByPart(withMeta, dir, overwrite = true)
-    // per-part field-name hit counts (the columnsHeader field-list
-    // analogue): field_names answers from this without scanning values
-    FieldNameMeta.recordBatchByPart(withMeta, dir, overwrite = true)
+    // write-time metadata, ONE fused entries job for both sidecars:
+    // per-part value-type verdicts (the columnHeader.valueType analogue)
+    // and per-part field-name hit counts (the columnsHeader field list)
+    // — previously two batch-scale aggregations plus a map explode
+    val stats = ValueTypeMeta.batchStats(withMeta)
+    ValueTypeMeta.record(dir, stats.map { case (k, (t, _)) => k -> t },
+      overwrite = true)
+    FieldNameMeta.record(dir, stats.map { case (k, (_, h)) => k -> h },
+      overwrite = true)
     invalidate(dir)
   }
 

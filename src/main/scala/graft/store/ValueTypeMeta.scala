@@ -200,23 +200,38 @@ object ValueTypeMeta {
     }.toSeq
   }
 
-  /** Bulk-load path: exact per-(tenant, _day) classification of `batch`
-    * — one groupBy job — then sidecar write. */
-  def recordBatchByPart(batch: DataFrame, dir: String,
-                        overwrite: Boolean): Unit = {
+  /** Bulk-load path: ONE entries job computes per-(tenant, _day)
+    * value-type verdicts AND field-name hit counts for the batch being
+    * written — the backfill-path twin of [[compactionStats]] (same
+    * distinct-value reduction, same decideStats), replacing two
+    * batch-scale aggregations plus a map-explode pass. Returns
+    * partKey → (field → type, field → hits). */
+  def batchStats(batch: DataFrame):
+      Map[String, (Map[String, String], Map[String, Long])] = {
     val fields = classifiableFields(batch)
-    if (fields.isEmpty) return
-    val aggs = fields.map(f => classifyAggPre(f).as(s"__vt_$f"))
-    val rows = addMetaCols(batch, fields.map(f => f -> coalesce(col(f), lit(""))))
-      .groupBy(col("tenant"), col("_day").cast(StringType).as("__d"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val perPart = rows.map { r =>
-      partKey(r.getString(0), r.getString(1)) ->
-        fields.zipWithIndex.map { case (f, i) =>
-          f -> decide(r.getStruct(2 + i))
-        }.toMap
-    }.toMap
-    record(dir, perPart, overwrite)
+    val topCols = FieldNameMeta.countableTopCols(batch)
+    if (fields.isEmpty && topCols.isEmpty && !hasFieldsMap(batch))
+      return Map.empty
+    val entries = batch
+      .select(col("tenant"), col("_day").cast(StringType).as("__d"),
+        explode(entryArray(batch, fields, topCols)).as("e"))
+      .select(col("tenant"), col("__d"),
+        col("e.field").as("field"), col("e.value").as("value"))
+    val counted = entries.groupBy("tenant", "__d", "field", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__m", graft.functions.GoValues.metaCol(col("value")))
+    val rows = counted.groupBy("tenant", "__d", "field")
+      .agg(statAggs(col("cnt")).head, statAggs(col("cnt")).tail: _*)
+      .collect()
+    rows.groupBy(r => partKey(r.getString(0), r.getString(1))).map {
+      case (part, rs) =>
+        val types = rs.iterator
+          .filter(r => fields.contains(r.getString(2)))
+          .map(r => r.getString(2) -> decideStats(r, 3)).toMap
+        val hits = rs.iterator.filter(_.getLong(11) > 0L)
+          .map(r => r.getString(2) -> r.getLong(11)).toMap
+        part -> (types, hits)
+    }
   }
 
   /** Streaming-append path, phase 1: the touched-parts set rides the
@@ -288,45 +303,15 @@ object ValueTypeMeta {
     // classifies the same partition in well under a second.
     val fields = classifiableFields(tmpDf)
     val topCols = FieldNameMeta.countableTopCols(tmpDf)
-    val hasMap = tmpDf.schema.fields.exists(f =>
-      f.name == "fields" && f.dataType.isInstanceOf[MapType])
-    if (topCols.isEmpty && fields.isEmpty && !hasMap)
+    if (topCols.isEmpty && fields.isEmpty && !hasFieldsMap(tmpDf))
       return (Map.empty, Map.empty, Map.empty)
-    val topEntries = topCols.map { c =>
-      // string fields classify on the raw (null-normalized) value —
-      // identical to classifyPart's input; everything else only needs
-      // the field_names rendering for hit counts
-      val v = if (fields.contains(c)) coalesce(col(c), lit(""))
-              else graft.logql.Compiler.strF(tmpDf, c)
-      struct(lit(c).as("field"), v.as("value"))
-    }
-    val entryArr =
-      if (hasMap) concat(array(topEntries: _*),
-        transform(map_entries(coalesce(col("fields"),
-            map().cast(MapType(StringType, StringType)))),
-          e => struct(e.getField("key").as("field"),
-                      coalesce(e.getField("value"), lit("")).as("value"))))
-      else array(topEntries: _*)
     val entries = tmpDf.withColumn("__f", input_file_name())
-      .select(col("__f"), explode(entryArr).as("e"))
+      .select(col("__f"), explode(entryArray(tmpDf, fields, topCols)).as("e"))
       .select(col("__f"), col("e.field").as("field"), col("e.value").as("value"))
     val counted = entries.groupBy("__f", "field", "value")
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def statAggs(cnt: Column): Seq[Column] = {
-        val m = col("__m")
-        Seq(
-          count(lit(1)).as("nd"),
-          sum(octet_length(col("value")).cast(LongType)).as("bytes"),
-          allMatch(m.getField("u")).as("u"),
-          max(m.getField("uval")).as("umax"),
-          allMatch(m.getField("i")).as("i"),
-          allMatch(m.getField("f")).as("f"),
-          allMatch(m.getField("ip")).as("ip"),
-          allMatch(m.getField("iso")).as("iso"),
-          sum(when(col("value") =!= "", cnt).otherwise(lit(0L))).as("hits"))
-      }
       def withM(df: DataFrame): DataFrame =
         df.withColumn("__m", graft.functions.GoValues.metaCol(col("value")))
       // per-file verdicts: distinct values within each file
@@ -362,6 +347,46 @@ object ValueTypeMeta {
         .map(r => r.getString(0) -> r.getLong(9)).toMap
       (partTypes, fileTypes.result(), hits)
     } finally counted.unpersist()
+  }
+
+  private def hasFieldsMap(df: DataFrame): Boolean =
+    df.schema.fields.exists(f =>
+      f.name == "fields" && f.dataType.isInstanceOf[MapType])
+
+  /** Per-row (field, value) entry array: top-level columns (string
+    * fields raw null-normalized — identical to the whole-part
+    * classification input; everything else rendered the way field_names
+    * sees it) plus the `fields`-map entries. The facets single-scan
+    * pattern, reused by both write-path stats jobs. */
+  private def entryArray(df: DataFrame, fields: Seq[String],
+                         topCols: Seq[String]): Column = {
+    val topEntries = topCols.map { c =>
+      val v = if (fields.contains(c)) coalesce(col(c), lit(""))
+              else graft.logql.Compiler.strF(df, c)
+      struct(lit(c).as("field"), v.as("value"))
+    }
+    if (hasFieldsMap(df)) concat(array(topEntries: _*),
+      transform(map_entries(coalesce(col("fields"),
+          map().cast(MapType(StringType, StringType)))),
+        e => struct(e.getField("key").as("field"),
+                    coalesce(e.getField("value"), lit("")).as("value"))))
+    else array(topEntries: _*)
+  }
+
+  /** The 9 stat aggregates over distinct-value rows carrying `value`,
+    * `cnt`, and the parse-meta struct `__m`. */
+  private def statAggs(cnt: Column): Seq[Column] = {
+    val m = col("__m")
+    Seq(
+      count(lit(1)).as("nd"),
+      sum(octet_length(col("value")).cast(LongType)).as("bytes"),
+      allMatch(m.getField("u")).as("u"),
+      max(m.getField("uval")).as("umax"),
+      allMatch(m.getField("i")).as("i"),
+      allMatch(m.getField("f")).as("f"),
+      allMatch(m.getField("ip")).as("ip"),
+      allMatch(m.getField("iso")).as("iso"),
+      sum(when(col("value") =!= "", cnt).otherwise(lit(0L))).as("hits"))
   }
 
   /** [[decide]] over the flat stats row shape `(nd, bytes, u, umax, i,
