@@ -181,6 +181,14 @@ object GraftFunctions {
         val ps = (0 until arr.numElements())
           .map(i => arr.getUTF8String(i).toString)
         SeqMatchExpr(es(0), ps)
+      }),
+    ("graft_bm25_counts",
+      "graft_bm25_counts(s, terms) - [dl, tf...] token counters, one pass",
+      es => {
+        val arr = es(1).eval().asInstanceOf[ArrayData]
+        val ts = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        Bm25CountsExpr(es(0), ts)
       }))
 
   // weak keys: a strong session reference would pin every stopped

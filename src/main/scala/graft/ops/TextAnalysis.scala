@@ -357,11 +357,19 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.map(_.toLowerCase)
-    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(toks, x => x === t)).cast("double").as(s"__tf$i") }
-    val withTf = df.select(
-      (col(idCol) +: size(toks).cast("double").as("__dl") +: tfCols): _*)
+    // dl + every term's tf in ONE codegen'd pass per row
+    // (functions/Bm25Counts — one lowercase + one walk; the HOF filter()
+    // formulation interpreted per element at 4.2× DuckDB warm, and 1+N
+    // regex split passes still measured ~2×; the kernel is differentially
+    // pinned against the split formulation)
+    val cnt = graft.functions.Bm25Counts.countsCol(
+      coalesce(col(textCol), lit("")), terms)
+    val withTf = df
+      .withColumn("__c", cnt)
+      .select(
+        (col(idCol) +: element_at(col("__c"), 1).cast("double").as("__dl") +:
+          terms.indices.map(i =>
+            element_at(col("__c"), i + 2).cast("double").as(s"__tf$i"))): _*)
     val dfCols = terms.indices.map(i =>
       sum((col(s"__tf$i") > 0).cast("double")).as(s"__df$i"))
     val statsRow = withTf.agg(

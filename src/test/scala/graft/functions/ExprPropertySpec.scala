@@ -148,6 +148,31 @@ class ExprPropertySpec extends SparkSuite {
     "error", "err", "disk_error", "日本", "naïve", "err_", "10",
     "error from", ": ", "r f")
 
+  test("Bm25Counts agrees with the lower+split formulation it replaced") {
+    val word = Gen.oneOf("customer", "Customer", "CUSTOMER", "vector",
+      "merge", "customers", "xcustomer", "a", "10", "日本", "naïve",
+      "İstanbul", "x_1", "v2", "", "straße")
+    val sep = Gen.oneOf(" ", ", ", ".", "-", "_", "\n", "", "²")
+    val gen = Gen.listOfN(8, Gen.zip(word, sep).map(p => p._1 + p._2))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(300, gen).sample.get ++ Seq("", "customer",
+      "customer customer", "a-customer's vector!")
+    val terms = Seq("customer", "vector", "merge", "a")
+    val got = evalBatch(inputs,
+      c => Bm25Counts.countsCol(c, terms))
+    val want = evalBatch(inputs, { c =>
+      val low = lower(c)
+      val dl = (size(split(low, "[a-z0-9]+")) - 1).cast(LongType)
+      array((dl +: terms.map { t =>
+        val pat = "(?<![a-z0-9])" + java.util.regex.Pattern.quote(t) + "(?![a-z0-9])"
+        (size(split(low, pat)) - 1).cast(LongType)
+      }): _*)
+    })
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"bm25 counts mismatch for '$in': got $g want $w")
+    }
+  }
+
   test("WordMatch agrees with the regex word-boundary spec") {
     val inputs = Gen.listOfN(300, textGen).sample.get
     for (phrase <- phraseGen.sample.toSeq ++ Seq("error", "err", "日本", ": ", "r f");
@@ -620,6 +645,7 @@ class ExprPropertySpec extends SparkSuite {
       WordMatchExpr(str, "err", prefixMode = false),
       WordMatchExpr(str, "err", prefixMode = true),
       SeqMatchExpr(str, Seq("a", "b")),
+      Bm25CountsExpr(str, Seq("a", "b")),
       DotProduct(farr, farr),
       CosineSim(farr, farr),
       PqEncodeExpr(farr, book, 2),
