@@ -63,7 +63,11 @@ object SparkEntry {
     buildQueries.map { case (n, f) =>
       if (effectfulQueries(n)) n -> f
       else n -> ((s: SparkSession, d: String) =>
-        planMemo.computeIfAbsent((n, d, s), _ => f(s, d)))
+        // route small-input plans to the interactive session (AQE off,
+        // single-partition exchanges) — see Sessions scaladoc; at real
+        // scale the threshold never triggers and f(s, d) binds to `s`
+        planMemo.computeIfAbsent((n, d, s),
+          _ => Sessions.route(s)(sess => f(sess, d))))
     }
 
   private def buildQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

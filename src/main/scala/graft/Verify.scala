@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.openCostInBytes", String.valueOf(256 * 1024))
+      // static conf: hold the whole suite's generated classes (the
+      // default 100-entry cache thrashes across 138 queries)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // local-cluster executors are separate JVMs launched with Spark's own
     // classpath — hand them the sbt run classpath (same machine) so the
     // graft classes resolve without a packaged jar
@@ -25,6 +28,7 @@ object Verify {
       builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCallSite("graft") // skip per-RDD stack walks
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

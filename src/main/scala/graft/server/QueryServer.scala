@@ -100,6 +100,10 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   }
 
   def start(): Int = {
+    // fixed call site before the handler pool spawns (local properties
+    // inherit at thread creation): skips the per-RDD driver stack walk
+    // on every served query (~20ms/fresh plan, CallSiteProbe)
+    spark.sparkContext.setCallSite("graft-serve")
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     serverOpt = Some(server)
     attach(server)
