@@ -1042,6 +1042,16 @@ object SparkEntry {
       val logs = graft.store.LogStore.read(s, dir)
       graft.logql.Compiler.run(logs, "* | field_names | sort by (name)")
     }),
+    // ---- facets over the store: the sidecar-assisted path (dict-class
+    //      fields served from FieldNameMeta v2, the rest scanned) ----
+    "q_store_facets" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      val logs = graft.store.LogStore.read(s, dir)
+      graft.logql.Compiler.run(logs,
+        """* | facets 4
+           | filter field_name:in("event_type", "_stream", "user_id")
+           | sort by (field_name, field_value)""")
+    }),
     // ---- stream_context pipe over the store (§2.2 #33) ----
     // ---- stateful Structured-Streaming ops, batch-bounded so the final
     //      state-store output gates against a batch SQL oracle
@@ -2099,6 +2109,20 @@ object SparkEntry {
     // store field_names: every logical field of the events store is
     // non-empty on every row (the view has no nulls), so each name's
     // hits = total row count; _stream/_stream_id are store-added
+    "q_store_facets" ->
+      """SELECT field_name, field_value, hits FROM (
+           SELECT field_name, field_value, hits,
+                  row_number() OVER (PARTITION BY field_name ORDER BY hits DESC, field_value ASC) AS rn,
+                  count(*) OVER (PARTITION BY field_name) AS nv
+           FROM (
+             SELECT 'event_type' AS field_name, event_type AS field_value, count(*) AS hits
+             FROM events GROUP BY 2
+             UNION ALL
+             SELECT '_stream', '{event_type="' || event_type || '"}', count(*) FROM events GROUP BY 2
+             UNION ALL
+             SELECT 'user_id', CAST(user_id AS VARCHAR), count(*) FROM events GROUP BY 2
+           )
+         ) WHERE rn <= 4 AND nv <= 1000 ORDER BY field_name, field_value""",
     "q_store_field_names" ->
       """SELECT * FROM (
            SELECT '_msg' AS name, count(*) AS hits FROM events

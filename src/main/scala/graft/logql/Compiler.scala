@@ -1075,29 +1075,78 @@ object Compiler {
       streamContextWindow(marked, before, after, twNs)
 
     case Pipe.Facets(n, maxPerField, maxValueLen, keepConst) =>
-      val topCols = logicalTopCols(df)
+      // Sidecar assist over a pristine covered store scan (the
+      // FieldNameMeta v2 stats): dict-class fields' per-value counts come
+      // straight from the sidecar (no values read), fields a single part
+      // already proves over the max_values_per_field cap are skipped
+      // without reading values, and the scan — when still needed at all —
+      // explodes ONLY the surviving fields. The reference reads the same
+      // facts from its per-block columnHeaders (valuesDict,
+      // values_encoder.go:19-59). Falls back to the full single-scan
+      // shape for any other input.
+      val assist = graft.store.FieldNameMeta
+        .facetsAssist(df, maxPerField, maxValueLen)
+        // >256 dynamic map keys to scan would compile into an oversized
+        // In filter — cheaper to read everything at that field fan-out
+        .filterNot(a => (a.scanFields -- logicalTopCols(df)).size > 256)
+      val topCols0 = logicalTopCols(df)
+      val topCols = assist match {
+        case Some(a) => topCols0.filter(a.scanFields)
+        case None => topCols0
+      }
+      val mapScanKeys = assist.map(a => a.scanFields -- topCols0)
+      val needMapScan = mapScanKeys.forall(_.nonEmpty) && hasFieldsMap(df)
       // ONE scan: per-row (field_name, field_value) entry array — top-level
       // columns plus `fields`-map entries — exploded once. The previous
       // unpivot ∪ explode union read the source twice per consumer; at
       // store scale facets is a full scan, so scan count is the cost.
-      val topEntries = array(topCols.map(c =>
-        struct(lit(c).as("field_name"),
-               strF(df, c).as("field_value"))).toSeq: _*)
-      val entries =
-        if (hasFieldsMap(df))
-          concat(topEntries, transform(
-            map_entries(coalesce(col("fields"),
-              map().cast(MapType(StringType, StringType)))),
-            e => struct(e.getField("key").as("field_name"),
-                        e.getField("value").as("field_value"))))
-        else topEntries
-      val long = df.select(explode(entries).as("e"))
-        .select(col("e.field_name").as("field_name"),
-                col("e.field_value").as("field_value"))
-        .filter(col("field_value").isNotNull && col("field_value") =!= "" &&
-                octet_length(col("field_value")) <= maxValueLen)
-      val counted = long.groupBy("field_name", "field_value")
-        .agg(count(lit(1)).as("hits"))
+      val topEntries = topCols.map(c =>
+        struct(lit(c).as("field_name"), strF(df, c).as("field_value")))
+      val mapEntries =
+        if (needMapScan) Some(transform(
+          map_entries(coalesce(col("fields"),
+            map().cast(MapType(StringType, StringType)))),
+          e => struct(e.getField("key").as("field_name"),
+                      e.getField("value").as("field_value"))))
+        else None
+      val entries = (topEntries, mapEntries) match {
+        case (ts, Some(m)) if ts.nonEmpty => concat(array(ts: _*), m)
+        case (_, Some(m)) => m
+        case (ts, None) => array(ts: _*)
+      }
+      val scanNeeded = topCols.nonEmpty || needMapScan
+      val spark = df.sparkSession
+      val countedScan = if (scanNeeded) {
+        val long0 = df.select(explode(entries).as("e"))
+          .select(col("e.field_name").as("field_name"),
+                  col("e.field_value").as("field_value"))
+          .filter(col("field_value").isNotNull && col("field_value") =!= "" &&
+                  octet_length(col("field_value")) <= maxValueLen)
+        // restrict dynamic map keys to the fields that still need a scan
+        val long = mapScanKeys match {
+          case Some(keys) if needMapScan =>
+            val inMap = col("field_name").isin(keys.toSeq: _*)
+            long0.filter(
+              if (topCols.nonEmpty) col("field_name").isin(topCols: _*) || inMap
+              else inMap)
+          case _ => long0
+        }
+        Some(long.groupBy("field_name", "field_value")
+          .agg(count(lit(1)).as("hits")))
+      } else None
+      val countedDict = assist.filter(_.dictRows.nonEmpty).map { a =>
+        import spark.implicits._
+        a.dictRows.toDF("field_name", "field_value", "hits")
+      }
+      val counted = (countedScan, countedDict) match {
+        case (Some(s), Some(d)) => s.unionByName(d)
+        case (Some(s), None) => s
+        case (None, Some(d)) => d
+        case (None, None) =>
+          import spark.implicits._
+          Seq.empty[(String, String, Long)]
+            .toDF("field_name", "field_value", "hits")
+      }
       // fields with more than maxValuesPerField unique values are
       // dropped entirely (pipe_facets.go:393-397 "Ignore fields with too
       // many unique values"), NOT capped; N caps the rows per kept field
@@ -1120,7 +1169,12 @@ object Compiler {
           // no partition-less window funnels the full counted relation
           val perField = counted.groupBy("field_name")
             .agg(count(lit(1)).as("__nvals"), sum("hits").as("__fieldhits"))
-          val nrows = perField.agg(max("__fieldhits").as("__nrows"))
+          // skipped/dict-served fields don't appear in `counted`, but the
+          // most-populated one still defines the row-count baseline — the
+          // assist carries their exact post-filter hit totals
+          val nrows = perField.agg(greatest(
+            max("__fieldhits"),
+            lit(assist.map(_.nrows).getOrElse(0L))).as("__nrows"))
           val constFields = perField
             .join(broadcast(nrows), perField("__fieldhits") === nrows("__nrows"))
             .filter(col("__nvals") === 1)

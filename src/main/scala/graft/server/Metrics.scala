@@ -42,6 +42,8 @@ object Metrics {
     c("graft_bloom_files_refreshed_total", bloomFilesRefreshed.get)
     c("graft_stale_index_retries_total", staleIndexRetries.get)
     c("graft_field_names_meta_served_total", graft.store.FieldNameMeta.served.get)
+    c("graft_facets_meta_assisted_total",
+      graft.store.FieldNameMeta.facetsAssisted.get)
     sb.append("# TYPE graft_active_force_merges gauge\n")
     sb.append("graft_active_force_merges ").append(activeForceMerges.get).append('\n')
     gauges.forEach { (name, v) =>

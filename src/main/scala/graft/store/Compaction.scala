@@ -286,7 +286,8 @@ object Compaction {
     // them); the background merge is where the reference decides block
     // types too. The verdict is held back until the post-swap check below.
     val verdict: Option[(String, String, Map[String, String],
-                         Map[String, Map[String, String]], Map[String, Long])] =
+                         Map[String, Map[String, String]],
+                         Map[String, FieldNameMeta.FieldStat])] =
       try {
         // partition dir names are Hadoop path-escaped ("tenant=0%3A0") —
         // decode so the key matches the raw-value keys the bulk path writes

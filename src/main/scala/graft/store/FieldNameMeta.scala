@@ -34,6 +34,20 @@ object FieldNameMeta {
     * asserted by FieldNameMetaSpec — "the fast path actually ran"). */
   val served = new java.util.concurrent.atomic.AtomicLong
 
+  /** facets queries that used sidecar assistance (dict-served fields,
+    * over-cap skips, or a restricted scan set). */
+  val facetsAssisted = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-(part, field) write-time stats. `hits` = rows with a non-empty
+    * value (the field_names payload). The facets-assist extras mirror
+    * the reference's columnHeader: `nd` = exact distinct NON-EMPTY value
+    * count, `maxlen` = max octet length among non-empty values (-1 each
+    * when written by a pre-v2 sidecar), `dict` = the complete non-empty
+    * value→rowcount map when the field is dict-class in this part
+    * (values_encoder.go:19-59's ≤8-unique valuesDict analogue). */
+  case class FieldStat(hits: Long, nd: Long = -1L, maxlen: Long = -1L,
+                       dict: Option[Map[String, Long]] = None)
+
   private def sidecarPath(dir: String) = s"$dir/logs/_field_names.json"
 
   // ---------------------------------------------------------------------
@@ -91,23 +105,33 @@ object FieldNameMeta {
     if (pruned.size != base.size) writeSidecar(dir, pruned)
   }
 
-  /** Write per-part counts; same contract as [[ValueTypeMeta.record]]
+  /** Write per-part stats; same contract as [[ValueTypeMeta.record]]
     * (whole-part entries replace, callers hold the store write lock). */
-  def record(dir: String, perPart: Map[String, Map[String, Long]],
+  def record(dir: String, perPart: Map[String, Map[String, FieldStat]],
              overwrite: Boolean): Unit = {
     if (perPart.isEmpty && !overwrite) return
-    val base = if (overwrite) Map.empty[String, Map[String, Long]] else load(dir)
+    val base =
+      if (overwrite) Map.empty[String, Map[String, FieldStat]] else load(dir)
     writeSidecar(dir, base ++ perPart)
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def writeSidecar(dir: String,
-                           all: Map[String, Map[String, Long]]): Unit = {
+                           all: Map[String, Map[String, FieldStat]]): Unit = {
     val node = mapper.createObjectNode()
     all.toSeq.sortBy(_._1).foreach { case (part, fs) =>
       val pn = node.putObject(part)
-      fs.toSeq.sortBy(_._1).foreach { case (f, n) => pn.put(f, n) }
+      fs.toSeq.sortBy(_._1).foreach { case (f, s) =>
+        val fn = pn.putObject(f)
+        fn.put("h", s.hits)
+        if (s.nd >= 0L) fn.put("nd", s.nd)
+        if (s.maxlen >= 0L) fn.put("ml", s.maxlen)
+        s.dict.foreach { d =>
+          val dn = fn.putObject("d")
+          d.toSeq.sortBy(_._1).foreach { case (v, c) => dn.put(v, c) }
+        }
+      }
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
     val tmp = sidecarPath(dir) + s".tmp-${System.nanoTime()}"
@@ -117,9 +141,9 @@ object FieldNameMeta {
   }
 
   private val loadCache = scala.collection.mutable.Map.empty[
-    String, (Long, Long, Map[String, Map[String, Long]])]
+    String, (Long, Long, Map[String, Map[String, FieldStat]])]
 
-  def load(dir: String): Map[String, Map[String, Long]] = synchronized {
+  def load(dir: String): Map[String, Map[String, FieldStat]] = synchronized {
     val p = sidecarPath(dir)
     val f = new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
     if (!f.exists()) return Map.empty
@@ -132,11 +156,23 @@ object FieldNameMeta {
             import scala.jdk.CollectionConverters._
             val node = mapper.readTree(Fs.readAll(p))
             node.fields().asScala.map { e =>
-              e.getKey -> e.getValue.fields().asScala
-                .map(fe => fe.getKey -> fe.getValue.asLong()).toMap
+              e.getKey -> e.getValue.fields().asScala.map { fe =>
+                val fv = fe.getValue
+                // pre-v2 sidecars stored a bare hit count
+                val stat =
+                  if (fv.isNumber) FieldStat(fv.asLong())
+                  else FieldStat(
+                    fv.path("h").asLong(),
+                    if (fv.has("nd")) fv.path("nd").asLong() else -1L,
+                    if (fv.has("ml")) fv.path("ml").asLong() else -1L,
+                    if (fv.has("d")) Some(fv.path("d").fields().asScala
+                      .map(de => de.getKey -> de.getValue.asLong()).toMap)
+                    else None)
+                fe.getKey -> stat
+              }.toMap
             }.toMap
           } catch { case _: Exception =>
-            Map.empty[String, Map[String, Long]] }
+            Map.empty[String, Map[String, FieldStat]] }
         loadCache(dir) = (len, mt, v)
         v
     }
@@ -153,7 +189,25 @@ object FieldNameMeta {
     * reference only the tenant/_day partition columns, and the sidecar
     * must cover every on-disk part the filters admit. */
   def serve(df: DataFrame, out: String): Option[DataFrame] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeSeq, BindReferences, Expression, Literal, Predicate => CPredicate}
+    val (_, admitted, counts) = admittedCoveredParts(df).getOrElse(return None)
+    val total = scala.collection.mutable.Map.empty[String, Long]
+    admitted.foreach(p => counts(p).foreach { case (f, s) =>
+      total.updateWith(f)(v => Some(v.getOrElse(0L) + s.hits))
+    })
+    served.incrementAndGet()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Some(total.toSeq.filter(_._2 > 0L).toDF(out, "hits"))
+  }
+
+  /** Shared pristine-scan detection: `df` must be Filter* over a single
+    * parquet LogicalRelation rooted at `<dir>/logs`, every filter
+    * condition referencing only the tenant/_day partition columns, and
+    * the sidecar must cover every on-disk part the filters admit.
+    * Returns (storeDir, admitted part keys, loaded sidecar). */
+  private def admittedCoveredParts(df: DataFrame)
+      : Option[(String, Set[String], Map[String, Map[String, FieldStat]])] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeSeq, BindReferences, Expression, Predicate => CPredicate}
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -217,14 +271,80 @@ object FieldNameMeta {
     // an append-invalidated part would otherwise silently undercount
     val admitted = LogStore.listPartKeys(dir).filter(admits)
     if (!admitted.subsetOf(counts.keySet)) return None
+    Some((dir, admitted, counts))
+  }
 
-    val total = scala.collection.mutable.Map.empty[String, Long]
-    admitted.foreach(p => counts(p).foreach { case (f, n) =>
-      total.updateWith(f)(v => Some(v.getOrElse(0L) + n))
+  // ---------------------------------------------------------------------
+  // facets assist
+  // ---------------------------------------------------------------------
+
+  /** What the sidecar can contribute to a `facets` pipe over `df`.
+    *
+    *   - `dictRows`: exact (field, value, hits) rows for fields whose
+    *     value dictionary is complete in EVERY admitted part — these
+    *     fields need no scan at all; the rows join the pipe's counted
+    *     relation as-is (already non-empty- and maxValueLen-filtered).
+    *   - `skipFields`: fields PROVABLY dropped by the
+    *     max_values_per_field cap — some single part already holds more
+    *     than `maxPerField` distinct post-filter values (per-part nd is
+    *     a lower bound of the global distinct count; exact because every
+    *     part's maxlen ≤ maxValueLen makes the length filter a no-op).
+    *   - `scanFields`: everything else — the only fields whose values
+    *     the pipe still reads.
+    *   - `nrows`: exact max post-filter field hits across ALL fields
+    *     whose maxlen ≤ maxValueLen (dict fields recomputed from their
+    *     filtered dicts) — the keep-const baseline must see skipped and
+    *     dict-served fields too.
+    *
+    * None when `df` is not a pristine covered store scan or any admitted
+    * part predates the v2 stats (nd/maxlen absent ⇒ nothing provable). */
+  case class FacetsAssist(dictRows: Seq[(String, String, Long)],
+                          skipFields: Set[String],
+                          scanFields: Set[String],
+                          nrows: Long)
+
+  def facetsAssist(df: DataFrame, maxPerField: Long,
+                   maxValueLen: Long): Option[FacetsAssist] = {
+    if (df.sparkSession.conf
+          .getOption("spark.graft.facets.assist").contains("false"))
+      return None
+    val (_, admitted, counts) = admittedCoveredParts(df).getOrElse(return None)
+    if (admitted.isEmpty) return None
+    val perField = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.ArrayBuffer[FieldStat]]
+    admitted.foreach(p => counts(p).foreach { case (f, s) =>
+      perField.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer()) += s
     })
-    served.incrementAndGet()
-    val spark = df.sparkSession
-    import spark.implicits._
-    Some(total.toSeq.filter(_._2 > 0L).toDF(out, "hits"))
+    val dictRowsB = Seq.newBuilder[(String, String, Long)]
+    val skipB = Set.newBuilder[String]
+    val scanB = Set.newBuilder[String]
+    var nrows = 0L
+    var assisted = false
+    perField.foreach { case (f, stats) =>
+      val v2 = stats.forall(_.nd >= 0L)
+      val shortEverywhere = v2 && stats.forall(_.maxlen <= maxValueLen)
+      if (v2 && stats.forall(_.dict.isDefined)) {
+        // complete dictionary in every part: serve exactly, no scan
+        val merged = scala.collection.mutable.Map.empty[String, Long]
+        stats.foreach(_.dict.get.foreach { case (v, c) =>
+          merged.updateWith(v)(x => Some(x.getOrElse(0L) + c)) })
+        val kept = merged.filter { case (v, _) =>
+          v.nonEmpty && v.getBytes("UTF-8").length <= maxValueLen }
+        kept.foreach { case (v, c) => dictRowsB += ((f, v, c)) }
+        nrows = math.max(nrows, kept.valuesIterator.sum)
+        assisted = true
+      } else if (shortEverywhere && stats.exists(_.nd > maxPerField)) {
+        // one part alone exceeds the cap: the pipe would drop the field
+        skipB += f
+        nrows = math.max(nrows, stats.map(_.hits).sum)
+        assisted = true
+      } else {
+        scanB += f
+        if (shortEverywhere) nrows = math.max(nrows, stats.map(_.hits).sum)
+      }
+    }
+    if (!assisted) return None
+    facetsAssisted.incrementAndGet()
+    Some(FacetsAssist(dictRowsB.result(), skipB.result(), scanB.result(), nrows))
   }
 }

@@ -508,7 +508,8 @@ object LogStore {
     // v5: _stream_id carries the tenant hex prefix (stream_id.go:12-24 —
     //     equal label sets in different tenants must not share an id)
     // v6: ingest writes the field-name hit-count sidecar (FieldNameMeta)
-    val dir = s"/root/repo/target/graft_store/v6/$name"
+    // v7: FieldNameMeta v2 — nd/maxlen/dicts for the facets assist
+    val dir = s"/root/repo/target/graft_store/v7/$name"
     if (!built.contains(dir) && !Fs.exists(s"$dir/logs/_SUCCESS")) {
       ingest(graft.Tables.eventsLog(spark, sfDir), dir, Seq("event_type"))
       // merge the write-parallelism salt's small files per day partition —

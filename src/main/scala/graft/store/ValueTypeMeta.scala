@@ -207,7 +207,7 @@ object ValueTypeMeta {
     * batch-scale aggregations plus a map-explode pass. Returns
     * partKey → (field → type, field → hits). */
   def batchStats(batch: DataFrame):
-      Map[String, (Map[String, String], Map[String, Long])] = {
+      Map[String, (Map[String, String], Map[String, FieldNameMeta.FieldStat])] = {
     val fields = classifiableFields(batch)
     val topCols = FieldNameMeta.countableTopCols(batch)
     if (fields.isEmpty && topCols.isEmpty && !hasFieldsMap(batch))
@@ -220,18 +220,47 @@ object ValueTypeMeta {
     val counted = entries.groupBy("tenant", "__d", "field", "value")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__m", graft.functions.GoValues.metaCol(col("value")))
-    val rows = counted.groupBy("tenant", "__d", "field")
-      .agg(statAggs(col("cnt")).head, statAggs(col("cnt")).tail: _*)
-      .collect()
-    rows.groupBy(r => partKey(r.getString(0), r.getString(1))).map {
-      case (part, rs) =>
-        val types = rs.iterator
-          .filter(r => fields.contains(r.getString(2)))
-          .map(r => r.getString(2) -> decideStats(r, 3)).toMap
-        val hits = rs.iterator.filter(_.getLong(11) > 0L)
-          .map(r => r.getString(2) -> r.getLong(11)).toMap
-        part -> (types, hits)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = counted.groupBy("tenant", "__d", "field")
+        .agg(statAggs(col("cnt")).head, statAggs(col("cnt")).tail: _*)
+        .collect()
+      // complete value dictionaries for the dict-class (part, field)
+      // cells — bounded by 8 values × cells, one filtered pass over the
+      // persisted distinct-value relation
+      val sep = "\u0001" // never appears in tenant/day/field names
+      val dictKeys = rows.iterator
+        .filter(r => dictEligible(r.getLong(12), r.getLong(4)))
+        .map(r => s"${r.getString(0)}$sep${r.getString(1)}$sep${r.getString(2)}")
+        .toSeq
+      val dicts = scala.collection.mutable.Map
+        .empty[(String, String, String), Map[String, Long]]
+      // oversized batches (>10k dict cells) skip dict capture rather than
+      // build a 10k-entry In filter — the hit-count/nd stats still land
+      if (dictKeys.nonEmpty && dictKeys.size <= 10000) {
+        counted
+          .filter(col("value") =!= "" &&
+            concat_ws(sep, col("tenant"), col("__d"), col("field"))
+              .isin(dictKeys: _*))
+          .select("tenant", "__d", "field", "value", "cnt")
+          .collect().groupBy(r =>
+            (r.getString(0), r.getString(1), r.getString(2)))
+          .foreach { case (k, vs) =>
+            dicts(k) = vs.map(r => r.getString(3) -> r.getLong(4)).toMap }
+      }
+      rows.groupBy(r => partKey(r.getString(0), r.getString(1))).map {
+        case (part, rs) =>
+          val types = rs.iterator
+            .filter(r => fields.contains(r.getString(2)))
+            .map(r => r.getString(2) -> decideStats(r, 3)).toMap
+          val stats = rs.iterator.filter(_.getLong(11) > 0L).map { r =>
+            val key = (r.getString(0), r.getString(1), r.getString(2))
+            r.getString(2) -> FieldNameMeta.FieldStat(
+              r.getLong(11), r.getLong(12), r.getLong(13), dicts.get(key))
+          }.toMap
+          part -> (types, stats)
+      }
+    } finally counted.unpersist()
   }
 
   /** Streaming-append path, phase 1: the touched-parts set rides the
@@ -288,7 +317,8 @@ object ValueTypeMeta {
     * countsForPart) that made compaction read every partition 4× —
     * measured 617s vs ~140s-class builds for a 20M-row store. */
   def compactionStats(tmpDf: DataFrame):
-      (Map[String, String], Map[String, Map[String, String]], Map[String, Long]) = {
+      (Map[String, String], Map[String, Map[String, String]],
+       Map[String, FieldNameMeta.FieldStat]) = {
     // Scale shape: ONE scan explodes every row into (file, field, value)
     // entries (top-level columns rendered like field_names sees them,
     // string fields raw, `fields`-map entries appended — the facets
@@ -342,10 +372,26 @@ object ValueTypeMeta {
       val partTypes = partRows.iterator
         .filter(r => fields.contains(r.getString(0)))
         .map(r => r.getString(0) -> decideStats(r, 1)).toMap
-      val hits = partRows.iterator
+      // complete value dictionaries for the part's dict-class fields
+      // (facets assist) — one filtered pass over the part-distinct rows
+      val dictFields = partRows.iterator
+        .filter(r => dictEligible(r.getLong(10), r.getLong(2)))
+        .map(_.getString(0)).toSeq
+      val dicts = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+      if (dictFields.nonEmpty && dictFields.size <= 10000) {
+        partDistinct
+          .filter(col("value") =!= "" && col("field").isin(dictFields: _*))
+          .select("field", "value", "cnt").collect()
+          .groupBy(_.getString(0)).foreach { case (f, vs) =>
+            dicts(f) = vs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+      }
+      val stats = partRows.iterator
         .filter(_.getLong(9) > 0L)
-        .map(r => r.getString(0) -> r.getLong(9)).toMap
-      (partTypes, fileTypes.result(), hits)
+        .map(r => r.getString(0) -> FieldNameMeta.FieldStat(
+          r.getLong(9), r.getLong(10), r.getLong(11),
+          dicts.get(r.getString(0))))
+        .toMap
+      (partTypes, fileTypes.result(), stats)
     } finally counted.unpersist()
   }
 
@@ -386,8 +432,20 @@ object ValueTypeMeta {
       allMatch(m.getField("f")).as("f"),
       allMatch(m.getField("ip")).as("ip"),
       allMatch(m.getField("iso")).as("iso"),
-      sum(when(col("value") =!= "", cnt).otherwise(lit(0L))).as("hits"))
+      sum(when(col("value") =!= "", cnt).otherwise(lit(0L))).as("hits"),
+      // facets-assist stats (FieldNameMeta.FieldStat): distinct and max
+      // octet length over NON-empty values — appended so the positional
+      // reads above keep their offsets
+      sum(when(col("value") =!= "", lit(1L)).otherwise(lit(0L))).as("ndne"),
+      coalesce(max(when(col("value") =!= "",
+        octet_length(col("value")).cast(LongType))), lit(0L)).as("maxlen"))
   }
+
+  /** Dict-class gate for the facets-assist sidecar: a field whose part
+    * holds ≤8 distinct non-empty values totalling ≤256 bytes stores the
+    * complete value→rowcount dictionary (values_encoder.go:19-59 gate). */
+  private def dictEligible(ndne: Long, bytes: Long): Boolean =
+    ndne > 0L && ndne <= 8L && bytes <= 256L
 
   /** [[decide]] over the flat stats row shape `(nd, bytes, u, umax, i,
     * f, ip, iso, hits)` starting at `off` — count/byte-sum aggregates

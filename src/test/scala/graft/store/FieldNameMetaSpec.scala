@@ -106,7 +106,7 @@ class FieldNameMetaSpec extends SparkSuite {
     assert(scanned("k8s_pod") == 20L && scanned("_msg") == 30L, scanned)
     // background compaction counts the whole part exactly — map keys too
     Compaction.optimize(spark, dir)
-    assert(FieldNameMeta.load(dir).get(part).exists(_("k8s_pod") == 20L),
+    assert(FieldNameMeta.load(dir).get(part).exists(_("k8s_pod").hits == 20L),
       FieldNameMeta.load(dir))
     val logs2 = LogStore.read(spark, dir)
     val before = FieldNameMeta.served.get

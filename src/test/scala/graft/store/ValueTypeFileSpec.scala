@@ -103,7 +103,16 @@ class ValueTypeFileSpec extends SparkSuite {
     val (partTypes, fileTypes, hits) = ValueTypeMeta.compactionStats(partDf)
     assert(partTypes == ValueTypeMeta.classifyPart(partDf))
     assert(fileTypes == ValueTypeMeta.classifyFiles(partDf))
-    assert(hits == FieldNameMeta.countsForPart(partDf))
-    assert(hits("_msg") == 22L, hits) // sanity: not vacuously equal
+    assert(hits.view.mapValues(_.hits).toMap ==
+      FieldNameMeta.countsForPart(partDf))
+    assert(hits("_msg").hits == 22L, hits) // sanity: not vacuously equal
+    // v2 facets-assist stats ride the same rollup: exact non-empty
+    // distinct counts, max value length, and a complete dict for
+    // dict-class fields
+    assert(hits("_msg").nd == 22L && hits("_msg").dict.isEmpty, hits("_msg"))
+    assert(hits("app").nd == 2L &&
+      hits("app").dict.contains(Map("numbers" -> 15L, "words" -> 7L)),
+      hits("app"))
+    assert(hits("app").maxlen == "numbers".length, hits("app"))
   }
 }
