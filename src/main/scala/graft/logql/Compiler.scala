@@ -1206,18 +1206,85 @@ object Compiler {
       .withColumn("__sid", strF(marked, "_stream_id"))
       .withColumn("__t", t0)
       .withColumn("__rid", monotonically_increasing_id())
-    val win = Window.partitionBy(col("__sid"))
-      .orderBy(col("__t"), col("__rid"))
     val mT = when(col("__m"), col("__t"))
-    val aheadMin = min(mT).over(win.rowsBetween(0, before.toLong))
-    val behindMax = max(mT).over(win.rowsBetween(-after.toLong, 0))
+    // The frame rollups: min match-time over the next `before` rows and
+    // max match-time over the previous `after` rows, per stream in
+    // (__t, __rid) order. Two shapes:
+    //   - interactive path: one per-stream window — a single exchange,
+    //     cheapest at small scale;
+    //   - parallel path: a per-stream window serializes a HOT stream
+    //     onto one task (SkewProbe: 50%-stream ⇒ 12.9× max/median task
+    //     time), so compute exact per-stream row numbers with two-level
+    //     numbering (time-bucket local ranks + tiny per-bucket offset
+    //     rollup), then window inside fixed-size ROW-NUMBER buckets with
+    //     the frame-sized head/tail of each bucket replicated to its
+    //     neighbor — rn-buckets are dense, so a row's ±N-row frame is
+    //     complete in its native bucket, and the hot stream spreads over
+    //     count/S tasks. Results are bit-identical to the single window.
+    val interactive = marked.sparkSession.conf
+      .getOption("spark.graft.interactive").contains("true")
+    val withFrames =
+      if (interactive) {
+        val win = Window.partitionBy(col("__sid"))
+          .orderBy(col("__t"), col("__rid"))
+        d0.withColumn("__aheadT", min(mT).over(win.rowsBetween(0, before.toLong)))
+          .withColumn("__behindT", max(mT).over(win.rowsBetween(-after.toLong, 0)))
+      } else {
+        // 15-minute buckets: `div` = exact integral division (epoch
+        // times non-negative; nano precision survives as longs).
+        val bUnit = if (nanosNative) 900L * 1000000000L else 900L * 1000000L
+        val n = math.max(before, after).toLong
+        val d1 = d0.withColumn("__tb", expr(s"__t div ${bUnit}L"))
+        val wb = Window.partitionBy(col("__sid"), col("__tb"))
+          .orderBy(col("__t"), col("__rid"))
+        // shared pass: per-bucket ranks + local (within-bucket) frames
+        val p1 = d1
+          .withColumn("__ln", row_number().over(wb).cast("long"))
+          .withColumn("__bc",
+            count(lit(1)).over(Window.partitionBy(col("__sid"), col("__tb"))))
+          .withColumn("__lnd", col("__bc") - col("__ln") + lit(1L))
+          .withColumn("__aheadL", min(mT).over(wb.rowsBetween(0, before.toLong)))
+          .withColumn("__behindL", max(mT).over(wb.rowsBetween(-after.toLong, 0)))
+        // Rows deeper than max(before, after) from both bucket edges have
+        // their whole ±N-row frame inside the bucket — the local frames
+        // are exact. Edge rows resolve against the EXTRACTED boundary
+        // set: within it, [tail of b, head of b+1] is contiguous in true
+        // stream order, a frame crossing a sparse bucket finds it fully
+        // extracted (count ≤ 2N ⇒ every row is an edge row), and a dense
+        // bucket's head holds ≥ before rows — so the small per-stream
+        // window over edge rows reproduces the true frames exactly. Edge
+        // volume is ≤ 2N per (stream, bucket): the hot stream spreads by
+        // bucket in the shared pass and is bounded by bucket COUNT (not
+        // row count) in the edge pass — no stage serializes on a 50%
+        // stream (SkewProbe gate). Both union branches carry identical
+        // columns, so the (sid, bucket) exchange is reused, not rescanned.
+        val isEdge = col("__lnd") <= n || col("__ln") <= n
+        val interior = p1.filter(!isEdge)
+          .withColumn("__aheadT", col("__aheadL"))
+          .withColumn("__behindT", col("__behindL"))
+        val wS = Window.partitionBy(col("__sid"))
+          .orderBy(col("__t"), col("__rid"))
+        val edge = p1.filter(isEdge)
+          .withColumn("__aheadB", min(mT).over(wS.rowsBetween(0, before.toLong)))
+          .withColumn("__behindB", max(mT).over(wS.rowsBetween(-after.toLong, 0)))
+          .withColumn("__aheadT", when(col("__lnd") > before.toLong,
+            col("__aheadL")).otherwise(col("__aheadB")))
+          .withColumn("__behindT", when(col("__ln") > after.toLong,
+            col("__behindL")).otherwise(col("__behindB")))
+          .drop("__aheadB", "__behindB")
+        val clean = Seq("__tb", "__ln", "__bc", "__lnd", "__aheadL", "__behindL")
+        interior.drop(clean: _*).unionByName(edge.drop(clean: _*))
+      }
     // __grp = the timestamp of the match whose context claims this row
     // (the reference partitions a stream's rows among its matches by
     // strict timestamp boundaries, pipe_stream_context.go:301-310; rows
     // claimable by two adjacent contexts keep the upcoming one)
-    val kept = d0
-      .withColumn("__ahead", when(aheadMin - col("__t") <= twU, aheadMin))
-      .withColumn("__behind", when(col("__t") - behindMax <= twU, behindMax))
+    val kept = withFrames
+      .withColumn("__ahead",
+        when(col("__aheadT") - col("__t") <= twU, col("__aheadT")))
+      .withColumn("__behind",
+        when(col("__t") - col("__behindT") <= twU, col("__behindT")))
+      .drop("__aheadT", "__behindT")
       .filter(col("__ahead").isNotNull || col("__behind").isNotNull)
       .withColumn("__grp", coalesce(col("__ahead"), col("__behind")))
     // Delimiter rows (pipe_stream_context.go:688-692, 737-757): after each

@@ -279,7 +279,9 @@ object Compaction {
     df
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
-      .write.option("compression", LogStore.ParquetCodec).parquet(tmp.toString)
+      .write.option("compression", LogStore.ParquetCodec)
+      .option("parquet.block.size", LogStore.ParquetRowGroupBytes)
+      .parquet(tmp.toString)
     val __t1 = System.nanoTime()
     // exact whole-part value-type verdict, classified on the data being
     // rewritten BEFORE the source files are deleted (`df` still reads

@@ -36,6 +36,16 @@ object LogStore {
     * slightly cheaper decode. */
   val ParquetCodec = "zstd"
 
+  /** Row-group byte target for store data files. The layout keeps each
+    * stream's rows together in one file per (day, salt) — great for
+    * stream-filter pruning, but parquet only splits at row-group
+    * boundaries, so a HOT stream's file must not be one monolithic
+    * group: with the 128 MiB default a stream holding 50% of a day
+    * scanned as ONE task (SkewProbe: max/median task ratio 10-42×).
+    * 8 MiB groups keep such files splittable (a 32-way executor saturates
+    * on any file > ~256 MiB) at a negligible compression cost. */
+  val ParquetRowGroupBytes: Long = 8L << 20
+
   /** Canonical "k1=v1,k2=v2" (keys sorted) — stream_tags.go canonical
     * form. Absent/empty fields are OMITTED, not rendered as empty labels:
     * in the reference's data model an empty value IS a missing field
@@ -102,6 +112,7 @@ object LogStore {
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.mode("overwrite")
       .option("compression", LogStore.ParquetCodec)
+      .option("parquet.block.size", LogStore.ParquetRowGroupBytes)
       .partitionBy("tenant", "_day")
       .parquet(s"$dir/logs")
     withMeta.select(col("_stream_id"), col("_stream"))

@@ -50,12 +50,22 @@ class PlanAuditSpec extends SparkSuite {
       assert(countOf(p, "Scan parquet") <= 2, p) // needle build + source walk
     } finally
       spark.conf.unset("spark.graft.streamContext.pruneGateBytes")
-    // small-source shape (default gate): ONE scan, no join at all — the
-    // window itself drops rows of streams with no matched row
+    // small-source shape (default gate): ONE scan — the window drops
+    // rows of streams with no matched row. The parallel path's skew-proof
+    // bucketed frames are two complementary union branches over one
+    // reused exchange (never a second scan, never the LeftOuter
+    // marker-join double-execution shape)
     val q = plan(Compiler.run(logs,
       "value:>300 | stream_context before 2 after 1 time_window 4w"))
-    assert(!q.contains("Join"), q)
+    assert(!q.contains("LeftOuter"), q)
     assert(countOf(q, "Scan parquet") == 1, q)
+    // the interactive path keeps the joinless single-window shape
+    val s2 = graft.Sessions.interactive(spark)
+    val logs2 = graft.store.LogStore.read(s2, storeDir)
+    val qi = plan(Compiler.run(logs2,
+      "value:>300 | stream_context before 2 after 1 time_window 4w"))
+    assert(!qi.contains("Join"), qi)
+    assert(countOf(qi, "Scan parquet") == 1, qi)
   }
 
   test("facets runs ONE scan of the source relation") {
