@@ -15,10 +15,62 @@ import org.apache.spark.sql.functions._
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli <storeDir|parquetPath> [query]")
+      System.err.println(
+        "usage: graft.Cli <storeDir|parquetPath|http(s)://host:port> [flags] [query]\n" +
+        "flags: -datasource.url= -datasource.basicAuth.username= " +
+        "-datasource.basicAuth.password= -datasource.bearerToken= " +
+        "-datasource.headers='K: V^K2: V2' -accountID= -projectID= " +
+        "-datasource.tls.insecureSkipVerify -datasource.tls.caFile=")
       sys.exit(2)
     }
-    val path = args(0)
+    val (connOpt, positional) = CliHttp.parseArgs(args.toSeq) match {
+      case Left(err) => System.err.println(err); sys.exit(2); throw new Exception
+      case Right(r) => r
+    }
+    // remote datasource mode (vlogscli's normal operation): no local
+    // Spark at all — queries go to the server's /select/logsql/query
+    connOpt.foreach { conn =>
+      var mode = "m"
+      def runRemote(q: String): Unit =
+        try {
+          val lines = CliHttp.query(conn, q)
+          lines.foreach { l =>
+            val m = Option(graft.functions.JsonFlattenExpr.flatten(l))
+              .getOrElse(new java.util.LinkedHashMap[String, String]())
+            val fields = scala.collection.mutable.ArrayBuffer[(String, String)]()
+            m.forEach((k, v) => fields += k -> v)
+            val sorted = fields.sortBy(_._1).toSeq
+            println(mode match {
+              case "m" => CliFormat.fmtJson(sorted, multiline = true)
+              case "s" => CliFormat.fmtJson(sorted, multiline = false)
+              case "c" => CliFormat.fmtCompact(sorted)
+              case "logfmt" => CliFormat.fmtLogfmt(sorted)
+            })
+          }
+          System.err.println(s"-- ${lines.size} row(s)")
+        } catch { case e: Exception =>
+          System.err.println(s"error: ${e.getMessage}") }
+      if (positional.nonEmpty) { mode = "s"; runRemote(positional.mkString(" ")) }
+      else {
+        System.err.println(s"graft LogsQL shell → ${conn.url} — empty line " +
+          """or 'exit' quits; \s \m \c \logfmt switch output mode""")
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(System.in))
+        var line = in.readLine()
+        while (line != null && line.trim.nonEmpty && line.trim != "exit") {
+          line.trim match {
+            case """\s""" => mode = "s"
+            case """\m""" => mode = "m"
+            case """\c""" => mode = "c"
+            case """\logfmt""" => mode = "logfmt"
+            case q => runRemote(q)
+          }
+          line = in.readLine()
+        }
+      }
+      return
+    }
+    val path = positional.head
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -78,7 +130,7 @@ object Cli {
         case e: Exception => System.err.println(s"error: ${e.getMessage}")
       }
 
-    if (args.length > 1) { mode = "s"; run(args.drop(1).mkString(" ")) }
+    if (positional.length > 1) { mode = "s"; run(positional.drop(1).mkString(" ")) }
     else {
       System.err.println("graft LogsQL shell — empty line or 'exit' quits; " +
         """\s \m \c \logfmt switch output mode""")

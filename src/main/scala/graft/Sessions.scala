@@ -102,6 +102,27 @@ object Sessions {
       s
     })
 
+  private val boundedMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Int, SparkSession]]())
+
+  /** Child session enforcing `options(concurrency=n)` (parser.go:307 —
+    * the reference bounds per-query worker goroutines): every exchange
+    * and leaf fans out to at most n partitions, and the compiler caps
+    * scan-side tasks with coalesce(n). Memoized per (root, n); conf is
+    * written once, so concurrent queries can share it. */
+  def bounded(root: SparkSession, n: Int): SparkSession =
+    boundedMemo
+      .computeIfAbsent(root, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(n, _ => {
+        val s = root.newSession()
+        s.conf.set("spark.graft.bounded", n.toString)
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s.conf.set("spark.sql.leafNodeDefaultParallelism", n.toString)
+        functions.GraftFunctions.register(s)
+        s
+      })
+
   /** Total file bytes under the plan's leaf relations. Unknown leaves
     * report conf.defaultSizeInBytes (Long.MaxValue) and so force the
     * parallel path — the conservative direction. */

@@ -22,10 +22,12 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * reference acks after MustAddRows into the queue, not after the remote
   * commit), so storage downtime never back-pressures the edge.
   *
-  * Protocol scope: /insert/jsonline and /insert/elasticsearch/_bulk (the
-  * two text protocols agents actually front). The remaining transports
-  * can point at the engine directly; this is a declared narrowing of
-  * vlagent's all-protocols surface.
+  * Protocol scope: /insert/jsonline, /insert/elasticsearch/_bulk, and a
+  * syslog TCP listener (RFC 6587 octet-counted + newline framing via the
+  * engine's SyslogLineReader, RFC 3164/5424 parsing via SyslogParse —
+  * the transport edge shippers most actually front). The remaining
+  * transports can point at the engine directly; this is a declared
+  * narrowing of vlagent's all-protocols surface.
   */
 final class LogAgent(queueDir: String, remoteUrls: Seq[String],
                      port: Int = 0,
@@ -226,6 +228,50 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
   private def csv(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
 
+  // --------------------------------------------------- syslog transport
+
+  @volatile private var syslogSock: Option[java.net.ServerSocket] = None
+
+  /** Start the agent's syslog TCP listener (syslog/syslog.go:38-60 at
+    * the edge): RFC 6587 frames → SyslogParse (3164/5424, structured
+    * data) → InsertRow into the same pending buffer the HTTP routes
+    * feed. Lines enqueue as the reader yields them; the flusher thread
+    * ships on its normal cadence. Returns the bound port. */
+  def startSyslogTcp(streamFields: Seq[String] = Seq("hostname"),
+                     port: Int = 0, tenant: String = "0:0"): Int = {
+    val sock = new java.net.ServerSocket(port, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    syslogSock = Some(sock)
+    val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
+    val accept = new Thread(() => {
+      while (!sock.isClosed) {
+        try {
+          val conn = sock.accept()
+          new Thread(() => {
+            try {
+              val rd = new graft.streaming.SyslogLineReader(conn.getInputStream)
+              while (rd.nextLine()) {
+                val line = rd.line
+                if (line.nonEmpty) {
+                  val m = graft.functions.SyslogParse.parse(line, year, 0)
+                  enqueueRows(Seq(rowOf(m, tenant, streamFields,
+                    timeFields = Seq("timestamp"),
+                    msgFields = Seq("message"))))
+                }
+              }
+              rd.error.foreach(e =>
+                System.err.println(s"[agent-syslog] read error: $e"))
+            } catch { case _: java.io.IOException => /* sender hung up */ }
+            finally conn.close()
+          }, "graft-agent-syslog-conn").start()
+        } catch { case _: java.io.IOException => /* closed */ }
+      }
+    }, "graft-agent-syslog-accept")
+    accept.setDaemon(true)
+    accept.start()
+    sock.getLocalPort
+  }
+
   def start(): Int = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     serverOpt = Some(server)
@@ -302,6 +348,7 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
     * comes back before the JVM exits). */
   def stop(): Unit = {
     stopped = true
+    syslogSock.foreach(s => try s.close() catch { case _: Throwable => })
     flush()
     serverOpt.foreach(_.stop(0))
   }

@@ -214,16 +214,28 @@ object Compaction {
                          java.time.LocalDate.now(java.time.ZoneOffset.UTC)): Seq[String] =
       StoreLocks.compaction(dir).synchronized {
     val cutoff = today.minusDays(retentionDays.toLong)
+    val droppedParts = Set.newBuilder[String]
     val dropped = partitionDirs(dir).flatMap { pdir =>
       val day = pdir.getName.stripPrefix("_day=")
       val d = try java.time.LocalDate.parse(day) catch { case _: Exception => null }
       if (d != null && d.isBefore(cutoff)) {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+        droppedParts += s"${unescapePathName(pdir.getParent.getName)}/" +
+          unescapePathName(pdir.getName)
         Fs.delete(pdir.toString)
         Some(day)
       } else None
     }.distinct.sorted
     if (dropped.nonEmpty) {
       MsgBloom.invalidate(dir)
+      // sidecar hygiene: the serving paths never admit an off-disk part
+      // (coverage checks), so this is about dead keys not accumulating —
+      // and the retention soak asserts they actually go away. Under the
+      // append lock: sidecar writers serialize there.
+      StoreLocks.logsAppend(dir).synchronized {
+        FieldNameMeta.dropParts(dir, droppedParts.result())
+        ValueTypeMeta.dropParts(dir, droppedParts.result())
+      }
       // invalidate BEFORE the streams prune: the memoized logs relation
       // still indexes the files just deleted
       LogStore.invalidateCaches(dir)

@@ -105,6 +105,16 @@ object FieldNameMeta {
     if (pruned.size != base.size) writeSidecar(dir, pruned)
   }
 
+  /** Retention hygiene: drop the sidecar entries of expired parts. The
+    * query side never serves a part that is off disk (coverage check),
+    * so this only stops dead keys accumulating across retention cycles. */
+  def dropParts(dir: String, parts: Set[String]): Unit = {
+    if (parts.isEmpty) return
+    val base = load(dir)
+    val pruned = base.filterNot { case (k, _) => parts(k) }
+    if (pruned.size != base.size) writeSidecar(dir, pruned)
+  }
+
   /** Write per-part stats; same contract as [[ValueTypeMeta.record]]
     * (whole-part entries replace, callers hold the store write lock). */
   def record(dir: String, perPart: Map[String, Map[String, FieldStat]],

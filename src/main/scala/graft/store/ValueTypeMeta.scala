@@ -287,6 +287,18 @@ object ValueTypeMeta {
     if (pruned.size != base.size) writeSidecar(dir, pruned)
   }
 
+  /** Retention hygiene: drop expired parts' verdicts (whole-part AND
+    * per-file keys). Queries never consult off-disk parts; this only
+    * stops dead keys accumulating across retention cycles. */
+  def dropParts(dir: String, parts: Set[String]): Unit = {
+    if (parts.isEmpty) return
+    val base = load(dir)
+    val pruned = base.filterNot { case (k, _) =>
+      parts.exists(p => k == p || k.startsWith(p + "/"))
+    }
+    if (pruned.size != base.size) writeSidecar(dir, pruned)
+  }
+
   /** Compaction path, file granularity: classify every data file of a
     * freshly written part in ONE aggregate job (grouped by
     * input_file_name) — the closest Spark analogue of the reference

@@ -77,6 +77,40 @@ class LogAgentSpec extends SparkSuite {
     } finally { agent.stop(); storage.stop() }
   }
 
+  test("agent syslog TCP: RFC6587 frames forward with full fidelity") {
+    val storeDir = tmp("syslog-store")
+    val storage = new IngestServer(spark, storeDir)
+    val storagePort = storage.start()
+    val agent = new LogAgent(tmp("syslog-queue"),
+      Seq(s"http://127.0.0.1:$storagePort"), flushIntervalMs = 50L)
+    agent.start()
+    val sysPort = agent.startSyslogTcp()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", sysPort)
+      val os = sock.getOutputStream
+      // octet-counted frame (RFC 6587 §3.4.1) + newline-delimited frame
+      val f1 = "<134>1 2024-01-05T10:00:00Z edge01 payd 77 ID1 - checkout ok"
+      os.write(s"${f1.getBytes(UTF_8).length} $f1".getBytes(UTF_8))
+      val f2 = "<11>1 2024-01-05T10:01:00Z edge02 payd 78 ID2 - card declined\n"
+      os.write(f2.getBytes(UTF_8))
+      os.flush(); sock.close()
+      await("syslog rows forwarded")(
+        try count(storeDir, "app_name:payd | stats count() c") == 2L
+        catch { case _: Throwable => false })
+      // priority decodes (134 = local0/info, 11 = user/error), hostname
+      // became the stream, app_name/proc_id landed as fields, and the
+      // frame timestamps survived the native hop
+      assert(count(storeDir,
+        """level:info {hostname="edge01"} app_name:payd proc_id:77
+          | | stats count() c""".stripMargin.replace("\n", "")) == 1)
+      assert(count(storeDir,
+        """level:error {hostname="edge02"} "card declined"
+          | | stats count() c""".stripMargin.replace("\n", "")) == 1)
+      assert(count(storeDir,
+        "_time:[2024-01-05T10:00:00Z, 2024-01-05T10:01:00Z] | stats count() c") == 2)
+    } finally { agent.stop(); storage.stop() }
+  }
+
   test("queue disk usage is bounded: overflow drops the OLDEST blocks") {
     val queueDir = tmp("cap-queue")
     val agent = new LogAgent(queueDir, Seq("http://127.0.0.1:1"),

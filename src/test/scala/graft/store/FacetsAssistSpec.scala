@@ -12,17 +12,21 @@ class FacetsAssistSpec extends SparkSuite {
 
   /** Store with three field classes: `app` (2 values — dict in every
     * part), `k8s_pod` (unique per row — over any small cap in one part),
-    * `note` (a handful of values, some parts missing a dict). */
+    * `note` (a handful of values). Built through the parse path so the
+    * dynamic fields live in the `fields` map (the store's top-level
+    * schema contract: fixed columns + promoted fields only), then
+    * compacted so the sidecar stats land. */
   private def mkStore(): String = {
     val dir = s"/root/repo/target/facets_spec/${System.nanoTime()}"
-    val rows = (0 until 40).map { i =>
-      (s"2024-03-0${1 + i % 2}", s"m$i", if (i % 2 == 0) "web" else "api",
-       s"pod-$i", s"note${i % 12}")
+    val lines = (0 until 40).map { i =>
+      s"""{"_time":"2024-03-0${1 + i % 2}T10:00:00Z","_msg":"m$i",""" +
+        s""""app":"${if (i % 2 == 0) "web" else "api"}",""" +
+        s""""k8s_pod":"pod-$i","note":"note${i % 12}"}"""
     }
-    val df = rows.toDF("d", "_msg", "app", "k8s_pod", "note")
-      .withColumn("_time", to_timestamp(concat(col("d"), lit(" 10:00:00"))))
-      .drop("d")
-    LogStore.ingest(df, dir, Seq("app"))
+    graft.streaming.Ingest.appendBatch(
+      graft.streaming.Ingest.parseJsonline(lines.toDF("value")),
+      dir, Seq("app"))
+    Compaction.optimize(spark, dir, minFilesToCompact = 1)
     dir
   }
 
