@@ -256,6 +256,12 @@ object SparkEntry {
       lql(s, d,
         """* | copy value as v2 | rename event_type as et | delete _msg
            | where et:purchase | stats by (et) count() hits, sum_len(et) sl""")),
+    // ---- options(concurrency=N): ENFORCED worker bound (§2, options;
+    //      parser.go:307) — same results on the capped execution path ----
+    "q_lql_concurrency" -> ((s, d) =>
+      lql(s, d,
+        """options(concurrency=2) *
+           | stats by (event_type) count() hits | sort by (event_type)""")),
     // ---- offset pipe (§2.2 #24) ----
     "q_lql_offset" -> ((s, d) =>
       lql(s, d, "* | sort by (event_id) | offset 10 | limit 5 | fields event_id, event_type")),
@@ -1415,6 +1421,9 @@ object SparkEntry {
       """SELECT event_type AS et, count(*) AS hits,
          CAST(sum(length(event_type)) AS BIGINT) AS sl
          FROM events WHERE event_type = 'purchase' GROUP BY 1""",
+    "q_lql_concurrency" ->
+      """SELECT event_type, count(*) AS hits FROM events
+         GROUP BY 1 ORDER BY 1""",
     "q_lql_offset" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 5 OFFSET 10",
     "q_lql_last" ->
