@@ -42,7 +42,16 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   def this(spark: SparkSession, source: DataFrame) = this(spark, source, 0)
 
-  private def source: DataFrame = sourceProvider()
+  /** Store-backed servers route the relation through the interactive
+    * small-input session (Sessions.route): ad-hoc first-run HTTP queries
+    * then skip the per-exchange AQE stage jobs exactly like the library
+    * entry points — the plan cache already covered repeats, this covers
+    * plan-cache MISSES. Generic sources keep the caller's session. */
+  private def source: DataFrame = storeDir match {
+    case Some(dir) =>
+      graft.Sessions.route(spark)(s => graft.store.LogStore.read(s, dir))
+    case None => sourceProvider()
+  }
 
   @volatile private var serverOpt: Option[HttpServer] = None
   @volatile private var stopped = false
