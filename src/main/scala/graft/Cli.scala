@@ -70,6 +70,14 @@ object Cli {
       }
       return
     }
+    if (positional.isEmpty) {
+      // flags-only invocation (e.g. `-accountID=0` with no store path or
+      // -datasource.url): same usage message as the zero-arg case
+      System.err.println(
+        "usage: graft.Cli <storeDir|parquetPath|http(s)://host:port> " +
+        "[flags] [query]")
+      sys.exit(2)
+    }
     val path = positional.head
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -58,11 +58,19 @@ object CliHttp {
         case ("-accountID", v) => conn = conn.copy(accountId = Some(v))
         case ("-projectID", v) => conn = conn.copy(projectId = Some(v))
         case ("-datasource.tls.insecureSkipVerify", v) =>
-          conn = conn.copy(insecureTls = v.isEmpty || v.toBoolean)
+          val b =
+            if (v.isEmpty) true
+            else scala.util.Try(v.toBoolean).getOrElse(
+              return Left(s"-datasource.tls.insecureSkipVerify: " +
+                s"invalid boolean '$v'"))
+          conn = conn.copy(insecureTls = b)
         case ("-datasource.tls.caFile", v) => conn = conn.copy(caFile = Some(v))
         case (k, _) => return Left(s"unknown flag $k")
       }
     }
+    if ((conn.user.nonEmpty || conn.pass.nonEmpty) && conn.bearer.nonEmpty)
+      return Left("cannot combine -datasource.basicAuth.* with " +
+        "-datasource.bearerToken: pick one auth scheme")
     val positional = pos.result()
     val effectiveUrl = url.orElse(
       positional.headOption.filter(p => p.startsWith("http://") || p.startsWith("https://")))

@@ -24,9 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `spark.sql.adaptive.enabled=false` — the whole DAG runs as ONE
   *     job: no per-exchange stage jobs, no runtime re-plans. AQE's
   *     coalescing/skew value is zero below the threshold by construction.
-  *   - `spark.sql.shuffle.partitions=1` — every exchange collapses to a
-  *     single reduce task; scan-side parallelism (file splits) is
-  *     untouched.
+  *   - `spark.sql.shuffle.partitions=8` — every exchange collapses to a
+  *     handful of reduce tasks (8, not 1: window/join exec still wants a
+  *     few-way spread — see the inline note); scan-side parallelism
+  *     (file splits) is untouched.
   *   - `spark.sql.leafNodeDefaultParallelism=1` — range/local leaves stop
   *     fanning 1-row inputs across 32 slices.
   *

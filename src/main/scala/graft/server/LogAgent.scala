@@ -231,6 +231,8 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
   // --------------------------------------------------- syslog transport
 
   @volatile private var syslogSock: Option[java.net.ServerSocket] = None
+  private val syslogConns = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[java.net.Socket]()
 
   /** Start the agent's syslog TCP listener (syslog/syslog.go:38-60 at
     * the edge): RFC 6587 frames → SyslogParse (3164/5424, structured
@@ -242,17 +244,20 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
     val sock = new java.net.ServerSocket(port, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     syslogSock = Some(sock)
-    val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
     val accept = new Thread(() => {
       while (!sock.isClosed) {
         try {
           val conn = sock.accept()
-          new Thread(() => {
+          syslogConns.add(conn)
+          val t = new Thread(() => {
             try {
               val rd = new graft.streaming.SyslogLineReader(conn.getInputStream)
               while (rd.nextLine()) {
                 val line = rd.line
                 if (line.nonEmpty) {
+                  // RFC 3164 timestamps carry no year: resolve per message
+                  // (a long-lived agent crosses year rollovers)
+                  val year = java.time.Year.now(java.time.ZoneOffset.UTC).getValue
                   val m = graft.functions.SyslogParse.parse(line, year, 0)
                   enqueueRows(Seq(rowOf(m, tenant, streamFields,
                     timeFields = Seq("timestamp"),
@@ -262,8 +267,10 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
               rd.error.foreach(e =>
                 System.err.println(s"[agent-syslog] read error: $e"))
             } catch { case _: java.io.IOException => /* sender hung up */ }
-            finally conn.close()
-          }, "graft-agent-syslog-conn").start()
+            finally { syslogConns.remove(conn); conn.close() }
+          }, "graft-agent-syslog-conn")
+          t.setDaemon(true) // an idle open connection must not block JVM exit
+          t.start()
         } catch { case _: java.io.IOException => /* closed */ }
       }
     }, "graft-agent-syslog-accept")
@@ -349,6 +356,9 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
   def stop(): Unit = {
     stopped = true
     syslogSock.foreach(s => try s.close() catch { case _: Throwable => })
+    // unblock per-connection readers parked on an idle socket
+    syslogConns.forEach(c => try c.close() catch { case _: Throwable => })
+    syslogConns.clear()
     flush()
     serverOpt.foreach(_.stop(0))
   }
