@@ -1025,6 +1025,17 @@ object SparkEntry {
       graft.store.MsgBloom.ensure(s, dir)
       graft.store.MsgBloom.query(s, dir, "\"89\" | stats count() hits")
     }),
+    // ---- per-field token-bloom pruning (the reference's per-column
+    // bloom.bin, filenames.go:4-24): a needle filter on a NON-_msg field
+    // (event_id) prunes files through the field sidecar, intersected
+    // with the _msg sidecar's verdict for the word filter ----
+    "q_store_field_bloom" -> ((s, d) => {
+      val dir = graft.store.LogStore.ensureFromEvents(s, d)
+      graft.store.MsgBloom.ensure(s, dir)
+      graft.store.FieldBloom.ensure(s, dir)
+      graft.store.MsgBloom.query(s, dir,
+        "event_id:5027 \"89\" | stats count() hits")
+    }),
     // ---- write-time value_type metadata (§2.1 #16): the store's ingest
     // wrote per-(tenant,day) value types (ValueTypeMeta sidecar, the
     // columnHeader.valueType analogue), so these filters compile to
@@ -2115,6 +2126,10 @@ object SparkEntry {
     "q_store_bloom" ->
       """SELECT count(*) AS hits FROM events
          WHERE regexp_matches(props, '\b89\b')""",
+    "q_store_field_bloom" ->
+      """SELECT count(*) AS hits FROM events
+         WHERE regexp_matches(CAST(event_id AS VARCHAR), '\b5027\b')
+           AND regexp_matches(props, '\b89\b')""",
     // store field_names: every logical field of the events store is
     // non-empty on every row (the view has no nulls), so each name's
     // hits = total row count; _stream/_stream_id are store-added

@@ -103,6 +103,11 @@ object Compaction {
       System.err.println(s"[optimize] bloom refresh failed: ${e.getMessage}")
       MsgBloom.invalidate(dir)
     }
+    try FieldBloom.refresh(spark, dir)
+    catch { case e: Exception =>
+      System.err.println(s"[optimize] field-bloom refresh failed: ${e.getMessage}")
+      FieldBloom.invalidate(dir)
+    }
     LogStore.invalidateCaches(dir)
   }
 
@@ -123,6 +128,9 @@ object Compaction {
       }
       LogStore.markPromotionDone(dir)
       MsgBloom.invalidate(dir)
+      // promotion changes the store schema, so the covered-field list is
+      // stale too — drop rather than refresh
+      FieldBloom.invalidate(dir)
       LogStore.invalidateCaches(dir)
     }
   }
@@ -183,6 +191,13 @@ object Compaction {
       } catch { case e: Throwable =>
         System.err.println(s"[lifecycle] bloom refresh failed: ${e.getMessage}")
       }
+      try {
+        val (added, _) = FieldBloom.refresh(spark, dir)
+        if (added > 0)
+          graft.server.Metrics.bloomFilesRefreshed.addAndGet(added.toLong)
+      } catch { case e: Throwable =>
+        System.err.println(s"[lifecycle] field-bloom refresh failed: ${e.getMessage}")
+      }
     }
     val t = new Thread(() => {
       // ±20% jitter so a fleet of nodes started together doesn't compact
@@ -228,6 +243,7 @@ object Compaction {
     }.distinct.sorted
     if (dropped.nonEmpty) {
       MsgBloom.invalidate(dir)
+      FieldBloom.invalidate(dir)
       // sidecar hygiene: the serving paths never admit an off-disk part
       // (coverage checks), so this is about dead keys not accumulating —
       // and the retention soak asserts they actually go away. Under the

@@ -21,7 +21,7 @@ object MsgBloom {
   val DefaultBits: Int = 1 << 20 // 128 KiB per file
   val NumHashes: Int = 4
 
-  private def probes(hash: Long, mBits: Int): Seq[Int] = {
+  private[store] def probes(hash: Long, mBits: Int): Seq[Int] = {
     val h1 = hash
     val h2 = (hash >>> 32) | (hash << 32)
     (0 until NumHashes).map { i =>
@@ -29,7 +29,7 @@ object MsgBloom {
     }
   }
 
-  private class BloomAgg(mBits: Int)
+  private[store] class BloomAgg(mBits: Int)
       extends Aggregator[Long, Array[Long], Array[Byte]] {
     def zero: Array[Long] = new Array[Long](mBits / 64)
     def reduce(buf: Array[Long], hash: Long): Array[Long] = {
@@ -99,7 +99,7 @@ object MsgBloom {
 
   /** input_file_name()/inputFiles URI → the path spark.read accepts
     * (scheme+authority preserved for hdfs://, s3a://). */
-  private def onDisk(uri: String): String = {
+  private[store] def onDisk(uri: String): String = {
     val u = new java.net.URI(uri)
     if (u.getScheme == null || u.getScheme == "file") u.getPath
     else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
@@ -112,7 +112,7 @@ object MsgBloom {
     * quotes '%', so a partition dir's literal `%3A` survives the round
     * trip); remote URI strings are already in stored form — onDisk is
     * idempotent on them. */
-  private def asStored(p: String): String =
+  private[store] def asStored(p: String): String =
     if (p.startsWith("/")) new java.net.URI("file", null, p, null).toString
     else p
 
@@ -315,47 +315,65 @@ object MsgBloom {
     * list yields an empty relation with the full schema. */
   def prunedLogs(spark: SparkSession, dir: String,
                  tokens: Seq[String]): DataFrame =
-    candidateFiles(spark, dir, tokens) match {
+    applyCandidates(spark, dir, candidateFiles(spark, dir, tokens))
+
+  /** Relation for a bloom candidate verdict: None → full store scan,
+    * Some(Nil) → empty relation (full schema), Some(files) → only those
+    * files. Shared by the `_msg` and per-field sidecar paths. */
+  private[store] def applyCandidates(spark: SparkSession, dir: String,
+                                     cand: Option[Seq[String]]): DataFrame =
+    cand match {
       case None => LogStore.read(spark, dir)
       case Some(Nil) => LogStore.read(spark, dir).where(lit(false))
-      case Some(files) =>
-        val sorted = files.sorted
-        val key = (spark, dir, sorted)
-        synchronized {
-          relCache.get(key) match {
-            case Some(df) => df
-            case None =>
-              val df = spark.read.option("basePath", s"$dir/logs")
-                .parquet(sorted: _*)
-              relCache.put(key, df)
-              while (relCache.size > MaxRelCacheEntries)
-                relCache.remove(relCache.head._1)
-              df
-          }
-        }
+      case Some(files) => relationFor(spark, dir, files.sorted)
+    }
+
+  private[store] def relationFor(spark: SparkSession, dir: String,
+                                 sorted: Seq[String]): DataFrame = {
+    val key = (spark, dir, sorted)
+    synchronized {
+      relCache.get(key) match {
+        case Some(df) => df
+        case None =>
+          val df = spark.read.option("basePath", s"$dir/logs")
+            .parquet(sorted: _*)
+          relCache.put(key, df)
+          while (relCache.size > MaxRelCacheEntries)
+            relCache.remove(relCache.head._1)
+          df
+      }
+    }
+  }
+
+  /** Intersect candidate verdicts from two sidecars: a None (no sidecar /
+    * sidecar unreadable) contributes no constraint. */
+  private[store] def intersect(a: Option[Seq[String]],
+                               b: Option[Seq[String]]): Option[Seq[String]] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) => val ys = y.toSet; Some(x.filter(ys))
     }
 
   /** Word/phrase tokens that every matching row must contain, from the
     * query's top-level AND filters on `_msg` (the same tokens the
     * reference feeds its bloom check — filter_phrase.go:61-122). */
-  def requiredMsgTokens(f: graft.logql.Filter): Seq[String] = {
-    import graft.logql.Filter._
-    f match {
-      case And(fs) => fs.flatMap(requiredMsgTokens)
-      case Phrase("_msg", p) => TextMatch.tokenizeString(p)
-      case Sequence("_msg", ps) => ps.flatMap(TextMatch.tokenizeString)
-      case ContainsAll("_msg", vs) => vs.flatMap(TextMatch.tokenizeString)
-      case Exact("_msg", v) => TextMatch.tokenizeString(v)
-      case _ => Nil
-    }
-  }
+  def requiredMsgTokens(f: graft.logql.Filter): Seq[String] =
+    FieldBloom.requiredTokensByField(f).getOrElse("_msg", Nil)
 
-  /** Run a LogsQL query over the store with bloom-assisted file pruning. */
+  /** Run a LogsQL query over the store with bloom-assisted file pruning:
+    * `_msg` tokens consult this sidecar, non-`_msg` field tokens consult
+    * the per-field sidecar ([[FieldBloom]]) when it exists — the analogue
+    * of the reference pruning every column through its own bloom.bin
+    * (filter_and.go:105 applies matchBloomFilterAllTokens per field). */
   def query(spark: SparkSession, dir: String, queryText: String): DataFrame = {
     val q = graft.logql.Parser.parse(queryText,
       System.currentTimeMillis() * 1000000L)
-    val tokens = requiredMsgTokens(q.filter).distinct
-    val logs = prunedLogs(spark, dir, tokens)
+    val byField = FieldBloom.requiredTokensByField(q.filter)
+    val msgCand = candidateFiles(spark, dir,
+      byField.getOrElse("_msg", Nil).distinct)
+    val fieldCand = FieldBloom.candidateFiles(spark, dir, byField - "_msg")
+    val logs = applyCandidates(spark, dir, intersect(msgCand, fieldCand))
     graft.logql.Compiler.run(logs, q, System.currentTimeMillis() * 1000000L)
   }
 }

@@ -52,9 +52,32 @@ def main():
         # cold ratio is plan-construction floor rather than row work
         rows.append((name, duck, qs[name], spark_adj, warm.get(name)))
     matched = [r for r in rows if r[1] >= 0.02]
+
+    # Mechanical per-entry verdict (round-12 verdict ask #2b): an entry
+    # passes iff its BEST ratio — cold floor-adjusted or warm steady-state
+    # re-execution — is within the 2x gate. When the adj column alone is
+    # >2x, the emitted decomposition shows what the residue is made of:
+    # `floor_s` (jobs x measured per-job floor, already subtracted in adj)
+    # and `fresh_minus_warm_s` (per-fresh-execution plan/orchestration
+    # cost that re-running the same DataFrame does not pay). No prose
+    # defense: the artifact itself carries the explanation or the fail.
+    def verdict_of(duck, raw, adj, w, j):
+        best = (min(adj, w) if w is not None else adj) / max(duck, 1e-9)
+        v = {"ratio_best": best, "verdict": "pass" if best <= 2.0 else "fail"}
+        if adj / max(duck, 1e-9) > 2.0:
+            v["residual_decomposition"] = {
+                "jobs": j,
+                "floor_s": noop + jf * max(j - 1, 0),
+                "fresh_minus_warm_s": (raw - w) if w is not None else None,
+                "row_work_ratio_warm": (w / max(duck, 1e-9))
+                                       if w is not None else None,
+            }
+        return v
+
     for name, duck, raw, adj, w in sorted(matched, key=lambda r: -(r[3] / max(r[1], 1e-9))):
         ws = f" warm={w*1000:8.1f}ms wratio={w/max(duck,1e-9):6.2f}" if w is not None else ""
-        print(f"{name:28s} duck={duck*1000:8.1f}ms spark={raw*1000:8.1f}ms adj={adj*1000:8.1f}ms ratio={adj/max(duck,1e-9):6.2f}{ws}")
+        vd = verdict_of(duck, raw, adj, w, jobs.get(name, 1))["verdict"]
+        print(f"{name:28s} duck={duck*1000:8.1f}ms spark={raw*1000:8.1f}ms adj={adj*1000:8.1f}ms ratio={adj/max(duck,1e-9):6.2f}{ws} {vd}")
     if matched:
         sduck = sum(r[1] for r in matched)
         sadj = sum(r[3] for r in matched)
@@ -81,7 +104,9 @@ def main():
                        "ratio_adj": adj / max(duck, 1e-9),
                        **({"spark_warm_s": w,
                            "ratio_warm": w / max(duck, 1e-9)}
-                          if w is not None else {})}
+                          if w is not None else {}),
+                       **(verdict_of(duck, raw, adj, w, jobs.get(name, 1))
+                          if duck >= 0.02 else {})}
                 for name, duck, raw, adj, w in rows
             },
             "matched_subset": {
@@ -101,6 +126,11 @@ def main():
                 "max_entry_ratio_best": max(
                     (min(r[3], r[4]) if r[4] is not None else r[3]) / max(r[1], 1e-9)
                     for r in matched) if matched else 0.0,
+                "per_entry_pass": sum(
+                    1 for r in matched
+                    if verdict_of(r[1], r[2], r[3], r[4],
+                                  jobs.get(r[0], 1))["verdict"] == "pass"),
+                "per_entry_total": len(matched),
             },
         }
         with open(out_path, "w") as f:
