@@ -160,8 +160,13 @@ final class IngestServer(spark: SparkSession, storeDir: String,
             val named = r.fields.map { case (k, v) =>
               (if (k.isEmpty) "_msg" else k) -> v }
             val msg = named.find(_._1 == "_msg").map(_._2).getOrElse("")
+            // ListMap: a plain .toMap switches to HashMap above 4 entries
+            // and scrambles field order through the native hop — rows
+            // shipped by the agent must store fields in the same order
+            // direct ingestion would (LogAgentSpec fidelity cases)
             (java.sql.Timestamp.from(inst), msg,
-              (named.filter(_._1 != "_msg") ++ r.tags).toMap)
+              scala.collection.immutable.ListMap.from(
+                named.filter(_._1 != "_msg") ++ r.tags))
           }
           committer.append(GroupCommitter.Rows(payload),
             s"internalinsert|$tenant|tags=${tagNames.mkString(",")}",

@@ -22,12 +22,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * reference acks after MustAddRows into the queue, not after the remote
   * commit), so storage downtime never back-pressures the edge.
   *
-  * Protocol scope: /insert/jsonline, /insert/elasticsearch/_bulk, and a
-  * syslog TCP listener (RFC 6587 octet-counted + newline framing via the
-  * engine's SyslogLineReader, RFC 3164/5424 parsing via SyslogParse —
-  * the transport edge shippers most actually front). The remaining
-  * transports can point at the engine directly; this is a declared
-  * narrowing of vlagent's all-protocols surface.
+  * Protocol scope (vlagent fronts every insert protocol,
+  * app/vlagent/main.go): /insert/jsonline, /insert/elasticsearch/_bulk,
+  * /insert/loki/api/v1/push (JSON + snappy-protobuf),
+  * /insert/opentelemetry/v1/logs (JSON + protobuf),
+  * /insert/datadog/api/v2/logs, /insert/journald/upload, and a syslog
+  * TCP listener (RFC 6587 octet-counted + newline framing via the
+  * engine's SyslogLineReader, RFC 3164/5424 parsing via SyslogParse).
+  * Binary payloads decode with the engine's own dependency-free readers;
+  * JSON payloads with [[AgentParsers]], whose semantics the
+  * LogAgentSpec fidelity cases pin against direct engine ingestion.
   */
 final class LogAgent(queueDir: String, remoteUrls: Seq[String],
                      port: Int = 0,
@@ -287,9 +291,23 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
       server.createContext(path, (ex: HttpExchange) => {
         try {
           val body = ex.getRequestBody.readAllBytes()
-          val raw = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-            .filter(_.toLowerCase.contains("zstd"))
-            .map(_ => zstdDecompress(body)).getOrElse(body)
+          // transparent decompression like the engine's ingest front
+          // (gzip / deflate / zstd / snappy by Content-Encoding)
+          val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .getOrElse("").toLowerCase
+          def readAll(is: java.io.InputStream): Array[Byte] =
+            try is.readAllBytes() finally is.close()
+          val raw =
+            if (enc.contains("zstd")) zstdDecompress(body)
+            else if (enc.contains("gzip"))
+              readAll(new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(body)))
+            else if (enc.contains("deflate"))
+              readAll(new java.util.zip.InflaterInputStream(
+                new java.io.ByteArrayInputStream(body)))
+            else if (enc.contains("snappy"))
+              org.xerial.snappy.Snappy.uncompress(body)
+            else body
           f(ex, params(ex), raw)
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.toString)
@@ -336,6 +354,66 @@ final class LogAgent(queueDir: String, remoteUrls: Seq[String],
       val b = """{"took":0,"errors":false}""".getBytes(UTF_8)
       ex.sendResponseHeaders(200, b.length)
       ex.getResponseBody.write(b)
+    }
+    // ---- remaining insert protocols (vlagent fronts them all,
+    // app/vlagent/main.go): decoded at the edge with the engine's own
+    // Spark-free readers (proto) / AgentParsers (JSON, semantics pinned
+    // to streaming/Ingest.scala by the LogAgentSpec fidelity cases),
+    // then shipped over the same durable native-protocol queue ----
+    def enqueueDecoded(rows: Seq[AgentParsers.Row], tenant: String,
+                       streamFields: Seq[String]): Unit =
+      enqueueRows(rows.map { case (tsNs, msg, fields) =>
+        val ts = if (tsNs == 0L) System.currentTimeMillis * 1000000L else tsNs
+        val tags = streamFields.flatMap(f => fields.find(_._1 == f))
+        InsertRow(tenant, tags, ts,
+          ("_msg" -> msg) +: fields.filterNot(f => streamFields.contains(f._1)))
+      })
+    def looksJson(ex: HttpExchange, body: Array[Byte]): Boolean = {
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val startsBrace = body.dropWhile(b =>
+        b == ' ' || b == '\n' || b == '\r' || b == '\t')
+        .headOption.contains('{'.toByte)
+      ctype.contains("json") || (!ctype.contains("protobuf") && startsBrace)
+    }
+    route("/insert/loki/api/v1/push") { (ex, ps, body) =>
+      val sf = ps.get("_stream_fields").map(csv).getOrElse(Nil)
+      val rows =
+        if (looksJson(ex, body)) AgentParsers.lokiJson(body)
+        else graft.streaming.LokiProto.parsePushRequest(body).map(e =>
+          (e.tsNanos, e.line, e.labels.toSeq.sortBy(_._1)))
+      enqueueDecoded(rows, tenantOf(ex), sf)
+      ex.sendResponseHeaders(204, -1)
+    }
+    route("/insert/opentelemetry/v1/logs") { (ex, ps, body) =>
+      val sf = ps.get("_stream_fields").map(csv).getOrElse(Nil)
+      val rows =
+        if (looksJson(ex, body)) AgentParsers.otlpJson(body)
+        else graft.streaming.OtlpProto.parseExportLogs(body).map { r =>
+          val fields = (r.resAttrs ++ r.attrs ++
+            (if (r.severityText.nonEmpty) Map("severity" -> r.severityText)
+             else Map.empty)).toSeq
+          (r.tsNanos, r.body, fields)
+        }
+      enqueueDecoded(rows, tenantOf(ex), sf)
+      val b = "{}".getBytes(UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+    }
+    route("/insert/datadog/api/v2/logs") { (ex, ps, body) =>
+      val sf = ps.get("_stream_fields").map(csv).getOrElse(Nil)
+      enqueueDecoded(AgentParsers.datadogJson(body), tenantOf(ex), sf)
+      val b = "{}".getBytes(UTF_8)
+      ex.sendResponseHeaders(202, b.length)
+      ex.getResponseBody.write(b)
+    }
+    route("/insert/journald/upload") { (ex, ps, body) =>
+      val sf = ps.get("_stream_fields").map(csv).getOrElse(Nil)
+      val rows = graft.streaming.JournaldExport.parse(body).map { e =>
+        val msg = e.fields.find(_._1 == "_msg").map(_._2).getOrElse("")
+        (e.tsNanos, msg, e.fields.filter(_._1 != "_msg"))
+      }
+      enqueueDecoded(rows, tenantOf(ex), sf)
+      ex.sendResponseHeaders(200, -1)
     }
     route("/metrics") { (ex, _, _) =>
       val b = (s"# TYPE graft_agent_backlog_blocks gauge\n" +

@@ -49,7 +49,12 @@ object FieldBloom {
   val DefaultBits: Int = 1 << 17 // 16 KiB
 
   val MinBits: Int = 1 << 14 // 2 KiB
-  val MaxBits: Int = 1 << 21 // 256 KiB
+  // High-cardinality fields (request/trace ids) legitimately need big
+  // bitmaps: ~16 bits per distinct value is the reference's own bloom
+  // budget (bloomFilterHashesCount sizing). A 666k-distinct-values file
+  // needs 2^24 bits (2 MiB) to hold ~0.03% fpp; the earlier 256 KiB cap
+  // measured 27-33% false-positive files on the 20M probe store.
+  val MaxBits: Int = 1 << 24 // 2 MiB
 
   /** Max dynamic map keys covered beyond the top-level columns. */
   val DefaultMaxDynamicFields: Int = 8

@@ -111,6 +111,121 @@ class LogAgentSpec extends SparkSuite {
     } finally { agent.stop(); storage.stop() }
   }
 
+  /** Differential fidelity: the same payload ingested (a) through the
+    * agent's decode → durable queue → native-protocol hop and (b) by the
+    * engine's own /insert route must store IDENTICAL rows — streams,
+    * fields, timestamps. This pins AgentParsers' jackson decoders to the
+    * engine's Spark-side parsers (streaming/Ingest.scala) so the two
+    * implementations cannot drift silently. */
+  private def fidelityCase(name: String, path: String, body: Array[Byte],
+                           headers: Map[String, String],
+                           expectRows: Long): Unit = {
+    val directDir = tmp(s"$name-direct")
+    val agentDir = tmp(s"$name-agent")
+    val direct = new IngestServer(spark, directDir)
+    val directPort = direct.start()
+    val storage = new IngestServer(spark, agentDir)
+    val storagePort = storage.start()
+    val agent = new LogAgent(tmp(s"$name-queue"),
+      Seq(s"http://127.0.0.1:$storagePort"), flushIntervalMs = 50L)
+    val agentPort = agent.start()
+    def postBytes(port: Int): Int = {
+      val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.getOutputStream.write(body)
+      val code = conn.getResponseCode
+      Option(if (code >= 400) conn.getErrorStream else conn.getInputStream)
+        .foreach { is => is.readAllBytes(); is.close() }
+      conn.disconnect()
+      code
+    }
+    try {
+      assert(postBytes(directPort) < 300, s"$name: direct post failed")
+      assert(postBytes(agentPort) < 300, s"$name: agent post failed")
+      def dump(dir: String): Seq[String] =
+        LogStore.withStaleRetry(dir) {
+          Compiler.run(LogStore.read(spark, dir), "* | pack_json p | fields p")
+            .collect().map(_.getString(0)).sorted.toSeq
+        }
+      await(s"$name rows forwarded")(agent.backlog() == 0 &&
+        (try dump(agentDir).size.toLong == expectRows
+         catch { case _: Throwable => false }))
+      val d = dump(directDir)
+      assert(d.size.toLong == expectRows, s"$name: direct stored ${d.size}")
+      assert(dump(agentDir) == d,
+        s"$name rows differ:\nagent : ${dump(agentDir)}\ndirect: $d")
+    } finally { agent.stop(); storage.stop(); direct.stop() }
+  }
+
+  test("loki JSON through the agent matches direct ingestion") {
+    fidelityCase("lokijson", "/insert/loki/api/v1/push?_stream_fields=app",
+      """{"streams":[{"stream":{"app":"web","env":"prod"},"values":[
+        |["1704451200000000000","loki json line",{"trace_id":"t1"}],
+        |["1704451201123456789","second loki line"]]}]}""".stripMargin
+        .replace("\n", "").getBytes(UTF_8),
+      Map("Content-Type" -> "application/json"), expectRows = 2L)
+  }
+
+  test("loki snappy-protobuf through the agent matches direct ingestion") {
+    import graft.streaming.LokiProto
+    // encodePushRequest output is already snappy-compressed wire format
+    val body = (LokiProto.encodePushRequest(Seq(
+      LokiProto.Entry(1704451200123456789L, "proto line one",
+        Map("app" -> "web", "env" -> "prod")),
+      LokiProto.Entry(1704451201000000000L, "proto line two",
+        Map("app" -> "web")))))
+    fidelityCase("lokiproto", "/insert/loki/api/v1/push?_stream_fields=app",
+      body, Map("Content-Type" -> "application/x-protobuf"), expectRows = 2L)
+  }
+
+  test("OTLP JSON through the agent matches direct ingestion") {
+    fidelityCase("otlpjson", "/insert/opentelemetry/v1/logs?_stream_fields=service",
+      """{"resourceLogs":[{"resource":{"attributes":[
+        |{"key":"service","value":{"stringValue":"api"}}]},
+        |"scopeLogs":[{"logRecords":[
+        |{"timeUnixNano":"1704451200123456789","severityText":"WARN",
+        |"body":{"stringValue":"otlp json line"},
+        |"attributes":[{"key":"k","value":{"stringValue":"v"}}]},
+        |{"timeUnixNano":"1704451201000000000",
+        |"body":{"stringValue":"second otlp line"}}]}]}]}""".stripMargin
+        .replace("\n", "").getBytes(UTF_8),
+      Map("Content-Type" -> "application/json"), expectRows = 2L)
+  }
+
+  test("OTLP protobuf through the agent matches direct ingestion") {
+    import graft.streaming.OtlpProto
+    val body = OtlpProto.encodeExportLogs(Seq(
+      OtlpProto.Record(1704451200123456789L, "WARN", "otlp proto line",
+        Map("service" -> "api"), Map("k" -> "v")),
+      OtlpProto.Record(1704451201000000000L, "", "second otlp proto",
+        Map("service" -> "api"), Map.empty)))
+    fidelityCase("otlpproto", "/insert/opentelemetry/v1/logs?_stream_fields=service",
+      body, Map("Content-Type" -> "application/x-protobuf"), expectRows = 2L)
+  }
+
+  test("datadog JSON through the agent matches direct ingestion") {
+    fidelityCase("datadog", "/insert/datadog/api/v2/logs?_stream_fields=hostname",
+      """[{"message":"dd line one","ddsource":"nginx",
+        |"ddtags":"env:prod,canary","hostname":"h1","service":"web",
+        |"timestamp":1704451200000},
+        |{"message":{"message":"dd nested","status":"error",
+        |"lamdba":{"arn":"a1"}},"hostname":"h2","timestamp":1704451201000}]"""
+        .stripMargin.replace("\n", "").getBytes(UTF_8),
+      Map("Content-Type" -> "application/json"), expectRows = 2L)
+  }
+
+  test("journald export through the agent matches direct ingestion") {
+    val body = ("__REALTIME_TIMESTAMP=1704451200000000\n" +
+      "MESSAGE=journal line one\nPRIORITY=6\n_HOSTNAME=h1\n\n" +
+      "__REALTIME_TIMESTAMP=1704451201000000\n" +
+      "MESSAGE=journal line two\nPRIORITY=3\n_HOSTNAME=h2\n\n").getBytes(UTF_8)
+    fidelityCase("journald", "/insert/journald/upload?_stream_fields=_HOSTNAME",
+      body, Map.empty, expectRows = 2L)
+  }
+
   test("queue disk usage is bounded: overflow drops the OLDEST blocks") {
     val queueDir = tmp("cap-queue")
     val agent = new LogAgent(queueDir, Seq("http://127.0.0.1:1"),
