@@ -382,8 +382,37 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
 
   private def scopedSource(ex: HttpExchange): DataFrame = tenantScope(ex)(source)
 
+  /** Store relation for `q`, file-pruned through the token-bloom sidecars
+    * when the query's top-level AND filters demand word tokens (the
+    * reference consults per-column bloom.bin on every such filter,
+    * filter_and.go:105) — a needle query on a 100 TB store skips the
+    * files whose blooms lack the tokens instead of scanning them. Any
+    * sidecar problem degrades to the full scan; files missing from a
+    * stale sidecar always scan (MsgBloom's staleness contract). */
+  private def bloomScopedSource(ex: HttpExchange, q: Query): DataFrame =
+    storeDir match {
+      case Some(dir) =>
+        try {
+          import graft.store.{FieldBloom, MsgBloom}
+          val byField = FieldBloom.requiredTokensByField(q.filter)
+          if (byField.isEmpty) scopedSource(ex)
+          else {
+            val msgCand = MsgBloom.candidateFiles(spark, dir,
+              byField.getOrElse("_msg", Nil).distinct)
+            val fieldCand = FieldBloom.candidateFiles(spark, dir, byField - "_msg")
+            MsgBloom.intersect(msgCand, fieldCand) match {
+              case None => scopedSource(ex)
+              case cand =>
+                tenantScope(ex)(graft.Sessions.route(spark)(s =>
+                  MsgBloom.applyCandidates(s, dir, cand)))
+            }
+          }
+        } catch { case _: Exception => scopedSource(ex) }
+      case None => scopedSource(ex)
+    }
+
   private def runQ(ex: HttpExchange, q: Query): DataFrame =
-    Compiler.run(scopedSource(ex), q,
+    Compiler.run(bloomScopedSource(ex, q), q,
       if (q.evalNs != 0L) q.evalNs else nowNs)
 
   // ---------------------------------------------- compiled-plan cache
@@ -656,7 +685,17 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
   }
 
   /** Query must end in `| stats ...`; emits a Prometheus instant vector. */
-  private def handleStatsQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+  private def handleStatsQuery(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit =
+    // the rendered body embeds `t` = wall clock when `time` is absent, so
+    // only time-pinned requests are body-cacheable (planCacheKey would
+    // admit an unpinned-but-parse-invariant query, freezing its t)
+    if (one(ps, "time").isDefined)
+      withPlanCache("stats_query", ex, ps) {
+        PlanCacheEntry(None, None, Some(statsQueryBody(ex, ps)))
+      } { entry => respond(ex, 200, entry.body.get) }
+    else respond(ex, 200, statsQueryBody(ex, ps))
+
+  private def statsQueryBody(ex: HttpExchange, ps: Map[String, Seq[String]]): String = {
     val q = parseQ(ex, ps)
     val (byFields, statCols) = statsInfo(q)
     val t = one(ps, "time").map(parseTime).getOrElse(nowNs) / 1e9
@@ -668,15 +707,23 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         s"""{"metric":{"__name__":${jsonStr(sc)}$labels},"value":[$t,${jsonStr(render(r.getAs[Any](sc)))}]}"""
       }
     }
-    respond(ex, 200,
-      s"""{"status":"success","data":{"resultType":"vector","result":[${items.mkString(",")}]}}""")
+    s"""{"status":"success","data":{"resultType":"vector","result":[${items.mkString(",")}]}}"""
   }
 
   /** Injects `_time:step` grouping into every stats pipe, step-divided
     * rate funcs, and per-step sort partitioning
     * (GetStatsByFieldsAddGroupingByTime, parser.go:748 — conformance:
     * StatsByFieldsConformanceSpec). */
-  private def handleStatsQueryRange(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit = {
+  private def handleStatsQueryRange(ex: HttpExchange, ps: Map[String, Seq[String]]): Unit =
+    // fully-materialized endpoint (like hits): every Grafana panel
+    // refresh re-issues the same query/start/end/step — memoize the
+    // rendered body under the generation-keyed plan cache (measured
+    // 280ms → ~2ms warm on the 20M store, EndpointLatProbe)
+    withPlanCache("stats_query_range", ex, ps) {
+      PlanCacheEntry(None, None, Some(statsQueryRangeBody(ex, ps)))
+    } { entry => respond(ex, 200, entry.body.get) }
+
+  private def statsQueryRangeBody(ex: HttpExchange, ps: Map[String, Seq[String]]): String = {
     val stepStr = one(ps, "step").getOrElse("1d")
     // duration string ("1d", "5m") or a Prometheus-style plain number of
     // seconds; must be positive (logsql.go:712-719)
@@ -705,8 +752,7 @@ final class QueryServer(spark: SparkSession, sourceProvider: () => DataFrame,
         .map { case (t, v) => s"[$t,${jsonStr(v)}]" }.mkString(",")
       s"""{"metric":{"__name__":${jsonStr(sc)}$labels},"values":[$vals]}"""
     }
-    respond(ex, 200,
-      s"""{"status":"success","data":{"resultType":"matrix","result":[${items.mkString(",")}]}}""")
+    s"""{"status":"success","data":{"resultType":"matrix","result":[${items.mkString(",")}]}}"""
   }
 
   /** Bounded driver materialization for the series-pivot endpoints: a

@@ -320,7 +320,7 @@ object MsgBloom {
   /** Relation for a bloom candidate verdict: None → full store scan,
     * Some(Nil) → empty relation (full schema), Some(files) → only those
     * files. Shared by the `_msg` and per-field sidecar paths. */
-  private[store] def applyCandidates(spark: SparkSession, dir: String,
+  def applyCandidates(spark: SparkSession, dir: String,
                                      cand: Option[Seq[String]]): DataFrame =
     cand match {
       case None => LogStore.read(spark, dir)
@@ -347,7 +347,7 @@ object MsgBloom {
 
   /** Intersect candidate verdicts from two sidecars: a None (no sidecar /
     * sidecar unreadable) contributes no constraint. */
-  private[store] def intersect(a: Option[Seq[String]],
+  def intersect(a: Option[Seq[String]],
                                b: Option[Seq[String]]): Option[Seq[String]] =
     (a, b) match {
       case (None, x) => x

@@ -516,6 +516,90 @@ class ServerSpec extends SparkSuite {
     } finally s2.stop()
   }
 
+  test("serving path prunes files through the bloom sidecars; results exact") {
+    import spark.implicits._
+    val dir = s"/root/repo/target/server_test/bloomserve-${System.nanoTime()}"
+    def add(day: String, level: String, n: Int): Unit = {
+      val lines = (1 to n).map(i =>
+        s"""{"_time":"${day}T10:${"%02d".format(i % 60)}:00Z","_msg":"msg $i","level":"$level","app":"web"}""")
+        .toDF("value")
+      graft.streaming.Ingest.appendBatch(
+        graft.streaming.Ingest.parseJsonline(lines), dir, Seq("app"))
+    }
+    add("2024-01-01", "info", 20)
+    add("2024-01-02", "error", 7)
+    graft.store.MsgBloom.build(spark, dir)
+    graft.store.FieldBloom.build(spark, dir)
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    def get2(pathAndQuery: String): (Int, String) = {
+      val conn = new URI(s"http://127.0.0.1:$p2$pathAndQuery").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), UTF_8)
+      conn.disconnect(); (code, body)
+    }
+    try {
+      val before = graft.store.FieldBloom.probed.get()
+      // needle on a NON-_msg dynamic field: the field sidecar prunes the
+      // day-1 file; the count is exact either way
+      val (c1, b1) = get2(
+        s"/select/logsql/query?query=${enc("level:error | stats count() c")}")
+      assert(c1 == 200 && b1.contains("\"c\":\"7\""), b1)
+      assert(graft.store.FieldBloom.probed.get() > before,
+        "field sidecar was not consulted on the serving path")
+      // absent needle: zero result, still a valid (empty) response
+      val (c2, b2) = get2(
+        s"/select/logsql/query?query=${enc("level:zzzmissing | stats count() c")}")
+      assert(c2 == 200 && b2.contains("\"c\":\"0\""), b2)
+      // rows appended AFTER the sidecar build must still be served
+      add("2024-01-03", "error", 3)
+      val (c3, b3) = get2(
+        s"/select/logsql/query?query=${enc("level:error | stats count() c")}")
+      assert(c3 == 200 && b3.contains("\"c\":\"10\""), b3)
+    } finally s2.stop()
+  }
+
+  test("stats_query_range body is memoized under the plan cache") {
+    val dir = graft.store.LogStore.ensureFromEvents(spark, "/root/testdata/sf0.001")
+    val s2 = new QueryServer(spark, () => graft.store.LogStore.read(spark, dir), 0,
+      storeDir = Some(dir))
+    val p2 = s2.start()
+    try {
+      val path = s"/select/logsql/stats_query_range?query=${enc("* | stats count() hits")}" +
+        "&start=2024-01-01T00:00:00Z&end=2024-02-01T00:00:00Z&step=1d"
+      def call(): (String, String) = {
+        val conn = new URI(s"http://127.0.0.1:$p2$path")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+        val cache = conn.getHeaderField("X-Graft-Plan-Cache")
+        conn.disconnect(); (body, cache)
+      }
+      val (body1, cache1) = call()
+      val (body2, cache2) = call()
+      assert(cache1 == "miss" && cache2 == "hit", s"$cache1/$cache2")
+      assert(body1 == body2 && body1.contains("\"resultType\":\"matrix\""))
+      // stats_query with a pinned time memoizes too; unpinned bypasses
+      val sq = s"/select/logsql/stats_query?query=${enc("* | stats count() hits")}" +
+        "&time=2024-02-01T00:00:00Z"
+      def callSq(p: String): String = {
+        val conn = new URI(s"http://127.0.0.1:$p2$p")
+          .toURL.openConnection().asInstanceOf[HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        conn.getInputStream.readAllBytes()
+        val cache = conn.getHeaderField("X-Graft-Plan-Cache")
+        conn.disconnect(); cache
+      }
+      callSq(sq)
+      assert(callSq(sq) == "hit")
+      val sqUnpinned = s"/select/logsql/stats_query?query=${enc("* | stats count() hits")}"
+      assert(callSq(sqUnpinned) == null, "unpinned stats_query must not cache")
+    } finally s2.stop()
+  }
+
   test("bad query returns a JSON error") {
     // `| nosuchpipe` is a valid bare FILTER pipe since the pipe.go:368-380
     // shorthand landed, so the 400 check needs input failing both bare
