@@ -139,6 +139,10 @@ object GraftFunctions {
     ("graft_token_windows",
       "graft_token_windows(s, k) - rolling hashes of every k-token window",
       es => TokenWindowHashesExpr(es(0), es(1).eval().asInstanceOf[Int])),
+    ("graft_window_hash_counts",
+      "graft_window_hash_counts(s, k, chars) - per-doc (window hash, reps) pairs",
+      es => WindowHashCountsExpr(es(0), es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Boolean])),
     ("graft_entries_dedup",
       "graft_entries_dedup(entries, lastWins) - entry array to map, " +
         "defined duplicate-key precedence, one pass",

@@ -115,6 +115,40 @@ case class CharWindowHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_char_windows"
 }
 
+/** Per-document (window-hash, repetitions) pairs — the pre-aggregated
+  * form of [[CharWindowHashesExpr]]/[[TokenWindowHashesExpr]]: the
+  * in-doc rollup the ExactSubstr pipelines previously paid a full
+  * (id, h) shuffle+aggregate for happens inside the kernel's one pass,
+  * so the plan's first exchange partitions by h directly (one fewer
+  * shuffle at every scale; the map is bounded by windows-per-document).
+  * `chars`=true rolls code-point windows, false rolls token windows. */
+case class WindowHashCountsExpr(child: Expression, k: Int, chars: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_hash_counts needs string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("reps", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.windowHashCountsEval(input.asInstanceOf[UTF8String], k, chars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Shingles.windowHashCountsEval($s, $k, $chars);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashCountsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_window_hash_counts"
+}
+
 /** Rolling hashes of every k-TOKEN window — see
   * [[Shingles.tokenWindowHashesEval]]. */
 case class TokenWindowHashesExpr(child: Expression, k: Int)
@@ -336,5 +370,42 @@ object Shingles {
   def tokenWindowHashes(text: Column, k: Int): Column = {
     ensureRegistered()
     call_function("graft_token_windows", text, lit(k))
+  }
+
+  /** In-doc (window hash → repetitions) rollup in the same pass that
+    * produces the hashes — see [[WindowHashCountsExpr]]. Delegates to the
+    * plain window evals so the hash values are bit-identical to
+    * explode+groupBy of those kernels (pinned by ExprPropertySpec). */
+  def windowHashCountsEval(text: UTF8String, k: Int,
+                           chars: Boolean): GenericArrayData = {
+    val hs = if (chars) charWindowHashesEval(text, k)
+             else tokenWindowHashesEval(text, k)
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // LinkedHashMap: first-occurrence output order keeps the kernel
+    // deterministic (plan canonicalization and the diff tests rely on it)
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Long.valueOf(hs.getLong(i))
+      val c = m.get(h)
+      if (c == null) m.put(h, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def windowHashCounts(text: Column, k: Int, chars: Boolean): Column = {
+    ensureRegistered()
+    call_function("graft_window_hash_counts", text, lit(k), lit(chars))
   }
 }

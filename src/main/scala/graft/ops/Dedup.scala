@@ -516,39 +516,43 @@ object Dedup {
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
-    // O(n) codegen rolling kernel, like the char variant — the earlier
-    // transform(sequence)/xxhash64/slice tower interpreted per element
-    // AND its lambda variables defeated plan canonicalization, so the
-    // (id,h) rollup exchange below was never reused and the corpus
-    // shuffled twice (caught by tools/SubstrProbe)
-    val wins = df.select(col(idCol).as("id"),
-      explode(graft.functions.Shingles.tokenWindowHashes(
-        coalesce(col(textCol), lit("")), k)).as("h"))
-    spanRollup(wins, minDocs)
+    spanRollup(df, textCol, idCol, k, chars = false, minDocs)
   }
 
-  /** Shared tail of the token/char duplicate-span ops: (id, h) rollup
-    * keeps in-doc multiplicity; doc frequency counts rollup ROWS per h
-    * (= distinct documents containing the window — in-doc repetition is
-    * not cross-doc duplication) via an AGGREGATE + equi-join, not a
-    * window over h: a window serializes each h partition, and hot
-    * windows are the NORM in the data this op exists for (boilerplate
-    * shared by large corpus fractions), while the aggregate partial-
-    * combines map-side and AQE's skew-join splits the join's hot h
-    * partitions. The two h-hash exchanges over the rollup are identical
-    * subtrees, so ReuseExchange shuffles the rollup once. */
-  private def spanRollup(wins: DataFrame, minDocs: Int): DataFrame = {
-    val rolled = wins.groupBy("id", "h").agg(count(lit(1)).as("__reps"))
-    // counts rows per h (= distinct docs), but through a predicate on
-    // __reps's VALUE that the optimizer cannot prove constant — a plain
-    // count(*) lets it rewrite this branch's copy of `rolled` to a
-    // keys-only aggregate (no partial_count), making the two (id,h)
-    // exchange subtrees structurally different so neither ReuseExchange
-    // nor AQE stage reuse could share them, and the corpus was
-    // scanned+shuffled TWICE (caught by tools/SubstrProbe). With the
-    // forced dependence both branches shuffle the identical rollup
-    // subtree and it materializes once. __reps >= 1 always, so the
-    // semantics are exactly count(*).
+  /** Shared tail of the token/char duplicate-span ops. The in-doc
+    * (id, h) rollup happens INSIDE the window kernel
+    * (Shingles.windowHashCounts emits per-doc (h, reps) pairs in the
+    * same pass that rolls the hashes), so the plan's FIRST exchange
+    * partitions by h — one fewer shuffle+aggregate than the earlier
+    * explode→groupBy(id,h) shape at every scale. Doc frequency counts
+    * rolled ROWS per h (= distinct documents containing the window —
+    * in-doc repetition is not cross-doc duplication) via an AGGREGATE +
+    * equi-join, not a window over h: a window serializes each h
+    * partition, and hot windows are the NORM in the data this op exists
+    * for (boilerplate shared by large corpus fractions), while the
+    * aggregate partial-combines map-side and AQE's skew-join splits the
+    * join's hot h partitions. The docFreq count goes through a predicate
+    * on BOTH non-key columns so the optimizer cannot column-prune that
+    * branch's copy of the rollup into a structurally different subtree —
+    * with the forced dependence the join input and the aggregate input
+    * are the identical exchange and ReuseExchange shuffles it once
+    * (caught by tools/SubstrProbe when this regressed). The predicate is
+    * always true (__reps >= 1 by construction, id never null), so the
+    * semantics are exactly count(*). */
+  private def spanRollup(df: DataFrame, textCol: String, idCol: String,
+                         k: Int, chars: Boolean, minDocs: Int): DataFrame = {
+    val wins = df.select(col(idCol).as("id"),
+        explode(graft.functions.Shingles.windowHashCounts(
+          coalesce(col(textCol), lit("")), k, chars)).as("hr"))
+      .select(col("id"), col("hr.h").as("h"), col("hr.reps").as("reps"))
+    // the kernel already made (id, h) unique, so this aggregate's partial
+    // side is pass-through — but its OUTPUT is the one exchange subtree
+    // both the docFreq branch and the join branch consume (a bare row
+    // shuffle on one side and a partial-agg shuffle on the other can
+    // never canonicalize equal, so dropping this re-rollup made the
+    // corpus scan + kernel run TWICE). One scan + one shared exchange
+    // beats saving the degenerate aggregate at every scale.
+    val rolled = wins.groupBy("id", "h").agg(sum("reps").as("__reps"))
     val docFreq = rolled.groupBy("h")
       .agg(count(when(col("__reps") >= 1, lit(1))).as("__docs"))
     rolled.join(docFreq, Seq("h"))
@@ -572,10 +576,7 @@ object Dedup {
                          k: Int = 50, minDocs: Int = 2): DataFrame = {
     require(k > 0 && minDocs >= 2,
       s"need k > 0, minDocs >= 2; got k=$k minDocs=$minDocs")
-    val wins = df.select(col(idCol).as("id"),
-      explode(graft.functions.Shingles.charWindowHashes(
-        coalesce(col(textCol), lit("")), k)).as("h"))
-    spanRollup(wins, minDocs)
+    spanRollup(df, textCol, idCol, k, chars = true, minDocs)
   }
 
   /** C4-style duplicated-unit removal WITH document reassembly (C4,

@@ -391,7 +391,7 @@ object Compaction {
     * is the invariant: indexdb.go:182). */
   private def dedupStreams(spark: SparkSession, dir: String): Unit = {
     if (!Fs.exists(s"$dir/streams")) return
-    swapStreams(spark, dir,
+    swapStreams(spark, dir)(
       spark.read.parquet(s"$dir/streams").dropDuplicates("_stream_id"))
   }
 
@@ -408,23 +408,31 @@ object Compaction {
     // rows visible to the semi-join below, so its streams rows survive.
     // (dedupStreams needs no reset — it only collapses duplicates.)
     graft.streaming.Ingest.forgetKnownStreams(dir)
-    val cur = spark.read.parquet(s"$dir/streams")
-    val pruned =
+    swapStreams(spark, dir) {
+      val cur = spark.read.parquet(s"$dir/streams")
       if (partitionDirs(dir).isEmpty) cur.limit(0) // whole store expired
       else cur.join(
         LogStore.read(spark, dir).select("_stream_id").distinct(),
         Seq("_stream_id"), "left_semi")
-    swapStreams(spark, dir, pruned)
+    }
   }
 
-  /** tmp-write → atomic-swap rewrite of `<dir>/streams`. Holds the store's
-    * streams lock across the snapshot read AND the swap: the input `df`
-    * scans the current directory lazily (during the tmp write), and a
-    * concurrent ingest append landing after that snapshot would be wiped
-    * by the rename without the lock. */
-  private def swapStreams(spark: SparkSession, dir: String,
-                          df: org.apache.spark.sql.DataFrame): Unit =
+  /** tmp-write → atomic-swap rewrite of `<dir>/streams`. The snapshot df
+    * is BUILT inside the store's streams lock (by-name parameter):
+    * `spark.read.parquet` takes its file-listing snapshot eagerly at
+    * construction, so a df built before lock acquisition misses any
+    * append that commits in the gap and the rename then wipes those rows
+    * — a permanently lost stream, because the appender's known-streams
+    * set says it is registered and no future flush re-registers it
+    * (caught intermittently by RetentionSoakSpec: a mid-soak retention
+    * whose committed days had all expired swapped in an empty table over
+    * concurrent re-registrations). Appenders hold the same lock
+    * (Ingest.appendBatch streams upsert), so inside the lock the listing
+    * is complete and stays complete until the swap lands. */
+  private def swapStreams(spark: SparkSession, dir: String)(
+      mkDf: => org.apache.spark.sql.DataFrame): Unit =
     StoreLocks.streams(dir).synchronized {
+      val df = mkDf
       val cur = s"$dir/streams"
       val tmp = s"$dir/.streams_tmp_${java.util.UUID.randomUUID()}"
       df.coalesce(streamsOutFiles(dir)).write

@@ -482,6 +482,31 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("WindowHashCounts ≡ explode(windowHashes) rolled per doc") {
+    // the pre-aggregated kernel (the ExactSubstr pipelines' first stage)
+    // must emit exactly the multiset the plain kernel's explode+groupBy
+    // produced — same hashes, same per-doc repetition counts
+    val word = org.scalacheck.Gen.oneOf("alpha", "βeta", "日本語", "𝕏y𝕐",
+      "a", "", "1.2", "shared span alpha bravo", "\n", "aaaa")
+    val textGen = org.scalacheck.Gen.listOfN(8, word).map(_.mkString(" "))
+    val inputs = org.scalacheck.Gen.listOfN(120, textGen).sample.get ++
+      Seq("", "ab", "aaaaaaaaaa", "ababab ababab ababab")
+    for (k <- Seq(1, 3, 8); chars <- Seq(true, false)) {
+      val plain = evalBatch(inputs, c =>
+        if (chars) graft.functions.Shingles.charWindowHashes(c, k)
+        else graft.functions.Shingles.tokenWindowHashes(c, k))
+      val rolled = evalBatch(inputs, c =>
+        graft.functions.Shingles.windowHashCounts(c, k, chars))
+      inputs.indices.foreach { i =>
+        val expect = plain(i).asInstanceOf[scala.collection.Seq[Long]]
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = rolled(i).asInstanceOf[scala.collection.Seq[Row]]
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"'${inputs(i)}' k=$k chars=$chars")
+      }
+    }
+  }
+
   test("EntriesDedup kernel agrees with the filter/exists HOF tower") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.{filter => afilter, _}
