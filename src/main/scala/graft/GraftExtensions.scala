@@ -14,9 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * lazy per-session registration, so the two routes can never drift. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""), builder))
     }
+    // inside the operator-optimization fixpoint, where ColumnPruning
+    // immediately realizes the scan-schema shrink the pruning enables
+    ext.injectOptimizerRule(_ => plans.PruneGeneratedEntries)
+  }
 }

@@ -201,13 +201,24 @@ object GraftFunctions {
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Install every function into `spark`'s registry (idempotent). */
+  /** Install every function into `spark`'s registry (idempotent), plus
+    * the engine's optimizer rules for sessions not built through
+    * [[graft.GraftExtensions]] (ExperimentalMethods' user batch runs
+    * after the main optimizer, so ColumnPruning/CollapseProject ride
+    * along to realize the scan-schema shrink the pruning enables). */
   def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       all.foreach { case (name, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, builder, "built-in")
       }
+      val em = spark.experimental
+      if (!em.extraOptimizations.exists(_ eq graft.plans.PruneGeneratedEntries))
+        em.extraOptimizations = em.extraOptimizations ++ Seq(
+          graft.plans.PruneGeneratedEntries,
+          org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+          org.apache.spark.sql.catalyst.optimizer.CollapseProject)
+    }
 
   /** Lazy Column-API route: cover both sessions the Column could
     * resolve against. */

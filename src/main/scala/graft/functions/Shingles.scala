@@ -115,12 +115,17 @@ case class CharWindowHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_char_windows"
 }
 
-/** Per-document (window-hash, repetitions) pairs — the pre-aggregated
+/** Per-document window-hash → repetitions map — the pre-aggregated
   * form of [[CharWindowHashesExpr]]/[[TokenWindowHashesExpr]]: the
   * in-doc rollup the ExactSubstr pipelines previously paid a full
   * (id, h) shuffle+aggregate for happens inside the kernel's one pass,
   * so the plan's first exchange partitions by h directly (one fewer
   * shuffle at every scale; the map is bounded by windows-per-document).
+  * MapType over two primitive UnsafeArrayData buffers, not
+  * array<struct<h,reps>>: char windows are mostly unique, so a struct
+  * row per entry allocated ~n objects per document — the map form is
+  * two flat long buffers regardless of entry count (measured 2-4× on
+  * the kernel microbench, tools/WindowKernelBench).
   * `chars`=true rolls code-point windows, false rolls token windows. */
 case class WindowHashCountsExpr(child: Expression, k: Int, chars: Boolean)
     extends UnaryExpression {
@@ -131,9 +136,8 @@ case class WindowHashCountsExpr(child: Expression, k: Int, chars: Boolean)
       s"graft_window_hash_counts needs string, got ${t.sql}")
   }
 
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("h", LongType, nullable = false),
-    StructField("reps", LongType, nullable = false))), containsNull = false)
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
@@ -281,16 +285,17 @@ object Shingles {
     x
   }
 
-  def charWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
+  /** Primitive form of [[charWindowHashesEval]] — no per-window boxing. */
+  def charWindowHashesRaw(text: UTF8String, k: Int): Array[Long] = {
     // SQL callers can pass any literal k: non-positive windows have no
     // defined hash — empty result, never an unset array slot (k = 0
     // would leave out(0) null inside a containsNull=false array) or a
     // negative index crash
-    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+    if (k <= 0) return Array.emptyLongArray
     val s = text.toString
     // code-point array (window positions are code points, not UTF-16 units)
     val n = s.codePointCount(0, s.length)
-    if (n < k) return new GenericArrayData(Array.empty[Any])
+    if (n < k) return Array.emptyLongArray
     val cps = new Array[Int](n)
     var i = 0; var o = 0
     while (i < s.length) {
@@ -302,7 +307,7 @@ object Shingles {
     var bk = 1L
     var e = 0
     while (e < k) { bk *= RollBase; e += 1 }
-    val out = new Array[Any](n - k + 1)
+    val out = new Array[Long](n - k + 1)
     var h = 0L
     var j = 0
     // roll over MIXED code points (see fmix64): raw cps keep the window
@@ -315,8 +320,13 @@ object Shingles {
       if (j >= k - 1) out(j - k + 1) = h
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  def charWindowHashesEval(text: UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(charWindowHashesRaw(text, k))
 
   def charWindowHashes(text: Column, k: Int): Column = {
     ensureRegistered()
@@ -331,12 +341,14 @@ object Shingles {
     * Replaces the transform(sequence)/xxhash64/slice HOF tower, which
     * interpreted per element AND broke plan canonicalization (lambda
     * variables defeat ReuseExchange, so the rollup shuffled twice). */
-  def tokenWindowHashesEval(text: UTF8String, k: Int): GenericArrayData = {
-    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+  /** Primitive form of [[tokenWindowHashesEval]] — no per-window boxing. */
+  def tokenWindowHashesRaw(text: UTF8String, k: Int): Array[Long] = {
+    if (k <= 0) return Array.emptyLongArray
     val s = text.toString
     val len = s.length
-    // per-token content hashes in one scan
-    val toks = new java.util.ArrayList[java.lang.Long]()
+    // per-token content hashes in one scan (primitive growable buffer)
+    var toks = new Array[Long](math.max(16, len / 6))
+    var m = 0
     var i = 0
     var inRun = false
     var th = 0L
@@ -346,26 +358,36 @@ object Shingles {
       if (w) {
         if (!inRun) { inRun = true; th = 1125899906842597L }
         th = th * RollBase + cp
-      } else if (inRun) { toks.add(fmix64(th)); inRun = false }
+      } else if (inRun) {
+        if (m == toks.length) toks = java.util.Arrays.copyOf(toks, m * 2)
+        toks(m) = fmix64(th); m += 1; inRun = false
+      }
       i += Character.charCount(cp)
     }
-    if (inRun) toks.add(fmix64(th))
-    val m = toks.size()
-    if (m < k) return new GenericArrayData(Array.empty[Any])
+    if (inRun) {
+      if (m == toks.length) toks = java.util.Arrays.copyOf(toks, m + 1)
+      toks(m) = fmix64(th); m += 1
+    }
+    if (m < k) return Array.emptyLongArray
     var bk = 1L
     var e = 0
     while (e < k) { bk *= RollBase; e += 1 }
-    val out = new Array[Any](m - k + 1)
+    val out = new Array[Long](m - k + 1)
     var h = 0L
     var j = 0
     while (j < m) {
-      h = h * RollBase + toks.get(j)
-      if (j >= k) h -= bk * toks.get(j - k)
+      h = h * RollBase + toks(j)
+      if (j >= k) h -= bk * toks(j - k)
       if (j >= k - 1) out(j - k + 1) = h
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  def tokenWindowHashesEval(text: UTF8String,
+      k: Int): org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(tokenWindowHashesRaw(text, k))
 
   def tokenWindowHashes(text: Column, k: Int): Column = {
     ensureRegistered()
@@ -377,31 +399,46 @@ object Shingles {
     * plain window evals so the hash values are bit-identical to
     * explode+groupBy of those kernels (pinned by ExprPropertySpec). */
   def windowHashCountsEval(text: UTF8String, k: Int,
-                           chars: Boolean): GenericArrayData = {
-    val hs = if (chars) charWindowHashesEval(text, k)
-             else tokenWindowHashesEval(text, k)
-    val n = hs.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    // LinkedHashMap: first-occurrence output order keeps the kernel
-    // deterministic (plan canonicalization and the diff tests rely on it)
-    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+      chars: Boolean): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val hs = if (chars) charWindowHashesRaw(text, k)
+             else tokenWindowHashesRaw(text, k)
+    val n = hs.length
+    // open-addressing long→count table (no boxing — the LinkedHashMap
+    // version spent the kernel's win re-boxing every window hash);
+    // first-occurrence output order keeps the kernel deterministic
+    // (plan canonicalization and the diff tests rely on it)
+    var capBits = 4
+    while ((1 << capBits) < n * 2 && capBits < 30) capBits += 1
+    val cap = 1 << capBits
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Long](cap) // 0 = empty slot (counts start at 1)
+    val order = new Array[Int](n) // slot indices in first-occurrence order
+    var distinct = 0
     var i = 0
     while (i < n) {
-      val h = java.lang.Long.valueOf(hs.getLong(i))
-      val c = m.get(h)
-      if (c == null) m.put(h, Array(1L)) else c(0) += 1L
+      val h = hs(i)
+      // hashes are already fmix-mixed; fold halves for the table index
+      var slot = ((h ^ (h >>> 32)).toInt) & mask
+      while (counts(slot) != 0L && keys(slot) != h) slot = (slot + 1) & mask
+      if (counts(slot) == 0L) {
+        keys(slot) = h; counts(slot) = 1L
+        order(distinct) = slot; distinct += 1
+      } else counts(slot) += 1L
       i += 1
     }
-    val out = new Array[Any](m.size())
-    val it = m.entrySet().iterator()
+    val ks = new Array[Long](distinct)
+    val vs = new Array[Long](distinct)
     var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](e.getKey.longValue(), e.getValue()(0)))
+    while (j < distinct) {
+      val slot = order(j)
+      ks(j) = keys(slot); vs(j) = counts(slot)
       j += 1
     }
-    new GenericArrayData(out)
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      UnsafeArrayData.fromPrimitiveArray(ks),
+      UnsafeArrayData.fromPrimitiveArray(vs))
   }
 
   def windowHashCounts(text: Column, k: Int, chars: Boolean): Column = {

@@ -24,7 +24,8 @@ object Compiler {
     * unpack_json/unpack_logfmt) use it to extract only consumed keys. */
   final case class Ctx(source: DataFrame, nowNs: Long,
                        rangeSeconds: Option[Double],
-                       neededAfter: Option[Set[String]] = None)
+                       neededAfter: Option[Set[String]] = None,
+                       facetsDisplay: Option[Set[String]] = None)
 
   def run(source: DataFrame, queryText: String,
           nowNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
@@ -79,7 +80,34 @@ object Compiler {
       case pipes =>
         val needs = NeededFields.afterSets(pipes)
         pipes.zipWithIndex.foldLeft(filtered)((df, pi) =>
-          applyPipe(df, pi._1, ctx.copy(neededAfter = needs(pi._2))))
+          applyPipe(df, pi._1, ctx.copy(neededAfter = needs(pi._2),
+            facetsDisplay = pi._1 match {
+              // peephole: `facets | filter field_name:...` — the display
+              // field set is known at compile time, so the facets pipe can
+              // skip scanning (and at sidecar-served stores, skip Spark
+              // execution entirely) for fields the next pipe drops anyway
+              case _: Pipe.Facets =>
+                pipes.lift(pi._2 + 1).flatMap(facetsFieldRestriction)
+              case _ => None
+            })))
+    }
+  }
+
+  /** The exact field_name set a `filter` pipe keeps, when its predicate
+    * is a pure field_name membership test — the only shapes a dashboard
+    * emits after facets. Conservative: any other filter → None. */
+  private def facetsFieldRestriction(p: Pipe): Option[Set[String]] = {
+    def fieldSet(f: Filter): Option[Set[String]] = f match {
+      case Filter.In("field_name", vs) => Some(vs.toSet)
+      case Filter.Exact("field_name", v) => Some(Set(v))
+      case Filter.Or(fs) =>
+        val sets = fs.map(fieldSet)
+        if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).toSet) else None
+      case _ => None
+    }
+    p match {
+      case Pipe.Where(f) => fieldSet(f)
+      case _ => None
     }
   }
 
@@ -1102,12 +1130,21 @@ object Compiler {
         // >256 dynamic map keys to scan would compile into an oversized
         // In filter — cheaper to read everything at that field fan-out
         .filterNot(a => (a.scanFields -- logicalTopCols(df)).size > 256)
+      // compile-time display restriction (`facets | filter field_name:...`):
+      // fields the next pipe drops are never scanned. Safe only when const
+      // detection doesn't depend on the restricted-away fields' runtime
+      // counts — i.e. keep_const_fields, or the sidecar decided const
+      // fields exactly (its baseline is computed over ALL fields).
+      val restrict: Option[Set[String]] = ctx.facetsDisplay
+        .filter(_ => keepConst || assist.exists(_.constFields.isDefined))
+      def disp(f: String): Boolean = restrict.forall(_.contains(f))
       val topCols0 = logicalTopCols(df)
-      val topCols = assist match {
+      val topCols = (assist match {
         case Some(a) => topCols0.filter(a.scanFields)
         case None => topCols0
-      }
-      val mapScanKeys = assist.map(a => a.scanFields -- topCols0)
+      }).filter(disp)
+      val mapScanKeys = assist.map(a =>
+        (a.scanFields -- topCols0).filter(disp))
       val needMapScan = mapScanKeys.forall(_.nonEmpty) && hasFieldsMap(df)
       // ONE scan: per-row (field_name, field_value) entry array — top-level
       // columns plus `fields`-map entries — exploded once. The previous
@@ -1147,9 +1184,38 @@ object Compiler {
         Some(long.groupBy("field_name", "field_value")
           .agg(count(lit(1)).as("hits")))
       } else None
-      val countedDict = assist.filter(_.dictRows.nonEmpty).map { a =>
+      val dictRows = assist.toSeq.flatMap(_.dictRows).filter(r => disp(r._1))
+      // Fully sidecar-served facets (no scan branch, const fields known):
+      // compute the rank/cap/const rules driver-side over the dict rows
+      // and return one LocalRelation — the distributed plan for the same
+      // ~(fields × ≤8 values) rows pays 3 exchanges of pure scheduling
+      // floor. This is the reference's own serving shape: facets answered
+      // from per-block valuesDict headers without touching values.
+      val constKnown = keepConst || assist.exists(_.constFields.isDefined)
+      if (!scanNeeded && constKnown) {
+        val constSet: Set[String] =
+          if (keepConst) Set.empty
+          else assist.flatMap(_.constFields).getOrElse(Set.empty)
+        def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val byteOrd = new Ordering[String] { // Spark string sort = UTF-8 bytes
+          def compare(a: String, b: String): Int =
+            java.util.Arrays.compareUnsigned(u8(a), u8(b))
+        }
+        val rows = dictRows.groupBy(_._1).toSeq
+          .filterNot { case (f, vs) => constSet(f) || vs.size > maxPerField }
+          .flatMap { case (_, vs) =>
+            vs.sortBy { case (_, v, h) => (-h, v) }(
+              Ordering.Tuple2(Ordering.Long, byteOrd)).take(
+                math.min(n, Int.MaxValue.toLong).toInt)
+          }
+          .sortBy { case (f, v, _) => (f, v) }(
+            Ordering.Tuple2(byteOrd, byteOrd))
         import spark.implicits._
-        a.dictRows.toDF("field_name", "field_value", "hits")
+        return rows.toDF("field_name", "field_value", "hits")
+      }
+      val countedDict = if (dictRows.isEmpty) None else {
+        import spark.implicits._
+        Some(dictRows.toDF("field_name", "field_value", "hits"))
       }
       val counted = (countedScan, countedDict) match {
         case (Some(s), Some(d)) => s.unionByName(d)
@@ -1176,7 +1242,18 @@ object Compiler {
       // (pipe_facets.go keep_const_fields option)
       val out =
         if (keepConst) ranked
-        else {
+        else assist.flatMap(_.constFields) match {
+          // sidecar decided the drop-constant rule exactly: no second
+          // consumer of `counted` at all. This matters beyond the driver
+          // work it saves: the downstream field filter pushes into the
+          // ranked branch's scan but CANNOT push into the const-detection
+          // branch (it would change the row-count baseline), so the two
+          // scan subtrees never canonicalize equal and the store is read
+          // twice per execution without this.
+          case Some(cf) if cf.isEmpty => ranked
+          case Some(cf) =>
+            ranked.filter(!col("field_name").isin(cf.toSeq: _*))
+          case None =>
           // per-field rollup is tiny (one row per field name) — identify the
           // constant fields there and anti-join them away broadcast-style;
           // no partition-less window funnels the full counted relation
@@ -1194,7 +1271,7 @@ object Compiler {
             .select("field_name")
           ranked.join(broadcast(constFields), Seq("field_name"), "left_anti")
         }
-      out.orderBy("field_name", "field_value")
+      globalSort(out, Seq(col("field_name"), col("field_value")))
   }
 
   // ----------------------------------------------------------------- sort
@@ -1445,6 +1522,28 @@ object Compiler {
     map_filter(full, (_, v) => v.isNotNull && v =!= "")
   }
 
+  /** Global sort. On the interactive session an unlimited `orderBy` is
+    * replaced by repartition(1) + in-partition sort: the range exchange's
+    * partition-bounds SAMPLING pass is a whole extra job per execution —
+    * measured ~45ms on a 12-row input (tools/TinyCollectProbe), pure
+    * floor against sub-32MiB inputs — while a single-partition shuffle
+    * sort keeps everything upstream parallel and sorts once. Cluster
+    * sessions keep the real range sort (at scale the sampling pass is
+    * what makes the sort distributed). Sorts with a limit never come
+    * here: Limit(Sort) plans as TakeOrderedAndProject, no exchange. */
+  private def globalSort(df: DataFrame, exprs: Seq[Column]): DataFrame =
+    if (df.sparkSession.conf
+          .getOption("spark.graft.interactive").contains("true")) {
+      // all-local leaves (sidecar-served facets, dict rollups): coalesce
+      // is a narrow dependency — no shuffle stage at all (~2ms vs ~18ms
+      // for the single-partition shuffle, TinyCollectProbe)
+      val leaves = df.queryExecution.logical.collectLeaves()
+      val allLocal = leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      if (allLocal) df.coalesce(1).sortWithinPartitions(exprs: _*)
+      else df.repartition(1).sortWithinPartitions(exprs: _*)
+    } else df.orderBy(exprs: _*)
+
   private def applySort(df: DataFrame, s: Pipe.Sort): DataFrame = {
     // no explicit keys = sort by ALL fields; `last` / `sort ... desc`
     // flip the default direction (pipe_sort.go byFields==nil compares
@@ -1485,7 +1584,8 @@ object Compiler {
       if (s.rank.isEmpty) out = out.drop(rn)
       out
     } else {
-      var out = df.orderBy(exprs: _*)
+      var out =
+        if (s.limit.isEmpty) globalSort(df, exprs) else df.orderBy(exprs: _*)
       (s.limit, s.rank) match {
         case (Some(l), Some(r)) if s.offset + l > Int.MaxValue.toLong =>
           // a bound past Int range can't go through .limit() — use the

@@ -543,8 +543,8 @@ object Dedup {
                          k: Int, chars: Boolean, minDocs: Int): DataFrame = {
     val wins = df.select(col(idCol).as("id"),
         explode(graft.functions.Shingles.windowHashCounts(
-          coalesce(col(textCol), lit("")), k, chars)).as("hr"))
-      .select(col("id"), col("hr.h").as("h"), col("hr.reps").as("reps"))
+          coalesce(col(textCol), lit("")), k, chars)))
+      .select(col("id"), col("key").as("h"), col("value").as("reps"))
     // the kernel already made (id, h) unique, so this aggregate's partial
     // side is pass-through — but its OUTPUT is the one exchange subtree
     // both the docFreq branch and the join branch consume (a bare row

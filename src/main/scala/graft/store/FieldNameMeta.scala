@@ -308,10 +308,19 @@ object FieldNameMeta {
     *
     * None when `df` is not a pristine covered store scan or any admitted
     * part predates the v2 stats (nd/maxlen absent ⇒ nothing provable). */
+  /** `constFields` is Some(set) when the sidecar can decide the pipe's
+    * drop-constant-fields rule EXACTLY for every field (post-filter
+    * value counts known: dict-complete, or over-cap/short with additive
+    * hit totals) — the compiler then skips the whole second-consumer
+    * const-detection subtree (which otherwise re-scans the store: the
+    * downstream field filter pushes into only one branch's scan, so the
+    * two subtrees never canonicalize equal and ReuseExchange can't
+    * share them). None → runtime detection. */
   case class FacetsAssist(dictRows: Seq[(String, String, Long)],
                           skipFields: Set[String],
                           scanFields: Set[String],
-                          nrows: Long)
+                          nrows: Long,
+                          constFields: Option[Set[String]] = None)
 
   def facetsAssist(df: DataFrame, maxPerField: Long,
                    maxValueLen: Long): Option[FacetsAssist] = {
@@ -330,6 +339,11 @@ object FieldNameMeta {
     val scanB = Set.newBuilder[String]
     var nrows = 0L
     var assisted = false
+    // const-field detection inputs: post-filter per-field hit totals and
+    // distinct-value counts, exact only under the conditions below
+    var constExact = true
+    val fieldHits = scala.collection.mutable.Map.empty[String, Long]
+    val oneValue = scala.collection.mutable.Set.empty[String]
     perField.foreach { case (f, stats) =>
       val v2 = stats.forall(_.nd >= 0L)
       val shortEverywhere = v2 && stats.forall(_.maxlen <= maxValueLen)
@@ -342,19 +356,42 @@ object FieldNameMeta {
           v.nonEmpty && v.getBytes("UTF-8").length <= maxValueLen }
         kept.foreach { case (v, c) => dictRowsB += ((f, v, c)) }
         nrows = math.max(nrows, kept.valuesIterator.sum)
+        if (kept.nonEmpty) {
+          fieldHits(f) = kept.valuesIterator.sum
+          if (kept.size == 1) oneValue += f
+        }
         assisted = true
       } else if (shortEverywhere && stats.exists(_.nd > maxPerField)) {
         // one part alone exceeds the cap: the pipe would drop the field
         skipB += f
         nrows = math.max(nrows, stats.map(_.hits).sum)
+        // nd > cap >= 1 in some part ⇒ more than one distinct value;
+        // hits are additive and no value is length-filtered
+        fieldHits(f) = stats.map(_.hits).sum
         assisted = true
       } else {
         scanB += f
-        if (shortEverywhere) nrows = math.max(nrows, stats.map(_.hits).sum)
+        if (shortEverywhere) {
+          nrows = math.max(nrows, stats.map(_.hits).sum)
+          fieldHits(f) = stats.map(_.hits).sum
+          // single-valued scan fields would be dict-class (nd==1 ≤ dict
+          // bound) in a v2 part — reaching here with every part at nd==1
+          // means some part lacks a dict, so cross-part value agreement
+          // is unknowable from the sidecar
+          if (stats.forall(_.nd == 1L)) constExact = false
+        } else constExact = false // post-filter totals unknowable
       }
     }
     if (!assisted) return None
     facetsAssisted.incrementAndGet()
-    Some(FacetsAssist(dictRowsB.result(), skipB.result(), scanB.result(), nrows))
+    val constFields =
+      if (!constExact) None
+      else {
+        val baseline = if (fieldHits.isEmpty) 0L else fieldHits.values.max
+        Some(oneValue.filter(f => fieldHits(f) == baseline && baseline > 0L)
+          .toSet)
+      }
+    Some(FacetsAssist(dictRowsB.result(), skipB.result(), scanB.result(),
+      nrows, constFields))
   }
 }

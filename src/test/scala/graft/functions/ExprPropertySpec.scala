@@ -500,8 +500,8 @@ class ExprPropertySpec extends SparkSuite {
       inputs.indices.foreach { i =>
         val expect = plain(i).asInstanceOf[scala.collection.Seq[Long]]
           .groupBy(identity).view.mapValues(_.size.toLong).toMap
-        val got = rolled(i).asInstanceOf[scala.collection.Seq[Row]]
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val got = rolled(i).asInstanceOf[scala.collection.Map[Long, Long]]
+          .toMap
         assert(got == expect, s"'${inputs(i)}' k=$k chars=$chars")
       }
     }
