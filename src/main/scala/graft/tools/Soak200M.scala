@@ -105,8 +105,16 @@ object Soak200M {
       () => LogStore.read(spark, dir), 0, storeDir = Some(dir))
     val queryPort = querySrv.start()
     val lifecycle = Compaction.startBackground(spark, dir, intervalMs = 30000L)
-
+    // delta-based lose-nothing baseline: a re-run over an existing store
+    // (or a crashed prior attempt) may already hold soak rows
+    def soakRows(): Long = LogStore.withStaleRetry(dir) {
+      Compiler.run(LogStore.read(spark, dir),
+        "event_type:soak | stats count() c").collect().head.getLong(0)
+    }
+    val soakRows0 = soakRows()
     @volatile var stop = false
+    try {
+
     val ingested = new java.util.concurrent.atomic.AtomicLong
     val ingestThreads = (0 until 4).map { t =>
       val th = new Thread(() => {
@@ -177,7 +185,12 @@ object Soak200M {
     tailThread.join(15000)
     lifecycle.close()
 
-    // drain the committer, then the lose-nothing check is exact
+    // drain the committer, then the lose-nothing check is exact.
+    // soakRows() goes through withStaleRetry (the client contract for
+    // reads racing a compaction swap): attempt 1 of this soak died
+    // exactly here — lifecycle.close() doesn't join an in-flight tick,
+    // whose swap of the hot appended day removed a listed file under an
+    // unwrapped read (FAILED_READ_FILE.FILE_NOT_EXIST, one-off by design)
     try {
       val conn = new java.net.URI(
         s"http://127.0.0.1:$ingestPort/internal/force_flush")
@@ -186,15 +199,22 @@ object Soak200M {
       conn.getOutputStream.write(Array.emptyByteArray)
       conn.getResponseCode; conn.getInputStream.readAllBytes(); conn.disconnect()
     } catch { case e: Throwable => logErr("force_flush", e) }
-    val soakCount = Compiler.run(LogStore.read(spark, dir),
-      "event_type:soak | stats count() c").collect().head.getLong(0)
-    if (soakCount != ingested.get)
-      println(s"SOAK ERROR [lose-nothing]: ingested=${ingested.get} visible=$soakCount")
-    else println(s"SOAK lose-nothing: ingested=${ingested.get} visible=$soakCount OK")
+    val soakDelta = soakRows() - soakRows0
+    if (soakDelta != ingested.get)
+      println(s"SOAK ERROR [lose-nothing]: ingested=${ingested.get} visible=$soakDelta")
+    else println(s"SOAK lose-nothing: ingested=${ingested.get} visible=$soakDelta OK")
     queryMix("post")
     println(f"SOAK final: errors=${errors.get} tail_polls=${tailPolls.get} " +
       f"store=${du(new java.io.File(s"$dir/logs")) / 1e6}%.0f MB")
-    ingestSrv.stop(); querySrv.stop()
-    spark.stop()
+    } finally {
+      // always tear down: the servers' dispatcher threads are non-daemon,
+      // so an exception that skips stop() leaves a zombie JVM behind
+      stop = true
+      try ingestSrv.stop() finally {
+        try querySrv.stop() finally {
+          try lifecycle.close() finally spark.stop()
+        }
+      }
+    }
   }
 }
