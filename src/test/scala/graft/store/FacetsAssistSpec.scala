@@ -84,4 +84,54 @@ class FacetsAssistSpec extends SparkSuite {
     val q = "* | facets 3 max_values_per_field 3"
     assert(facets(logs, q) == facets(fallbackSrc, q))
   }
+
+  /** All-dict store with a genuinely constant field: the sidecar decides
+    * the drop-constant rule exactly and the whole pipe serves from a
+    * LocalRelation (no scan, no Spark-side const-detection subtree). */
+  private def mkDictStore(): String = {
+    val dir = s"/root/repo/target/facets_spec/${System.nanoTime()}"
+    val lines = (0 until 40).map { i =>
+      s"""{"_time":"2024-03-0${1 + i % 2}T10:00:00Z","_msg":"m${i % 3}",""" +
+        s""""app":"${if (i % 2 == 0) "web" else "api"}",""" +
+        s""""env":"prod","note":"note${i % 4}"}"""
+    }
+    graft.streaming.Ingest.appendBatch(
+      graft.streaming.Ingest.parseJsonline(lines.toDF("value")),
+      dir, Seq("app"))
+    Compaction.optimize(spark, dir, minFilesToCompact = 1)
+    dir
+  }
+
+  test("sidecar-exact const detection: both paths drop the const field") {
+    val dir = mkDictStore()
+    val logs = LogStore.read(spark, dir)
+    val fallbackSrc = logs.select(logs.columns.map(col).toSeq: _*)
+    val q = "* | facets 5 max_values_per_field 10"
+    val assisted = facets(logs, q)
+    assert(assisted == facets(fallbackSrc, q))
+    // env is one value over every row → dropped by the const rule
+    assert(!assisted.exists(_._1 == "env"), assisted)
+    // keep_const_fields keeps it, on both paths
+    val qk = "* | facets 5 max_values_per_field 10 keep_const_fields"
+    val kept = facets(logs, qk)
+    assert(kept == facets(fallbackSrc, qk))
+    assert(kept.contains(("env", "prod", 40L)), kept)
+    // fully sidecar-served: the assisted plan reads no files
+    val plan = graft.logql.Compiler.run(logs, q)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+  }
+
+  test("facets | filter field_name restriction equals filter-after") {
+    val dir = mkStore()
+    val logs = LogStore.read(spark, dir)
+    val fallbackSrc = logs.select(logs.columns.map(col).toSeq: _*)
+    val q = """* | facets 5 max_values_per_field 10
+              | filter field_name:in("app", "note")"""
+    val restricted = facets(logs, q)
+    assert(restricted == facets(fallbackSrc, q),
+      "compile-time display restriction changed results")
+    assert(restricted.nonEmpty && restricted.forall(r =>
+      r._1 == "app" || r._1 == "note"), restricted)
+  }
 }
