@@ -291,12 +291,18 @@ object Compaction {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(pdir, s".compact_tmp_${java.util.UUID.randomUUID()}")
     val paths = files.map(_.getPath.toString)
-    val raw = spark.read.parquet(paths: _*)
+    // mergeSchema, not one-footer inference: a partition can mix bulk
+    // files (physical batch columns, no `fields` map) with protocol
+    // appends (fixed columns + map) — inference from a sampled footer
+    // would REWRITE the partition without the other shape's columns,
+    // permanently deleting that data. The footer sweep is bounded by the
+    // files being compacted (which are about to be fully read anyway).
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val df =
       if (promoted.isEmpty) raw
       else {
-        // explicit union schema: the partition can mix pre- and post-
-        // promotion files, and one-footer inference would drop the column
+        // promotion can additionally span pre-/post-promotion files whose
+        // union mergeSchema already built; just ensure the column exists
         val schema = promoted.foldLeft(raw.schema)((sch, k) =>
           if (sch.fieldNames.contains(k)) sch
           else sch.add(k, org.apache.spark.sql.types.StringType))

@@ -129,6 +129,9 @@ object LogStore {
       overwrite = true)
     FieldNameMeta.record(dir, stats.map { case (k, (_, h)) => k -> h },
       overwrite = true)
+    // mode=overwrite replaced every file — reset the schema manifest to
+    // exactly this load's shape (see recordWrittenSchema)
+    recordWrittenSchema(dir, withMeta.schema, sorted, reset = true)
     invalidate(dir)
   }
 
@@ -175,20 +178,32 @@ object LogStore {
   def read(spark: SparkSession, dir: String): DataFrame = synchronized {
     if (!Fs.exists(s"$dir/logs")) return emptyRelation(spark)
     def build(): DataFrame = {
-      val raw = spark.read.parquet(s"$dir/logs")
       val pf = promotedFields(dir)
-      if (pf.isEmpty) raw
-      else {
-        // explicit schema: files written before a promotion lack the
-        // column, files written after have it — single-footer inference
-        // would silently drop it for everyone
-        val schema = pf.map(_._1).foldLeft(raw.schema)((sch, k) =>
-          if (sch.fieldNames.contains(k)) sch else sch.add(k, StringType))
-        val df = spark.read.schema(schema).parquet(s"$dir/logs")
-        // pending keys still live in the map inside unrewritten files —
-        // coalesce per row; done keys are physical everywhere (writes
-        // materialize them and materializePromotion rewrote the backlog)
-        applyPromotion(df, pf.filter(!_._2).map(_._1))
+      readSchemaManifest(dir) match {
+        case Some((manifest, streamFields)) =>
+          // manifest-declared schema: the exact union of every writer's
+          // shape, so bulk columns AND the protocol `fields` map are both
+          // present regardless of which footer inference would sample
+          val schema = pf.map(_._1).foldLeft(manifest)((sch, k) =>
+            if (sch.fieldNames.contains(k)) sch else sch.add(k, StringType))
+          val df = spark.read.schema(schema).parquet(s"$dir/logs")
+          foldMixedColumns(
+            applyPromotion(df, pf.filter(!_._2).map(_._1)),
+            pf.map(_._1).toSet, streamFields)
+        case None =>
+          val raw = spark.read.parquet(s"$dir/logs")
+          if (pf.isEmpty) raw
+          else {
+            // explicit schema: files written before a promotion lack the
+            // column, files written after have it — single-footer
+            // inference would silently drop it for everyone
+            val schema = pf.map(_._1).foldLeft(raw.schema)((sch, k) =>
+              if (sch.fieldNames.contains(k)) sch else sch.add(k, StringType))
+            val df = spark.read.schema(schema).parquet(s"$dir/logs")
+            // pending keys still live in the map inside unrewritten
+            // files — coalesce per row; done keys are physical everywhere
+            applyPromotion(df, pf.filter(!_._2).map(_._1))
+          }
       }
     }
     readCache.get((spark, s"$dir/logs")) match {
@@ -300,6 +315,109 @@ object LogStore {
     Fs.writeAll(tmp, body.getBytes("UTF-8"))
     Fs.delete(s"$dir/_promoted")
     Fs.rename(tmp, s"$dir/_promoted")
+  }
+
+  /** Mixed bulk+protocol store view: a bulk load ([[ingest]]) writes its
+    * batch's non-reserved columns physically, while protocol appends
+    * carry the same field names inside the dynamic `fields` map — so a
+    * store that was bulk-loaded and then appended to holds one field in
+    * two places, and a plain column read silently misses every appended
+    * row's value (found by the 200M soak's lose-nothing check:
+    * `event_type:soak` counted 0 of 936k appended rows). When the merged
+    * schema shows BOTH a `fields` map and non-reserved non-promoted
+    * physical columns, fold each such column through the same
+    * string-coalesce + map-strip view pending promotion uses. Pure bulk
+    * stores (no map in the schema) and pure protocol stores (only
+    * reserved + promoted columns) never reach this — their plans,
+    * output types, and parquet pushdown are untouched. On a mixed store
+    * the coalesce is a pushdown barrier for those fields, exactly like
+    * an unmaterialized promotion — and `promoteFields` +
+    * `Compaction.materializePromotion` is the documented way to
+    * converge the store and get the pushdown back. Doubles render via
+    * GoFloat first so the folded string equals what strF produced from
+    * the native column. */
+  private def foldMixedColumns(df: DataFrame, promoted: Set[String],
+                               streamFields: Set[String]): DataFrame = {
+    if (!df.columns.contains("fields")) return df
+    val mixed = df.schema.fields.filter(f =>
+      !ReservedCols.contains(f.name) && !promoted.contains(f.name) &&
+      // stream-field columns are physical on BOTH write paths and both
+      // strip them from the map — never mixed, and folding them would
+      // cost their pushdown for nothing
+      !streamFields.contains(f.name))
+    if (mixed.isEmpty) df
+    else {
+      val rendered = mixed.foldLeft(df) { (d, f) =>
+        f.dataType match {
+          case DoubleType | FloatType => d.withColumn(f.name,
+            graft.functions.GoFloat.render(col("`" + f.name + "`")))
+          case _ => d
+        }
+      }
+      applyPromotion(rendered, mixed.map(_.name).toSeq)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // store schema manifest (`<dir>/_store_schema.json`)
+  // ---------------------------------------------------------------------
+  // The union of every writer's data schema plus the store's stream
+  // fields — the columnsHeader analogue. Without it, reads and partition
+  // compactions infer the schema from ONE parquet footer, and a store
+  // holding bulk files (physical batch columns, no `fields` map) next to
+  // protocol-append files (fixed columns + `fields` map) silently loses
+  // whichever shape the sampled footer lacks — the 200M soak measured
+  // 0 of 936k appended rows visible. Bulk loads write it; appends union
+  // into it (under the append lock; it only ever grows); reads use it as
+  // the explicit schema when present (legacy stores fall back to
+  // inference, whose single-shape footers are self-consistent).
+
+  private def schemaManifestPath(dir: String) = s"$dir/_store_schema.json"
+
+  private[store] def readSchemaManifest(
+      dir: String): Option[(StructType, Set[String])] =
+    if (!Fs.exists(schemaManifestPath(dir))) None
+    else try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Fs.readAll(schemaManifestPath(dir)), "UTF-8"))
+      val schema = DataType.fromJson(root.get("schema").asText())
+        .asInstanceOf[StructType]
+      val sf = (0 until root.get("streamFields").size())
+        .map(i => root.get("streamFields").get(i).asText()).toSet
+      Some((schema, sf))
+    } catch { case _: Exception => None } // unreadable → inference
+
+  private def writeSchemaManifest(dir: String, schema: StructType,
+                                  streamFields: Set[String]): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val body = s"""{"schema": ${q(schema.json)}, "streamFields": [${
+      streamFields.toSeq.sorted.map(q).mkString(",")}]}"""
+    val tmp = s"$dir/._store_schema_tmp_${java.util.UUID.randomUUID()}"
+    Fs.writeAll(tmp, body.getBytes("UTF-8"))
+    Fs.delete(schemaManifestPath(dir))
+    Fs.rename(tmp, schemaManifestPath(dir))
+  }
+
+  /** Union `written` (one writer's data schema) into the manifest.
+    * Callers hold the store's append/compaction lock. First-writer-wins
+    * on a name collision: the manifest records what is physically in the
+    * files, and files are immutable. */
+  private[graft] def recordWrittenSchema(dir: String, written: StructType,
+                                         streamFields: Seq[String],
+                                         reset: Boolean = false): Unit = {
+    val cur = if (reset) None else readSchemaManifest(dir)
+    val (baseSchema, baseSf) = cur.getOrElse((new StructType(), Set.empty[String]))
+    var merged = baseSchema
+    written.fields.foreach(f =>
+      if (!merged.fieldNames.contains(f.name)) merged = merged.add(f))
+    val sf = baseSf ++ streamFields
+    if (cur.isEmpty || merged != baseSchema || sf != baseSf)
+      writeSchemaManifest(dir, merged, sf)
   }
 
   /** Project promoted keys out of the `fields` map into top-level string

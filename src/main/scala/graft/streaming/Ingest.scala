@@ -315,6 +315,10 @@ object Ingest {
       // observed action completes
       graft.server.Metrics.rowsIngested.addAndGet(
         obs.get("rows").asInstanceOf[Long])
+      // schema manifest: union this writer's shape in (no-op write once
+      // stable) so reads see bulk columns AND the fields map on stores
+      // that mix bulk loads with protocol appends
+      graft.store.LogStore.recordWrittenSchema(dir, withMeta.schema, sorted)
       graft.store.ValueTypeMeta.invalidateParts(dir, obs.get(_))
       // field-name counts go stale the same way (additive in principle,
       // but the flush path stays job-free); compaction re-counts exactly
