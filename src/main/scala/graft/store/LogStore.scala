@@ -374,7 +374,7 @@ object LogStore {
 
   private def schemaManifestPath(dir: String) = s"$dir/_store_schema.json"
 
-  private[store] def readSchemaManifest(
+  private[graft] def readSchemaManifest(
       dir: String): Option[(StructType, Set[String])] =
     if (!Fs.exists(schemaManifestPath(dir))) None
     else try {

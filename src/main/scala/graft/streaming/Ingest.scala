@@ -317,7 +317,14 @@ object Ingest {
         obs.get("rows").asInstanceOf[Long])
       // schema manifest: union this writer's shape in (no-op write once
       // stable) so reads see bulk columns AND the fields map on stores
-      // that mix bulk loads with protocol appends
+      // that mix bulk loads with protocol appends. First append to a
+      // LEGACY store (no manifest yet): seed with a one-time mergeSchema
+      // sweep of the whole store — a partial manifest seeded from this
+      // append alone would HIDE the legacy bulk columns from reads.
+      if (graft.store.LogStore.readSchemaManifest(dir).isEmpty)
+        graft.store.LogStore.recordWrittenSchema(dir,
+          parsed.sparkSession.read.option("mergeSchema", "true")
+            .parquet(s"$dir/logs").schema, sorted)
       graft.store.LogStore.recordWrittenSchema(dir, withMeta.schema, sorted)
       graft.store.ValueTypeMeta.invalidateParts(dir, obs.get(_))
       // field-name counts go stale the same way (additive in principle,

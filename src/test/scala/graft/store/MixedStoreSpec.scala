@@ -72,6 +72,21 @@ class MixedStoreSpec extends SparkSuite {
       == 1.5 + 2.5 + 3.25)
   }
 
+  test("first append to a legacy store seeds the manifest by full merge") {
+    val dir = s"/root/repo/target/mixed_spec/${System.nanoTime()}"
+    mkBulk(dir)
+    // legacy store: built before the manifest existed
+    new java.io.File(s"$dir/_store_schema.json").delete()
+    assert(LogStore.readSchemaManifest(dir).isEmpty)
+    append(dir, Seq(
+      """{"_time":"2024-03-01T11:00:00Z","_msg":"appended","event_type":"soak","user_id":99,"value":3.25}"""))
+    // the seeded manifest must carry the legacy bulk columns too — a
+    // manifest from the append alone would hide them from reads
+    assert(run(dir, "* | stats by (event_type) count() c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("view" -> 1L, "click" -> 1L, "soak" -> 1L))
+  }
+
   test("pure bulk store keeps native column types and plans") {
     val dir = s"/root/repo/target/mixed_spec/${System.nanoTime()}"
     mkBulk(dir)
