@@ -321,11 +321,21 @@ object Ingest {
       // LEGACY store (no manifest yet): seed with a one-time mergeSchema
       // sweep of the whole store — a partial manifest seeded from this
       // append alone would HIDE the legacy bulk columns from reads.
-      if (graft.store.LogStore.readSchemaManifest(dir).isEmpty)
-        graft.store.LogStore.recordWrittenSchema(dir,
-          parsed.sparkSession.read.option("mergeSchema", "true")
-            .parquet(s"$dir/logs").schema, sorted)
-      graft.store.LogStore.recordWrittenSchema(dir, withMeta.schema, sorted)
+      // Best-effort: the sweep can race a background compaction swap
+      // (stale-retried once, the standard contract), and no seeding
+      // failure may fail the FLUSH — the rows are committed either way
+      // and the next flush re-attempts the seed.
+      try {
+        if (graft.store.LogStore.readSchemaManifest(dir).isEmpty)
+          graft.store.LogStore.recordWrittenSchema(dir,
+            graft.store.LogStore.withStaleRetry(dir)(
+              parsed.sparkSession.read.option("mergeSchema", "true")
+                .parquet(s"$dir/logs").schema), sorted)
+        graft.store.LogStore.recordWrittenSchema(dir, withMeta.schema, sorted)
+      } catch { case e: Exception =>
+        System.err.println(s"[ingest] schema-manifest update failed " +
+          s"(will retry next flush): ${e.getMessage}")
+      }
       graft.store.ValueTypeMeta.invalidateParts(dir, obs.get(_))
       // field-name counts go stale the same way (additive in principle,
       // but the flush path stays job-free); compaction re-counts exactly
