@@ -1486,6 +1486,37 @@ object Compiler {
     if (k.desc) cols.map(_.desc) else cols.map(_.asc)
   }
 
+  /** Sort-key MATERIALIZATION: Spark's sort operators (SortExec,
+    * TakeOrderedAndProject's heap, WindowExec's partition sort) evaluate
+    * every non-leading SortOrder expression PER COMPARISON, not per row —
+    * for the 3-tier collation above that is ~n·log n string→double parse
+    * attempts per task instead of n (SortExplainProbe: 440ms vs 47ms CPU
+    * sorting 3000 rows; the r13 q_lql_uniq warm regression was this cost
+    * landing in a 1-partition sort). Project each collation tier into a
+    * temp column once, sort on the plain columns, and have the caller
+    * drop the temps after — native-orderable keys pass through
+    * unchanged. Returns (projected df, sort columns, temp names). */
+  private def materializeSortKeys(df: DataFrame, keys: Seq[SortKey])
+      : (DataFrame, Seq[Column], Seq[String]) = {
+    var out = df
+    val temps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val exprs = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (isNativeOrderable(df, k.field)) sortExprs(df, k)
+      else {
+        val n = numF(df, k.field)
+        val s = strF(df, k.field)
+        val tiers = Seq(
+          s"__graft_sk${i}_t" -> when(s === "", 0).when(n.isNotNull, 1).otherwise(2),
+          s"__graft_sk${i}_n" -> coalesce(n, lit(0d)),
+          s"__graft_sk${i}_s" -> s)
+        tiers.foreach { case (nm, c) => out = out.withColumn(nm, c); temps += nm }
+        val cs = tiers.map { case (nm, _) => col(nm) }
+        if (k.desc) cs.map(_.desc) else cs.map(_.asc)
+      }
+    }
+    (out, exprs, temps.toSeq)
+  }
+
   /** The (name -> non-empty value) map a pack_json/pack_logfmt row
     * carries: explicit field filters expand `p*` wildcards over columns
     * AND dynamic map entries; no filters = every field. Empty values are
@@ -1523,25 +1554,42 @@ object Compiler {
   }
 
   /** Global sort. On the interactive session an unlimited `orderBy` is
-    * replaced by repartition(1) + in-partition sort: the range exchange's
-    * partition-bounds SAMPLING pass is a whole extra job per execution —
-    * measured ~45ms on a 12-row input (tools/TinyCollectProbe), pure
-    * floor against sub-32MiB inputs — while a single-partition shuffle
-    * sort keeps everything upstream parallel and sorts once. Cluster
-    * sessions keep the real range sort (at scale the sampling pass is
-    * what makes the sort distributed). Sorts with a limit never come
-    * here: Limit(Sort) plans as TakeOrderedAndProject, no exchange. */
+    * replaced by a single-partition in-partition sort: the range
+    * exchange's partition-bounds SAMPLING pass is a whole extra job per
+    * execution — measured ~45ms on a 12-row input
+    * (tools/TinyCollectProbe), pure floor against sub-32MiB inputs.
+    * The repartition(1) ALSO keeps warm re-execution fast: the extra
+    * exchange makes everything upstream (scan, aggregation) a skipped
+    * stage on a plan-cache re-collect, so only the tiny 1-task sort
+    * re-runs (SortPathProbe: 47ms CPU vs 213ms for coalesce(1), which
+    * fuses the upstream agg into the re-run stage). Gated on estimated
+    * plan size (ADVICE r13): an interactive-routed query can still
+    * EXPLODE past its 32 MiB leaf input (unroll/unpack), and a single
+    * task must not absorb that — above the gate the real range sort
+    * plans. Cluster sessions always keep the range sort (at scale the
+    * sampling pass is what makes the sort distributed). Sorts with a
+    * limit never come here: Limit(Sort) plans as TakeOrderedAndProject,
+    * no exchange. NOTE the caller materializes collation sort keys
+    * before this — sort exprs here must be cheap per-comparison. */
   private def globalSort(df: DataFrame, exprs: Seq[Column]): DataFrame =
     if (df.sparkSession.conf
           .getOption("spark.graft.interactive").contains("true")) {
+      import org.apache.spark.sql.catalyst.plans.{logical => lp}
       // all-local leaves (sidecar-served facets, dict rollups): coalesce
       // is a narrow dependency — no shuffle stage at all (~2ms vs ~18ms
       // for the single-partition shuffle, TinyCollectProbe)
       val leaves = df.queryExecution.logical.collectLeaves()
       val allLocal = leaves.nonEmpty && leaves.forall(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        _.isInstanceOf[lp.LocalRelation])
       if (allLocal) df.coalesce(1).sortWithinPartitions(exprs: _*)
-      else df.repartition(1).sortWithinPartitions(exprs: _*)
+      else {
+        val gate = BigInt(df.sparkSession.conf
+          .get("spark.graft.sort.singlePartitionGateBytes",
+               (256L << 20).toString).toLong)
+        if (df.queryExecution.optimizedPlan.stats.sizeInBytes > gate)
+          df.orderBy(exprs: _*)
+        else df.repartition(1).sortWithinPartitions(exprs: _*)
+      }
     } else df.orderBy(exprs: _*)
 
   private def applySort(df: DataFrame, s: Pipe.Sort): DataFrame = {
@@ -1553,7 +1601,10 @@ object Compiler {
       c.form == "last" || (c.keys.isEmpty && c.desc))
     val keys = if (s.keys.nonEmpty) s.keys
                else df.columns.toSeq.map(SortKey(_, desc = defaultDesc))
-    val exprs = keys.flatMap(sortExprs(df, _))
+    // collation keys are projected ONCE per row (see materializeSortKeys —
+    // every sort operator evaluates order exprs per comparison) and the
+    // temp columns dropped after the sort/rank machinery
+    val (dfK, exprs, temps) = materializeSortKeys(df, keys)
     if (s.partitionBy.nonEmpty) {
       // strF, not raw col: a partition field the relation lacks reads as
       // "" (one partition) instead of failing analysis, and map fields
@@ -1567,7 +1618,7 @@ object Compiler {
       // so each map task forwards at most offset+limit rows per group
       // instead of sorting whole groups after the shuffle. The LogsQL-facing
       // Long cast happens after the bound filters.
-      var out = df.withColumn(rn, row_number().over(w))
+      var out = dfK.withColumn(rn, row_number().over(w))
       s.limit.foreach { l =>
         val bound = s.offset + l
         // row_number() is IntegerType: a bound past Int.MaxValue keeps
@@ -1582,10 +1633,11 @@ object Compiler {
           else out.filter(lit(false)) // every Int rank is below the offset
       out = out.withColumn(rn, col(rn).cast(LongType))
       if (s.rank.isEmpty) out = out.drop(rn)
+      if (temps.nonEmpty) out = out.drop(temps: _*)
       out
     } else {
       var out =
-        if (s.limit.isEmpty) globalSort(df, exprs) else df.orderBy(exprs: _*)
+        if (s.limit.isEmpty) globalSort(dfK, exprs) else dfK.orderBy(exprs: _*)
       (s.limit, s.rank) match {
         case (Some(l), Some(r)) if s.offset + l > Int.MaxValue.toLong =>
           // a bound past Int range can't go through .limit() — use the
@@ -1612,6 +1664,8 @@ object Compiler {
         case (None, None) =>
           if (s.offset > 0) out = out.offset(clampInt(s.offset))
       }
+      // .drop is a narrow projection: it preserves the sorted order
+      if (temps.nonEmpty) out = out.drop(temps: _*)
       out
     }
   }
