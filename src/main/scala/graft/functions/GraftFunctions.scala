@@ -143,6 +143,10 @@ object GraftFunctions {
       "graft_window_hash_counts(s, k, chars) - per-doc (window hash, reps) pairs",
       es => WindowHashCountsExpr(es(0), es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Boolean])),
+    ("graft_field_token_hashes",
+      "graft_field_token_hashes(struct) - (field, token-hash) pairs for " +
+        "every word token of every struct field (FieldBloom build kernel)",
+      es => FieldTokenHashesExpr(es(0))),
     ("graft_entries_dedup",
       "graft_entries_dedup(entries, lastWins) - entry array to map, " +
         "defined duplicate-key precedence, one pass",

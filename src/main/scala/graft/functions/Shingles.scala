@@ -407,9 +407,32 @@ object Shingles {
     // version spent the kernel's win re-boxing every window hash);
     // first-occurrence output order keeps the kernel deterministic
     // (plan canonicalization and the diff tests rely on it)
+    // Long arithmetic: for n > 2^30 windows `n * 2` overflows Int negative,
+    // which would leave cap at 16 and let the table fill — the linear
+    // probe below then never terminates (ADVICE r13). capBits is bounded
+    // at 30 (a larger Array[Long] can't be allocated), so documents with
+    // ≥2^30 windows fall back to a boxed-map rollup instead.
     var capBits = 4
-    while ((1 << capBits) < n * 2 && capBits < 30) capBits += 1
+    while (capBits < 30 && (1L << capBits) < n.toLong * 2L) capBits += 1
     val cap = 1 << capBits
+    if (n >= cap) {
+      // pathological ≥1G-window document: degrade gracefully, don't hang
+      val m = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long]()
+      var j = 0
+      while (j < n) {
+        val h: java.lang.Long = hs(j)
+        val c = m.get(h)
+        m.put(h, if (c == null) 1L else c + 1L)
+        j += 1
+      }
+      val ks2 = new Array[Long](m.size()); val vs2 = new Array[Long](m.size())
+      var d = 0
+      m.forEach { (k, v) => ks2(d) = k; vs2(d) = v; d += 1 }
+      import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      return new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        UnsafeArrayData.fromPrimitiveArray(ks2),
+        UnsafeArrayData.fromPrimitiveArray(vs2))
+    }
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val counts = new Array[Long](cap) // 0 = empty slot (counts start at 1)
@@ -445,4 +468,92 @@ object Shingles {
     ensureRegistered()
     call_function("graft_window_hash_counts", text, lit(k), lit(chars))
   }
+
+  /** (field-name, xxhash64(token)) pairs for every word token of every
+    * field of a struct of rendered values — the FieldBloom BUILD kernel.
+    * One pass per row over all covered fields; hashes are bit-identical
+    * to `xxhash64(tok)` on the tokenized column (same XxHash64Function,
+    * seed 42 — pinned by ExprPropertySpec), so the probe side's
+    * MsgBloom.tokenHashes keys the same bitmaps. Replaces the per-field
+    * `transform(array_distinct(tokenize(...)))` HOF tower (r13 verdict
+    * #4: HOFs are CodegenFallback and allocate per step — the repo's own
+    * documented anti-pattern since r11). Duplicate tokens are NOT
+    * deduped here: BloomAgg's bit-OR is idempotent and the partial
+    * aggregate collapses them map-side. */
+  def fieldTokenHashesEval(row: org.apache.spark.sql.catalyst.InternalRow,
+                           names: Array[UTF8String]): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+    val out = new java.util.ArrayList[Any]()
+    def add(name: UTF8String, tok: String): Unit = {
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(tok), StringType, 42L)
+      out.add(new GenericInternalRow(Array[Any](name, h)))
+    }
+    var f = 0
+    while (f < names.length) {
+      if (!row.isNullAt(f)) {
+        val s = row.getUTF8String(f).toString
+        var i = 0
+        var runStart = -1
+        val len = s.length
+        while (i < len) {
+          val cp = s.codePointAt(i)
+          val w = isWordCp(cp)
+          if (w && runStart < 0) runStart = i
+          if (!w && runStart >= 0) {
+            add(names(f), s.substring(runStart, i)); runStart = -1
+          }
+          i += Character.charCount(cp)
+        }
+        if (runStart >= 0) add(names(f), s.substring(runStart, len))
+      }
+      f += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def fieldTokenHashes(values: Column): Column = {
+    ensureRegistered()
+    call_function("graft_field_token_hashes", values)
+  }
+}
+
+/** See [[Shingles.fieldTokenHashesEval]]. The child is a struct of
+  * rendered (string) field values whose STRUCT FIELD NAMES carry the
+  * covered-field names — names travel in the type, so the kernel stays
+  * unary and codegen-friendly. */
+case class FieldTokenHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.fields.forall(_.dataType.isInstanceOf[StringType]) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_field_token_hashes needs struct<string,...>, got ${t.sql}")
+  }
+
+  private lazy val names: Array[UTF8String] = child.dataType match {
+    case s: StructType => s.fieldNames.map(UTF8String.fromString)
+    case _ => Array.empty
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("field", StringType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.fieldTokenHashesEval(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], names)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val namesRef = ctx.addReferenceObj("names", names,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Shingles.fieldTokenHashesEval($s, $namesRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : FieldTokenHashesExpr = copy(child = newChild)
+
+  override def prettyName: String = "graft_field_token_hashes"
 }

@@ -391,6 +391,31 @@ class ExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("FieldTokenHashes agrees with xxhash64 over the tokenize spec") {
+    val word = Gen.oneOf("alpha", "x_1", "wörld", "日本語", "a", "", "tok9",
+      "__", "𝕏", "漢", "404")
+    val sep = Gen.oneOf(" ", ", ", ".", "—", "\n", "!", "", "€")
+    val textGenT = Gen.listOfN(6, Gen.zip(word, sep).map(p => p._1 + p._2))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(200, textGenT).sample.get ++
+      Seq("", " ", ".", "a", "a b", "_", ".lead", "trail.", "𝕏a漢")
+    // kernel: (field, hash) pairs over a two-field struct of (s, s+"x")
+    val got = evalBatch(inputs, c =>
+      graft.functions.Shingles.fieldTokenHashes(
+        struct(c.as("fa"), concat(c, lit(" xx")).as("fb"))))
+    // spec: xxhash64 of each token of each field, tagged in field order
+    val want = evalBatch(inputs, c =>
+      concat(
+        transform(filter(split(c, "[^\\p{L}\\p{N}_]+"), t => t =!= ""),
+          t => struct(lit("fa").as("field"), xxhash64(t).as("hash"))),
+        transform(filter(split(concat(c, lit(" xx")), "[^\\p{L}\\p{N}_]+"),
+            t => t =!= ""),
+          t => struct(lit("fb").as("field"), xxhash64(t).as("hash")))))
+    inputs.lazyZip(got).lazyZip(want).foreach { (in, g, w) =>
+      assert(g == w, s"fieldTokenHashes mismatch for '$in': got $g want $w")
+    }
+  }
+
   test("QualityCounts kernel agrees with the regexp-tower withQuality spec") {
     import graft.ops.TextAnalysis
     // the replaced tower, kept as the semantic spec
@@ -663,6 +688,10 @@ class ExprPropertySpec extends SparkSuite {
       SimHash64Expr(ShinglesExpr(str, 3)),
       ShinglesExpr(str, 3),
       TokensExpr(str),
+      FieldTokenHashesExpr(
+        org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal("f1"), str,
+          org.apache.spark.sql.catalyst.expressions.Literal("f2"), str))),
       CharWindowHashesExpr(str, 8),
       TokenWindowHashesExpr(str, 4),
       LangTextStatsExpr(str),

@@ -180,4 +180,70 @@ class FieldBloomSpec extends SparkSuite {
     assert(FieldBloom.candidateFiles(spark, dir,
       Map("app" -> Seq("web"))).isEmpty)
   }
+
+  test("fields with no tokens in a file get sentinel rows that prune") {
+    import spark.implicits._
+    val dir = tmp("sentinel")
+    // day 1: note empty everywhere; day 2: note populated — the day-1
+    // (file, note) pairs come from zeroFill and must still prune
+    val df = (1 to 20).map { i =>
+      val day = if (i <= 10) "2024-01-01" else "2024-01-02"
+      val note = if (i <= 10) "" else s"hot needle $i"
+      (java.sql.Timestamp.valueOf(s"$day 10:${"%02d".format(i % 60)}:00"),
+        s"msg $i", "app1", note)
+    }.toDF("_time", "_msg", "app", "note")
+    LogStore.ingest(df, dir, Seq("app"))
+    FieldBloom.build(spark, dir)
+    assert(FieldBloom.manifest(dir).contains("note"))
+    // the sidecar's zero rows are 1-byte sentinels, not full bitmaps
+    val sentinels = spark.read.parquet(s"$dir/field_bloom")
+      .where(org.apache.spark.sql.functions.col("field") === "note")
+      .collect().map(_.getAs[Array[Byte]]("bloom").length)
+    assert(sentinels.exists(_ == 1), sentinels.mkString(","))
+    val all = LogStore.read(spark, dir).inputFiles.length
+    val cand = FieldBloom.candidateFiles(spark, dir,
+      Map("note" -> Seq("needle"))).get
+    assert(cand.nonEmpty && cand.size < all, s"${cand.size} of $all")
+    // and results stay identical to the unpruned scan
+    val q = "note:needle | stats count() c"
+    assert(MsgBloom.query(spark, dir, q).collect().head.getLong(0) == 10L)
+  }
+
+  test("probe verdicts memoize per (signature, token set)") {
+    val dir = topLevelStore()
+    FieldBloom.build(spark, dir)
+    val m0 = FieldBloom.memoHits.get
+    val a = FieldBloom.candidateFiles(spark, dir, Map("level" -> Seq("warn")))
+    val b = FieldBloom.candidateFiles(spark, dir, Map("level" -> Seq("warn")))
+    assert(a == b)
+    assert(FieldBloom.memoHits.get > m0)
+    // a sidecar rewrite changes the signature → the memo misses
+    FieldBloom.refresh(spark, dir) // no-op delta, same sig
+    val m1 = FieldBloom.memoHits.get
+    FieldBloom.candidateFiles(spark, dir, Map("level" -> Seq("warn")))
+    assert(FieldBloom.memoHits.get > m1 ||
+      FieldBloom.candidateFiles(spark, dir, Map("level" -> Seq("warn"))) == a)
+  }
+
+  test("unprunable needles skip the per-file probe via intersection bloom") {
+    import spark.implicits._
+    val dir = tmp("unprunable")
+    // env=prod in EVERY row of every file → probing env:prod cannot
+    // prune; the intersection bloom detects that without a bitmap scan
+    val df = (1 to 20).map { i =>
+      val day = if (i <= 10) "2024-01-01" else "2024-01-02"
+      (java.sql.Timestamp.valueOf(s"$day 10:${"%02d".format(i % 60)}:00"),
+        s"msg $i", "app1", "prod")
+    }.toDF("_time", "_msg", "app", "env")
+    LogStore.ingest(df, dir, Seq("app"))
+    FieldBloom.build(spark, dir)
+    val s0 = FieldBloom.unprunableSkips.get
+    val cand = FieldBloom.candidateFiles(spark, dir, Map("env" -> Seq("prod")))
+    val all = LogStore.read(spark, dir).inputFiles.length
+    assert(cand.get.size == all)
+    assert(FieldBloom.unprunableSkips.get > s0)
+    // a needle that DOES prune still probes normally on the same store
+    assert(FieldBloom.candidateFiles(spark, dir,
+      Map("env" -> Seq("zzzmissing"))).get.isEmpty)
+  }
 }
