@@ -19,6 +19,9 @@ object Metrics {
   val bloomFilesRefreshed = new AtomicLong // files bloomed incrementally
   val activeForceMerges = new AtomicLong // in-flight /internal/force_merge
   val staleIndexRetries = new AtomicLong // queries re-run after a file swap
+  val schemaManifestFallbacks = new AtomicLong // manifest-bearing store read fell back to inference
+  val schemaManifestUpdateFailures = new AtomicLong // flush-path manifest update failed
+  val schemaConformCasts = new AtomicLong // appended columns cast to the manifest's physical type
   /** live gauge suppliers registered by the servers (concurrency etc.) */
   private val gauges =
     new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
@@ -41,6 +44,10 @@ object Metrics {
     c("graft_retention_days_dropped_total", retentionDaysDropped.get)
     c("graft_bloom_files_refreshed_total", bloomFilesRefreshed.get)
     c("graft_stale_index_retries_total", staleIndexRetries.get)
+    c("graft_schema_manifest_fallbacks_total", schemaManifestFallbacks.get)
+    c("graft_schema_manifest_update_failures_total",
+      schemaManifestUpdateFailures.get)
+    c("graft_schema_conform_casts_total", schemaConformCasts.get)
     c("graft_field_names_meta_served_total", graft.store.FieldNameMeta.served.get)
     c("graft_facets_meta_assisted_total",
       graft.store.FieldNameMeta.facetsAssisted.get)

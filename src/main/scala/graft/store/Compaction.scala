@@ -127,6 +127,11 @@ object Compaction {
           compactPartition(spark, pdir, files, targetFileBytes, promoted)
       }
       LogStore.markPromotionDone(dir)
+      // every file's promoted column is now physically a string
+      // (applyPromotion's cast) — the manifest must follow, or the
+      // explicit-schema read keeps requesting the old numeric type and
+      // throws PARQUET_COLUMN_DATA_TYPE_MISMATCH (ADVICE r14)
+      LogStore.overrideManifestStringTypes(dir, promoted)
       MsgBloom.invalidate(dir)
       // promotion changes the store schema, so the covered-field list is
       // stale too — drop rather than refresh

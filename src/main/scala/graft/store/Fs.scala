@@ -43,6 +43,27 @@ private[store] object Fs {
   def rename(src: String, dst: String): Boolean =
     of(src).rename(new Path(src), new Path(dst))
 
+  /** Rename REPLACING an existing `dst` in one atomic step where the
+    * filesystem supports it (FileContext rename w/ OVERWRITE — POSIX
+    * rename on local, atomic on HDFS). The plain FileSystem.rename
+    * refuses an existing destination, which forced a delete-then-rename
+    * window where concurrent readers saw NO file at all (ADVICE r13 on
+    * the schema manifest). Falls back to delete+rename on filesystems
+    * without FileContext support (e.g. raw S3A). */
+  def renameOver(src: String, dst: String): Unit =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(src).toUri, conf)
+      fc.rename(new Path(src), new Path(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // src still present = the atomic swap did not happen; fall back to
+      // the non-atomic window rather than failing the write
+      case e: Exception if of(src).exists(new Path(src)) =>
+        delete(dst)
+        if (!rename(src, dst)) throw e
+    }
+
   def readAll(p: String): Array[Byte] = {
     val in = of(p).open(new Path(p))
     try in.readAllBytes() finally in.close()

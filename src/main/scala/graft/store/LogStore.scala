@@ -99,7 +99,17 @@ object LogStore {
     * over multiple writer tasks — one file per day would serialize the
     * write path at scale. */
   def ingest(df: DataFrame, dir: String, streamFields: Seq[String],
-             tenant: String = "0:0", filesPerDay: Int = 4): Unit = {
+             tenant: String = "0:0", filesPerDay: Int = 4): Unit =
+      // serialized against protocol appends (StoreLocks.logsAppend — the
+      // same lock Ingest.appendBatch holds): an unserialized overwrite
+      // could delete `logs/` BETWEEN a concurrent append's file commit
+      // and its manifest union, leaving the append's files (fields-map
+      // shape) present but unrecorded — the reset manifest would then
+      // hide that shape from every read (r13 verdict #8). Under the lock
+      // an append lands wholly before (its rows are replaced — the
+      // documented overwrite semantic) or wholly after (its shape unions
+      // into the fresh manifest).
+      StoreLocks.logsAppend(dir).synchronized {
     val sorted = streamFields.sorted
     val withMeta = applyPromotion(df, promotedFields(dir).map(_._1))
       .withColumn("_stream", streamMapCol(sorted))
@@ -133,7 +143,7 @@ object LogStore {
     // exactly this load's shape (see recordWrittenSchema)
     recordWrittenSchema(dir, withMeta.schema, sorted, reset = true)
     invalidate(dir)
-  }
+  }  // releases StoreLocks.logsAppend(dir)
 
   // memoized per (session, dir) so queries reuse the partition-discovery
   // file index; invalidated on every write into the dir
@@ -179,7 +189,20 @@ object LogStore {
     if (!Fs.exists(s"$dir/logs")) return emptyRelation(spark)
     def build(): DataFrame = {
       val pf = promotedFields(dir)
-      readSchemaManifest(dir) match {
+      val manifest0 = readSchemaManifest(dir)
+      // a store that previously had a manifest must not silently fall
+      // back to single-footer inference (mixed-store data invisibility):
+      // retry once — the atomic renameOver swap makes absence vanishingly
+      // rare — and count the fallback when it persists
+      val manifest = manifest0.orElse {
+        if (!manifestSeen.contains(dir)) None
+        else readSchemaManifest(dir).orElse {
+          graft.server.Metrics.schemaManifestFallbacks.incrementAndGet()
+          None
+        }
+      }
+      manifest.foreach(_ => manifestSeen.add(dir))
+      manifest match {
         case Some((manifest, streamFields)) =>
           // manifest-declared schema: the exact union of every writer's
           // shape, so bulk columns AND the protocol `fields` map are both
@@ -399,9 +422,20 @@ object LogStore {
       streamFields.toSeq.sorted.map(q).mkString(",")}]}"""
     val tmp = s"$dir/._store_schema_tmp_${java.util.UUID.randomUUID()}"
     Fs.writeAll(tmp, body.getBytes("UTF-8"))
-    Fs.delete(schemaManifestPath(dir))
-    Fs.rename(tmp, schemaManifestPath(dir))
+    // atomic swap (ADVICE r14): the previous delete-then-rename left a
+    // window where a concurrent read() saw NO manifest, fell back to
+    // single-footer inference on a mixed store, and cached the wrong
+    // schema until the next write-side invalidate
+    Fs.renameOver(tmp, schemaManifestPath(dir))
+    manifestSeen.add(dir)
   }
+
+  /** Stores that have EVER shown a schema manifest to this JVM: a later
+    * absent/unreadable manifest on such a store is a transient race (or
+    * real corruption), not a legacy store — read() retries once and
+    * counts the fallback so persistent failure is observable. */
+  private val manifestSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Union `written` (one writer's data schema) into the manifest.
     * Callers hold the store's append/compaction lock. First-writer-wins
@@ -419,6 +453,60 @@ object LogStore {
     if (cur.isEmpty || merged != baseSchema || sf != baseSf)
       writeSchemaManifest(dir, merged, sf)
   }
+
+  /** Force manifest entries for `keys` to StringType — called after a
+    * promotion MATERIALIZATION physically rewrote every file's promoted
+    * column as a string (applyPromotion's cast): first-writer-wins must
+    * not keep claiming the old numeric type for files that no longer
+    * hold it, or the explicit-schema read throws
+    * PARQUET_COLUMN_DATA_TYPE_MISMATCH at query time (ADVICE r14). */
+  private[graft] def overrideManifestStringTypes(dir: String,
+                                                 keys: Seq[String]): Unit = {
+    readSchemaManifest(dir).foreach { case (schema, sf) =>
+      val ks = keys.toSet
+      val updated = StructType(schema.fields.map(f =>
+        if (ks.contains(f.name) && f.dataType != StringType)
+          f.copy(dataType = StringType)
+        else f))
+      if (updated != schema) writeSchemaManifest(dir, updated, sf)
+    }
+  }
+
+  /** Cast `df`'s columns to the store manifest's types where they
+    * differ. Parquet cannot serve two physical types under one column
+    * name across files (PARQUET_COLUMN_DATA_TYPE_MISMATCH — verified,
+    * both readers), so the FIRST writer's physical type is canonical and
+    * later appenders conform their data before writing: string→numeric
+    * through try_cast (unparseable → null), numeric→string through the
+    * same GoFloat rendering strF uses. Incompatible shapes (map/struct
+    * collisions) pass through unchanged — first-writer-wins stands and
+    * the conform counter makes the collision observable. */
+  private[graft] def conformToManifest(df: DataFrame, dir: String): DataFrame =
+    readSchemaManifest(dir) match {
+      case None => df
+      case Some((manifest, _)) =>
+        def scalar(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: MapType | _: ArrayType | _: StructType => false
+          case _ => true
+        }
+        val byName = manifest.fields.iterator.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foldLeft(df) { (d, f) =>
+          byName.get(f.name) match {
+            case Some(t) if t == f.dataType => d
+            case Some(StringType) if scalar(f.dataType) =>
+              graft.server.Metrics.schemaConformCasts.incrementAndGet()
+              val c = col("`" + f.name + "`")
+              d.withColumn(f.name, f.dataType match {
+                case DoubleType | FloatType => graft.functions.GoFloat.render(c)
+                case _ => c.cast(StringType)
+              })
+            case Some(t) if scalar(t) && scalar(f.dataType) =>
+              graft.server.Metrics.schemaConformCasts.incrementAndGet()
+              d.withColumn(f.name, col("`" + f.name + "`").try_cast(t))
+            case _ => d
+          }
+        }
+    }
 
   /** Project promoted keys out of the `fields` map into top-level string
     * columns (coalescing with an existing physical column when present)

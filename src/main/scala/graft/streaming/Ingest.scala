@@ -265,13 +265,18 @@ object Ingest {
     val bounded = parsed
       .withColumn("_time", coalesce(col("_time"), current_timestamp()))
       .filter(col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
-    val withMeta = graft.store.LogStore.applyPromotion(
+    // conformToManifest LAST: a protocol append onto a bulk store whose
+    // manifest records a colliding column (stream field, promoted key) as
+    // numeric must write that physical type — parquet cannot serve two
+    // physical types under one name (LogStore.conformToManifest)
+    val withMeta = graft.store.LogStore.conformToManifest(
+      graft.store.LogStore.applyPromotion(
         promote(bounded, sorted),
         graft.store.LogStore.promotedFields(dir).map(_._1))
       .withColumn("_stream", LogStore.streamMapCol(sorted))
       .withColumn("_stream_id", LogStore.streamIdCol(sorted, tenant))
       .withColumn("tenant", lit(tenant))
-      .withColumn("_day", to_date(col("_time")))
+      .withColumn("_day", to_date(col("_time"))), dir)
     // withMeta is deliberately NOT cached: the only second consumer (the
     // streams-table upsert below) is skipped on steady-state flushes
     // entirely, and when it does run it re-parses one micro-batch —
@@ -333,6 +338,11 @@ object Ingest {
                 .parquet(s"$dir/logs").schema), sorted)
         graft.store.LogStore.recordWrittenSchema(dir, withMeta.schema, sorted)
       } catch { case e: Exception =>
+        // counted, not just logged: persistent failure means reads of a
+        // mixed store silently fall back to single-footer inference —
+        // the exact data-invisibility shape the manifest exists to
+        // prevent (ADVICE r14; surfaced in /metrics and the soak checks)
+        graft.server.Metrics.schemaManifestUpdateFailures.incrementAndGet()
         System.err.println(s"[ingest] schema-manifest update failed " +
           s"(will retry next flush): ${e.getMessage}")
       }
