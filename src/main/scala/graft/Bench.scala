@@ -47,6 +47,14 @@ object Bench {
     // goes FIRST — measured 10.7ms after the 480k-row ingest vs 6-7ms
     // clean on the same host; ingest is insensitive to serverBench's
     // handful of plans
+    // in-run environment calibration (r13 verdict #6: committed bench
+    // numbers swung 2-3× with sandbox state and nothing in the artifact
+    // let a reader reject a contaminated run): a FIXED CPU workload
+    // (single- and all-core) and a fixed 64 MiB write+read, sampled at
+    // start / pre-ingest / end. Compare these fields across artifacts
+    // before comparing any throughput number — a calib drift of 2× means
+    // the host, not the code, moved.
+    val calibStart = calibrate()
     val (lastnMs, lastnDays) = serverBench(spark, sfDir)
     // scan before ingest: the ingest phase's JVM state (434 lingering
     // pool threads, grown heap) costs the scan a stable ~2.2× in-bench
@@ -54,6 +62,7 @@ object Bench {
     // bandwidth is a property of the code, so measure it on the cleaner
     // JVM; ingest itself is insensitive to the handful of scan plans
     val (scanBytes, scanSec) = scanBench(spark, sfDir)
+    val calibPreIngest = calibrate()
     val (ingestRows, ingestSec, ingestPosts, ingestFlushes, rawB, storeB) =
       ingestBench()
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -251,11 +260,16 @@ object Bench {
     val comp = if (storeB > 0) rawB.toDouble / storeB else 0d
     val scanGbps =
       if (scanSec > 0) scanBytes / scanSec / (1L << 30).toDouble else 0d
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"queries_warm":$warmJson,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"ingest_sustained_rows":$sRows,"ingest_sustained_sec":$sSec,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays}""")
+    val calibEnd = calibrate()
+    def calibJson(c: (Double, Double, Double)): String =
+      f"""{"cpu_ms":${c._1}%.1f,"mt_cpu_ms":${c._2}%.1f,"io64m_ms":${c._3}%.1f}"""
+    val calib = s"""{"start":${calibJson(calibStart)},"pre_ingest":${
+      calibJson(calibPreIngest)},"end":${calibJson(calibEnd)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"queries_warm":$warmJson,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"ingest_sustained_rows":$sRows,"ingest_sustained_sec":$sSec,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"calib":$calib}""")
     // second COMPACT totals line, after the full line: artifact capture
     // keeps only the tail of the output, and the full line (121+ per-query
     // entries) alone overflows it — this line always fits
-    println(s"""{"metric":"totals","value":$total,"adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir"}""")
+    println(s"""{"metric":"totals","value":$total,"adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir","calib":$calib}""")
     // quiesce streaming state machinery BEFORE tearing down SparkEnv — the
     // StateStore maintenance thread otherwise races spark.stop() and logs
     // "SparkEnv not active" warnings into the bench tail
@@ -274,6 +288,59 @@ object Bench {
     * DECOMPRESSED bytes (sum of column uncompressed sizes from the
     * parquet footers), which is what the decode path actually moves.
     * Median of 3 after a warmup pass. */
+  /** Fixed-work environment calibration: (single-core CPU ms, all-core
+    * CPU ms, 64 MiB write+fsync+read ms). The workloads are pinned
+    * (splitmix64 mixing ×40M; one 64 MiB file on the bench cwd's
+    * filesystem) so the numbers depend ONLY on the host's momentary
+    * capacity — a contaminated run (concurrent sbt, page-cache churn,
+    * noisy neighbor) shows up as calib drift and disqualifies its
+    * throughput numbers from cross-round comparison. */
+  private def calibrate(): (Double, Double, Double) = {
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    def cpuOnce(): Unit = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 40000000) {
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31
+        i += 1
+      }
+      sink.addAndGet(x) // defeat dead-code elimination
+    }
+    cpuOnce() // JIT warmup
+    val cpu = Seq.fill(3) {
+      val t0 = System.nanoTime(); cpuOnce(); (System.nanoTime() - t0) / 1e6
+    }.sorted.apply(1)
+    val nT = Runtime.getRuntime.availableProcessors()
+    val tMt0 = System.nanoTime()
+    val threads = (0 until nT).map(_ => new Thread(() => cpuOnce()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mt = (System.nanoTime() - tMt0) / 1e6
+    val io = {
+      val fl = java.io.File.createTempFile("graft_calib_", ".bin",
+        new java.io.File("."))
+      try {
+        val buf = new Array[Byte](1 << 20)
+        new java.util.Random(42).nextBytes(buf)
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(fl)
+        try {
+          var i = 0
+          while (i < 64) { out.write(buf); i += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        val in = new java.io.FileInputStream(fl)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { sink.addAndGet(n.toLong); n = in.read(buf) }
+        } finally in.close()
+        (System.nanoTime() - t0) / 1e6
+      } finally fl.delete()
+    }
+    (cpu, mt, io)
+  }
+
   private def scanBench(spark: SparkSession, sfDir: String): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
