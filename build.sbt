@@ -30,6 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the query suite (caches, codegen, ANN cell tables) grew past ~90
   // entries, adding seconds of per-run noise to bench medians
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_EXTRA_JAVA_OPTS")
+      .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 // forward stdin to the forked JVM so the graft.Cli REPL is usable
 run / connectInput := true

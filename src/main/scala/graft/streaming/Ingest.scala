@@ -265,18 +265,13 @@ object Ingest {
     val bounded = parsed
       .withColumn("_time", coalesce(col("_time"), current_timestamp()))
       .filter(col("_time") <= expr(s"current_timestamp() + INTERVAL $maxFutureDays DAYS"))
-    // conformToManifest LAST: a protocol append onto a bulk store whose
-    // manifest records a colliding column (stream field, promoted key) as
-    // numeric must write that physical type — parquet cannot serve two
-    // physical types under one name (LogStore.conformToManifest)
-    val withMeta = graft.store.LogStore.conformToManifest(
-      graft.store.LogStore.applyPromotion(
+    val withMeta0 = graft.store.LogStore.applyPromotion(
         promote(bounded, sorted),
         graft.store.LogStore.promotedFields(dir).map(_._1))
       .withColumn("_stream", LogStore.streamMapCol(sorted))
       .withColumn("_stream_id", LogStore.streamIdCol(sorted, tenant))
       .withColumn("tenant", lit(tenant))
-      .withColumn("_day", to_date(col("_time"))), dir)
+      .withColumn("_day", to_date(col("_time")))
     // withMeta is deliberately NOT cached: the only second consumer (the
     // streams-table upsert below) is skipped on steady-state flushes
     // entirely, and when it does run it re-parses one micro-batch —
@@ -288,6 +283,14 @@ object Ingest {
     // HTTP protocols, this covers cross-path concurrency (syslog TCP/UDP
     // flushers, test backfills) too
     graft.store.StoreLocks.logsAppend(dir).synchronized {
+      // conformToManifest INSIDE the lock: a protocol append onto a bulk
+      // store whose manifest records a colliding column (stream field,
+      // promoted key) under a different physical type must write the
+      // manifest's type — parquet cannot serve two physical types under
+      // one name — and the manifest must not change between the conform
+      // decision and the write (a concurrent bulk overwrite holds this
+      // same lock)
+      val withMeta = graft.store.LogStore.conformToManifest(withMeta0, dir)
       // the /metrics ingested-rows count AND the batch's distinct stream
       // ids ride along as observed metrics instead of costing separate jobs
       val obs = org.apache.spark.sql.Observation()

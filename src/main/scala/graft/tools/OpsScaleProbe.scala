@@ -131,8 +131,12 @@ object OpsScaleProbe {
     // maxBucketSize cap would put ~n²/100 candidate pairs through a
     // single band bucket. Must complete with bounded fan-out (identical
     // docs are exact-dedup's job; LSH drops the over-cap buckets).
+    // stress sizes scale with the corpus (but stay bounded: the stress
+    // sections exist to prove the quadratic guards hold, and n/5 already
+    // makes an uncapped shape blow up visibly)
+    def stressCap(n: Long): Long = math.min(n, math.max(200000L, n / 5))
     locally {
-      val stressN = math.min(nDocs, 200000L)
+      val stressN = stressCap(nDocs)
       val stress = spark.range(0, stressN, 1, 32)
         .select(col("id").as("doc_id"),
           when(col("id") % 10 === 0, lit("mass duplicated boilerplate " +
@@ -151,7 +155,7 @@ object OpsScaleProbe {
     // sides and the run stays linear; planted exact-copy pairs among the
     // cold 90% must still be found via their own buckets.
     locally {
-      val stressN = math.min(nVecs, 200000L)
+      val stressN = stressCap(nVecs)
       val plantN = 500L
       def vecOf(c: org.apache.spark.sql.Column) =
         transform(sequence(lit(0), lit(63)),
@@ -222,16 +226,36 @@ object OpsScaleProbe {
 
     // 7. IVF index build + probe; recall/latency curve over nprobe (the
     // production tuning axis — uniform random vectors are IVF's worst
-    // case, so the curve shows the knob works, not a flattering number)
+    // case, so the curve shows the knob works, not a flattering number).
+    // nlist scales ~sqrt(n) clamped at 1024: KMeans training cost is
+    // n·nlist·dim·iters, and 10M×3162 cells would make the offline index
+    // build dominate the probe's wall budget for no recall gain here.
+    val nlist = math.max(64L,
+      math.min(1024L, math.sqrt(nVecs.toDouble).toLong)).toInt
+    println(s"OPSSCALE ivf nlist=$nlist (n=$nVecs)")
     for (nprobe <- Seq(4, 8, 16, 32)) {
       val ivf = Similarity.ivfTopK(queries, vecs,
         "vec_id", "embedding", "vec_id", "embedding",
-        k = 10, nlist = 64, nprobe = nprobe)
+        k = 10, nlist = nlist, nprobe = nprobe)
       val (ivfSec, hits) = time(f"ivf_top10_nprobe$nprobe%-3d") {
         ivf.select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
       }
       println(f"OPSSCALE   -> IVF nprobe=$nprobe recall@10 ${hits * 100.0 / truth.size}%.1f%% in ${ivfSec}%.2fs")
+    }
+
+    // 8. IVF-PQ (m=8 subquantizers, asymmetric distance, exact re-rank of
+    // a 50-deep shortlist) — the memory-bound ANN shape for corpora whose
+    // raw vectors don't fit: codes are 8 B/vector vs 256 B raw
+    locally {
+      val ivfpq = Similarity.ivfPqTopK(queries, vecs,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nlist = nlist, nprobe = 16, m = 8, refine = 50)
+      val (pqSec, hits) = time("ivfpq_top10_nprobe16") {
+        ivfpq.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+      }
+      println(f"OPSSCALE   -> IVF-PQ recall@10 ${hits * 100.0 / truth.size}%.1f%% in ${pqSec}%.2fs")
     }
     spark.stop()
   }
