@@ -225,6 +225,22 @@ object Compiler {
     * render exactly like the reference's marshalFloat64String
     * (strconv 'f'/-1 — [[graft.functions.GoFloat]]): "5" not "5.0",
     * fixed notation always, "+Inf"/"-Inf"/"NaN". */
+  /** Pushdown-friendly bare column for string equality/prefix/membership
+    * filters with NON-EMPTY literals: on a physical top-level string
+    * column, `coalesce(c,'') === v` with v ≠ "" is exactly `c === v`
+    * (null → no-match both ways), and only the bare form reaches the
+    * parquet scan as an EqualTo/StartsWith/In PushedFilter — row-group
+    * skipping via min/max stats, dictionary and column bloom filters.
+    * The coalesce wrapper blocks pushdown entirely. Empty-literal
+    * semantics ("" matches missing field) keep the strF form. */
+  private def pushdownStr(df: DataFrame, name: String,
+                          literalsNonEmpty: Boolean): Option[Column] =
+    rawField(df, name) match {
+      case Some(c) if literalsNonEmpty && !isMapField(df, name) &&
+          fieldType(df, name).contains(StringType) => Some(c)
+      case _ => None
+    }
+
   def strF(df: DataFrame, name: String): Column =
     rawField(df, name) match {
       case Some(c) if isMapField(df, name) => coalesce(mapLabel(c), lit(""))
@@ -318,9 +334,16 @@ object Compiler {
       // on typed columns numeric equality is the faithful analogue)
       (fieldType(df, fld), NumLit.parse(v)) match {
         case (Some(_: NumericType), Some(n)) => col(quoteName(fld)) === n
-        case _ => strF(df, fld) === v
+        case _ => pushdownStr(df, fld, v.nonEmpty) match {
+          case Some(c) => c === v
+          case None => strF(df, fld) === v
+        }
       }
-    case Filter.ExactPrefix(fld, v) => strF(df, fld).startsWith(v)
+    case Filter.ExactPrefix(fld, v) =>
+      pushdownStr(df, fld, v.nonEmpty) match {
+        case Some(c) => c.startsWith(v)
+        case None => strF(df, fld).startsWith(v)
+      }
     case Filter.In(fld, vs) =>
       // native comparison when the column is numeric and all values parse;
       // large (materialized-subquery) sets become one literal-array
@@ -329,9 +352,12 @@ object Compiler {
         case (Some(_: NumericType), nums) if nums.size == vs.size =>
           if (vs.size <= 1000) col(quoteName(fld)).isin(nums: _*)
           else array_contains(typedLit(nums), col(quoteName(fld)).cast(DoubleType))
-        case _ =>
-          if (vs.size <= 1000) strF(df, fld).isin(vs: _*)
-          else array_contains(typedLit(vs), strF(df, fld))
+        case _ => pushdownStr(df, fld, vs.forall(_.nonEmpty)) match {
+          case Some(c) if vs.size <= 1000 => c.isin(vs: _*)
+          case _ =>
+            if (vs.size <= 1000) strF(df, fld).isin(vs: _*)
+            else array_contains(typedLit(vs), strF(df, fld))
+        }
       }
     case Filter.InQuery(fld, sub) =>
       // materialize the subquery's (single) result column at plan-build
