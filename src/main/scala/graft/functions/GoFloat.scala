@@ -46,13 +46,24 @@ object GoFloat {
     // rendering skips the format/parse loop for the common count case
     if (a < 1e15 && a == Math.floor(a))
       return (if (neg) "-" else "") + java.lang.Long.toString(a.toLong)
-    var p = 0
-    while (p < 16) {
-      val s = String.format(java.util.Locale.ROOT, "%." + p + "E", java.lang.Double.valueOf(a))
-      if (java.lang.Double.parseDouble(s) == a) return fixed(neg, s)
+    // correctly-rounded p-significant-digit decimals via BigDecimal:
+    // BigDecimal(double) is the EXACT binary expansion, and
+    // round(MathContext(p, HALF_UP)) is the same correctly-rounded
+    // decimal `%.{p-1}E` produced — but without java.util.Formatter,
+    // which allocates a Formatter + DecimalFormatSymbols per call
+    // (~15µs/value; all 32 soak cores measured parked in
+    // DecimalFormatSymbols.getInstance rendering a folded 200M-row
+    // column, r14)
+    val exact = new java.math.BigDecimal(a)
+    var p = 1
+    while (p < 17) {
+      val r = exact.round(new java.math.MathContext(p,
+        java.math.RoundingMode.HALF_UP))
+      if (r.doubleValue() == a) return emit(neg, r)
       p += 1
     }
-    fixed(neg, String.format(java.util.Locale.ROOT, "%.16E", java.lang.Double.valueOf(a)))
+    emit(neg, exact.round(new java.math.MathContext(17,
+      java.math.RoundingMode.HALF_UP)))
   }
 
   /** Same rule against float32 round-trip (Go renders a float32 via
@@ -68,28 +79,28 @@ object GoFloat {
     val a = if (neg) -f else f
     if (a < 1e7f && a == Math.floor(a))
       return (if (neg) "-" else "") + java.lang.Integer.toString(a.toInt)
-    val ad = a.toDouble
-    var p = 0
-    while (p < 8) {
-      val s = String.format(java.util.Locale.ROOT, "%." + p + "E", java.lang.Double.valueOf(ad))
-      if (java.lang.Float.parseFloat(s) == a) return fixed(neg, s)
+    val exact = new java.math.BigDecimal(a.toDouble)
+    var p = 1
+    while (p < 9) {
+      val r = exact.round(new java.math.MathContext(p,
+        java.math.RoundingMode.HALF_UP))
+      if (r.floatValue() == a) return emit(neg, r)
       p += 1
     }
-    fixed(neg, String.format(java.util.Locale.ROOT, "%.8E", java.lang.Double.valueOf(ad)))
+    emit(neg, exact.round(new java.math.MathContext(9,
+      java.math.RoundingMode.HALF_UP)))
   }
 
-  /** `%.pE` string ("1.43E+01") → fixed notation ("14.3"). */
-  private def fixed(neg: Boolean, sci: String): String = {
-    val ei = sci.indexOf('E')
-    val exp = java.lang.Integer.parseInt(sci.substring(ei + 1))
-    val raw = sci.substring(0, ei)
-    var digits =
-      if (raw.length > 1 && raw.charAt(1) == '.') raw.charAt(0) + raw.substring(2)
-      else raw
-    // the max-precision fallback can carry value-preserving trailing zeros
-    var end = digits.length
-    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
-    digits = digits.substring(0, end)
+  /** Rounded decimal → fixed notation ("14.3"), minimal digits. */
+  private def emit(neg: Boolean, r0: java.math.BigDecimal): String = {
+    // the max-precision fallback can carry value-preserving trailing
+    // zeros ("0.70" parses equal to "0.7"); a terminating search value
+    // never does (its stripped form would have terminated earlier) —
+    // stripping is correct for both
+    val r = r0.stripTrailingZeros()
+    val digits = r.unscaledValue().toString
+    // decimal exponent of the leading digit, as in "d.dddE<exp>"
+    val exp = r.precision() - r.scale() - 1
     val n = digits.length
     val sb = new java.lang.StringBuilder(n + math.abs(exp) + 3)
     if (neg) sb.append('-')
