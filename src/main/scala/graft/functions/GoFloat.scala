@@ -46,6 +46,24 @@ object GoFloat {
     // rendering skips the format/parse loop for the common count case
     if (a < 1e15 && a == Math.floor(a))
       return (if (neg) "-" else "") + java.lang.Long.toString(a.toLong)
+    // short-decimal fast path: almost every rendered log value is a
+    // ≤8-decimal-place number (prices, ratios, durations). If
+    // round(a·10^k)/10^k == a then "L with k decimal places" parses back
+    // to a EXACTLY (L and 10^k are exact doubles and IEEE division is
+    // correctly rounded, which is also what parseDouble computes), and
+    // ascending k yields the minimal digit string — ~30ns vs ~1-3µs for
+    // the BigDecimal search below (which remains for long-tail values)
+    var k = 1
+    var p10 = 10.0
+    while (k <= 8) {
+      val scaled = a * p10
+      if (scaled < 9.007199254740992e15) { // long-exact range
+        val l = Math.round(scaled)
+        if (l.toDouble / p10 == a) return emitDecimal(neg, l, k)
+      }
+      k += 1
+      p10 *= 10.0
+    }
     // correctly-rounded p-significant-digit decimals via BigDecimal:
     // BigDecimal(double) is the EXACT binary expansion, and
     // round(MathContext(p, HALF_UP)) is the same correctly-rounded
@@ -89,6 +107,24 @@ object GoFloat {
     }
     emit(neg, exact.round(new java.math.MathContext(9,
       java.math.RoundingMode.HALF_UP)))
+  }
+
+  /** `l` with `k` decimal places → fixed notation ("123.45"). `l` never
+    * ends in 0 here (a trailing zero means k-1 places also round-trip,
+    * so the ascending-k search matched earlier). */
+  private def emitDecimal(neg: Boolean, l: Long, k: Int): String = {
+    val digits = java.lang.Long.toString(l)
+    val n = digits.length
+    val sb = new java.lang.StringBuilder(n + k + 3)
+    if (neg) sb.append('-')
+    if (n > k) sb.append(digits, 0, n - k).append('.').append(digits, n - k, n)
+    else {
+      sb.append("0.")
+      var i = 0
+      while (i < k - n) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    }
+    sb.toString
   }
 
   /** Rounded decimal → fixed notation ("14.3"), minimal digits. */

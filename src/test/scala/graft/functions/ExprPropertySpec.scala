@@ -654,6 +654,62 @@ class ExprPropertySpec extends SparkSuite {
       StructType(Seq(StructField("d", DoubleType))))
     val got = df.select(GoFloat.render(col("d")).as("s"), col("d")).collect()
     got.foreach(r => assert(r.getString(0) == GoFloat.format(r.getDouble(1))))
+
+    // differential vs the %.pE Formatter formulation the r14 fast paths
+    // replaced (kept here as the semantic spec) — short decimals stress
+    // the decimal-places fast path, random bits stress the BigDecimal
+    // search
+    def specFormat(d: Double): String = {
+      if (d != d) return "NaN"
+      if (d == Double.PositiveInfinity) return "+Inf"
+      if (d == Double.NegativeInfinity) return "-Inf"
+      if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+      val neg = d < 0
+      val a = if (neg) -d else d
+      def fixed(sci: String): String = {
+        val ei = sci.indexOf('E')
+        val exp = java.lang.Integer.parseInt(sci.substring(ei + 1))
+        val raw = sci.substring(0, ei)
+        var digits =
+          if (raw.length > 1 && raw.charAt(1) == '.') raw.charAt(0) + raw.substring(2)
+          else raw
+        var end = digits.length
+        while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
+        digits = digits.substring(0, end)
+        val n = digits.length
+        val sb = new java.lang.StringBuilder
+        if (neg) sb.append('-')
+        if (exp >= n - 1) {
+          sb.append(digits)
+          (0 until exp - (n - 1)).foreach(_ => sb.append('0'))
+        } else if (exp >= 0)
+          sb.append(digits, 0, exp + 1).append('.').append(digits, exp + 1, n)
+        else {
+          sb.append("0.")
+          (0 until -exp - 1).foreach(_ => sb.append('0'))
+          sb.append(digits)
+        }
+        sb.toString
+      }
+      var p = 0
+      while (p < 16) {
+        val s = String.format(java.util.Locale.ROOT, "%." + p + "E",
+          java.lang.Double.valueOf(a))
+        if (java.lang.Double.parseDouble(s) == a) return fixed(s)
+        p += 1
+      }
+      fixed(String.format(java.util.Locale.ROOT, "%.16E",
+        java.lang.Double.valueOf(a)))
+    }
+    val shortDecimals = (0 until 3000).map { i =>
+      val places = i % 9
+      val sign = if (i % 2 == 0) 1 else -1
+      sign * (rnd.nextInt(1000000000).toDouble / math.pow(10, places))
+    }
+    (doubles.take(1500) ++ shortDecimals).foreach { d =>
+      assert(GoFloat.format(d) == specFormat(d),
+        s"diff vs %.pE spec: $d -> ${GoFloat.format(d)} want ${specFormat(d)}")
+    }
   }
 
   test("every custom expression's generated code compiles (no interpreted fallback)") {
