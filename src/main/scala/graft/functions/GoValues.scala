@@ -37,28 +37,50 @@ object GoValues {
     org.apache.spark.sql.functions.call_function("graft_value_meta", c)
   }
 
-  /** Parsed uint64 as a non-negative BigInteger, or null. */
+  private val U64Max = new java.math.BigInteger("18446744073709551615")
+
+  /** Parsed uint64 as a non-negative BigInteger, or null. Accumulates in
+    * a primitive long for the first 18 digits (10^18 < 2^63, always
+    * exact) — the r14 soak measured per-digit BigInteger churn as a top
+    * frame sorting folded numeric columns; only ≥19-digit inputs take
+    * the BigInteger path. */
   def parseUint64(s: String): java.math.BigInteger = {
     val n = s.length
     if (n == 0 || n > 26) return null // len("18_446_744_073_709_551_615")
     if (n > 1 && s.charAt(0) == '0') return null
-    val U64Max = new java.math.BigInteger("18446744073709551615")
-    var acc = java.math.BigInteger.ZERO
-    val TEN = java.math.BigInteger.TEN
+    var acc = 0L
     var i = 0
     var digits = 0
     while (i < n) {
       val ch = s.charAt(i)
       if (ch != '_') {
         if (ch < '0' || ch > '9') return null
-        acc = acc.multiply(TEN).add(java.math.BigInteger.valueOf(ch - '0'))
-        if (acc.compareTo(U64Max) > 0) return null
+        if (digits >= 18) return parseUint64Big(s)
+        acc = acc * 10 + (ch - '0')
         digits += 1
       }
       i += 1
     }
     // Go's loop accepts all-underscore input as 0 (no digit requirement);
     // it never occurs in practice but fidelity is fidelity
+    java.math.BigInteger.valueOf(acc)
+  }
+
+  /** The ≥19-digit tail of [[parseUint64]], with the U64Max bound. */
+  private def parseUint64Big(s: String): java.math.BigInteger = {
+    var acc = java.math.BigInteger.ZERO
+    val TEN = java.math.BigInteger.TEN
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (ch != '_') {
+        if (ch < '0' || ch > '9') return null
+        acc = acc.multiply(TEN).add(java.math.BigInteger.valueOf(ch - '0'))
+        if (acc.compareTo(U64Max) > 0) return null
+      }
+      i += 1
+    }
     acc
   }
 

@@ -82,12 +82,44 @@ object ValueCompare {
     if (!((c0 >= '0' && c0 <= '9') || c0 == '-' || c0 == '+' || c0 == '.' ||
           c0 == 'i' || c0 == 'I' || c0 == 'n' || c0 == 'N'))
       return Double.NaN
+    // plain-decimal fast path: [-+]?digits[.digits][eE[-+]digits] with no
+    // underscores is exactly the shape the Option chain below resolves
+    // via s.toDouble — after durationNanos/sizeValue have each FULLY
+    // parsed and rejected it (BigInteger-heavy; measured as the dominant
+    // frames sorting a 200M-row folded numeric column, r14 soak).
+    // parseDouble IS that final branch, so the value is identical.
+    if (isPlainNumber(t)) return java.lang.Double.parseDouble(t)
     graft.logql.NumLit.sizeValue(t)
       .orElse(graft.logql.NumLit.durationNanos(t)
         .filter(_ => t.exists(_.isLetter)).map(_.toDouble))
       .orElse(graft.logql.NumLit.parse(t)
         .filter(_ => !t.exists(c => c.isLetter && "eExX".indexOf(c) < 0)))
       .getOrElse(Double.NaN)
+  }
+
+  /** `[-+]?d*(.d*)?([eE][-+]?d+)?` with ≥1 mantissa digit — the exact
+    * set of strings Java's parseDouble and the parse chain's final
+    * `s.toDouble` both accept with identical values and every earlier
+    * chain stage rejects (no letters outside the exponent marker, no
+    * underscores, no unit suffix). */
+  private def isPlainNumber(t: String): Boolean = {
+    val n = t.length
+    var i = if (t.charAt(0) == '+' || t.charAt(0) == '-') 1 else 0
+    var mant = 0
+    while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') { mant += 1; i += 1 }
+    if (i < n && t.charAt(i) == '.') {
+      i += 1
+      while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') { mant += 1; i += 1 }
+    }
+    if (mant == 0) return false
+    if (i == n) return true
+    val c = t.charAt(i)
+    if (c != 'e' && c != 'E') return false
+    i += 1
+    if (i < n && (t.charAt(i) == '+' || t.charAt(i) == '-')) i += 1
+    var exp = 0
+    while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') { exp += 1; i += 1 }
+    i == n && exp > 0
   }
 
   /** stringsutil.LessNatural: common prefixes skip, decimal digit runs
