@@ -1612,7 +1612,12 @@ object Compiler {
         val gate = BigInt(df.sparkSession.conf
           .get("spark.graft.sort.singlePartitionGateBytes",
                (256L << 20).toString).toLong)
-        if (df.queryExecution.optimizedPlan.stats.sizeInBytes > gate)
+        // ANALYZED stats, not optimizedPlan: triggering the optimizer
+        // here ran a full extra Catalyst pass per cold serving query
+        // (~+100ms on /select/logsql/hits, EndpointLatProbe r14); the
+        // size estimate only gates a pathological-explosion escape hatch
+        // and the analyzed-plan fold is equally conservative for it
+        if (df.queryExecution.analyzed.stats.sizeInBytes > gate)
           df.orderBy(exprs: _*)
         else df.repartition(1).sortWithinPartitions(exprs: _*)
       }
