@@ -315,11 +315,19 @@ object Compaction {
           spark.read.schema(schema).parquet(paths: _*), promoted)
       }
     val __t0 = System.nanoTime()
+    // row-group bloom filters for high-cardinality string columns ride
+    // the rewrite (LogStore.bloomWriteOptions) — blooms are made at
+    // merge time, like the reference's block headers
+    val storeRoot = pdir.getParent.getParent.getParent.toString
+    if (sys.env.contains("GRAFT_BLOOM_DEBUG"))
+      System.err.println(s"[compact] storeRoot=$storeRoot opts=" +
+        LogStore.bloomWriteOptions(storeRoot, df.schema))
     df
       .repartition(nOut, col("_stream_id"))
       .sortWithinPartitions(col("_stream_id"), col("_time"))
       .write.option("compression", LogStore.ParquetCodec)
       .option("parquet.block.size", LogStore.ParquetRowGroupBytes)
+      .options(LogStore.bloomWriteOptions(storeRoot, df.schema))
       .parquet(tmp.toString)
     val __t1 = System.nanoTime()
     // exact whole-part value-type verdict, classified on the data being

@@ -14,7 +14,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * credentials / endpoint settings configured on the SparkSession apply),
   * falling back to a plain Configuration for session-less callers.
   */
-private[store] object Fs {
+private[graft] object Fs {
 
   private def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession

@@ -508,6 +508,36 @@ object LogStore {
         }
     }
 
+  /** Parquet column-bloom write options for the store's high-cardinality
+    * string columns (nd ≥ 50k per FieldNameMeta) — the ROW-GROUP-level
+    * pruning layer under the file-level token sidecars: with the exact/
+    * in/prefix filters compiling to bare-column PushedFilters, the
+    * parquet reader skips row groups whose bloom rejects the needle
+    * (RowGroupBloomProbe: 2.9× on a needle-in-one-row-group scan; the
+    * reference's analogue is its per-8M-row-block bloom,
+    * block_header.go:584-615). Sorted columns (_stream_id) and _msg
+    * (token sidecar's job, not equality-probed) are excluded; min/max
+    * column indexes already serve low-cardinality columns. */
+  private[graft] def bloomWriteOptions(dir: String,
+                                       schema: StructType): Map[String, String] = {
+    val nd = scala.collection.mutable.Map.empty[String, Long]
+    FieldNameMeta.load(dir).values.foreach(_.foreach { case (f, s) =>
+      nd.updateWith(f)(v => Some(math.max(v.getOrElse(-1L), s.nd)))
+    })
+    schema.fields.iterator
+      .filter(f => f.dataType == StringType &&
+        !Set("_msg", "_stream_id", "tenant").contains(f.name) &&
+        nd.getOrElse(f.name, -1L) >= 50000L)
+      .flatMap(f => Seq(
+        s"parquet.bloom.filter.enabled#${f.name}" -> "true",
+        // whole-part nd as the per-row-group NDV hint: an overestimate
+        // only oversizes the bitmap, and parquet.bloom.filter.max.bytes
+        // (1 MiB default) caps it per row group
+        s"parquet.bloom.filter.expected.ndv#${f.name}" ->
+          String.valueOf(math.min(nd(f.name), 10000000L))))
+      .toMap
+  }
+
   /** Project promoted keys out of the `fields` map into top-level string
     * columns (coalescing with an existing physical column when present)
     * and drop them from the map — the invariant every promoted-store

@@ -324,4 +324,60 @@ class LifecycleSpec extends SparkSuite {
       LogStore.promoteFields(dir, Seq("_time"))
     }
   }
+
+  test("compaction writes row-group bloom filters for high-card string columns") {
+    import spark.implicits._
+    val dir = tmp("rgbloom")
+    // 60k distinct trace ids in one day → FieldNameMeta nd ≥ 50k → the
+    // compacted rewrite must carry a parquet column bloom for `trace`
+    val df = spark.range(0, 60000, 1, 4)
+      .select(
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.lit(1704067200000000L) +
+          org.apache.spark.sql.functions.col("id")).as("_time"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("m"),
+          org.apache.spark.sql.functions.col("id")).as("_msg"),
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).as("trace"),
+        // several streams, so the bulk load spreads over multiple files
+        // and the partition actually qualifies for compaction
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("app"),
+          org.apache.spark.sql.functions.col("id") % 8).as("app"))
+    LogStore.ingest(df, dir, Seq("app"), filesPerDay = 4)
+    val needle = graft.logql.Compiler.run(LogStore.read(spark, dir),
+      "* | limit 1 | fields trace").collect()(0).getString(0)
+    Compaction.optimize(spark, dir, minFilesToCompact = 2,
+      skipAtTargetSize = false)
+    // footer check: some data file carries a bloom offset for `trace`
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = Fs.list(s"$dir/logs").flatMap(t => Fs.list(t.getPath.toString))
+      .flatMap(d => Fs.list(d.getPath.toString))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val hasBloom = files.exists { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getFooter.getBlocks.asScala.exists(
+        _.getColumns.asScala.exists(c =>
+          c.getPath.toDotString == "trace" && c.getBloomFilterOffset > 0))
+      finally r.close()
+    }
+    assert(hasBloom, "no row-group bloom written for trace")
+    // sorted/_msg columns stay bloom-free; results stay exact
+    val noMsgBloom = files.forall { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getFooter.getBlocks.asScala.forall(
+        _.getColumns.asScala.forall(c =>
+          c.getPath.toDotString != "_msg" || c.getBloomFilterOffset <= 0))
+      finally r.close()
+    }
+    assert(noMsgBloom)
+    assert(graft.logql.Compiler.run(LogStore.read(spark, dir),
+      s"trace:=$needle | stats count() c").collect()(0).getLong(0) == 1L)
+  }
 }
