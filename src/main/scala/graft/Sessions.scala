@@ -87,6 +87,14 @@ object Sessions {
       // the typed-imperative aggs (capped-collect, value collation).
       s.conf.set(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // joins: auto-broadcast STAYS ON here — an experiment replacing
+      // planner-chosen broadcasts with shuffled joins (threshold -1 +
+      // preferSortMergeJoin=false) to save the per-build job floor made
+      // every measured query SLOWER (q_dsir 6→9 jobs, q_sim_pq_recall
+      // 5→7.2, q_embed_neardup spiked to 7s): the compiler's 1-row
+      // rollup crossJoins degrade to cartesian shapes that recompute the
+      // inner subplan per outer partition, and the builds reappear as
+      // shuffle stages anyway. Measured, rejected (OPTIMIZATION_r14.md).
       // planning-cost trims, all semantics-free at interactive sizes:
       // constraint propagation is O(tree²) inference that exists to push
       // derived filters into big scans; DPP and runtime bloom filters
@@ -102,6 +110,45 @@ object Sessions {
       functions.GraftFunctions.register(s)
       s
     })
+
+  private val streamMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Int, SparkSession]]())
+
+  /** Bytes of input per streaming state-store instance (override with
+    * `spark.graft.streaming.stateBytesPerPartition`). Each state partition
+    * is a per-micro-batch fixed cost — an instance open + delta write +
+    * commit on EVERY batch, whether or not a row landed there — so the
+    * instance count must follow data volume, not the session's batch
+    * shuffle width: 32 instances over a few-MB tail is pure overhead paid
+    * per batch, while at 100 TB the same rule saturates to the cluster's
+    * configured parallelism. */
+  def streamStatePartitions(root: SparkSession, inputBytes: Long): Int = {
+    val perPart = root.conf
+      .getOption("spark.graft.streaming.stateBytesPerPartition")
+      .map(_.toLong).getOrElse(8L << 20)
+    val rootParts = root.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1L, math.min(rootParts.toLong,
+      inputBytes / math.max(perPart, 1L))).toInt
+  }
+
+  /** Child session for batch-bounded streaming drives: `n` state
+    * partitions (state-store instances), AQE off (inapplicable to the
+    * stateful micro-batch plan, and the drive's follow-up agg over the
+    * tiny memory-sink table must not pay AQE stage-job machinery), local
+    * leaves un-fanned. Memoized per (root, n); conf written once. */
+  def streamingDrive(root: SparkSession, n: Int): SparkSession =
+    streamMemo
+      .computeIfAbsent(root, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(n, _ => {
+        val s = root.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+        s.conf.set("spark.sql.maxPlanStringLength", "4096")
+        functions.GraftFunctions.register(s)
+        s
+      })
 
   private val boundedMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,

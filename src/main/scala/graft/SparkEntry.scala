@@ -644,8 +644,17 @@ object SparkEntry {
     // 100 TB corpus is corpus-scale state reused across sessions, not
     // re-fit per JVM — the loaded index must answer EXACTLY like the
     // in-session one ----
-    "q_sim_ivf_persist" -> ((s, d) => {
+    "q_sim_ivf_persist" -> ((s0, d) => {
       import graft.ops.Similarity
+      // effectful closures bypass Sessions.route (the plan memo must not
+      // skip the save), so gate the session HERE from the input's leaf
+      // bytes — same rule, decided before any work so the save never runs
+      // twice. On the root+AQE path the steady state was 14 jobs ≈ pure
+      // local-mode job floor (~60ms each); interactive runs each action
+      // as one job.
+      val s = if (Sessions.leafInputBytes(embeddings(s0, d)) <=
+                  Sessions.maxInteractiveInputBytes(s0))
+                Sessions.interactive(s0) else s0
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 5)
       val dir = s"/root/repo/target/ivf_persist/${new org.apache.hadoop.fs.Path(d).getName}"
@@ -657,12 +666,17 @@ object SparkEntry {
       val direct = Similarity.ivfTopK(q, emb,
         "vec_id", "embedding", "vec_id", "embedding", 10, nlist = 8, nprobe = 4)
         .select("query_id", "neighbor_id")
-      // loaded ≡ direct (same centroids, same cells): symmetric difference
-      // empty AND the expected 50 rows present
-      val both = loaded.join(direct, Seq("query_id", "neighbor_id"))
-      loaded.agg(
-        (count(lit(1)) === 50).cast(LongType).as("rows_ok"))
-        .crossJoin(both.agg((count(lit(1)) === 50).cast(LongType).as("match_ok")))
+      // loaded ≡ direct (same centroids, same cells): the expected 50 rows
+      // present AND the symmetric difference empty. (query_id, neighbor_id)
+      // is unique on both sides (top-k per query), so one left-outer join
+      // computes both verdicts in a single pass — count(1) counts loaded's
+      // rows, count(__m) counts the 1:1 inner matches — value-identical to
+      // the previous two-agg crossJoin shape with half the actions.
+      val j = loaded.join(direct.withColumn("__m", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      j.agg(
+        (count(lit(1)) === 50).cast(LongType).as("rows_ok"),
+        (count(col("__m")) === 50).cast(LongType).as("match_ok"))
     }),
     // ---- IVF-PQ (coarse cells + product-quantized codes + exact
     // re-rank): the probe scan reads m=8 bytes per corpus row instead of

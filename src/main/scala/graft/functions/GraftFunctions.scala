@@ -147,6 +147,10 @@ object GraftFunctions {
       "graft_field_token_hashes(struct) - (field, token-hash) pairs for " +
         "every word token of every struct field (FieldBloom build kernel)",
       es => FieldTokenHashesExpr(es(0))),
+    ("graft_opaque",
+      "graft_opaque(e) - identity marked nondeterministic: keeps a filter " +
+        "over expensive derived columns above its defining projection",
+      es => OpaqueExpr(es.head)),
     ("graft_entries_dedup",
       "graft_entries_dedup(entries, lastWins) - entry array to map, " +
         "defined duplicate-key precedence, one pass",

@@ -1016,10 +1016,19 @@ object Compiler {
     case Pipe.DropEmptyFields =>
       // rows where EVERY field is empty are dropped entirely
       // (pipe_drop_empty_fields.go: "skip rows with empty fields")
+      // graft_opaque on the rewritten map: the all-fields row filter below
+      // spans every column, and PushPredicateThroughNonJoin pushes a filter
+      // through any DETERMINISTIC projection by substituting the defining
+      // expressions — here that re-derives the unpack parse (graft_logfmt /
+      // from_json) once per map-sourced disjunct per row, in an interpreted
+      // predicate (map lambdas are CodegenFallback). The nondeterministic
+      // wrap keeps the filter above this projection, so each column's parse
+      // is evaluated once. The filter can never prune a scan (it references
+      // all fields), so the barrier costs nothing at scale.
       val d1 =
         if (hasFieldsMap(df))
-          df.withColumn("fields",
-            map_filter(col("fields"), (_, v) => v.isNotNull && v =!= ""))
+          df.withColumn("fields", call_function("graft_opaque",
+            map_filter(col("fields"), (_, v) => v.isNotNull && v =!= "")))
         else df
       val nonEmptyCols = d1.schema.fields.toSeq.map { fd =>
         val c = col(quoteName(fd.name))

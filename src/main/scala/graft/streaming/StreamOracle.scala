@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
 object StreamOracle {
 
   private val Sentinel = "zzz_sentinel"
+
+  /** Session the drive runs on: state partitions sized from the input
+    * directory's bytes (Sessions.streamStatePartitions — one state-store
+    * instance per ~8 MiB, saturating to the root's shuffle width at
+    * scale), AQE off. The memory-sink table is session-scoped, so the
+    * result agg runs on the same child — one job over a tiny local
+    * table instead of AQE stage machinery on the root. Results are
+    * partition-count-independent: every output below is a per-key
+    * aggregate / distinct-pair count, and a key's rows land in one
+    * state partition regardless of how many there are. */
+  private def driveSession(root: SparkSession, dir: String): SparkSession = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      else f.length()
+    graft.Sessions.streamingDrive(root,
+      graft.Sessions.streamStatePartitions(root, du(new java.io.File(dir))))
+  }
   private val built = scala.collection.mutable.Set[String]()
   // nanoTime in the name: a checkpoint dir surviving from an earlier JVM
   // would otherwise resume the old query and skip the files it already saw
@@ -75,9 +93,10 @@ object StreamOracle {
     * equals `count(DISTINCT user_id) GROUP BY event_type`. */
   def dedupResult(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureStore(spark, sfDir)
+    val sess = driveSession(spark, dir)
     val qn = s"strm_dedup_${nameSeq.incrementAndGet()}"
     val out = drain(
-      StatefulOps.dedupStream(spark, dir, "*", Seq("event_type", "user_id"),
+      StatefulOps.dedupStream(sess, dir, "*", Seq("event_type", "user_id"),
         watermarkDelay = "36500 days"),
       qn, extraBatch = false)
     out.filter(col("event_type") =!= Sentinel)
@@ -111,13 +130,14 @@ object StreamOracle {
     * (i-1, i) for i = 10..190 step 10 must surface as candidates. */
   def nearDupResult(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureDocs(spark)
+    val sess = driveSession(spark, dir)
     val qn = s"strm_nd_${nameSeq.incrementAndGet()}"
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val stream = sess.readStream.schema(schema).parquet(dir)
     val out = drain(
       StatefulOps.nearDupCandidates(stream, "text", "doc_id")
         .toDF("id_a", "id_b"),
@@ -132,9 +152,10 @@ object StreamOracle {
     * sentinel; equals `count/min/max GROUP BY event_type`. */
   def sessionsResult(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureStore(spark, sfDir)
+    val sess = driveSession(spark, dir)
     val qn = s"strm_sess_${nameSeq.incrementAndGet()}"
     val out = drain(
-      StatefulOps.keySummaryStream(spark, dir, "*", keyCol = "event_type",
+      StatefulOps.keySummaryStream(sess, dir, "*", keyCol = "event_type",
         gapMs = 90L * 86400L * 1000L).toDF(),
       qn, extraBatch = true)
     out.filter(col("key") =!= Sentinel)

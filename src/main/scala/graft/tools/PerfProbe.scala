@@ -25,9 +25,12 @@ object PerfProbe {
     names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, d).collect() // warm
       val j0 = jobs.get
-      val times = (1 to 5).map { _ =>
+      val times = (1 to 9).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, d).collect()
+        // count(), not collect(): collect on the memoized Dataset reuses
+        // the previous execution's shuffle outputs (skipped stages) — the
+        // bench's fresh path wraps the plan in a new Dataset per run
+        graft.SparkEntry.queries(n)(spark, d).count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-22s ${times.map(t => f"$t%.3f").mkString(", ")}  jobs/run=${(jobs.get - j0) / 5.0}")
