@@ -97,7 +97,13 @@ object StreamOracle {
     val qn = s"strm_dedup_${nameSeq.incrementAndGet()}"
     val out = drain(
       StatefulOps.dedupStream(sess, dir, "*", Seq("event_type", "user_id"),
-        watermarkDelay = "36500 days"),
+        watermarkDelay = "36500 days")
+        // project to the key columns before the sink: the result agg reads
+        // nothing else, the memory sink stops materializing full rows on
+        // the driver, and column pruning reaches the store scan (guide
+        // §2.3 — move fewer bytes; the kept-row CONTENT beyond the key was
+        // never part of this entry's output)
+        .select("event_type", "user_id"),
       qn, extraBatch = false)
     out.filter(col("event_type") =!= Sentinel)
       .groupBy("event_type")
