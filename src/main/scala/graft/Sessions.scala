@@ -68,8 +68,14 @@ object Sessions {
       // still wants a few-way spread — 8 reduce tasks cost ~10ms of task
       // floor but parallelize the exec of window-heavy small queries ~4×
       // (q_stream_context warm 139ms at 1 vs ~40ms spread). Still one
-      // job, still no AQE stage machinery.
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // job, still no AQE stage machinery. Parameterized for measurement;
+      // r14 re-check: widths 4/2 gain ~10-20% on FRESH mid-tail runs but
+      // regress the WARM plan-cache path the serving layer lives on —
+      // q_lql_topk warm 0.07s→0.35s at width 2 (final-stage top-k work
+      // single-threads). 8 stays.
+      s.conf.set("spark.sql.shuffle.partitions",
+        root.conf.getOption("spark.graft.interactive.shufflePartitions")
+          .getOrElse("8"))
       s.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
       // spread SCAN-side work: small tables come as handfuls of sub-MB
       // files (Tables.parallelized / LogStore day parts), and the default
