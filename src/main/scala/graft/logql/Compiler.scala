@@ -2620,9 +2620,17 @@ object Compiler {
     val winningMapOnly =
       if (topTargets.isEmpty) winning
       else map_filter(winning, (k, _) => !k.isin(topLits: _*))
-    val merged = map_concat(
-      map_filter(base, (k, _) => !map_contains_key(winningMapOnly, k)),
-      winningMapOnly)
+    // no existing fields map ⇒ base is the LITERAL empty map and the
+    // first map_concat branch is statically empty: skip it. Catalyst does
+    // not fold map_filter(map(), λ) away, and the dead branch both bloats
+    // the interpreted projection (these HOF trees are CodegenFallback)
+    // and carries a second copy of the parse expression into every
+    // downstream plan rule's substitutions.
+    val merged =
+      if (!hasFieldsMap(df)) winningMapOnly
+      else map_concat(
+        map_filter(base, (k, _) => !map_contains_key(winningMapOnly, k)),
+        winningMapOnly)
     val out = cond match {
       case Some(c) => when(c, merged).otherwise(base)
       case None => merged
