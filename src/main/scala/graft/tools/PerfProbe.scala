@@ -39,7 +39,7 @@ object PerfProbe {
         else graft.SparkEntry.queries(n)(spark, d).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$n%-22s ${times.map(t => f"$t%.3f").mkString(", ")}  jobs/run=${(jobs.get - j0) / 5.0}")
+      println(f"$n%-22s ${times.map(t => f"$t%.3f").mkString(", ")}  jobs/run=${(jobs.get - j0).toDouble / times.size}")
     }
     spark.stop()
   }
