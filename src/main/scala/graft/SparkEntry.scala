@@ -2201,7 +2201,17 @@ object SparkEntry {
                ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS bmax
            FROM m
          )
-         SELECT count(*) + (SELECT count(*) FROM m WHERE m = 1) AS nrows,
+         SELECT count(*) +
+                -- one `---` delimiter row per matched row, UNLESS the whole
+                -- result is a single context group of a single stream
+                -- (pipe_stream_context.go:688: `len(m) > 1 ||
+                -- len(streamRowss) > 1`): exactly one match means one
+                -- stream and one group, so zero delimiters. With >1 match
+                -- the old unconditional form is value-identical (every
+                -- gated SF the driver hashed has >1 match; sf0.001 has
+                -- exactly one and exposed the mismatch).
+                (SELECT CASE WHEN count(*) = 1 THEN 0 ELSE count(*) END
+                   FROM m WHERE m = 1) AS nrows,
                 CAST(sum(event_id) AS DOUBLE) AS ids FROM w
          WHERE (amin IS NOT NULL AND amin - tsu <= 2419200000000)
             OR (bmax IS NOT NULL AND tsu - bmax <= 2419200000000)""",
