@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked JVM's stdout through VERBATIM instead of re-logging each
+// line with an "[info] " prefix: the bench/verify driver contract is a bare
+// one-line JSON record on stdout, and the default LoggedOutput strategy has
+// prefixed (and thereby broken) that line in every round's captured tail —
+// BENCH_r01..r14 all show `"parsed": null` with the contract line present
+// but wearing the sbt prefix (runMain shares the `run` scope's forkOptions)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

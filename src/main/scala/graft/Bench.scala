@@ -265,11 +265,30 @@ object Bench {
       f"""{"cpu_ms":${c._1}%.1f,"mt_cpu_ms":${c._2}%.1f,"io64m_ms":${c._3}%.1f}"""
     val calib = s"""{"start":${calibJson(calibStart)},"pre_ingest":${
       calibJson(calibPreIngest)},"end":${calibJson(calibEnd)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"queries_warm":$warmJson,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"ingest_sustained_rows":$sRows,"ingest_sustained_sec":$sSec,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"calib":$calib}""")
-    // second COMPACT totals line, after the full line: artifact capture
-    // keeps only the tail of the output, and the full line (121+ per-query
-    // entries) alone overflows it — this line always fits
-    println(s"""{"metric":"totals","value":$total,"adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir","calib":$calib}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$failedJson,"queries":$qs,"queries_warm":$warmJson,"jobs":$jobsJson,"total_jobs":$totalJobs,"sf":"$sfDir","overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"adjusted_total":$adjusted,"adjusted_total_jobs":$adjustedJobs,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"ingest_sustained_rows":$sRows,"ingest_sustained_sec":$sSec,"ingest_rows":$ingestRows,"ingest_sec":$ingestSec,"ingest_posts":$ingestPosts,"ingest_flushes":$ingestFlushes,"ingest_raw_bytes":$rawB,"store_bytes":$storeB,"compression_ratio":$comp,"scan_bytes":$scanBytes,"scan_sec":$scanSec,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"calib":$calib}"""
+    println(fullJson)
+    // the full result JSON is also WRITTEN to a file: the driver's
+    // artifact capture has kept only a 2000-char stdout tail since r01
+    // (BENCH_rNN.json "parsed": null in every round), so the complete
+    // record must exist somewhere a tool can always read it whole
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/target/bench_out.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
+    // driver-contract line, the minimal {"metric","value","unit","queries",
+    // "sf"} record with per-query seconds rounded to 0.1ms so it stays as
+    // small as the 141-name map allows (~3.5KB): a parser that scans whole
+    // stdout for the LAST line carrying a "queries" map finds this one
+    val qsShort = results.map { case (k, (v, _)) => f""""$k":$v%.4f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    // LAST line: compact totals (now contract-shaped too — "metric" is
+    // "total" and "unit" present). The 2000-char tail capture always
+    // contains this line whole, so a human or a tail-window parser reading
+    // the artifact still gets every headline number even when the
+    // per-query lines above were truncated away.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","adjusted":$adjustedJobs,"errors":${failed.size},"nq":${results.size},"total_jobs":$totalJobs,"overhead_per_query":$noop,"overhead_per_extra_job":$jobFloor,"ingest_rows_per_sec":$ingestRps,"ingest_sustained_rows_per_sec":$ingestRps2,"compression_ratio":$comp,"scan_gbps":$scanGbps,"server_lastn_ms":$lastnMs,"server_lastn_days_scanned":$lastnDays,"sf":"$sfDir","calib":$calib}""")
     // quiesce streaming state machinery BEFORE tearing down SparkEnv — the
     // StateStore maintenance thread otherwise races spark.stop() and logs
     // "SparkEnv not active" warnings into the bench tail

@@ -177,6 +177,19 @@ object Sessions {
         s
       })
 
+  /** Total bytes under `dir`, resolved through the Hadoop FileSystem API
+    * so the answer is right on ANY filesystem the path lives on — the
+    * previous java.io.File recursion returned 0 for every non-local
+    * scheme (HDFS/S3), which collapsed the streaming drives to one state
+    * partition at exactly the scale where they need many. Missing paths
+    * and resolution failures report 0 (no data → minimum parallelism). */
+  def pathInputBytes(spark: SparkSession, dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: Exception => 0L }
+
   /** Total file bytes under the plan's leaf relations. Unknown leaves
     * report conf.defaultSizeInBytes (Long.MaxValue) and so force the
     * parallel path — the conservative direction. */

@@ -29,14 +29,12 @@ object StreamOracle {
     * partition-count-independent: every output below is a per-key
     * aggregate / distinct-pair count, and a key's rows land in one
     * state partition regardless of how many there are. */
-  private def driveSession(root: SparkSession, dir: String): SparkSession = {
-    def du(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
-      else f.length()
+  private def driveSession(root: SparkSession, dir: String): SparkSession =
     graft.Sessions.streamingDrive(root,
-      graft.Sessions.streamStatePartitions(root, du(new java.io.File(dir))))
-  }
+      graft.Sessions.streamStatePartitions(root,
+        // Hadoop FS resolution, not java.io.File: on HDFS/S3 the latter
+        // reported 0 bytes and serialized the drive to one state partition
+        graft.Sessions.pathInputBytes(root, dir)))
   private val built = scala.collection.mutable.Set[String]()
   // nanoTime in the name: a checkpoint dir surviving from an earlier JVM
   // would otherwise resume the old query and skip the files it already saw
