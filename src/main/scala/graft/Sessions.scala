@@ -152,6 +152,15 @@ object Sessions {
         s.conf.set("spark.sql.shuffle.partitions", n.toString)
         s.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
         s.conf.set("spark.sql.maxPlanStringLength", "4096")
+        // planning-cost trims, same argument as the interactive session:
+        // a stateful drive re-plans its whole DAG EVERY micro-batch
+        // (IncrementalExecution — measured ~100-120ms/batch of the
+        // ~650ms drive), and constraint propagation / DPP / runtime
+        // bloom filters only pay off against large partitioned scans
+        // with joins, which a micro-batch plan here never has
+        s.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         functions.GraftFunctions.register(s)
         s
       })

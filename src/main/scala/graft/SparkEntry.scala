@@ -657,7 +657,11 @@ object SparkEntry {
                 Sessions.interactive(s0) else s0
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 5)
-      val dir = s"/root/repo/target/ivf_persist/${new org.apache.hadoop.fs.Path(d).getName}"
+      // index home from conf, not a hardcoded local path: a persisted ANN
+      // index over a real corpus is cross-session state on shared storage
+      val base = s.conf.getOption("spark.graft.ivf.persistDir")
+        .getOrElse("/root/repo/target/ivf_persist")
+      val dir = s"$base/${new org.apache.hadoop.fs.Path(d).getName}"
       Similarity.saveIvfIndex(emb, "vec_id", "embedding", nlist = 8, dir)
       val (centroids, cells) = Similarity.loadIvfIndex(s, dir)
       val loaded = Similarity.ivfProbe(q, centroids, cells,

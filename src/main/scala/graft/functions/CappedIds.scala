@@ -38,4 +38,34 @@ object CappedIds {
     * exact group size — complete iff `df <= cap`. */
   def idsWithCount(c: Column, cap: Int): Column =
     org.apache.spark.sql.functions.udaf(new Agg(cap), Encoders.scalaLong)(c)
+
+  private class PairAgg(cap: Int)
+      extends Aggregator[(Long, Long), (List[(Long, Long)], Long),
+                         (Seq[(Long, Long)], Long)] {
+    def zero: (List[(Long, Long)], Long) = (Nil, 0L)
+    def reduce(b: (List[(Long, Long)], Long), v: (Long, Long)):
+        (List[(Long, Long)], Long) =
+      (if (b._2 < cap) v :: b._1 else b._1, b._2 + 1)
+    def merge(a: (List[(Long, Long)], Long), b: (List[(Long, Long)], Long)):
+        (List[(Long, Long)], Long) = {
+      val ids = if (a._1.size >= cap) a._1
+                else a._1 ::: b._1.take(cap - a._1.size)
+      (ids, a._2 + b._2)
+    }
+    def finish(b: (List[(Long, Long)], Long)): (Seq[(Long, Long)], Long) =
+      (b._1, b._2)
+    def bufferEncoder: Encoder[(List[(Long, Long)], Long)] =
+      ExpressionEncoder[(List[(Long, Long)], Long)]()
+    def outputEncoder: Encoder[(Seq[(Long, Long)], Long)] =
+      ExpressionEncoder[(Seq[(Long, Long)], Long)]()
+  }
+
+  /** Two-long variant of [[idsWithCount]]: struct
+    * `(_1: array<struct<_1,_2>> pairs, _2: long df)` — a `cap`-bounded
+    * subset of the group's (a, b) value pairs plus the exact group size.
+    * Lets a bucket collect (member id, member hash) in the same one-pass
+    * capped aggregate the id-only shape uses. */
+  def pairsWithCount(a: Column, b: Column, cap: Int): Column =
+    org.apache.spark.sql.functions.udaf(new PairAgg(cap),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))(a, b)
 }

@@ -1018,13 +1018,21 @@ object Compiler {
       // (pipe_drop_empty_fields.go: "skip rows with empty fields")
       // graft_opaque on the rewritten map: the all-fields row filter below
       // spans every column, and PushPredicateThroughNonJoin pushes a filter
-      // through any DETERMINISTIC projection by substituting the defining
-      // expressions — here that re-derives the unpack parse (graft_logfmt /
-      // from_json) once per map-sourced disjunct per row, in an interpreted
-      // predicate (map lambdas are CodegenFallback). The nondeterministic
-      // wrap keeps the filter above this projection, so each column's parse
-      // is evaluated once. The filter can never prune a scan (it references
-      // all fields), so the barrier costs nothing at scale.
+      // through any projection WHOSE PROJECT LIST is deterministic by
+      // substituting the defining expressions — here that re-derives the
+      // unpack parse (graft_logfmt / from_json) once per map-sourced
+      // disjunct per row, in an interpreted predicate (map lambdas are
+      // CodegenFallback). The nondeterministic wrap on the PROJECTED MAP
+      // keeps the filter above this projection, so each column's parse is
+      // evaluated once. NOTE (r15, tested against ADVICE.md): wrapping the
+      // filter CONDITION instead does NOT work — the rule's Project case
+      // checks `fields.forall(_.deterministic)`, not the condition, so a
+      // nondeterministic condition is still alias-substituted through a
+      // deterministic projection (DropEmptyPlanSpec caught the parse
+      // inlined 3x at the relation). The blast radius (later filters can't
+      // cross this projection either) is inherent to any barrier here.
+      // The filter can never prune a scan (it references all fields), so
+      // the barrier costs nothing at scale.
       val d1 =
         if (hasFieldsMap(df))
           df.withColumn("fields", call_function("graft_opaque",

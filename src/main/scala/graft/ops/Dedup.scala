@@ -105,27 +105,27 @@ object Dedup {
     // cap pathological buckets (identical-doc clusters make one bucket
     // quadratic): drop buckets above maxBucketSize — their members are
     // still paired via exact dedup / their other, smaller bands.
-    // One groupBy with a map-side partial combine builds the buckets, and
-    // candidate pairs are generated LOCALLY inside each bucket (all i<j
+    // Candidate pairs are generated LOCALLY inside each bucket (all i<j
     // combinations of the sorted member list) — the identical pair set to
     // a bucket self-join, without re-shuffling and sorting the band table
     // twice through a SortMergeJoin. Fan-out per bucket is bounded by
     // maxBucketSize²/2, the same bound the join plan had.
-    // two-phase bucket build: on a deduplicated corpus almost every band
-    // bucket is a singleton, and feeding all of them through collect_list
-    // (ObjectHashAggregate — row-at-a-time, object buffers) was the whole
-    // candidate-pass cost at 500k docs (~40s warm). A codegen'd COUNT
-    // finds the ≥2-member buckets first; only their rows (the planted-dup
-    // fraction) reach the object aggregate. The count also applies the
-    // maxBucketSize cap before any array exists.
-    val hot = bandRows.groupBy("band_hash")
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c").between(2, maxBucketSize))
-      .select("band_hash")
-    val buckets = bandRows.join(hot, Seq("band_hash"), "left_semi")
-      .groupBy("band_hash")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .select(col("ids"))
+    // ONE-PASS bucket build (r15, the ngramJaccard shape): a single
+    // groupBy gathers each bucket's member ids AND its exact size via the
+    // capped-collect aggregate ([[graft.functions.CappedIds]]) — the
+    // exploded band table is shuffled exactly once, where the previous
+    // two-phase shape (codegen'd COUNT → broadcast semi-join → collect)
+    // shuffled it twice and paid a broadcast build job. Per-group state
+    // stays bounded at maxBucketSize+1 regardless of how hot a bucket is,
+    // so the skew bound is unchanged; buckets whose exact count passes
+    // the [2, maxBucketSize] gate have complete member arrays by
+    // construction (count <= maxBucketSize < cap). Measured r15: one
+    // fewer corpus-scale exchange + 2 fewer stages per run at every SF.
+    val buckets = bandRows.groupBy("band_hash")
+      .agg(graft.functions.CappedIds
+        .idsWithCount(col("id"), maxBucketSize + 1).as("r"))
+      .filter(col("r._2").between(2, maxBucketSize))
+      .select(array_sort(col("r._1")).as("ids"))
     // two chained Generates (posexplode the members, then explode each
     // member's tail slice): the cross-product streams row-by-row and the
     // per-row state is one bucket array — never the ~n²/2 pair structs a
@@ -175,27 +175,28 @@ object Dedup {
     // boilerplate page is 4×10^10 candidate pairs without the cap. Members
     // of a dropped bucket still pair via their other chunks when those
     // buckets are below the cap, and exact dedup catches identical docs.
-    // bucket members collected with one map-side-combinable groupBy, pairs
-    // generated locally per bucket (sorted i<j combinations — same pair
-    // set as the old bucket self-join without the double shuffle+sort;
-    // array_sort on (id, sh) structs orders by id, ids unique per bucket)
-    // two-phase, like minhashLSH: a codegen'd count finds ≥2-member
-    // buckets; only their rows reach the object collect aggregate
-    val hotCh = withSh.groupBy("chunk_idx", "chunk_val")
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c").between(2, maxBucketSize))
-      .select("chunk_idx", "chunk_val")
-    val buckets = withSh.join(hotCh, Seq("chunk_idx", "chunk_val"), "left_semi")
-      .groupBy("chunk_idx", "chunk_val")
-      .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
-      .select(col("ms"))
+    // Pairs are generated locally per bucket (sorted i<j combinations —
+    // same pair set as the old bucket self-join without the double
+    // shuffle+sort; sorting (id, sh) pairs orders by id, ids unique per
+    // bucket). ONE-PASS bucket build (r15, the ngramJaccard shape): a
+    // single groupBy gathers each chunk bucket's (id, sh) members AND its
+    // exact size via the capped-collect aggregate — one corpus-scale
+    // exchange instead of the old count → broadcast semi-join → collect
+    // two-phase (which scanned the corpus twice and shuffled it twice).
+    // Per-group state stays bounded at maxBucketSize+1; a bucket passing
+    // the [2, maxBucketSize] gate has a complete member array.
+    val buckets = withSh.groupBy("chunk_idx", "chunk_val")
+      .agg(graft.functions.CappedIds
+        .pairsWithCount(col("id"), col("sh"), maxBucketSize + 1).as("r"))
+      .filter(col("r._2").between(2, maxBucketSize))
+      .select(array_sort(col("r._1")).as("ms"))
     // two chained Generates, not one flattened pair array (see minhashLSH)
     buckets
       .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
       .select(col("a"),
         explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .select(col("a._1").as("id_a"), col("b._1").as("id_b"),
+        bit_count(col("a._2").bitwiseXOR(col("b._2"))).as("hamming"))
       // exclude (x, x) self-pairs from duplicate id values (the old
       // self-join's strict id_a < id_b did)
       .filter(col("id_a") =!= col("id_b"))
@@ -748,9 +749,6 @@ object Dedup {
                        threshold: Double, dim: Int,
                        bits: Int = 8, probes: Int = 4,
                        maxBucketSize: Int = 10000): DataFrame = {
-    val bucket = Similarity.lshBucket(col(vecCol), bits, dim)
-    val probeCols = bucket +: (0 until math.min(math.max(probes - 1, 0), bits))
-      .map(i => bucket.bitwiseXOR(1L << i))
     // two-phase hot-bucket cap, same shape as minhashLSH above: a corpus
     // with mass-identical embeddings (exact dupes, zero/boilerplate
     // vectors) lands them all in ONE hyperplane bucket and the equi-join
@@ -762,16 +760,41 @@ object Dedup {
     // linear pass, after which the shrunken bucket re-qualifies here.
     // The bucket-id domain is 2^bits (256 at the default), so the allowed
     // set is tiny and AQE broadcasts the semi-joins.
-    val cold = df.select(bucket.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("__c"))
+    //
+    // ONE shared bucketed exchange feeds all three consumers (the cold
+    // count, both join sides — guide §2.1/§2.4): previously each branch
+    // re-derived (scan + bucket hash) from `df`, reading the corpus three
+    // times (plans/r15/q_embed_neardup_before.txt: 12 scan nodes). The
+    // repartition(bucket) subtree below all three canonicalizes equal, so
+    // ReuseExchange shuffles it once; total corpus-scale shuffle bytes are
+    // unchanged (the base shuffle replaces the b-side join shuffle — b is
+    // already bucket-partitioned when the final join needs it) and two of
+    // the three corpus scans disappear at every scale. The spanRollup
+    // forced-dependence trick keeps the cold branch reading every column
+    // (xxhash64 is never null, so the count-when predicate is always true
+    // and the semantics are exactly count(*)); without it ColumnPruning
+    // narrows that branch's copy of the exchange apart and the reuse dies.
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.lshBucket(col(vecCol), bits, dim).as("bucket"))
+      .repartition(col("bucket"))
+    val allCols = xxhash64(col("id"), col("v")) >= lit(Long.MinValue)
+    val cold = base.groupBy("bucket")
+      .agg(count(when(allCols, lit(1))).as("__c"))
       .filter(col("__c") <= maxBucketSize)
       .select("bucket")
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    val probeCols = col("bucket") +:
+      (0 until math.min(math.max(probes - 1, 0), bits))
+        .map(i => col("bucket").bitwiseXOR(1L << i))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"),
       explode(array(probeCols: _*)).as("bucket"))
       .join(cold, Seq("bucket"), "left_semi")
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      bucket.as("bucket"))
-      .join(cold, Seq("bucket"), "left_semi")
+    // no semi-join on the b side: the a side is already cold-filtered, so
+    // the bucket equi-join can only ever match cold buckets — hot-bucket b
+    // rows probe the join once and miss (linear, never quadratic), and
+    // leaving b as the bare shared exchange is what lets ReuseExchange
+    // keep it scan-free (a pushed-down semi-join re-split the subtree)
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -41,8 +41,7 @@ object StreamCostProbe {
         val t1 = System.nanoTime()
         val q = src.writeStream.format("memory").queryName(qn)
           .outputMode("append")
-          .option("checkpointLocation",
-            s"/root/repo/target/stream_oracle_ckpt/$qn")
+          .option("checkpointLocation", s"/dev/shm/graft_drive_ckpt/$qn")
           .start()
         val t2 = System.nanoTime()
         q.processAllAvailable()

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * defining expressions and re-evaluates the unpack parse once per
   * map-sourced disjunct per row (interpreted; map lambdas are
   * CodegenFallback). The graft_opaque wrap on the rewritten map is the
-  * barrier. */
+  * barrier. An ADVICE.md-suggested alternative — wrap the filter
+  * CONDITION and keep the projection deterministic — was tested in r15
+  * and rejected: the rule's Project case only checks the PROJECT LIST's
+  * determinism, so a nondeterministic condition is still substituted
+  * through (this spec caught the parse inlined 3x at the relation). */
 class DropEmptyPlanSpec extends SparkSuite {
   import spark.implicits._
 
