@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -101,7 +101,7 @@ object MinHashSim {
     * computed ONCE per token and each seed adds one cheap int mix, while
     * values stay bit-identical to the Column formulation. Empty/all-null
     * input yields null entries (array_min-over-empty parity). */
-  def minhashSigEval(arr: ArrayData, numHashes: Int): GenericArrayData = {
+  def minhashSigEval(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -110,49 +110,88 @@ object MinHashSim {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         any = true
-        val h1 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val s = arr.getUTF8String(i)
+        // direct XXH64 statics, not XxHash64Function.hash: the generic
+        // entry pattern-matches on (value, dataType) PER CALL — in the
+        // inner loop that dispatch ran numHashes times per token and
+        // dominated the kernel (KernelBench15). The statics are exactly
+        // what codegen'd xxhash64 emits, so values are bit-identical
+        // (pinned by the ExprPropertySpec differential tests).
+        val h1 = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
         var seed = 0
         while (seed < numHashes) {
-          val h = XxHash64Function.hash(seed, IntegerType, h1)
+          val h = XXH64.hashInt(seed, h1)
           if (h < mins(seed)) mins(seed) = h
           seed += 1
         }
       }
       i += 1
     }
-    val out = new Array[Any](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      out(k) = if (any) java.lang.Long.valueOf(mins(k)) else null
-      k += 1
+    if (any)
+      // no nulls in the signature: primitive UnsafeArrayData, no boxing
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
+    else {
+      val out = new Array[Any](numHashes) // all-null (empty token set)
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   /** Per-bit majority vote of xxhash64(token) (seed 42, the SQL default),
     * bits with positive vote set. */
   def simhash64Eval(arr: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    // SWAR bit vote: 8 accumulators of 8 byte lanes count the ONES of
+    // bits (k, k+8, ..., k+56) — 8 shift+mask+adds per token instead of
+    // the previous 64-iteration per-bit loop. Lanes saturate at 255
+    // increments, so counts flush to the int array every 255 tokens.
+    // votes(b) = ones - zeros = 2*ones - nTok, so "votes > 0" is exactly
+    // "2*ones > nTok" — bit-identical to the per-bit loop.
     val n = arr.numElements()
+    val ones = new Array[Int](64)
+    val acc = new Array[Long](8)
+    var block = 0
+    var nTok = 0L
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+        nTok += 1
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var k = 0
+        while (k < 8) {
+          acc(k) += (h >>> k) & 0x0101010101010101L
+          k += 1
         }
+        block += 1
+        if (block == 255) { flushVotes(acc, ones); block = 0 }
       }
       i += 1
     }
+    flushVotes(acc, ones)
     var out = 0L
     var b = 0
     while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
+      if (2L * ones(b) > nTok) out |= (1L << b)
       b += 1
     }
     out
+  }
+
+  /** Drain the SWAR lane counters into the per-bit ones counts: acc(k)'s
+    * byte lane j holds the count for bit k + 8*j. */
+  @inline private def flushVotes(acc: Array[Long], ones: Array[Int]): Unit = {
+    var k = 0
+    while (k < 8) {
+      val a = acc(k); acc(k) = 0L
+      var j = 0
+      while (j < 8) {
+        ones(k + 8 * j) += ((a >>> (8 * j)) & 0xFFL).toInt
+        j += 1
+      }
+      k += 1
+    }
   }
 
   /** Per-band LSH bucket ids from a MinHash signature: band b's id chains
@@ -163,24 +202,27 @@ object MinHashSim {
     * entries (empty-token signatures) are skipped, like concat_ws did.
     * Any injective-enough id works here: bucket SEMANTICS (same bucket ⇔
     * same band values) are what the dedup result depends on. */
-  def bandHashesEval(arr: ArrayData, bands: Int): GenericArrayData = {
+  def bandHashesEval(arr: ArrayData, bands: Int): ArrayData = {
     val n = arr.numElements()
     val rpb = n / bands
-    val out = new Array[Any](bands)
+    val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      // direct XXH64 statics (what codegen'd xxhash64 emits) — the
+      // generic XxHash64Function.hash dispatch pattern-matched per call
+      var h = XXH64.hashInt(b, 42L)
       var j = b * rpb
       val end = j + rpb
       while (j < end) {
         if (!arr.isNullAt(j))
-          h = XxHash64Function.hash(arr.getLong(j), LongType, h)
+          h = XXH64.hashLong(arr.getLong(j), h)
         j += 1
       }
-      out(b) = java.lang.Long.valueOf(h)
+      out(b) = h
       b += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   private def ensureRegistered(): Unit = GraftFunctions.ensure()

@@ -184,7 +184,9 @@ object Shingles {
 
   /** `[\p{L}\p{N}_]` per Java regex Unicode categories. */
   @inline private def isWordCp(cp: Int): Boolean = {
-    if (cp == '_') true
+    if (cp < 128)
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9') || cp == '_'
     else if (Character.isLetter(cp)) true
     else {
       val t = Character.getType(cp)
@@ -193,7 +195,135 @@ object Shingles {
     }
   }
 
+  /** Decode the code point whose first byte sits at byte index `i` of the
+    * UTF8String addressed by (base, off, n). Returns `(cp << 3) | byteLen`
+    * (cp ≤ 0x10FFFF = 21 bits, so the pack fits an Int), or -1 when the
+    * sequence is malformed, overlong, a surrogate, or out of range —
+    * callers then fall back to the legacy `toString`-decoding path so
+    * replacement-character semantics stay bit-identical to
+    * `new String(bytes, UTF_8)` on every input.
+    *
+    * Why bytes at all: every per-row text kernel previously started with
+    * `text.toString`, i.e. a full UTF-8 → UTF-16 decode plus a char[]
+    * allocation per row, before doing its single pass. Valid UTF-8 (the
+    * only thing parquet string columns ever hold) decodes straight off
+    * the UnsafeRow/ColumnVector bytes with zero allocation. */
+  @inline private def decodeCp(base: AnyRef, off: Long, i: Int, n: Int): Int = {
+    import org.apache.spark.unsafe.Platform
+    val v0 = Platform.getByte(base, off + i) & 0xFF
+    if (v0 < 0x80) (v0 << 3) | 1
+    else if (v0 < 0xC2) -1 // bare continuation or overlong 2-byte lead
+    else if (v0 < 0xE0) {
+      if (i + 1 >= n) return -1
+      val v1 = Platform.getByte(base, off + i + 1) & 0xFF
+      if ((v1 & 0xC0) != 0x80) return -1
+      ((((v0 & 0x1F) << 6) | (v1 & 0x3F)) << 3) | 2
+    } else if (v0 < 0xF0) {
+      if (i + 2 >= n) return -1
+      val v1 = Platform.getByte(base, off + i + 1) & 0xFF
+      val v2 = Platform.getByte(base, off + i + 2) & 0xFF
+      if ((v1 & 0xC0) != 0x80 || (v2 & 0xC0) != 0x80) return -1
+      val cp = ((v0 & 0x0F) << 12) | ((v1 & 0x3F) << 6) | (v2 & 0x3F)
+      if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) -1
+      else (cp << 3) | 3
+    } else if (v0 < 0xF5) {
+      if (i + 3 >= n) return -1
+      val v1 = Platform.getByte(base, off + i + 1) & 0xFF
+      val v2 = Platform.getByte(base, off + i + 2) & 0xFF
+      val v3 = Platform.getByte(base, off + i + 3) & 0xFF
+      if ((v1 & 0xC0) != 0x80 || (v2 & 0xC0) != 0x80 || (v3 & 0xC0) != 0x80)
+        return -1
+      val cp = ((v0 & 0x07) << 18) | ((v1 & 0x3F) << 12) |
+        ((v2 & 0x3F) << 6) | (v3 & 0x3F)
+      if (cp < 0x10000 || cp > 0x10FFFF) -1
+      else (cp << 3) | 4
+    } else -1
+  }
+
+  /** Package-shared accessor for the UTF-8 decoder (used by the other
+    * byte-direct kernels, e.g. TextStatsKernel). */
+  private[functions] def decodeCpShared(base: AnyRef, off: Long, i: Int,
+      n: Int): Int = decodeCp(base, off, i, n)
+
   def shinglesEval(text: UTF8String, n: Int): GenericArrayData = {
+    // token [start, end) BYTE ranges in one pass over the UTF-8 bytes —
+    // no String materialization; shingle text is the byte ranges joined
+    // by ' ' (one byte in UTF-8, so byte-level join == char-level join)
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var m = 0
+    var i = 0
+    var runStart = -1
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      var cp = 0
+      var len = 1
+      if (b >= 0) cp = b
+      else {
+        val d = decodeCp(base, off, i, nb)
+        if (d < 0) return shinglesEvalStr(text, n) // malformed: legacy path
+        cp = d >>> 3; len = d & 7
+      }
+      val w = isWordCp(cp)
+      if (w && runStart < 0) runStart = i
+      if (!w && runStart >= 0) {
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          ends = java.util.Arrays.copyOf(ends, m * 2)
+        }
+        starts(m) = runStart; ends(m) = i; m += 1; runStart = -1
+      }
+      i += len
+    }
+    if (runStart >= 0) {
+      if (m == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, m + 1)
+        ends = java.util.Arrays.copyOf(ends, m + 1)
+      }
+      starts(m) = runStart; ends(m) = nb; m += 1
+    }
+    val count = math.max(m - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var k = 0
+    while (k < count) {
+      val hi = math.min(k + n, m)
+      if (hi <= k) seen.add(UTF8String.EMPTY_UTF8)
+      else if (hi - k == 1)
+        seen.add(UTF8String.fromAddress(base, off + starts(k),
+          ends(k) - starts(k)))
+      else {
+        var total = hi - k - 1 // separators
+        var j = k
+        while (j < hi) { total += ends(j) - starts(j); j += 1 }
+        val buf = new Array[Byte](total)
+        var o = 0
+        j = k
+        while (j < hi) {
+          if (j > k) { buf(o) = ' '; o += 1 }
+          val l = ends(j) - starts(j)
+          org.apache.spark.unsafe.Platform.copyMemory(base, off + starts(j),
+            buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + o, l)
+          o += l
+          j += 1
+        }
+        seen.add(UTF8String.fromBytes(buf))
+      }
+      k += 1
+    }
+    val out = new Array[Any](seen.size())
+    var o = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Legacy String-decoding shingle pass — the fallback for inputs with
+    * invalid UTF-8, where `toString`'s U+FFFD replacement semantics must
+    * be reproduced exactly. */
+  private def shinglesEvalStr(text: UTF8String, n: Int): GenericArrayData = {
     val s = text.toString
     // token [start, end) offsets in one code-point scan
     val starts = new java.util.ArrayList[Integer]()
@@ -235,6 +365,41 @@ object Shingles {
   }
 
   def tokensEval(text: UTF8String): GenericArrayData = {
+    // one pass over the UTF-8 bytes; tokens are zero-copy views into the
+    // input buffer (the UTF8String.substring pattern — operators that
+    // buffer rows copy string payloads into their own memory)
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    var runStart = -1
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      var cp = 0
+      var len = 1
+      if (b >= 0) cp = b
+      else {
+        val d = decodeCp(base, off, i, nb)
+        if (d < 0) return tokensEvalStr(text) // malformed: legacy path
+        cp = d >>> 3; len = d & 7
+      }
+      val w = isWordCp(cp)
+      if (w && runStart < 0) runStart = i
+      if (!w && runStart >= 0) {
+        out.add(UTF8String.fromAddress(base, off + runStart, i - runStart))
+        runStart = -1
+      }
+      i += len
+    }
+    if (runStart >= 0)
+      out.add(UTF8String.fromAddress(base, off + runStart, nb - runStart))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Legacy String-decoding tokenizer — invalid-UTF-8 fallback (U+FFFD
+    * replacement parity with `toString`). */
+  private def tokensEvalStr(text: UTF8String): GenericArrayData = {
     val s = text.toString
     val out = new java.util.ArrayList[Any]()
     var i = 0
@@ -292,17 +457,25 @@ object Shingles {
     // would leave out(0) null inside a containsNull=false array) or a
     // negative index crash
     if (k <= 0) return Array.emptyLongArray
-    val s = text.toString
-    // code-point array (window positions are code points, not UTF-16 units)
-    val n = s.codePointCount(0, s.length)
-    if (n < k) return Array.emptyLongArray
-    val cps = new Array[Int](n)
-    var i = 0; var o = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      cps(o) = cp; o += 1
-      i += Character.charCount(cp)
+    // decode code points straight off the UTF-8 bytes (one pass, no
+    // String materialization); cps can never outnumber bytes, so the
+    // buffer is sized once. Invalid UTF-8 falls back to the legacy
+    // String-decoding path for U+FFFD replacement parity.
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val cps = new Array[Int](nb)
+    var i = 0; var n = 0
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b >= 0) { cps(n) = b; n += 1; i += 1 }
+      else {
+        val d = decodeCp(base, off, i, nb)
+        if (d < 0) return charWindowHashesRawStr(text, k)
+        cps(n) = d >>> 3; n += 1; i += d & 7
+      }
     }
+    if (n < k) return Array.emptyLongArray
     // B^k mod 2^64 for the rolling drop-term
     var bk = 1L
     var e = 0
@@ -314,6 +487,35 @@ object Shingles {
     // hash a sparse small-coefficient polynomial in RollBase, where a
     // short lattice vector (a few positions with bounded char deltas) can
     // cancel mod 2^64; mixed symbols make any colliding pair structureless
+    while (j < n) {
+      h = h * RollBase + fmix64(cps(j).toLong)
+      if (j >= k) h -= bk * fmix64(cps(j - k).toLong)
+      if (j >= k - 1) out(j - k + 1) = h
+      j += 1
+    }
+    out
+  }
+
+  /** Legacy String-decoding char-window pass — invalid-UTF-8 fallback
+    * (U+FFFD replacement parity with `toString`). */
+  private def charWindowHashesRawStr(text: UTF8String, k: Int): Array[Long] = {
+    val s = text.toString
+    // code-point array (window positions are code points, not UTF-16 units)
+    val n = s.codePointCount(0, s.length)
+    if (n < k) return Array.emptyLongArray
+    val cps = new Array[Int](n)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(o) = cp; o += 1
+      i += Character.charCount(cp)
+    }
+    var bk = 1L
+    var e = 0
+    while (e < k) { bk *= RollBase; e += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var j = 0
     while (j < n) {
       h = h * RollBase + fmix64(cps(j).toLong)
       if (j >= k) h -= bk * fmix64(cps(j - k).toLong)
@@ -344,9 +546,62 @@ object Shingles {
   /** Primitive form of [[tokenWindowHashesEval]] — no per-window boxing. */
   def tokenWindowHashesRaw(text: UTF8String, k: Int): Array[Long] = {
     if (k <= 0) return Array.emptyLongArray
+    // per-token content hashes in one pass over the UTF-8 bytes (the
+    // token hash rolls over CODE POINTS, so byte-direct decode yields
+    // bit-identical values); invalid UTF-8 falls back to the legacy path
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var toks = new Array[Long](math.max(16, nb / 6))
+    var m = 0
+    var i = 0
+    var inRun = false
+    var th = 0L
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      var cp = 0
+      var len = 1
+      if (b >= 0) cp = b
+      else {
+        val d = decodeCp(base, off, i, nb)
+        if (d < 0) return tokenWindowHashesRawStr(text, k)
+        cp = d >>> 3; len = d & 7
+      }
+      val w = isWordCp(cp)
+      if (w) {
+        if (!inRun) { inRun = true; th = 1125899906842597L }
+        th = th * RollBase + cp
+      } else if (inRun) {
+        if (m == toks.length) toks = java.util.Arrays.copyOf(toks, m * 2)
+        toks(m) = fmix64(th); m += 1; inRun = false
+      }
+      i += len
+    }
+    if (inRun) {
+      if (m == toks.length) toks = java.util.Arrays.copyOf(toks, m + 1)
+      toks(m) = fmix64(th); m += 1
+    }
+    if (m < k) return Array.emptyLongArray
+    var bk = 1L
+    var e = 0
+    while (e < k) { bk *= RollBase; e += 1 }
+    val out = new Array[Long](m - k + 1)
+    var h = 0L
+    var j = 0
+    while (j < m) {
+      h = h * RollBase + toks(j)
+      if (j >= k) h -= bk * toks(j - k)
+      if (j >= k - 1) out(j - k + 1) = h
+      j += 1
+    }
+    out
+  }
+
+  /** Legacy String-decoding token-window pass — invalid-UTF-8 fallback
+    * (U+FFFD replacement parity with `toString`). */
+  private def tokenWindowHashesRawStr(text: UTF8String, k: Int): Array[Long] = {
     val s = text.toString
     val len = s.length
-    // per-token content hashes in one scan (primitive growable buffer)
     var toks = new Array[Long](math.max(16, len / 6))
     var m = 0
     var i = 0
@@ -482,34 +737,83 @@ object Shingles {
     * aggregate collapses them map-side. */
   def fieldTokenHashesEval(row: org.apache.spark.sql.catalyst.InternalRow,
                            names: Array[UTF8String]): GenericArrayData = {
-    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
     val out = new java.util.ArrayList[Any]()
-    def add(name: UTF8String, tok: String): Unit = {
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(tok), StringType, 42L)
-      out.add(new GenericInternalRow(Array[Any](name, h)))
-    }
     var f = 0
     while (f < names.length) {
       if (!row.isNullAt(f)) {
-        val s = row.getUTF8String(f).toString
+        val s = row.getUTF8String(f)
+        // tokenize and hash straight off the UTF-8 bytes: the token hash
+        // is xxhash64 over the token's UTF-8 bytes (what the StringType
+        // dispatch computes), so hashing the byte range in place skips
+        // both the toString decode and the per-token String+UTF8String
+        // allocations. Invalid UTF-8 falls back to the legacy per-field
+        // path for U+FFFD parity.
+        val nb = s.numBytes()
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val mark = out.size() // rollback point for the invalid-UTF-8 fallback
         var i = 0
         var runStart = -1
-        val len = s.length
-        while (i < len) {
-          val cp = s.codePointAt(i)
-          val w = isWordCp(cp)
-          if (w && runStart < 0) runStart = i
-          if (!w && runStart >= 0) {
-            add(names(f), s.substring(runStart, i)); runStart = -1
+        var bad = false
+        while (i < nb && !bad) {
+          val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          var cp = 0
+          var len = 1
+          if (b >= 0) cp = b
+          else {
+            val d = decodeCp(base, off, i, nb)
+            if (d < 0) bad = true else { cp = d >>> 3; len = d & 7 }
           }
-          i += Character.charCount(cp)
+          if (!bad) {
+            val w = isWordCp(cp)
+            if (w && runStart < 0) runStart = i
+            if (!w && runStart >= 0) {
+              out.add(new GenericInternalRow(Array[Any](names(f),
+                XXH64.hashUnsafeBytes(base, off + runStart, i - runStart, 42L))))
+              runStart = -1
+            }
+            i += len
+          }
         }
-        if (runStart >= 0) add(names(f), s.substring(runStart, len))
+        if (bad) {
+          // drop this field's partial byte-pass output, then redo the
+          // whole field on the legacy path
+          while (out.size() > mark) out.remove(out.size() - 1)
+          fieldTokensLegacy(s, names(f), out)
+        } else if (runStart >= 0)
+          out.add(new GenericInternalRow(Array[Any](names(f),
+            XXH64.hashUnsafeBytes(base, off + runStart, nb - runStart, 42L))))
       }
       f += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Legacy String-decoding per-field tokenizer+hasher — invalid-UTF-8
+    * fallback; the caller truncates the field's partial byte-pass output
+    * back to its mark before calling. */
+  private def fieldTokensLegacy(value: UTF8String, name: UTF8String,
+      out: java.util.ArrayList[Any]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+    val s = value.toString
+    def add(tok: String): Unit = {
+      val h = XxHash64Function.hash(UTF8String.fromString(tok), StringType, 42L)
+      out.add(new GenericInternalRow(Array[Any](name, h)))
+    }
+    var i = 0
+    var runStart = -1
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val w = isWordCp(cp)
+      if (w && runStart < 0) runStart = i
+      if (!w && runStart >= 0) {
+        add(s.substring(runStart, i)); runStart = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (runStart >= 0) add(s.substring(runStart, len))
   }
 
   def fieldTokenHashes(values: Column): Column = {

@@ -84,7 +84,79 @@ object TextStatsKernel {
         t == Character.OTHER_NUMBER
     }
 
+  /** Stopword lookup keyed by UTF-8 BYTES (UTF8String equality), so the
+    * byte-direct walks below never materialize token Strings. Stopwords
+    * are pure ASCII, so byte equality ⇔ string equality, and a byte
+    * length ≤ maxStopLen gate is exact for them (any multi-byte token
+    * has byteLen > charLen and can never equal an ASCII stopword). */
+  private val stopLangU8: java.util.HashMap[UTF8String, java.lang.Integer] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer]()
+    stopLang.forEach((k, v) => m.put(UTF8String.fromString(k), v))
+    m
+  }
+
+  /** Script(Han)'s lowest code point is U+2E80 (CJK Radicals Supplement)
+    * — gate the UnicodeScript.of binary search (it runs per CODE POINT
+    * and dominated ASCII text) on that floor. Semantics unchanged: every
+    * cp below the floor is non-Han by definition. */
+  @inline private def isHanCp(cp: Int): Boolean =
+    cp >= 0x2E80 &&
+      Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN
+
   def eval(text: UTF8String): InternalRow = {
+    // one pass over the UTF-8 bytes (the Shingles.decodeCp pattern):
+    // no toString decode, stopwords matched as byte slices, the Han
+    // check range-gated. Invalid UTF-8 falls back to the legacy
+    // String-decoding walk for U+FFFD replacement parity.
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var i = 0
+    var nTokens = 0L
+    var tokStart = -1
+    var han = false
+    val counts = new Array[Int](3)
+    def endToken(end: Int): Unit = {
+      nTokens += 1L
+      if (end - tokStart <= maxStopLen) {
+        val lang = stopLangU8.get(UTF8String.fromAddress(base, off + tokStart,
+          end - tokStart))
+        if (lang != null) counts(lang.intValue) += 1
+      }
+      tokStart = -1
+    }
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      var cp = 0
+      var clen = 1
+      if (b >= 0) cp = b
+      else {
+        val d = Shingles.decodeCpShared(base, off, i, nb)
+        if (d < 0) return evalStr(text)
+        cp = d >>> 3; clen = d & 7
+      }
+      if (isWordCp(cp)) {
+        if (tokStart < 0) tokStart = i
+        if (!han && isHanCp(cp)) han = true
+      } else {
+        if (tokStart >= 0) endToken(i)
+        // the Han regex scans the WHOLE text, word char or not
+        if (!han && isHanCp(cp)) han = true
+      }
+      i += clen
+    }
+    if (tokStart >= 0) endToken(nb)
+    val lang =
+      if (han) ZH
+      else if (counts(0) >= counts(1) && counts(0) >= counts(2) && counts(0) > 0) LANGS(0)
+      else if (counts(1) >= counts(2) && counts(1) > 0) LANGS(1)
+      else if (counts(2) > 0) LANGS(2)
+      else UND
+    new GenericInternalRow(Array[Any](lang, nTokens))
+  }
+
+  /** Legacy String-decoding walk — invalid-UTF-8 fallback. */
+  private def evalStr(text: UTF8String): InternalRow = {
     val s = text.toString
     val len = s.length
     var i = 0
@@ -104,13 +176,10 @@ object TextStatsKernel {
       val cp = s.codePointAt(i)
       if (isWordCp(cp)) {
         if (tokStart < 0) tokStart = i
-        if (!han && Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
-          han = true
+        if (!han && isHanCp(cp)) han = true
       } else {
         if (tokStart >= 0) endToken(i)
-        // the Han regex scans the WHOLE text, word char or not
-        if (!han && Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
-          han = true
+        if (!han && isHanCp(cp)) han = true
       }
       i += Character.charCount(cp)
     }
@@ -139,6 +208,50 @@ object TextStatsKernel {
     * Column space, identical ops in identical order, so the doubles are
     * bit-identical to the regexp tower this replaces. */
   def qualityCountsEval(text: UTF8String): InternalRow = {
+    // byte-direct walk, same structure as [[eval]]; invalid UTF-8 falls
+    // back to the legacy String-decoding walk
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var i = 0
+    var nTokens = 0L
+    var punct = 0L
+    var stops = 0L
+    var tokStart = -1
+    def endToken(end: Int): Unit = {
+      nTokens += 1L
+      if (end - tokStart <= maxStopLen) {
+        val lang = stopLangU8.get(UTF8String.fromAddress(base, off + tokStart,
+          end - tokStart))
+        if (lang != null && lang.intValue == 0) stops += 1
+      }
+      tokStart = -1
+    }
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      var cp = 0
+      var clen = 1
+      if (b >= 0) cp = b
+      else {
+        val d = Shingles.decodeCpShared(base, off, i, nb)
+        if (d < 0) return qualityCountsEvalStr(text)
+        cp = d >>> 3; clen = d & 7
+      }
+      if (isWordCp(cp)) {
+        if (tokStart < 0) tokStart = i
+      } else if (tokStart >= 0) endToken(i)
+      // independent of tokenization: the regex class includes `_`, which
+      // is ALSO a word char — membership is tested for every code point
+      if ((cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+          (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')) punct += 1
+      i += clen
+    }
+    if (tokStart >= 0) endToken(nb)
+    new GenericInternalRow(Array[Any](nTokens, punct, stops))
+  }
+
+  /** Legacy String-decoding walk — invalid-UTF-8 fallback. */
+  private def qualityCountsEvalStr(text: UTF8String): InternalRow = {
     val s = text.toString
     val len = s.length
     var i = 0
@@ -159,8 +272,6 @@ object TextStatsKernel {
       if (isWordCp(cp)) {
         if (tokStart < 0) tokStart = i
       } else if (tokStart >= 0) endToken(i)
-      // independent of tokenization: the regex class includes `_`, which
-      // is ALSO a word char — membership is tested for every code point
       if ((cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
           (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')) punct += 1
       i += Character.charCount(cp)

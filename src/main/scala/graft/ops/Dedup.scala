@@ -120,7 +120,13 @@ object Dedup {
     // so the skew bound is unchanged; buckets whose exact count passes
     // the [2, maxBucketSize] gate have complete member arrays by
     // construction (count <= maxBucketSize < cap). Measured r15: one
-    // fewer corpus-scale exchange + 2 fewer stages per run at every SF.
+    // fewer corpus-scale exchange + 2 fewer stages per run at every SF,
+    // and at 500k docs the one-pass bucket build+pairing runs 2.3s vs the
+    // two-phase's 3.6-5.2s with identical pair sets
+    // (tools/MinhashShapeProbe on RAM shuffle scratch — this sandbox's
+    // disk stalls for seconds at a time and otherwise drowns the A/B; the
+    // ObjectHashAggregate sort-based fallback past 128 hash-map groups is
+    // real but cheaper than the second exchange + semi-join it replaces).
     val buckets = bandRows.groupBy("band_hash")
       .agg(graft.functions.CappedIds
         .idsWithCount(col("id"), maxBucketSize + 1).as("r"))
