@@ -478,15 +478,25 @@ object Bench {
     val srv = new graft.server.IngestServer(spark, dir)
     val port = srv.start()
     try {
-      def post(body: Array[Byte]): Int = {
+      def post(body: Array[Byte]): Int = try {
         val conn = new java.net.URI(
           s"http://127.0.0.1:$port/insert/jsonline?_stream_fields=app")
           .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST"); conn.setDoOutput(true)
         conn.getOutputStream.write(body)
         val code = conn.getResponseCode
-        conn.getInputStream.readAllBytes(); conn.disconnect()
+        (if (code >= 400) conn.getErrorStream else conn.getInputStream)
+          .readAllBytes()
+        conn.disconnect()
         code
+      } catch { case e: java.io.IOException =>
+        // a failed post must not ABORT the bench (a group-commit flush
+        // stalled past the committer's 120s timeout under this host's
+        // multi-minute disk stalls 400s the request, and the uncaught
+        // IOException killed the whole run — every query timing lost).
+        // It counts 0 acked rows, which keeps the throughput honest.
+        System.err.println(s"[bench] sustained post failed: $e")
+        -1
       }
       def body(i: Int): Array[Byte] = (0 until linesPerPost).map { j =>
         s"""{"_time":"2024-01-06T10:${f"${j % 60}%02d"}:00Z","_msg":"sustained ingest row $i $j","app":"app${i % 8}"}"""
@@ -534,14 +544,21 @@ object Bench {
     val srv = new graft.server.IngestServer(spark, dir)
     val port = srv.start()
     try {
-      def post(body: Array[Byte]): Int = {
+      def post(body: Array[Byte]): Int = try {
         val conn = new java.net.URI(s"http://127.0.0.1:$port/insert/jsonline?_stream_fields=app")
           .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST"); conn.setDoOutput(true)
         conn.getOutputStream.write(body)
         val code = conn.getResponseCode
-        conn.getInputStream.readAllBytes(); conn.disconnect()
+        (if (code >= 400) conn.getErrorStream else conn.getInputStream)
+          .readAllBytes()
+        conn.disconnect()
         code
+      } catch { case e: java.io.IOException =>
+        // see ingestSustained.post: a stalled flush must cost throughput
+        // (0 acked rows), never abort the run and lose every timing
+        System.err.println(s"[bench] ingest post failed: $e")
+        -1
       }
       def body(i: Int): Array[Byte] = (0 until linesPerPost).map { j =>
         s"""{"_time":"2024-01-05T10:${f"${j % 60}%02d"}:00Z","_msg":"bench ingest row $i $j from generator","app":"app${i % 8}"}"""
